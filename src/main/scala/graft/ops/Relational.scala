@@ -1,0 +1,517 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** §2.1 relational/query core — the SortCL sort-transform-report surface
+  * re-expressed as declarative DataFrame plans (reference:
+  * /root/reference/src/main/java/SclScript.java:1 models typed fields +
+  * per-field expressions + sorted/aggregated routing; here Catalyst owns
+  * the physical plan).
+  *
+  * Oracle-parity rules (see SURVEY.md §5): exact decimal intermediates
+  * cast to double only at the end; total-order ORDER BY mirrored in the
+  * DuckDB SQL; identical aliases on both sides.
+  *
+  * Scale notes are on each query: dims are broadcast explicitly, fact
+  * joins shuffle on their natural key, aggregations rely on partial
+  * (map-side) aggregation.
+  */
+object Relational extends graft.QueryModule {
+
+  /** Exact-money intermediate: parquet doubles carry 2dp values. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
+  /** Exact decimal sum surfaced as double (bitwise-stable both engines). */
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact average: exact decimal sum / exact count, divided as doubles. */
+  private def avgd(c: Column): Column =
+    sum(dec(c)).cast("double") / count(lit(1)).cast("double")
+
+  private val SUMQ = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+  private def sumSql(c: String) = SUMQ.format(c)
+  private def avgSql(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: single scan, hash agg on 2 low-card keys. Partial
+    * aggregation makes this shuffle O(groups), not O(rows) — holds at
+    * 100 TB unchanged. */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        avgd(col("l_quantity")).as("avg_qty"),
+        avgd(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sumSql("l_quantity")} AS sum_qty,
+       |  ${sumSql("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       |  ${avgSql("l_quantity")} AS avg_qty,
+       |  ${avgSql("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Selective filter + projection; PlanSpec asserts PushedFilters +
+    * pruned ReadSchema reach the parquet scan. */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size") < 15 && col("p_type") === "ECONOMY")
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .orderBy("p_partkey")
+
+  val q02Sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_retailprice
+      |FROM part WHERE p_size < 15 AND p_type = 'ECONOMY'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Q3 shape: customer⨝orders⨝lineitem. customer is the small side →
+    * broadcast; orders⨝lineitem shuffles on orderkey (at 100 TB: bucket
+    * both on orderkey to eliminate the shuffle). */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS semi-join: left_semi never duplicates/bloats the left side —
+    * the safe formulation at scale (no distinct needed post-join). */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Q5 shape: 6-way star join. All dims broadcast (region/nation/
+    * supplier/customer are ≤GBs even at 100 TB); only orders⨝lineitem
+    * shuffles. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Q6 shape: tight range scan → single partial-aggregated global sum.
+    * All three predicates push to parquet (min/max row-group skipping). */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  val q06Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Window rank partitioned by nation: state is per-partition, scales
+    * with executors; deterministic tie-break on custkey. */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INTEGER) AS rnk
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |        RANK() OVER (PARTITION BY c_nationkey
+      |                     ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |      FROM customer) t
+      |WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** lag/lead running analytics per user over event time. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("value") - lag("value", 1).over(w)).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q08Sql: String =
+    """SELECT user_id, event_id, value,
+      |  value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Global top-k: Spark's TakeOrderedAndProject never materializes a
+    * full sort — O(k) per partition + O(k·p) on the driver. */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  val q09Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_nationkey", "c_mktsegment").distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val q10Sql: String =
+    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Set ops: nations with customers AND suppliers, plus nations with no
+    * customers at all. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey").as("nk"))
+    c.intersect(s).union(n.except(c)).distinct().orderBy("nk")
+  }
+
+  val q11Sql: String =
+    """SELECT nk FROM (
+      |  (SELECT c_nationkey AS nk FROM customer
+      |   INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION
+      |  (SELECT n_nationkey FROM nation
+      |   EXCEPT SELECT c_nationkey FROM customer)) t
+      |ORDER BY nk""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** ROLLUP over region→nation hierarchy (dims broadcast). Expressed
+    * through the SQL surface: the Dataset rollup API trips Spark's
+    * ambiguous-self-join detection on Expand-generated attributes; the
+    * SQL path builds the identical Catalyst plan without the Dataset
+    * plan-id metadata that confuses the check. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM graft_customer
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  val q12Sql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+       |  ${sumSql("c_acctbal")} AS total_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Q13 shape: left outer join + two-level aggregation. */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Pivot: conditional aggregation per event type (fixed pivot values —
+    * never a driver-side distinct scan at 100 TB). */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(sum(dec(col("value"))).cast("double"))
+      .orderBy("user_id")
+
+  val q14Sql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Scalar subquery: global threshold computed once, broadcast into the
+    * filter (no per-row recompute). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val thr = c.agg(avgd(col("c_acctbal")).as("thr"))
+    c.join(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val q15Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+       |WHERE c_acctbal > (SELECT ${avgSql("c_acctbal")} FROM customer)
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** NOT EXISTS anti-join: left_anti keeps the probe side streaming. */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy("c_nationkey")
+
+  val q16Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_no_orders FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Q17 shape: per-part correlated threshold via a grouped build side
+    * joined back (decorrelated by construction — the scalable plan). */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
+      .select("p_partkey")
+    val avgq = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(avgd(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgq, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((sumd(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""WITH t AS (SELECT l_partkey AS t_partkey, ${avgSql("l_quantity")} AS avg_qty
+       |           FROM lineitem GROUP BY l_partkey)
+       |SELECT ${sumSql("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |JOIN t ON t_partkey = l_partkey
+       |WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Q18 shape: HAVING on exact decimal sum, then join back to headers. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 250)
+      .select(col("l_orderkey"), col("sum_qty_dec").cast("double").as("sum_qty"))
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM big JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Scalar-expression salad: case/string/date math — all codegen'd
+    * builtins, no UDFs. */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") >= 200000, "large")
+          .when(col("o_totalprice") >= 50000, "mid")
+          .otherwise("small").as("bucket"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(upper(col("o_orderstatus")), lit("-"),
+          expr("substr(o_orderpriority, 3)")).as("status_tag"),
+        length(col("o_orderpriority")).as("prio_len"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_before_2002"))
+      .orderBy("o_orderkey")
+
+  val q19Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice >= 200000 THEN 'large'
+      |       WHEN o_totalprice >= 50000 THEN 'mid'
+      |       ELSE 'small' END AS bucket,
+      |  CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+      |  SUBSTR(o_orderpriority, 1, 1) AS prio_code,
+      |  UPPER(o_orderstatus) || '-' || SUBSTR(o_orderpriority, 3) AS status_tag,
+      |  CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len,
+      |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_before_2002
+      |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** GROUPING SETS via the SQL surface (Spark SQL parser → same Catalyst
+    * Expand as rollup/cube). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS cnt
+        |FROM graft_nation JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  val q20Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS cnt
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_semijoin" -> (q04 _),
+    "q05_multijoin" -> (q05 _),
+    "q06_selective" -> (q06 _),
+    "q07_window_rank" -> (q07 _),
+    "q08_window_lag" -> (q08 _),
+    "q09_sort_limit" -> (q09 _),
+    "q10_distinct" -> (q10 _),
+    "q11_setops" -> (q11 _),
+    "q12_rollup" -> (q12 _),
+    "q13_outerjoin" -> (q13 _),
+    "q14_pivot" -> (q14 _),
+    "q15_scalar_subq" -> (q15 _),
+    "q16_antijoin" -> (q16 _),
+    "q17_correlated" -> (q17 _),
+    "q18_having" -> (q18 _),
+    "q19_expr" -> (q19 _),
+    "q20_grouping_sets" -> (q20 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_agg" -> q03Sql,
+    "q04_semijoin" -> q04Sql,
+    "q05_multijoin" -> q05Sql,
+    "q06_selective" -> q06Sql,
+    "q07_window_rank" -> q07Sql,
+    "q08_window_lag" -> q08Sql,
+    "q09_sort_limit" -> q09Sql,
+    "q10_distinct" -> q10Sql,
+    "q11_setops" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_outerjoin" -> q13Sql,
+    "q14_pivot" -> q14Sql,
+    "q15_scalar_subq" -> q15Sql,
+    "q16_antijoin" -> q16Sql,
+    "q17_correlated" -> q17Sql,
+    "q18_having" -> q18Sql,
+    "q19_expr" -> q19Sql,
+    "q20_grouping_sets" -> q20Sql)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sf_dir] [out_dir]
+
+Assumes `sbt "runMain graft.Verify <sf_dir> <out_dir>"` already ran.
+Registers each parquet table as a DuckDB view, runs every oracle SQL
+from out_dir/oracle_sql.json, and compares against the Spark result
+parquet: column names (sorted), dtypes (loose), and row values
+(row-order-insensitive, exact values).
+"""
+import sys, json, glob, os
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    n_pass = n_fail = n_noracle = 0
+    for qdir in sorted(glob.glob(f"{OUT}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"MISSING-RESULT {name}")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        gcols, grows = [d[0] for d in got.description], got.fetchall()
+        if name not in oracles:
+            print(f"NO-ORACLE     {name:24s} rows={len(grows)}")
+            n_noracle += 1
+            continue
+        try:
+            want = con.sql(oracles[name])
+            wcols, wrows = [d[0] for d in want.description], want.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERROR  {name:24s} {str(e).splitlines()[0][:120]}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(wcols):
+            print(f"COLS-MISMATCH {name:24s} got={sorted(gcols)} want={sorted(wcols)}")
+            n_fail += 1
+            continue
+        g, w = norm_rows(gcols, grows), norm_rows(wcols, wrows)
+        if g != w:
+            print(f"ROWS-MISMATCH {name:24s} got={len(g)} want={len(w)}")
+            for i, (a, b) in enumerate(zip(g, w)):
+                if a != b:
+                    print(f"   first diff @{i}:\n    got  {a}\n    want {b}")
+                    break
+            else:
+                if len(g) != len(w):
+                    extra = g[len(w):] if len(g) > len(w) else w[len(g):]
+                    print(f"   extra rows: {extra[:3]}")
+            n_fail += 1
+            continue
+        print(f"PASS          {name:24s} rows={len(g)}")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
