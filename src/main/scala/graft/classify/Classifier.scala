@@ -1,0 +1,56 @@
+package graft.classify
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column classification over a DataFrame.
+  *
+  * Two layers, mirroring the reference's matching model (reference:
+  * /root/reference/src/main/java/Main.java:351-365 — first matching
+  * class wins, name match OR content match):
+  *
+  *  - name classification is metadata-only (driver-side, zero scan)
+  *  - content classification is ONE aggregate pass computing the match
+  *    rate of every (column, class) pair simultaneously — a single scan
+  *    + partial aggregation regardless of how many pairs, which is the
+  *    shape that survives 100 TB (never one job per column).
+  */
+final class Classifier(lib: DataClassLibrary) {
+
+  /** First data class whose nameMatcher accepts the column name. */
+  def classifyName(columnName: String): Option[DataClass] =
+    lib.classes.find(_.nameMatcher.exists(Matchers.nameMatches(_, columnName)))
+
+  /** (column → class) for every column the name layer can classify. */
+  def classifySchema(df: DataFrame): Seq[(String, DataClass)] =
+    df.schema.fieldNames.toSeq.flatMap(n => classifyName(n).map(n -> _))
+
+  /** Match rate of each (column, pattern-class) pair in one scan.
+    * Returns one row per pair: (column_name, data_class, match_rate). */
+  def contentMatchRates(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val pairs = for {
+      c <- columns
+      dc <- lib.classes if dc.pattern.isDefined
+    } yield (c, dc)
+    val aggs: Seq[Column] = pairs.map { case (c, dc) =>
+      (sum(when(Matchers.contentMatches(col(c).cast("string"), dc.pattern.get), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)).cast("double"))
+        .as(s"${c}__${dc.name}")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.map { case (c, dc) =>
+      s"'$c', '${dc.name}', `${c}__${dc.name}`"
+    }.mkString(s"stack(${pairs.size}, ", ", ", ") AS (column_name, data_class, match_rate)")
+    wide.select(expr(stackExpr))
+  }
+
+  /** Set-membership counts per distinct value of a column, implemented
+    * as an aggregation over an inlined set predicate. For set files too
+    * large to inline, join a broadcast Dataset of entries instead. */
+  def setMatchCounts(df: DataFrame, column: String, entries: Seq[String]): DataFrame =
+    df.groupBy(col(column))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(Matchers.inSet(col(column), entries), 1L).otherwise(0L))
+          .as("n_in_set"))
+}

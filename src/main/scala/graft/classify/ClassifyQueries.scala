@@ -1,0 +1,146 @@
+package graft.classify
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** §2.3 classification operators as driver-verified queries. */
+object ClassifyQueries extends QueryModule {
+
+  private val lib = Libraries.default
+  private val classifier = new Classifier(lib)
+
+  /** First-match value classification over the library's pattern
+    * classes (library order = precedence, like the reference's
+    * first-match-wins loop). */
+  private def classifyValue(c: Column): Column =
+    lib.classes.filter(_.pattern.isDefined).foldRight(lit("UNCLASSIFIED")) {
+      (dc, acc) => when(Matchers.contentMatches(c, dc.pattern.get), dc.name).otherwise(acc)
+    }
+
+  private def classifyValueSql(e: String): String = {
+    val whens = lib.classes.filter(_.pattern.isDefined).map { dc =>
+      s"WHEN regexp_matches($e, '^(?:${dc.pattern.get})$$') THEN '${dc.name}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'UNCLASSIFIED' END"
+  }
+
+  // ------------------------------------------------- cls_name_match
+  /** Metadata-only classification of two schemas — zero data scan, the
+    * cheap first pass the reference applies per change event. */
+  def clsNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Seq("customer", "orders").flatMap { t =>
+      classifier.classifySchema(Tables(spark, dir, t)).map {
+        case (colName, dc) => (t, colName, dc.name)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "column_name", "data_class")
+      .orderBy("table_name", "column_name")
+  }
+
+  val clsNameMatchSql: String =
+    """SELECT * FROM (VALUES
+      |  ('customer','c_acctbal','FINANCIAL'),
+      |  ('customer','c_custkey','ID'),
+      |  ('customer','c_mktsegment','SEGMENT'),
+      |  ('customer','c_name','NAME'),
+      |  ('customer','c_nationkey','ID'),
+      |  ('orders','o_custkey','ID'),
+      |  ('orders','o_orderdate','DATE'),
+      |  ('orders','o_orderkey','ID'),
+      |  ('orders','o_orderpriority','STATUS'),
+      |  ('orders','o_orderstatus','STATUS'),
+      |  ('orders','o_totalprice','FINANCIAL')
+      |) AS t(table_name, column_name, data_class)
+      |ORDER BY table_name, column_name""".stripMargin
+
+  // ---------------------------------------------- cls_pattern_match
+  /** Cell-level content classification of synthesized PII values. */
+  def clsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") < 200)
+    val email = concat(lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@example.com"))
+    val nine = lpad((col("c_custkey") * 2654435761L % 1000000000L).cast("string"), 9, "0")
+    val ssn = concat(nine.substr(1, 3), lit("-"), nine.substr(4, 2), lit("-"),
+      nine.substr(6, 4))
+    val zip = lpad((col("c_custkey") % 100000).cast("string"), 5, "0")
+    def one(kind: String, v: Column): DataFrame =
+      c.select(col("c_custkey"), lit(kind).as("kind"), v.as("value"),
+        classifyValue(v).as("data_class"))
+    one("name", col("c_name"))
+      .unionAll(one("email", email))
+      .unionAll(one("ssn", ssn))
+      .unionAll(one("zip", zip))
+      .orderBy("c_custkey", "kind")
+  }
+
+  val clsPatternMatchSql: String = {
+    val nine = "lpad(CAST(c_custkey * 2654435761 % 1000000000 AS VARCHAR), 9, '0')"
+    s"""WITH c AS (SELECT * FROM customer WHERE c_custkey < 200),
+       |vals AS (
+       |  SELECT c_custkey, 'name' AS kind, c_name AS value FROM c
+       |  UNION ALL
+       |  SELECT c_custkey, 'email', lower(replace(c_name,'#','.')) || '@example.com' FROM c
+       |  UNION ALL
+       |  SELECT c_custkey, 'ssn',
+       |    substr($nine,1,3) || '-' || substr($nine,4,2) || '-' || substr($nine,6,4) FROM c
+       |  UNION ALL
+       |  SELECT c_custkey, 'zip', lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') FROM c)
+       |SELECT c_custkey, kind, value, ${classifyValueSql("value")} AS data_class
+       |FROM vals ORDER BY c_custkey, kind""".stripMargin
+  }
+
+  // -------------------------------------------------- cls_set_match
+  /** Set-file membership classification (SetMatcher), aggregated. */
+  def clsSetMatch(spark: SparkSession, dir: String): DataFrame =
+    classifier.setMatchCounts(Tables.customer(spark, dir), "c_mktsegment",
+      Seq("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .orderBy("c_mktsegment")
+
+  val clsSetMatchSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_set
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------ cls_schema_scan
+  /** Whole-table content scan: match rate of every (column, class) pair
+    * in ONE aggregate pass (single scan at any scale). */
+  def clsSchemaScan(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(spark, dir).select(
+      col("c_name"), col("c_mktsegment"),
+      concat(lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com")).as("email"))
+    classifier.contentMatchRates(src, Seq("c_name", "c_mktsegment", "email"))
+      .orderBy("column_name", "data_class")
+  }
+
+  val clsSchemaScanSql: String = {
+    val cols = Seq("c_name", "c_mktsegment", "email")
+    val classes = lib.classes.filter(_.pattern.isDefined)
+    val selects = for { c <- cols; dc <- classes } yield
+      s"""SELECT '$c' AS column_name, '${dc.name}' AS data_class,
+         |  CAST(SUM(CASE WHEN regexp_matches($c, '^(?:${dc.pattern.get})$$')
+         |           THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS match_rate
+         |FROM src""".stripMargin
+    s"""WITH src AS (
+       |  SELECT c_name, c_mktsegment,
+       |    lower(replace(c_name,'#','.')) || '@example.com' AS email
+       |  FROM customer)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY column_name, data_class""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_name_match" -> (clsNameMatch _),
+    "cls_pattern_match" -> (clsPatternMatch _),
+    "cls_set_match" -> (clsSetMatch _),
+    "cls_schema_scan" -> (clsSchemaScan _))
+
+  val oracles: Map[String, String] = Map(
+    "cls_name_match" -> clsNameMatchSql,
+    "cls_pattern_match" -> clsPatternMatchSql,
+    "cls_set_match" -> clsSetMatchSql,
+    "cls_schema_scan" -> clsSchemaScanSql)
+}

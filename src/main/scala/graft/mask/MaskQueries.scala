@@ -1,0 +1,199 @@
+package graft.mask
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.classify.Libraries
+
+/** §2.4 masking operators as driver-verified queries. Every mask is a
+  * deterministic codegen'd expression (see [[MaskFunctions]]); the
+  * DuckDB oracle recomputes the identical math, proving the masks are
+  * engine-independent (replica-consistent, like the reference's
+  * rule-per-data-class model).
+  */
+object MaskQueries extends QueryModule {
+
+  /** Portable md5-derived hash, SQL side (mirrors
+    * MaskFunctions.portableHash). */
+  private def hashSql(e: String): String =
+    s"(('0x'||substr(md5($e),1,8))::BIGINT)"
+
+  def maskHex(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        MaskFunctions.encodeHex(col("c_name")).as("enc"),
+        MaskFunctions.decodeHex(MaskFunctions.encodeHex(col("c_name"))).as("dec"))
+      .orderBy("c_custkey")
+
+  val maskHexSql: String =
+    """SELECT c_custkey, hex(c_name) AS enc,
+      |  decode(unhex(hex(c_name))) AS dec
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def maskCase(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        MaskFunctions.toUpper(col("p_name")).as("up"),
+        MaskFunctions.toLower(col("p_brand")).as("lo"),
+        MaskFunctions.proper(col("p_name")).as("pr"))
+      .orderBy("p_partkey")
+
+  val maskCaseSql: String =
+    """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+      |  upper(substr(p_name,1,1)) || lower(substr(p_name,2)) AS pr
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  def maskHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        MaskFunctions.hashMd5(col("c_name")).as("m"),
+        MaskFunctions.hashSha256(col("c_name"), "pepper").as("s"))
+      .orderBy("c_custkey")
+
+  val maskHashSql: String =
+    """SELECT c_custkey, md5(c_name) AS m,
+      |  sha256(c_name || 'pepper') AS s
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def maskRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        MaskFunctions.redact(col("c_name")).as("full_mask"),
+        MaskFunctions.redactKeepLast(col("c_name"), 4).as("keep4"))
+      .orderBy("c_custkey")
+
+  val maskRedactSql: String =
+    """SELECT c_custkey,
+      |  repeat('*', length(c_name)) AS full_mask,
+      |  repeat('*', greatest(length(c_name)-4, 0)) ||
+      |    substr(c_name, length(c_name)-3, 4) AS keep4
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Set entries come from the nation dim ordered by key — the stand-in
+    * for a pseudonym set file; at scale this is a collected-once
+    * broadcast, identical semantics. */
+  private def nationNames(spark: SparkSession, dir: String): Seq[String] =
+    Tables.nation(spark, dir).orderBy("n_nationkey")
+      .select("n_name").collect().map(_.getString(0)).toSeq
+
+  def maskPseudonym(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        MaskFunctions.pseudonymFromSet(col("c_name"),
+          nationNames(spark, dir)).as("pseudonym"))
+      .orderBy("c_custkey")
+
+  val maskPseudonymSql: String =
+    s"""SELECT c_custkey, n_name AS pseudonym
+       |FROM customer JOIN nation
+       |  ON n_nationkey = CAST(${hashSql("c_name")} % 25 AS INTEGER)
+       |ORDER BY c_custkey""".stripMargin
+
+  def maskBlur(spark: SparkSession, dir: String): DataFrame = {
+    val key = concat(col("l_orderkey").cast("string"), lit("#"),
+      col("l_linenumber").cast("string"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        MaskFunctions.blurNumber(col("l_quantity"), key, 5).as("blurred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val maskBlurSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity,
+       |  l_quantity + ((${hashSql("CAST(l_orderkey AS VARCHAR)||'#'||CAST(l_linenumber AS VARCHAR)")} % 11) - 5) AS blurred
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def maskDateShift(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        MaskFunctions.dateShift(col("o_orderdate"),
+          col("o_orderkey").cast("string"), 30).as("shifted"))
+      .orderBy("o_orderkey")
+
+  val maskDateShiftSql: String =
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+       |  CAST(o_orderdate AS DATE) +
+       |    CAST((${hashSql("CAST(o_orderkey AS VARCHAR)")} % 61) - 30 AS INTEGER) AS shifted
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def maskFpe(spark: SparkSession, dir: String): DataFrame = {
+    val digits = lpad((col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0")
+    val phone = concat(digits.substr(1, 3), lit("-"), digits.substr(4, 4))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), phone.as("phone"),
+        MaskFunctions.fpeDigits(phone).as("masked"))
+      .orderBy("c_custkey")
+  }
+
+  val maskFpeSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey,
+      |    substr(lpad(CAST(c_custkey*7919 % 10000000 AS VARCHAR),7,'0'),1,3) || '-' ||
+      |    substr(lpad(CAST(c_custkey*7919 % 10000000 AS VARCHAR),7,'0'),4,4) AS phone
+      |  FROM customer)
+      |SELECT c_custkey, phone,
+      |  translate(phone, '0123456789', '3456789012') AS masked
+      |FROM src ORDER BY c_custkey""".stripMargin
+
+  def maskEmail(spark: SparkSession, dir: String): DataFrame = {
+    val email = concat(lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@example.com"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), email.as("email"),
+        MaskFunctions.maskEmail(email).as("masked"))
+      .orderBy("c_custkey")
+  }
+
+  val maskEmailSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey,
+      |    lower(replace(c_name, '#', '.')) || '@example.com' AS email
+      |  FROM customer)
+      |SELECT c_custkey, email,
+      |  substr(email,1,1) || '***' || regexp_extract(email, '(@.*)$', 1) AS masked
+      |FROM src ORDER BY c_custkey""".stripMargin
+
+  /** End-to-end reference flow: classify customer by column name with
+    * the default library, apply each class's default rule. */
+  def maskClassified(spark: SparkSession, dir: String): DataFrame = {
+    val resolver: String => Seq[String] = {
+      case "nation-names" => nationNames(spark, dir)
+      case _ => Seq.empty
+    }
+    RuleEngine.maskTable(Tables.customer(spark, dir), Libraries.default, resolver)
+      .orderBy("c_custkey")
+  }
+
+  val maskClassifiedSql: String =
+    s"""SELECT c_custkey, n_name AS c_name, c_nationkey,
+       |  c_acctbal + ((${hashSql("CAST(c_acctbal AS VARCHAR)")} % 11) - 5) AS c_acctbal,
+       |  upper(c_mktsegment) AS c_mktsegment
+       |FROM customer JOIN nation
+       |  ON n_nationkey = CAST(${hashSql("c_name")} % 25 AS INTEGER)
+       |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_hex" -> (maskHex _),
+    "mask_case" -> (maskCase _),
+    "mask_hash" -> (maskHash _),
+    "mask_redact" -> (maskRedact _),
+    "mask_pseudonym" -> (maskPseudonym _),
+    "mask_blur" -> (maskBlur _),
+    "mask_dateshift" -> (maskDateShift _),
+    "mask_fpe_digits" -> (maskFpe _),
+    "mask_email" -> (maskEmail _),
+    "mask_classified" -> (maskClassified _))
+
+  val oracles: Map[String, String] = Map(
+    "mask_hex" -> maskHexSql,
+    "mask_case" -> maskCaseSql,
+    "mask_hash" -> maskHashSql,
+    "mask_redact" -> maskRedactSql,
+    "mask_pseudonym" -> maskPseudonymSql,
+    "mask_blur" -> maskBlurSql,
+    "mask_dateshift" -> maskDateShiftSql,
+    "mask_fpe_digits" -> maskFpeSql,
+    "mask_email" -> maskEmailSql,
+    "mask_classified" -> maskClassifiedSql)
+}

@@ -1,0 +1,72 @@
+package graft.mask
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+import graft.classify.{Classifier, DataClassLibrary, Rule}
+
+/** Compiles rule-library expressions into Column transforms and applies
+  * a whole library to a table: classify → resolve default rule → mask.
+  *
+  * The reference does this per change event by splicing the rule
+  * expression into a generated script (reference:
+  * /root/reference/src/main/java/Main.java:446-521, SclScript.java);
+  * here the rule compiles once into the Catalyst plan and executes
+  * codegen'd across the cluster.
+  */
+object RuleEngine {
+
+  /** Expression-template grammar: `fn(${FIELDNAME})` — the shape the
+    * reference's EXPRESSION rules use. Unknown templates pass through
+    * unchanged (reference leaves unmatched fields as-is). */
+  def compile(template: String, setResolver: String => Seq[String] = _ => Seq.empty)
+      : Column => Column = {
+    val Fn = """(\w+)\(\$\{FIELDNAME\}\)""".r
+    template.trim match {
+      case "${FIELDNAME}" => identity
+      case Fn(name) => name.toLowerCase match {
+        case "encode_hex" => MaskFunctions.encodeHex
+        case "decode_hex" => MaskFunctions.decodeHex
+        case "toupper" => MaskFunctions.toUpper
+        case "tolower" => MaskFunctions.toLower
+        case "proper" => MaskFunctions.proper
+        case "md5" => MaskFunctions.hashMd5
+        case "sha256" => MaskFunctions.hashSha256(_)
+        case "redact" => MaskFunctions.redact(_)
+        case "fpe_digits" => MaskFunctions.fpeDigits
+        case "blur" => c => MaskFunctions.blurNumber(c, c, 5)
+        case "date_shift" => c => MaskFunctions.dateShift(c, c, 30)
+        case _ => identity
+      }
+      case _ => identity
+    }
+  }
+
+  /** Transform for a resolved rule: expression rules compile; set rules
+    * pseudonymize from the resolved entry list. */
+  def transform(rule: Rule, setResolver: String => Seq[String]): Column => Column =
+    rule.kind match {
+      case Rule.Expression => compile(rule.value, setResolver)
+      case Rule.SetRule =>
+        val entries = setResolver(rule.value)
+        if (entries.isEmpty) identity
+        else c => MaskFunctions.pseudonymFromSet(c, entries)
+    }
+
+  /** Classify a table by column name and apply each matched class's
+    * default rule — the reference's end-to-end flow, one declarative
+    * select (single pass, no extra shuffle). */
+  def maskTable(
+      df: DataFrame,
+      lib: DataClassLibrary,
+      setResolver: String => Seq[String] = _ => Seq.empty): DataFrame = {
+    val classifier = new Classifier(lib)
+    val byName = classifier.classifySchema(df).toMap
+    val cols = df.schema.fieldNames.toSeq.map { name =>
+      byName.get(name).flatMap(lib.ruleFor) match {
+        case Some(rule) => transform(rule, setResolver)(col(name)).as(name)
+        case None => col(name)
+      }
+    }
+    df.select(cols: _*)
+  }
+}
