@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.Relational,
     mask.MaskQueries,
-    classify.ClassifyQueries)
+    classify.ClassifyQueries,
+    cdc.CdcQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -35,7 +35,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ keeps downstream outputs naive-timestamped (parquet writes
+      // of LTZ get the UTC-adjusted flag, which naive-timestamp engines
+      // read as a different type); session tz is UTC so values match.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -1,0 +1,227 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+import graft.mask.MaskFunctions
+
+/** §2.2 CDC/replication operators.
+  *
+  * The `events` table stands in for a change stream: event_type maps to
+  * the Debezium op codes the reference switches on (reference:
+  * /root/reference/src/main/java/Main.java:171-177 — `c`reate, `u`pdate,
+  * `d`elete), keyed by user_id, ordered by (ts, event_id).
+  *
+  * Scale notes: snapshot-apply is one shuffle on the key + a window
+  * (state per key, AQE-coalesced); at 100 TB the changelog would be
+  * bucketed by key so compaction is shuffle-free. Routing is a
+  * map-only pass (no shuffle until the per-target aggregation).
+  */
+object CdcQueries extends QueryModule {
+
+  /** event_type → Debezium op code. */
+  private def opCol: Column =
+    when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+
+  private val opSql =
+    "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+
+  /** Epoch micros of ts. ts is NTZ (see Tables.events); unix_micros
+    * needs an instant, and the NTZ→LTZ cast is identity under the UTC
+    * session tz. */
+  private def tsMicros: Column = unix_micros(col("ts").cast(TimestampType))
+
+  /** Canonical changelog view of events. */
+  def changeLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"), opCol.as("op"))
+
+  // --------------------------------------------- cdc_parse_envelope
+  /** Full envelope round-trip: rows → Debezium-style JSON → typed parse.
+    * Exercises the ingest path end-to-end (wrap exists for tests/
+    * interop; production ingest starts at `parse`). */
+  def parseEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val after = struct(col("event_id"), col("user_id"), col("value"))
+    val json = Envelope.wrap(lit(null).cast(rowSchema), after, "graft", "events",
+      opCol, expr("ts_us div 1000"))
+    val parsed = Envelope.parse(ev.select(json.as("j")), col("j"), rowSchema)
+    parsed.select(col("after.event_id").as("event_id"), col("op"),
+      col("after.user_id").as("user_id"), col("after.value").as("value"),
+      col("table").as("source_table"))
+      .orderBy("event_id")
+  }
+
+  val parseEnvelopeSql: String =
+    s"""SELECT event_id, $opSql AS op, user_id, value,
+       |  'events' AS source_table
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------- cdc_temporal_repair
+  /** Debezium sends temporals as numbers; repair them to typed values
+    * (reference: DateTimeConversionUtil.java:22-37 — epoch-days → date,
+    * micros-of-day → time, epoch-millis → datetime). The numeric columns
+    * are derived from ts, round-tripped through the converters. */
+  def temporalRepair(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+    val microsOfDay = expr("ts_us % 86400000000")
+    val epochMillis = expr("ts_us div 1000")
+    ev.select(col("event_id"),
+      MaskFunctions.epochDayToDate(epochDay).as("rep_date"),
+      MaskFunctions.microsOfDayToTime(microsOfDay).as("rep_time"),
+      MaskFunctions.epochMillisToTimestamp(epochMillis).as("rep_ts"))
+      .orderBy("event_id")
+  }
+
+  val temporalRepairSql: String =
+    """SELECT event_id,
+      |  CAST(ts AS DATE) AS rep_date,
+      |  lpad(CAST((epoch_us(ts) % 86400000000) // 3600000000 AS VARCHAR), 2, '0') || ':' ||
+      |  lpad(CAST((epoch_us(ts) % 3600000000) // 60000000 AS VARCHAR), 2, '0') || ':' ||
+      |  lpad(CAST((epoch_us(ts) % 60000000) // 1000000 AS VARCHAR), 2, '0') || '.' ||
+      |  lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') AS rep_time,
+      |  make_timestamp((epoch_us(ts) // 1000) * 1000) AS rep_ts
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------- cdc_snapshot_apply
+  /** Changelog → current state: latest change per key wins; a trailing
+    * delete removes the key. One shuffle + per-key window. */
+  def snapshotApply(spark: SparkSession, dir: String): DataFrame =
+    applyLog(changeLog(spark, dir))
+      .select(col("user_id"), col("value"), col("event_id").as("last_event_id"))
+      .orderBy("user_id")
+
+  /** Latest row per key (including deletes — callers filter). */
+  private def latestPerKey(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    log.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  private def applyLog(log: DataFrame): DataFrame =
+    latestPerKey(log).filter(col("op") =!= "d")
+
+  val snapshotApplySql: String =
+    s"""WITH log AS (SELECT event_id, ts, user_id, value, $opSql AS op FROM events),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |             ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+       |SELECT user_id, value, event_id AS last_event_id
+       |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- cdc_upsert_target
+  /** Keyed APPEND/UPDATE/DELETE application against an existing target
+    * (reference: Main.java:477-498 routes ops to /APPEND, /UPDATE=(key),
+    * /DELETE=(key)). Baseline = state from the first half of the month;
+    * the second half's changes are applied onto it. */
+  def upsertTarget(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val log = changeLog(spark, dir)
+    val baseline = applyLog(log.filter(col("ts") < cut))
+      .select(col("user_id"), col("value").as("base_value"))
+    val delta = latestPerKey(log.filter(col("ts") >= cut))
+      .select(col("user_id"), col("value").as("delta_value"), col("op"))
+    baseline.join(delta, Seq("user_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "d")
+      .select(col("user_id"),
+        coalesce(col("delta_value"), col("base_value")).as("value"),
+        when(col("op").isNull, "kept")
+          .when(col("base_value").isNull, "inserted")
+          .otherwise("updated").as("src"))
+      .orderBy("user_id")
+  }
+
+  val upsertTargetSql: String =
+    s"""WITH log AS (SELECT event_id, ts, user_id, value, $opSql AS op FROM events),
+       |base_ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+       |baseline AS (SELECT user_id, value AS base_value
+       |  FROM base_ranked WHERE rn = 1 AND op <> 'd'),
+       |delta_ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+       |delta AS (SELECT user_id, value AS delta_value, op
+       |  FROM delta_ranked WHERE rn = 1)
+       |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+       |  COALESCE(d.delta_value, b.base_value) AS value,
+       |  CASE WHEN d.op IS NULL THEN 'kept'
+       |       WHEN b.user_id IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS src
+       |FROM baseline b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+       |WHERE d.op IS NULL OR d.op <> 'd'
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------- cdc_route_tables
+  /** Per-table routing with postfix naming + exclude list (reference:
+    * Main.java:129-135 targetNamePostfix; conf `table.exclude.list` in
+    * /root/reference/conf/config.properties:8). Map-only until the
+    * final per-target agg. */
+  def routeTables(spark: SparkSession, dir: String): DataFrame = {
+    val route = when(col("event_type") === "signup", "users")
+      .when(col("event_type") === "purchase", "orders_feed")
+      .when(col("event_type") === "error", "errors")
+      .otherwise("activity")
+    Tables.events(spark, dir)
+      .withColumn("_tbl", route)
+      .filter(!col("_tbl").rlike("^(?:.*err.*)$"))
+      .groupBy(concat(col("_tbl"), lit("_masked")).as("target_table"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy("target_table")
+  }
+
+  val routeTablesSql: String =
+    """WITH routed AS (
+      |  SELECT *, CASE WHEN event_type = 'signup' THEN 'users'
+      |                 WHEN event_type = 'purchase' THEN 'orders_feed'
+      |                 WHEN event_type = 'error' THEN 'errors'
+      |                 ELSE 'activity' END AS tbl
+      |  FROM events)
+      |SELECT tbl || '_masked' AS target_table, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM routed WHERE NOT regexp_matches(tbl, '^(?:.*err.*)$')
+      |GROUP BY tbl ORDER BY target_table""".stripMargin
+
+  // ---------------------------------------------- cdc_schema_drift
+  /** Structure-change capture: drift-ish events land in an append-only
+    * log keyed by day (reference: Main.java:293-309 appends DDL events
+    * to schemaChangeEventLog). 'error' events stand in for DDL; the
+    * props JSON payload is parsed for the reported version. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_ddl"),
+        max(get_json_object(col("props"), "$.k").cast("int")).as("max_k"))
+      .orderBy("day")
+
+  val schemaDriftSql: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_ddl,
+      |  MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+      |FROM events WHERE event_type = 'error'
+      |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_parse_envelope" -> (parseEnvelope _),
+    "cdc_temporal_repair" -> (temporalRepair _),
+    "cdc_snapshot_apply" -> (snapshotApply _),
+    "cdc_upsert_target" -> (upsertTarget _),
+    "cdc_route_tables" -> (routeTables _),
+    "cdc_schema_drift" -> (schemaDrift _))
+
+  val oracles: Map[String, String] = Map(
+    "cdc_parse_envelope" -> parseEnvelopeSql,
+    "cdc_temporal_repair" -> temporalRepairSql,
+    "cdc_snapshot_apply" -> snapshotApplySql,
+    "cdc_upsert_target" -> upsertTargetSql,
+    "cdc_route_tables" -> routeTablesSql,
+    "cdc_schema_drift" -> schemaDriftSql)
+}

@@ -115,7 +115,10 @@ object MaskFunctions {
       lpad((us % 1000000L).cast("string"), 6, "0"))
   }
 
-  /** Milliseconds since epoch → TimestampType (UTC). */
+  /** Milliseconds since epoch → wall-clock timestamp. NTZ so parquet
+    * output is a naive timestamp (matches engines without an
+    * instant-typed timestamp; session tz is UTC). */
   def epochMillisToTimestamp(c: Column): Column =
     timestamp_millis(c.cast(LongType))
+      .cast(org.apache.spark.sql.types.TimestampNTZType)
 }
