@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Relational,
     mask.MaskQueries,
     classify.ClassifyQueries,
-    cdc.CdcQueries)
+    cdc.CdcQueries,
+    streaming.EventStreams)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

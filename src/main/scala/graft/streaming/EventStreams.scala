@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryModule, Tables}
+
+/** §2.5 streaming analytics.
+  *
+  * Every transform here is a plain DataFrame function usable on BOTH a
+  * batch frame and a `readStream` frame — the Structured Streaming
+  * model (same declarative plan, incrementalized by the engine). The
+  * driver-verified queries run them in batch against DuckDB oracles;
+  * StreamingSpec runs the same transforms through MemoryStream with
+  * watermarks and checks agreement with the batch results.
+  *
+  * Scale: windowed aggs keep state per (key, window) bounded by the
+  * watermark; session windows keep state per active key only; dedup
+  * state is bounded by the watermark horizon.
+  */
+object EventStreams extends QueryModule {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  // ------------------------------------------------ str_tumbling_agg
+  /** Tumbling 1h windows per event type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total"))
+
+  def strTumbling(spark: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  val strTumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------- str_sliding_agg
+  /** Sliding windows: 1h length, 30m slide (each event lands in 2). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("cnt"), col("n_users"))
+
+  def strSliding(spark: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.events(spark, dir)).orderBy("window_start")
+
+  val strSlidingSql: String =
+    """SELECT make_timestamp(s * 1800000000) AS window_start,
+      |  COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT unnest([epoch_us(ts) // 1800000000,
+      |                     epoch_us(ts) // 1800000000 - 1]) AS s,
+      |             user_id
+      |      FROM events) t
+      |GROUP BY s ORDER BY window_start""".stripMargin
+
+  // -------------------------------------------------- str_sessionize
+  /** Gap-based session windows (30m) per user — built-in session_window
+    * keeps state per active session only. */
+  def sessionize(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("last_ts"))
+
+  def strSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir)).orderBy("user_id", "session_start")
+
+  val strSessionizeSql: String =
+    """WITH marks AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks)
+      |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+      |  MAX(ts) AS last_ts
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // --------------------------------------------- str_dedup_watermark
+  /** Deterministic first-occurrence dedup per (user_id, event_type).
+    * The streaming form is dropDuplicates after withWatermark (state
+    * bounded by the horizon) — StreamingSpec drives that; batch keeps
+    * the deterministic window form for the oracle. */
+  def dedupFirst(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+  }
+
+  def strDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupFirst(Tables.events(spark, dir)).orderBy("user_id", "event_type")
+
+  val strDedupSql: String =
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------- str_asof_join
+  /** As-of join: each purchase event enriched with the customer's most
+    * recent order at-or-before event time. Composed from builtins
+    * (join + per-event window); at 100 TB: range-bucket both sides on
+    * (key, time-bucket) so each event probes one sorted bucket instead
+    * of the full order history. */
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id")
+    val o = orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    e.join(o, col("user_id") === col("o_custkey") &&
+        col("o_orderdate").cast("timestamp_ntz") <= col("ts"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+  }
+
+  def strAsof(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(Tables.events(spark, dir), Tables.orders(spark, dir))
+      .orderBy("event_id")
+
+  val strAsofSql: String =
+    """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |  WHERE e.event_type = 'purchase') t
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_tumbling_agg" -> (strTumbling _),
+    "str_sliding_agg" -> (strSliding _),
+    "str_sessionize" -> (strSessionize _),
+    "str_dedup_watermark" -> (strDedup _),
+    "str_asof_join" -> (strAsof _))
+
+  val oracles: Map[String, String] = Map(
+    "str_tumbling_agg" -> strTumblingSql,
+    "str_sliding_agg" -> strSlidingSql,
+    "str_sessionize" -> strSessionizeSql,
+    "str_dedup_watermark" -> strDedupSql,
+    "str_asof_join" -> strAsofSql)
+}
