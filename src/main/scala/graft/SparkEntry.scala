@@ -15,7 +15,11 @@ object SparkEntry {
     mask.MaskQueries,
     classify.ClassifyQueries,
     cdc.CdcQueries,
-    streaming.EventStreams)
+    streaming.EventStreams,
+    dedup.Dedup,
+    sim.Knn,
+    text.TextAnalysis,
+    multimodal.BinaryPipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,188 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** §2.6 deduplication for training-data pipelines.
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *  - exact dedup = hash-agg, ONE shuffle on the fingerprint;
+  *  - token/n-gram Jaccard = inverted-index join (shuffle on token),
+  *    never an n² cross join — blocking keys (lang) bound bucket fan-out;
+  *  - MinHash-LSH = the real scale path: candidates come from band-
+  *    bucket joins (shuffle on band hash), verification touches only
+  *    candidate pairs;
+  *  - SimHash = 64 agg bits per doc, candidates from band equality,
+  *    verify by XOR popcount;
+  *  - embedding dedup = thresholded pair join; at scale candidates come
+  *    from LSH/centroid buckets (see graft.sim), never all-pairs.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct tokens per doc (the inverted-index base). */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
+
+  // ------------------------------------------------------ dedup_exact
+  /** Content-hash dedup: one hash-agg; keeper = min doc_id per group. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(lower(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir)).orderBy("keeper")
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(text)) AS fingerprint, MIN(doc_id) AS keeper,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(lower(text)) ORDER BY keeper""".stripMargin
+
+  // ---------------------------------------------- dedup_ngram_jaccard
+  /** Token-set Jaccard near-dup pairs via inverted-index join, blocked
+    * by lang. j = |A∩B| / (|A|+|B|-|A∩B|). */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val tok = tokens(docs)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = tok.select(col("doc_id").as("d1"), col("lang"), col("w"))
+    val b = tok.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("w").as("w2"))
+    val inter = a.join(b,
+        col("w") === col("w2") && col("lang") === col("lang2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir), 0.9).orderBy("d1", "d2")
+
+  val dedupNgramSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) AS j
+      |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9
+      |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------ dedup_minhash_lsh
+  /** MinHash signatures (k permutations via seeded xxhash64) banded into
+    * LSH buckets; candidate pairs from bucket equality, then verified
+    * with true Jaccard — only candidates pay the verify cost. Rows-only
+    * driver check (xxhash64 is not portable to the oracle engine);
+    * DedupSpec pins recall vs the exact ngram pairs. */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val tok = tokens(docs)
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("w"))).as(s"h$i"))
+    val sigs = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // verify candidates only: join token sets of both sides
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val t1 = tok.select(col("doc_id").as("d1"), col("w"))
+    val t2 = tok.select(col("doc_id").as("dd2"), col("w").as("w2"))
+    cand.join(t1, "d1")
+      .join(t2, col("d2") === col("dd2") && col("w") === col("w2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables.documents(spark, dir)).orderBy("d1", "d2")
+
+  // ---------------------------------------------------- dedup_simhash
+  /** 32-bit SimHash per doc (majority vote per bit over token hashes);
+    * candidates share a 16-bit band, verified by XOR popcount ≤ maxHam.
+    * Rows-only driver check; DedupSpec asserts determinism + symmetry. */
+  def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val tok = tokens(docs).withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val votes = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 32).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val sigs = votes.select(col("doc_id"), sig.as("sh"))
+      .withColumn("hi", shiftright(col("sh"), 16))
+    val pairs = sigs.as("x").join(sigs.as("y"),
+        col("x.hi") === col("y.hi") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+    pairs.filter(col("hamming") <= maxHamming)
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(spark, dir)).orderBy("d1", "d2")
+
+  // -------------------------------------------------- dedup_embedding
+  /** Embedding-cosine near-dup pairs. Cosine computed in double with a
+    * strict left-to-right fold; only ids cross the oracle boundary
+    * (never float scores — see SURVEY §5). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .filter(cosine(col("e1"), col("e2")) >= threshold)
+      .select("id1", "id2")
+  }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairs(Tables.embeddings(spark, dir), 0.40).orderBy("id1", "id2")
+
+  val dedupEmbeddingSql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.40
+      |ORDER BY id1, id2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_minhash_lsh" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  /** minhash/simhash rely on xxhash64 (not reproducible in the oracle
+    * engine) → rows-only checks; their semantics are pinned by
+    * DedupSpec against the exact-Jaccard oracle-verified pairs. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

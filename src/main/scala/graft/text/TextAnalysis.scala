@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** §2.8 text analysis for training-data pipelines. All scalar
+  * expressions over builtins (codegen'd, shuffle-free map passes). */
+object TextAnalysis extends QueryModule {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  private def countIn(c: Column, set: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(set.map(x => x: Any): _*)))
+
+  private def countInSql(e: String, set: Seq[String]): String = {
+    val inList = set.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter(regexp_split_to_array($e, '\\s+'), w -> w IN ($inList)))"
+  }
+
+  // -------------------------------------------------- txt_token_count
+  /** Whitespace words + a BPE-ish regex token count (letters / digits /
+    * single punctuation as separate tokens). */
+  def txtTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_words"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val txtTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ txt_quality
+  /** Quality scoring from length/word/stopword stats — the standard
+    * cheap pre-filter for web-scale corpora. Deterministic double math,
+    * mirrored exactly in the oracle. */
+  def txtQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
+    val avgWlen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
+    val stopRatio = countIn(col("text"), stopwords).cast("double") / nWords
+    val score = lit(0.4) * least(nWords / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(avgWlen / 8.0, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        nWords.cast("int").as("n_words"), avgWlen.as("avg_wlen"),
+        stopRatio.as("stop_ratio"), score.as("score"))
+      .orderBy("doc_id")
+  }
+
+  val txtQualitySql: String = {
+    val nw = "CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)"
+    val awl = s"CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nw"
+    val sr = s"CAST(${countInSql("text", stopwords)} AS DOUBLE) / $nw"
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST($nw AS INTEGER) AS n_words,
+       |  $awl AS avg_wlen,
+       |  $sr AS stop_ratio,
+       |  0.4 * least($nw / 100.0, 1.0) + 0.3 * (1.0 - $sr) +
+       |    0.3 * least(($awl) / 8.0, 1.0) AS score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- txt_langid
+  /** Marker-word language ID with fixed precedence — the n-gram-
+    * heuristic shape (real corpora would use char n-gram profiles; the
+    * mechanism — per-language evidence counts + argmax — is the same). */
+  def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val counts = langMarkers.map { case (l, ms) => l -> countIn(col("text"), ms) }
+    // explicit argmax with precedence: lang wins if its count > 0 and
+    // >= every later lang's count, checked in declaration order
+    def argmax(rem: Seq[(String, Column)]): Column = rem match {
+      case (l, c) +: tail =>
+        val geAll = tail.map { case (_, c2) => c >= c2 }
+          .foldLeft(c > 0)(_ && _)
+        when(geAll, l).otherwise(argmax(tail))
+      case _ => lit("und")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), argmax(counts).as("predicted"), col("lang"),
+        (argmax(counts) === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val txtLangidSql: String = {
+    val counts = langMarkers.map { case (l, ms) => l -> countInSql("text", ms) }
+    def argmax(rem: Seq[(String, String)]): String = rem match {
+      case (l, c) +: tail =>
+        val conds = (s"$c > 0" +: tail.map { case (_, c2) => s"$c >= $c2" })
+          .mkString(" AND ")
+        s"CASE WHEN $conds THEN '$l' ELSE ${argmax(tail)} END"
+      case _ => "'und'"
+    }
+    val p = argmax(counts)
+    s"""SELECT doc_id, $p AS predicted, lang, ($p = lang) AS correct
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------- txt_fingerprint
+  /** Document fingerprints: normalized-content md5 + order-insensitive
+    * (sorted-token) md5 — the cheap near-dup prefilter pair. */
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val sorted = array_join(array_sort(split(norm, " ")), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("fp"), md5(sorted).as("sorted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val txtFingerprintSql: String = {
+    val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    s"""SELECT doc_id, md5($norm) AS fp,
+       |  md5(array_to_string(list_sort(regexp_split_to_array($norm, ' ')), ' ')) AS sorted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_token_count" -> (txtTokenCount _),
+    "txt_quality" -> (txtQuality _),
+    "txt_langid" -> (txtLangid _),
+    "txt_fingerprint" -> (txtFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "txt_token_count" -> txtTokenCountSql,
+    "txt_quality" -> txtQualitySql,
+    "txt_langid" -> txtLangidSql,
+    "txt_fingerprint" -> txtFingerprintSql)
+}
