@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Knn
+import graft.multimodal.BinaryPipeline
+
+/** Pins the approximate (rows-only-checked) operators against their
+  * exact oracle-verified counterparts: LSH-family methods must be
+  * deterministic and recall a healthy fraction of the exact answer. */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("minhash-lsh candidates recall most exact high-jaccard pairs") {
+    val exact = Dedup.ngramJaccard(docs, 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // every LSH-verified pair is a true pair (verification is exact)
+    // note: lsh skips lang blocking so may find MORE true pairs
+    val sameLangLsh = lsh.intersect(exact)
+    val recall = sameLangLsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall too low (|exact|=${exact.size})")
+  }
+
+  test("simhash is deterministic and symmetric-free (d1 < d2)") {
+    val a = Dedup.simhash(docs).as[(Long, Long, Int)].collect().toSeq.sorted
+    val b = Dedup.simhash(docs).as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(a == b)
+    assert(a.forall { case (d1, d2, h) => d1 < d2 && h <= 6 })
+  }
+
+  test("knn lsh and centroid results are subsets of plausible neighbors") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Knn.bruteForce(emb, queries, 20)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Knn.lsh(emb, queries, 5).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    val cent = Knn.centroidKnn(emb, queries, 5).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    // approximate methods must return valid (non-self) neighbor ids,
+    // deterministically
+    assert(lsh.forall { case (q, n) => q != n })
+    assert(cent.forall { case (q, n) => q != n })
+    val lsh2 = Knn.lsh(emb, queries, 5).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == lsh2)
+    // centroid probe with 3/10 cells should still recover some of the
+    // true top-20 (embeddings are near-random so exact recall is low)
+    assert(cent.intersect(brute).nonEmpty)
+  }
+
+  test("binary feature extraction is partition-batched and deterministic") {
+    val rows = BinaryPipeline.withBlob(docs)
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+    val feats = BinaryPipeline.extractFeatures(rows).collect().toMap
+    assert(feats.size == docs.count())
+    val again = BinaryPipeline.extractFeatures(rows).collect().toMap
+    assert(feats.keySet == again.keySet)
+    assert(feats.forall { case (k, v) =>
+      v.length == 4 && java.util.Arrays.equals(v, again(k)) })
+    // features reflect content: byte length is the first feature
+    val lens = docs.select(col("doc_id"),
+      length(encode(concat(lit("IMG0"), col("text")), "UTF-8")))
+      .as[(Long, Int)].collect().toMap
+    assert(feats.forall { case (k, v) => v(0) == lens(k).toFloat })
+  }
+}

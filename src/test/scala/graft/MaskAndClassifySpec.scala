@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mask.{MaskFunctions, RuleEngine}
+import graft.classify._
+
+class MaskAndClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hex encode/decode round-trips") {
+    val df = Seq("Alice", "Bob#42", "ünïcode").toDF("v")
+    val out = df.select(
+      MaskFunctions.decodeHex(MaskFunctions.encodeHex(col("v"))).as("r"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("Alice", "Bob#42", "ünïcode"))
+  }
+
+  test("pseudonym is deterministic and in-set") {
+    val set = Seq("x", "y", "z")
+    val df = Seq("a", "b", "a", "c").toDF("v")
+    val out = df.select(MaskFunctions.pseudonymFromSet(col("v"), set).as("p"))
+      .as[String].collect()
+    assert(out.forall(set.contains))
+    assert(out(0) == out(2)) // same input → same pseudonym
+  }
+
+  test("blur stays within magnitude and is deterministic") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = df.select(col("v"),
+      MaskFunctions.blurNumber(col("v"), col("v"), 5).as("b"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (v, b) => math.abs(b - v) <= 5 })
+    val again = df.select(MaskFunctions.blurNumber(col("v"), col("v"), 5))
+      .as[Double].collect()
+    assert(out.map(_._2).toSeq == again.toSeq)
+  }
+
+  test("fpe preserves non-digit structure") {
+    val out = Seq("123-45-6789").toDF("v")
+      .select(MaskFunctions.fpeDigits(col("v"))).as[String].head()
+    assert(out.matches("""\d{3}-\d{2}-\d{4}"""))
+    assert(out != "123-45-6789")
+  }
+
+  test("rule engine compiles reference-style templates") {
+    val df = Seq("abc").toDF("v")
+    val up = RuleEngine.compile("toupper(${FIELDNAME})")(col("v"))
+    assert(df.select(up).as[String].head() == "ABC")
+    val hexRoundTrip = RuleEngine.compile("decode_hex(${FIELDNAME})")(
+      RuleEngine.compile("encode_hex(${FIELDNAME})")(col("v")))
+    assert(df.select(hexRoundTrip).as[String].head() == "abc")
+  }
+
+  test("classifier matches reference semantics: name OR content, first match wins") {
+    val c = new Classifier(Libraries.default)
+    assert(c.classifyName("c_name").map(_.name).contains("NAME"))
+    assert(c.classifyName("o_orderkey").map(_.name).contains("ID"))
+    assert(c.classifyName("something_else").isEmpty)
+  }
+
+  test("maskTable leaves unclassified columns untouched") {
+    val df = Seq((1L, "Customer#1", "misc")).toDF("c_custkey", "c_name", "note")
+    val masked = RuleEngine.maskTable(df, Libraries.default,
+      { case "nation-names" => Seq("P1", "P2"); case _ => Seq.empty })
+    val row = masked.head()
+    assert(row.getLong(0) == 1L)              // ID rule = keep
+    assert(Seq("P1", "P2").contains(row.getString(1))) // NAME → pseudonym
+    assert(row.getString(2) == "misc")        // unclassified passthrough
+  }
+
+  test("xml compat parses reference-format rule + dataclass libraries") {
+    val rulesXml =
+      """<?xml version="1.0" encoding="ASCII"?>
+        |<rules:RuleLibrary xmlns:rules="http://rules/1.0">
+        |  <rules name="UpRule">
+        |    <properties fieldRulePropertyType="EXPRESSION" value="toupper(${FIELDNAME})"/>
+        |  </rules>
+        |  <rules name="SetRule">
+        |    <properties fieldRulePropertyType="SET" value="&quot;/sets/names.set&quot; SELECT=ANY"/>
+        |  </rules>
+        |</rules:RuleLibrary>""".stripMargin
+    val dcXml =
+      """<?xml version="1.0" encoding="ASCII"?>
+        |<dataclass:DataClassLibrary xmlns:dataclass="http://dataclass/1.0">
+        |  <dataClasses name="NAME" nameMatcher=".*NAME">
+        |    <defaultRule href="lib.rules#UpRule"/>
+        |    <matchers details="[A-Za-z]+"/>
+        |  </dataClasses>
+        |  <dataClasses name="CODE" nameMatcher="">
+        |    <defaultRule href="lib.rules#SetRule"/>
+        |    <matchers type="FILE" details="/sets/codes.set"/>
+        |  </dataClasses>
+        |</dataclass:DataClassLibrary>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml")
+    val rp = dir.resolve("lib.rules"); val dp = dir.resolve("lib.dataclass")
+    java.nio.file.Files.writeString(rp, rulesXml)
+    java.nio.file.Files.writeString(dp, dcXml)
+    val rules = XmlCompat.parseRules(rp.toString)
+    assert(rules("UpRule").kind == Rule.Expression)
+    assert(rules("UpRule").value == "toupper(${FIELDNAME})")
+    assert(rules("SetRule").kind == Rule.SetRule)
+    assert(rules("SetRule").value == "/sets/names.set")
+    val classes = XmlCompat.parseDataClasses(dp.toString,
+      p => if (p.endsWith("codes.set")) Some(Seq("A1", "B2")) else None)
+    assert(classes.map(_.name) == Seq("NAME", "CODE"))
+    assert(classes.head.pattern.contains("[A-Za-z]+"))
+    assert(classes.head.defaultRule.contains("UpRule"))
+    assert(classes(1).set.contains(Seq("A1", "B2")))
+  }
+}

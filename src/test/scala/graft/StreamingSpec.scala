@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Streaming runtime coverage: the same EventStreams transforms that
+  * pass the batch DuckDB oracles, driven through MemoryStream with
+  * watermarks — proving they are genuinely incremental plans. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+    (2L, ts("2024-01-01 00:40:00"), 1L, "click", 2.0),
+    (3L, ts("2024-01-01 01:10:00"), 2L, "purchase", 3.0),
+    (4L, ts("2024-01-01 01:20:00"), 2L, "purchase", 4.0),
+    (5L, ts("2024-01-01 03:00:00"), 1L, "click", 5.0))
+
+  private def runStream(input: Seq[(Long, Timestamp, Long, String, Double)],
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(input: _*)
+    val stream = f(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes"))
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try { mem.addData(); q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling agg over MemoryStream matches the batch plan") {
+    // append-mode emission needs the watermark to pass: send a late
+    // high-ts record in a second batch so earlier windows close
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = EventStreams.tumblingAgg(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 minute"))
+    val q = stream.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-01 09:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling")
+      .filter(col("window_start") < ts("2024-01-01 04:00:00"))
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val batch = EventStreams.tumblingAgg(
+      sample.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup with watermark emits one row per key") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+    val q = stream.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup").select("user_id", "event_type")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.sorted == Seq((1L, "click"), (2L, "purchase")))
+  }
+
+  test("sessionization over MemoryStream matches the batch session_window plan") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = EventStreams.sessionize(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 minute"))
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-01 09:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions")
+      .filter(col("user_id") < 9)
+      .orderBy("user_id", "session_start")
+      .as[(Timestamp, Long, Long, Timestamp)].collect().toSeq
+    val batch = EventStreams.sessionize(
+      sample.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("user_id", "session_start")
+      .as[(Timestamp, Long, Long, Timestamp)].collect().toSeq
+    assert(streamed == batch)
+    // user 1: events at 00:05 and 00:40 are >30m apart → separate
+    // sessions, plus 03:00 → three sessions total
+    assert(batch.count(_._2 == 1L) == 3)
+  }
+}
