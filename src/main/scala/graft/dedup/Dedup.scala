@@ -45,14 +45,20 @@ object Dedup extends QueryModule {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val tok = tokens(docs)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = tok.select(col("doc_id").as("d1"), col("lang"), col("w"))
-    val b = tok.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("w").as("w2"))
+    val tokSized = tok.join(sizes, "doc_id")
+    val a = tokSized.select(col("doc_id").as("d1"), col("lang"), col("w"),
+      col("n").as("n1"))
+    val b = tokSized.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("w").as("w2"), col("n").as("n2"))
+    // size-ratio necessary condition inside the join prunes pairs that
+    // can never reach the threshold BEFORE the pair-count aggregation
     val inter = a.join(b,
-        col("w") === col("w2") && col("lang") === col("lang2") && col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+        col("w") === col("w2") && col("lang") === col("lang2") &&
+          col("d1") < col("d2") &&
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")).cast("double") * threshold)
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("j"))
       .filter(col("j") >= threshold)
@@ -83,8 +89,11 @@ object Dedup extends QueryModule {
     * with true Jaccard — only candidates pay the verify cost. Rows-only
     * driver check (xxhash64 is not portable to the oracle engine);
     * DedupSpec pins recall vs the exact ngram pairs. */
-  def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+  def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 4,
       threshold: Double = 0.9): DataFrame = {
+    // bands=4 × rows=8: P(candidate | j=0.9) ≈ 0.90, while j≈0.7 false
+    // candidates drop to ~0.2 — on self-similar corpora the verify-join
+    // width, not recall, is the binding constraint
     val rowsPerBand = numHashes / bands
     val tok = tokens(docs)
     val sigCols = (0 until numHashes).map(i =>
@@ -101,15 +110,20 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // verify candidates only: join token sets of both sides
+    // cheap necessary-condition prefilter before the expensive token
+    // verify: j >= t implies min(|A|,|B|)/max(|A|,|B|) >= t
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val t1 = tok.select(col("doc_id").as("d1"), col("w"))
-    val t2 = tok.select(col("doc_id").as("dd2"), col("w").as("w2"))
-    cand.join(t1, "d1")
-      .join(t2, col("d2") === col("dd2") && col("w") === col("w2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val candSized = cand
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(least(col("n1"), col("n2")).cast("double") >=
+        greatest(col("n1"), col("n2")).cast("double") * threshold)
+    // verify survivors only: join token sets of both sides
+    val t1 = tok.select(col("doc_id").as("d1"), col("w"))
+    val t2 = tok.select(col("doc_id").as("dd2"), col("w").as("w2"))
+    candSized.join(t1, "d1")
+      .join(t2, col("d2") === col("dd2") && col("w") === col("w2"))
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("i"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("j"))
       .filter(col("j") >= threshold)
@@ -142,33 +156,59 @@ object Dedup extends QueryModule {
     simhash(Tables.documents(spark, dir)).orderBy("d1", "d2")
 
   // -------------------------------------------------- dedup_embedding
-  /** Embedding-cosine near-dup pairs. Cosine computed in double with a
-    * strict left-to-right fold; only ids cross the oracle boundary
-    * (never float scores — see SURVEY §5). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Dot product in double with a strict left-to-right fold (the fold
+    * order is part of the oracle contract — identical on both engines). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product (graft.expr.DotProduct) — same accumulation
+    * order as [[dot]], ~10× faster on pair joins because the HOF
+    * formulation is CodegenFallback. Callers must have run
+    * `VectorExprs.register(spark)` (or the GraftExtensions config). */
+  def fastDot(x: Column, y: Column): Column =
+    call_function(graft.expr.VectorExprs.dotName, x, y)
+
+  /** Cosine similarity of two raw embedding arrays. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** L2-normalize embeddings ONCE (O(n)), so every pair comparison is a
+    * single dot product instead of three — the difference between
+    * O(n·d) and O(n²·d) extra work when pairing. */
+  def normalized(emb: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    emb.withColumn("_n", sqrt(dot(e, e)))
+      .select(col("vec_id"), transform(e, x => x / col("_n")).as("e"))
   }
 
+  /** Embedding-cosine near-dup pairs over pre-normalized vectors; only
+    * ids cross the oracle boundary (never float scores — SURVEY §5).
+    * The O(n²) pair filter runs the codegen'd dot. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val n = normalized(emb)
+    val a = n.select(col("vec_id").as("id1"), col("e").as("e1"))
+    val b = n.select(col("vec_id").as("id2"), col("e").as("e2"))
     a.join(b, col("id1") < col("id2"))
-      .filter(cosine(col("e1"), col("e2")) >= threshold)
+      .filter(fastDot(col("e1"), col("e2")) >= threshold)
       .select("id1", "id2")
   }
 
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
     embeddingPairs(Tables.embeddings(spark, dir), 0.40).orderBy("id1", "id2")
+  }
 
   val dedupEmbeddingSql: String =
-    """SELECT a.vec_id AS id1, b.vec_id AS id2
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-      |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-      |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.40
+    """WITH n AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS e
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.e, b.e) >= 0.40
       |ORDER BY id1, id2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

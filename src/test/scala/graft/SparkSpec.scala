@@ -22,6 +22,7 @@ object SparkSpec {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expr.VectorExprs.register(s)
     s
   }
 }
