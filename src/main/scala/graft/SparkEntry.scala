@@ -19,7 +19,8 @@ object SparkEntry {
     dedup.Dedup,
     sim.Knn,
     text.TextAnalysis,
-    multimodal.BinaryPipeline)
+    multimodal.BinaryPipeline,
+    sources.SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Scale-mechanics specs: salting preserves join semantics while
+  * spreading hot keys; bucketing removes the join shuffle entirely. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    // pathological skew: 90% of the big side hits one key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (10L, "a"), (20L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .as[(Long, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), col("v"), salts = 8)
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == 7L) == 1800)
+  }
+
+  test("salt is deterministic and spreads a hot key across buckets") {
+    val df = (1 to 1000).map(i => (7L, i)).toDF("k", "v")
+    val salts = df.select(Skew.salt(col("v"), 8).as("s"))
+      .groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(salts.keySet.subsetOf((0 until 8).toSet))
+    assert(salts.size == 8, s"expected all 8 salt buckets used: $salts")
+    // deterministic on recompute
+    val again = df.select(Skew.salt(col("v"), 8).as("s"))
+      .groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(salts == again)
+  }
+
+  test("bucketed tables join without a shuffle (the 100 TB co-location path)") {
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_lineitem_b")
+    val joined = spark.table("graft_lineitem_b")
+      .join(spark.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not introduce an Exchange: bucket layout
+    // already co-locates both sides (only the final agg may shuffle)
+    val joinPart = plan.split("HashAggregate").last
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join should be shuffle-free:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+  }
+}
