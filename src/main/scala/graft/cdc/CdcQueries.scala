@@ -159,6 +159,31 @@ object CdcQueries extends QueryModule {
        |WHERE d.op IS NULL OR d.op <> 'd'
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------- cdc_scd2_history
+  /** Type-2 history build from the changelog: every upsert becomes a
+    * version row with a validity interval; the next change (including
+    * a delete) closes it. One shuffle on the key + a per-key window —
+    * the standard warehouse-replication companion to snapshot apply. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changeLog(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2HistorySql: String =
+    s"""WITH log AS (SELECT event_id, ts, user_id, value, $opSql AS op FROM events),
+       |v AS (SELECT *, LEAD(ts) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS valid_to FROM log)
+       |SELECT user_id, event_id, value, ts AS valid_from, valid_to,
+       |  valid_to IS NULL AS is_current
+       |FROM v WHERE op <> 'd'
+       |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // ---------------------------------------------- cdc_route_tables
   /** Per-table routing with postfix naming + exclude list (reference:
     * Main.java:129-135 targetNamePostfix; conf `table.exclude.list` in
@@ -214,6 +239,7 @@ object CdcQueries extends QueryModule {
     "cdc_temporal_repair" -> (temporalRepair _),
     "cdc_snapshot_apply" -> (snapshotApply _),
     "cdc_upsert_target" -> (upsertTarget _),
+    "cdc_scd2_history" -> (scd2History _),
     "cdc_route_tables" -> (routeTables _),
     "cdc_schema_drift" -> (schemaDrift _))
 
@@ -222,6 +248,7 @@ object CdcQueries extends QueryModule {
     "cdc_temporal_repair" -> temporalRepairSql,
     "cdc_snapshot_apply" -> snapshotApplySql,
     "cdc_upsert_target" -> upsertTargetSql,
+    "cdc_scd2_history" -> scd2HistorySql,
     "cdc_route_tables" -> routeTablesSql,
     "cdc_schema_drift" -> schemaDriftSql)
 }

@@ -110,27 +110,33 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // cheap necessary-condition prefilter before the expensive token
-    // verify: j >= t implies min(|A|,|B|)/max(|A|,|B|) >= t
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // cheap necessary-condition prefilter before verification:
+    // j >= t implies min(|A|,|B|)/max(|A|,|B|) >= t
+    val docSets = tok.groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
+      .withColumn("n", size(col("hs")))
     val candSized = cand
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .join(docSets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("n").as("n1")), "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        col("n").as("n2")), "d2")
       .filter(least(col("n1"), col("n2")).cast("double") >=
         greatest(col("n1"), col("n2")).cast("double") * threshold)
-    // verify survivors only: join token sets of both sides
-    val t1 = tok.select(col("doc_id").as("d1"), col("w"))
-    val t2 = tok.select(col("doc_id").as("dd2"), col("w").as("w2"))
-    candSized.join(t1, "d1")
-      .join(t2, col("d2") === col("dd2") && col("w") === col("w2"))
-      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("i"))
+    // exact verify per surviving pair: codegen'd merge-intersection of
+    // the sorted token-hash arrays (graft_intersect_size) — no
+    // explode-join-aggregate over candidate×token rows
+    val i = call_function(graft.expr.VectorExprs.intersectName,
+      col("hs1"), col("hs2"))
+    candSized
       .select(col("d1"), col("d2"),
-        (col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("j"))
+        (i.cast("double") / (col("n1") + col("n2") - i).cast("double")).as("j"))
       .filter(col("j") >= threshold)
   }
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
     minhashLsh(Tables.documents(spark, dir)).orderBy("d1", "d2")
+  }
 
   // ---------------------------------------------------- dedup_simhash
   /** 32-bit SimHash per doc (majority vote per bit over token hashes);

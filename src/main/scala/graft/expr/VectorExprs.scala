@@ -57,8 +57,55 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd intersection size of two SORTED ArrayType(Long) columns
+  * (merge-scan, O(|a|+|b|)). Built for LSH candidate verification:
+  * token sets become sorted hash arrays once, then every candidate
+  * pair is verified with a primitive two-pointer loop instead of an
+  * explode-join-aggregate.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
+  val intersectName = "graft_intersect_size"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -67,17 +114,28 @@ object VectorExprs {
     new ExpressionInfo(classOf[DotProduct].getName, dotName),
     (children: Seq[Expression]) => DotProduct(children.head, children(1)))
 
+  val intersectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(intersectName),
+    new ExpressionInfo(classOf[SortedIntersectSize].getName, intersectName),
+    (children: Seq[Expression]) => SortedIntersectSize(children.head, children(1)))
+
   /** Idempotent direct registration for sessions built without the
     * extensions config (Verify/Bench/tests). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       dotName, children => DotProduct(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      intersectName,
+      children => SortedIntersectSize(children.head, children(1)), "built-in")
+  }
 }
 
 /** Session extension entry point: set
   * `spark.sql.extensions=graft.expr.GraftExtensions` and the vector
   * functions resolve like builtins in any SQL or DataFrame plan. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.dotDescriptor)
+    ext.injectFunction(VectorExprs.intersectDescriptor)
+  }
 }
