@@ -40,32 +40,43 @@ object Dedup extends QueryModule {
       |FROM documents GROUP BY md5(lower(text)) ORDER BY keeper""".stripMargin
 
   // ---------------------------------------------- dedup_ngram_jaccard
-  /** Token-set Jaccard near-dup pairs via inverted-index join, blocked
-    * by lang. j = |A∩B| / (|A|+|B|-|A∩B|). */
+  /** Token-set Jaccard near-dup pairs, blocked by lang:
+    * j = |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Design choice: token sets become SORTED HASH ARRAYS once, pairs
+    * come from a block join (lang + size-ratio necessary condition),
+    * and each pair is verified by the codegen'd merge-intersection.
+    * This beats the classic inverted-index token join whenever blocks
+    * are bounded (here ~n/5 docs per lang) because it never
+    * materializes the candidate×token row explosion; with weak/no
+    * blocking keys, prefer the inverted index restricted to rare
+    * tokens, or MinHash (below) — at 100 TB you block by
+    * (lang, length-bucket, shard). Token hashing (xxhash64) keeps the
+    * arrays primitive; 64-bit collisions are negligible. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val tok = tokens(docs)
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val tokSized = tok.join(sizes, "doc_id")
-    val a = tokSized.select(col("doc_id").as("d1"), col("lang"), col("w"),
-      col("n").as("n1"))
-    val b = tokSized.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-      col("w").as("w2"), col("n").as("n2"))
-    // size-ratio necessary condition inside the join prunes pairs that
-    // can never reach the threshold BEFORE the pair-count aggregation
-    val inter = a.join(b,
-        col("w") === col("w2") && col("lang") === col("lang2") &&
-          col("d1") < col("d2") &&
+    val sets = tokens(docs)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val a = sets.select(col("doc_id").as("d1"), col("lang"),
+      col("hs").as("hs1"), col("n").as("n1"))
+    val b = sets.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("hs").as("hs2"), col("n").as("n2"))
+    val i = call_function(graft.expr.VectorExprs.intersectName,
+      col("hs1"), col("hs2"))
+    a.join(b,
+        col("lang") === col("lang2") && col("d1") < col("d2") &&
           least(col("n1"), col("n2")).cast("double") >=
             greatest(col("n1"), col("n2")).cast("double") * threshold)
-      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("i"))
-    inter
       .select(col("d1"), col("d2"),
-        (col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")).as("j"))
+        (i.cast("double") / (col("n1") + col("n2") - i).cast("double")).as("j"))
       .filter(col("j") >= threshold)
   }
 
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
     ngramJaccard(Tables.documents(spark, dir), 0.9).orderBy("d1", "d2")
+  }
 
   val dedupNgramSql: String =
     """WITH tok AS (

@@ -470,6 +470,25 @@ object Relational extends graft.QueryModule {
       |GROUP BY GROUPING SETS ((r_name), (n_name), ())
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** String-predicate scan: LIKE / prefix / contains — pushdown-friendly
+    * StartsWith reaches the parquet scan; contains stays codegen'd. */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%bolt%") || col("p_name").startsWith("red"))
+      .select(col("p_partkey"), col("p_name"),
+        col("p_name").contains("red").as("is_red"),
+        substring_index(col("p_name"), " ", 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  val q21Sql: String =
+    """SELECT p_partkey, p_name,
+      |  contains(p_name, 'red') AS is_red,
+      |  split_part(p_name, ' ', 1) AS first_word
+      |FROM part
+      |WHERE p_name LIKE '%bolt%' OR p_name LIKE 'red%'
+      |ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01 _),
@@ -491,7 +510,8 @@ object Relational extends graft.QueryModule {
     "q17_correlated" -> (q17 _),
     "q18_having" -> (q18 _),
     "q19_expr" -> (q19 _),
-    "q20_grouping_sets" -> (q20 _))
+    "q20_grouping_sets" -> (q20 _),
+    "q21_string_scan" -> (q21 _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg" -> q01Sql,
@@ -513,5 +533,6 @@ object Relational extends graft.QueryModule {
     "q17_correlated" -> q17Sql,
     "q18_having" -> q18Sql,
     "q19_expr" -> q19Sql,
-    "q20_grouping_sets" -> q20Sql)
+    "q20_grouping_sets" -> q20Sql,
+    "q21_string_scan" -> q21Sql)
 }

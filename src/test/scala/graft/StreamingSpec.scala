@@ -78,6 +78,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted == Seq((1L, "click"), (2L, "purchase")))
   }
 
+  test("streaming CDC upsert sink converges to the batch snapshot") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.Envelope
+    import graft.streaming.CdcStream
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    // changelog: id=1 c→u, id=2 c→d, id=3 c — expected final {1→20, 3→5}
+    val log = Seq((1L, 10.0, "c", 1L), (2L, 1.0, "c", 2L),
+      (1L, 20.0, "u", 3L), (2L, 0.0, "d", 4L), (3L, 5.0, "c", 5L))
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String, Long)]
+    val envelopes = mem.toDF().toDF("id", "v", "op", "seq")
+      .select(Envelope.wrap(
+        struct(col("id"), col("v")), struct(col("id"), col("v")),
+        "db", "t", col("op"), col("seq")).as("value"))
+    val changes = CdcStream.changes(envelopes, rowSchema)
+    // keyed target maintained across micro-batches (the /UPDATE,
+    // /DELETE, /APPEND routing the reference applies per op)
+    val target = scala.collection.concurrent.TrieMap[Long, Double]()
+    val q = changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("op", "ts_ms", "id", "v").collect()
+          .sortBy(_.getLong(1)).foreach { r =>
+            if (r.getString(0) == "d") target.remove(r.getLong(2))
+            else target.put(r.getLong(2), r.getDouble(3))
+          }
+        ()
+      }
+      .start()
+    // two micro-batches: target must survive and stay keyed across them
+    mem.addData(log.take(2): _*)
+    q.processAllAvailable()
+    assert(target.toMap == Map(1L -> 10.0, 2L -> 1.0))
+    mem.addData(log.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(target.toMap == Map(1L -> 20.0, 3L -> 5.0))
+  }
+
   test("sessionization over MemoryStream matches the batch session_window plan") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
