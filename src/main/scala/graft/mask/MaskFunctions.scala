@@ -84,6 +84,23 @@ object MaskFunctions {
     date_add(c.cast("date"),
       (pmod(portableHash(key), lit(2L * maxDays + 1)) - maxDays).cast("int"))
 
+  // -------------------------------------------------------- tokenization
+  /** Vaultless tokenization: replace the value with a fixed-width token
+    * derived from its salted digest — referentially consistent,
+    * irreversible without the salt dictionary. */
+  def tokenize(c: Column, salt: String = "", prefix: String = "TOK_"): Column =
+    concat(lit(prefix), upper(substring(hashSha256(c, salt), 1, 16)))
+
+  /** Nullify (suppression masking). */
+  def nullOut(c: Column): Column = lit(null).cast("string")
+
+  /** Keep first and last characters, mask the middle. */
+  def maskCenter(c: Column, keep: Int = 1, maskChar: String = "*"): Column =
+    when(length(c) <= 2 * keep, c).otherwise(concat(
+      c.substr(lit(1), lit(keep)),
+      repeat(lit(maskChar), (length(c) - 2 * keep).cast("int")),
+      c.substr(length(c) - (keep - 1), lit(keep))))
+
   // --------------------------------------------------- format-preserving
   /** Format-preserving digit substitution: every digit maps through a
     * fixed permutation, all other chars (dashes, spaces) untouched. */

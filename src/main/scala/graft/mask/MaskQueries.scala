@@ -154,6 +154,22 @@ object MaskQueries extends QueryModule {
       |  substr(email,1,1) || '***' || regexp_extract(email, '(@.*)$', 1) AS masked
       |FROM src ORDER BY c_custkey""".stripMargin
 
+  def maskTokenize(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        MaskFunctions.tokenize(col("c_name"), "pepper").as("token"),
+        MaskFunctions.maskCenter(col("c_name"), 2).as("center"))
+      .orderBy("c_custkey")
+
+  val maskTokenizeSql: String =
+    """SELECT c_custkey,
+      |  'TOK_' || upper(substr(sha256(c_name || 'pepper'), 1, 16)) AS token,
+      |  CASE WHEN length(c_name) <= 4 THEN c_name
+      |       ELSE substr(c_name, 1, 2) ||
+      |            repeat('*', length(c_name) - 4) ||
+      |            substr(c_name, length(c_name) - 1, 2) END AS center
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** End-to-end reference flow: classify customer by column name with
     * the default library, apply each class's default rule. */
   def maskClassified(spark: SparkSession, dir: String): DataFrame = {
@@ -183,6 +199,7 @@ object MaskQueries extends QueryModule {
     "mask_dateshift" -> (maskDateShift _),
     "mask_fpe_digits" -> (maskFpe _),
     "mask_email" -> (maskEmail _),
+    "mask_tokenize" -> (maskTokenize _),
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +212,6 @@ object MaskQueries extends QueryModule {
     "mask_dateshift" -> maskDateShiftSql,
     "mask_fpe_digits" -> maskFpeSql,
     "mask_email" -> maskEmailSql,
+    "mask_tokenize" -> maskTokenizeSql,
     "mask_classified" -> maskClassifiedSql)
 }

@@ -20,8 +20,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    # exact compare — assume the strictest possible driver: float values
+    # must match bit-for-bit across Spark and DuckDB
     return v
 
 
