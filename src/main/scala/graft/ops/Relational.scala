@@ -489,6 +489,41 @@ object Relational extends graft.QueryModule {
       |WHERE p_name LIKE '%bolt%' OR p_name LIKE 'red%'
       |ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** IN-subquery (decorrelates to a semi-join on a filtered build). */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 400000
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** CUBE over two low-card dims (SQL surface; see q12 for why). */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM graft_orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q23Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01 _),
@@ -511,7 +546,9 @@ object Relational extends graft.QueryModule {
     "q18_having" -> (q18 _),
     "q19_expr" -> (q19 _),
     "q20_grouping_sets" -> (q20 _),
-    "q21_string_scan" -> (q21 _))
+    "q21_string_scan" -> (q21 _),
+    "q22_in_subquery" -> (q22 _),
+    "q23_cube" -> (q23 _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg" -> q01Sql,
@@ -534,5 +571,7 @@ object Relational extends graft.QueryModule {
     "q18_having" -> q18Sql,
     "q19_expr" -> q19Sql,
     "q20_grouping_sets" -> q20Sql,
-    "q21_string_scan" -> q21Sql)
+    "q21_string_scan" -> q21Sql,
+    "q22_in_subquery" -> q22Sql,
+    "q23_cube" -> q23Sql)
 }

@@ -117,6 +117,31 @@ class StreamingSpec extends SparkSpec {
     assert(target.toMap == Map(1L -> 20.0, 3L -> 5.0))
   }
 
+  test("flatMapGroupsWithState carries running totals across micro-batches") {
+    import graft.streaming.Stateful
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val typed = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[Stateful.EventRow]
+    val q = Stateful.runningTotals(typed)
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    mem.addData(sample.take(3): _*)
+    q.processAllAvailable()
+    val mid = spark.table("running").as[Stateful.UserRunning]
+      .collect().map(s => s.user_id -> s).toMap
+    assert(mid(1L).n == 2 && math.abs(mid(1L).total - 3.0) < 1e-9)
+    mem.addData(sample.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    // update mode appends a new row per key per batch: latest wins
+    val fin = spark.table("running").as[Stateful.UserRunning].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n) }
+    assert(fin(1L).n == 3 && math.abs(fin(1L).total - 8.0) < 1e-9)
+    assert(fin(2L).n == 2 && math.abs(fin(2L).total - 7.0) < 1e-9)
+  }
+
   test("sessionization over MemoryStream matches the batch session_window plan") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
