@@ -55,11 +55,57 @@ object SourceQueries extends QueryModule {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------- src_jsonl_changelog
+  /** JSONL change-stream interchange: serialize a Debezium-style
+    * envelope stream to a JSON-lines file (the wire format the
+    * reference consumes), read it back as text, parse, and compact to
+    * current state — the full file-based CDC hand-off. */
+  def jsonlChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, dir)
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d").otherwise("u")
+    val json = graft.cdc.Envelope.wrap(
+      lit(null).cast(rowSchema),
+      struct(col("event_id"), col("user_id"), col("value")),
+      "graft", "events", op,
+      expr("unix_micros(cast(ts as timestamp)) div 1000"))
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    ev.select(json.as("value")).write.mode("overwrite").text(tmp)
+    val parsed = graft.cdc.Envelope.parse(
+      spark.read.text(tmp), col("value"), rowSchema)
+    val w = Window.partitionBy("after.user_id")
+      .orderBy(desc("ts_ms"), desc("after.event_id"))
+    parsed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).filter(col("op") =!= "d")
+      .select(col("after.user_id").as("user_id"),
+        col("after.value").as("value"),
+        col("after.event_id").as("last_event_id"))
+      .orderBy("user_id")
+  }
+
+  val jsonlChangelogSql: String =
+    """WITH log AS (
+      |  SELECT event_id, epoch_us(ts) // 1000 AS ts_ms, user_id, value,
+      |    CASE WHEN event_type = 'signup' THEN 'c'
+      |         WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+      |  FROM events),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts_ms DESC, event_id DESC) AS rn FROM log)
+      |SELECT user_id, value, event_id AS last_event_id
+      |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
-    "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _))
+    "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
+    "src_jsonl_changelog" -> (jsonlChangelog _))
 
   val oracles: Map[String, String] = Map(
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
-    "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql)
+    "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
+    "src_jsonl_changelog" -> jsonlChangelogSql)
 }

@@ -127,13 +127,48 @@ object TextAnalysis extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- txt_top_bigrams
+  /** Top-k bigrams per language — n-gram statistics as one explode +
+    * agg + per-group rank (Spark's WindowGroupLimit keeps the rank
+    * filter bounded per partition). */
+  def txtTopBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(col("text"))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array())
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("n"), col("bigram"))))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("bigram"), col("n"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  val txtTopBigramsSql: String =
+    """WITH big AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM (SELECT lang, regexp_split_to_array(text, '\s+') AS w FROM documents) t)
+      |SELECT lang, bigram, n, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT lang, bigram, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, bigram) AS rnk
+      |  FROM big GROUP BY lang, bigram) r
+      |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_top_bigrams" -> (txtTopBigrams _),
     "txt_token_count" -> (txtTokenCount _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_top_bigrams" -> txtTopBigramsSql,
     "txt_token_count" -> txtTokenCountSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangidSql,

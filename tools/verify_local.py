@@ -63,6 +63,11 @@ def main():
             print(f"COLS-MISMATCH {name:24s} got={sorted(gcols)} want={sorted(wcols)}")
             n_fail += 1
             continue
+        gtypes = {d[0]: str(d[1]) for d in got.description}
+        wtypes = {d[0]: str(d[1]) for d in want.description}
+        for c in gcols:
+            if gtypes[c] != wtypes[c]:
+                print(f"TYPE-WARN     {name:24s} {c}: spark={gtypes[c]} oracle={wtypes[c]}")
         g, w = norm_rows(gcols, grows), norm_rows(wcols, wrows)
         if g != w:
             print(f"ROWS-MISMATCH {name:24s} got={len(g)} want={len(w)}")
