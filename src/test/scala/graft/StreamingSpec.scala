@@ -117,6 +117,35 @@ class StreamingSpec extends SparkSpec {
     assert(target.toMap == Map(1L -> 20.0, 3L -> 5.0))
   }
 
+  test("file-stream CDC: masked replication from a JSONL envelope directory") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.Envelope
+    import graft.streaming.CdcStream
+    import graft.classify.Libraries
+    val rowSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    // land a batch of envelope JSONL files (the change-stream hand-off)
+    val batch = Seq((1L, "Customer#1", "c"), (2L, "Customer#2", "c"))
+      .toDF("c_custkey", "c_name", "op")
+      .select(Envelope.wrap(lit(null).cast(rowSchema),
+        struct(col("c_custkey"), col("c_name")),
+        "db", "customer", col("op"), lit(1L)).as("value"))
+    batch.coalesce(1).write.mode("overwrite").text(dir.toString)
+    val stream = spark.readStream.text(dir.toString)
+    val masked = CdcStream.maskedChanges(stream, rowSchema, Libraries.default,
+      { case "nation-names" => Seq("P1", "P2", "P3"); case _ => Seq.empty })
+    val q = masked.writeStream.format("memory").queryName("filecdc")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("filecdc").select("op", "c_custkey", "c_name")
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(rows.length == 2)
+    assert(rows.forall { case (op, _, name) =>
+      op == "c" && Seq("P1", "P2", "P3").contains(name) })
+  }
+
   test("flatMapGroupsWithState carries running totals across micro-batches") {
     import graft.streaming.Stateful
     implicit val sql = spark.sqlContext
