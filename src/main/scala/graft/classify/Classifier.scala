@@ -44,6 +44,27 @@ final class Classifier(lib: DataClassLibrary) {
     wide.select(expr(stackExpr))
   }
 
+  /** Full classification verdict per column: name match wins outright
+    * (metadata, free); otherwise the content match-rate scan decides —
+    * best pattern class with rate >= threshold. Mirrors the reference's
+    * value-OR-name matching, lifted from per-event to per-table (one
+    * scan for all columns). */
+  def classifyTable(df: DataFrame, columns: Seq[String],
+      threshold: Double = 0.6): Map[String, DataClass] = {
+    val byName = columns.flatMap(c => classifyName(c).map(c -> _)).toMap
+    val remaining = columns.filterNot(byName.contains)
+    val byContent =
+      if (remaining.isEmpty) Map.empty[String, DataClass]
+      else contentMatchRates(df, remaining).collect()
+        .filter(_.getDouble(2) >= threshold)
+        .groupBy(_.getString(0))
+        .flatMap { case (c, rows) =>
+          val best = rows.maxBy(_.getDouble(2)).getString(1)
+          lib.classes.find(_.name == best).map(c -> _)
+        }
+    byName ++ byContent
+  }
+
   /** Set-membership counts per distinct value of a column, implemented
     * as an aggregation over an inlined set predicate. For set files too
     * large to inline, join a broadcast Dataset of entries instead. */

@@ -228,7 +228,46 @@ object Dedup extends QueryModule {
       |WHERE list_dot_product(a.e, b.e) >= 0.40
       |ORDER BY id1, id2""".stripMargin
 
+  // ------------------------------------------------------ dedup_apply
+  /** Apply near-dup pairs to the corpus: greedy keeper selection — in
+    * every pair (d1 < d2) the smaller id survives, so any doc that
+    * appears as a d2 is dropped. (True connected-components keeps one
+    * doc per cluster via iterative min-label propagation; greedy is the
+    * standard single-pass choice and never drops both sides.) */
+  def applyPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("d2").as("_drop")).distinct(),
+      col("doc_id") === col("_drop"), "left_anti")
+
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    applyPairs(docs, ngramJaccard(docs, 0.9))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val dedupApplySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9)
+      |SELECT lang, COUNT(*) AS n_kept FROM documents
+      |WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
@@ -239,6 +278,7 @@ object Dedup extends QueryModule {
     * engine) → rows-only checks; their semantics are pinned by
     * DedupSpec against the exact-Jaccard oracle-verified pairs. */
   val oracles: Map[String, String] = Map(
+    "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_embedding" -> dedupEmbeddingSql)

@@ -58,11 +58,33 @@ object RuleEngine {
   def maskTable(
       df: DataFrame,
       lib: DataClassLibrary,
-      setResolver: String => Seq[String] = _ => Seq.empty): DataFrame = {
-    val classifier = new Classifier(lib)
-    val byName = classifier.classifySchema(df).toMap
+      setResolver: String => Seq[String] = _ => Seq.empty): DataFrame =
+    applyClasses(df, new Classifier(lib).classifySchema(df).toMap, lib, setResolver)
+
+  /** Like [[maskTable]] but classification also inspects CONTENT (one
+    * match-rate scan for unnamed-but-sensitive columns) — the
+    * reference's value-OR-name matching. Costs one extra pass over the
+    * string columns before the masking select. */
+  def maskTableByContent(
+      df: DataFrame,
+      lib: DataClassLibrary,
+      setResolver: String => Seq[String] = _ => Seq.empty,
+      threshold: Double = 0.6): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    val verdict = new Classifier(lib).classifyTable(df, stringCols, threshold) ++
+      new Classifier(lib).classifySchema(df).toMap
+    applyClasses(df, verdict, lib, setResolver)
+  }
+
+  private def applyClasses(
+      df: DataFrame,
+      classes: Map[String, graft.classify.DataClass],
+      lib: DataClassLibrary,
+      setResolver: String => Seq[String]): DataFrame = {
     val cols = df.schema.fieldNames.toSeq.map { name =>
-      byName.get(name).flatMap(lib.ruleFor) match {
+      classes.get(name).flatMap(lib.ruleFor) match {
         case Some(rule) => transform(rule, setResolver)(col(name)).as(name)
         case None => col(name)
       }

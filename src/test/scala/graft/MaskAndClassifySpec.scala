@@ -68,6 +68,17 @@ class MaskAndClassifySpec extends SparkSpec {
     assert(row.getString(2) == "misc")        // unclassified passthrough
   }
 
+  test("content classification masks sensitively-valued columns with innocent names") {
+    // "contact" matches no nameMatcher but holds emails → EMAIL → hash
+    val df = Seq((1L, "a.user@mail.com", "x"), (2L, "b.user@mail.com", "y"))
+      .toDF("c_custkey", "contact", "note")
+    val masked = RuleEngine.maskTableByContent(df, Libraries.default)
+    val rows = masked.select("contact", "note").as[(String, String)].collect()
+    assert(rows.forall { case (c, _) => c.matches("[0-9a-f]{64}") },
+      s"contact should be sha256-masked: ${rows.toSeq}")
+    assert(rows.map(_._2).sorted.toSeq == Seq("x", "y")) // note untouched
+  }
+
   test("xml compat parses reference-format rule + dataclass libraries") {
     val rulesXml =
       """<?xml version="1.0" encoding="ASCII"?>
