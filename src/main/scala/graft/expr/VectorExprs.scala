@@ -103,9 +103,56 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd as-of lookup: index of the LAST element <= the probe value
+  * in a sorted ArrayType(Long) column (binary search, 0-based; -1 when
+  * every element is greater). The probe primitive behind the
+  * state-lookup as-of join: the right side becomes one sorted
+  * time-array per key, each left row probes it in O(log n).
+  */
+case class AsOfIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_asof_index"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[Long]
+    var lo = 0
+    var hi = arr.numElements() - 1
+    var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) <= v) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val res = ctx.freshName("res")
+      s"""
+         |int $lo = 0; int $hi = $a.numElements() - 1; int $res = -1;
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($a.getLong($mid) <= $b) { $res = $mid; $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val intersectName = "graft_intersect_size"
+  val asofName = "graft_asof_index"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -119,6 +166,11 @@ object VectorExprs {
     new ExpressionInfo(classOf[SortedIntersectSize].getName, intersectName),
     (children: Seq[Expression]) => SortedIntersectSize(children.head, children(1)))
 
+  val asofDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(asofName),
+    new ExpressionInfo(classOf[AsOfIndex].getName, asofName),
+    (children: Seq[Expression]) => AsOfIndex(children.head, children(1)))
+
   /** Idempotent direct registration for sessions built without the
     * extensions config (Verify/Bench/tests). */
   def register(spark: SparkSession): Unit = {
@@ -127,6 +179,8 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       intersectName,
       children => SortedIntersectSize(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      asofName, children => AsOfIndex(children.head, children(1)), "built-in")
   }
 }
 
@@ -137,5 +191,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.dotDescriptor)
     ext.injectFunction(VectorExprs.intersectDescriptor)
+    ext.injectFunction(VectorExprs.asofDescriptor)
   }
 }

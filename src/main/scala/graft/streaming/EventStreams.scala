@@ -146,7 +146,47 @@ object EventStreams extends QueryModule {
       |  WHERE e.event_type = 'purchase') t
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------ str_asof_lookup
+  /** The SCALE-PATH as-of join: the right side compacts into ONE row
+    * per key holding time-sorted state arrays; each left row probes
+    * them with a codegen'd binary search (graft_asof_index). One
+    * equi-join shuffle on the key, O(log n) per probe — no per-event
+    * window, no candidate explosion. Cross-validated against the same
+    * oracle as the window-based [[asofJoin]]. */
+  def asofStateLookup(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"))
+    // state per key: entries sorted by (time, id) ascending — the
+    // binary search returns the LAST entry <= t, i.e. latest time with
+    // the highest id on time ties (same semantics as the window form)
+    val state = orders
+      .select(col("o_custkey"),
+        struct(unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+          col("o_orderkey").as("id")).as("entry"))
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list(col("entry"))).as("entries"))
+      .select(col("o_custkey"),
+        transform(col("entries"), x => x.getField("t")).as("times"),
+        transform(col("entries"), x => x.getField("id")).as("ids"))
+    val idx = call_function(graft.expr.VectorExprs.asofName, col("times"), col("t_us"))
+    e.join(state, col("user_id") === col("o_custkey"))
+      .withColumn("_i", idx)
+      .filter(col("_i") >= 0)
+      .select(col("event_id"), col("user_id"),
+        element_at(col("ids"), col("_i") + 1).as("o_orderkey"),
+        timestamp_micros(element_at(col("times"), col("_i") + 1))
+          .cast("timestamp_ntz").as("o_orderdate"))
+  }
+
+  def strAsofLookup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    asofStateLookup(Tables.events(spark, dir), Tables.orders(spark, dir))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_asof_lookup" -> (strAsofLookup _),
     "str_tumbling_agg" -> (strTumbling _),
     "str_sliding_agg" -> (strSliding _),
     "str_sessionize" -> (strSessionize _),
@@ -154,6 +194,7 @@ object EventStreams extends QueryModule {
     "str_asof_join" -> (strAsof _))
 
   val oracles: Map[String, String] = Map(
+    "str_asof_lookup" -> strAsofSql, // same oracle as the window form
     "str_tumbling_agg" -> strTumblingSql,
     "str_sliding_agg" -> strSlidingSql,
     "str_sessionize" -> strSessionizeSql,
