@@ -524,6 +524,32 @@ object Relational extends graft.QueryModule {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** Running (cumulative) aggregation over an ordered window frame —
+    * exact decimal accumulation so the running values are
+    * engine-identical at every row. */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q24Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
+      |  COUNT(*) OVER w AS running_n
+      |FROM lineitem WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01 _),
@@ -548,7 +574,8 @@ object Relational extends graft.QueryModule {
     "q20_grouping_sets" -> (q20 _),
     "q21_string_scan" -> (q21 _),
     "q22_in_subquery" -> (q22 _),
-    "q23_cube" -> (q23 _))
+    "q23_cube" -> (q23 _),
+    "q24_running_sum" -> (q24 _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg" -> q01Sql,
@@ -573,5 +600,6 @@ object Relational extends graft.QueryModule {
     "q20_grouping_sets" -> q20Sql,
     "q21_string_scan" -> q21Sql,
     "q22_in_subquery" -> q22Sql,
-    "q23_cube" -> q23Sql)
+    "q23_cube" -> q23Sql,
+    "q24_running_sum" -> q24Sql)
 }

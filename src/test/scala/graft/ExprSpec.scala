@@ -24,6 +24,22 @@ class ExprSpec extends SparkSpec {
     assert(out.forall { case (h, f) => h == f }) // exact, not approx
   }
 
+  test("graft_asof_index finds the last element <= probe (edge cases)") {
+    val rows = Seq(
+      (Seq(10L, 20L, 30L), 25L, 1),   // between elements
+      (Seq(10L, 20L, 30L), 30L, 2),   // exact match, last
+      (Seq(10L, 20L, 30L), 10L, 0),   // exact match, first
+      (Seq(10L, 20L, 30L), 5L, -1),   // all greater
+      (Seq(10L, 20L, 30L), 99L, 2),   // all smaller
+      (Seq.empty[Long], 5L, -1),      // empty state
+      (Seq(7L), 7L, 0))               // single element
+      .toDF("arr", "v", "expected")
+    val out = rows.select(
+      call_function(graft.expr.VectorExprs.asofName, col("arr"), col("v")).as("got"),
+      col("expected")).as[(Int, Int)].collect()
+    assert(out.forall { case (g, e) => g == e }, s"mismatches: ${out.toSeq}")
+  }
+
   test("graft_intersect_size matches array_intersect on sorted arrays") {
     val rows = (1 to 100).map { i =>
       val a = (1 to 30).map(x => (x * i % 97).toLong).distinct.sorted
