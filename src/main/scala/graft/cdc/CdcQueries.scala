@@ -92,6 +92,29 @@ object CdcQueries extends QueryModule {
       |  make_timestamp((epoch_us(ts) // 1000) * 1000) AS rep_ts
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------ cdc_wire_type_repair
+  /** Debezium wire-type repair: the reference forces
+    * decimal.handling.mode=string and binary.handling.mode=base64
+    * (reference: Main.java:143-144), so numerics arrive as strings and
+    * binary as base64 text. Round-trips both through the wire encoding
+    * and repairs to typed columns. */
+  def wireTypeRepair(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wireDecimal = col("value").cast(DecimalType(18, 2)).cast("string")
+    val wireBinary = base64(encode(col("event_type"), "UTF-8"))
+    ev.select(col("event_id"), wireDecimal.as("v_wire"), wireBinary.as("b_wire"))
+      .select(col("event_id"),
+        col("v_wire").cast(DecimalType(18, 2)).cast("double").as("v_typed"),
+        decode(unbase64(col("b_wire")), "UTF-8").as("b_typed"))
+      .orderBy("event_id")
+  }
+
+  val wireTypeRepairSql: String =
+    """SELECT event_id,
+      |  CAST(CAST(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS v_typed,
+      |  decode(from_base64(to_base64(encode(event_type)))) AS b_typed
+      |FROM events ORDER BY event_id""".stripMargin
+
   // -------------------------------------------- cdc_snapshot_apply
   /** Changelog → current state: latest change per key wins; a trailing
     * delete removes the key. One shuffle + per-key window. */
@@ -237,6 +260,7 @@ object CdcQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_parse_envelope" -> (parseEnvelope _),
     "cdc_temporal_repair" -> (temporalRepair _),
+    "cdc_wire_type_repair" -> (wireTypeRepair _),
     "cdc_snapshot_apply" -> (snapshotApply _),
     "cdc_upsert_target" -> (upsertTarget _),
     "cdc_scd2_history" -> (scd2History _),
@@ -246,6 +270,7 @@ object CdcQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "cdc_parse_envelope" -> parseEnvelopeSql,
     "cdc_temporal_repair" -> temporalRepairSql,
+    "cdc_wire_type_repair" -> wireTypeRepairSql,
     "cdc_snapshot_apply" -> snapshotApplySql,
     "cdc_upsert_target" -> upsertTargetSql,
     "cdc_scd2_history" -> scd2HistorySql,
