@@ -72,7 +72,9 @@ object Knn extends QueryModule {
       sigBits.reduce(_ + _).as("sig"))
   }
 
-  def lsh(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+  def lsh(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 5): DataFrame = {
+    // 2^planes buckets: pick planes so buckets hold >> k vectors
+    // (planes=5 → 32 buckets; near-uniform data fills top-k reliably)
     val sigs = lshSignatures(emb, planes)
     val qs = lshSignatures(queries, planes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))

@@ -1,0 +1,22 @@
+package graft
+
+/** The driver's own smoke checks, run ahead of time: the flagship
+  * entry query must return rows at sf0.001, and every registered
+  * oracle key must have a query (and vice versa where promised). */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows at sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("rows-only queries are the documented LSH family only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("dedup_minhash_lsh", "dedup_simhash",
+      "knn_lsh", "knn_centroid"), s"unexpected rows-only set: $rowsOnly")
+  }
+}
