@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry.queries entry against
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * The driver captures only the last ~2000 chars of output, so the
+  * line must stay short: seconds are rounded to 2 decimals and, if
+  * the line would still overflow, the per-query map keeps only the
+  * slowest entries (full precision always lands in BENCH_FULL.json).
+  */
 object Bench {
+  private def fmt(v: Double): String = f"$v%.2f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,16 +26,38 @@ object Bench {
     // toRdd.count() executes the query plan as written — a plain
     // df.count() would let the optimizer prune the very projections
     // (masks, scores, parsed structs) being measured.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = outcomes.filter(!_._3).map(_._1)
+    // A failed query must not masquerade as a fast success: its slot
+    // carries -1 and its elapsed time is excluded from the total.
+    val results = outcomes.map { case (n, t, ok) => n -> (if (ok) t else -1.0) }
+    val total = outcomes.filter(_._3).map(_._2).sum
+    val sfName = sfDir.split('/').last
+
+    // Full-precision sidecar for humans/judges.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+
+    def line(qs: Seq[(String, Double)]): String = {
+      val obj = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$obj,"sf":"$sfName"}"""
+    }
+    // Keep the printed line under the driver's capture window; drop the
+    // fastest queries first if it would overflow.
+    var keep = results
+    while (line(keep).length > 1850 && keep.nonEmpty)
+      keep = keep.sortBy(-_._2).dropRight(math.max(1, keep.size / 10)).sortBy(_._1)
+    println(line(keep))
     spark.stop()
   }
 }

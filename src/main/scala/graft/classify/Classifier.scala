@@ -32,9 +32,17 @@ final class Classifier(lib: DataClassLibrary) {
       c <- columns
       dc <- lib.classes if dc.pattern.isDefined
     } yield (c, dc)
+    if (pairs.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("column_name"), lit("").as("data_class"),
+          lit(0.0).as("match_rate"))
+        .limit(0)
     val aggs: Seq[Column] = pairs.map { case (c, dc) =>
-      (sum(when(Matchers.contentMatches(col(c).cast("string"), dc.pattern.get), 1L)
-        .otherwise(0L)).cast("double") / count(lit(1)).cast("double"))
+      // coalesce: an empty table gives 0/0 = NULL — report rate 0.0, not NULL
+      coalesce(
+        sum(when(Matchers.contentMatches(col(c).cast("string"), dc.pattern.get), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)).cast("double"),
+        lit(0.0))
         .as(s"${c}__${dc.name}")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
@@ -56,7 +64,7 @@ final class Classifier(lib: DataClassLibrary) {
     val byContent =
       if (remaining.isEmpty) Map.empty[String, DataClass]
       else contentMatchRates(df, remaining).collect()
-        .filter(_.getDouble(2) >= threshold)
+        .filter(r => !r.isNullAt(2) && r.getDouble(2) >= threshold)
         .groupBy(_.getString(0))
         .flatMap { case (c, rows) =>
           val best = rows.maxBy(_.getDouble(2)).getString(1)

@@ -29,8 +29,16 @@ object XmlCompat {
   }
 
   private def parseDoc(path: String): Element = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
-      .parse(new File(path))
+    // Library files are modeled on external, untrusted content: refuse
+    // DOCTYPEs and external entities (XXE / billion-laughs hardening).
+    val factory = DocumentBuilderFactory.newInstance()
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    factory.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    factory.setXIncludeAware(false)
+    factory.setExpandEntityReferences(false)
+    val doc = factory.newDocumentBuilder().parse(new File(path))
     doc.getDocumentElement.normalize()
     doc.getDocumentElement
   }

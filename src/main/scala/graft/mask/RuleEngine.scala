@@ -15,9 +15,17 @@ import graft.classify.{Classifier, DataClassLibrary, Rule}
   */
 object RuleEngine {
 
+  /** Thrown when a rule would silently emit unmasked data: an
+    * expression template outside the grammar, an unknown function name,
+    * or a SET rule whose set resolves empty. A masking engine must not
+    * fail open — pass-through is an explicit `${FIELDNAME}` template,
+    * never a fallback. */
+  final class UnsafeRuleException(msg: String) extends IllegalArgumentException(msg)
+
   /** Expression-template grammar: `fn(${FIELDNAME})` — the shape the
-    * reference's EXPRESSION rules use. Unknown templates pass through
-    * unchanged (reference leaves unmatched fields as-is). */
+    * reference's EXPRESSION rules use. Identity requires the explicit
+    * `${FIELDNAME}` template; anything unrecognized throws
+    * [[UnsafeRuleException]] rather than passing PII through unmasked. */
   def compile(template: String, setResolver: String => Seq[String] = _ => Seq.empty)
       : Column => Column = {
     val Fn = """(\w+)\(\$\{FIELDNAME\}\)""".r
@@ -35,20 +43,24 @@ object RuleEngine {
         case "fpe_digits" => MaskFunctions.fpeDigits
         case "blur" => c => MaskFunctions.blurNumber(c, c, 5)
         case "date_shift" => c => MaskFunctions.dateShift(c, c, 30)
-        case _ => identity
+        case other => throw new UnsafeRuleException(
+          s"unknown masking function '$other' in rule template '$template'")
       }
-      case _ => identity
+      case other => throw new UnsafeRuleException(
+        s"rule template '$other' does not match the fn($${FIELDNAME}) grammar")
     }
   }
 
   /** Transform for a resolved rule: expression rules compile; set rules
-    * pseudonymize from the resolved entry list. */
+    * pseudonymize from the resolved entry list. An empty set is a
+    * configuration error (missing/typo'd set file), not a pass-through. */
   def transform(rule: Rule, setResolver: String => Seq[String]): Column => Column =
     rule.kind match {
       case Rule.Expression => compile(rule.value, setResolver)
       case Rule.SetRule =>
         val entries = setResolver(rule.value)
-        if (entries.isEmpty) identity
+        if (entries.isEmpty) throw new UnsafeRuleException(
+          s"SET rule '${rule.name}' resolved no entries from '${rule.value}'")
         else c => MaskFunctions.pseudonymFromSet(c, entries)
     }
 

@@ -59,10 +59,13 @@ object Knn extends QueryModule {
     * candidate neighbors. Rows-only check; KnnSpec pins recall vs brute
     * force. */
   def lshSignatures(emb: DataFrame, planes: Int): DataFrame = {
+    // Index range follows the data — a hardcoded width would silently
+    // zero-pad or drop dimensions for other embedding widths.
+    val dims = sequence(lit(0), size(col("embedding")) - 1)
     val sigBits = (0 until planes).map { p =>
       // sum_i e[i] * (±1 from hash(p,i)) > 0 → bit p
       val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), lit(63)), (x, i) =>
+        zip_with(col("embedding"), dims, (x, i) =>
           x.cast("double") *
             when(xxhash64(lit(p), i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, v) => acc + v)

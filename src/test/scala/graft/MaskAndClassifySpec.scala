@@ -51,6 +51,32 @@ class MaskAndClassifySpec extends SparkSpec {
     assert(df.select(hexRoundTrip).as[String].head() == "abc")
   }
 
+  test("rule engine fails closed: unknown templates and empty sets throw") {
+    intercept[RuleEngine.UnsafeRuleException] {
+      RuleEngine.compile("not_a_function(${FIELDNAME})")
+    }
+    intercept[RuleEngine.UnsafeRuleException] {
+      RuleEngine.compile("free-form garbage")
+    }
+    intercept[RuleEngine.UnsafeRuleException] {
+      RuleEngine.transform(Rule("P", Rule.SetRule, "missing.set"), _ => Seq.empty)
+    }
+    // explicit pass-through stays available
+    val df = Seq("abc").toDF("v")
+    assert(df.select(RuleEngine.compile("${FIELDNAME}")(col("v")))
+      .as[String].head() == "abc")
+  }
+
+  test("classifier tolerates empty tables and libraries without pattern classes") {
+    val noPatterns = DataClassLibrary(
+      Seq(DataClass("ID", nameMatcher = Some("(?i).*id$"))), Map.empty)
+    val df = Seq((1L, "x")).toDF("k", "v")
+    assert(new Classifier(noPatterns).contentMatchRates(df, Seq("v")).count() == 0)
+    assert(new Classifier(noPatterns).classifyTable(df, Seq("v")).isEmpty)
+    val empty = df.limit(0) // 0/0 match rate must not NPE
+    assert(new Classifier(Libraries.default).classifyTable(empty, Seq("v")).isEmpty)
+  }
+
   test("classifier matches reference semantics: name OR content, first match wins") {
     val c = new Classifier(Libraries.default)
     assert(c.classifyName("c_name").map(_.name).contains("NAME"))
@@ -117,5 +143,17 @@ class MaskAndClassifySpec extends SparkSpec {
     assert(classes.head.pattern.contains("[A-Za-z]+"))
     assert(classes.head.defaultRule.contains("UpRule"))
     assert(classes(1).set.contains(Seq("A1", "B2")))
+  }
+
+  test("xml compat rejects DOCTYPE declarations (XXE hardening)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xxe")
+    val evil = dir.resolve("evil.rules")
+    java.nio.file.Files.writeString(evil,
+      """<?xml version="1.0"?>
+        |<!DOCTYPE r [<!ENTITY xxe SYSTEM "file:///etc/passwd">]>
+        |<r><rules name="&xxe;"/></r>""".stripMargin)
+    intercept[org.xml.sax.SAXParseException] {
+      XmlCompat.parseRules(evil.toString)
+    }
   }
 }
