@@ -23,10 +23,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed warmup (the first measured query re-runs warm): the first
+    // execution otherwise absorbs Spark's one-time costs — codegen
+    // compiler, shuffle machinery, parquet footers. r1 showed the
+    // alphabetically-first query taking ~5 s at sf0.01 vs ~0.8 s warm.
+    try { sorted.head._2(spark, sfDir).queryExecution.toRdd.count() }
+    catch { case _: Throwable => () }
     // toRdd.count() executes the query plan as written — a plain
     // df.count() would let the optimizer prune the very projections
     // (masks, scores, parsed structs) being measured.
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val outcomes = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }

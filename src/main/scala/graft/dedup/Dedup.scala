@@ -58,13 +58,20 @@ object Dedup extends QueryModule {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
       .withColumn("n", size(col("hs")))
-    val a = sets.select(col("doc_id").as("d1"), col("lang"),
+    // the broadcast join's parallelism = streamed-side partitions, and a
+    // small corpus arrives as ONE parquet split — spread it first
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = sets.repartition(par).select(col("doc_id").as("d1"), col("lang"),
       col("hs").as("hs1"), col("n").as("n1"))
     val b = sets.select(col("doc_id").as("d2"), col("lang").as("lang2"),
       col("hs").as("hs2"), col("n").as("n2"))
     val i = call_function(graft.expr.VectorExprs.intersectName,
       col("hs1"), col("hs2"))
-    a.join(b,
+    // broadcast: the compact doc-set side is MBs even at large corpora
+    // (ids + token hashes), and a shuffle join on `lang` would put the
+    // whole corpus on <=#langs cores. At 100 TB, when neither side fits
+    // a broadcast, shuffle on (lang, length-bucket) instead.
+    a.join(broadcast(b),
         col("lang") === col("lang2") && col("d1") < col("d2") &&
           least(col("n1"), col("n2")).cast("double") >=
             greatest(col("n1"), col("n2")).cast("double") * threshold)
@@ -106,42 +113,52 @@ object Dedup extends QueryModule {
     // candidates drop to ~0.2 — on self-similar corpora the verify-join
     // width, not recall, is the binding constraint
     val rowsPerBand = numHashes / bands
-    val tok = tokens(docs)
+    // ONE tokenization: the sorted token-hash array serves both the
+    // signatures (permutation i = xxhash64(i, tokenHash), min over the
+    // array) and the exact verify — no second explode/groupBy pass.
+    val sets = tokens(docs).groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
+      .withColumn("n", size(col("hs")))
     val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("w"))).as(s"h$i"))
-    val sigs = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i"))
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    // cheap necessary-condition prefilter before verification:
-    // j >= t implies min(|A|,|B|)/max(|A|,|B|) >= t
-    val docSets = tok.groupBy("doc_id")
-      .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
-      .withColumn("n", size(col("hs")))
-    val candSized = cand
-      .join(docSets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
-        col("n").as("n1")), "d1")
-      .join(docSets.select(col("doc_id").as("d2"), col("hs").as("hs2"),
-        col("n").as("n2")), "d2")
-      .filter(least(col("n1"), col("n2")).cast("double") >=
-        greatest(col("n1"), col("n2")).cast("double") * threshold)
-    // exact verify per surviving pair: codegen'd merge-intersection of
-    // the sorted token-hash arrays (graft_intersect_size) — no
-    // explode-join-aggregate over candidate×token rows
+    // Buckets carry the doc-set arrays inline so candidate pairs verify
+    // in the SAME join (shuffle on (band, sig) only) — no distinct over
+    // the raw candidate set and no join back to doc sets. A pair
+    // colliding in several bands re-verifies cheaply (codegen'd merge
+    // intersection); the final distinct touches only survivors.
+    val buckets = sets
+      .select((col("doc_id") +: col("hs") +: col("n") +: sigCols): _*)
+      .select(col("doc_id"), col("hs"), col("n"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("hs"), col("n"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // spread the streamed side: broadcast-join parallelism equals its
+    // partition count, and a small corpus is a single parquet split
+    val x = buckets.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("n").as("n1"), col("band"), col("sig"))
+    val y = buckets.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+      col("n").as("n2"), col("band").as("band2"), col("sig").as("sig2"))
     val i = call_function(graft.expr.VectorExprs.intersectName,
       col("hs1"), col("hs2"))
-    candSized
+    // broadcast for the same reason as ngramJaccard: hash-shuffling on
+    // (band, sig) strands a self-similar corpus on a handful of cores;
+    // at 100 TB (no broadcast) shuffle on (band, sig) and let AQE split
+    // skewed buckets.
+    x.join(broadcast(y),
+        col("band") === col("band2") && col("sig") === col("sig2") &&
+          col("d1") < col("d2") &&
+          // necessary condition: j >= t implies min(n)/max(n) >= t
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")).cast("double") * threshold)
       .select(col("d1"), col("d2"),
         (i.cast("double") / (col("n1") + col("n2") - i).cast("double")).as("j"))
       .filter(col("j") >= threshold)
+      .distinct()
   }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
@@ -204,9 +221,12 @@ object Dedup extends QueryModule {
     * The O(n²) pair filter runs the codegen'd dot. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val n = normalized(emb)
-    val a = n.select(col("vec_id").as("id1"), col("e").as("e1"))
+    // the O(n²) loop-join's parallelism = streamed-side partitions; a
+    // small embedding table is one parquet split, so spread it first
+    val a = n.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id1"), col("e").as("e1"))
     val b = n.select(col("vec_id").as("id2"), col("e").as("e2"))
-    a.join(b, col("id1") < col("id2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
       .filter(fastDot(col("e1"), col("e2")) >= threshold)
       .select("id1", "id2")
   }

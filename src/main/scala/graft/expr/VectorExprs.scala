@@ -149,10 +149,68 @@ case class AsOfIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd adjacent-bigram builder over an ArrayType(String) column:
+  * ["a","b","c"] → ["a b","b c"]. The HOF formulation
+  * (`transform(sequence(...), element_at...)`) is CodegenFallback and
+  * dominated the n-gram statistics operator; this emits one primitive
+  * loop concatenating neighbors. Elements are assumed non-null (they
+  * come from `split`), matching the HOF it replaces.
+  */
+case class Bigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = if (n > 1) n - 1 else 0
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.concat(x.getUTF8String(i), space, x.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val arr = ctx.freshName("arr")
+      val spaceRef = ctx.addReferenceObj("space", space,
+        classOf[UTF8String].getName)
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $n > 1 ? $n - 1 : 0;
+         |Object[] $arr = new Object[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $arr[$i] = org.apache.spark.unsafe.types.UTF8String.concat(
+         |    $a.getUTF8String($i), $spaceRef, $a.getUTF8String($i + 1));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val intersectName = "graft_intersect_size"
   val asofName = "graft_asof_index"
+  val bigramsName = "graft_bigrams"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -171,6 +229,11 @@ object VectorExprs {
     new ExpressionInfo(classOf[AsOfIndex].getName, asofName),
     (children: Seq[Expression]) => AsOfIndex(children.head, children(1)))
 
+  val bigramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(bigramsName),
+    new ExpressionInfo(classOf[Bigrams].getName, bigramsName),
+    (children: Seq[Expression]) => Bigrams(children.head))
+
   /** Idempotent direct registration for sessions built without the
     * extensions config (Verify/Bench/tests). */
   def register(spark: SparkSession): Unit = {
@@ -181,6 +244,8 @@ object VectorExprs {
       children => SortedIntersectSize(children.head, children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       asofName, children => AsOfIndex(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bigramsName, children => Bigrams(children.head), "built-in")
   }
 }
 
@@ -192,5 +257,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.dotDescriptor)
     ext.injectFunction(VectorExprs.intersectDescriptor)
     ext.injectFunction(VectorExprs.asofDescriptor)
+    ext.injectFunction(VectorExprs.bigramsDescriptor)
   }
 }

@@ -24,7 +24,10 @@ object Knn extends QueryModule {
   // ----------------------------------------------------- knn_bruteforce
   def bruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    // broadcast-join parallelism = corpus-side partitions; a small table
+    // arrives as one parquet split, so spread it first
+    val c = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
     val w = Window.partitionBy("qid").orderBy(desc("c"), col("nid"))
     broadcast(q).join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
@@ -78,7 +81,8 @@ object Knn extends QueryModule {
   def lsh(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 5): DataFrame = {
     // 2^planes buckets: pick planes so buckets hold >> k vectors
     // (planes=5 → 32 buckets; near-uniform data fills top-k reliably)
-    val sigs = lshSignatures(emb, planes)
+    val sigs = lshSignatures(
+      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism), planes)
     val qs = lshSignatures(queries, planes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))
     val w = Window.partitionBy("qid").orderBy(desc("c"), col("vec_id"))
@@ -111,7 +115,9 @@ object Knn extends QueryModule {
 
   def centroidKnn(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     val cents = centroids(emb)
-    val assigned = emb.crossJoin(broadcast(cents))
+    val assigned = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("centroid")).as("cc"))
       .withColumn("r", row_number().over(

@@ -133,11 +133,12 @@ object TextAnalysis extends QueryModule {
     * filter bounded per partition). */
   def txtTopBigrams(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = words(col("text"))
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array())
+    graft.expr.VectorExprs.register(spark)
+    // codegen'd neighbor-concat (graft.expr.Bigrams) — the HOF
+    // transform/sequence/element_at formulation is CodegenFallback and
+    // dominated this operator's runtime
+    val bigrams = call_function(graft.expr.VectorExprs.bigramsName,
+      words(col("text")))
     Tables.documents(spark, dir)
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))

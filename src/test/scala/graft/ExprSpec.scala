@@ -40,6 +40,21 @@ class ExprSpec extends SparkSpec {
     assert(out.forall { case (g, e) => g == e }, s"mismatches: ${out.toSeq}")
   }
 
+  test("graft_bigrams matches the HOF neighbor-concat formulation") {
+    val rows = Seq(
+      "the quick brown fox", "a b", "single", "", "x y z w v"
+    ).toDF("text")
+    val w = split(col("text"), "\\s+")
+    val hof = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val out = rows.select(hof.as("hof"),
+      call_function(graft.expr.VectorExprs.bigramsName, w).as("fast"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(out.forall { case (h, f) => h == f }, s"mismatches: ${out.toSeq}")
+  }
+
   test("graft_intersect_size matches array_intersect on sorted arrays") {
     val rows = (1 to 100).map { i =>
       val a = (1 to 30).map(x => (x * i % 97).toLong).distinct.sorted
