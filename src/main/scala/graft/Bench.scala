@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * slowest entries (full precision always lands in BENCH_FULL.json).
   */
 object Bench {
-  private def fmt(v: Double): String = f"$v%.2f"
+  // Locale.ROOT: a comma-decimal default locale would print "0,84" and
+  // corrupt the JSON line.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,7 +41,18 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Isolate measurements: drop cached relations and let the
+      // ContextCleaner reap finished broadcasts/shuffles before the
+      // next query — r2 showed accumulated broadcast/GC pressure
+      // contaminating unrelated timings (mask_blur 2.1→11.0 s with no
+      // plan change). The cleanup cost is deliberately OUTSIDE the
+      // measured window.
+      try {
+        spark.catalog.clearCache()
+        System.gc()
+      } catch { case _: Throwable => () }
+      (name, elapsed, ok)
     }
     val failed = outcomes.filter(!_._3).map(_._1)
     // A failed query must not masquerade as a fast success: its slot
@@ -49,7 +63,9 @@ object Bench {
 
     // Full-precision sidecar for humans/judges.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$fullQs,"sf":"$sfDir"}"""
+    // note: total sums SUCCESSFUL queries only; failed ones are listed
+    // in "failed" and carry -1 in the per-query map.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_excludes_failures":true,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
@@ -57,7 +73,7 @@ object Bench {
 
     def line(qs: Seq[(String, Double)]): String = {
       val obj = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$obj,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shown":${qs.size},"of":${results.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$obj,"sf":"$sfName"}"""
     }
     // Keep the printed line under the driver's capture window; drop the
     // fastest queries first if it would overflow.

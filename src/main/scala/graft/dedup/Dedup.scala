@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -8,15 +9,21 @@ import graft.{QueryModule, Tables}
   *
   * Scale shapes (the part that matters at 100 TB):
   *  - exact dedup = hash-agg, ONE shuffle on the fingerprint;
-  *  - token/n-gram Jaccard = inverted-index join (shuffle on token),
-  *    never an n² cross join — blocking keys (lang) bound bucket fan-out;
+  *  - token/n-gram Jaccard = shuffle join on (lang, log-size-bucket)
+  *    blocking keys — never an n² cross join and never a corpus-side
+  *    broadcast;
   *  - MinHash-LSH = the real scale path: candidates come from band-
-  *    bucket joins (shuffle on band hash), verification touches only
-  *    candidate pairs;
-  *  - SimHash = 64 agg bits per doc, candidates from band equality,
+  *    bucket shuffle joins, verification touches only candidate pairs;
+  *  - SimHash = 32 agg bits per doc, candidates from band equality,
   *    verify by XOR popcount;
-  *  - embedding dedup = thresholded pair join; at scale candidates come
-  *    from LSH/centroid buckets (see graft.sim), never all-pairs.
+  *  - embedding dedup = IVF-cell candidates with angular triangle-
+  *    inequality pruning (exact), verified by the codegen dot — never
+  *    all-pairs.
+  *
+  * Every pair join here is a shuffle join on a composite blocking key;
+  * AQE splits skewed buckets at runtime. Small corpora can opt in to
+  * broadcasting the probe side via spark.graft.pairJoin.broadcast=true
+  * (default off — a corpus-side broadcast cannot survive large scale).
   */
 object Dedup extends QueryModule {
 
@@ -24,6 +31,19 @@ object Dedup extends QueryModule {
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
+
+  /** Portable 32-bit non-negative token hash (md5 prefix) — the oracle
+    * engine reproduces it as ('0x'||substr(md5(w),1,8))::BIGINT, so
+    * hash-derived signatures stay verifiable end-to-end. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Probe sides default to plain shuffle joins; tiny corpora may opt
+    * in to a broadcast with spark.graft.pairJoin.broadcast=true. */
+  private def probeSide(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.pairJoin.broadcast")
+        .contains("true")) broadcast(df)
+    else df
 
   // ------------------------------------------------------ dedup_exact
   /** Content-hash dedup: one hash-agg; keeper = min doc_id per group. */
@@ -40,39 +60,41 @@ object Dedup extends QueryModule {
       |FROM documents GROUP BY md5(lower(text)) ORDER BY keeper""".stripMargin
 
   // ---------------------------------------------- dedup_ngram_jaccard
-  /** Token-set Jaccard near-dup pairs, blocked by lang:
+  /** Token-set Jaccard near-dup pairs:
     * j = |A∩B| / (|A|+|B|-|A∩B|).
     *
-    * Design choice: token sets become SORTED HASH ARRAYS once, pairs
-    * come from a block join (lang + size-ratio necessary condition),
-    * and each pair is verified by the codegen'd merge-intersection.
-    * This beats the classic inverted-index token join whenever blocks
-    * are bounded (here ~n/5 docs per lang) because it never
-    * materializes the candidate×token row explosion; with weak/no
-    * blocking keys, prefer the inverted index restricted to rare
-    * tokens, or MinHash (below) — at 100 TB you block by
-    * (lang, length-bucket, shard). Token hashing (xxhash64) keeps the
-    * arrays primitive; 64-bit collisions are negligible. */
+    * Blocking key = (lang, log-size bucket). j >= t forces
+    * min(n1,n2)/max(n1,n2) >= t, i.e. |ln n1 - ln n2| <= ln(1/t), so
+    * with bucket = floor(ln n / ln(1/t)) qualifying pairs sit at most
+    * one bucket apart: the probe side explodes to {b-1, b, b+1} and the
+    * join is a plain shuffle on the composite key — each true pair
+    * matches exactly once (the three probe buckets are distinct).
+    * Token sets become SORTED HASH ARRAYS once and each surviving
+    * candidate is verified by the codegen'd merge-intersection. This is
+    * the 100 TB shape: no corpus-side broadcast, key cardinality
+    * langs × size-buckets spreads the shuffle, and AQE splits any
+    * skewed bucket. Token hashing (xxhash64) keeps the arrays
+    * primitive; 64-bit collisions are negligible. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = tokens(docs)
       .groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
       .withColumn("n", size(col("hs")))
-    // the broadcast join's parallelism = streamed-side partitions, and a
-    // small corpus arrives as ONE parquet split — spread it first
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val a = sets.repartition(par).select(col("doc_id").as("d1"), col("lang"),
-      col("hs").as("hs1"), col("n").as("n1"))
+    def bucket(n: Column): Column =
+      if (threshold >= 1.0) n.cast("long")
+      else floor(log(n.cast("double")) / math.log(1.0 / threshold))
+    val a = sets.select(col("doc_id").as("d1"), col("lang"),
+        col("hs").as("hs1"), col("n").as("n1"))
+      .withColumn("bk", bucket(col("n1")))
     val b = sets.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-      col("hs").as("hs2"), col("n").as("n2"))
+        col("hs").as("hs2"), col("n").as("n2"))
+      .withColumn("bk2", explode(array(
+        bucket(col("n2")) - 1, bucket(col("n2")), bucket(col("n2")) + 1)))
     val i = call_function(graft.expr.VectorExprs.intersectName,
       col("hs1"), col("hs2"))
-    // broadcast: the compact doc-set side is MBs even at large corpora
-    // (ids + token hashes), and a shuffle join on `lang` would put the
-    // whole corpus on <=#langs cores. At 100 TB, when neither side fits
-    // a broadcast, shuffle on (lang, length-bucket) instead.
-    a.join(broadcast(b),
-        col("lang") === col("lang2") && col("d1") < col("d2") &&
+    a.join(probeSide(b),
+        col("lang") === col("lang2") && col("bk") === col("bk2") &&
+          col("d1") < col("d2") &&
           least(col("n1"), col("n2")).cast("double") >=
             greatest(col("n1"), col("n2")).cast("double") * threshold)
       .select(col("d1"), col("d2"),
@@ -102,54 +124,54 @@ object Dedup extends QueryModule {
       |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------ dedup_minhash_lsh
-  /** MinHash signatures (k permutations via seeded xxhash64) banded into
-    * LSH buckets; candidate pairs from bucket equality, then verified
-    * with true Jaccard — only candidates pay the verify cost. Rows-only
-    * driver check (xxhash64 is not portable to the oracle engine);
-    * DedupSpec pins recall vs the exact ngram pairs. */
+  /** MinHash signatures banded into LSH buckets; candidate pairs from
+    * bucket equality on a SHUFFLE join over (band, sig), then verified
+    * with true Jaccard — only candidates pay the verify cost, and AQE
+    * splits any skewed bucket (self-similar corpora collapse many docs
+    * into one signature).
+    *
+    * Hashing is fully PORTABLE: token hash = md5-prefix (tokHash),
+    * permutation i = ((h*(2i+1)) & 0xFFFFFFFF) XOR (h >> (i mod 16))
+    * (overflow-free in BIGINT SQL), band signature = the comma-joined
+    * minima — so the oracle engine recomputes identical signatures and
+    * the whole operator is hash-verified, not rows-only. All k
+    * permutation minima come from ONE codegen pass
+    * (graft.expr.MinHashSigs) over the sorted token-hash array that
+    * also serves the exact verify — no second tokenization. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     // bands=4 × rows=8: P(candidate | j=0.9) ≈ 0.90, while j≈0.7 false
     // candidates drop to ~0.2 — on self-similar corpora the verify-join
     // width, not recall, is the binding constraint
     val rowsPerBand = numHashes / bands
-    // ONE tokenization: the sorted token-hash array serves both the
-    // signatures (permutation i = xxhash64(i, tokenHash), min over the
-    // array) and the exact verify — no second explode/groupBy pass.
     val sets = tokens(docs).groupBy("doc_id")
-      .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
+      .agg(sort_array(collect_set(tokHash(col("w")))).as("hs"))
       .withColumn("n", size(col("hs")))
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i"))
+    val withSigs = sets.withColumn("sigs",
+      call_function(graft.expr.VectorExprs.minhashName,
+        col("hs"), lit(numHashes)))
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+      val parts = (0 until rowsPerBand).map(r =>
+        element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", parts: _*).as("sig"))
     }
     // Buckets carry the doc-set arrays inline so candidate pairs verify
     // in the SAME join (shuffle on (band, sig) only) — no distinct over
     // the raw candidate set and no join back to doc sets. A pair
     // colliding in several bands re-verifies cheaply (codegen'd merge
     // intersection); the final distinct touches only survivors.
-    val buckets = sets
-      .select((col("doc_id") +: col("hs") +: col("n") +: sigCols): _*)
+    val buckets = withSigs
       .select(col("doc_id"), col("hs"), col("n"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("hs"), col("n"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // spread the streamed side: broadcast-join parallelism equals its
-    // partition count, and a small corpus is a single parquet split
-    val x = buckets.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("d1"), col("hs").as("hs1"),
-        col("n").as("n1"), col("band"), col("sig"))
+    val x = buckets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+      col("n").as("n1"), col("band"), col("sig"))
     val y = buckets.select(col("doc_id").as("d2"), col("hs").as("hs2"),
       col("n").as("n2"), col("band").as("band2"), col("sig").as("sig2"))
     val i = call_function(graft.expr.VectorExprs.intersectName,
       col("hs1"), col("hs2"))
-    // broadcast for the same reason as ngramJaccard: hash-shuffling on
-    // (band, sig) strands a self-similar corpus on a handful of cores;
-    // at 100 TB (no broadcast) shuffle on (band, sig) and let AQE split
-    // skewed buckets.
-    x.join(broadcast(y),
+    x.join(probeSide(y),
         col("band") === col("band2") && col("sig") === col("sig2") &&
           col("d1") < col("d2") &&
           // necessary condition: j >= t implies min(n)/max(n) >= t
@@ -166,12 +188,56 @@ object Dedup extends QueryModule {
     minhashLsh(Tables.documents(spark, dir)).orderBy("d1", "d2")
   }
 
+  /** Oracle mirror of minhashLsh at the default (32 hashes, 4 bands,
+    * t=0.9): identical portable hashing, banding, candidate filter and
+    * exact verify. */
+  val dedupMinhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |        FROM documents)),
+      |ths AS (SELECT DISTINCT doc_id, h FROM tok),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ths GROUP BY doc_id),
+      |perms AS (
+      |  SELECT doc_id, i,
+      |    MIN(xor((h * (2*i+1)) & 4294967295, h >> (i % 16))) AS mh
+      |  FROM ths CROSS JOIN range(32) t(i)
+      |  GROUP BY doc_id, i),
+      |sigs AS (
+      |  SELECT doc_id, CAST(i // 8 AS INTEGER) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      |  FROM perms GROUP BY doc_id, i // 8),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM sigs x JOIN sigs y
+      |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      |  JOIN sizes s1 ON s1.doc_id = x.doc_id
+      |  JOIN sizes s2 ON s2.doc_id = y.doc_id
+      |  WHERE CAST(LEAST(s1.n, s2.n) AS DOUBLE) >=
+      |        CAST(GREATEST(s1.n, s2.n) AS DOUBLE) * 0.9),
+      |inter AS (
+      |  SELECT c.d1, c.d2, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN ths a ON a.doc_id = c.d1
+      |  JOIN ths b ON b.doc_id = c.d2 AND a.h = b.h
+      |  GROUP BY c.d1, c.d2)
+      |SELECT d1, d2,
+      |  CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) AS j
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9
+      |ORDER BY d1, d2""".stripMargin
+
   // ---------------------------------------------------- dedup_simhash
-  /** 32-bit SimHash per doc (majority vote per bit over token hashes);
-    * candidates share a 16-bit band, verified by XOR popcount ≤ maxHam.
-    * Rows-only driver check; DedupSpec asserts determinism + symmetry. */
+  /** 32-bit SimHash per doc (majority vote per bit over PORTABLE token
+    * hashes); candidates share the top 16-bit band, verified by XOR
+    * popcount <= maxHam. With the md5-prefix hash the oracle engine
+    * recomputes identical signatures, so the operator is hash-verified
+    * end-to-end (was rows-only under xxhash64). */
   def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val tok = tokens(docs).withColumn("h", xxhash64(col("w")))
+    val tok = tokens(docs).withColumn("h", tokHash(col("w")))
     val bitAggs = (0 until 32).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val votes = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
@@ -188,6 +254,33 @@ object Dedup extends QueryModule {
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("d1", "d2")
+
+  /** Oracle mirror of simhash at the default maxHamming=6; the 32
+    * bit-vote columns and the signature sum are generated to match the
+    * Spark plan term for term. */
+  val dedupSimhashSql: String = {
+    val bitVotes = (0 until 32).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val sigSum = (0 until 32).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS w
+       |        FROM documents)),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $bitVotes
+       |  FROM tok GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sigSum AS BIGINT) AS sh FROM votes)
+       |SELECT d1, d2, hamming FROM (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |    CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+       |  FROM sigs x JOIN sigs y
+       |    ON (x.sh >> 16) = (y.sh >> 16) AND x.doc_id < y.doc_id)
+       |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
+  }
 
   // -------------------------------------------------- dedup_embedding
   /** Dot product in double with a strict left-to-right fold (the fold
@@ -207,28 +300,71 @@ object Dedup extends QueryModule {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** L2-normalize embeddings ONCE (O(n)), so every pair comparison is a
-    * single dot product instead of three — the difference between
-    * O(n·d) and O(n²·d) extra work when pairing. */
-  def normalized(emb: DataFrame): DataFrame = {
-    val e = transform(col("embedding"), x => x.cast("double"))
-    emb.withColumn("_n", sqrt(dot(e, e)))
-      .select(col("vec_id"), transform(e, x => x / col("_n")).as("e"))
-  }
+  /** L2-normalize embeddings ONCE (codegen graft_normalize, O(n)), so
+    * every pair comparison is a single dot product instead of three —
+    * the difference between O(n·d) and O(n²·d) extra work when
+    * pairing. */
+  def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      call_function(graft.expr.VectorExprs.normName, col("embedding")).as("e"))
 
-  /** Embedding-cosine near-dup pairs over pre-normalized vectors; only
-    * ids cross the oracle boundary (never float scores — SURVEY §5).
-    * The O(n²) pair filter runs the codegen'd dot. */
+  /** Embedding-cosine near-dup pairs via IVF-style cells with angular
+    * triangle-inequality pruning — candidate-based, never all-pairs:
+    *  1. normalize once (codegen graft_normalize);
+    *  2. deterministic cell seeds = the min-vec_id member per label;
+    *  3. assign each vector to its best cell (max codegen dot);
+    *  4. per-cell angular radius r_c = max θ(member, seed_c);
+    *  5. cell pair (c1 <= c2) produces candidates only when
+    *     θ(seed_c1, seed_c2) <= θ_t + r_c1 + r_c2 + ε — by the
+    *     triangle inequality on the sphere no qualifying pair can span
+    *     a pruned cell pair, so the result is EXACTLY the all-pairs
+    *     answer (ε only admits extra candidates);
+    *  6. survivors verified with the codegen dot — the same doubles
+    *     the oracle computes on normalized DOUBLE[].
+    * The pair join shuffles on cell ids; the only broadcast is the K²
+    * cell-pair table. At larger corpora K grows (~√n cells) and the
+    * per-cell volume stays bounded — the 100 TB shape, with no
+    * corpus-side broadcast anywhere. Only ids cross the oracle
+    * boundary (never float scores — SURVEY §5). */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val n = normalized(emb)
-    // the O(n²) loop-join's parallelism = streamed-side partitions; a
-    // small embedding table is one parquet split, so spread it first
-    val a = n.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("id1"), col("e").as("e1"))
-    val b = n.select(col("vec_id").as("id2"), col("e").as("e2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
+    val n = emb.select(col("vec_id"), col("label"),
+      call_function(graft.expr.VectorExprs.normName, col("embedding")).as("e"))
+    val seeds = n.withColumn("_r",
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("_r") === 1)
+      .select(col("label").as("cell"), col("e").as("ce"))
+    val assigned = n.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"), col("cell"),
+        fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("e"), col("cell"), col("_d"))
+    def clamp(c: Column): Column = least(lit(1.0), greatest(lit(-1.0), c))
+    // a zero/NaN vector can never verify (dot = NaN), so it is excluded
+    // from the radius rather than poisoning its whole cell
+    val radii = assigned.filter(!isnan(col("_d")))
+      .groupBy("cell").agg(max(acos(clamp(col("_d")))).as("r"))
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val p1 = seeds.join(radii, Seq("cell"))
+      .select(col("cell").as("c1"), col("ce").as("ce1"), col("r").as("r1"))
+    val p2 = seeds.join(radii, Seq("cell"))
+      .select(col("cell").as("c2"), col("ce").as("ce2"), col("r").as("r2"))
+    val feasible = p1.crossJoin(p2)
+      .filter(col("c1") <= col("c2") &&
+        acos(clamp(fastDot(col("ce1"), col("ce2")))) <=
+          lit(thetaT) + col("r1") + col("r2") + lit(1e-6))
+      .select("c1", "c2")
+    val a = assigned.select(col("vec_id").as("v1"), col("e").as("e1"),
+      col("cell").as("ca"))
+    val b = assigned.select(col("vec_id").as("v2"), col("e").as("e2"),
+      col("cell").as("cb"))
+    a.join(broadcast(feasible), col("ca") === col("c1"))
+      .join(b, col("cb") === col("c2") &&
+        (col("ca") < col("cb") || col("v1") < col("v2")))
       .filter(fastDot(col("e1"), col("e2")) >= threshold)
-      .select("id1", "id2")
+      .select(least(col("v1"), col("v2")).as("id1"),
+        greatest(col("v1"), col("v2")).as("id2"))
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
@@ -294,12 +430,14 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _))
 
-  /** minhash/simhash rely on xxhash64 (not reproducible in the oracle
-    * engine) → rows-only checks; their semantics are pinned by
-    * DedupSpec against the exact-Jaccard oracle-verified pairs. */
+  /** Every dedup operator is oracle-verified: the LSH family hashes
+    * with portable md5-prefix mixes the oracle engine reproduces
+    * bit-for-bit (see tokHash / MinHashSigs). */
   val oracles: Map[String, String] = Map(
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_minhash_lsh" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -149,12 +149,160 @@ case class AsOfIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd MinHash signature vector over a SORTED ArrayType(Long)
+  * column of 32-bit non-negative token hashes: one primitive pass
+  * computes all k permutation minima. Permutation i is the portable mix
+  *   perm_i(h) = ((h * (2i+1)) & 0xFFFFFFFF) XOR (h >> (i mod 16))
+  * chosen because every step is reproducible in ANSI SQL on BIGINT
+  * without overflow (h < 2^32, k <= 64 → products < 2^38), so the
+  * oracle engine can recompute identical signatures. Replaces k
+  * interpreted `array_min(transform(...))` HOF passes.
+  * `numHashes` must be a foldable integer literal.
+  */
+case class MinHashSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private lazy val k: Int = right.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash numHashes must be an int literal, got $other")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = x.getLong(t)
+      var i = 0
+      while (i < k) {
+        val m = ((h * (2L * i + 1)) & 4294967295L) ^ (h >> (i % 16))
+        if (m < mins(i)) mins(i) = m
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $n; $t++) {
+         |  long $h = $a.getLong($t);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $m = (($h * (2L * $i + 1)) & 4294967295L) ^ ($h >> ($i % 16));
+         |    if ($m < $mins[$i]) $mins[$i] = $m;
+         |  }
+         |}
+         |Object[] $out = new Object[$k];
+         |for (int $i = 0; $i < $k; $i++) { $out[$i] = (Object) $mins[$i]; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd L2 normalization of a float/double array into a double
+  * array: out[i] = x[i] / sqrt(Σ x[i]²), with the same left-to-right
+  * accumulation order as [[DotProduct]] (oracle engines reproduce it as
+  * `x / sqrt(list_dot_product(e, e))` on DOUBLE[]). Replaces the
+  * interpreted `transform(cast)` + HOF-dot normalization pass — the
+  * last CodegenFallback in the embedding hot paths. A zero vector
+  * yields IEEE x/0 entries (NaN), exactly what the SQL form computes.
+  * Elements are assumed non-null (embedding vectors).
+  */
+case class NormalizeArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_normalize"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (childIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += v(i) * v(i); i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = v(i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val nm = ctx.freshName("nm")
+      val out = ctx.freshName("out")
+      val get =
+        if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $v = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $v[$i] = $get; }
+         |for (int $i = 0; $i < $n; $i++) { $s += $v[$i] * $v[$i]; }
+         |double $nm = java.lang.Math.sqrt($s);
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (Object) ($v[$i] / $nm);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd adjacent-bigram builder over an ArrayType(String) column:
   * ["a","b","c"] → ["a b","b c"]. The HOF formulation
   * (`transform(sequence(...), element_at...)`) is CodegenFallback and
   * dominated the n-gram statistics operator; this emits one primitive
-  * loop concatenating neighbors. Elements are assumed non-null (they
-  * come from `split`), matching the HOF it replaces.
+  * loop concatenating neighbors. A null element null-propagates into
+  * the bigrams that would contain it (the output declares
+  * containsNull=true) — `split` never produces nulls, but the function
+  * is registered session-wide, so the contract must hold for any input.
   */
 case class Bigrams(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -164,7 +312,7 @@ case class Bigrams(child: Expression)
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StringType, containsNull = false)
+      org.apache.spark.sql.types.StringType, containsNull = true)
   override def prettyName: String = "graft_bigrams"
 
   private val space = UTF8String.fromString(" ")
@@ -176,7 +324,9 @@ case class Bigrams(child: Expression)
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {
-      out(i) = UTF8String.concat(x.getUTF8String(i), space, x.getUTF8String(i + 1))
+      out(i) =
+        if (x.isNullAt(i) || x.isNullAt(i + 1)) null
+        else UTF8String.concat(x.getUTF8String(i), space, x.getUTF8String(i + 1))
       i += 1
     }
     new GenericArrayData(out)
@@ -195,8 +345,9 @@ case class Bigrams(child: Expression)
          |int $m = $n > 1 ? $n - 1 : 0;
          |Object[] $arr = new Object[$m];
          |for (int $i = 0; $i < $m; $i++) {
-         |  $arr[$i] = org.apache.spark.unsafe.types.UTF8String.concat(
-         |    $a.getUTF8String($i), $spaceRef, $a.getUTF8String($i + 1));
+         |  $arr[$i] = ($a.isNullAt($i) || $a.isNullAt($i + 1)) ? null :
+         |    org.apache.spark.unsafe.types.UTF8String.concat(
+         |      $a.getUTF8String($i), $spaceRef, $a.getUTF8String($i + 1));
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
        """.stripMargin
@@ -211,6 +362,8 @@ object VectorExprs {
   val intersectName = "graft_intersect_size"
   val asofName = "graft_asof_index"
   val bigramsName = "graft_bigrams"
+  val normName = "graft_normalize"
+  val minhashName = "graft_minhash"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -234,6 +387,16 @@ object VectorExprs {
     new ExpressionInfo(classOf[Bigrams].getName, bigramsName),
     (children: Seq[Expression]) => Bigrams(children.head))
 
+  val normDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(normName),
+    new ExpressionInfo(classOf[NormalizeArray].getName, normName),
+    (children: Seq[Expression]) => NormalizeArray(children.head))
+
+  val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(minhashName),
+    new ExpressionInfo(classOf[MinHashSigs].getName, minhashName),
+    (children: Seq[Expression]) => MinHashSigs(children.head, children(1)))
+
   /** Idempotent direct registration for sessions built without the
     * extensions config (Verify/Bench/tests). */
   def register(spark: SparkSession): Unit = {
@@ -246,6 +409,10 @@ object VectorExprs {
       asofName, children => AsOfIndex(children.head, children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bigramsName, children => Bigrams(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      normName, children => NormalizeArray(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashName, children => MinHashSigs(children.head, children(1)), "built-in")
   }
 }
 
@@ -258,5 +425,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.intersectDescriptor)
     ext.injectFunction(VectorExprs.asofDescriptor)
     ext.injectFunction(VectorExprs.bigramsDescriptor)
+    ext.injectFunction(VectorExprs.normDescriptor)
+    ext.injectFunction(VectorExprs.minhashDescriptor)
   }
 }

@@ -1,81 +1,117 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.dedup.Dedup.cosine
+import graft.dedup.Dedup.fastDot
+import graft.expr.VectorExprs
 
 /** §2.7 similarity search over an embedding column.
   *
+  * Every operator normalizes ONCE (codegen graft_normalize) and scores
+  * with the codegen dot product — no interpreted HOF in any hot loop.
+  *
   *  - brute force: exact top-k, the correctness baseline. O(q·n) dot
-  *    products; with the query side broadcast it is embarrassingly
-  *    parallel over corpus partitions and fine up to ~1M×k per
-  *    executor-hour. Output is rank-only (no float scores cross the
-  *    oracle boundary).
+  *    products; with the (small) query side broadcast it is
+  *    embarrassingly parallel over corpus partitions. Output is
+  *    rank-only (no float scores cross the oracle boundary).
   *  - LSH: random-hyperplane signatures → bucket join; probes only
-  *    same-signature corpus vectors. The 100 TB shape: shuffle on
-  *    signature, bucket sizes ≈ n/2^bits.
-  *  - centroid (IVF): k-means-style cells (here: deterministic
-  *    label-mean centroids), probe the nProbe nearest cells only.
+  *    same-signature corpus vectors. Hyperplane signs derive from a
+  *    PORTABLE md5-prefix hash computed once on the driver, so the
+  *    oracle engine rebuilds identical signatures and the operator is
+  *    hash-verified. The 100 TB shape: shuffle on signature, bucket
+  *    sizes ≈ n/2^bits.
+  *  - centroid (IVF): deterministic cell seeds (the min-vec_id member
+  *    per label), probe the nProbe nearest cells only. Seeds are data
+  *    points — no float-order-dependent averaging — so the oracle
+  *    engine reproduces the assignment bit-for-bit.
   */
 object Knn extends QueryModule {
 
+  private def norm(c: Column): Column =
+    call_function(VectorExprs.normName, c)
+
+  /** Normalized view (vec_id, label, e) of an embeddings table. */
+  private def normalizedWithLabel(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), norm(col("embedding")).as("e"))
+
+  private val normSqlCte: String =
+    """  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS e
+      |  FROM embeddings""".stripMargin
+
   // ----------------------------------------------------- knn_bruteforce
   def bruteForce(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val q = queries.select(col("vec_id").as("qid"), norm(col("embedding")).as("qe"))
     // broadcast-join parallelism = corpus-side partitions; a small table
     // arrives as one parquet split, so spread it first
     val c = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
-    val w = Window.partitionBy("qid").orderBy(desc("c"), col("nid"))
+      .select(col("vec_id").as("nid"), norm(col("embedding")).as("ne"))
     broadcast(q).join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
-      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("nid"), fastDot(col("qe"), col("ne")).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"))
   }
 
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
     bruteForce(emb, emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
   }
 
   val knnBruteSql: String =
-    """WITH scored AS (
-      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-      |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
-      |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS c
-      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      |  WHERE q.vec_id < 10),
-      |ranked AS (
-      |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
-      |    ORDER BY c DESC, nid) AS rank
-      |  FROM scored)
-      |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
-      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    s"""WITH n AS (
+       |$normSqlCte),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_dot_product(q.e, c.e) AS c
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY c DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------------------------ knn_lsh
-  /** Random-hyperplane LSH: hyperplane weights are deterministic ±1
-    * derived from xxhash64(plane, dim); vectors sharing a signature are
-    * candidate neighbors. Rows-only check; KnnSpec pins recall vs brute
-    * force. */
-  def lshSignatures(emb: DataFrame, planes: Int): DataFrame = {
-    // Index range follows the data — a hardcoded width would silently
-    // zero-pad or drop dimensions for other embedding widths.
-    val dims = sequence(lit(0), size(col("embedding")) - 1)
-    val sigBits = (0 until planes).map { p =>
-      // sum_i e[i] * (±1 from hash(p,i)) > 0 → bit p
-      val proj = aggregate(
-        zip_with(col("embedding"), dims, (x, i) =>
-          x.cast("double") *
-            when(xxhash64(lit(p), i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+  /** Deterministic ±1 hyperplane weights from the portable md5-prefix
+    * hash of "plane,dim" — computed ONCE on the driver and shipped as
+    * array literals, so per-row signature work is pure codegen dots.
+    * The oracle engine rebuilds the same planes from the same md5. */
+  private[sim] def planeVec(p: Int, width: Int): Array[Double] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(width) { i =>
+      val hex = mdig.digest(s"$p,$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
     }
-    emb.select(col("vec_id"), col("embedding"),
-      sigBits.reduce(_ + _).as("sig"))
+  }
+
+  /** Embedding width read from the data (a hardcoded width would
+    * silently zero-pad or drop dimensions for other embedding sets);
+    * vectors are assumed uniform-width per table. */
+  private def embWidth(emb: DataFrame): Int =
+    emb.limit(1).select(size(col("embedding"))).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Signature = Σ_p 2^p · [dot(e, plane_p) > 0] over NORMALIZED
+    * vectors (signs match the raw projection — normalization is a
+    * positive scaling). */
+  def lshSignatures(emb: DataFrame, planes: Int): DataFrame = {
+    val width = embWidth(emb)
+    val e = norm(col("embedding"))
+    val sigBits = (0 until planes).map { p =>
+      when(fastDot(col("e"), typedLit(planeVec(p, width).toSeq)) > 0,
+        lit(1L << p)).otherwise(0L)
+    }
+    emb.select(col("vec_id"), e.as("e"))
+      .select(col("vec_id"), col("e"), sigBits.reduce(_ + _).as("sig"))
   }
 
   def lsh(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 5): DataFrame = {
@@ -84,12 +120,11 @@ object Knn extends QueryModule {
     val sigs = lshSignatures(
       emb.repartition(emb.sparkSession.sparkContext.defaultParallelism), planes)
     val qs = lshSignatures(queries, planes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))
-    val w = Window.partitionBy("qid").orderBy(desc("c"), col("vec_id"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("sig").as("qsig"))
     broadcast(qs).join(sigs,
         col("qsig") === col("sig") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
-        cosine(col("qe"), col("embedding")).as("c"))
+        fastDot(col("qe"), col("e")).as("c"))
       .withColumn("rank", row_number().over(Window.partitionBy("qid")
         .orderBy(desc("c"), col("nid"))))
       .filter(col("rank") <= k)
@@ -97,44 +132,70 @@ object Knn extends QueryModule {
   }
 
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
     lsh(emb, emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
   }
 
+  /** Oracle mirror of lsh at the defaults (5 planes, k=5): identical
+    * plane derivation per dimension, identical normalized dots. */
+  val knnLshSql: String = {
+    def planeTerm(p: Int): String =
+      s"list_transform(range(len(e)), i -> CAST(((('0x'||substr(md5('$p,'||" +
+        s"CAST(i AS VARCHAR)),1,8))::BIGINT & 1)*2 - 1) AS DOUBLE))"
+    val sigExpr = (0 until 5).map(p =>
+      s"(CASE WHEN list_dot_product(e, ${planeTerm(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH n AS (
+       |$normSqlCte),
+       |sigs AS (
+       |  SELECT vec_id, e, CAST($sigExpr AS BIGINT) AS sig
+       |  FROM n),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_dot_product(q.e, c.e) AS c
+       |  FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY c DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- knn_centroid
-  /** IVF shape: assign vectors to cells (deterministic centroids = mean
-    * per label), probe the nProbe closest cells per query. Rows-only
-    * check; KnnSpec pins recall vs brute force. */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("cell"),
-        transform(col("pm"), x => x.getField("m")).as("centroid"))
+  /** IVF cell seeds: the min-vec_id member of each label. Real data
+    * points, deterministically chosen — no float-order-dependent mean,
+    * so assignments are reproducible anywhere. */
+  def seedCells(n: DataFrame): DataFrame =
+    n.withColumn("_r",
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("_r") === 1)
+      .select(col("label").as("cell"), col("e").as("ce"))
 
   def centroidKnn(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
-    val cents = centroids(emb)
-    val assigned = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("centroid")).as("cc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("cc"), col("cell"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cell"), cosine(col("embedding"), col("centroid")).as("cc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("cc"), col("cell"))))
-      .filter(col("r") <= nProbe)
+    val n = normalizedWithLabel(
+      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
+    val seeds = seedCells(n)
+    val assigned = n.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"), col("cell"),
+        fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val probes = normalizedWithLabel(queries).crossJoin(broadcast(seeds))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"),
+        fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("_d"), col("cell"))))
+      .filter(col("_rk") <= nProbe)
       .select("qid", "qe", "cell")
     probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
-        cosine(col("qe"), col("embedding")).as("c"))
+        fastDot(col("qe"), col("e")).as("c"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("c"), col("nid"))))
       .filter(col("rank") <= k)
@@ -142,18 +203,57 @@ object Knn extends QueryModule {
   }
 
   def knnCentroid(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
     centroidKnn(emb, emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
   }
+
+  /** Oracle mirror of centroidKnn at the defaults (nProbe=3, k=5):
+    * same seeds, same argmax assignment, same probe set, same ranks. */
+  val knnCentroidSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |seeds AS (
+       |  SELECT label AS cell, e AS ce FROM (
+       |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY vec_id) AS r
+       |    FROM n)
+       |  WHERE r = 1),
+       |assigned AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT nn.vec_id, nn.e, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT nn.vec_id AS qid, nn.e AS qe, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s WHERE nn.vec_id < 10)
+       |  WHERE rk <= 3),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS nid, list_dot_product(p.qe, a.e) AS c
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE p.qid <> a.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY c DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_centroid" -> (knnCentroid _))
 
-  /** lsh/centroid use xxhash64-derived planes / Spark-side argmax cell
-    * assignment → rows-only checks; KnnSpec pins their recall against
-    * the oracle-verified brute force. */
+  /** All three are oracle-verified: brute force and centroid are plain
+    * float math; lsh's planes derive from the portable md5-prefix hash
+    * both engines compute identically. */
   val oracles: Map[String, String] = Map(
-    "knn_bruteforce" -> knnBruteSql)
+    "knn_bruteforce" -> knnBruteSql,
+    "knn_lsh" -> knnLshSql,
+    "knn_centroid" -> knnCentroidSql)
 }

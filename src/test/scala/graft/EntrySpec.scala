@@ -14,9 +14,10 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries are the documented LSH family only") {
+  test("every registered query is oracle-verified (no rows-only keys)") {
+    // the LSH family went fully portable (md5-prefix hashing) in r3, so
+    // every driver key now carries a DuckDB oracle
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("dedup_minhash_lsh", "dedup_simhash",
-      "knn_lsh", "knn_centroid"), s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 }
