@@ -155,32 +155,38 @@ object Dedup extends QueryModule {
         element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band"), concat_ws(",", parts: _*).as("sig"))
     }
-    // Buckets carry the doc-set arrays inline so candidate pairs verify
-    // in the SAME join (shuffle on (band, sig) only) — no distinct over
-    // the raw candidate set and no join back to doc sets. A pair
-    // colliding in several bands re-verifies cheaply (codegen'd merge
-    // intersection); the final distinct touches only survivors.
+    // The band join carries NO token arrays — only (doc_id, n, band,
+    // sig) — and candidate ids are DEDUPED before verification: on a
+    // self-similar corpus a true near-dup pair collides in every band,
+    // so verifying at the join would redo the merge-intersection
+    // bands× per pair and shuffle the arrays bands× per side. The
+    // distinct candidate set then joins back to the doc sets on
+    // doc_id; AQE turns those joins into broadcasts when the set table
+    // is small and leaves them as doc_id shuffles at scale — no forced
+    // hints either way.
     val buckets = withSigs
-      .select(col("doc_id"), col("hs"), col("n"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("hs"), col("n"),
+      .select(col("doc_id"), col("n"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("n"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val x = buckets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
-      col("n").as("n1"), col("band"), col("sig"))
-    val y = buckets.select(col("doc_id").as("d2"), col("hs").as("hs2"),
-      col("n").as("n2"), col("band").as("band2"), col("sig").as("sig2"))
+    val cand = buckets.as("x").join(probeSide(buckets.as("y")),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // necessary condition: j >= t implies min(n)/max(n) >= t
+          least(col("x.n"), col("y.n")).cast("double") >=
+            greatest(col("x.n"), col("y.n")).cast("double") * threshold)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val s1 = sets.select(col("doc_id").as("dd1"), col("hs").as("hs1"),
+      col("n").as("n1"))
+    val s2 = sets.select(col("doc_id").as("dd2"), col("hs").as("hs2"),
+      col("n").as("n2"))
     val i = call_function(graft.expr.VectorExprs.intersectName,
       col("hs1"), col("hs2"))
-    x.join(probeSide(y),
-        col("band") === col("band2") && col("sig") === col("sig2") &&
-          col("d1") < col("d2") &&
-          // necessary condition: j >= t implies min(n)/max(n) >= t
-          least(col("n1"), col("n2")).cast("double") >=
-            greatest(col("n1"), col("n2")).cast("double") * threshold)
+    cand.join(s1, col("d1") === col("dd1"))
+      .join(s2, col("d2") === col("dd2"))
       .select(col("d1"), col("d2"),
         (i.cast("double") / (col("n1") + col("n2") - i).cast("double")).as("j"))
       .filter(col("j") >= threshold)
-      .distinct()
   }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
