@@ -4,18 +4,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
-/** §2.9 multimodal plumbing: opaque binary columns + typed metadata.
+/** §2.9 multimodal: opaque binary columns + typed metadata + REAL
+  * image decode.
   *
   * The Spark-side machinery — binary column schema, metadata
   * extraction, partition-batched feature extraction — is real and
-  * tested; the actual media DECODE step is stubbed deterministically
-  * (image/audio codecs aren't in this environment). The seam is
-  * [[decodeStub]]: swap it for a real codec (e.g. javacv / a Python
-  * `mapInPandas` stage on a cluster with PIL/ffmpeg) and nothing else
-  * changes.
+  * tested. The image path decodes REAL PNG bytes with the JDK's
+  * javax.imageio ([[mmImageDecode]]): format name, dimensions and
+  * pixels all come out of the actual codec. Audio/video codecs aren't
+  * in this environment, so the generic feature path keeps the
+  * deterministic [[decodeStub]] seam (swap for javacv / a Python
+  * `mapInPandas` stage on a cluster with ffmpeg and nothing else
+  * changes).
   *
   * Scale notes: binaries stay opaque until the last possible stage
-  * (no shuffle ever carries decoded frames); feature extraction is a
+  * (no shuffle ever carries decoded frames); decode/feature work is a
   * map-only `mapPartitions` so one task amortizes per-batch codec
   * setup across its whole partition.
   */
@@ -49,6 +52,79 @@ object BinaryPipeline extends QueryModule {
       |  CAST(64 + (octet_length(encode('IMG0' || text)) * 31) % 577 AS INTEGER) AS fake_h
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_image_decode
+  /** Deterministic PNG payload for a doc id: a (w×h) image filled with
+    * gray level (id mod 256), PNG-encoded by javax.imageio. Stands in
+    * for real stored media (the sandbox parquet carries no images);
+    * dimensions/pixels are arithmetic in the id so the decode step is
+    * independently checkable. */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 32).toInt
+    val h = 8 + ((id * 7) % 32).toInt
+    val c = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (c << 16) | (c << 8) | c
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL codec metadata + pixel probe: format name and dimensions
+    * from the PNG header via the registered ImageReader, then a full
+    * decode to read pixel (0,0) — nothing here trusts the generator's
+    * arithmetic. */
+  def decodeImageMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "no ImageReader for payload")
+      val reader = readers.next()
+      reader.setInput(in)
+      val fmt = reader.getFormatName.toLowerCase
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      val img = reader.read(0)
+      val red = (img.getRGB(0, 0) >> 16) & 0xff
+      reader.dispose()
+      (fmt, w, h, red)
+    } finally in.close()
+  }
+
+  /** Driver query: encode a deterministic PNG per document, decode it
+    * with the real JDK codec, emit (format, width, height, probe
+    * pixel). The oracle recomputes the expected values arithmetically —
+    * a hash match proves the bytes round-tripped through an actual PNG
+    * encoder/decoder. Map-only (mapPartitions), no shuffle carries
+    * decoded pixels. */
+  def mmImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // per-partition codec setup would go here (once per task)
+        it.map { id =>
+          val (fmt, w, h, red) = decodeImageMeta(encodePng(id))
+          (id, fmt, w, h, red)
+        }
+      }
+      .toDF("doc_id", "fmt", "width", "height", "p00_red")
+      .orderBy("doc_id")
+  }
+
+  val mmImageDecodeSql: String =
+    """SELECT doc_id, 'png' AS fmt,
+      |  CAST(8 + doc_id % 32 AS INTEGER) AS width,
+      |  CAST(8 + (doc_id * 7) % 32 AS INTEGER) AS height,
+      |  CAST(doc_id % 256 AS INTEGER) AS p00_red
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------- partition-batched feature path
   /** STUB decoder: a real implementation would parse the codec header
     * and decode pixels/samples here. Deterministic fake: 4 features
@@ -73,8 +149,10 @@ object BinaryPipeline extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (mmBinaryMeta _))
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_image_decode" -> (mmImageDecode _))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> mmBinaryMetaSql)
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_image_decode" -> mmImageDecodeSql)
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.cdc.Envelope
@@ -28,6 +29,59 @@ object CdcStream {
     val row = when(col("op") === "d", col("before")).otherwise(col("after"))
     parsed.select(col("op"), col("ts_ms"), col("table"), row.as("row"))
       .select(col("op"), col("ts_ms"), col("table"), col("row.*"))
+  }
+
+  /** Live change-stream tail — the reference's actual deployment mode
+    * is an embedded Debezium engine tailing the database and pushing
+    * JSON change events (reference: Main.java:159-177
+    * `DebeziumEngine.create(Json.class)`). The Spark-native equivalent
+    * is a streaming source of envelope JSON records feeding the SAME
+    * declarative parse→classify→mask plan:
+    *  - production: `liveTail(spark, "kafka", Map("kafka.bootstrap.
+    *    servers" -> ..., "subscribe" -> topic))` — Debezium's standard
+    *    transport (the kafka connector jars are not in this sandbox,
+    *    so tests drive the socket/file variants);
+    *  - in-sandbox live tail: `liveTail(spark, "socket", Map("host" ->
+    *    h, "port" -> p))` against a real TCP server
+    *    (StreamingSpec);
+    *  - replay: `format("json")` over an envelope JSONL directory.
+    * Every variant yields one string `value` column (kafka's binary
+    * value is cast), so downstream plans are source-agnostic. */
+  def liveTail(spark: SparkSession, format: String,
+      options: Map[String, String]): DataFrame =
+    spark.readStream.format(format).options(options).load()
+      .select(col("value").cast("string").as("value"))
+
+  /** Keyed change parsing for sources that carry the record key beside
+    * the value (kafka: `key`/`value` columns). The upsert key is NOT
+    * configured — it is DISCOVERED per record from the key JSON's
+    * schema (Envelope.keyField; reference Main.java:183-189 parses
+    * record.key() the same way) and its value extracted dynamically. */
+  def changesKeyed(kv: DataFrame, rowSchema: StructType): DataFrame = {
+    val parsed = Envelope.parse(
+      kv.select(col("key").cast("string").as("_key"),
+        col("value").cast("string").as("value")),
+      col("value"), rowSchema,
+      Envelope.keyField(col("_key")).as("key_field"),
+      Envelope.keyValue(col("_key")).as("key_value"))
+    val row = when(col("op") === "d", col("before")).otherwise(col("after"))
+    parsed
+      .select(col("op"), col("ts_ms"), col("table"), col("src_schema"),
+        col("key_field"), col("key_value"), row.as("row"))
+      .select(col("op"), col("ts_ms"), col("table"), col("src_schema"),
+        col("key_field"), col("key_value"), col("row.*"))
+  }
+
+  /** Latest-change-wins reduction over the DISCOVERED key: the state a
+    * keyed target holds after applying the batch (deletes drop the
+    * key). Mirrors the reference's /UPDATE=(key)//DELETE=(key) routing
+    * (Main.java:477-498) without any configured key. */
+  def upsertDiscovered(keyed: DataFrame): DataFrame = {
+    val w = Window.partitionBy("key_value").orderBy(desc("ts_ms"))
+    keyed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .filter(col("op") =!= "d")
+      .drop("_rn")
   }
 
   /** Full pipeline: parse, then classify-and-mask by the rule library.

@@ -54,6 +54,18 @@ class ApproxSpec extends SparkSpec {
     assert(cent.intersect(brute).nonEmpty)
   }
 
+  test("image decode is a REAL codec round-trip (javax.imageio)") {
+    // the PNG bytes must carry the dimensions/pixels through an actual
+    // encoder+decoder, not arithmetic: corrupt bytes must fail
+    val bytes = BinaryPipeline.encodePng(42L)
+    assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val (fmt, w, h, red) = BinaryPipeline.decodeImageMeta(bytes)
+    assert(fmt == "png" && w == 8 + 42 % 32 && h == 8 + (42 * 7) % 32 && red == 42)
+    intercept[Exception] {
+      BinaryPipeline.decodeImageMeta(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("binary feature extraction is partition-batched and deterministic") {
     val rows = BinaryPipeline.withBlob(docs)
       .select(col("doc_id"), col("blob"))

@@ -52,6 +52,77 @@ class CdcSpec extends SparkSpec {
     assert(Seq("P1", "P2", "P3").contains(names.head))
   }
 
+  test("connector-dialect envelopes: db, keyspace, and schema all resolve") {
+    // MySQL publishes source.db, Vitess source.keyspace, others
+    // source.schema (reference Main.java:71-80) — parse resolves all
+    // three to src_schema without connector configuration
+    val envs = Seq(
+      """{"payload":{"after":{"id":1,"name":"a"},"source":{"db":"shop","table":"t"},"op":"c","ts_ms":1}}""",
+      """{"payload":{"after":{"id":2,"name":"b"},"source":{"keyspace":"shop","table":"t"},"op":"c","ts_ms":2}}""",
+      """{"payload":{"after":{"id":3,"name":"c"},"source":{"schema":"shop","table":"t"},"op":"c","ts_ms":3}}""")
+      .toDF("value")
+    val parsed = Envelope.parse(envs, col("value"), rowSchema)
+      .select(col("after.id"), col("src_schema"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(parsed.toSeq == Seq((1L, "shop"), (2L, "shop"), (3L, "shop")))
+  }
+
+  test("upsert key is DISCOVERED from the record key schema, not configured") {
+    // Debezium-style record keys: {schema:{fields:[{field:...}]},
+    // payload:{...}} (reference Main.java:183-189). The key field name
+    // differs per record to prove nothing is hardcoded.
+    def key(field: String, v: Long) =
+      s"""{"schema":{"fields":[{"field":"$field"}]},"payload":{"$field":$v}}"""
+    def env(id: Long, name: String, op: String, ts: Long) =
+      s"""{"payload":{"before":{"id":$id,"name":"$name"},"after":{"id":$id,"name":"$name"},""" +
+        s""""source":{"db":"d","table":"t"},"op":"$op","ts_ms":$ts}}"""
+    val kv = Seq(
+      (key("id", 1), env(1, "a0", "c", 1)),
+      (key("id", 1), env(1, "a1", "u", 2)),
+      (key("id", 2), env(2, "b0", "c", 3)),
+      (key("id", 2), env(2, "b0", "d", 4)),
+      (key("user_ref", 9), env(9, "z", "c", 5)))
+      .toDF("key", "value")
+    val keyed = CdcStream.changesKeyed(kv, rowSchema)
+    val fields = keyed.select("key_field").as[String].collect().toSet
+    assert(fields == Set("id", "user_ref"), s"discovered: $fields")
+    val state = CdcStream.upsertDiscovered(keyed)
+      .select("key_value", "name").as[(String, String)].collect().toMap
+    // id=1 ends updated, id=2 deleted, user_ref=9 inserted
+    assert(state == Map("1" -> "a1", "9" -> "z"))
+  }
+
+  test("JDBC keyed-target sink applies APPEND/UPDATE/DELETE like the batch upsert") {
+    import graft.streaming.JdbcUpsert
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE target (id BIGINT PRIMARY KEY, v DOUBLE)")
+    } finally conn.close()
+    // pre-existing target row (id=7) + changelog: 1 c→u, 2 c→d, 3 c
+    val c0 = java.sql.DriverManager.getConnection(url)
+    try c0.createStatement().execute("INSERT INTO target VALUES (7, 70.0)")
+    finally c0.close()
+    val batch = Seq(
+      (1L, 10.0, "c", 1L), (2L, 1.0, "c", 2L),
+      (1L, 20.0, "u", 3L), (2L, 0.0, "d", 4L), (3L, 5.0, "c", 5L))
+      .toDF("id", "v", "op", "ts_ms")
+    JdbcUpsert.sink(url, "target", "id", "ts_ms", Seq("v"))(batch, 0L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "target").load()
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 20.0, 3L -> 5.0, 7L -> 70.0),
+      s"target after apply: $back")
+    // idempotent re-apply (task retry): same terminal state
+    JdbcUpsert.sink(url, "target", "id", "ts_ms", Seq("v"))(batch, 1L)
+    val again = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "target").load()
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(again == back)
+  }
+
   test("snapshot apply: last op wins, trailing delete drops the key") {
     // hand-built changelog: u1 insert→update, u2 insert→delete
     val log = Seq(

@@ -146,6 +146,63 @@ class StreamingSpec extends SparkSpec {
       op == "c" && Seq("P1", "P2", "P3").contains(name) })
   }
 
+  test("socket live-tail: masked replication from a real TCP change feed") {
+    // the reference's deployment mode is a LIVE tail (embedded Debezium
+    // engine, Main.java:159-177); in-sandbox the live transport is a
+    // real TCP socket feeding the same parse→classify→mask plan (in
+    // production the same pipeline reads format("kafka"))
+    import org.apache.spark.sql.types._
+    import graft.cdc.Envelope
+    import graft.streaming.CdcStream
+    import graft.classify.Libraries
+    val rowSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType)))
+    val payload = Seq((1L, "Customer#1", "c"), (2L, "Customer#2", "u"))
+      .toDF("c_custkey", "c_name", "op")
+      .select(Envelope.wrap(lit(null).cast(rowSchema),
+        struct(col("c_custkey"), col("c_name")),
+        "db", "customer", col("op"), lit(1L)).as("value"))
+      .as[String].collect()
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        payload.foreach(out.println)
+        out.flush()
+        Thread.sleep(30000) // keep the connection open while the test reads
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val tail = CdcStream.liveTail(spark, "socket",
+      Map("host" -> "127.0.0.1", "port" -> port.toString))
+    val masked = CdcStream.maskedChanges(tail, rowSchema, Libraries.default,
+      { case "nation-names" => Seq("P1", "P2", "P3"); case _ => Seq.empty })
+    val q = masked.writeStream.format("memory").queryName("livecdc")
+      .outputMode("append").start()
+    try {
+      // live source: poll until both records have flowed through
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("livecdc").count() < 2 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      val rows = spark.table("livecdc").select("op", "c_custkey", "c_name")
+        .as[(String, Long, String)].collect().sortBy(_._2)
+      assert(rows.length == 2, s"got ${rows.length} rows from the live tail")
+      assert(rows.map(_._1).toSeq == Seq("c", "u"))
+      assert(rows.forall { case (_, _, name) =>
+        Seq("P1", "P2", "P3").contains(name) }, "names must be masked")
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("flatMapGroupsWithState carries running totals across micro-batches") {
     import graft.streaming.Stateful
     implicit val sql = spark.sqlContext
