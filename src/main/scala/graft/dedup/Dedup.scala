@@ -356,10 +356,10 @@ object Dedup extends QueryModule {
       .select(col("cell").as("c1"), col("ce").as("ce1"), col("r").as("r1"))
     val p2 = seeds.join(radii, Seq("cell"))
       .select(col("cell").as("c2"), col("ce").as("ce2"), col("r").as("r2"))
-    val feasible = p1.crossJoin(p2)
-      .filter(col("c1") <= col("c2") &&
-        acos(clamp(fastDot(col("ce1"), col("ce2")))) <=
-          lit(thetaT) + col("r1") + col("r2") + lit(1e-6))
+    val feasible = p1.join(broadcast(p2),
+        col("c1") <= col("c2") &&
+          acos(clamp(fastDot(col("ce1"), col("ce2")))) <=
+            lit(thetaT) + col("r1") + col("r2") + lit(1e-6))
       .select("c1", "c2")
     val a = assigned.select(col("vec_id").as("v1"), col("e").as("e1"),
       col("cell").as("ca"))

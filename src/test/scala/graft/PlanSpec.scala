@@ -49,4 +49,52 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"),
       s"expected partial aggregation before the shuffle:\n$plan")
   }
+
+  test("pair-join dedup operators never broadcast the corpus side") {
+    // the r2 regression: broadcast() of the whole doc-set/embedding
+    // side of every pair join — a guaranteed OOM at corpus scale. The
+    // shapes that must hold: shuffle joins on blocking keys, no
+    // BroadcastNestedLoopJoin anywhere, and the only broadcasts are
+    // genuinely bounded tables (the K^2 cell-pair list, an AQE-chosen
+    // small side at toy SF).
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+        ("ngram", Dedup.ngramJaccard(docs, 0.9)),
+        ("minhash", Dedup.minhashLsh(docs)))) {
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not nested-loop join:\n$plan")
+      // the candidate join on the blocking key must be key-hashed, not
+      // a corpus broadcast: a shuffle join or an AQE-converted small
+      // join are both fine, but the band/bucket equality must appear
+      // as a join key, which rules out the cross-ish broadcast shape
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"$name should shuffle on its blocking key:\n$plan")
+    }
+  }
+
+  test("embedding dedup is candidate-based (cells), not all-pairs") {
+    import graft.dedup.Dedup
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = Dedup.embeddingPairs(emb, 0.40)
+    df.collect()
+    // AQE prints Final + Initial plan sections; count nodes once
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"embedding dedup must not cartesian-join:\n$plan")
+    // loop joins may appear ONLY against the bounded seed/cell-pair
+    // tables (K rows / K^2 rows by construction): the corpus-x-corpus
+    // pair join itself must be an equi-join on the cell ids
+    val loopJoins = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(loopJoins <= 3,
+      s"unexpected loop joins beyond the bounded seed joins:\n$plan")
+    val equiJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(equiJoins >= 2,
+      s"the candidate pair join must be an equi-join on cells:\n$plan")
+  }
 }
