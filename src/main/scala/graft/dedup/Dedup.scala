@@ -428,7 +428,82 @@ object Dedup extends QueryModule {
       |WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ dedup_components
+  /** True connected-components clustering over near-dup pairs —
+    * the complement to greedy [[applyPairs]]: every doc gets the MIN
+    * doc_id of its whole transitive component, so one keeper survives
+    * per cluster even across chains (a~b, b~c ⇒ one keeper for
+    * {a,b,c}).
+    *
+    * Implementation: iterative min-label propagation. Each round every
+    * node takes the min of its own and its neighbors' labels (one
+    * shuffle join + one hash-agg); rounds = component diameter (near-
+    * dup clusters are dense, diameter 1–3), bounded by maxIter.
+    * `localCheckpoint` cuts the growing lineage each round — the
+    * standard Spark iterative-graph shape (at 100 TB you would use
+    * large-star/small-star to bound skew on giant components; the
+    * per-round plan here is the same join+agg). */
+  def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighbor = edges.join(labels, edges("d2") === labels("doc_id"))
+        .select(edges("d1").as("doc_id"), col("lbl"))
+      val next = labels.union(neighbor)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    components(docs, ngramJaccard(docs, 0.9))
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("component")
+  }
+
+  /** Oracle: transitive closure by recursive CTE — every node collects
+    * the initial labels of everything reachable over the symmetric
+    * edge set; MIN per node = the component's min doc_id. */
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9),
+      |edges AS (
+      |  SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.d1, r.lbl FROM edges e JOIN reach r ON r.id = e.d2),
+      |labels AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+      |SELECT lbl AS component, COUNT(*) AS n_docs
+      |FROM labels GROUP BY lbl ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
@@ -440,6 +515,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashSigs). */
   val oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,

@@ -54,6 +54,16 @@ class ApproxSpec extends SparkSpec {
     assert(cent.intersect(brute).nonEmpty)
   }
 
+  test("connected components label whole chains, not just direct pairs") {
+    // chain 1~2, 2~3 plus isolated 4,5 and pair 4~5: components must
+    // be {1,2,3} -> 1 and {4,5} -> 4 even though (1,3) is no pair
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val lbl = Dedup.components(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("image decode is a REAL codec round-trip (javax.imageio)") {
     // the PNG bytes must carry the dimensions/pixels through an actual
     // encoder+decoder, not arithmetic: corrupt bytes must fail
