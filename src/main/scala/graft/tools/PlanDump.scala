@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps the formatted physical plans of the scale-critical operators
+  * to a markdown file (docs/PLANS_r3.md) — the audit trail for the
+  * "explain and iterate until it's the plan you'd want" loop. Run:
+  * `runMain graft.tools.PlanDump [sfDir] [outFile]`. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("docs/PLANS_r3.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = Seq(
+      "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
+      "dedup_components", "knn_bruteforce", "knn_lsh", "knn_centroid",
+      "q05_multijoin", "mask_classified")
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try {
+      w.println("# PLANS - round 3 physical-plan audit")
+      w.println()
+      w.println(s"Executed (AQE-final) plans of the scale-critical operators at $sfDir.")
+      w.println("What to look for: pair joins are LOGICALLY shuffle joins on blocking")
+      w.println("keys - where a BroadcastHashJoin appears on a (band,sig)/(lang,bucket)/")
+      w.println("cell key it is AQE's runtime choice because the compacted bucket table")
+      w.println("measured only MBs at this SF; at corpus scale the same plan stays a")
+      w.println("key-shuffle (no hint forces a broadcast; PlanSpec asserts no")
+      w.println("nested-loop/cartesian pair joins). ReusedExchange nodes show the")
+      w.println("self-join sides sharing ONE tokenization/signature pass. The only")
+      w.println("intentional broadcasts are bounded tables: query vectors, K-row cell")
+      w.println("seeds, the K^2 feasible-cell-pair list, and star-schema dims.")
+      targets.foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.queryExecution.toRdd.count() // finalize AQE
+        w.println()
+        w.println(s"## $name")
+        w.println()
+        w.println("```")
+        w.println(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head.trim)
+        w.println("```")
+      }
+    } finally w.close()
+    spark.stop()
+  }
+}
