@@ -185,7 +185,41 @@ object EventStreams extends QueryModule {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------- str_interval_join
+  /** Stream-stream time-interval join: every signup joined with the
+    * same user's purchases in the following 24h. As a streaming plan
+    * this is Spark's watermarked stream-stream inner join — the
+    * time-range predicate bounds both sides' state (each side holds
+    * only rows inside watermark + 24h); StreamingSpec drives the same
+    * function through two MemoryStream inputs and checks agreement
+    * with this batch form. One shuffle on user_id. */
+  def intervalJoin(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups.select(col("user_id"), col("ts").as("signup_ts"),
+      col("event_id").as("signup_id"))
+    val p = purchases.select(col("user_id").as("uid2"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    s.join(p, col("user_id") === col("uid2") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") < col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
+  def strIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    intervalJoin(ev.filter(col("event_type") === "signup"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+  }
+
+  val strIntervalJoinSql: String =
+    """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+      |FROM events s JOIN events p ON p.user_id = s.user_id
+      | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+      | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
+      |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_interval_join" -> (strIntervalJoin _),
     "str_asof_lookup" -> (strAsofLookup _),
     "str_tumbling_agg" -> (strTumbling _),
     "str_sliding_agg" -> (strSliding _),
@@ -194,6 +228,7 @@ object EventStreams extends QueryModule {
     "str_asof_join" -> (strAsof _))
 
   val oracles: Map[String, String] = Map(
+    "str_interval_join" -> strIntervalJoinSql,
     "str_asof_lookup" -> strAsofSql, // same oracle as the window form
     "str_tumbling_agg" -> strTumblingSql,
     "str_sliding_agg" -> strSlidingSql,

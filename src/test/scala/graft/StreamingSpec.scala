@@ -146,6 +146,39 @@ class StreamingSpec extends SparkSpec {
       op == "c" && Seq("P1", "P2", "P3").contains(name) })
   }
 
+  test("stream-stream interval join matches the batch plan") {
+    implicit val sql = spark.sqlContext
+    // signups: u1@00:00, u2@02:00; purchases: u1@01:00 (in), u1 next
+    // day (out), u2@01:00 (before signup, out), u2@03:00 (in)
+    val signups = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L),
+      (11L, ts("2024-01-01 02:00:00"), 2L))
+    val purchases = Seq(
+      (20L, ts("2024-01-01 01:00:00"), 1L),
+      (21L, ts("2024-01-02 01:00:00"), 1L),
+      (22L, ts("2024-01-01 01:00:00"), 2L),
+      (23L, ts("2024-01-01 03:00:00"), 2L))
+    def toDF(rows: Seq[(Long, Timestamp, Long)], mem: MemoryStream[(Long, Timestamp, Long)]) =
+      mem.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "1 hour")
+    val memS = MemoryStream[(Long, Timestamp, Long)]
+    val memP = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.intervalJoin(toDF(signups, memS), toDF(purchases, memP))
+    val q = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    memS.addData(signups: _*)
+    memP.addData(purchases: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivjoin")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val batch = EventStreams.intervalJoin(
+      signups.toDF("event_id", "ts", "user_id"),
+      purchases.toDF("event_id", "ts", "user_id"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(batch == Seq((1L, 10L, 20L), (2L, 11L, 23L)))
+  }
+
   test("socket live-tail: masked replication from a real TCP change feed") {
     // the reference's deployment mode is a LIVE tail (embedded Debezium
     // engine, Main.java:159-177); in-sandbox the live transport is a
