@@ -130,62 +130,78 @@ object Dedup extends QueryModule {
     * splits any skewed bucket (self-similar corpora collapse many docs
     * into one signature).
     *
-    * Hashing is fully PORTABLE: token hash = md5-prefix (tokHash),
-    * permutation i = ((h*(2i+1)) & 0xFFFFFFFF) XOR (h >> (i mod 16))
-    * (overflow-free in BIGINT SQL), band signature = the comma-joined
-    * minima — so the oracle engine recomputes identical signatures and
-    * the whole operator is hash-verified, not rows-only. All k
-    * permutation minima come from ONE codegen pass
-    * (graft.expr.MinHashSigs) over the sorted token-hash array that
+    * Hashing is fully PORTABLE where it must be: token hash =
+    * md5-prefix (tokHash), permutation i =
+    * ((h*(2i+1)) & 0xFFFFFFFF) XOR (h >> (i mod 16)) (overflow-free in
+    * BIGINT SQL) — so the oracle engine recomputes identical minima
+    * and the whole operator is hash-verified, not rows-only (the band
+    * COMBINE is a Spark-internal equality key; see MinHashBands). All
+    * permutation minima and band signatures come from ONE codegen pass
+    * (graft.expr.MinHashBands) over the sorted token-hash array that
     * also serves the exact verify — no second tokenization. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     // bands=4 × rows=8: P(candidate | j=0.9) ≈ 0.90, while j≈0.7 false
     // candidates drop to ~0.2 — on self-similar corpora the verify-join
     // width, not recall, is the binding constraint
-    val rowsPerBand = numHashes / bands
     val sets = tokens(docs).groupBy("doc_id")
       .agg(sort_array(collect_set(tokHash(col("w")))).as("hs"))
       .withColumn("n", size(col("hs")))
-    val withSigs = sets.withColumn("sigs",
-      call_function(graft.expr.VectorExprs.minhashName,
-        col("hs"), lit(numHashes)))
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r =>
-        element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string"))
-      struct(lit(b).as("band"), concat_ws(",", parts: _*).as("sig"))
-    }
-    // The band join carries NO token arrays — only (doc_id, n, band,
-    // sig) — and candidate ids are DEDUPED before verification: on a
-    // self-similar corpus a true near-dup pair collides in every band,
-    // so verifying at the join would redo the merge-intersection
-    // bands× per pair and shuffle the arrays bands× per side. The
-    // distinct candidate set then joins back to the doc sets on
-    // doc_id; AQE turns those joins into broadcasts when the set table
-    // is small and leaves them as doc_id shuffles at scale — no forced
-    // hints either way.
-    val buckets = withSigs
-      .select(col("doc_id"), col("n"), explode(array(bandCols: _*)).as("bk"))
+    // ONE codegen pass (MinHashBands) computes all permutation minima
+    // AND the compact 8-byte band signatures — the signatures are only
+    // equality keys between Spark rows (they never cross the oracle
+    // boundary; only verified pairs do, and the exact-Jaccard verify
+    // squashes any astronomically-unlikely 64-bit collision
+    // candidate, so the oracle's string-signature candidates
+    // coincide). Emitting bands from one expression matters twice:
+    // projection collapsing would inline a separate signature
+    // expression into every element_at consumer (measured: the
+    // O(tokens·k) pass re-ran k times per row), and compact longs keep
+    // the self-join rows skinny enough for AQE's broadcast threshold
+    // at bench SF (fat build sides forced a skewed sort-merge join —
+    // giant dup buckets ground one task for ~30 s).
+    //
+    // FIRST-MATCHING-BAND emission over the skinny band join: bucket
+    // rows carry only (doc_id, n, bands longs, band, sig) — never the
+    // token arrays — and a pair is emitted only from the first band
+    // where the signatures agree (the join requires every earlier band
+    // to DISAGREE). On a self-similar corpus a true pair collides in
+    // every band, so this yields exactly-once candidates with no
+    // distinct pass. Verification then joins the candidate ids back to
+    // the token sets (AQE broadcast when small, doc_id shuffle at
+    // scale) and runs the merge-intersection ONCE per pair.
+    val buckets = sets
       .select(col("doc_id"), col("n"),
-        col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cand = buckets.as("x").join(probeSide(buckets.as("y")),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          // necessary condition: j >= t implies min(n)/max(n) >= t
-          least(col("x.n"), col("y.n")).cast("double") >=
-            greatest(col("x.n"), col("y.n")).cast("double") * threshold)
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+        call_function(graft.expr.VectorExprs.minhashName,
+          col("hs"), lit(numHashes), lit(bands)).as("bsigs"))
+      .select(col("doc_id"), col("n"), col("bsigs"),
+        posexplode(col("bsigs")).as(Seq("band", "sig")))
+    val x = buckets.select(col("doc_id").as("d1"), col("n").as("n1"),
+      col("bsigs").as("bsigs1"), col("band"), col("sig"))
+    val y = buckets.select(col("doc_id").as("d2"), col("n").as("n2"),
+      col("bsigs").as("bsigs2"), col("band").as("band2"), col("sig").as("sig2"))
+    val firstBand = (0 until bands - 1).map(bp =>
+      col("band") <= bp ||
+        element_at(col("bsigs1"), bp + 1) =!= element_at(col("bsigs2"), bp + 1))
+      .reduce(_ && _)
+    val cand = x.join(probeSide(y),
+      col("band") === col("band2") && col("sig") === col("sig2") &&
+        col("d1") < col("d2") &&
+        // necessary condition: j >= t implies min(n)/max(n) >= t
+        least(col("n1"), col("n2")).cast("double") >=
+          greatest(col("n1"), col("n2")).cast("double") * threshold &&
+        firstBand)
+      .select(col("d1"), col("d2"))
     val s1 = sets.select(col("doc_id").as("dd1"), col("hs").as("hs1"),
-      col("n").as("n1"))
+      col("n").as("sn1"))
     val s2 = sets.select(col("doc_id").as("dd2"), col("hs").as("hs2"),
-      col("n").as("n2"))
+      col("n").as("sn2"))
     val i = call_function(graft.expr.VectorExprs.intersectName,
       col("hs1"), col("hs2"))
     cand.join(s1, col("d1") === col("dd1"))
       .join(s2, col("d2") === col("dd2"))
       .select(col("d1"), col("d2"),
-        (i.cast("double") / (col("n1") + col("n2") - i).cast("double")).as("j"))
+        (i.cast("double") / (col("sn1") + col("sn2") - i).cast("double")).as("j"))
       .filter(col("j") >= threshold)
   }
 
@@ -513,7 +529,7 @@ object Dedup extends QueryModule {
 
   /** Every dedup operator is oracle-verified: the LSH family hashes
     * with portable md5-prefix mixes the oracle engine reproduces
-    * bit-for-bit (see tokHash / MinHashSigs). */
+    * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,

@@ -149,33 +149,46 @@ case class AsOfIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Codegen'd MinHash signature vector over a SORTED ArrayType(Long)
+/** Codegen'd MinHash BAND signatures over a SORTED ArrayType(Long)
   * column of 32-bit non-negative token hashes: one primitive pass
-  * computes all k permutation minima. Permutation i is the portable mix
+  * computes all k permutation minima AND folds them into `bands`
+  * 64-bit band signatures (polynomial mix over each band's minima).
+  * Permutation i is the portable mix
   *   perm_i(h) = ((h * (2i+1)) & 0xFFFFFFFF) XOR (h >> (i mod 16))
   * chosen because every step is reproducible in ANSI SQL on BIGINT
   * without overflow (h < 2^32, k <= 64 → products < 2^38), so the
-  * oracle engine can recompute identical signatures. Replaces k
-  * interpreted `array_min(transform(...))` HOF passes.
-  * `numHashes` must be a foldable integer literal.
+  * oracle engine recomputes identical minima; the band COMBINE is an
+  * equality key between Spark rows only (it never crosses the oracle
+  * boundary), so a 64-bit polynomial mix is fine.
+  *
+  * Emitting the bands (not the raw minima) from ONE expression is
+  * deliberate: projection collapsing inlines a non-trivial expression
+  * into every `element_at` consumer — a k-wide select over the minima
+  * array re-ran the whole O(tokens·k) pass k times per row (measured
+  * 66 inlined copies in the optimized plan).
+  * `numHashes` and `bands` must be foldable integer literals.
   */
-case class MinHashSigs(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class MinHashBands(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
-  private lazy val k: Int = right.eval(null) match {
+  private def intLit(e: Expression, what: String): Int = e.eval(null) match {
     case i: Int => i
     case other => throw new IllegalArgumentException(
-      s"graft_minhash numHashes must be an int literal, got $other")
+      s"graft_minhash_bands $what must be an int literal, got $other")
   }
+  private lazy val k: Int = intLit(second, "numHashes")
+  private lazy val nBands: Int = intLit(third, "bands")
+  private lazy val rpb: Int = k / nBands
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, containsNull = false)
-  override def prettyName: String = "graft_minhash"
+  override def prettyName: String = "graft_minhash_bands"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
@@ -190,16 +203,28 @@ case class MinHashSigs(left: Expression, right: Expression)
       }
       t += 1
     }
-    new GenericArrayData(mins.map(v => v: Any))
+    val out = new Array[Any](nBands)
+    var bI = 0
+    while (bI < nBands) {
+      var sig = 1125899906842597L
+      var r = 0
+      while (r < rpb) { sig = sig * 31L + mins(bI * rpb + r); r += 1 }
+      out(bI) = sig
+      bI += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, _) => {
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val h = ctx.freshName("h")
       val m = ctx.freshName("m")
+      val r = ctx.freshName("r")
+      val bI = ctx.freshName("bI")
+      val sig = ctx.freshName("sig")
       val mins = ctx.freshName("mins")
       val out = ctx.freshName("out")
       s"""
@@ -213,15 +238,22 @@ case class MinHashSigs(left: Expression, right: Expression)
          |    if ($m < $mins[$i]) $mins[$i] = $m;
          |  }
          |}
-         |Object[] $out = new Object[$k];
-         |for (int $i = 0; $i < $k; $i++) { $out[$i] = (Object) $mins[$i]; }
+         |Object[] $out = new Object[$nBands];
+         |for (int $bI = 0; $bI < $nBands; $bI++) {
+         |  long $sig = 1125899906842597L;
+         |  for (int $r = 0; $r < $rpb; $r++) {
+         |    $sig = $sig * 31L + $mins[$bI * $rpb + $r];
+         |  }
+         |  $out[$bI] = (Object) $sig;
+         |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Codegen'd L2 normalization of a float/double array into a double
@@ -363,7 +395,7 @@ object VectorExprs {
   val asofName = "graft_asof_index"
   val bigramsName = "graft_bigrams"
   val normName = "graft_normalize"
-  val minhashName = "graft_minhash"
+  val minhashName = "graft_minhash_bands"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -394,8 +426,9 @@ object VectorExprs {
 
   val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier(minhashName),
-    new ExpressionInfo(classOf[MinHashSigs].getName, minhashName),
-    (children: Seq[Expression]) => MinHashSigs(children.head, children(1)))
+    new ExpressionInfo(classOf[MinHashBands].getName, minhashName),
+    (children: Seq[Expression]) =>
+      MinHashBands(children.head, children(1), children(2)))
 
   /** Idempotent direct registration for sessions built without the
     * extensions config (Verify/Bench/tests). */
@@ -412,7 +445,9 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       normName, children => NormalizeArray(children.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      minhashName, children => MinHashSigs(children.head, children(1)), "built-in")
+      minhashName,
+      children => MinHashBands(children.head, children(1), children(2)),
+      "built-in")
   }
 }
 
