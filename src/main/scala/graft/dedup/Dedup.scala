@@ -90,15 +90,17 @@ object Dedup extends QueryModule {
         col("hs").as("hs2"), col("n").as("n2"))
       .withColumn("bk2", explode(array(
         bucket(col("n2")) - 1, bucket(col("n2")), bucket(col("n2")) + 1)))
-    val i = call_function(graft.expr.VectorExprs.intersectName,
-      col("hs1"), col("hs2"))
+    // SortedJaccard computes the merge-intersection ONCE per pair (the
+    // composed i/(n1+n2-i) form re-evaluates it per reference after
+    // projection collapsing)
     a.join(probeSide(b),
         col("lang") === col("lang2") && col("bk") === col("bk2") &&
           col("d1") < col("d2") &&
           least(col("n1"), col("n2")).cast("double") >=
             greatest(col("n1"), col("n2")).cast("double") * threshold)
       .select(col("d1"), col("d2"),
-        (i.cast("double") / (col("n1") + col("n2") - i).cast("double")).as("j"))
+        call_function(graft.expr.VectorExprs.jaccardName,
+          col("hs1"), col("hs2")).as("j"))
       .filter(col("j") >= threshold)
   }
 
@@ -192,16 +194,13 @@ object Dedup extends QueryModule {
           greatest(col("n1"), col("n2")).cast("double") * threshold &&
         firstBand)
       .select(col("d1"), col("d2"))
-    val s1 = sets.select(col("doc_id").as("dd1"), col("hs").as("hs1"),
-      col("n").as("sn1"))
-    val s2 = sets.select(col("doc_id").as("dd2"), col("hs").as("hs2"),
-      col("n").as("sn2"))
-    val i = call_function(graft.expr.VectorExprs.intersectName,
-      col("hs1"), col("hs2"))
+    val s1 = sets.select(col("doc_id").as("dd1"), col("hs").as("hs1"))
+    val s2 = sets.select(col("doc_id").as("dd2"), col("hs").as("hs2"))
     cand.join(s1, col("d1") === col("dd1"))
       .join(s2, col("d2") === col("dd2"))
       .select(col("d1"), col("d2"),
-        (i.cast("double") / (col("sn1") + col("sn2") - i).cast("double")).as("j"))
+        call_function(graft.expr.VectorExprs.jaccardName,
+          col("hs1"), col("hs2")).as("j"))
       .filter(col("j") >= threshold)
   }
 

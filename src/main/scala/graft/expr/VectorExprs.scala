@@ -149,6 +149,56 @@ case class AsOfIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd Jaccard similarity of two SORTED ArrayType(Long) columns:
+  * j = |A∩B| / (|A|+|B|-|A∩B|), with the intersection from one
+  * two-pointer merge and set sizes from the array lengths. Exists
+  * because the composed form `i / (n1+n2-i)` references the
+  * intersection twice and projection collapsing re-evaluates it per
+  * reference; this computes it once. The division is exact-int →
+  * IEEE double, identical to the oracle's
+  * CAST(i AS DOUBLE)/CAST(n1+n2-i AS DOUBLE).
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n.toDouble / (x.numElements().toLong + y.numElements() - n).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = (double) $n /
+         |  (double) ((long) $a.numElements() + $b.numElements() - $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd MinHash BAND signatures over a SORTED ArrayType(Long)
   * column of 32-bit non-negative token hashes: one primitive pass
   * computes all k permutation minima AND folds them into `bands`
@@ -396,6 +446,7 @@ object VectorExprs {
   val bigramsName = "graft_bigrams"
   val normName = "graft_normalize"
   val minhashName = "graft_minhash_bands"
+  val jaccardName = "graft_jaccard"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -424,6 +475,11 @@ object VectorExprs {
     new ExpressionInfo(classOf[NormalizeArray].getName, normName),
     (children: Seq[Expression]) => NormalizeArray(children.head))
 
+  val jaccardDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(jaccardName),
+    new ExpressionInfo(classOf[SortedJaccard].getName, jaccardName),
+    (children: Seq[Expression]) => SortedJaccard(children.head, children(1)))
+
   val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier(minhashName),
     new ExpressionInfo(classOf[MinHashBands].getName, minhashName),
@@ -448,6 +504,9 @@ object VectorExprs {
       minhashName,
       children => MinHashBands(children.head, children(1), children(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      jaccardName,
+      children => SortedJaccard(children.head, children(1)), "built-in")
   }
 }
 
@@ -462,5 +521,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.bigramsDescriptor)
     ext.injectFunction(VectorExprs.normDescriptor)
     ext.injectFunction(VectorExprs.minhashDescriptor)
+    ext.injectFunction(VectorExprs.jaccardDescriptor)
   }
 }

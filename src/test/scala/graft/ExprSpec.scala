@@ -24,6 +24,25 @@ class ExprSpec extends SparkSpec {
     assert(out.forall { case (h, f) => h == f }) // exact, not approx
   }
 
+  test("graft_jaccard equals the composed intersect formulation exactly") {
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),       // partial overlap
+      (Seq(1L, 2L), Seq(1L, 2L)),                // identical
+      (Seq(1L), Seq(2L)),                        // disjoint
+      (Seq(1L, 5L, 9L, 12L), Seq(5L, 12L)),      // subset
+      (Seq.empty[Long], Seq(1L, 2L)))            // one empty
+      .toDF("a", "b")
+    val i = call_function(graft.expr.VectorExprs.intersectName,
+      col("a"), col("b"))
+    val out = rows.select(
+      call_function(graft.expr.VectorExprs.jaccardName, col("a"), col("b")).as("one"),
+      (i.cast("double") /
+        (size(col("a")) + size(col("b")) - i).cast("double")).as("two"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (o, t) => o == t || (o.isNaN && t.isNaN) },
+      s"mismatches: ${out.toSeq}")
+  }
+
   test("graft_asof_index finds the last element <= probe (edge cases)") {
     val rows = Seq(
       (Seq(10L, 20L, 30L), 25L, 1),   // between elements
