@@ -17,6 +17,7 @@ object SparkEntry {
     cdc.CdcQueries,
     streaming.EventStreams,
     dedup.Dedup,
+    pipeline.CorpusPipeline,
     sim.Knn,
     text.TextAnalysis,
     multimodal.BinaryPipeline,

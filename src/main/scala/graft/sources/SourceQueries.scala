@@ -99,13 +99,37 @@ object SourceQueries extends QueryModule {
       |SELECT user_id, value, event_id AS last_event_id
       |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------- src_orc_roundtrip
+  /** Columnar ORC sink → source round-trip (Spark's second built-in
+    * columnar format beside parquet — types survive natively, no
+    * parse step), then the same aggregation as the delimited check. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    src.write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
     "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
-    "src_jsonl_changelog" -> (jsonlChangelog _))
+    "src_jsonl_changelog" -> (jsonlChangelog _),
+    "src_orc_roundtrip" -> (orcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
-    "src_jsonl_changelog" -> jsonlChangelogSql)
+    "src_jsonl_changelog" -> jsonlChangelogSql,
+    "src_orc_roundtrip" -> orcRoundtripSql)
 }

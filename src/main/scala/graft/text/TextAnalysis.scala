@@ -44,6 +44,27 @@ object TextAnalysis extends QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ txt_quality
+  /** The quality score as a reusable Column (deterministic double
+    * math, mirrored exactly by [[qualityScoreSql]]) — shared with the
+    * corpus-preparation pipeline. */
+  def qualityScore(c: Column): Column = {
+    val nWords = size(words(c)).cast("double")
+    val avgWlen = length(regexp_replace(c, "\\s+", "")).cast("double") / nWords
+    val stopRatio = countIn(c, stopwords).cast("double") / nWords
+    lit(0.4) * least(nWords / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(avgWlen / 8.0, lit(1.0))
+  }
+
+  /** Oracle mirror of [[qualityScore]] over SQL expression `e`. */
+  def qualityScoreSql(e: String): String = {
+    val nw = s"CAST(len(regexp_split_to_array($e, '\\s+')) AS DOUBLE)"
+    val awl = s"CAST(length(regexp_replace($e, '\\s+', '', 'g')) AS DOUBLE) / $nw"
+    val sr = s"CAST(${countInSql(e, stopwords)} AS DOUBLE) / $nw"
+    s"(0.4 * least($nw / 100.0, 1.0) + 0.3 * (1.0 - $sr) + " +
+      s"0.3 * least(($awl) / 8.0, 1.0))"
+  }
+
   /** Quality scoring from length/word/stopword stats — the standard
     * cheap pre-filter for web-scale corpora. Deterministic double math,
     * mirrored exactly in the oracle. */
@@ -51,13 +72,10 @@ object TextAnalysis extends QueryModule {
     val nWords = size(words(col("text"))).cast("double")
     val avgWlen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
     val stopRatio = countIn(col("text"), stopwords).cast("double") / nWords
-    val score = lit(0.4) * least(nWords / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - stopRatio) +
-      lit(0.3) * least(avgWlen / 8.0, lit(1.0))
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         nWords.cast("int").as("n_words"), avgWlen.as("avg_wlen"),
-        stopRatio.as("stop_ratio"), score.as("score"))
+        stopRatio.as("stop_ratio"), qualityScore(col("text")).as("score"))
       .orderBy("doc_id")
   }
 
