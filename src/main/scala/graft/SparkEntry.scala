@@ -19,6 +19,7 @@ object SparkEntry {
     dedup.Dedup,
     pipeline.CorpusPipeline,
     sim.Knn,
+    sim.EmbOps,
     text.TextAnalysis,
     multimodal.BinaryPipeline,
     sources.SourceQueries)

@@ -125,6 +125,59 @@ object BinaryPipeline extends QueryModule {
       |  CAST(doc_id % 256 AS INTEGER) AS p00_red
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_audio_decode
+  /** Deterministic PCM-WAV payload for a doc id (JDK javax.sound
+    * encoder): 16-bit little-endian, rate/channels/frames arithmetic
+    * in the id so the decode is independently checkable. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val rate = 8000f + (id % 8).toInt * 1000f
+    val channels = 1 + (id % 2).toInt
+    val nFrames = 100 + (id % 50).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, false)
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    var i = 0
+    while (i < data.length) { data(i) = ((id + i) % 251).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio-header decode: sample rate, channels and frame count
+    * parsed from the WAV header by the JDK's audio system. */
+  def decodeWavMeta(bytes: Array[Byte]): (Int, Int, Int) = {
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    (aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+      aff.getFrameLength)
+  }
+
+  /** Driver query: encode a deterministic WAV per document, decode the
+    * header with the real JDK codec, emit (rate, channels, frames).
+    * Same contract as [[mmImageDecode]]: the oracle recomputes the
+    * expected values arithmetically, so a hash match proves a real
+    * encoder/decoder round-trip. Map-only. */
+  def mmAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, ch, frames) = decodeWavMeta(encodeWav(id))
+        (id, rate, ch, frames)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "n_frames")
+      .orderBy("doc_id")
+  }
+
+  val mmAudioDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(100 + doc_id % 50 AS INTEGER) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------- partition-batched feature path
   /** STUB decoder: a real implementation would parse the codec header
     * and decode pixels/samples here. Deterministic fake: 4 features
@@ -150,9 +203,11 @@ object BinaryPipeline extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "mm_image_decode" -> (mmImageDecode _))
+    "mm_image_decode" -> (mmImageDecode _),
+    "mm_audio_decode" -> (mmAudioDecode _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
-    "mm_image_decode" -> mmImageDecodeSql)
+    "mm_image_decode" -> mmImageDecodeSql,
+    "mm_audio_decode" -> mmAudioDecodeSql)
 }
