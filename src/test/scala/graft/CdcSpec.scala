@@ -123,6 +123,38 @@ class CdcSpec extends SparkSpec {
     assert(again == back)
   }
 
+  test("JDBC sink survives a streaming restart from checkpoint without duplicate effects") {
+    import graft.streaming.JdbcUpsert
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftdb_ckpt;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().execute(
+      "CREATE TABLE target (id BIGINT PRIMARY KEY, v DOUBLE)")
+    finally c.close()
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[(Long, Double, String, Long)]
+    def start() = mem.toDF().toDF("id", "v", "op", "ts_ms")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(JdbcUpsert.sink(url, "target", "id", "ts_ms", Seq("v")))
+      .start()
+    val q1 = start()
+    mem.addData((1L, 10.0, "c", 1L), (2L, 1.0, "c", 2L))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint; only NEW data may apply
+    val q2 = start()
+    mem.addData((1L, 20.0, "u", 3L), (2L, 0.0, "d", 4L), (3L, 5.0, "c", 5L))
+    q2.processAllAvailable()
+    q2.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "target").load()
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 20.0, 3L -> 5.0), s"target after restart: $back")
+  }
+
   test("snapshot apply: last op wins, trailing delete drops the key") {
     // hand-built changelog: u1 insert→update, u2 insert→delete
     val log = Seq(
