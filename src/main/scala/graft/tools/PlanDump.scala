@@ -20,8 +20,9 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val targets = Seq(
       "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
-      "dedup_components", "knn_bruteforce", "knn_lsh", "knn_centroid",
-      "q05_multijoin", "mask_classified")
+      "dedup_components", "pipe_corpus_filter", "knn_bruteforce",
+      "knn_lsh", "knn_centroid", "emb_quantize", "q05_multijoin",
+      "mask_classified")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 3 physical-plan audit")
