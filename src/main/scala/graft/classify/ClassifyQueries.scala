@@ -132,13 +132,64 @@ object ClassifyQueries extends QueryModule {
        |ORDER BY column_name, data_class""".stripMargin
   }
 
+  // ------------------------------------------------- cls_luhn_check
+  /** Luhn validity of a digit-string column: Σ terms mod 10 == 0,
+    * where the i-th digit from the RIGHT (0-based) contributes d when
+    * i is even, else 2d (minus 9 when 2d > 9). Pure integer math —
+    * portable bit-for-bit to the oracle engine. */
+  private def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val terms = transform(sequence(lit(1), n), i => {
+      val d = digits.substr(i, lit(1)).cast("int")
+      val fromRight = n - i
+      when(fromRight % 2 === 0, d)
+        .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+    })
+    aggregate(terms, lit(0), (acc, v) => acc + v) % 10 === 0
+  }
+
+  /** Luhn checksum validation — the canonical content check behind
+    * card-number data classes (a regex matches the SHAPE, Luhn
+    * validates the VALUE; real PII discovery needs both). The digit
+    * string under test derives deterministically from c_custkey, so
+    * both engines see identical inputs. */
+  def clsLuhnCheck(spark: SparkSession, dir: String): DataFrame = {
+    val digits = (col("c_custkey") * 7919 + 123456).cast("string")
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), luhnValid(digits).as("ok"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1).otherwise(0)).as("n_valid"))
+      .orderBy("c_mktsegment")
+  }
+
+  val clsLuhnCheckSql: String = {
+    val d = "CAST(substr(ds, i, 1) AS INTEGER)"
+    s"""WITH dd AS (
+       |  SELECT c_mktsegment,
+       |    CAST(c_custkey * 7919 + 123456 AS VARCHAR) AS ds
+       |  FROM customer),
+       |t AS (
+       |  SELECT c_mktsegment,
+       |    (list_sum(list_transform(range(1, len(ds) + 1), i ->
+       |       CASE WHEN (len(ds) - i) % 2 = 0 THEN $d
+       |            ELSE CASE WHEN $d * 2 > 9 THEN $d * 2 - 9
+       |                      ELSE $d * 2 END END)) % 10 = 0) AS ok
+       |  FROM dd)
+       |SELECT c_mktsegment, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+       |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_luhn_check" -> (clsLuhnCheck _),
     "cls_name_match" -> (clsNameMatch _),
     "cls_pattern_match" -> (clsPatternMatch _),
     "cls_set_match" -> (clsSetMatch _),
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_luhn_check" -> clsLuhnCheckSql,
     "cls_name_match" -> clsNameMatchSql,
     "cls_pattern_match" -> clsPatternMatchSql,
     "cls_set_match" -> clsSetMatchSql,

@@ -550,6 +550,29 @@ object Relational extends graft.QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // --------------------------------------------------- q25_salted_join
+  /** Skew-salted fact–dim join, driver-verified: identical results to
+    * the plain join (salting is pure partitioning — the oracle runs
+    * the unsalted SQL). The planned-ahead mitigation for known hot
+    * keys at 100 TB; AQE covers the runtime-detected case. */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+        col("l_quantity"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    Skew.saltedJoin(li, part, Seq("p_partkey"), col("l_orderkey"), 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy("p_brand")
+  }
+
+  val q25Sql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01 _),
@@ -575,7 +598,8 @@ object Relational extends graft.QueryModule {
     "q21_string_scan" -> (q21 _),
     "q22_in_subquery" -> (q22 _),
     "q23_cube" -> (q23 _),
-    "q24_running_sum" -> (q24 _))
+    "q24_running_sum" -> (q24 _),
+    "q25_salted_join" -> (q25 _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg" -> q01Sql,
@@ -601,5 +625,6 @@ object Relational extends graft.QueryModule {
     "q21_string_scan" -> q21Sql,
     "q22_in_subquery" -> q22Sql,
     "q23_cube" -> q23Sql,
-    "q24_running_sum" -> q24Sql)
+    "q24_running_sum" -> q24Sql,
+    "q25_salted_join" -> q25Sql)
 }
