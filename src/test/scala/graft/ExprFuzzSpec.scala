@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr._
+
+/** Seeded-fuzz checks of every custom codegen expression against a
+  * straightforward Scala reference implementation — 200 random cases
+  * each, evaluated directly through the interpreted `eval` path (the
+  * codegen path is pinned equal to it by ExprSpec over DataFrames).
+  * Deterministic seed: failures reproduce. */
+class ExprFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def dblArray(n: Int): Array[Double] =
+    Array.fill(n)(rnd.nextDouble() * 20 - 10)
+
+  private def sortedLongs(n: Int): Array[Long] =
+    Array.fill(n)(rnd.nextInt(1 << 16).toLong).distinct.sorted
+
+  private def litArr(a: Array[Double]): Literal =
+    Literal.create(a.toSeq, ArrayType(DoubleType))
+  private def litArrL(a: Array[Long]): Literal =
+    Literal.create(a.toSeq, ArrayType(LongType))
+
+  private def longs(a: Any): Seq[Long] = {
+    val d = a.asInstanceOf[ArrayData]
+    (0 until d.numElements()).map(d.getLong)
+  }
+  private def dbls(a: Any): Seq[Double] = {
+    val d = a.asInstanceOf[ArrayData]
+    (0 until d.numElements()).map(d.getDouble)
+  }
+
+  test("DotProduct matches a left-to-right fold on random vectors") {
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(96)
+      val (a, b) = (dblArray(n), dblArray(n))
+      val got = DotProduct(litArr(a), litArr(b)).eval(null)
+      var exp = 0.0
+      var i = 0
+      while (i < n) { exp += a(i) * b(i); i += 1 }
+      assert(got == exp)
+    }
+  }
+
+  test("SortedIntersectSize matches set intersection on random sorted arrays") {
+    (1 to 200).foreach { _ =>
+      val a = sortedLongs(1 + rnd.nextInt(60))
+      val b = sortedLongs(1 + rnd.nextInt(60))
+      val got = SortedIntersectSize(litArrL(a), litArrL(b)).eval(null)
+      assert(got == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
+  test("SortedJaccard matches |A∩B|/|A∪B| on random sorted arrays") {
+    (1 to 200).foreach { _ =>
+      val a = sortedLongs(1 + rnd.nextInt(60))
+      val b = sortedLongs(1 + rnd.nextInt(60))
+      val got = SortedJaccard(litArrL(a), litArrL(b)).eval(null)
+      val i = a.toSet.intersect(b.toSet).size
+      val exp = i.toDouble / (a.length + b.length - i).toDouble
+      assert(got == exp)
+    }
+  }
+
+  test("AsOfIndex matches a linear scan on random sorted arrays") {
+    (1 to 200).foreach { _ =>
+      val a = sortedLongs(rnd.nextInt(40))
+      val v = rnd.nextInt(1 << 16).toLong
+      val got = AsOfIndex(litArrL(a), Literal(v)).eval(null)
+      assert(got == a.lastIndexWhere(_ <= v))
+    }
+  }
+
+  test("NormalizeArray matches x/sqrt(Σx²) elementwise") {
+    (1 to 200).foreach { _ =>
+      val a = dblArray(1 + rnd.nextInt(96))
+      val got = dbls(NormalizeArray(litArr(a)).eval(null))
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val norm = math.sqrt(s)
+      assert(got == a.map(_ / norm).toSeq)
+    }
+  }
+
+  test("MinHashBands matches a reference minima+polynomial-mix build") {
+    (1 to 200).foreach { _ =>
+      val hs = Array.fill(1 + rnd.nextInt(80))(
+        rnd.nextLong().abs % 4294967296L).distinct.sorted
+      val got = longs(MinHashBands(litArrL(hs),
+        Literal(32), Literal(4)).eval(null))
+      val mins = Array.fill(32)(Long.MaxValue)
+      hs.foreach { h =>
+        (0 until 32).foreach { i =>
+          val m = ((h * (2L * i + 1)) & 4294967295L) ^ (h >> (i % 16))
+          if (m < mins(i)) mins(i) = m
+        }
+      }
+      val exp = (0 until 4).map { b =>
+        (0 until 8).foldLeft(1125899906842597L)((s, r) =>
+          s * 31L + mins(b * 8 + r))
+      }
+      assert(got == exp)
+    }
+  }
+
+  test("Bigrams matches sliding-pair concatenation") {
+    (1 to 200).foreach { _ =>
+      val words = Seq.fill(rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      val got = {
+        val d = Bigrams(Literal.create(words, ArrayType(StringType)))
+          .eval(null).asInstanceOf[ArrayData]
+        (0 until d.numElements()).map(i => d.getUTF8String(i).toString)
+      }
+      val exp = if (words.size < 2) Seq.empty
+        else words.sliding(2).map(_.mkString(" ")).toSeq
+      assert(got == exp)
+    }
+  }
+}
