@@ -573,6 +573,40 @@ object Relational extends graft.QueryModule {
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ------------------------------------------------ q26_bucketed_join
+  /** Bucketed co-located join, driver-verified: both fact tables are
+    * written bucketed on the join key, so the join needs NO shuffle of
+    * either side (ScaleSpec asserts the plan property; here the oracle
+    * proves result-identity with the plain join). This is the 100 TB
+    * co-location play: pay one bucketed write, then every keyed join
+    * against the layout is exchange-free. The bucketed tables live in
+    * a dedicated database with an explicit temp location, so the
+    * session warehouse stays untouched. */
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketdb")
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$loc'")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_buckets.li_b")
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_buckets.ord_b")
+    spark.table("graft_buckets.li_b")
+      .join(spark.table("graft_buckets.ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01 _),
@@ -599,7 +633,8 @@ object Relational extends graft.QueryModule {
     "q22_in_subquery" -> (q22 _),
     "q23_cube" -> (q23 _),
     "q24_running_sum" -> (q24 _),
-    "q25_salted_join" -> (q25 _))
+    "q25_salted_join" -> (q25 _),
+    "q26_bucketed_join" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg" -> q01Sql,
@@ -626,5 +661,6 @@ object Relational extends graft.QueryModule {
     "q22_in_subquery" -> q22Sql,
     "q23_cube" -> q23Sql,
     "q24_running_sum" -> q24Sql,
-    "q25_salted_join" -> q25Sql)
+    "q25_salted_join" -> q25Sql,
+    "q26_bucketed_join" -> q26Sql)
 }
