@@ -24,6 +24,28 @@ class ExprSpec extends SparkSpec {
     assert(out.forall { case (h, f) => h == f }) // exact, not approx
   }
 
+  test("every graft function resolves from the SQL surface") {
+    // the functions register like builtins (VectorExprs.register /
+    // GraftExtensions), so plain spark.sql can use them
+    val row = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
+        |  graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS j,
+        |  graft_asof_index(array(10L, 20L, 30L), 25L) AS a,
+        |  graft_bigrams(array('a', 'b', 'c')) AS b,
+        |  graft_normalize(array(3.0d, 4.0d)) AS n,
+        |  size(graft_minhash_bands(array(7L, 11L), 32, 4)) AS m
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getLong(1) == 2L)
+    assert(row.getDouble(2) == 0.5)
+    assert(row.getInt(3) == 1)
+    assert(row.getSeq[String](4) == Seq("a b", "b c"))
+    assert(row.getSeq[Double](5) == Seq(0.6, 0.8))
+    assert(row.getInt(6) == 4)
+  }
+
   test("graft_jaccard equals the composed intersect formulation exactly") {
     val rows = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),       // partial overlap
