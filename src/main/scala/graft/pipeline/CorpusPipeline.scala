@@ -70,9 +70,77 @@ object CorpusPipeline extends QueryModule {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // -------------------------------------------- pipe_sample_stratified
+  /** Deterministic stratified sampling — the reproducible subset
+    * selector every training pipeline needs (a RNG-based sample
+    * changes across retries/replays; a hash-gate never does). Keeps a
+    * doc iff portableHash(doc_id) mod 100 < pct: per-stratum rates
+    * stay proportional because the hash is uniform, and any engine
+    * can recompute membership. Map-only pass + one agg shuffle. */
+  def sampleStratified(docs: DataFrame, pct: Int): DataFrame =
+    docs.filter(
+      pmod(graft.mask.MaskFunctions.portableHash(col("doc_id")), lit(100L)) < pct)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang")
+
+  def pipeSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables.documents(spark, dir), 30)
+
+  val pipeSampleStratifiedSql: String =
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM documents
+      |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 30
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------- pipe_pack_sequences
+  /** Contiguous sequence packing: assign documents (per language, in
+    * doc_id order) to training context windows of `budget` tokens by
+    * cumulative token count — the standard streaming-pack
+    * approximation (bin = floor(cumulative-before / budget); a doc
+    * straddling a boundary starts its tail in the next bin, which is
+    * what sequence-packing loaders do). Pure integer window math —
+    * one shuffle on the stratum key. */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    docs.withColumn("_t", toks)
+      .withColumn("_before", coalesce(sum(col("_t")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_before") / budget.toLong))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  def pipePackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), 2048)
+
+  val pipePackSequencesSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, nt,
+      |    COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      |  FROM t)
+      |SELECT lang, CAST(FLOOR(bef / 2048) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY lang, FLOOR(bef / 2048) ORDER BY lang, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_corpus_filter" -> (pipeCorpusFilter _))
+    "pipe_corpus_filter" -> (pipeCorpusFilter _),
+    "pipe_sample_stratified" -> (pipeSampleStratified _),
+    "pipe_pack_sequences" -> (pipePackSequences _))
 
   val oracles: Map[String, String] = Map(
-    "pipe_corpus_filter" -> pipeCorpusFilterSql)
+    "pipe_corpus_filter" -> pipeCorpusFilterSql,
+    "pipe_sample_stratified" -> pipeSampleStratifiedSql,
+    "pipe_pack_sequences" -> pipePackSequencesSql)
 }
