@@ -257,7 +257,40 @@ object CdcQueries extends QueryModule {
       |FROM events WHERE event_type = 'error'
       |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ cdc_dlq_route
+  /** Dead-letter routing for malformed change events: records whose
+    * envelope JSON fails the typed parse (from_json → null payload)
+    * are split to a DLQ instead of poisoning the pipeline — the
+    * declarative analog of the reference's per-record parse try/catch
+    * (Main.java:166-185 wraps every record parse and logs failures).
+    * Corruption here is synthesized deterministically (every 7th
+    * record's wire JSON is truncated) so the oracle can recompute the
+    * split arithmetically while Spark routes through the REAL JSON
+    * parser. */
+  def dlqRoute(spark: SparkSession, dir: String): DataFrame = {
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val after = struct(col("event_id"), col("user_id"), col("value"))
+    val json = Envelope.wrap(lit(null).cast(rowSchema), after, "graft",
+      "events", opCol, expr("ts_us div 1000"))
+    val wire = when(col("event_id") % 7 === 0, substring(json, 1, 20))
+      .otherwise(json)
+    val parsed = Envelope.parse(ev.select(wire.as("j")), col("j"), rowSchema)
+    parsed
+      .select(when(col("op").isNull, "dlq").otherwise("ok").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  val dlqRouteSql: String =
+    """SELECT CASE WHEN event_id % 7 = 0 THEN 'dlq' ELSE 'ok' END AS status,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_dlq_route" -> (dlqRoute _),
     "cdc_parse_envelope" -> (parseEnvelope _),
     "cdc_temporal_repair" -> (temporalRepair _),
     "cdc_wire_type_repair" -> (wireTypeRepair _),
@@ -268,6 +301,7 @@ object CdcQueries extends QueryModule {
     "cdc_schema_drift" -> (schemaDrift _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_dlq_route" -> dlqRouteSql,
     "cdc_parse_envelope" -> parseEnvelopeSql,
     "cdc_temporal_repair" -> temporalRepairSql,
     "cdc_wire_type_repair" -> wireTypeRepairSql,
