@@ -179,6 +179,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Seq((1L, 10L, 20L), (2L, 11L, 23L)))
   }
 
+  test("streaming per-table routing to a partitioned file sink") {
+    // the reference routes every change to its own per-table target
+    // (generated per-table scripts); Spark-side the same routing is
+    // partitionBy on the PARSED table name — one declarative sink,
+    // table-split storage layout
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcStream
+    implicit val sql = spark.sqlContext
+    val rowSchema = StructType(Seq(StructField("id", LongType)))
+    def env(id: Long, t: String) =
+      s"""{"payload":{"after":{"id":$id},"source":{"db":"d","table":"$t"},"op":"c","ts_ms":$id}}"""
+    val mem = MemoryStream[String]
+    val out = java.nio.file.Files.createTempDirectory("graft-routed").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-routed-ck").toString
+    val q = CdcStream.changes(mem.toDF().toDF("value"), rowSchema)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("table")
+      .start()
+    mem.addData(env(1, "customer"), env(2, "orders"), env(3, "customer"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out).select("table", "id")
+      .as[(String, Long)].collect().toSet
+    assert(back == Set(("customer", 1L), ("orders", 2L), ("customer", 3L)))
+    // the layout IS per-table: partition directories on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("table=")).toSet
+    assert(dirs == Set("table=customer", "table=orders"))
+  }
+
   test("socket live-tail: masked replication from a real TCP change feed") {
     // the reference's deployment mode is a LIVE tail (embedded Debezium
     // engine, Main.java:159-177); in-sandbox the live transport is a
