@@ -136,8 +136,9 @@ object ClassifyQueries extends QueryModule {
   /** Luhn validity of a digit-string column: Σ terms mod 10 == 0,
     * where the i-th digit from the RIGHT (0-based) contributes d when
     * i is even, else 2d (minus 9 when 2d > 9). Pure integer math —
-    * portable bit-for-bit to the oracle engine. */
-  private def luhnValid(digits: Column): Column = {
+    * portable bit-for-bit to the oracle engine. Public: the
+    * Luhn-preserving mask re-validates its output with this. */
+  def luhnValid(digits: Column): Column = {
     val n = length(digits)
     val terms = transform(sequence(lit(1), n), i => {
       val d = digits.substr(i, lit(1)).cast("int")
