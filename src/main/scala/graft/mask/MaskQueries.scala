@@ -200,65 +200,67 @@ object MaskQueries extends QueryModule {
     * own output with the classification-side Luhn check. */
   def maskLuhnFpe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
-    val ds = (col("c_custkey") * 7919 + 123456).cast("string")
-    val n = length(ds)
-    def maskedDigit(i: Column): Column = {
+    // the rotation key is ONE md5 per row (hex digit i keys position
+    // i): a per-digit hash would re-run the digest expression per
+    // lambda element — and projection collapsing duplicates any
+    // expression referenced from several consumers, so keep every
+    // building block single-source (ds and the digest come in as
+    // materialized columns)
+    def maskedDigit(ds: Column, dg: Column)(i: Column): Column = {
       val d = ds.substr(i, lit(1)).cast("int")
-      val k = conv(substring(md5(concat(ds, lit(":"), i.cast("string"))),
-        1, 8), 16, 10).cast("long") % 10
-      ((d + k) % 10).cast("int")
+      val k = conv(dg.substr(i, lit(1)), 16, 10).cast("int") % 10
+      (d + k) % 10
     }
-    val prefix = transform(sequence(lit(1), n - 1), i => maskedDigit(i))
-    // Luhn sum of the prefix in its FINAL positions (check digit will
-    // sit at from-right position 0; digit i sits at position n - i,
-    // doubled when odd)
-    val s = aggregate(sequence(lit(1), n - 1), lit(0), (acc, i) => {
-      val dd = maskedDigit(i)
-      val p = n - i
-      acc + when(p % 2 === 1,
-        when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
-    })
-    val check = (lit(10) - s % 10) % 10
-    val masked = concat(
-      array_join(transform(prefix, d => d.cast("string")), ""),
-      check.cast("string"))
+    def build(ds: Column, dg: Column): Column = {
+      val n = length(ds)
+      val prefix = transform(sequence(lit(1), n - 1),
+        i => maskedDigit(ds, dg)(i))
+      // Luhn sum of the prefix in its FINAL positions (check digit
+      // sits at from-right position 0; digit i at n - i, doubled when
+      // odd)
+      val s = aggregate(sequence(lit(1), n - 1), lit(0), (acc, i) => {
+        val dd = maskedDigit(ds, dg)(i)
+        val p = n - i
+        acc + when(p % 2 === 1,
+          when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
+      })
+      val check = (lit(10) - s % 10) % 10
+      concat(array_join(transform(prefix, d => d.cast("string")), ""),
+        check.cast("string"))
+    }
     Tables.customer(spark, dir)
-      .select(col("c_custkey"), masked.as("ccn_masked"),
-        graft.classify.ClassifyQueries.luhnValid(masked).as("luhn_ok"))
+      .select(col("c_custkey"),
+        (col("c_custkey") * 7919 + 123456).cast("string").as("_ds"))
+      .withColumn("_dg", md5(col("_ds")))
+      .select(col("c_custkey"),
+        build(col("_ds"), col("_dg")).as("ccn_masked"))
       .orderBy("c_custkey")
   }
 
   val maskLuhnFpeSql: String = {
     val md =
-      "CAST((CAST(substr(ds, i, 1) AS BIGINT) + " +
-        "('0x'||substr(md5(ds||':'||CAST(i AS VARCHAR)),1,8))::BIGINT % 10) % 10 AS INTEGER)"
-    val v = "CAST(substr(mk, i, 1) AS INTEGER)"
+      "(CAST(substr(ds, i, 1) AS BIGINT) + " +
+        "('0x'||substr(dg, i, 1))::BIGINT % 10) % 10"
     s"""WITH d AS (
        |  SELECT c_custkey,
        |    CAST(c_custkey * 7919 + 123456 AS VARCHAR) AS ds
        |  FROM customer),
+       |d2 AS (SELECT c_custkey, ds, md5(ds) AS dg FROM d),
        |m AS (
        |  SELECT c_custkey, ds, len(ds) AS n,
        |    list_transform(range(1, len(ds)), i -> $md) AS pd
-       |  FROM d),
+       |  FROM d2),
        |s AS (
        |  SELECT c_custkey, n, pd,
        |    list_sum(list_transform(range(1, n), i ->
        |      CASE WHEN (n - i) % 2 = 1 THEN
        |        CASE WHEN pd[i]*2 > 9 THEN pd[i]*2 - 9 ELSE pd[i]*2 END
        |      ELSE pd[i] END)) AS ssum
-       |  FROM m),
-       |out AS (
-       |  SELECT c_custkey,
-       |    array_to_string(list_transform(pd, x -> CAST(x AS VARCHAR)), '')
-       |      || CAST((10 - ssum % 10) % 10 AS VARCHAR) AS mk
-       |  FROM s)
-       |SELECT c_custkey, mk AS ccn_masked,
-       |  (list_sum(list_transform(range(1, len(mk) + 1), i ->
-       |     CASE WHEN (len(mk) - i) % 2 = 0 THEN $v
-       |          ELSE CASE WHEN $v * 2 > 9 THEN $v * 2 - 9
-       |                    ELSE $v * 2 END END)) % 10 = 0) AS luhn_ok
-       |FROM out ORDER BY c_custkey""".stripMargin
+       |  FROM m)
+       |SELECT c_custkey,
+       |  array_to_string(list_transform(pd, x -> CAST(x AS VARCHAR)), '')
+       |    || CAST((10 - ssum % 10) % 10 AS VARCHAR) AS ccn_masked
+       |FROM s ORDER BY c_custkey""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -145,6 +145,17 @@ class MaskAndClassifySpec extends SparkSpec {
     assert(classes(1).set.contains(Seq("A1", "B2")))
   }
 
+  test("Luhn-preserving mask output re-passes the Luhn classifier") {
+    import graft.mask.MaskQueries
+    import graft.classify.ClassifyQueries
+    val out = MaskQueries.maskLuhnFpe(spark, sfDir)
+    val checked = out.select(
+      ClassifyQueries.luhnValid(org.apache.spark.sql.functions.col("ccn_masked")))
+      .collect().map(_.getBoolean(0))
+    assert(checked.nonEmpty && checked.forall(identity),
+      "every masked card number must stay Luhn-valid")
+  }
+
   test("xml compat rejects DOCTYPE declarations (XXE hardening)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xxe")
     val evil = dir.resolve("evil.rules")
