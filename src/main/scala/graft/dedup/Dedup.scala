@@ -472,8 +472,13 @@ object Dedup extends QueryModule {
       val next = labels.union(neighbor)
         .groupBy("doc_id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-        .filter(col("lbl") < col("prev")).count()
+      // round 1 always changes something on any non-empty edge set —
+      // skip its convergence job (a spurious extra round is harmless:
+      // the next check still observes the fixpoint)
+      changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+          .filter(col("lbl") < col("prev")).count()
       labels = next
       iter += 1
     }
