@@ -182,10 +182,12 @@ object Dedup extends QueryModule {
       col("bsigs").as("bsigs1"), col("band"), col("sig"))
     val y = buckets.select(col("doc_id").as("d2"), col("n").as("n2"),
       col("bsigs").as("bsigs2"), col("band").as("band2"), col("sig").as("sig2"))
+    // foldLeft (not reduce): bands=1 yields an empty prior-band list,
+    // where the condition is vacuously true
     val firstBand = (0 until bands - 1).map(bp =>
       col("band") <= bp ||
         element_at(col("bsigs1"), bp + 1) =!= element_at(col("bsigs2"), bp + 1))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     val cand = x.join(probeSide(y),
       col("band") === col("band2") && col("sig") === col("sig2") &&
         col("d1") < col("d2") &&
@@ -348,8 +350,21 @@ object Dedup extends QueryModule {
     * corpus-side broadcast anywhere. Only ids cross the oracle
     * boundary (never float scores — SURVEY §5). */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val n = emb.select(col("vec_id"), col("label"),
-      call_function(graft.expr.VectorExprs.normName, col("embedding")).as("e"))
+    // Degenerate vectors (zero norm, NaN/Inf components) are excluded
+    // UP FRONT from both join sides: cosine is undefined for them, and
+    // both engines order NaN above every number, so a NaN dot would
+    // slip PAST a plain `>= threshold` verify filter while never
+    // entering a cell radius — the exactness argument below assumes
+    // every participating vector is unit-norm. The oracle applies the
+    // same exclusion (isfinite + > 0 on the squared norm).
+    // graft_dot reads DOUBLE elements — cast the raw float vector first
+    // (the oracle's CAST(embedding AS DOUBLE[]) mirror)
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = fastDot(dbl, dbl)
+    val n = emb
+      .filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(col("vec_id"), col("label"),
+        call_function(graft.expr.VectorExprs.normName, col("embedding")).as("e"))
     val seeds = n.withColumn("_r",
         row_number().over(Window.partitionBy("label").orderBy("vec_id")))
       .filter(col("_r") === 1)
@@ -362,9 +377,9 @@ object Dedup extends QueryModule {
       .filter(col("_rk") === 1)
       .select(col("vec_id"), col("e"), col("cell"), col("_d"))
     def clamp(c: Column): Column = least(lit(1.0), greatest(lit(-1.0), c))
-    // a zero/NaN vector can never verify (dot = NaN), so it is excluded
-    // from the radius rather than poisoning its whole cell
-    val radii = assigned.filter(!isnan(col("_d")))
+    // every participating vector is finite unit-norm (filtered above),
+    // so _d is a finite cosine and every member enters its cell radius
+    val radii = assigned
       .groupBy("cell").agg(max(acos(clamp(col("_d")))).as("r"))
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val p1 = seeds.join(radii, Seq("cell"))
@@ -399,7 +414,11 @@ object Dedup extends QueryModule {
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
       |                                     CAST(embedding AS DOUBLE[])))) AS e
-      |  FROM embeddings)
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0)
       |SELECT a.vec_id AS id1, b.vec_id AS id2
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.e, b.e) >= 0.40

@@ -231,7 +231,12 @@ case class MinHashBands(first: Expression, second: Expression,
   }
   private lazy val k: Int = intLit(second, "numHashes")
   private lazy val nBands: Int = intLit(third, "bands")
-  private lazy val rpb: Int = k / nBands
+  private lazy val rpb: Int = {
+    require(k % nBands == 0,
+      s"graft_minhash_bands: numHashes ($k) must be divisible by bands " +
+        s"($nBands) — trailing hashes would be silently dropped")
+    k / nBands
+  }
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(

@@ -75,9 +75,15 @@ object CdcStream {
   /** Latest-change-wins reduction over the DISCOVERED key: the state a
     * keyed target holds after applying the batch (deletes drop the
     * key). Mirrors the reference's /UPDATE=(key)//DELETE=(key) routing
-    * (Main.java:477-498) without any configured key. */
+    * (Main.java:477-498) without any configured key. Latest-wins is
+    * scoped per TARGET TABLE — the stream is mixed-table/mixed-source
+    * (changesKeyed carries src_schema and table), and the reference
+    * routes per table, so id=1 in `customer` must never collapse with
+    * id=1 in `orders`. */
   def upsertDiscovered(keyed: DataFrame): DataFrame = {
-    val w = Window.partitionBy("key_value").orderBy(desc("ts_ms"))
+    val w = Window
+      .partitionBy("src_schema", "table", "key_field", "key_value")
+      .orderBy(desc("ts_ms"))
     keyed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .filter(col("op") =!= "d")

@@ -45,6 +45,7 @@ object JdbcUpsert {
     batch.select(cols.map(col): _*).foreachPartition { it: Iterator[Row] =>
       if (it.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)
+        var stmts = List.empty[java.sql.PreparedStatement]
         try {
           conn.setAutoCommit(false)
           val setExpr = valueCols.map(c => s"$c = ?").mkString(", ")
@@ -55,6 +56,7 @@ object JdbcUpsert {
               s"VALUES (?${", ?" * valueCols.size})")
           val del = conn.prepareStatement(
             s"DELETE FROM $table WHERE $keyCol = ?")
+          stmts = List(upd, ins, del)
           it.foreach { r =>
             val op = r.getString(0)
             val key = r.get(1)
@@ -72,7 +74,20 @@ object JdbcUpsert {
             }
           }
           conn.commit()
-        } finally conn.close()
+        } catch {
+          // an explicit rollback, not just close(): close-with-open-
+          // transaction is implementation-defined in JDBC (some drivers
+          // COMMIT the partial batch), which would break the retry-
+          // safety contract above
+          case e: Throwable =>
+            try conn.rollback()
+            catch { case s: java.sql.SQLException => e.addSuppressed(s) }
+            throw e
+        } finally {
+          stmts.foreach(s =>
+            try s.close() catch { case _: java.sql.SQLException => () })
+          conn.close()
+        }
       }
     }
   }

@@ -27,6 +27,38 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash recall $recall too low (|exact|=${exact.size})")
   }
 
+  test("minhash-lsh degenerate band counts: bands=1 plans and runs") {
+    // bands=1 makes the first-matching-band guard vacuous (empty
+    // prior-band list) — must fold to TRUE, not throw on empty reduce
+    val pairs = Dedup.minhashLsh(docs.limit(200), numHashes = 32,
+      bands = 1, threshold = 0.9)
+    assert(pairs.select("d1", "d2").as[(Long, Long)].collect()
+      .forall { case (a, b) => a < b })
+  }
+
+  test("minhash bands must divide numHashes (no silent hash drop)") {
+    val e = intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("hs").select(
+        call_function(graft.expr.VectorExprs.minhashName,
+          col("hs"), lit(32), lit(5))).collect()
+    }
+    assert(e.getMessage.contains("divisible"), e.getMessage)
+  }
+
+  test("embedding dedup excludes degenerate vectors instead of leaking NaN") {
+    // zero vector and NaN-component vector: cosine undefined — both
+    // must be dropped up front, never emitted as pairs (NaN >= t is
+    // TRUE under Spark/DuckDB NaN ordering, so an unguarded verify
+    // filter would pass them)
+    val rows = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(1.0f, 0.01f)),
+      (3L, "a", Array(0.0f, 0.0f)), (4L, "b", Array(Float.NaN, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingPairs(rows, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("simhash is deterministic and symmetric-free (d1 < d2)") {
     val a = Dedup.simhash(docs).as[(Long, Long, Int)].collect().toSeq.sorted
     val b = Dedup.simhash(docs).as[(Long, Long, Int)].collect().toSeq.sorted

@@ -92,6 +92,56 @@ class CdcSpec extends SparkSpec {
     assert(state == Map("1" -> "a1", "9" -> "z"))
   }
 
+  test("upsertDiscovered scopes latest-wins per (schema, table, key), not per key value") {
+    // A mixed-table stream where customer id=1 and orders id=1 share
+    // the key VALUE: per-table routing (reference Main.java:477-498)
+    // must keep both — collapsing them would silently drop one table's
+    // state. The later orders row must also not "win" over customer.
+    def key(v: Long) =
+      s"""{"schema":{"fields":[{"field":"id"}]},"payload":{"id":$v}}"""
+    def env(table: String, id: Long, name: String, op: String, ts: Long) =
+      s"""{"payload":{"before":{"id":$id,"name":"$name"},"after":{"id":$id,"name":"$name"},""" +
+        s""""source":{"db":"d","table":"$table"},"op":"$op","ts_ms":$ts}}"""
+    val kv = Seq(
+      (key(1), env("customer", 1, "cust-v1", "c", 1)),
+      (key(1), env("customer", 1, "cust-v2", "u", 2)),
+      (key(1), env("orders", 1, "ord-v1", "c", 3)),
+      (key(2), env("orders", 2, "ord-gone", "c", 4)),
+      (key(2), env("orders", 2, "ord-gone", "d", 5)))
+      .toDF("key", "value")
+    val state = CdcStream.upsertDiscovered(
+        CdcStream.changesKeyed(kv, rowSchema))
+      .select("table", "key_value", "name")
+      .as[(String, String, String)].collect().toSet
+    // customer keeps ITS latest, orders keeps its own; orders id=2 deleted
+    assert(state == Set(
+      ("customer", "1", "cust-v2"),
+      ("orders", "1", "ord-v1")), s"state: $state")
+  }
+
+  test("JDBC sink rolls back the whole partition on mid-batch failure") {
+    import graft.streaming.JdbcUpsert
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftrb;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().execute(
+      "CREATE TABLE tgt (id BIGINT PRIMARY KEY, v DOUBLE NOT NULL)")
+    finally c.close()
+    // one good row then a poison row (NOT NULL violation) in the SAME
+    // partition: the failed transaction must leave the target with
+    // neither effect (close-without-rollback is driver-defined and may
+    // commit the partial batch)
+    val batch = Seq((1L, Some(10.0), "c", 1L), (2L, None, "c", 2L))
+      .toDF("id", "v", "op", "ts_ms").repartition(1)
+    val failed = intercept[org.apache.spark.SparkException] {
+      JdbcUpsert.applyBatch(batch, url, "tgt", "id", Seq("v"))
+    }
+    assert(failed.getMessage != null)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "tgt").load().count()
+    assert(back == 0L, "partial batch must be rolled back, not committed")
+  }
+
   test("JDBC keyed-target sink applies APPEND/UPDATE/DELETE like the batch upsert") {
     import graft.streaming.JdbcUpsert
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
