@@ -26,7 +26,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated key filter for targeted perf iteration
+    // (driver runs always measure the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup (the first measured query re-runs warm): the first
     // execution otherwise absorbs Spark's one-time costs — codegen
     // compiler, shuffle machinery, parquet footers. r1 showed the

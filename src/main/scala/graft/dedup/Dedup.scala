@@ -478,30 +478,59 @@ object Dedup extends QueryModule {
     * large-star/small-star to bound skew on giant components; the
     * per-round plan here is the same join+agg). */
   def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Propagation runs over ONLY the edge-incident vertices — an
+    // isolated doc can never change label, and near-dup graphs are
+    // sparse, so the iterated frame is a small fraction of the corpus.
+    // Edges are checkpointed PRE-PARTITIONED on the probe key (d2) and
+    // every label frame comes out of a doc_id hash-agg, so the
+    // per-round join re-uses both partitionings and the only exchange
+    // per round is the union+min agg.
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(col("d2"))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever decrease, so the fixpoint is reached exactly
+    // when the label sum stops falling — a one-number job per round,
+    // cheaper than a join-based changed-count
+    def lblSum(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    var prevSum = BigDecimal(Long.MaxValue) * BigDecimal(Long.MaxValue)
+    var curSum = lblSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (curSum < prevSum && iter < maxIter) {
+      val t0 = System.nanoTime()
+      // neighbor-min: l'(v) = min(l(v), min over neighbors' labels)
       val neighbor = edges.join(labels, edges("d2") === labels("doc_id"))
         .select(edges("d1").as("doc_id"), col("lbl"))
-      val next = labels.union(neighbor)
+      val propagated = labels.union(neighbor)
         .groupBy("doc_id").agg(min("lbl").as("lbl"))
+      // pointer jump: l''(v) = l'(l'(v)). Every label IS an incident
+      // doc_id (it started as one and min() preserves membership), so
+      // the self-join resolves every row. Doubling the indirection each
+      // round turns convergence from O(diameter) rounds into
+      // O(log diameter) — the sf corpus has diameter-7 chains (8 linear
+      // rounds measured), and at 100 TB long chains are the norm.
+      val l = propagated.select(col("doc_id").as("_v"), col("lbl").as("_l"))
+      labels = l.join(propagated.withColumnRenamed("lbl", "_l2"),
+          l("_l") === propagated("doc_id"))
+        .select(col("_v").as("doc_id"), col("_l2").as("lbl"))
         .localCheckpoint()
-      // round 1 always changes something on any non-empty edge set —
-      // skip its convergence job (a spurious extra round is harmless:
-      // the next check still observes the fixpoint)
-      changed =
-        if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-          .filter(col("lbl") < col("prev")).count()
-      labels = next
+      val t1 = System.nanoTime()
+      prevSum = curSum
+      curSum = lblSum(labels)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"  cc round $iter: prop ${(t1 - t0) / 1e9}%.2f s, sum ${(System.nanoTime() - t1) / 1e9}%.2f s")
       iter += 1
     }
-    labels
+    // isolated docs label themselves; AQE broadcasts the (small)
+    // converged label set against the full corpus
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("lbl", "_lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_lbl"), col("doc_id")).as("lbl"))
   }
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
