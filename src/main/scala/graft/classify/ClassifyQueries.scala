@@ -182,7 +182,66 @@ object ClassifyQueries extends QueryModule {
        |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   }
 
+  // ------------------------------------------------- cls_text_pii
+  /** Free-TEXT PII discovery over the training corpus — the reference
+    * classifies structured cells; a data pipeline must also scan
+    * unstructured document text, where PII is embedded mid-string
+    * (find-within, not full-cell match). Synthetic PII is injected
+    * deterministically (every 5th doc an email, every 7th an SSN) so
+    * both engines scan identical text; the regexes use the
+    * Java∩RE2-portable subset. One codegen scan + one agg shuffle. */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ssnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def clsTextPii(spark: SparkSession, dir: String): DataFrame = {
+    val nine = lpad((col("doc_id") * 2654435761L % 1000000000L).cast("string"),
+      9, "0")
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" ref "), nine.substr(1, 3), lit("-"), nine.substr(4, 2),
+          lit("-"), nine.substr(6, 4))).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("lang"), injected.as("v"))
+      .select(col("lang"),
+        size(regexp_extract_all(col("v"), lit(emailPat), lit(0))).as("ne"),
+        size(regexp_extract_all(col("v"), lit(ssnPat), lit(0))).as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("ne")).as("email_hits"),
+        sum(when(col("ns") > 0, 1L).otherwise(0L)).as("docs_with_ssn"),
+        sum(col("ns")).as("ssn_hits"))
+      .orderBy("lang")
+  }
+
+  val clsTextPiiSql: String = {
+    val nine = "lpad(CAST(doc_id * 2654435761 % 1000000000 AS VARCHAR), 9, '0')"
+    s"""WITH v AS (
+       |  SELECT lang, text ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' ref ' || substr($nine,1,3) || '-' || substr($nine,4,2)
+       |              || '-' || substr($nine,6,4) ELSE '' END AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(t, '$emailPat')) AS ne,
+       |    len(regexp_extract_all(t, '$ssnPat')) AS ns
+       |  FROM v)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       |  CAST(SUM(ne) AS BIGINT) AS email_hits,
+       |  CAST(SUM(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ssn,
+       |  CAST(SUM(ns) AS BIGINT) AS ssn_hits
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_text_pii" -> (clsTextPii _),
     "cls_luhn_check" -> (clsLuhnCheck _),
     "cls_name_match" -> (clsNameMatch _),
     "cls_pattern_match" -> (clsPatternMatch _),
@@ -190,6 +249,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_text_pii" -> clsTextPiiSql,
     "cls_luhn_check" -> clsLuhnCheckSql,
     "cls_name_match" -> clsNameMatchSql,
     "cls_pattern_match" -> clsPatternMatchSql,

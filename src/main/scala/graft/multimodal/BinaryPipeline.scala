@@ -201,13 +201,109 @@ object BinaryPipeline extends QueryModule {
     }
   }
 
+  // ------------------------------------------------ mm_video_frames
+  /** Synthetic length-prefixed frame container ("GVID" magic + frame
+    * count + [len][PNG bytes] per frame) — the JDK ships no video
+    * codec, so the CONTAINER layer is the honest part here (what an
+    * mp4 atom walk does), while every sampled frame still round-trips
+    * the real PNG codec. Frame f of video id is [[encodePng]] of
+    * m = (id + f) mod 256, so frame dims/pixels stay arithmetically
+    * checkable and the whole corpus shares only 256 distinct frames —
+    * which the cache below exploits. */
+  def encodeVideo(id: Long, frame: Int => Array[Byte]): Array[Byte] = {
+    val n = 4 + (id % 8).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(0x47564944) // "GVID"
+    d.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val b = frame(((id + f) % 256).toInt)
+      d.writeInt(b.length)
+      d.write(b)
+      f += 1
+    }
+    d.flush()
+    out.toByteArray
+  }
+
+  /** Frame sampling WITHOUT full decode: the walk SEEKS over unsampled
+    * frames (length-prefixed skip — the reason container-aware
+    * sampling beats decode-everything at scale) and only every
+    * `stride`-th frame passes through the real PNG codec. `decode` is
+    * content-addressed by the caller (identical frame bytes decode
+    * once per task — the dedup play applied to media). */
+  def videoFrameStats(bytes: Array[Byte], stride: Int,
+      decode: Array[Byte] => (String, Int, Int, Int)): (Int, Int, Long, Long, Long) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == 0x47564944, "not a GVID container")
+    val n = in.readInt()
+    var f = 0; var sampled = 0
+    var sumW = 0L; var sumH = 0L; var sumGray = 0L
+    while (f < n) {
+      val len = in.readInt()
+      if (f % stride == 0) {
+        val fb = new Array[Byte](len)
+        in.readFully(fb)
+        val (fmt, w, h, red) = decode(fb)
+        require(fmt == "png", s"unexpected frame codec $fmt")
+        sampled += 1; sumW += w; sumH += h; sumGray += red
+      } else {
+        var skipped = 0L
+        while (skipped < len) skipped += in.skip(len - skipped)
+      }
+      f += 1
+    }
+    (n, sampled, sumW, sumH, sumGray)
+  }
+
+  /** Driver query: build the frame container per doc, stride-2 sample,
+    * decode sampled frames with the real codec; per-task caches make
+    * encode and decode content-addressed (256 distinct frames
+    * corpus-wide), so codec work amortizes like any content-hashed
+    * media store. The oracle recomputes the sums arithmetically. */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val enc = new scala.collection.mutable.HashMap[Int, Array[Byte]]
+        val dec = new scala.collection.mutable.HashMap[String, (String, Int, Int, Int)]
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def key(b: Array[Byte]): String = {
+          md.reset(); md.digest(b).map("%02x".format(_)).mkString
+        }
+        it.map { id =>
+          val video = encodeVideo(id, m => enc.getOrElseUpdate(m, encodePng(m.toLong)))
+          val (n, s, w, h, g) = videoFrameStats(video, 2,
+            fb => dec.getOrElseUpdate(key(fb), decodeImageMeta(fb)))
+          (id, n, s, w, h, g)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "sum_width", "sum_height",
+        "sum_gray")
+      .orderBy("doc_id")
+  }
+
+  val mmVideoFramesSql: String =
+    """WITH v AS (SELECT doc_id, 4 + doc_id % 8 AS nf FROM documents),
+      |s AS (SELECT doc_id, nf, unnest(range(0, nf, 2)) AS f FROM v),
+      |m AS (SELECT doc_id, nf, (doc_id + f) % 256 AS mm FROM s)
+      |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+      |  CAST(COUNT(*) AS INTEGER) AS n_sampled,
+      |  CAST(SUM(8 + mm % 32) AS BIGINT) AS sum_width,
+      |  CAST(SUM(8 + (mm * 7) % 32) AS BIGINT) AS sum_height,
+      |  CAST(SUM(mm) AS BIGINT) AS sum_gray
+      |FROM m GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_image_decode" -> (mmImageDecode _),
-    "mm_audio_decode" -> (mmAudioDecode _))
+    "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_image_decode" -> mmImageDecodeSql,
-    "mm_audio_decode" -> mmAudioDecodeSql)
+    "mm_audio_decode" -> mmAudioDecodeSql,
+    "mm_video_frames" -> mmVideoFramesSql)
 }

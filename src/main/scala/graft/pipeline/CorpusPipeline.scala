@@ -134,13 +134,59 @@ object CorpusPipeline extends QueryModule {
       |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
       |FROM c GROUP BY lang, FLOOR(bef / 2048) ORDER BY lang, bin""".stripMargin
 
+  // --------------------------------------------------- pipe_interleave
+  /** Deterministic weighted mixture interleave — how a training loader
+    * draws from multiple corpora at fixed ratios (en:3, zh:2, rest:1
+    * here). Every doc gets a reproducible shuffle position
+    * (portable-hash order, doc_id tie-break) within its language, and
+    * batch k takes the next `weight` docs of each language — so full
+    * batches hold exactly the target mixture, with no RNG state to
+    * replay. One window shuffle + one agg; at 100 TB the window
+    * partitions by source so no global sort exists. Output pins both
+    * the counts and the hash-order head of every (batch, lang) cell. */
+  def interleave(docs: DataFrame, horizon: Int): DataFrame = {
+    val w = when(col("lang") === "en", lit(3L))
+      .when(col("lang") === "zh", lit(2L)).otherwise(lit(1L))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("_h"), col("doc_id"))
+    docs
+      .withColumn("_h", graft.mask.MaskFunctions.portableHash(col("doc_id")))
+      .withColumn("_w", w)
+      .withColumn("_r", row_number().over(win).cast("long") - 1L)
+      .withColumn("batch", floor(col("_r") / col("_w")))
+      .filter(col("batch") < horizon)
+      .groupBy("batch", "lang")
+      .agg(count(lit(1)).as("n_docs"), min(col("_h")).as("min_hash"))
+      .orderBy("batch", "lang")
+  }
+
+  def pipeInterleave(spark: SparkSession, dir: String): DataFrame =
+    interleave(Tables.documents(spark, dir), 20)
+
+  val pipeInterleaveSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS hh,
+      |    CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 2 ELSE 1 END AS w
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, hh, w,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) - 1 AS r
+      |  FROM h)
+      |SELECT CAST(FLOOR(r / w) AS BIGINT) AS batch, lang,
+      |  COUNT(*) AS n_docs, MIN(hh) AS min_hash
+      |FROM r WHERE FLOOR(r / w) < 20
+      |GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_filter" -> (pipeCorpusFilter _),
     "pipe_sample_stratified" -> (pipeSampleStratified _),
-    "pipe_pack_sequences" -> (pipePackSequences _))
+    "pipe_pack_sequences" -> (pipePackSequences _),
+    "pipe_interleave" -> (pipeInterleave _))
 
   val oracles: Map[String, String] = Map(
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
     "pipe_sample_stratified" -> pipeSampleStratifiedSql,
-    "pipe_pack_sequences" -> pipePackSequencesSql)
+    "pipe_pack_sequences" -> pipePackSequencesSql,
+    "pipe_interleave" -> pipeInterleaveSql)
 }

@@ -51,9 +51,44 @@ object EmbOps extends QueryModule {
       |    END AS BIGINT) AS code_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------- sql_surface
+  /** The pure-SQL user surface: the whole query is `spark.sql` TEXT
+    * over a registered view, using the graft vector functions exactly
+    * as a SQL-only user would after setting
+    * `spark.sql.extensions=graft.expr.GraftExtensions`. Adjacent-id
+    * cosine similarity, emitted as FLOOR(milli) — both engines compute
+    * the same normalized doubles bit-for-bit (strict fold order), so
+    * the truncation is portable. */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH n AS (
+        |  SELECT vec_id, graft_normalize(CAST(embedding AS ARRAY<DOUBLE>)) AS e
+        |  FROM graft_embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  CAST(FLOOR(graft_dot(a.e, b.e) * 1000) AS BIGINT) AS sim_milli
+        |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id1""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    """WITH n AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS e
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  CAST(FLOOR(list_dot_product(a.e, b.e) * 1000) AS BIGINT) AS sim_milli
+      |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+      |ORDER BY id1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_quantize" -> (embQuantize _))
+    "emb_quantize" -> (embQuantize _),
+    "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
-    "emb_quantize" -> embQuantizeSql)
+    "emb_quantize" -> embQuantizeSql,
+    "sql_surface" -> sqlSurfaceSql)
 }

@@ -218,7 +218,35 @@ object EventStreams extends QueryModule {
       | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
       |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------- str_static_enrich
+  /** Stream-static dimension enrichment — the standard "join the
+    * stream to a slowly-changing dim snapshot" op. The join is
+    * STATELESS on the stream side (append-safe): Spark re-reads the
+    * static relation per micro-batch and broadcasts it, so at 100 TB
+    * of stream the only moving cost is the dim broadcast, never stream
+    * state. The key maps user_id into the dim's key space so every SF
+    * resolves (custkeys 1..100 exist at every scale factor). */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      pmod(col("user_id"), lit(100L)) + 1 === col("c_custkey"))
+
+  def strStaticEnrich(spark: SparkSession, dir: String): DataFrame =
+    staticEnrich(Tables.events(spark, dir),
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"))
+      .groupBy(col("event_type"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("event_type", "c_mktsegment")
+
+  val strStaticEnrichSql: String =
+    """SELECT event_type, c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id % 100 + 1 = c_custkey
+      |GROUP BY event_type, c_mktsegment
+      |ORDER BY event_type, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_static_enrich" -> (strStaticEnrich _),
     "str_interval_join" -> (strIntervalJoin _),
     "str_asof_lookup" -> (strAsofLookup _),
     "str_tumbling_agg" -> (strTumbling _),
@@ -228,6 +256,7 @@ object EventStreams extends QueryModule {
     "str_asof_join" -> (strAsof _))
 
   val oracles: Map[String, String] = Map(
+    "str_static_enrich" -> strStaticEnrichSql,
     "str_interval_join" -> strIntervalJoinSql,
     "str_asof_lookup" -> strAsofSql, // same oracle as the window form
     "str_tumbling_agg" -> strTumblingSql,

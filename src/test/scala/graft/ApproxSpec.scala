@@ -108,6 +108,38 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("video container: stride sampling decodes only sampled frames, rejects junk") {
+    // 6-frame container, stride 2 -> frames 0,2,4 decoded; the decode
+    // callback counts invocations to prove unsampled frames are SKIPPED
+    // (seek, not decode) — the point of container-aware sampling
+    var decoded = 0
+    val bytes = BinaryPipeline.encodeVideo(2L, m => BinaryPipeline.encodePng(m.toLong))
+    val (n, s, sumW, sumH, sumG) = BinaryPipeline.videoFrameStats(bytes, 2,
+      fb => { decoded += 1; BinaryPipeline.decodeImageMeta(fb) })
+    assert(n == 6 && s == 3 && decoded == 3)
+    // frames m = 2,4,6: w = 8+m%32, h = 8+(7m)%32, gray = m
+    assert(sumW == (8 + 2) + (8 + 4) + (8 + 6))
+    assert(sumH == (8 + 14) + (8 + 28) + (8 + 42 % 32))
+    assert(sumG == 2 + 4 + 6)
+    intercept[Exception] {
+      BinaryPipeline.videoFrameStats(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 2,
+        BinaryPipeline.decodeImageMeta)
+    }
+  }
+
+  test("interleave emits the target mixture in every full batch") {
+    import graft.pipeline.CorpusPipeline
+    val rows = CorpusPipeline.interleave(docs, 5)
+      .as[(Long, String, Long, Long)].collect()
+    // full batches carry exactly weight docs per lang: en 3, zh 2, rest 1
+    val w = Map("en" -> 3L, "zh" -> 2L, "de" -> 1L, "es" -> 1L, "fr" -> 1L)
+    rows.foreach { case (_, lang, n, _) => assert(n == w(lang), s"$lang: $n") }
+    // deterministic across runs
+    val again = CorpusPipeline.interleave(docs, 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("binary feature extraction is partition-batched and deterministic") {
     val rows = BinaryPipeline.withBlob(docs)
       .select(col("doc_id"), col("blob"))

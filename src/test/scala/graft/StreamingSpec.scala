@@ -61,6 +61,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment joins each micro-batch to the dim snapshot") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((2L, "BUILDING"), (3L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = EventStreams.staticEnrich(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"), dim)
+      .select("event_id", "user_id", "c_mktsegment")
+    val q = stream.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    // user 1 -> key 2 (BUILDING), user 2 -> key 3 (MACHINERY),
+    // user 9 -> key 10 (no dim row: inner join drops it)
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-01 09:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = EventStreams.staticEnrich(
+      (sample :+ ((99L, ts("2024-01-01 09:00:00"), 9L, "click", 0.0)))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), dim)
+      .select("event_id", "user_id", "c_mktsegment")
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && !streamed.exists(_._2 == 9L))
+  }
+
   test("streaming dedup with watermark emits one row per key") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
