@@ -24,6 +24,12 @@ import graft.{QueryModule, Tables}
   */
 object BinaryPipeline extends QueryModule {
 
+  // ImageIO defaults to DISK-backed stream caches (temp files per
+  // encode/decode) — with 32 executor threads hammering tiny in-memory
+  // payloads that is pure filesystem contention. Memory caching is the
+  // right mode for byte-array media columns.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Synthesize a binary "media" column from text (deterministic stand-
     * in for real image/audio payloads): 4-byte magic + UTF-8 body. */
   def withBlob(docs: DataFrame): DataFrame =
