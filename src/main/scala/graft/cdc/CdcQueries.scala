@@ -289,7 +289,49 @@ object CdcQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ------------------------------------------ cdc_changed_columns
+  /** Changed-column-set extraction per update — the reference
+    * generates one routing script per (table, op, COLUMN SET)
+    * (Main.java:446-521 keys its script cache on the column list), so
+    * the engine must know exactly which fields an update touched. The
+    * set is computed GENERICALLY from the parsed before/after structs
+    * (null-safe <=> per field of the row schema), never from knowledge
+    * of the generator; updates are synthesized so both value-drift and
+    * key-rewrite cases occur. */
+  def changedColumns(spark: SparkSession, dir: String): DataFrame = {
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val before = struct(col("event_id"), col("user_id"), col("value"))
+    val after = struct(col("event_id"),
+      when(col("event_id") % 5 === 0, col("user_id") + 1)
+        .otherwise(col("user_id")).as("user_id"),
+      when(col("event_id") % 3 =!= 0, col("value") + lit(1.5))
+        .otherwise(col("value")).as("value"))
+    val json = Envelope.wrap(before, after, "graft", "events", lit("u"),
+      expr("ts_us div 1000"))
+    val parsed = Envelope.parse(ev.select(json.as("j")), col("j"), rowSchema)
+    // generic diff over the row schema: field name iff before != after
+    // (concat_ws skips the nulls of unchanged fields)
+    val changed = concat_ws(",", rowSchema.fieldNames.toSeq.map(f =>
+      when(!(col(s"before.$f") <=> col(s"after.$f")), lit(f))): _*)
+    parsed.select(col("table").as("source_table"), changed.as("changed_cols"))
+      .groupBy("source_table", "changed_cols")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("changed_cols")
+  }
+
+  val changedColumnsSql: String =
+    """SELECT 'events' AS source_table,
+      |  concat_ws(',',
+      |    CASE WHEN event_id % 5 = 0 THEN 'user_id' END,
+      |    CASE WHEN event_id % 3 <> 0 THEN 'value' END) AS changed_cols,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY changed_cols""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_changed_columns" -> (changedColumns _),
     "cdc_dlq_route" -> (dlqRoute _),
     "cdc_parse_envelope" -> (parseEnvelope _),
     "cdc_temporal_repair" -> (temporalRepair _),
@@ -301,6 +343,7 @@ object CdcQueries extends QueryModule {
     "cdc_schema_drift" -> (schemaDrift _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_changed_columns" -> changedColumnsSql,
     "cdc_dlq_route" -> dlqRouteSql,
     "cdc_parse_envelope" -> parseEnvelopeSql,
     "cdc_temporal_repair" -> temporalRepairSql,

@@ -263,7 +263,49 @@ object MaskQueries extends QueryModule {
        |FROM s ORDER BY c_custkey""".stripMargin
   }
 
+  // ------------------------------------------------------ mask_ip
+  /** Subnet-preserving IPv4 masking: the network half (first two
+    * octets) survives so masked data still aggregates by subnet and
+    * joins against network dims; the host half is substituted with a
+    * deterministic hash of the WHOLE address, so distinct hosts stay
+    * distinct-ish and equal addresses mask equally (referential
+    * stability, like the reference's SET-based pseudonyms). Synthetic
+    * IPs derive from c_custkey so both engines mask identical input. */
+  def maskIp(spark: SparkSession, dir: String): DataFrame = {
+    val o2 = (col("c_custkey") * 7) % 256
+    val o3 = (col("c_custkey") * 131) % 256
+    val o4 = (col("c_custkey") * 17) % 256
+    val ip = concat_ws(".", lit(10), o2.cast("string"), o3.cast("string"),
+      o4.cast("string"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), ip.as("_ip"))
+      .select(col("c_custkey"),
+        concat_ws(".",
+          substring_index(col("_ip"), ".", 2),
+          (MaskFunctions.portableHash(col("_ip")) % 256).cast("string"),
+          (floor(MaskFunctions.portableHash(col("_ip")) / 256) % 256)
+            .cast("string"))
+          .as("ip_masked"))
+      .orderBy("c_custkey")
+  }
+
+  val maskIpSql: String = {
+    val h = hashSql("ip")
+    s"""WITH d AS (
+       |  SELECT c_custkey,
+       |    '10.' || CAST(c_custkey * 7 % 256 AS VARCHAR) || '.' ||
+       |    CAST(c_custkey * 131 % 256 AS VARCHAR) || '.' ||
+       |    CAST(c_custkey * 17 % 256 AS VARCHAR) AS ip
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  array_to_string((string_split(ip, '.'))[1:2], '.') || '.' ||
+       |  CAST($h % 256 AS VARCHAR) || '.' ||
+       |  CAST(($h // 256) % 256 AS VARCHAR) AS ip_masked
+       |FROM d ORDER BY c_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_ip" -> (maskIp _),
     "mask_luhn_fpe" -> (maskLuhnFpe _),
     "mask_hex" -> (maskHex _),
     "mask_case" -> (maskCase _),
@@ -278,6 +320,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_ip" -> maskIpSql,
     "mask_luhn_fpe" -> maskLuhnFpeSql,
     "mask_hex" -> maskHexSql,
     "mask_case" -> maskCaseSql,

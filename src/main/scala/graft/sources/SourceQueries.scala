@@ -121,15 +121,51 @@ object SourceQueries extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------ src_partitioned_prune
+  /** Hive-style partitioned layout + partition pruning: documents are
+    * written `partitionBy(lang)`, and a lang-filtered read touches ONLY
+    * the matching directories — the scan's PartitionFilters prune
+    * before any file IO (PlanSpec asserts the plan property; the
+    * oracle proves result identity). At 100 TB this is the first-line
+    * data-skipping layout: a 5-language filter on a lang-partitioned
+    * corpus reads 1/5th of the bytes no matter the corpus size. */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    partitionedDocs(spark, dir)
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** The partitioned write is a one-time layout (like q26's buckets):
+    * keyed by source-dir hash, written once, re-read thereafter. */
+  def partitionedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val loc = new java.io.File(s"/tmp/graft_part_$tag")
+    if (!new java.io.File(loc, "_SUCCESS").exists())
+      Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(loc.toString)
+    spark.read.parquet(loc.toString)
+  }
+
+  val partitionedPruneSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents WHERE lang IN ('en', 'zh')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
     "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
     "src_jsonl_changelog" -> (jsonlChangelog _),
-    "src_orc_roundtrip" -> (orcRoundtrip _))
+    "src_orc_roundtrip" -> (orcRoundtrip _),
+    "src_partitioned_prune" -> (partitionedPrune _))
 
   val oracles: Map[String, String] = Map(
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,
-    "src_orc_roundtrip" -> orcRoundtripSql)
+    "src_orc_roundtrip" -> orcRoundtripSql,
+    "src_partitioned_prune" -> partitionedPruneSql)
 }

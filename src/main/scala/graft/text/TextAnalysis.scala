@@ -179,7 +179,45 @@ object TextAnalysis extends QueryModule {
       |  FROM big GROUP BY lang, bigram) r
       |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
 
+  // --------------------------------------------------- txt_vocab_stats
+  /** Per-language vocabulary statistics — the corpus-health numbers a
+    * training pipeline tracks per source: vocabulary size, hapax
+    * (singleton) count, total token mass, and the share of the top
+    * token in exact per-mille (integer math, no float ratios cross
+    * the oracle boundary). One explode + two agg shuffles, both keyed
+    * on (lang[, token]) — the sharded word-count shape that scales
+    * linearly. */
+  def txtVocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    tok.groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        sum(col("n")).as("token_mass"),
+        max(col("n")).as("top_token_n"))
+      .select(col("lang"), col("vocab_size"), col("hapax_count"),
+        col("token_mass"),
+        floor((col("top_token_n") * 1000L).cast("double") /
+          col("token_mass").cast("double")).as("top_share_pm"))
+      .orderBy("lang")
+  }
+
+  val txtVocabStatsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, w, COUNT(*) AS n FROM (
+      |    SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |    FROM documents) t
+      |  GROUP BY lang, w)
+      |SELECT lang, COUNT(*) AS vocab_size,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+      |  CAST(SUM(n) AS BIGINT) AS token_mass,
+      |  CAST(FLOOR(CAST(MAX(n) * 1000 AS DOUBLE) /
+      |       CAST(SUM(n) AS DOUBLE)) AS BIGINT) AS top_share_pm
+      |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_vocab_stats" -> (txtVocabStats _),
     "txt_top_bigrams" -> (txtTopBigrams _),
     "txt_token_count" -> (txtTokenCount _),
     "txt_quality" -> (txtQuality _),
@@ -187,6 +225,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_vocab_stats" -> txtVocabStatsSql,
     "txt_top_bigrams" -> txtTopBigramsSql,
     "txt_token_count" -> txtTokenCountSql,
     "txt_quality" -> txtQualitySql,

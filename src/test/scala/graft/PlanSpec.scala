@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation before the shuffle:\n$plan")
   }
 
+  test("partitioned layout prunes partitions before any file IO") {
+    import graft.sources.SourceQueries
+    val df = SourceQueries.partitionedDocs(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("lang").isin("en", "zh"))
+    val plan = executed(df)
+    // the lang filter must appear as a PartitionFilters entry on the
+    // scan (directory-level skip), not a post-scan Filter over rows
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected lang in PartitionFilters:\n$plan")
+    val scanned = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scanned.exists(_.contains("PartitionFilters: [") ),
+      s"scan must carry partition filters:\n$plan")
+  }
+
   test("pair-join dedup operators never broadcast the corpus side") {
     // the r2 regression: broadcast() of the whole doc-set/embedding
     // side of every pair join — a guaranteed OOM at corpus scale. The
