@@ -245,7 +245,41 @@ object EventStreams extends QueryModule {
       |GROUP BY event_type, c_mktsegment
       |ORDER BY event_type, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------- str_topk_windowed
+  /** Windowed top-k: the leading event types of every tumbling hour.
+    * The windowed-agg + per-window rank composition every monitoring
+    * pipeline runs; Spark's WindowGroupLimit pushes the rank<=k filter
+    * into the sort so per-window state stays k rows. (In streaming
+    * mode the same plan runs per closed window once the watermark
+    * passes; the driver verifies the batch-equivalent form.) */
+  def topkWindowed(events: DataFrame, k: Int): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(desc("cnt"), col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  def strTopkWindowed(spark: SparkSession, dir: String): DataFrame =
+    topkWindowed(Tables.events(spark, dir), 2)
+      .orderBy("window_start", "rnk")
+
+  val strTopkWindowedSql: String =
+    """SELECT window_start, event_type, cnt, CAST(rnk AS INTEGER) AS rnk
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |    COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY COUNT(*) DESC, event_type) AS rnk
+      |  FROM events GROUP BY 1, 2) t
+      |WHERE rnk <= 2 ORDER BY window_start, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_topk_windowed" -> (strTopkWindowed _),
     "str_static_enrich" -> (strStaticEnrich _),
     "str_interval_join" -> (strIntervalJoin _),
     "str_asof_lookup" -> (strAsofLookup _),
@@ -256,6 +290,7 @@ object EventStreams extends QueryModule {
     "str_asof_join" -> (strAsof _))
 
   val oracles: Map[String, String] = Map(
+    "str_topk_windowed" -> strTopkWindowedSql,
     "str_static_enrich" -> strStaticEnrichSql,
     "str_interval_join" -> strIntervalJoinSql,
     "str_asof_lookup" -> strAsofSql, // same oracle as the window form
