@@ -3,13 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dumps the formatted physical plans of the scale-critical operators
-  * to a markdown file (docs/PLANS_r3.md) — the audit trail for the
+  * to a markdown file (docs/PLANS_r4.md) — the audit trail for the
   * "explain and iterate until it's the plan you'd want" loop. Run:
   * `runMain graft.tools.PlanDump [sfDir] [outFile]`. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("docs/PLANS_r3.md")
+    val out = args.lift(1).getOrElse("docs/PLANS_r4.md")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,10 +22,12 @@ object PlanDump {
       "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
       "dedup_components", "pipe_corpus_filter", "knn_bruteforce",
       "knn_lsh", "knn_centroid", "emb_quantize", "q05_multijoin",
-      "mask_classified")
+      "mask_classified", "src_partitioned_prune", "q26_bucketed_join",
+      "str_static_enrich", "pipe_interleave", "sql_surface",
+      "cls_text_pii", "txt_vocab_stats")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
-      w.println("# PLANS - round 3 physical-plan audit")
+      w.println("# PLANS - round 4 physical-plan audit")
       w.println()
       w.println(s"Executed (AQE-final) plans of the scale-critical operators at $sfDir.")
       w.println("What to look for: pair joins are LOGICALLY shuffle joins on blocking")
