@@ -444,6 +444,93 @@ case class Bigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd sliding word-n-gram builder over an ArrayType(String)
+  * column: (["a","b","c","d"], 3) → ["a b c","b c d"]. Generalizes
+  * [[Bigrams]] for contamination checks and n-gram statistics where
+  * n > 2; the HOF `transform(sequence(...), slice...)` formulation is
+  * CodegenFallback and re-evaluates the slice per element. `n` must be
+  * a foldable positive integer. A null element null-propagates into
+  * every gram whose window covers it. */
+case class NGrams(child: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def left: Expression = child
+  override def right: Expression = n
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = true)
+  override def prettyName: String = "graft_ngrams"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!n.foldable || n.dataType != org.apache.spark.sql.types.IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integer gram size")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k = b.asInstanceOf[Int]
+    val len = x.numElements()
+    val m = if (k > 0 && len >= k) len - k + 1 else 0
+    val out = new Array[Any](m)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < m) {
+      var hasNull = false
+      var j = 0
+      while (j < k) {
+        if (x.isNullAt(i + j)) hasNull = true
+        else parts(j) = x.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = if (hasNull) null else UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val arr = ctx.freshName("arr")
+      val parts = ctx.freshName("parts")
+      val hasNull = ctx.freshName("hasNull")
+      val spaceRef = ctx.addReferenceObj("space", space,
+        classOf[UTF8String].getName)
+      s"""
+         |int $k = (int) $b;
+         |int $len = $a.numElements();
+         |int $m = ($k > 0 && $len >= $k) ? $len - $k + 1 : 0;
+         |Object[] $arr = new Object[$m];
+         |org.apache.spark.unsafe.types.UTF8String[] $parts =
+         |  new org.apache.spark.unsafe.types.UTF8String[$k];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  boolean $hasNull = false;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if ($a.isNullAt($i + $j)) { $hasNull = true; }
+         |    else { $parts[$j] = $a.getUTF8String($i + $j); }
+         |  }
+         |  $arr[$i] = $hasNull ? null :
+         |    org.apache.spark.unsafe.types.UTF8String.concatWs($spaceRef, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, n = newRight)
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val intersectName = "graft_intersect_size"
@@ -452,6 +539,7 @@ object VectorExprs {
   val normName = "graft_normalize"
   val minhashName = "graft_minhash_bands"
   val jaccardName = "graft_jaccard"
+  val ngramsName = "graft_ngrams"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -485,6 +573,11 @@ object VectorExprs {
     new ExpressionInfo(classOf[SortedJaccard].getName, jaccardName),
     (children: Seq[Expression]) => SortedJaccard(children.head, children(1)))
 
+  val ngramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(ngramsName),
+    new ExpressionInfo(classOf[NGrams].getName, ngramsName),
+    (children: Seq[Expression]) => NGrams(children.head, children(1)))
+
   val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier(minhashName),
     new ExpressionInfo(classOf[MinHashBands].getName, minhashName),
@@ -512,6 +605,9 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jaccardName,
       children => SortedJaccard(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ngramsName,
+      children => NGrams(children.head, children(1)), "built-in")
   }
 }
 
@@ -527,5 +623,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.normDescriptor)
     ext.injectFunction(VectorExprs.minhashDescriptor)
     ext.injectFunction(VectorExprs.jaccardDescriptor)
+    ext.injectFunction(VectorExprs.ngramsDescriptor)
   }
 }

@@ -304,7 +304,52 @@ object MaskQueries extends QueryModule {
        |FROM d ORDER BY c_custkey""".stripMargin
   }
 
+  // ------------------------------------------------------ mask_consistent
+  /** Referential-integrity-preserving tokenization — the property that
+    * makes a masked lake still QUERYABLE: the same key value gets the
+    * same token in EVERY table it appears in, so joins on the masked
+    * key return exactly the rows the unmasked join would (the
+    * reference's deterministic per-value rules give the same guarantee
+    * across targets). Here `c_custkey`/`o_custkey` are tokenized with
+    * one shared deterministic function and the masked tables are
+    * joined ON THE TOKENS; per-nation order counts prove the join
+    * survives masking. MaskAndClassifySpec additionally pins
+    * masked-join ≡ unmasked-join row-for-row. Scale: the token is a
+    * codegen scalar (no lookup table to distribute) and the join is
+    * the same shuffle/broadcast decision the unmasked plan had. */
+  def custToken(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("tok-"),
+      lpad(MaskFunctions.portableHash(c).cast("string"), 10, "0"))
+
+  def maskConsistent(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(custToken(col("c_custkey")).as("cust_token"),
+        col("c_nationkey"))
+    val ords = Tables.orders(spark, dir)
+      .select(custToken(col("o_custkey")).as("o_token"))
+    cust.join(ords, col("cust_token") === col("o_token"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("cust_token")).as("n_customers"),
+        min(col("cust_token")).as("first_token"))
+      .orderBy("c_nationkey")
+  }
+
+  val maskConsistentSql: String = {
+    def tok(e: String) =
+      s"'tok-' || lpad(CAST(${hashSql(s"CAST($e AS VARCHAR)")} AS VARCHAR), 10, '0')"
+    s"""WITH cust AS (
+       |  SELECT ${tok("c_custkey")} AS cust_token, c_nationkey FROM customer),
+       |ords AS (SELECT ${tok("o_custkey")} AS o_token FROM orders)
+       |SELECT c_nationkey, COUNT(*) AS n_orders,
+       |  COUNT(DISTINCT cust_token) AS n_customers,
+       |  MIN(cust_token) AS first_token
+       |FROM cust JOIN ords ON cust_token = o_token
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_consistent" -> (maskConsistent _),
     "mask_ip" -> (maskIp _),
     "mask_luhn_fpe" -> (maskLuhnFpe _),
     "mask_hex" -> (maskHex _),
@@ -320,6 +365,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_consistent" -> maskConsistentSql,
     "mask_ip" -> maskIpSql,
     "mask_luhn_fpe" -> maskLuhnFpeSql,
     "mask_hex" -> maskHexSql,

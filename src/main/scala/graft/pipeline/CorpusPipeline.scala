@@ -178,15 +178,81 @@ object CorpusPipeline extends QueryModule {
       |FROM r WHERE FLOOR(r / w) < 20
       |GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin
 
+  // ------------------------------------------------- pipe_contamination
+  /** Benchmark-contamination check: which training documents share any
+    * word n-gram with the held-out eval split? The standard leakage
+    * gate before a training run (eval examples whose n-grams appear in
+    * the corpus inflate the benchmark). Mechanics, all linear-scaling:
+    *
+    *   - the eval split is a deterministic hash gate (same mechanism as
+    *     [[sampleStratified]] — reproducible, engine-independent);
+    *   - one codegen n-gram pass ([[graft.expr.NGrams]]) feeds both
+    *     sides, each gram reduced to a portable 64-bit-range hash so
+    *     the join ships 16-byte rows, never gram strings;
+    *   - train⋈eval is a shuffle hash-join on the gram hash (at corpus
+    *     scale the eval side is tiny — AQE broadcasts it at runtime,
+    *     but nothing in the plan REQUIRES that);
+    *   - per-doc distinct grams before the join cap the join fan-out at
+    *     (distinct grams) × (eval docs sharing them).
+    */
+  def contamination(docs: DataFrame, n: Int, evalGate: Int): DataFrame = {
+    val grams = docs
+      .withColumn("_eval",
+        pmod(graft.mask.MaskFunctions.portableHash(col("doc_id")),
+          lit(evalGate.toLong)) === 0L)
+      .select(col("doc_id"), col("_eval"),
+        explode(call_function(graft.expr.VectorExprs.ngramsName,
+          split(col("text"), "\\s+"), lit(n))).as("g"))
+      .select(col("doc_id"), col("_eval"),
+        graft.mask.MaskFunctions.portableHash(col("g")).as("gh"))
+      .distinct()
+    val train = grams.filter(!col("_eval"))
+      .select(col("doc_id").as("train_doc"), col("gh"))
+    val held = grams.filter(col("_eval"))
+      .select(col("doc_id").as("eval_doc"), col("gh"))
+    train.join(held, "gh")
+      .groupBy("train_doc")
+      .agg(countDistinct(col("gh")).as("n_shared"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy("train_doc")
+  }
+
+  def pipeContamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    contamination(Tables.documents(spark, dir), 4, 20)
+  }
+
+  val pipeContaminationSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 20 = 0 AS is_eval
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, is_eval,
+      |    ('0x'||substr(md5(g),1,8))::BIGINT AS gh
+      |  FROM (
+      |    SELECT doc_id, is_eval,
+      |      unnest(list_transform(range(1, len(w) - 2),
+      |        i -> array_to_string(w[i:i+3], ' '))) AS g
+      |    FROM docs) t)
+      |SELECT t.doc_id AS train_doc,
+      |  COUNT(DISTINCT t.gh) AS n_shared,
+      |  COUNT(DISTINCT e.doc_id) AS n_eval_docs
+      |FROM grams t JOIN grams e ON t.gh = e.gh
+      |WHERE NOT t.is_eval AND e.is_eval
+      |GROUP BY t.doc_id ORDER BY train_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_filter" -> (pipeCorpusFilter _),
     "pipe_sample_stratified" -> (pipeSampleStratified _),
     "pipe_pack_sequences" -> (pipePackSequences _),
-    "pipe_interleave" -> (pipeInterleave _))
+    "pipe_interleave" -> (pipeInterleave _),
+    "pipe_contamination" -> (pipeContamination _))
 
   val oracles: Map[String, String] = Map(
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
     "pipe_sample_stratified" -> pipeSampleStratifiedSql,
     "pipe_pack_sequences" -> pipePackSequencesSql,
-    "pipe_interleave" -> pipeInterleaveSql)
+    "pipe_interleave" -> pipeInterleaveSql,
+    "pipe_contamination" -> pipeContaminationSql)
 }

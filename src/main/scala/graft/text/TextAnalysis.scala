@@ -216,7 +216,85 @@ object TextAnalysis extends QueryModule {
       |       CAST(SUM(n) AS DOUBLE)) AS BIGINT) AS top_share_pm
       |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------- txt_collocations
+  /** Top collocations per language scored by pointwise mutual
+    * information: PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with p estimated
+    * from unigram/bigram counts over the language's token mass. The
+    * standard phrase-mining signal (high-PMI pairs are multiword
+    * units, not chance co-occurrences). Plan shape: the codegen bigram
+    * pass feeds one (lang,bigram) count agg; two post-agg joins attach
+    * the unigram counts (post-agg tables are tiny relative to the
+    * corpus — AQE broadcasts them at runtime, nothing requires it);
+    * ranking is by exact integer count with a string tie-break, so
+    * cross-engine ordering never depends on float bits. The score
+    * column is the PMI LIFT p(x,y)/(p(x)·p(y)) rather than its log:
+    * +,×,/ are IEEE-exact and bit-reproducible across engines, while
+    * ln() is correctly-rounded in neither Java nor DuckDB (measured
+    * 1-ulp disagreement) — monotone-equivalent, PMI = ln(lift).
+    */
+  def txtCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("nw"))
+    val tot = uni.groupBy("lang").agg(sum(col("nw")).as("nn"))
+    val big = docs.select(col("lang"),
+        explode(call_function(graft.expr.VectorExprs.bigramsName,
+          words(col("text")))).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 10)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val u1 = uni.select(col("lang").as("l1"), col("w").as("w1"),
+      col("nw").as("nx"))
+    val u2 = uni.select(col("lang").as("l2"), col("w").as("w2"),
+      col("nw").as("ny"))
+    val lift =
+      (col("nxy").cast("double") * col("nn").cast("double")) /
+      (col("nx").cast("double") * col("ny").cast("double"))
+    big
+      .join(u1, col("lang") === col("l1") && big("w1") === u1("w1"))
+      .join(u2, col("lang") === col("l2") && big("w2") === u2("w2"))
+      .join(tot, "lang")
+      .withColumn("lift", lift)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("nxy"), col("bigram"))))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("bigram"), col("nxy"), col("lift"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  val txtCollocationsSql: String =
+    """WITH uni AS (
+      |  SELECT lang, w, COUNT(*) AS nw FROM (
+      |    SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |    FROM documents) t GROUP BY lang, w),
+      |tot AS (SELECT lang, CAST(SUM(nw) AS BIGINT) AS nn FROM uni GROUP BY lang),
+      |big AS (
+      |  SELECT lang, bigram, COUNT(*) AS nxy FROM (
+      |    SELECT lang,
+      |      unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |    FROM (SELECT lang, regexp_split_to_array(text, '\s+') AS w
+      |          FROM documents) d) b
+      |  GROUP BY lang, bigram HAVING COUNT(*) >= 10),
+      |j AS (
+      |  SELECT big.lang, big.bigram, big.nxy,
+      |    (CAST(big.nxy AS DOUBLE) * CAST(tot.nn AS DOUBLE)) /
+      |      (CAST(u1.nw AS DOUBLE) * CAST(u2.nw AS DOUBLE)) AS lift,
+      |    ROW_NUMBER() OVER (PARTITION BY big.lang
+      |      ORDER BY big.nxy DESC, big.bigram) AS rnk
+      |  FROM big
+      |  JOIN uni u1 ON u1.lang = big.lang
+      |    AND u1.w = string_split(big.bigram, ' ')[1]
+      |  JOIN uni u2 ON u2.lang = big.lang
+      |    AND u2.w = string_split(big.bigram, ' ')[2]
+      |  JOIN tot ON tot.lang = big.lang)
+      |SELECT lang, bigram, nxy, lift, CAST(rnk AS INTEGER) AS rnk
+      |FROM j WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_collocations" -> (txtCollocations _),
     "txt_vocab_stats" -> (txtVocabStats _),
     "txt_top_bigrams" -> (txtTopBigrams _),
     "txt_token_count" -> (txtTokenCount _),
@@ -225,6 +303,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_collocations" -> txtCollocationsSql,
     "txt_vocab_stats" -> txtVocabStatsSql,
     "txt_top_bigrams" -> txtTopBigramsSql,
     "txt_token_count" -> txtTokenCountSql,

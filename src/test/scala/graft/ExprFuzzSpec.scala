@@ -123,4 +123,20 @@ class ExprFuzzSpec extends AnyFunSuite {
       assert(got == exp)
     }
   }
+
+  test("NGrams matches sliding-window concatenation for n in 1..6") {
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val words = Seq.fill(rnd.nextInt(15))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      val got = {
+        val d = NGrams(Literal.create(words, ArrayType(StringType)),
+          Literal(n)).eval(null).asInstanceOf[ArrayData]
+        (0 until d.numElements()).map(i => d.getUTF8String(i).toString)
+      }
+      val exp = if (words.size < n) Seq.empty
+        else words.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got == exp)
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.mask.{MaskFunctions, RuleEngine}
+import graft.mask.{MaskFunctions, MaskQueries, RuleEngine}
 import graft.classify._
 
 class MaskAndClassifySpec extends SparkSpec {
@@ -154,6 +154,21 @@ class MaskAndClassifySpec extends SparkSpec {
       .collect().map(_.getBoolean(0))
     assert(checked.nonEmpty && checked.forall(identity),
       "every masked card number must stay Luhn-valid")
+  }
+
+  test("consistent tokenization preserves referential integrity") {
+    // the masked-key join must return exactly the rows the unmasked
+    // join returns — token collisions or nondeterminism would break it
+    val cust = Tables.customer(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir)
+    val unmasked = cust.join(ords, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"))
+    val masked = cust
+      .select(MaskQueries.custToken(col("c_custkey")).as("ct"), col("c_custkey"))
+      .join(ords.select(MaskQueries.custToken(col("o_custkey")).as("ot"),
+        col("o_orderkey")), col("ct") === col("ot"))
+      .select(col("c_custkey"), col("o_orderkey"))
+    assert(masked.exceptAll(unmasked).isEmpty && unmasked.exceptAll(masked).isEmpty)
   }
 
   test("xml compat rejects DOCTYPE declarations (XXE hardening)") {
