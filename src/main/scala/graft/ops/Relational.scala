@@ -633,6 +633,50 @@ object Relational extends graft.QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------ q27_percentiles
+  /** Exact per-group order statistics (median + p90) via window math —
+    * NOT percentile_approx (a sketch) and NOT percentile_cont (whose
+    * interpolation formula isn't pinned across engines): rank every
+    * row, pick the middle row(s) / the ceil(0.9·n)-th row. This is the
+    * reference's report-style summary stat, exact and reproducible.
+    * Two-pass shape: one shuffle on the group key, one window per
+    * group; at 100 TB the window partitions by group so no global
+    * sort exists (the per-group sort is the inherent cost of an exact
+    * percentile). Duplicate values make rank assignment among ties
+    * arbitrary, but the SELECTED VALUE is tie-invariant. */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy("l_returnflag")
+    val w = byFlag.orderBy("l_quantity")
+    // Spark's `/` is true division even on longs — `div` floors
+    val mid1 = expr("(cnt + 1) div 2")
+    val mid2 = expr("(cnt + 2) div 2")
+    val p90 = ceil(col("cnt").cast("double") * 0.9)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(byFlag))
+      .groupBy("l_returnflag")
+      .agg(max(col("cnt")).as("n"),
+        avg(when(col("rn") === mid1 || col("rn") === mid2,
+          col("l_quantity"))).as("median_qty"),
+        max(when(col("rn") === p90, col("l_quantity"))).as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val q27Sql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM lineitem)
+      |SELECT l_returnflag, MAX(cnt) AS n,
+      |  AVG(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |      THEN l_quantity END) AS median_qty,
+      |  MAX(CASE WHEN rn = CEIL(CAST(cnt AS DOUBLE) * 0.9)
+      |      THEN l_quantity END) AS p90_qty
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01 _),
@@ -660,7 +704,8 @@ object Relational extends graft.QueryModule {
     "q23_cube" -> (q23 _),
     "q24_running_sum" -> (q24 _),
     "q25_salted_join" -> (q25 _),
-    "q26_bucketed_join" -> (q26 _))
+    "q26_bucketed_join" -> (q26 _),
+    "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg" -> q01Sql,
@@ -688,5 +733,6 @@ object Relational extends graft.QueryModule {
     "q23_cube" -> q23Sql,
     "q24_running_sum" -> q24Sql,
     "q25_salted_join" -> q25Sql,
-    "q26_bucketed_join" -> q26Sql)
+    "q26_bucketed_join" -> q26Sql,
+    "q27_percentiles" -> q27Sql)
 }
