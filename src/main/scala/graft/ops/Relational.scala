@@ -645,6 +645,7 @@ object Relational extends graft.QueryModule {
     * percentile). Duplicate values make rank assignment among ties
     * arbitrary, but the SELECTED VALUE is tie-invariant. */
   def q27(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byFlag = Window.partitionBy("l_returnflag")
     val w = byFlag.orderBy("l_quantity")
     // Spark's `/` is true division even on longs — `div` floors
