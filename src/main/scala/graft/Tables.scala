@@ -44,4 +44,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Content fingerprint for write-once layout caches (q26's buckets,
+    * the partitioned-docs layout): md5 over the source dir path PLUS
+    * every parquet file's (name, size, mtime). Regenerated data at the
+    * same path changes the tag, so a stale layout is abandoned rather
+    * than silently re-attached. Single-writer per tag is still assumed
+    * (fine for a bench sandbox; a shared lakehouse wants a real
+    * transactional catalog instead of an `_SUCCESS` probe). */
+  def layoutTag(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir +: files).mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
 }

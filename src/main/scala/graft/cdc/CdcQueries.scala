@@ -322,11 +322,15 @@ object CdcQueries extends QueryModule {
       .orderBy("changed_cols")
   }
 
+  // The IS NOT NULL guards mirror the Spark side's null-safe <=> diff:
+  // NULL + 1.5 IS NULL, so a NULL field is UNCHANGED on both engines.
   val changedColumnsSql: String =
     """SELECT 'events' AS source_table,
       |  concat_ws(',',
-      |    CASE WHEN event_id % 5 = 0 THEN 'user_id' END,
-      |    CASE WHEN event_id % 3 <> 0 THEN 'value' END) AS changed_cols,
+      |    CASE WHEN event_id % 5 = 0 AND user_id IS NOT NULL
+      |      THEN 'user_id' END,
+      |    CASE WHEN event_id % 3 <> 0 AND value IS NOT NULL
+      |      THEN 'value' END) AS changed_cols,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY changed_cols""".stripMargin
 

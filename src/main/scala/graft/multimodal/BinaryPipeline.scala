@@ -255,8 +255,9 @@ object BinaryPipeline extends QueryModule {
         require(fmt == "png", s"unexpected frame codec $fmt")
         sampled += 1; sumW += w; sumH += h; sumGray += red
       } else {
-        var skipped = 0L
-        while (skipped < len) skipped += in.skip(len - skipped)
+        // skipNBytes raises EOFException on truncation — a plain
+        // skip() loop would spin forever on skip()=0 at EOF
+        in.skipNBytes(len)
       }
       f += 1
     }

@@ -586,10 +586,10 @@ object Relational extends graft.QueryModule {
     // The bucketed layout is a ONE-TIME cost amortized over every
     // subsequent keyed join (the whole point of bucketing at 100 TB) —
     // so the tables are written once per source dir and reused across
-    // runs in the same session; the dir hash in the name keeps
-    // different SFs from colliding.
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // runs in the same session; the tag fingerprints the source files
+    // (path + sizes + mtimes), so different SFs never collide and
+    // regenerated data invalidates the cached layout.
+    val tag = Tables.layoutTag(dir)
     val liT = s"graft_buckets.li_b_$tag"
     val ordT = s"graft_buckets.ord_b_$tag"
     val dbLoc = s"/tmp/graft_buckets_$tag"
@@ -610,14 +610,19 @@ object Relational extends graft.QueryModule {
                |INTO 8 BUCKETS LOCATION '$dbLoc/$name'""".stripMargin)
         else write
       }
+    // explicit per-table path: the written location then always agrees
+    // with the `_SUCCESS` probe above, even if the database LOCATION
+    // was fixed by an earlier session with a different tag
     ensure(liT, "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey",
       Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
         .write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable(liT))
+        .sortBy("l_orderkey").option("path", s"$dbLoc/li_b_$tag")
+        .saveAsTable(liT))
     ensure(ordT, "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey",
       Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable(ordT))
+        .sortBy("o_orderkey").option("path", s"$dbLoc/ord_b_$tag")
+        .saveAsTable(ordT))
     spark.table(liT)
       .join(spark.table(ordT),
         col("l_orderkey") === col("o_orderkey"))

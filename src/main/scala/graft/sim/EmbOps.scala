@@ -62,10 +62,20 @@ object EmbOps extends QueryModule {
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+    // Degenerate vectors (zero norm, NaN/Inf components) are excluded
+    // up front, mirroring Dedup.embeddingPairs: a NaN normalized dot
+    // would hit Spark's non-ANSI CAST(FLOOR(NaN) AS BIGINT) = 0 while
+    // DuckDB diverges. `> 0 AND < Infinity` rejects NaN in BOTH
+    // engines (each orders NaN above Infinity).
     spark.sql(
       """WITH n AS (
         |  SELECT vec_id, graft_normalize(CAST(embedding AS ARRAY<DOUBLE>)) AS e
-        |  FROM graft_embeddings)
+        |  FROM graft_embeddings
+        |  WHERE graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                  CAST(embedding AS ARRAY<DOUBLE>)) > 0
+        |    AND graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                  CAST(embedding AS ARRAY<DOUBLE>))
+        |        < CAST('Infinity' AS DOUBLE))
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  CAST(FLOOR(graft_dot(a.e, b.e) * 1000) AS BIGINT) AS sim_milli
         |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
@@ -78,7 +88,11 @@ object EmbOps extends QueryModule {
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
       |                                     CAST(embedding AS DOUBLE[])))) AS e
-      |  FROM embeddings)
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0)
       |SELECT a.vec_id AS id1, b.vec_id AS id2,
       |  CAST(FLOOR(list_dot_product(a.e, b.e) * 1000) AS BIGINT) AS sim_milli
       |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1

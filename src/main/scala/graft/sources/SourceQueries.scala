@@ -138,10 +138,11 @@ object SourceQueries extends QueryModule {
   }
 
   /** The partitioned write is a one-time layout (like q26's buckets):
-    * keyed by source-dir hash, written once, re-read thereafter. */
+    * keyed by a content fingerprint of the source (path + file sizes +
+    * mtimes — [[Tables.layoutTag]]), written once, re-read thereafter;
+    * regenerated source data gets a fresh layout. */
   def partitionedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tag = Tables.layoutTag(dir)
     val loc = new java.io.File(s"/tmp/graft_part_$tag")
     if (!new java.io.File(loc, "_SUCCESS").exists())
       Tables.documents(spark, dir)
