@@ -639,33 +639,46 @@ object Relational extends graft.QueryModule {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ------------------------------------------------ q27_percentiles
-  /** Exact per-group order statistics (median + p90) via window math —
-    * NOT percentile_approx (a sketch) and NOT percentile_cont (whose
-    * interpolation formula isn't pinned across engines): rank every
-    * row, pick the middle row(s) / the ceil(0.9·n)-th row. This is the
+  /** Exact per-group order statistics (median + p90) — NOT
+    * percentile_approx (a sketch) and NOT percentile_cont (whose
+    * interpolation formula isn't pinned across engines). This is the
     * reference's report-style summary stat, exact and reproducible.
-    * Two-pass shape: one shuffle on the group key, one window per
-    * group; at 100 TB the window partitions by group so no global
-    * sort exists (the per-group sort is the inherent cost of an exact
-    * percentile). Duplicate values make rank assignment among ties
-    * arbitrary, but the SELECTED VALUE is tie-invariant. */
+    *
+    * Selection via VALUE HISTOGRAM, not per-row ranking: pass 1 is a
+    * map-side-combining groupBy(group, value) count; pass 2 ranks the
+    * k-th element inside the cumulative histogram — a window over
+    * distinct (group, value) pairs only. A window partitioned by
+    * l_returnflag over the raw rows would sort 100 TB/3 in one task;
+    * the histogram shrinks that to |group|×|distinct values| rows
+    * (l_quantity has a bounded integer domain — for a high-cardinality
+    * value column you'd insert a value-bucketing pre-pass and resolve
+    * the k-th element within its bucket, same two-pass idea).
+    * The k-th SELECTED VALUE is tie-invariant: a histogram row covers
+    * the rank range [lo, hi] of its duplicates. */
   def q27(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("c"))
     val byFlag = Window.partitionBy("l_returnflag")
-    val w = byFlag.orderBy("l_quantity")
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(byFlag.orderBy("l_quantity")))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .withColumn("n", max(col("hi")).over(byFlag))
     // Spark's `/` is true division even on longs — `div` floors
-    val mid1 = expr("(cnt + 1) div 2")
-    val mid2 = expr("(cnt + 2) div 2")
-    val p90 = ceil(col("cnt").cast("double") * 0.9)
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(byFlag))
-      .groupBy("l_returnflag")
-      .agg(max(col("cnt")).as("n"),
-        avg(when(col("rn") === mid1 || col("rn") === mid2,
-          col("l_quantity"))).as("median_qty"),
-        max(when(col("rn") === p90, col("l_quantity"))).as("p90_qty"))
+    val mid1 = expr("(n + 1) div 2")
+    val mid2 = expr("(n + 2) div 2")
+    val p90 = ceil(col("n").cast("double") * 0.9)
+    def holds(k: Column): Column = col("lo") <= k && k <= col("hi")
+    cum.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        // one histogram row holds both middle ranks (odd n, or even n
+        // with equal middle values) → avg of that row = the value;
+        // two rows → avg = their midpoint — same arithmetic as the
+        // per-row rn ∈ {mid1, mid2} formulation
+        avg(when(holds(mid1) || holds(mid2), col("l_quantity")))
+          .as("median_qty"),
+        max(when(holds(p90), col("l_quantity"))).as("p90_qty"))
       .orderBy("l_returnflag")
   }
 

@@ -102,23 +102,49 @@ object CorpusPipeline extends QueryModule {
     * cumulative token count — the standard streaming-pack
     * approximation (bin = floor(cumulative-before / budget); a doc
     * straddling a boundary starts its tail in the next bin, which is
-    * what sequence-packing loaders do). Pure integer window math —
-    * one shuffle on the stratum key. */
-  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    * what sequence-packing loaders do).
+    *
+    * TWO-LEVEL prefix sum, because a window partitioned by `lang`
+    * alone (cardinality ~5) would sort the largest language's ENTIRE
+    * corpus in one task at 100 TB. Shards are contiguous doc_id
+    * ranges (`doc_id div docsPerShard`), so:
+    *
+    *   global_before(doc) = Σ tokens of earlier shards (exclusive
+    *                        prefix over per-shard totals — one tiny
+    *                        agg, broadcast back)
+    *                      + within-shard running sum (window over
+    *                        (lang, shard) — bounded partitions).
+    *
+    * Bit-identical to the single-window formulation (the oracle is
+    * unchanged); no window in the plan partitions a corpus-sized
+    * input by a low-cardinality key (PlanSpec pins this). */
+  def packSequences(docs: DataFrame, budget: Int,
+      docsPerShard: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = size(split(col("text"), "\\s+")).cast("long")
-    docs.withColumn("_t", toks)
-      .withColumn("_before", coalesce(sum(col("_t")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("_before") / budget.toLong))
+    val base = docs.select(col("lang"), col("doc_id"), toks.as("_t"))
+      .withColumn("_shard", expr(s"doc_id div $docsPerShard"))
+    val shardTotals = base.groupBy("lang", "_shard").agg(sum("_t").as("_tot"))
+    val pre = Window.partitionBy("lang").orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("_off", coalesce(sum(col("_tot")).over(pre), lit(0L)))
+      .select(col("lang"), col("_shard"), col("_off"))
+    val local = Window.partitionBy("lang", "_shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("_local", coalesce(sum(col("_t")).over(local), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "_shard"))
+      .withColumn("bin", floor((col("_off") + col("_local")) / budget.toLong))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
       .orderBy("lang", "bin")
   }
 
   def pipePackSequences(spark: SparkSession, dir: String): DataFrame =
-    packSequences(Tables.documents(spark, dir), 2048)
+    // 64 docs/shard exercises many shards even at test SF — the bin
+    // assignment is shard-width-invariant, so any width is correct
+    packSequences(Tables.documents(spark, dir), 2048, docsPerShard = 64)
 
   val pipePackSequencesSql: String =
     """WITH t AS (
@@ -141,19 +167,39 @@ object CorpusPipeline extends QueryModule {
     * (portable-hash order, doc_id tie-break) within its language, and
     * batch k takes the next `weight` docs of each language — so full
     * batches hold exactly the target mixture, with no RNG state to
-    * replay. One window shuffle + one agg; at 100 TB the window
-    * partitions by source so no global sort exists. Output pins both
-    * the counts and the hash-order head of every (batch, lang) cell. */
-  def interleave(docs: DataFrame, horizon: Int): DataFrame = {
+    * replay. Output pins both the counts and the hash-order head of
+    * every (batch, lang) cell.
+    *
+    * TWO-LEVEL rank, same reason as [[packSequences]]: ranking with a
+    * window partitioned by `lang` alone serializes each language
+    * through one task. The hash axis is carved into contiguous ranges
+    * (`_h div (2^32/hashShards)` — contiguous in the (_h, doc_id)
+    * order because _h is the leading sort key), rows are ranked
+    * within (lang, shard), and shard ranks are offset by the
+    * exclusive prefix sum of per-shard counts. Identical to the
+    * global row_number; the oracle is unchanged. */
+  def interleave(docs: DataFrame, horizon: Int,
+      hashShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = when(col("lang") === "en", lit(3L))
       .when(col("lang") === "zh", lit(2L)).otherwise(lit(1L))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("_h"), col("doc_id"))
-    docs
+    val shardWidth = (1L << 32) / hashShards
+    val base = docs
       .withColumn("_h", graft.mask.MaskFunctions.portableHash(col("doc_id")))
       .withColumn("_w", w)
-      .withColumn("_r", row_number().over(win).cast("long") - 1L)
-      .withColumn("batch", floor(col("_r") / col("_w")))
+      .withColumn("_shard", expr(s"_h div $shardWidth"))
+    val counts = base.groupBy("lang", "_shard").agg(count(lit(1)).as("_c"))
+    val pre = Window.partitionBy("lang").orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select(col("lang"), col("_shard"), col("_off"))
+    val local = Window.partitionBy("lang", "_shard")
+      .orderBy(col("_h"), col("doc_id"))
+    base
+      .withColumn("_lr", row_number().over(local).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("lang", "_shard"))
+      .withColumn("batch", floor((col("_off") + col("_lr")) / col("_w")))
       .filter(col("batch") < horizon)
       .groupBy("batch", "lang")
       .agg(count(lit(1)).as("n_docs"), min(col("_h")).as("min_hash"))

@@ -111,4 +111,37 @@ class PlanSpec extends SparkSpec {
     assert(equiJoins >= 2,
       s"the candidate pair join must be an equi-join on cells:\n$plan")
   }
+
+  test("corpus-sized windows never partition by a low-cardinality key alone") {
+    // the r4 scale defect: row_number/sum windows partitioned by `lang`
+    // (cardinality ~5) serialize each language through ONE task at
+    // 100 TB. The rewritten operators must only window over (a) multi-
+    // column (sharded) partitions, or (b) already-aggregated inputs
+    // (per-shard totals, value histograms) whose size is bounded.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    import graft.pipeline.CorpusPipeline
+    val docs = Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+        ("pack_sequences", CorpusPipeline.packSequences(docs, 2048, 64)),
+        ("interleave", CorpusPipeline.interleave(docs, 20)),
+        ("q27_percentiles", Relational.q27(spark, sfDir)))) {
+      df.collect() // finalize AQE so query stages are materialized
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val offenders = nodes.collect {
+        case w: WindowExec if w.partitionSpec.size < 2 &&
+            !allNodes(w.child).exists(_.isInstanceOf[BaseAggregateExec]) => w
+      }
+      assert(offenders.isEmpty,
+        s"$name windows a corpus-sized input on a single key:\n" +
+          offenders.mkString("\n"))
+    }
+  }
 }

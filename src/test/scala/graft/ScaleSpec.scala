@@ -55,4 +55,20 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_orders_b")
     spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
   }
+
+  test("two-level packing and interleave are shard-width-invariant") {
+    // the two-level prefix-sum decomposition must produce bit-identical
+    // output for ANY shard width — width 1 shard (≡ the single global
+    // window it replaces) and two different sharded widths must agree
+    import graft.pipeline.CorpusPipeline
+    val docs = Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val packGlobal = rows(CorpusPipeline.packSequences(docs, 2048, Long.MaxValue))
+    assert(rows(CorpusPipeline.packSequences(docs, 2048, 64)) == packGlobal)
+    assert(rows(CorpusPipeline.packSequences(docs, 2048, 7)) == packGlobal)
+    val ilGlobal = rows(CorpusPipeline.interleave(docs, 20, hashShards = 1))
+    assert(rows(CorpusPipeline.interleave(docs, 20, hashShards = 64)) == ilGlobal)
+    assert(rows(CorpusPipeline.interleave(docs, 20, hashShards = 13)) == ilGlobal)
+  }
 }
