@@ -477,7 +477,14 @@ object Dedup extends QueryModule {
     * standard Spark iterative-graph shape (at 100 TB you would use
     * large-star/small-star to bound skew on giant components; the
     * per-round plan here is the same join+agg). */
-  def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // `checkpoint` cuts the per-round lineage. The default
+    // localCheckpoint is executor-storage-backed — right for a single
+    // JVM, lost on executor death. On a real cluster pass
+    // `df => df.checkpoint()` (with sc.setCheckpointDir on reliable
+    // storage) so a mid-iteration executor loss replays one round, not
+    // the whole history.
     // Propagation runs over ONLY the edge-incident vertices — an
     // isolated doc can never change label, and near-dup graphs are
     // sparse, so the iterated frame is a small fraction of the corpus.
@@ -485,13 +492,11 @@ object Dedup extends QueryModule {
     // every label frame comes out of a doc_id hash-agg, so the
     // per-round join re-uses both partitionings and the only exchange
     // per round is the union+min agg.
-    val edges = pairs.select(col("d1"), col("d2"))
+    val edges = checkpoint(pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .repartition(col("d2"))
-      .localCheckpoint()
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+      .repartition(col("d2")))
+    var labels = checkpoint(edges.select(col("d1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")))
     // labels only ever decrease, so the fixpoint is reached exactly
     // when the label sum stops falling — a one-number job per round,
     // cheaper than a join-based changed-count
@@ -515,10 +520,9 @@ object Dedup extends QueryModule {
       // O(log diameter) — the sf corpus has diameter-7 chains (8 linear
       // rounds measured), and at 100 TB long chains are the norm.
       val l = propagated.select(col("doc_id").as("_v"), col("lbl").as("_l"))
-      labels = l.join(propagated.withColumnRenamed("lbl", "_l2"),
+      labels = checkpoint(l.join(propagated.withColumnRenamed("lbl", "_l2"),
           l("_l") === propagated("doc_id"))
-        .select(col("_v").as("doc_id"), col("_l2").as("lbl"))
-        .localCheckpoint()
+        .select(col("_v").as("doc_id"), col("_l2").as("lbl")))
       val t1 = System.nanoTime()
       prevSum = curSum
       curSum = lblSum(labels)

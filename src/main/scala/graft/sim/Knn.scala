@@ -114,15 +114,38 @@ object Knn extends QueryModule {
       .select(col("vec_id"), col("e"), sigBits.reduce(_ + _).as("sig"))
   }
 
-  def lsh(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 5): DataFrame = {
+  /** Scale knobs: `planes` sets bucket count (2^planes — at corpus
+    * scale grow it so buckets stay ~n/2^planes ≫ k), and `probeBits`
+    * turns on MULTI-PROBE: the query also searches every bucket within
+    * Hamming distance ≤ probeBits of its own signature, recovering the
+    * recall that more planes cost without touching the corpus-side
+    * layout. XOR masks are enumerated on the driver (Σ_d≤probeBits
+    * C(planes,d) of them — bounded) and exploded on the tiny query
+    * side; each (query, neighbor) pair still arises exactly once
+    * because a corpus vector lives in exactly one bucket. Defaults
+    * (5 planes, no extra probes) keep the oracle-verified behavior. */
+  def lsh(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 5,
+      probeBits: Int = 0): DataFrame = {
     // 2^planes buckets: pick planes so buckets hold >> k vectors
     // (planes=5 → 32 buckets; near-uniform data fills top-k reliably)
     val sigs = lshSignatures(
       emb.repartition(emb.sparkSession.sparkContext.defaultParallelism), planes)
+    val masks: Seq[Long] = {
+      def combos(bits: List[Int], d: Int): Seq[Long] =
+        if (d == 0) Seq(0L)
+        else bits match {
+          case Nil => Seq.empty
+          case b :: rest =>
+            combos(rest, d) ++ combos(rest, d - 1).map(_ | (1L << b))
+        }
+      (0 to probeBits).flatMap(d => combos((0 until planes).toList, d))
+    }
     val qs = lshSignatures(queries, planes)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("sig").as("qsig"))
+      .withColumn("_mask", explode(typedLit(masks)))
+      .withColumn("psig", col("qsig").bitwiseXOR(col("_mask")))
     broadcast(qs).join(sigs,
-        col("qsig") === col("sig") && col("qid") =!= col("vec_id"))
+        col("psig") === col("sig") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         fastDot(col("qe"), col("e")).as("c"))
       .withColumn("rank", row_number().over(Window.partitionBy("qid")
@@ -174,10 +197,24 @@ object Knn extends QueryModule {
       .filter(col("_r") === 1)
       .select(col("label").as("cell"), col("e").as("ce"))
 
-  def centroidKnn(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+  /** Scale knob: `cellGate` decouples the cell count from the label
+    * cardinality — seeds become the ~n/gate vectors whose portable
+    * id-hash lands on 0 (deterministic, engine-independent), so the
+    * classic IVF balance (≈√n cells of ≈√n members) is one
+    * gate ≈ √n setting away. Default (None) keeps the label-seeded,
+    * oracle-verified behavior. Assignment stays a broadcast of the
+    * seed set; at very large cell counts you'd assign via a coarse
+    * quantizer instead (documented seam, same plan otherwise). */
+  def centroidKnn(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 3,
+      cellGate: Option[Long] = None): DataFrame = {
     val n = normalizedWithLabel(
       emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
-    val seeds = seedCells(n)
+    val seeds = cellGate match {
+      case Some(g) => n.filter(
+          pmod(graft.mask.MaskFunctions.portableHash(col("vec_id")), lit(g)) === 0L)
+        .select(col("vec_id").as("cell"), col("e").as("ce"))
+      case None => seedCells(n)
+    }
     val assigned = n.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("e"), col("cell"),
         fastDot(col("e"), col("ce")).as("_d"))

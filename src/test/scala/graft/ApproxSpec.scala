@@ -86,6 +86,35 @@ class ApproxSpec extends SparkSpec {
     assert(cent.intersect(brute).nonEmpty)
   }
 
+  test("ANN scale knobs: planes grow buckets, multi-probe grows recall, cell gate grows cells") {
+    val queries = emb.filter(col("vec_id") < 5)
+    // more planes → strictly finer bucketing of the same corpus
+    val b3 = Knn.lshSignatures(emb, 3).select("sig").distinct().count()
+    val b6 = Knn.lshSignatures(emb, 6).select("sig").distinct().count()
+    assert(b6 > b3, s"expected 6-plane buckets ($b6) > 3-plane buckets ($b3)")
+    // multi-probe searches a superset of buckets → recall vs the exact
+    // top-k can only improve
+    val brute = Knn.bruteForce(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(probeBits: Int): Int =
+      Knn.lsh(emb, queries, 5, planes = 6, probeBits = probeBits)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+        .intersect(brute).size
+    val r0 = recall(0); val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-bucket recall $r0")
+    // hash-gated seeds decouple cell count from label cardinality
+    val nLabels = emb.select("label").distinct().count()
+    val gate = 4L
+    val nCells = emb.filter(
+      pmod(graft.mask.MaskFunctions.portableHash(col("vec_id")), lit(gate)) === 0L)
+      .count()
+    assert(nCells > nLabels,
+      s"gate=$gate should seed more cells ($nCells) than labels ($nLabels)")
+    val gated = Knn.centroidKnn(emb, queries, 5, nProbe = 2,
+      cellGate = Some(gate)).select("qid", "nid").as[(Long, Long)].collect()
+    assert(gated.nonEmpty && gated.forall { case (q, n) => q != n })
+  }
+
   test("connected components label whole chains, not just direct pairs") {
     // chain 1~2, 2~3 plus isolated 4,5 and pair 4~5: components must
     // be {1,2,3} -> 1 and {4,5} -> 4 even though (1,3) is no pair
