@@ -156,17 +156,48 @@ object SourceQueries extends QueryModule {
       |FROM documents WHERE lang IN ('en', 'zh')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ------------------------------------------------ src_sheet_range
+  /** Spreadsheet range source, the reference's XLSX data-info binding
+    * (reference: iriLibrary.dataclass `FileDataInfo` fileName grammar
+    * `'Sheet1'!A1:C7,HEADER;path.xlsx`): nation is written ONCE as a
+    * real XLSX workbook ([[SheetRange.write]]), and a SUB-range is
+    * read back distributed ([[SheetRange.read]]) — rows 2-10 of
+    * columns A-B under the header row must select exactly nations 0-8,
+    * which the oracle pins with an equivalent key-range predicate. */
+  def sheetRange(spark: SparkSession, dir: String): DataFrame = {
+    val tag = Tables.layoutTag(dir)
+    val f = new java.io.File(s"/tmp/graft_sheet_$tag.xlsx")
+    if (!f.exists()) {
+      // temp + rename: a concurrent reader never sees a partial zip
+      val tmp = java.io.File.createTempFile("graft_sheet", ".xlsx")
+      SheetRange.write(
+        Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey"), tmp.toString)
+      tmp.renameTo(f)
+    }
+    SheetRange.read(spark, s"'Sheet1'!A1:B10,HEADER;$f")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  val sheetRangeSql: String =
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey BETWEEN 0 AND 8 ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
     "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
     "src_jsonl_changelog" -> (jsonlChangelog _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
-    "src_partitioned_prune" -> (partitionedPrune _))
+    "src_partitioned_prune" -> (partitionedPrune _),
+    "src_sheet_range" -> (sheetRange _))
 
   val oracles: Map[String, String] = Map(
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,
     "src_orc_roundtrip" -> orcRoundtripSql,
-    "src_partitioned_prune" -> partitionedPruneSql)
+    "src_partitioned_prune" -> partitionedPruneSql,
+    "src_sheet_range" -> sheetRangeSql)
 }
