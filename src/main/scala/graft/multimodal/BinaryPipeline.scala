@@ -302,15 +302,92 @@ object BinaryPipeline extends QueryModule {
       |  CAST(SUM(mm) AS BIGINT) AS sum_gray
       |FROM m GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_image_resize
+  /** Gradient PNG for a doc id — same dimension arithmetic as
+    * [[encodePng]] but pixel (x,y) carries gray (id + x + y) mod 256,
+    * so RESAMPLING actually selects different values and the oracle
+    * can recompute exactly which. */
+  def encodeGradientPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 32).toInt
+    val h = 8 + ((id * 7) % 32).toInt
+    val base = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (base + x + y) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL decode + nearest-neighbor resample to (tw × th): source
+    * pixel for target (x,y) is (x·w div tw, y·h div th) — the standard
+    * integer nearest-neighbor map — read from the DECODED image, and
+    * the resampled grays are summed. */
+  def resizeGraySum(bytes: Array[Byte], tw: Int, th: Int): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        sum += (img.getRGB(x * w / tw, y * h / th) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (tw, th, sum)
+  }
+
+  /** Driver query: decode→resize→feature, the canonical multimodal
+    * preprocessing stage (thumbnailing for a vision encoder), with the
+    * resample arithmetic pinned by the oracle: encode a gradient PNG
+    * per doc, decode it with the real JDK codec, nearest-neighbor
+    * resample to 8×8, and emit the resampled gray sum. Map-only; only
+    * the 3-number feature row crosses a shuffle. */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rw, rh, sum) = resizeGraySum(encodeGradientPng(id), 8, 8)
+        (id, rw, rh, sum)
+      })
+      .toDF("doc_id", "rw", "rh", "gray_sum")
+      .orderBy("doc_id")
+  }
+
+  val mmImageResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 7) % 32 AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(8 AS INTEGER) AS rw, CAST(8 AS INTEGER) AS rh,
+      |  CAST(list_sum(flatten(list_transform(range(8), y ->
+      |    list_transform(range(8), x ->
+      |      (doc_id + (x * w) // 8 + (y * h) // 8) % 256))))
+      |    AS BIGINT) AS gray_sum
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_image_decode" -> (mmImageDecode _),
+    "mm_image_resize" -> (mmImageResize _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_image_decode" -> mmImageDecodeSql,
+    "mm_image_resize" -> mmImageResizeSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_video_frames" -> mmVideoFramesSql)
 }

@@ -288,17 +288,73 @@ object CorpusPipeline extends QueryModule {
       |WHERE NOT t.is_eval AND e.is_eval
       |GROUP BY t.doc_id ORDER BY train_doc""".stripMargin
 
+  // ------------------------------------------------ pipe_dataset_card
+  /** Dataset-card stats — the per-source summary every corpus release
+    * ships: doc count, exact total tokens, and EXACT median/p90 token
+    * counts per language. The percentiles use the scale-safe value-
+    * histogram selection (same machinery as q27): a map-side-combining
+    * (lang, token-count) histogram, then order statistics located in
+    * the cumulative counts — windows only ever see the aggregated
+    * histogram (|langs| × |distinct counts| rows), never the corpus. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = size(split(col("text"), "\\s+")).cast("long")
+    val hist = docs.select(col("lang"), nt.as("nt"))
+      .groupBy("lang", "nt").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(byLang.orderBy("nt")))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .withColumn("n", max(col("hi")).over(byLang))
+    val mid1 = expr("(n + 1) div 2")
+    val mid2 = expr("(n + 2) div 2")
+    val p90 = ceil(col("n").cast("double") * 0.9)
+    def holds(k: org.apache.spark.sql.Column) = col("lo") <= k && k <= col("hi")
+    cum.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        sum(col("nt") * col("c")).as("total_tokens"),
+        avg(when(holds(mid1) || holds(mid2), col("nt"))).as("median_tokens"),
+        max(when(holds(p90), col("nt"))).as("p90_tokens"))
+      .orderBy("lang")
+  }
+
+  def pipeDatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCard(Tables.documents(spark, dir))
+
+  val pipeDatasetCardSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |h AS (SELECT lang, nt, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, nt, c,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY nt) AS hi,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY nt) - c + 1 AS lo,
+      |    SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM h)
+      |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt * c) AS BIGINT) AS total_tokens,
+      |  AVG(CASE WHEN (lo <= (n + 1) // 2 AND (n + 1) // 2 <= hi)
+      |         OR (lo <= (n + 2) // 2 AND (n + 2) // 2 <= hi)
+      |      THEN nt END) AS median_tokens,
+      |  MAX(CASE WHEN lo <= CEIL(n * 0.9) AND CEIL(n * 0.9) <= hi
+      |      THEN nt END) AS p90_tokens
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus_filter" -> (pipeCorpusFilter _),
     "pipe_sample_stratified" -> (pipeSampleStratified _),
     "pipe_pack_sequences" -> (pipePackSequences _),
     "pipe_interleave" -> (pipeInterleave _),
-    "pipe_contamination" -> (pipeContamination _))
+    "pipe_contamination" -> (pipeContamination _),
+    "pipe_dataset_card" -> (pipeDatasetCard _))
 
   val oracles: Map[String, String] = Map(
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
     "pipe_sample_stratified" -> pipeSampleStratifiedSql,
     "pipe_pack_sequences" -> pipePackSequencesSql,
     "pipe_interleave" -> pipeInterleaveSql,
-    "pipe_contamination" -> pipeContaminationSql)
+    "pipe_contamination" -> pipeContaminationSql,
+    "pipe_dataset_card" -> pipeDatasetCardSql)
 }

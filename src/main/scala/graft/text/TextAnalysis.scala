@@ -293,8 +293,39 @@ object TextAnalysis extends QueryModule {
       |SELECT lang, bigram, nxy, lift, CAST(rnk AS INTEGER) AS rnk
       |FROM j WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
 
+  // --------------------------------------------------- txt_sentences
+  /** Sentence segmentation stats per doc: segments are `[.!?]+`-run
+    * splits that contain at least one word character (the non-empty
+    * rule is EXPLICIT on both engines — trailing-empty behavior of
+    * split differs between engines, so nothing relies on it). Emits
+    * exact integers only: sentence count and the longest sentence's
+    * word count. Map-only scalar pass; the HOFs here are per-doc and
+    * bounded by sentence count (a corpus-scale hot path would get a
+    * codegen expression like the bigram/minhash ops). */
+  def txtSentences(spark: SparkSession, dir: String): DataFrame = {
+    val segs = filter(split(col("text"), "[.!?]+"), s => s.rlike("\\w"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(segs).as("n_sentences"),
+        array_max(transform(segs,
+          s => size(split(trim(s), "\\s+")))).as("max_sentence_words"))
+      .orderBy("doc_id")
+  }
+
+  val txtSentencesSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |    s -> regexp_matches(s, '\w'))) AS INTEGER) AS n_sentences,
+      |  CAST(list_max(list_transform(
+      |    list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |      s -> regexp_matches(s, '\w')),
+      |    s -> len(regexp_split_to_array(trim(s), '\s+'))))
+      |    AS INTEGER) AS max_sentence_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_collocations" -> (txtCollocations _),
+    "txt_sentences" -> (txtSentences _),
     "txt_vocab_stats" -> (txtVocabStats _),
     "txt_top_bigrams" -> (txtTopBigrams _),
     "txt_token_count" -> (txtTokenCount _),
@@ -304,6 +335,7 @@ object TextAnalysis extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "txt_collocations" -> txtCollocationsSql,
+    "txt_sentences" -> txtSentencesSql,
     "txt_vocab_stats" -> txtVocabStatsSql,
     "txt_top_bigrams" -> txtTopBigramsSql,
     "txt_token_count" -> txtTokenCountSql,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("docs/PLANS_r4.md")
+    val out = args.lift(1).getOrElse("docs/PLANS_r5.md")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,10 +24,11 @@ object PlanDump {
       "knn_lsh", "knn_centroid", "emb_quantize", "q05_multijoin",
       "mask_classified", "src_partitioned_prune", "q26_bucketed_join",
       "str_static_enrich", "pipe_interleave", "sql_surface",
-      "cls_text_pii", "txt_vocab_stats")
+      "cls_text_pii", "txt_vocab_stats",
+      "pipe_pack_sequences", "q27_percentiles", "src_sheet_range")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
-      w.println("# PLANS - round 4 physical-plan audit")
+      w.println("# PLANS - round 5 physical-plan audit")
       w.println()
       w.println(s"Executed (AQE-final) plans of the scale-critical operators at $sfDir.")
       w.println("What to look for: pair joins are LOGICALLY shuffle joins on blocking")
