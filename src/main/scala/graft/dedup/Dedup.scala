@@ -59,6 +59,33 @@ object Dedup extends QueryModule {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(lower(text)) ORDER BY keeper""".stripMargin
 
+  // ------------------------------------------------ dedup_normalized
+  /** Canonicalization-exact dedup: fingerprint AFTER text
+    * normalization — lowercase, punctuation → space, whitespace runs
+    * collapsed, trimmed — catching the trivial-reformat copies
+    * (casing, spacing, punctuation drift) that byte-exact dedup
+    * misses while staying ONE map-side-combining hash-agg shuffle;
+    * the canonical form itself is a codegen scalar pass that never
+    * leaves the map side. */
+  def normalizedExact(docs: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    docs.groupBy(md5(canon).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    normalizedExact(Tables.documents(spark, dir)).orderBy("keeper")
+
+  val dedupNormalizedSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT fp AS fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM c GROUP BY fp ORDER BY keeper""".stripMargin
+
   // ---------------------------------------------- dedup_ngram_jaccard
   /** Token-set Jaccard near-dup pairs:
     * j = |A∩B| / (|A|+|B|-|A∩B|).
@@ -578,6 +605,7 @@ object Dedup extends QueryModule {
     "dedup_components" -> (dedupComponents _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_normalized" -> (dedupNormalized _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -590,6 +618,7 @@ object Dedup extends QueryModule {
     "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_normalized" -> dedupNormalizedSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,

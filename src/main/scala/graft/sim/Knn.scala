@@ -281,9 +281,60 @@ object Knn extends QueryModule {
        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------------------------- knn_range
+  /** Radius (range) similarity search: ALL neighbors with cosine ≥
+    * threshold per query — the retrieval mode leakage/copyright
+    * filters need (every match matters, not just the top k).
+    * Normalize-once + codegen dot; degenerate (zero/NaN-norm) vectors
+    * excluded on BOTH engines up front — NaN orders above any
+    * threshold, so an unguarded `>=` would leak undefined-cosine
+    * pairs. Query side broadcast over corpus partitions; ids only
+    * cross the oracle boundary. At corpus scale the same IVF-cell
+    * pruning as `Dedup.embeddingPairs` bounds the candidate set; this
+    * is the exact baseline it verifies against. */
+  def rangeSearch(emb: DataFrame, queries: DataFrame,
+      threshold: Double): DataFrame = {
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = fastDot(dbl, dbl)
+    def finite(df: DataFrame) =
+      df.filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+    val q = finite(queries)
+      .select(col("vec_id").as("qid"), norm(col("embedding")).as("qe"))
+    val c = finite(emb)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("nid"), norm(col("embedding")).as("ne"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .filter(fastDot(col("qe"), col("ne")) >= threshold)
+      .select("qid", "nid")
+  }
+
+  def knnRange(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    rangeSearch(emb, emb.filter(col("vec_id") < 10), 0.2)
+      .orderBy("qid", "nid")
+  }
+
+  val knnRangeSql: String =
+    s"""WITH f AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings
+       |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])))
+       |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[])) > 0),
+       |n AS (
+       |  SELECT vec_id,
+       |    list_transform(e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
+       |  FROM f)
+       |SELECT q.vec_id AS qid, c.vec_id AS nid
+       |FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |WHERE q.vec_id < 10 AND list_dot_product(q.e, c.e) >= 0.2
+       |ORDER BY qid, nid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
+    "knn_range" -> (knnRange _),
     "knn_centroid" -> (knnCentroid _))
 
   /** All three are oracle-verified: brute force and centroid are plain
@@ -292,5 +343,6 @@ object Knn extends QueryModule {
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
+    "knn_range" -> knnRangeSql,
     "knn_centroid" -> knnCentroidSql)
 }
