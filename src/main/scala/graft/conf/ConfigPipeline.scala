@@ -146,8 +146,12 @@ object ConfigPipeline {
     @transient private var out: java.io.PrintWriter = _
     def open(partitionId: Long, epochId: Long): Boolean = {
       new java.io.File(dir).mkdirs()
+      // truncate, not append: the file is addressed by (partition,
+      // epoch), so a retried epoch REWRITES its file instead of
+      // duplicating records — idempotent replay, the ForeachWriter
+      // exactly-once contract
       out = new java.io.PrintWriter(new java.io.FileWriter(
-        new java.io.File(dir, s"part-$partitionId-$epochId.rec"), true))
+        new java.io.File(dir, s"part-$partitionId-$epochId.rec"), false))
       true
     }
     def process(row: Row): Unit =
