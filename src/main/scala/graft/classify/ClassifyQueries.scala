@@ -240,7 +240,45 @@ object ClassifyQueries extends QueryModule {
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------- cls_distinct_ratio
+  /** Per-column distinct-value ratio (per-mille, exact integers) — the
+    * key-likeness signal schema scanners use to tell identifiers from
+    * categoricals before any regex runs (distinct_pm ≈ 1000 → key;
+    * small → enum). ONE pass computes every column's distinct count
+    * (Spark expands the multi-distinct agg); the per-column unpivot is
+    * a zero-shuffle explode of the single result row. */
+  def clsDistinctRatio(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val agg = Tables.customer(spark, dir).agg(
+      count(lit(1)).as("n"),
+      cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
+    agg.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"d_$c").as("n_distinct"),
+          expr(s"d_$c * 1000 div n").as("distinct_pm"))): _*)).as("s"))
+      .select("s.*")
+      .orderBy("col_name")
+  }
+
+  val clsDistinctRatioSql: String =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(DISTINCT c_custkey) AS d1, COUNT(DISTINCT c_name) AS d2,
+      |    COUNT(DISTINCT c_mktsegment) AS d3,
+      |    COUNT(DISTINCT c_nationkey) AS d4
+      |  FROM customer)
+      |SELECT * FROM (
+      |  SELECT 'c_custkey' AS col_name, CAST(d1 AS BIGINT) AS n_distinct,
+      |    CAST(d1 * 1000 // n AS BIGINT) AS distinct_pm FROM s
+      |  UNION ALL SELECT 'c_name', CAST(d2 AS BIGINT),
+      |    CAST(d2 * 1000 // n AS BIGINT) FROM s
+      |  UNION ALL SELECT 'c_mktsegment', CAST(d3 AS BIGINT),
+      |    CAST(d3 * 1000 // n AS BIGINT) FROM s
+      |  UNION ALL SELECT 'c_nationkey', CAST(d4 AS BIGINT),
+      |    CAST(d4 * 1000 // n AS BIGINT) FROM s)
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_distinct_ratio" -> (clsDistinctRatio _),
     "cls_text_pii" -> (clsTextPii _),
     "cls_luhn_check" -> (clsLuhnCheck _),
     "cls_name_match" -> (clsNameMatch _),
@@ -249,6 +287,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_distinct_ratio" -> clsDistinctRatioSql,
     "cls_text_pii" -> clsTextPiiSql,
     "cls_luhn_check" -> clsLuhnCheckSql,
     "cls_name_match" -> clsNameMatchSql,

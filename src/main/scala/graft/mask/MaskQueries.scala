@@ -348,7 +348,33 @@ object MaskQueries extends QueryModule {
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   }
 
+  // ------------------------------------------------ mask_generalize
+  /** Generalization (k-anonymity-style coarsening): numeric values to
+    * fixed-width band labels, identifiers to prefixes — the masking
+    * mode that keeps data ANALYZABLE while dropping precision (vs the
+    * value-destroying masks above). Band edges come from a double
+    * floor of value/width: exact at the only boundaries that matter
+    * (multiples of the width are dyadic-exact in both engines). */
+  def maskGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal").cast("double") / 500.0).cast("long") * 500
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        concat(lit("["), band, lit(","), band + 500, lit(")"))
+          .as("acctbal_band"),
+        substring(col("c_name"), 1, 4).as("name_prefix"))
+      .orderBy("c_custkey")
+  }
+
+  val maskGeneralizeSql: String =
+    """SELECT c_custkey,
+      |  '[' || CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500.0) AS BIGINT) * 500 AS VARCHAR)
+      |  || ',' || CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500.0) AS BIGINT) * 500 + 500 AS VARCHAR)
+      |  || ')' AS acctbal_band,
+      |  substr(c_name, 1, 4) AS name_prefix
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_generalize" -> (maskGeneralize _),
     "mask_consistent" -> (maskConsistent _),
     "mask_ip" -> (maskIp _),
     "mask_luhn_fpe" -> (maskLuhnFpe _),
@@ -365,6 +391,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_generalize" -> maskGeneralizeSql,
     "mask_consistent" -> maskConsistentSql,
     "mask_ip" -> maskIpSql,
     "mask_luhn_fpe" -> maskLuhnFpeSql,

@@ -682,6 +682,38 @@ object Relational extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  // ------------------------------------------------ q28_range_frame
+  /** Value-RANGE window frame: each order's rolling 30-day customer
+    * spend — `RANGE BETWEEN 29 PRECEDING AND CURRENT ROW` over epoch
+    * days, which unlike the q24 ROWS frame includes ALL peers in the
+    * value range regardless of row count (both engines define RANGE
+    * tie handling identically). Partitioned by o_custkey — high
+    * cardinality, so per-partition sorts stay tiny at any scale. */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).as("d"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("spend_30d", sum(col("p")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "spend_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q28Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY d
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS spend_30d
+      |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val q27Sql: String =
     """WITH r AS (
       |  SELECT l_returnflag, l_quantity,
@@ -698,6 +730,7 @@ object Relational extends graft.QueryModule {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_range_frame" -> (q28 _),
     "q01_agg" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -727,6 +760,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q28_range_frame" -> q28Sql,
     "q01_agg" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_agg" -> q03Sql,

@@ -278,7 +278,43 @@ object EventStreams extends QueryModule {
       |  FROM events GROUP BY 1, 2) t
       |WHERE rnk <= 2 ORDER BY window_start, rnk""".stripMargin
 
+  // --------------------------------------------- str_interval_outer
+  /** LEFT OUTER stream-stream interval join: every signup with its
+    * 24h purchases, signups with NONE kept with null purchase ids —
+    * the funnel/abandonment query. As a streaming plan this is
+    * Spark's watermarked left-outer stream-stream join (null rows
+    * emit once the watermark passes the interval's end, and the same
+    * time-range predicate bounds both sides' state); this batch form
+    * is the driver-verified semantics. */
+  def intervalJoinOuter(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups.select(col("user_id"), col("ts").as("signup_ts"),
+      col("event_id").as("signup_id"))
+    val p = purchases.select(col("user_id").as("uid2"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    s.join(p, col("user_id") === col("uid2") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") < col("signup_ts") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
+  def strIntervalOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    intervalJoinOuter(ev.filter(col("event_type") === "signup"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+  }
+
+  val strIntervalOuterSql: String =
+    """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = s.user_id
+      | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
+      |ORDER BY s.user_id, signup_id, purchase_id NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_interval_outer" -> (strIntervalOuter _),
     "str_topk_windowed" -> (strTopkWindowed _),
     "str_static_enrich" -> (strStaticEnrich _),
     "str_interval_join" -> (strIntervalJoin _),
@@ -290,6 +326,7 @@ object EventStreams extends QueryModule {
     "str_asof_join" -> (strAsof _))
 
   val oracles: Map[String, String] = Map(
+    "str_interval_outer" -> strIntervalOuterSql,
     "str_topk_windowed" -> strTopkWindowedSql,
     "str_static_enrich" -> strStaticEnrichSql,
     "str_interval_join" -> strIntervalJoinSql,
