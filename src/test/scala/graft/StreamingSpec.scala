@@ -207,6 +207,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Seq((1L, 10L, 20L), (2L, 11L, 23L)))
   }
 
+  test("left-outer interval join emits null rows once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    // u1 signs up and purchases inside 24h (inner row, immediate);
+    // u3 signs up and never purchases (outer null row — emitted ONLY
+    // after both watermarks pass signup_ts + 24h)
+    val signups = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L),
+      (12L, ts("2024-01-01 00:30:00"), 3L))
+    val purchases = Seq((20L, ts("2024-01-01 01:00:00"), 1L))
+    def toDF(mem: MemoryStream[(Long, Timestamp, Long)]) =
+      mem.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "1 hour")
+    val memS = MemoryStream[(Long, Timestamp, Long)]
+    val memP = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.intervalJoinOuter(toDF(memS), toDF(memP))
+    val q = joined.writeStream.format("memory").queryName("ivouter")
+      .outputMode("append").start()
+    try {
+      memS.addData(signups: _*)
+      memP.addData(purchases: _*)
+      q.processAllAvailable()
+      // outer results need the watermark to advance past the interval
+      // end AND a further trigger to evict state — push far-future
+      // flush rows (users 8/9, excluded from the assertion) until the
+      // null row lands
+      var round = 0
+      def relevant() = spark.table("ivouter")
+        .filter(col("user_id") < 5).count()
+      while (round < 6 && relevant() < 2) {
+        memS.addData((2000L + round, ts(s"2024-02-0${round + 1} 00:00:00"), 8L))
+        memP.addData((1000L + round, ts(s"2024-02-0${round + 1} 00:00:00"), 9L))
+        q.processAllAvailable()
+        round += 1
+      }
+    } finally q.stop()
+    val streamed = spark.table("ivouter").filter(col("user_id") < 5)
+      .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(streamed == Seq((1L, 10L, Some(20L)), (3L, 12L, None)),
+      s"unexpected outer-join stream output: $streamed")
+  }
+
   test("streaming per-table routing to a partitioned file sink") {
     // the reference routes every change to its own per-table target
     // (generated per-table scripts); Spark-side the same routing is
