@@ -25,7 +25,8 @@ object PlanDump {
       "mask_classified", "src_partitioned_prune", "q26_bucketed_join",
       "str_static_enrich", "pipe_interleave", "sql_surface",
       "cls_text_pii", "txt_vocab_stats",
-      "pipe_pack_sequences", "q27_percentiles", "src_sheet_range")
+      "pipe_pack_sequences", "q27_percentiles", "src_sheet_range",
+      "q28_range_frame", "pipe_dataset_card")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 5 physical-plan audit")
