@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary-stateful streaming via typed
   * `KeyValueGroupedDataset.flatMapGroupsWithState` — the escape hatch
@@ -34,5 +35,38 @@ object Stateful {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** The same running totals on Spark 4's `transformWithState` API —
+    * the successor to flatMapGroupsWithState: typed per-key state
+    * variables (Value/List/Map), per-state TTLs, and timers, backed
+    * by the RocksDB state store (the provider the API requires; set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider). Both formulations stay in the repo
+    * deliberately: identical semantics, old vs new state API. */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, EventRow, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(key, n, total)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update)
   }
 }

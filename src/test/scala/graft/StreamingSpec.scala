@@ -360,6 +360,37 @@ class StreamingSpec extends SparkSpec {
     assert(fin(2L).n == 2 && math.abs(fin(2L).total - 7.0) < 1e-9)
   }
 
+  test("transformWithState (RocksDB store) matches the flatMapGroupsWithState totals") {
+    import graft.streaming.Stateful
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val typed = mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .as[Stateful.EventRow]
+      val q = Stateful.runningTotalsTws(typed)
+        .writeStream.format("memory").queryName("running_tws")
+        .outputMode("update").start()
+      try {
+        mem.addData(sample.take(3): _*)
+        q.processAllAvailable()
+        mem.addData(sample.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val fin = spark.table("running_tws").as[Stateful.UserRunning].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n) }
+      assert(fin(1L).n == 3 && math.abs(fin(1L).total - 8.0) < 1e-9)
+      assert(fin(2L).n == 2 && math.abs(fin(2L).total - 7.0) < 1e-9)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("sessionization over MemoryStream matches the batch session_window plan") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
