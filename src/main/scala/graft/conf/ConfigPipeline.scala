@@ -76,10 +76,13 @@ object GraftConfig {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       targetNamePostfix = opt("targetNamePostfix").getOrElse(""),
       dataTarget = opt("dataTarget"),
-      // Properties.load already unescapes \t; the extra replace covers
-      // configs handed in programmatically with a literal backslash-t
-      dataTargetSeparator = opt("dataTargetSeparator")
-        .map(_.replace("\\t", "\t")).getOrElse("\t"),
+      // NOT trimmed (unlike the other keys): a space or padded
+      // separator is a legitimate value (Properties escapes it as
+      // `\ `/` `). Properties.load already unescapes \t; the
+      // extra replace covers configs handed in programmatically with
+      // a literal backslash-t
+      dataTargetSeparator = Option(p.getProperty("dataTargetSeparator"))
+        .filter(_.nonEmpty).map(_.replace("\\t", "\t")).getOrElse("\t"),
       dataTargetProcessType = opt("dataTargetProcessType").getOrElse("ODBC"),
       dataTargetSchema = opt("dataTargetSchema"),
       dsn = dsn,
@@ -143,27 +146,35 @@ object ConfigPipeline {
     * tasks never interleave writes. */
   final class RecordWriter(dir: String, sep: String)
       extends ForeachWriter[Row] {
-    @transient private var out: java.io.PrintWriter = _
+    // BufferedWriter, NOT PrintWriter: PrintWriter swallows IO errors
+    // into a flag, which would let a failed write commit as a
+    // successful epoch — a sink claiming exactly-once must FAIL the
+    // task so Spark retries the epoch
+    @transient private var out: java.io.BufferedWriter = _
     def open(partitionId: Long, epochId: Long): Boolean = {
       new java.io.File(dir).mkdirs()
       // truncate, not append: the file is addressed by (partition,
       // epoch), so a retried epoch REWRITES its file instead of
       // duplicating records — idempotent replay, the ForeachWriter
       // exactly-once contract
-      out = new java.io.PrintWriter(new java.io.FileWriter(
+      out = new java.io.BufferedWriter(new java.io.FileWriter(
         new java.io.File(dir, s"part-$partitionId-$epochId.rec"), false))
       true
     }
-    def process(row: Row): Unit =
-      out.println(Range(0, row.length).map(i =>
+    def process(row: Row): Unit = {
+      out.write(Range(0, row.length).map(i =>
         Option(row.get(i)).map(_.toString).getOrElse("")).mkString(sep))
+      out.newLine()
+    }
     def close(errorOrNull: Throwable): Unit = if (out != null) out.close()
   }
 
   /** Streaming sink dispatch on `dataTargetProcessType`: `record` →
     * per-record ForeachWriter; anything else → micro-batch delimited
-    * writes. (The JDBC/DSN target goes through [[applyJdbc]] in a
-    * foreachBatch instead — it needs a key.) */
+    * writes into an `epoch=<id>` directory with overwrite, so a
+    * replayed micro-batch REWRITES its own directory instead of
+    * appending duplicates. (The JDBC/DSN target goes through
+    * [[applyJdbc]] in a foreachBatch instead — it needs a key.) */
   def sinkStream(df: DataFrame, cfg: GraftConfig): DataStreamWriter[Row] =
     if (cfg.dataTargetProcessType.equalsIgnoreCase("record"))
       df.writeStream.foreach(new RecordWriter(
@@ -171,7 +182,13 @@ object ConfigPipeline {
           throw new IllegalArgumentException("dataTarget not configured")),
         cfg.dataTargetSeparator))
     else
-      df.writeStream.foreachBatch((b: DataFrame, _: Long) => writeBatch(b, cfg))
+      df.writeStream.foreachBatch { (b: DataFrame, epochId: Long) =>
+        val target = cfg.dataTarget.getOrElse(
+          throw new IllegalArgumentException("dataTarget not configured"))
+        b.write.mode("overwrite").partitionBy("target_table")
+          .option("sep", cfg.dataTargetSeparator)
+          .csv(s"$target/epoch=$epochId")
+      }
 
   /** DSN target: per-target-table keyed upsert through the configured
     * `DSN.<name>.url` JDBC url. Target names (already postfixed) are
@@ -183,14 +200,19 @@ object ConfigPipeline {
       orderCol: String, valueCols: Seq[String]): Unit = {
     val url = cfg.dsnUrl.getOrElse(throw new IllegalArgumentException(
       s"DSN '${cfg.dsn.getOrElse("")}' has no DSN.<name>.url mapping"))
-    val tables = batch.select("target_table").distinct()
-      .collect().map(_.getString(0))
-    for (t <- tables) {
-      val name = cfg.dataTargetSchema.map(s => s"$s.$t").getOrElse(t)
-      JdbcUpsert.applyBatch(
-        JdbcUpsert.latestPerKey(
-          batch.filter(col("target_table") === t), keyCol, orderCol),
-        url, name, keyCol, valueCols)
-    }
+    // persist: the parse→classify→mask lineage would otherwise re-run
+    // for the distinct() AND once per table
+    val cached = batch.persist()
+    try {
+      val tables = cached.select("target_table").distinct()
+        .collect().map(_.getString(0))
+      for (t <- tables) {
+        val name = cfg.dataTargetSchema.map(s => s"$s.$t").getOrElse(t)
+        JdbcUpsert.applyBatch(
+          JdbcUpsert.latestPerKey(
+            cached.filter(col("target_table") === t), keyCol, orderCol),
+          url, name, keyCol, valueCols)
+      }
+    } finally cached.unpersist()
   }
 }

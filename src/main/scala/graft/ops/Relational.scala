@@ -656,29 +656,19 @@ object Relational extends graft.QueryModule {
     * The k-th SELECTED VALUE is tie-invariant: a histogram row covers
     * the rank range [lo, hi] of its duplicates. */
   def q27(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag", "l_quantity")
-      .agg(count(lit(1)).as("c"))
-    val byFlag = Window.partitionBy("l_returnflag")
-    val cum = hist
-      .withColumn("hi", sum(col("c")).over(byFlag.orderBy("l_quantity")))
-      .withColumn("lo", col("hi") - col("c") + 1L)
-      .withColumn("n", max(col("hi")).over(byFlag))
-    // Spark's `/` is true division even on longs — `div` floors
-    val mid1 = expr("(n + 1) div 2")
-    val mid2 = expr("(n + 2) div 2")
-    val p90 = ceil(col("n").cast("double") * 0.9)
-    def holds(k: Column): Column = col("lo") <= k && k <= col("hi")
+    import OrderStats._
+    val cum = cumulativeHistogram(
+      Tables.lineitem(spark, dir).select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity")
     cum.groupBy("l_returnflag")
       .agg(max(col("n")).as("n"),
         // one histogram row holds both middle ranks (odd n, or even n
         // with equal middle values) → avg of that row = the value;
         // two rows → avg = their midpoint — same arithmetic as the
         // per-row rn ∈ {mid1, mid2} formulation
-        avg(when(holds(mid1) || holds(mid2), col("l_quantity")))
-          .as("median_qty"),
-        max(when(holds(p90), col("l_quantity"))).as("p90_qty"))
+        avg(when(holdsRank(midRank1) || holdsRank(midRank2),
+          col("l_quantity"))).as("median_qty"),
+        max(when(holdsRank(rank90), col("l_quantity"))).as("p90_qty"))
       .orderBy("l_returnflag")
   }
 

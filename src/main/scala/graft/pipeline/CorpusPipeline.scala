@@ -297,24 +297,16 @@ object CorpusPipeline extends QueryModule {
     * the cumulative counts — windows only ever see the aggregated
     * histogram (|langs| × |distinct counts| rows), never the corpus. */
   def datasetCard(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.OrderStats._
     val nt = size(split(col("text"), "\\s+")).cast("long")
-    val hist = docs.select(col("lang"), nt.as("nt"))
-      .groupBy("lang", "nt").agg(count(lit(1)).as("c"))
-    val byLang = Window.partitionBy("lang")
-    val cum = hist
-      .withColumn("hi", sum(col("c")).over(byLang.orderBy("nt")))
-      .withColumn("lo", col("hi") - col("c") + 1L)
-      .withColumn("n", max(col("hi")).over(byLang))
-    val mid1 = expr("(n + 1) div 2")
-    val mid2 = expr("(n + 2) div 2")
-    val p90 = ceil(col("n").cast("double") * 0.9)
-    def holds(k: org.apache.spark.sql.Column) = col("lo") <= k && k <= col("hi")
+    val cum = cumulativeHistogram(
+      docs.select(col("lang"), nt.as("nt")), Seq("lang"), "nt")
     cum.groupBy("lang")
       .agg(max(col("n")).as("n_docs"),
         sum(col("nt") * col("c")).as("total_tokens"),
-        avg(when(holds(mid1) || holds(mid2), col("nt"))).as("median_tokens"),
-        max(when(holds(p90), col("nt"))).as("p90_tokens"))
+        avg(when(holdsRank(midRank1) || holdsRank(midRank2), col("nt")))
+          .as("median_tokens"),
+        max(when(holdsRank(rank90), col("nt"))).as("p90_tokens"))
       .orderBy("lang")
   }
 

@@ -149,8 +149,11 @@ object SheetRange {
 
   // ------------------------------------------------------------ writer
 
+  // includes the quote forms: escaped values are interpolated into
+  // XML ATTRIBUTES (sheet name) as well as element text
   private def xmlEscape(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;").replace("'", "&apos;")
 
   /** Emit a minimal standard XLSX package (inline strings). Driver
     * side, single file — spreadsheet targets are bounded dim/config

@@ -168,13 +168,19 @@ object SourceQueries extends QueryModule {
     val tag = Tables.layoutTag(dir)
     val f = new java.io.File(s"/tmp/graft_sheet_$tag.xlsx")
     if (!f.exists()) {
-      // temp + rename: a concurrent reader never sees a partial zip
+      // temp + move: a concurrent reader never sees a partial zip.
+      // Files.move (not File.renameTo, whose false return is easy to
+      // drop) raises if the publish fails — except when a concurrent
+      // writer already published the identical content-keyed file.
       val tmp = java.io.File.createTempFile("graft_sheet", ".xlsx")
       SheetRange.write(
         Tables.nation(spark, dir)
           .select("n_nationkey", "n_name", "n_regionkey")
           .orderBy("n_nationkey"), tmp.toString)
-      tmp.renameTo(f)
+      try java.nio.file.Files.move(tmp.toPath, f.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => tmp.delete()
+      }
     }
     SheetRange.read(spark, s"'Sheet1'!A1:B10,HEADER;$f")
       .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))

@@ -73,6 +73,16 @@ class ConfSpec extends SparkSpec {
       ("users_masked", 2L, "ALAN TURING")))
   }
 
+  test("separator values survive untrimmed (space and escaped tab)") {
+    val p = new java.util.Properties()
+    p.setProperty("dataTargetSeparator", " ")
+    assert(graft.conf.GraftConfig.fromProperties(p).dataTargetSeparator == " ")
+    p.setProperty("dataTargetSeparator", "\\t")
+    assert(graft.conf.GraftConfig.fromProperties(p).dataTargetSeparator == "\t")
+    p.remove("dataTargetSeparator")
+    assert(graft.conf.GraftConfig.fromProperties(p).dataTargetSeparator == "\t")
+  }
+
   test("batch file target writes per-table delimited output") {
     val (cfg, dir) = makeConfig("dataTargetProcessType=batch")
     val out = ConfigPipeline.assemble(

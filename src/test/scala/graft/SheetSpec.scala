@@ -68,6 +68,17 @@ class SheetSpec extends SparkSpec {
       Seq(Some("42"), None)))
   }
 
+  test("sheet names with quotes survive attribute escaping") {
+    val dir = Files.createTempDirectory("graft-sheet-q").toString
+    val path = s"$dir/q.xlsx"
+    val name = """My "Q1" & <data>"""
+    SheetRange.write(Seq((1L, "x")).toDF("id", "v"), path, sheet = name)
+    val bytes = Files.readAllBytes(java.nio.file.Path.of(path))
+    val grid = SheetRange.readSheet(bytes,
+      SheetRange.Address(name, 1, 2, 2, 2, header = false, path))
+    assert(grid == Seq(Seq(Some("1"), Some("x"))))
+  }
+
   test("driver key selects the addressed nation sub-range") {
     import graft.sources.SourceQueries
     val rows = SourceQueries.sheetRange(spark, sfDir)
