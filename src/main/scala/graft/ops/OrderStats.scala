@@ -39,6 +39,62 @@ object OrderStats {
     * its duplicates. */
   def holdsRank(k: Column): Column = col("lo") <= k && k <= col("hi")
 
+  /** Exact median for HIGH-cardinality value domains, where the value
+    * histogram itself would approach the row count: classic TWO-PASS
+    * bucketed selection.
+    *
+    *   pass 0: per-group (n, min, max) — one tiny agg;
+    *   pass 1: fixed `buckets`-way value-range histogram (map-side-
+    *           combining count on (group, bucket)), cumulative counts
+    *           locate which bucket holds each middle rank and the
+    *           rank offset below it;
+    *   pass 2: ONLY the located buckets' rows are ranked (window over
+    *           (group, bucket) — partition size ≈ n/buckets, scale-
+    *           tunable), rank-in-bucket + offset = global rank, and
+    *           the middle values are selected exactly.
+    *
+    * No window ever partitions by the group alone, and no per-group
+    * global sort exists. Equal values always land in the same bucket
+    * (bucket is a pure function of the value), so ranks among ties
+    * stay tie-invariant for the SELECTED value.
+    *
+    * Returns one row per group: (groupCols..., n, median_<valueCol>).
+    */
+  def bucketedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df.select((groupCols.map(col) :+ v.as("_v")): _*)
+    val stats = base.groupBy(g: _*).agg(
+      count(lit(1)).as("n"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+    // constant-value groups (w == 0) collapse into bucket 0
+    val w = (col("_mx") - col("_mn")) / buckets
+    val bucket = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(floor((col("_v") - col("_mn")) / w),
+        lit(buckets - 1L)).cast("long"))
+    val withB = base.join(broadcast(stats), groupCols)
+      .withColumn("_b", bucket)
+    val hist = withB.groupBy((g :+ col("_b")): _*)
+      .agg(count(lit(1)).as("_c"), max(col("n")).as("n"))
+    val byG = Window.partitionBy(g: _*)
+    val cum = hist
+      .withColumn("hi", sum(col("_c")).over(byG.orderBy("_b")))
+      .withColumn("lo", col("hi") - col("_c") + 1L)
+    // buckets holding either middle rank, with the rank offset below
+    val targets = cum
+      .filter(holdsRank(midRank1) || holdsRank(midRank2))
+      .select((g :+ col("_b") :+ (col("lo") - 1L).as("_off")): _*)
+    val inBucket = withB.join(broadcast(targets), groupCols :+ "_b")
+    val rankInB = Window.partitionBy((g :+ col("_b")): _*).orderBy("_v")
+    inBucket
+      .withColumn("_gr", row_number().over(rankInB).cast("long") + col("_off"))
+      .filter(col("_gr") === midRank1 || col("_gr") === midRank2)
+      .groupBy(g: _*)
+      .agg(max(col("n")).as("n"),
+        avg(col("_v")).as(s"median_$valueCol"))
+  }
+
   // Spark's `/` is true division even on longs — `div` floors.
   // midRank1 == midRank2 for odd n; for even n they bracket the
   // middle, so avg over the matching row(s) is the textbook median.

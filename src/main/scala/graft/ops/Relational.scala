@@ -672,6 +672,32 @@ object Relational extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  // ------------------------------------- q29_percentile_bucketed
+  /** Exact median over a HIGH-cardinality value domain
+    * (o_totalprice — effectively unique doubles, where q27's value
+    * histogram would approach the row count): two-pass bucketed
+    * selection ([[OrderStats.bucketedMedian]]) — range-bucket
+    * histogram locates the middle ranks' buckets, then ONLY those
+    * buckets' rows are ranked. The oracle proves exactness against
+    * the plain sort-based definition. */
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    OrderStats.bucketedMedian(
+      Tables.orders(spark, dir).select("o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"), "o_totalprice")
+      .orderBy("o_orderpriority")
+
+  val q29Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+      |  AVG(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |      THEN v END) AS median_o_totalprice
+      |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------ q28_range_frame
   /** Value-RANGE window frame: each order's rolling 30-day customer
     * spend — `RANGE BETWEEN 29 PRECEDING AND CURRENT ROW` over epoch
@@ -720,6 +746,7 @@ object Relational extends graft.QueryModule {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
     "q01_agg" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -750,6 +777,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,
     "q01_agg" -> q01Sql,
     "q02_filter_project" -> q02Sql,

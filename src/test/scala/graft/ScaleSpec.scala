@@ -56,6 +56,26 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
   }
 
+  test("bucketed median equals the sort-based median exactly") {
+    import graft.ops.OrderStats
+    val rnd = new scala.util.Random(7)
+    // random groups (odd + even sizes) plus a constant-value group
+    // (bucket width 0) — the degenerate case the clamp handles
+    val rows = (1 to 501).map(i => (s"g${i % 3}", rnd.nextDouble() * 1000)) ++
+      Seq.fill(4)(("const", 5.0))
+    val got = OrderStats.bucketedMedian(rows.toDF("g", "v"), Seq("g"), "v",
+        buckets = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for ((g, vs) <- rows.groupBy(_._1)) {
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      val expect = (sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)) / 2
+      assert(got(g)._1 == n && got(g)._2 == expect,
+        s"group $g: got ${got(g)}, want ($n, $expect)")
+    }
+  }
+
   test("two-level packing and interleave are shard-width-invariant") {
     // the two-level prefix-sum decomposition must produce bit-identical
     // output for ANY shard width — width 1 shard (≡ the single global
