@@ -277,7 +277,40 @@ object ClassifyQueries extends QueryModule {
       |    CAST(d4 * 1000 // n AS BIGINT) FROM s)
       |ORDER BY col_name""".stripMargin
 
+  // -------------------------------------------------- cls_benford
+  /** First-digit (Benford) distribution of a financial column — the
+    * numeric-authenticity signal audit scanners run over amount
+    * columns (organic amounts follow log-uniform leading digits;
+    * fabricated ones don't). Exactness: the amount is widened to
+    * integer CENTS through DECIMAL (no float), and the leading digit
+    * is the first character of the integer's decimal rendering —
+    * identical in both engines, no log10 boundary risk. One map-side
+    * combining agg over 9 groups + a 1-row broadcast total. */
+  def clsBenford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val d = Tables.orders(spark, dir)
+      .select(substring(cents.cast("string"), 1, 1).as("digit"))
+    d.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div total").as("pm"))
+      .orderBy("digit")
+  }
+
+  val clsBenfordSql: String =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |    * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT COUNT(*) AS total FROM d)
+      |SELECT digit, n, CAST(n * 1000 // total AS BIGINT) AS pm
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_benford" -> (clsBenford _),
     "cls_distinct_ratio" -> (clsDistinctRatio _),
     "cls_text_pii" -> (clsTextPii _),
     "cls_luhn_check" -> (clsLuhnCheck _),
@@ -287,6 +320,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_benford" -> clsBenfordSql,
     "cls_distinct_ratio" -> clsDistinctRatioSql,
     "cls_text_pii" -> clsTextPiiSql,
     "cls_luhn_check" -> clsLuhnCheckSql,

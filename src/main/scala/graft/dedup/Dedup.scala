@@ -601,7 +601,68 @@ object Dedup extends QueryModule {
       |SELECT lbl AS component, COUNT(*) AS n_docs
       |FROM labels GROUP BY lbl ORDER BY component""".stripMargin
 
+  // ----------------------------------------------- dedup_span_fraction
+  /** Exact-substring duplication signal: a document's word 8-grams are
+    * its spans, and a span is DUPLICATED when any OTHER document
+    * contains the same 8-gram (the span-level view of training-data
+    * dedup — near-dup pair ops catch whole-document copies, this
+    * catches boilerplate runs stitched into otherwise-unique docs).
+    * Emits per doc the distinct span count, duplicated span count, and
+    * duplicated per-mille — exact integer arithmetic only.
+    *
+    * Scale shape, linear in corpus grams:
+    *   - ONE codegen n-gram pass ([[graft.expr.NGrams]]), each gram
+    *     reduced to a portable 32-bit-range hash so every downstream
+    *     exchange ships 16-byte (doc, hash) rows, never gram strings;
+    *   - per-doc distinct → posting counts via ONE map-side-combining
+    *     hash-agg on the gram hash;
+    *   - join back on the gram hash → per-doc agg. The posting COUNT
+    *     is precomputed, so the join-back's output is exactly its
+    *     input rows — a million-doc boilerplate gram adds no fan-out
+    *     beyond the (doc, gram) rows that already exist. */
+  def spanFraction(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(call_function(graft.expr.VectorExprs.ngramsName,
+          split(col("text"), "\\s+"), lit(n))).as("g"))
+      .select(col("doc_id"), tokHash(col("g")).as("gh"))
+      .distinct()
+    val posting = grams.groupBy("gh").agg(count(lit(1)).as("_docs"))
+    grams.join(posting, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_pm", expr("n_dup_spans * 1000 div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSpan(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    spanFraction(Tables.documents(spark, dir), 8)
+  }
+
+  val dedupSpanSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, ('0x'||substr(md5(g),1,8))::BIGINT AS gh
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(w) - 6),
+      |        i -> array_to_string(w[i:i+7], ' '))) AS g
+      |    FROM docs) t),
+      |posting AS (SELECT gh, COUNT(*) AS nd FROM grams GROUP BY gh)
+      |SELECT g.doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_spans,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS dup_pm
+      |FROM grams g JOIN posting p ON g.gh = p.gh
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_fraction" -> (dedupSpan _),
     "dedup_components" -> (dedupComponents _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
@@ -615,6 +676,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_span_fraction" -> dedupSpanSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,

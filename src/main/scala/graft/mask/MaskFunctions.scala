@@ -138,4 +138,42 @@ object MaskFunctions {
   def epochMillisToTimestamp(c: Column): Column =
     timestamp_millis(c.cast(LongType))
       .cast(org.apache.spark.sql.types.TimestampNTZType)
+
+  /** Key-derived monoalphabetic substitution alphabets: lowercase
+    * permutes within lowercase, digits within digits, and uppercase
+    * mirrors the lowercase permutation — so character CLASS, case, and
+    * string length survive the mask, and case-insensitive matching
+    * still works on masked values. The permutation is a Fisher–Yates
+    * shuffle driven by a fixed-seed LCG: a pure compile-time constant,
+    * so the oracle SQL (built from the SAME constants) can never
+    * drift from the runtime. A keyed variant would derive the seed
+    * from a secret; determinism is what makes the mask replica-
+    * consistent, as with the reference's rule model. */
+  val substitutionSrc: String =
+    "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  val substitutionDst: String = {
+    def shuffled(chars: String, seed0: Long): String = {
+      var seed = seed0
+      def next(): Long = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        seed >>> 17
+      }
+      val a = chars.toCharArray
+      for (i <- a.length - 1 to 1 by -1) {
+        val j = math.floorMod(next(), i + 1L).toInt
+        val t = a(i); a(i) = a(j); a(j) = t
+      }
+      new String(a)
+    }
+    val lower = shuffled("abcdefghijklmnopqrstuvwxyz", 0x6772616674L)
+    val digits = shuffled("0123456789", 0x6d61736bL)
+    lower + digits + lower.toUpperCase
+  }
+
+  /** Format-preserving substitution cipher over [a-zA-Z0-9]; every
+    * other character (separators, '#', punctuation) passes through.
+    * `translate` is a plain codegen string function — no UDF. */
+  def substitute(c: Column): Column =
+    translate(c, substitutionSrc, substitutionDst)
 }

@@ -373,7 +373,32 @@ object MaskQueries extends QueryModule {
       |  substr(c_name, 1, 4) AS name_prefix
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------ mask_substitute
+  /** Monoalphabetic substitution cipher — format-preserving by
+    * construction: character class (letter/digit/other), case, and
+    * length all survive; non-alphanumerics pass through untouched.
+    * One codegen `translate` per column (no UDF, no hashing). The
+    * alphabets are compile-time constants shared with the oracle SQL
+    * (see [[MaskFunctions.substitutionDst]]), so both engines apply
+    * the bit-identical mapping. */
+  def maskSubstitute(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        MaskFunctions.substitute(col("c_name")).as("name_sub"),
+        MaskFunctions.substitute(col("c_mktsegment")).as("segment_sub"))
+      .orderBy("c_custkey")
+
+  val maskSubstituteSql: String = {
+    val src = MaskFunctions.substitutionSrc
+    val dst = MaskFunctions.substitutionDst
+    s"""SELECT c_custkey,
+       |  translate(c_name, '$src', '$dst') AS name_sub,
+       |  translate(c_mktsegment, '$src', '$dst') AS segment_sub
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
     "mask_consistent" -> (maskConsistent _),
     "mask_ip" -> (maskIp _),
@@ -391,6 +416,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,
     "mask_consistent" -> maskConsistentSql,
     "mask_ip" -> maskIpSql,

@@ -672,6 +672,40 @@ object Relational extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------- q30_date_spine
+  /** Lateral expansion onto a GENERATED sequence (the explode/unnest
+    * surface): each order contributes a row to the month it was placed
+    * in and the two following months — a date-spine densification,
+    * the standard way to turn point-in-time facts into a
+    * per-period activity ledger. `sequence` + `explode` is Spark's
+    * lateral generator (DuckDB: unnest) — the expansion factor is a
+    * constant 3, so the operator stays a linear map pass; the single
+    * shuffle is the month agg. Decimal sums stay exact until the final
+    * double cast. */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"),
+        trunc(to_date(col("o_orderdate")), "month").as("m0"))
+      .select(col("p"), explode(sequence(lit(0), lit(2))).as("k"),
+        col("m0"))
+      .groupBy(add_months(col("m0"), col("k")).as("month"))
+      .agg(count(lit(1)).as("n_open"),
+        sum(col("p")).cast("double").as("open_value"))
+      .orderBy("month")
+
+  val q30Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    date_trunc('month', CAST(o_orderdate AS DATE)) AS m0
+      |  FROM orders),
+      |e AS (
+      |  SELECT p, CAST(m0 + to_months(CAST(k AS INTEGER)) AS DATE)
+      |    AS month
+      |  FROM m CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks)
+      |SELECT month, COUNT(*) AS n_open,
+      |  CAST(SUM(p) AS DOUBLE) AS open_value
+      |FROM e GROUP BY month ORDER BY month""".stripMargin
+
   // ------------------------------------- q29_percentile_bucketed
   /** Exact median over a HIGH-cardinality value domain
     * (o_totalprice — effectively unique doubles, where q27's value
@@ -746,6 +780,7 @@ object Relational extends graft.QueryModule {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_date_spine" -> (q30 _),
     "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
     "q01_agg" -> (q01 _),
@@ -777,6 +812,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q30_date_spine" -> q30Sql,
     "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,
     "q01_agg" -> q01Sql,

@@ -323,7 +323,66 @@ object TextAnalysis extends QueryModule {
       |    AS INTEGER) AS max_sentence_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- txt_tfidf
+  /** Per-language salient terms by exact-integer TF-IDF lift: for each
+    * (lang, term), tf = occurrences in that language, df = distinct
+    * docs corpus-wide containing the term, and the score is the lift
+    * tf·N/df in per-mille — integer arithmetic end to end (idf's log
+    * is monotone in N/df, so the ranking is the TF-IDF ranking without
+    * a float crossing the oracle boundary). Plan shape: one token
+    * explode feeds a (lang, term) count and a distinct-doc count, the
+    * corpus total is a 1-row broadcast, and the top-k rank runs over
+    * the AGGREGATED vocab table where Spark's WindowGroupLimit caps
+    * per-partition state at k — never a corpus-sized window. */
+  def txtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("lang"), col("doc_id"),
+        explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val rk = Window.partitionBy("lang")
+      .orderBy(col("lift_pm").desc, col("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_pm", expr("tf * n_docs * 1000 div df"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("w").as("term"), col("tf"), col("df"),
+        col("lift_pm"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
+  val txtTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, w FROM (
+      |    SELECT lang, doc_id,
+      |      unnest(regexp_split_to_array(text, '\s+')) AS w
+      |    FROM documents) t
+      |  WHERE len(w) > 0),
+      |tf AS (SELECT lang, w, COUNT(*) AS tf FROM toks GROUP BY lang, w),
+      |dfreq AS (
+      |  SELECT w, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, w FROM toks) d GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.lang, tf.w, tf.tf, dfreq.df,
+      |    CAST(tf.tf * n.n_docs * 1000 // dfreq.df AS BIGINT) AS lift_pm
+      |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+      |r AS (
+      |  SELECT lang, w, tf, df, lift_pm,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY lift_pm DESC, w) AS rank
+      |  FROM scored)
+      |SELECT lang, w AS term, tf, df, lift_pm,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_tfidf" -> (txtTfidf _),
     "txt_collocations" -> (txtCollocations _),
     "txt_sentences" -> (txtSentences _),
     "txt_vocab_stats" -> (txtVocabStats _),
@@ -334,6 +393,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_tfidf" -> txtTfidfSql,
     "txt_collocations" -> txtCollocationsSql,
     "txt_sentences" -> txtSentencesSql,
     "txt_vocab_stats" -> txtVocabStatsSql,
