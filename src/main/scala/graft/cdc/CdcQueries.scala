@@ -334,7 +334,42 @@ object CdcQueries extends QueryModule {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY changed_cols""".stripMargin
 
+  // ------------------------------------------------- cdc_ooo_audit
+  /** Out-of-order-arrival audit: replay the changelog in COMMIT order
+    * (event_id) and measure, per key, how often EVENT time regresses
+    * and by how much — the number every watermark/allowed-lateness
+    * setting should be derived from, and a standing data-quality
+    * check on any CDC feed (a clock-skewed producer shows up as a
+    * per-key regression spike). Window partitioned by user_id —
+    * high cardinality, so per-partition sorts stay small at any
+    * scale; exact integer microseconds end to end. */
+  def oooAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsMicros.as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("us") < col("prev"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("us") < col("prev"), col("prev") - col("us")))
+          .as("max_regress_us"))
+      .orderBy("user_id")
+  }
+
+  val oooAuditSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN us < prev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  MAX(CASE WHEN us < prev THEN prev - us END) AS max_regress_us
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_ooo_audit" -> (oooAudit _),
     "cdc_changed_columns" -> (changedColumns _),
     "cdc_dlq_route" -> (dlqRoute _),
     "cdc_parse_envelope" -> (parseEnvelope _),
@@ -347,6 +382,7 @@ object CdcQueries extends QueryModule {
     "cdc_schema_drift" -> (schemaDrift _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_ooo_audit" -> oooAuditSql,
     "cdc_changed_columns" -> changedColumnsSql,
     "cdc_dlq_route" -> dlqRouteSql,
     "cdc_parse_envelope" -> parseEnvelopeSql,

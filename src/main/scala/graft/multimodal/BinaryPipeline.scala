@@ -184,6 +184,65 @@ object BinaryPipeline extends QueryModule {
       |  CAST(100 + doc_id % 50 AS INTEGER) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- mm_audio_waveform
+  /** Full PCM read through the real JDK codec — past the header, into
+    * the sample data: `AudioSystem.getAudioInputStream` locates and
+    * streams the WAV data chunk, and the 16-bit little-endian frames
+    * are assembled into signed samples. Emits exact waveform stats
+    * (sample count, Σ|s|, max |s|) so the oracle — which recomputes
+    * the synthetic payload's samples arithmetically — pins the codec
+    * path bit-for-bit. Map-only pass; at scale the decode cost rides
+    * the same partition-batched shape as [[extractFeatures]]. */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val data = ais.readAllBytes()
+    val out = new Array[Int](data.length / 2)
+    var k = 0
+    while (k < out.length) {
+      val lo = data(2 * k) & 0xff
+      val hi = data(2 * k + 1) // sign-carrying high byte
+      out(k) = (hi << 8) | lo
+      k += 1
+    }
+    out
+  }
+
+  def mmAudioWaveform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = decodeWavSamples(encodeWav(id))
+        var sum = 0L
+        var mx = 0
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i)); sum += a; if (a > mx) mx = a; i += 1
+        }
+        (id, s.length, sum, mx)
+      })
+      .toDF("doc_id", "n_samples", "sum_abs", "max_abs")
+      .orderBy("doc_id")
+  }
+
+  /** The payload's data bytes are (id + i) % 251, so sample k is
+    * lo=(id+2k)%251, hi=(id+2k+1)%251 → signed16(lo + 256·hi). */
+  val mmAudioWaveformSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256 AS u
+      |  FROM (SELECT doc_id, unnest(range(0, ns)) AS k FROM d) t),
+      |v AS (SELECT doc_id,
+      |  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp FROM s)
+      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_samples,
+      |  CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(ABS(smp)) AS INTEGER) AS max_abs
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------- partition-batched feature path
   /** STUB decoder: a real implementation would parse the codec header
     * and decode pixels/samples here. Deterministic fake: 4 features
@@ -390,6 +449,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_decode" -> (mmImageDecode _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_audio_waveform" -> (mmAudioWaveform _),
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +457,6 @@ object BinaryPipeline extends QueryModule {
     "mm_image_decode" -> mmImageDecodeSql,
     "mm_image_resize" -> mmImageResizeSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
+    "mm_audio_waveform" -> mmAudioWaveformSql,
     "mm_video_frames" -> mmVideoFramesSql)
 }

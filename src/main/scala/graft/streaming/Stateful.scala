@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Arbitrary-stateful streaming via typed
   * `KeyValueGroupedDataset.flatMapGroupsWithState` — the escape hatch
@@ -68,5 +69,64 @@ object Stateful {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update)
+  }
+
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      last_ts_ms: Long)
+
+  /** EVENT-TIME TIMERS on transformWithState: each key accumulates a
+    * running count and re-arms one timer at (last event ts + gap);
+    * when the watermark passes the timer the session CLOSES — the
+    * state emits once and clears. This is the state-bounding
+    * mechanism at scale: idle keys evict themselves via their timer,
+    * no scan ever walks the store. (session_window expresses the same
+    * aggregation declaratively — the processor exists for semantics
+    * windows can't: emit-on-close with arbitrary per-key state.) */
+  final class IdleSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EventRow, ClosedSession] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var lastTs: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        Encoders.scalaLong, TTLConfig.NONE)
+      lastTs = getHandle.getValueState[Long]("last_ts",
+        Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var n = if (count.exists()) count.get() else 0L
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        if (e.ts.getTime > last) last = e.ts.getTime
+      }
+      // one live timer per key: disarm the stale one before re-arming
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(last + gapMs)
+      armed.update(last + gapMs)
+      count.update(n)
+      lastTs.update(last)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out = ClosedSession(key, count.get(), lastTs.get())
+      count.clear(); lastTs.clear(); armed.clear()
+      Iterator(out)
+    }
+  }
+
+  def idleSessions(events: Dataset[EventRow], gapMs: Long): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append)
   }
 }

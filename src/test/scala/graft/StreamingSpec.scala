@@ -391,6 +391,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close idle sessions and clear their state") {
+    import graft.streaming.Stateful
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val typed = mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "10 seconds")
+        .as[Stateful.EventRow]
+      val q = Stateful.idleSessions(typed, gapMs = 30000L)
+        .writeStream.format("memory").queryName("idle_sessions")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          (1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0),
+          (2L, ts("2024-01-01 09:00:10"), 1L, "click", 2.0),
+          (3L, ts("2024-01-01 09:00:05"), 2L, "click", 3.0))
+        q.processAllAvailable()
+        // watermark still behind both timers → nothing closed yet
+        assert(spark.table("idle_sessions").count() == 0)
+        // two watermark advances: the first carries the watermark past
+        // the timers, the second runs a batch under it so they fire
+        mem.addData((9L, ts("2024-01-01 09:10:00"), 9L, "click", 0.0))
+        q.processAllAvailable()
+        mem.addData((10L, ts("2024-01-01 09:20:00"), 9L, "click", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("idle_sessions").as[Stateful.ClosedSession]
+        .collect().filter(_.user_id < 9).map(s => s.user_id -> s).toMap
+      assert(rows(1L).n_events == 2 &&
+        rows(1L).last_ts_ms == ts("2024-01-01 09:00:10").getTime)
+      assert(rows(2L).n_events == 1 &&
+        rows(2L).last_ts_ms == ts("2024-01-01 09:00:05").getTime)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("sessionization over MemoryStream matches the batch session_window plan") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
