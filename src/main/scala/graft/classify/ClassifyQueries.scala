@@ -309,7 +309,46 @@ object ClassifyQueries extends QueryModule {
       |SELECT digit, n, CAST(n * 1000 // total AS BIGINT) AS pm
       |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
 
+  // -------------------------------------------------- cls_orphans
+  /** Referential-integrity audit: count foreign-key orphans per
+    * declared relationship (facts pointing at no parent row) — the
+    * schema-level data-quality scan run before any CDC target is
+    * trusted. Each relationship is one LEFT ANTI join on the key
+    * (broadcast when the parent is a dim, shuffle otherwise — the
+    * planner's choice, nothing forces a broadcast). */
+  def clsOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val liOrph = li
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("lineitem.l_orderkey->orders").as("relation"),
+        col("n_orphans"))
+    val ordOrph = ord.select(col("o_custkey"))
+      .join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("orders.o_custkey->customer").as("relation"),
+        col("n_orphans"))
+    liOrph.unionAll(ordOrph).orderBy("relation")
+  }
+
+  val clsOrphansSql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+      |    (SELECT COUNT(*) FROM lineitem
+      |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |    AS n_orphans
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+      |ORDER BY relation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_orphans" -> (clsOrphans _),
     "cls_benford" -> (clsBenford _),
     "cls_distinct_ratio" -> (clsDistinctRatio _),
     "cls_text_pii" -> (clsTextPii _),
@@ -320,6 +359,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_orphans" -> clsOrphansSql,
     "cls_benford" -> clsBenfordSql,
     "cls_distinct_ratio" -> clsDistinctRatioSql,
     "cls_text_pii" -> clsTextPiiSql,

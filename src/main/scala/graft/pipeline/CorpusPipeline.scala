@@ -224,6 +224,48 @@ object CorpusPipeline extends QueryModule {
       |FROM r WHERE FLOOR(r / w) < 20
       |GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin
 
+  // ----------------------------------------------- pipe_global_shuffle
+  /** Deterministic GLOBAL shuffle — the reproducible corpus
+    * permutation every training run needs (same data → same order, on
+    * any engine, after any retry). Order key = portable hash of
+    * doc_id (tie-broken by doc_id), but the global rank is computed
+    * WITHOUT a global sort: the hash axis is carved into contiguous
+    * shards (`_h div width` — contiguous in (hash, doc_id) order), a
+    * row_number runs within each shard, and shard ranks are offset by
+    * the exclusive prefix sum of per-shard counts — a window over the
+    * ≤ #shards aggregated rows only. The oracle IS the global
+    * ROW_NUMBER, proving the two-level decomposition exact. */
+  def globalShuffle(docs: DataFrame, hashShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardWidth = (1L << 32) / hashShards
+    val base = docs
+      .withColumn("_h", graft.mask.MaskFunctions.portableHash(col("doc_id")))
+      .withColumn("_shard", expr(s"_h div $shardWidth"))
+    val counts = base.groupBy("_shard").agg(count(lit(1)).as("_c"))
+    val pre = Window.orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select(col("_shard"), col("_off"))
+    val local = Window.partitionBy("_shard")
+      .orderBy(col("_h"), col("doc_id"))
+    base
+      .withColumn("_lr", row_number().over(local).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("_shard"))
+      .select(col("doc_id"), (col("_off") + col("_lr")).as("pos"))
+      .orderBy("pos")
+  }
+
+  def pipeGlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalShuffle(Tables.documents(spark, dir))
+
+  val pipeGlobalShuffleSql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+      |    doc_id) - 1 AS pos
+      |FROM documents ORDER BY pos""".stripMargin
+
   // ------------------------------------------------- pipe_contamination
   /** Benchmark-contamination check: which training documents share any
     * word n-gram with the held-out eval split? The standard leakage
@@ -340,7 +382,8 @@ object CorpusPipeline extends QueryModule {
     "pipe_pack_sequences" -> (pipePackSequences _),
     "pipe_interleave" -> (pipeInterleave _),
     "pipe_contamination" -> (pipeContamination _),
-    "pipe_dataset_card" -> (pipeDatasetCard _))
+    "pipe_dataset_card" -> (pipeDatasetCard _),
+    "pipe_global_shuffle" -> (pipeGlobalShuffle _))
 
   val oracles: Map[String, String] = Map(
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
@@ -348,5 +391,6 @@ object CorpusPipeline extends QueryModule {
     "pipe_pack_sequences" -> pipePackSequencesSql,
     "pipe_interleave" -> pipeInterleaveSql,
     "pipe_contamination" -> pipeContaminationSql,
-    "pipe_dataset_card" -> pipeDatasetCardSql)
+    "pipe_dataset_card" -> pipeDatasetCardSql,
+    "pipe_global_shuffle" -> pipeGlobalShuffleSql)
 }

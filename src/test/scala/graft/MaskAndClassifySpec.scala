@@ -182,4 +182,18 @@ class MaskAndClassifySpec extends SparkSpec {
       XmlCompat.parseRules(evil.toString)
     }
   }
+
+  test("substitution alphabets are class-preserving permutations") {
+    import graft.mask.MaskFunctions.{substitutionDst, substitutionSrc}
+    // a permutation of exactly the source alphabet (reversible mask)
+    assert(substitutionDst.sorted == substitutionSrc.sorted)
+    // character classes survive positionally: lower→lower,
+    // digit→digit, upper→upper
+    assert(substitutionDst.take(26).forall(_.isLower))
+    assert(substitutionDst.slice(26, 36).forall(_.isDigit))
+    assert(substitutionDst.drop(36).forall(_.isUpper))
+    // uppercase mirrors the lowercase permutation, so case-insensitive
+    // matching still works on masked values
+    assert(substitutionDst.drop(36) == substitutionDst.take(26).toUpperCase)
+  }
 }
