@@ -99,6 +99,72 @@ object SourceQueries extends QueryModule {
       |SELECT user_id, value, event_id AS last_event_id
       |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------- src_ldif_roundtrip
+  /** LDIF (RFC 2849) sink → source round-trip — the reference's LDIF
+    * data-info binding (`FileDataInfo type="LDIF"` in its data-class
+    * library). Write: each row becomes a `dn:` + attribute block,
+    * blank-line separated, with one attribute carried as `attr::
+    * base64` to exercise the encoded-value rule. Read: the text
+    * source splits on the blank-line record separator (`lineSep` =
+    * "\n\n" — records stay splittable at file granularity), and
+    * per-attribute extraction is a codegen multiline regex. The
+    * oracle never sees the file: round-tripped rows must equal the
+    * source table exactly. */
+  def ldifRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val tmp = Files.createTempDirectory("graft-ldif").toString
+    val rec = concat(
+      lit("dn: nationkey="), col("n_nationkey"),
+      lit(",ou=nations,dc=graft\n"),
+      lit("objectClass: nation\n"),
+      lit("nationkey: "), col("n_nationkey"), lit("\n"),
+      lit("name:: "), base64(col("n_name").cast("binary")), lit("\n"),
+      lit("regionkey: "), col("n_regionkey"), lit("\n"))
+    n.select(rec.as("value")).write.mode("overwrite").text(tmp)
+    spark.read.option("lineSep", "\n\n").text(tmp)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        regexp_extract(col("value"), "(?m)^nationkey: (.*)$", 1)
+          .cast("int").as("n_nationkey"),
+        unbase64(regexp_extract(col("value"), "(?m)^name:: (.*)$", 1))
+          .cast("string").as("n_name"),
+        regexp_extract(col("value"), "(?m)^regionkey: (.*)$", 1)
+          .cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  val ldifRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  // -------------------------------------------- src_xml_roundtrip
+  /** XML sink → source round-trip on Spark 4's BUILT-IN xml data
+    * source (rowTag framing) — the reference's `type="XML"` data-info
+    * binding. Values survive as text and are restored by the explicit
+    * read schema (Double.toString ↔ parse is an exact round-trip);
+    * the aggregation then must match the original table. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val tmp = Files.createTempDirectory("graft-xml").toString
+    src.write.mode("overwrite").option("rowTag", "order")
+      .format("xml").save(tmp)
+    spark.read.option("rowTag", "order")
+      .schema(StructType(src.schema.fields))
+      .format("xml").load(tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // -------------------------------------------- src_orc_roundtrip
   /** Columnar ORC sink → source round-trip (Spark's second built-in
     * columnar format beside parquet — types survive natively, no
@@ -197,7 +263,9 @@ object SourceQueries extends QueryModule {
     "src_jsonl_changelog" -> (jsonlChangelog _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_partitioned_prune" -> (partitionedPrune _),
-    "src_sheet_range" -> (sheetRange _))
+    "src_sheet_range" -> (sheetRange _),
+    "src_ldif_roundtrip" -> (ldifRoundtrip _),
+    "src_xml_roundtrip" -> (xmlRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
@@ -205,5 +273,7 @@ object SourceQueries extends QueryModule {
     "src_jsonl_changelog" -> jsonlChangelogSql,
     "src_orc_roundtrip" -> orcRoundtripSql,
     "src_partitioned_prune" -> partitionedPruneSql,
-    "src_sheet_range" -> sheetRangeSql)
+    "src_sheet_range" -> sheetRangeSql,
+    "src_ldif_roundtrip" -> ldifRoundtripSql,
+    "src_xml_roundtrip" -> xmlRoundtripSql)
 }
