@@ -313,7 +313,55 @@ object EventStreams extends QueryModule {
       | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
       |ORDER BY s.user_id, signup_id, purchase_id NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------- str_funnel
+  /** Ordered conversion funnel view → click → purchase: a user is at
+    * stage k when each step's FIRST qualifying event strictly follows
+    * the previous step's (the classic product-analytics funnel, not a
+    * mere per-type count — ordering is the semantic content). Three
+    * user-keyed aggs chained by joins, everything partitioned on
+    * user_id (high cardinality, scale-safe); exact integer
+    * microseconds, no session state needed in batch. The same
+    * stage-1/2 frames run incrementally under streaming (each is an
+    * agg + join the engine maintains); the batch form is the oracle-
+    * verified contract. */
+  def strFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    val s1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+    val s2 = c.agg(count(lit(1)).as("n_users"))
+      .select(lit("2_view_click").as("stage"), col("n_users"))
+    val s3 = p.agg(count(lit(1)).as("n_users"))
+      .select(lit("3_view_click_purchase").as("stage"), col("n_users"))
+    s1.unionAll(s2).unionAll(s3).orderBy("stage")
+  }
+
+  val strFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_view_click', COUNT(*) FROM c
+      |  UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_funnel" -> (strFunnel _),
     "str_interval_outer" -> (strIntervalOuter _),
     "str_topk_windowed" -> (strTopkWindowed _),
     "str_static_enrich" -> (strStaticEnrich _),
@@ -326,6 +374,7 @@ object EventStreams extends QueryModule {
     "str_asof_join" -> (strAsof _))
 
   val oracles: Map[String, String] = Map(
+    "str_funnel" -> strFunnelSql,
     "str_interval_outer" -> strIntervalOuterSql,
     "str_topk_windowed" -> strTopkWindowedSql,
     "str_static_enrich" -> strStaticEnrichSql,

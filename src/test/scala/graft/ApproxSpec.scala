@@ -185,4 +185,26 @@ class ApproxSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(feats.forall { case (k, v) => v(0) == lens(k).toFloat })
   }
+
+  test("span fraction flags a shared 8-gram run, not unique text") {
+    graft.expr.VectorExprs.register(spark)
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8" // exactly one 8-gram
+    val tail1 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val tail2 = (1 to 12).map(i => s"b$i").mkString(" ")
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared $tail1"),
+      (2L, s"$shared $tail2"),
+      (3L, uniq)).toDF("doc_id", "text")
+    val rows = Dedup.spanFraction(df, 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // 20 words → 13 distinct 8-grams per doc
+    assert(rows(1L)._2 == 13 && rows(2L)._2 == 13 && rows(3L)._2 == 13)
+    // only the fully-shared leading gram is duplicated across docs
+    assert(rows(1L)._3 == 1 && rows(2L)._3 == 1)
+    assert(rows(3L)._3 == 0 && rows(3L)._4 == 0)
+    // per-mille = 1 * 1000 div 13
+    assert(rows(1L)._4 == 1000 / 13)
+  }
 }
