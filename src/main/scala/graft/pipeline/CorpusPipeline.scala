@@ -224,6 +224,38 @@ object CorpusPipeline extends QueryModule {
       |FROM r WHERE FLOOR(r / w) < 20
       |GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin
 
+  // ------------------------------------------------ pipe_mix_weights
+  /** Temperature-scaled multilingual sampling weights: w_l ∝ n_l^α
+    * with α = 1/2 — the standard scheme for upweighting low-resource
+    * languages in a training mixture (α=1 is proportional sampling,
+    * α→0 is uniform). Exactness across engines: n^(1/2) is computed
+    * as FLOOR(SQRT(n)) — IEEE-754 sqrt is correctly rounded and
+    * n < 2^52, so the floored value is bit-identical anywhere — and
+    * the weights are exact integer per-mille of the isqrt masses.
+    * One map-side-combining agg; the weights table is |langs| rows,
+    * broadcast to whatever sampler consumes it. */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("_m", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = counts.agg(sum(col("_m")).as("_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("_m * 1000 div _tot").as("weight_pm"))
+      .orderBy("lang")
+  }
+
+  def pipeMixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeights(Tables.documents(spark, dir))
+
+  val pipeMixWeightsSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS m
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(m) AS BIGINT) AS tot FROM c)
+      |SELECT lang, n_docs, CAST(m * 1000 // tot AS BIGINT) AS weight_pm
+      |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
+
   // ----------------------------------------------- pipe_global_shuffle
   /** Deterministic GLOBAL shuffle — the reproducible corpus
     * permutation every training run needs (same data → same order, on
@@ -383,7 +415,8 @@ object CorpusPipeline extends QueryModule {
     "pipe_interleave" -> (pipeInterleave _),
     "pipe_contamination" -> (pipeContamination _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
-    "pipe_global_shuffle" -> (pipeGlobalShuffle _))
+    "pipe_global_shuffle" -> (pipeGlobalShuffle _),
+    "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
@@ -392,5 +425,6 @@ object CorpusPipeline extends QueryModule {
     "pipe_interleave" -> pipeInterleaveSql,
     "pipe_contamination" -> pipeContaminationSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
-    "pipe_global_shuffle" -> pipeGlobalShuffleSql)
+    "pipe_global_shuffle" -> pipeGlobalShuffleSql,
+    "pipe_mix_weights" -> pipeMixWeightsSql)
 }
