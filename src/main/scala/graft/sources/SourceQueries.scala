@@ -257,6 +257,115 @@ object SourceQueries extends QueryModule {
     """SELECT n_nationkey, n_name FROM nation
       |WHERE n_nationkey BETWEEN 0 AND 8 ORDER BY n_nationkey""".stripMargin
 
+  // -------------------------------------------- src_avro_roundtrip
+  /** Avro object-container sink → source round-trip — the CDC-world
+    * interchange format (Debezium + schema registry serialize change
+    * envelopes as Avro; the reference's Kafka deployments consume
+    * exactly this wire shape). Write: one container per partition,
+    * executor-side, through the Hadoop FileSystem API. Read: the
+    * sync-marker-splittable [[org.apache.avro.mapreduce.AvroKeyInputFormat]]
+    * — at 100 TB each 128 MB split decodes independently; no file is
+    * ever whole in memory. The oracle never sees the files: the
+    * round-tripped aggregation must equal the original table's. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"Order","fields":[
+        |{"name":"o_orderkey","type":"long"},
+        |{"name":"o_orderstatus","type":"string"},
+        |{"name":"o_totalprice","type":"double"}]}""".stripMargin
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val tmp = Files.createTempDirectory("graft-avro").toString
+    BinaryFormats.writeAvro(src, tmp, schemaJson)
+    BinaryFormats.readAvro(spark, tmp, schemaJson) { r =>
+      (r.get("o_orderkey").asInstanceOf[Long],
+        r.get("o_orderstatus").toString,
+        r.get("o_totalprice").asInstanceOf[Double])
+    }.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val avroRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------ src_ebcdic_fixedwidth
+  /** Mainframe round-trip: RECFM=F fixed-length records in EBCDIC
+    * (code page IBM037) — the SortCL-heritage surface the reference's
+    * product family is explicitly built for (COBOL datasets moving off
+    * z/OS). Encode: the fixed-width formatter then a per-partition
+    * charset pass writing exact-L-byte records. Decode:
+    * `binaryRecords` (FixedLengthBinaryInputFormat — splittable at any
+    * record multiple, RECFM=F's defining property) then IBM037→UTF-16
+    * and positional parse. The oracle pins the round-trip against the
+    * original table. */
+  def ebcdicFixedwidth(spark: SparkSession, dir: String): DataFrame = {
+    val fields = Seq(
+      Delimited.FixedField("n_nationkey", 1, 5),
+      Delimited.FixedField("n_name", 6, 20),
+      Delimited.FixedField("n_regionkey", 26, 5))
+    val recordLen = fields.map(_.width).sum
+    val lines = Delimited.formatFixedWidth(
+      Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"),
+      fields)
+    val tmp = Files.createTempDirectory("graft-ebcdic").toString
+    BinaryFormats.writeEbcdic(lines, tmp, recordLen)
+    Delimited.parseFixedWidth(
+      BinaryFormats.readEbcdic(spark, tmp, recordLen), fields)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  val ebcdicFixedwidthSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ------------------------------------------------------ gen_rowgen
+  /** Deterministic synthetic data generation — the reference family's
+    * RowGen surface (IRI ships a test-data generator alongside the
+    * masker; same engine, generation instead of transformation).
+    * `spark.range` is the distributed generator (no data read, N
+    * splits), every field derives from a portable md5 hash of the row
+    * id — so any engine regenerates bit-identical rows (the oracle
+    * regenerates them in DuckDB from `range()` and must match
+    * exactly) — and set-valued fields draw from a real dimension
+    * table (nation) via hash-mod pick, broadcast-joined. */
+  def rowGen(spark: SparkSession, dir: String): DataFrame = {
+    val n = 1000
+    val names = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val h = graft.mask.MaskFunctions.portableHash(
+      concat(lit("rowgen:"), col("id").cast("string")))
+    spark.range(n).select(col("id"), h.as("_h"))
+      .select(col("id"),
+        (col("_h") % 25).as("_nk"),
+        expr("(_h div 25) % 10000").as("amount_cents"),
+        date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+          (col("_h") % 365).cast("int")).as("gen_date"))
+      .join(broadcast(names), col("_nk") === col("n_nationkey"))
+      .select(col("id"), col("n_name").as("name"),
+        col("amount_cents"), col("gen_date"))
+      .orderBy("id")
+  }
+
+  val rowGenSql: String =
+    """WITH g AS (
+      |  SELECT r.range AS id,
+      |    ('0x'||substr(md5('rowgen:'||CAST(r.range AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM range(0, 1000) r)
+      |SELECT g.id, n.n_name AS name,
+      |  (g.h // 25) % 10000 AS amount_cents,
+      |  DATE '1995-01-01' + CAST(g.h % 365 AS INTEGER) AS gen_date
+      |FROM g JOIN nation n ON g.h % 25 = n.n_nationkey
+      |ORDER BY g.id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
     "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
@@ -265,7 +374,10 @@ object SourceQueries extends QueryModule {
     "src_partitioned_prune" -> (partitionedPrune _),
     "src_sheet_range" -> (sheetRange _),
     "src_ldif_roundtrip" -> (ldifRoundtrip _),
-    "src_xml_roundtrip" -> (xmlRoundtrip _))
+    "src_xml_roundtrip" -> (xmlRoundtrip _),
+    "src_avro_roundtrip" -> (avroRoundtrip _),
+    "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
+    "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
@@ -275,5 +387,8 @@ object SourceQueries extends QueryModule {
     "src_partitioned_prune" -> partitionedPruneSql,
     "src_sheet_range" -> sheetRangeSql,
     "src_ldif_roundtrip" -> ldifRoundtripSql,
-    "src_xml_roundtrip" -> xmlRoundtripSql)
+    "src_xml_roundtrip" -> xmlRoundtripSql,
+    "src_avro_roundtrip" -> avroRoundtripSql,
+    "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
+    "gen_rowgen" -> rowGenSql)
 }

@@ -381,7 +381,57 @@ object TextAnalysis extends QueryModule {
       |  CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // --------------------------------------------------- txt_repetition
+  /** Gopher-style within-document repetition signal: the fraction of
+    * word trigram instances that are repeats of an earlier trigram in
+    * the SAME document (duplicate-instance mass = n_grams −
+    * n_distinct_grams). High values flag boilerplate/spam/looping
+    * generation — a standard pre-training quality gate alongside
+    * [[qualityScore]].
+    *
+    * Scale shape: the per-doc statistic is computed entirely row-local
+    * — codegen [[graft.expr.NGrams]] builds the gram array,
+    * `array_distinct` dedups it inside the row — so there is NO
+    * shuffle until the final |langs|-row aggregation. (The naive
+    * formulation — explode grams, groupBy (doc, gram) — shuffles the
+    * whole corpus twice; this one ships five longs per language.)
+    * Integers only: per-doc per-mille via integer div, summed/maxed
+    * exactly. */
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val g = call_function(graft.expr.VectorExprs.ngramsName,
+      words(col("text")), lit(3))
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(g).as("n_tri"),
+        size(array_distinct(g)).as("n_dist"))
+      .filter(col("n_tri") >= lit(1))
+      .select(col("lang"),
+        expr("(n_tri - n_dist) * 1000 div n_tri").as("pm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pm")).as("sum_pm"),
+        max(col("pm")).as("max_pm"),
+        sum(when(col("pm") >= 100, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy("lang")
+  }
+
+  val txtRepetitionSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(w[i:i+2], ' ')) AS g
+      |  FROM (SELECT lang, regexp_split_to_array(text, '\s+') AS w
+      |        FROM documents) t),
+      |pm AS (
+      |  SELECT lang,
+      |    (len(g) - len(list_distinct(g))) * 1000 // len(g) AS pm
+      |  FROM d WHERE len(g) >= 1)
+      |SELECT lang, COUNT(*) AS n_docs, SUM(pm) AS sum_pm, MAX(pm) AS max_pm,
+      |  SUM(CASE WHEN pm >= 100 THEN 1 ELSE 0 END) AS n_repetitive
+      |FROM pm GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_repetition" -> (txtRepetition _),
     "txt_tfidf" -> (txtTfidf _),
     "txt_collocations" -> (txtCollocations _),
     "txt_sentences" -> (txtSentences _),
@@ -393,6 +443,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_repetition" -> txtRepetitionSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_collocations" -> txtCollocationsSql,
     "txt_sentences" -> txtSentencesSql,
