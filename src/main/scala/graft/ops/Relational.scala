@@ -706,6 +706,75 @@ object Relational extends graft.QueryModule {
       |  CAST(SUM(p) AS DOUBLE) AS open_value
       |FROM e GROUP BY month ORDER BY month""".stripMargin
 
+  // --------------------------------------------------- q31_kmv_distinct
+  /** KMV (k-minimum-values) distinct-count sketch, per group — the
+    * mergeable cardinality sketch behind theta sketches: hash every
+    * value with the portable md5 hash, keep the k smallest distinct
+    * hashes per group, estimate |D| ≈ (k−1)·2³²/h_k. Because the hash
+    * is deterministic, the sketch itself is reproducible ANYWHERE —
+    * the oracle rebuilds the identical sketch in DuckDB and the
+    * estimate, the exact count, and the error all match to the bit
+    * (an approximate operator with a FULL exact-compare oracle).
+    *
+    * Scale shape: the one shuffle is the (group, hash) distinct; the
+    * per-group k-smallest runs as a WindowGroupLimit (rank ≤ k is
+    * partially applied per map partition BEFORE the shuffle, so at
+    * 100 TB each task forwards at most k hashes per group — the same
+    * bounded-state property that makes the sketch mergeable across a
+    * 1000-executor scan). Estimator math is all integer (exact).
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        graft.mask.MaskFunctions.portableHash(col("l_partkey")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("l_returnflag").orderBy("h")
+    val sk = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("l_returnflag")
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+        count(lit(1)).as("n_kept"))
+    val exact = d.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_distinct"))
+    sk.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        when(col("n_kept") < k, col("exact_distinct"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div hk"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_pm",
+        expr("abs(est_distinct - exact_distinct) * 1000 div exact_distinct"))
+      .orderBy("l_returnflag")
+  }
+
+  val q31Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, h,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      |  FROM d),
+      |sk AS (
+      |  SELECT l_returnflag, MAX(CASE WHEN rn = 128 THEN h END) AS hk,
+      |    COUNT(*) AS n_kept
+      |  FROM r WHERE rn <= 128 GROUP BY l_returnflag),
+      |ex AS (
+      |  SELECT l_returnflag, COUNT(*) AS exact_distinct FROM d
+      |  GROUP BY l_returnflag)
+      |SELECT sk.l_returnflag,
+      |  CASE WHEN sk.n_kept < 128 THEN ex.exact_distinct
+      |       ELSE (127 * 4294967296) // sk.hk END AS est_distinct,
+      |  ex.exact_distinct,
+      |  abs((CASE WHEN sk.n_kept < 128 THEN ex.exact_distinct
+      |        ELSE (127 * 4294967296) // sk.hk END) - ex.exact_distinct)
+      |    * 1000 // ex.exact_distinct AS err_pm
+      |FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
+      |ORDER BY sk.l_returnflag""".stripMargin
+
   // ------------------------------------- q29_percentile_bucketed
   /** Exact median over a HIGH-cardinality value domain
     * (o_totalprice — effectively unique doubles, where q27's value
@@ -780,6 +849,7 @@ object Relational extends graft.QueryModule {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_kmv_distinct" -> (q31 _),
     "q30_date_spine" -> (q30 _),
     "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
@@ -812,6 +882,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q31_kmv_distinct" -> q31Sql,
     "q30_date_spine" -> q30Sql,
     "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,

@@ -112,6 +112,19 @@ class PlanSpec extends SparkSpec {
       s"the candidate pair join must be an equi-join on cells:\n$plan")
   }
 
+  test("KMV sketch bounds per-task state via a partial WindowGroupLimit") {
+    // q31's k-smallest-per-group must run as WindowGroupLimit(Partial)
+    // BEFORE the exchange — each map task forwards at most k hashes per
+    // group, the property that keeps the sketch mergeable at 100 TB.
+    val df = Relational.q31(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit node in the KMV plan:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected the group-limit to apply partially map-side:\n$plan")
+  }
+
   test("corpus-sized windows never partition by a low-cardinality key alone") {
     // the r4 scale defect: row_number/sum windows partitioned by `lang`
     // (cardinality ~5) serialize each language through ONE task at
