@@ -347,7 +347,51 @@ object ClassifyQueries extends QueryModule {
       |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
       |ORDER BY relation""".stripMargin
 
+  // ----------------------------------------------------- cls_gini
+  /** Per-column value-concentration (Gini impurity, exact integer
+    * per-mille) — the entropy-style classification signal with NO
+    * transcendental math: gini_pm = 1000 − ⌊1000·Σcᵢ²/(Σcᵢ)²⌋.
+    * Near-0 = constant column, near-1000·(1−1/n) = key-like. Pairs
+    * with [[clsDistinctRatio]] (which measures cardinality; this
+    * measures skew — a column with 1000 values where one covers 99%
+    * scores key-like there but concentrated here). One unpivot map
+    * pass, one (column, value) count shuffle with map-side combine,
+    * then a |columns|-row agg; counts squared in DECIMAL(38,0) so the
+    * math cannot overflow at 100 TB row counts. */
+  def clsGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.customer(spark, dir)
+      .select(expr(
+        """stack(3,
+          |  'c_custkey', cast(c_custkey as string),
+          |  'c_mktsegment', cast(c_mktsegment as string),
+          |  'c_nationkey', cast(c_nationkey as string))"""
+          .stripMargin).as(Seq("col_name", "v")))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+      .select(col("col_name"),
+        col("c").cast(DecimalType(38, 0)).as("c"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_values"),
+        expr("1000 - (1000 * sum(c * c)) div (sum(c) * sum(c))")
+          .as("gini_pm"))
+      .orderBy("col_name")
+  }
+
+  val clsGiniSql: String =
+    """WITH u AS (
+      |  SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS v
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', CAST(c_mktsegment AS VARCHAR) FROM customer
+      |  UNION ALL
+      |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer),
+      |c AS (SELECT col_name, v, COUNT(*) AS c FROM u GROUP BY 1, 2)
+      |SELECT col_name, COUNT(*) AS n_values,
+      |  1000 - (1000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS gini_pm
+      |FROM c GROUP BY col_name ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_gini" -> (clsGini _),
     "cls_orphans" -> (clsOrphans _),
     "cls_benford" -> (clsBenford _),
     "cls_distinct_ratio" -> (clsDistinctRatio _),
@@ -359,6 +403,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_gini" -> clsGiniSql,
     "cls_orphans" -> clsOrphansSql,
     "cls_benford" -> clsBenfordSql,
     "cls_distinct_ratio" -> clsDistinctRatioSql,

@@ -98,11 +98,61 @@ object EmbOps extends QueryModule {
       |FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
       |ORDER BY id1""".stripMargin
 
+  // ------------------------------------------------ emb_matryoshka
+  /** Matryoshka truncation-energy audit: how much of each vector's
+    * energy (squared norm) survives truncation to the first 16/32/48
+    * dims — the number that decides whether MRL-style prefix
+    * truncation (the 4×-cheaper ANN index) is safe for this corpus.
+    * Per-vector math is one codegen map pass (graft_dot on prefix
+    * slices — no shuffle); `stack` unpivots the three prefixes and the
+    * only shuffle is the 3-row aggregation. Energy ratios are
+    * FLOOR(per-mille) of identical IEEE doubles — bit-portable, so the
+    * oracle recomputes them exactly. Degenerate (zero/NaN-norm)
+    * vectors are excluded the same way sql_surface excludes them. */
+  def embMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val e = col("embedding").cast("array<double>")
+    def ss(c: Column): Column =
+      call_function(graft.expr.VectorExprs.dotName, c, c)
+    val full = ss(e)
+    def pm(d: Int): Column =
+      floor(ss(slice(e, 1, d)) * lit(1000.0) / full).cast("long")
+    Tables.embeddings(spark, dir)
+      .filter(full > 0 && full < lit(Double.PositiveInfinity))
+      .select(pm(16).as("pm16"), pm(32).as("pm32"), pm(48).as("pm48"))
+      .select(expr("stack(3, 16, pm16, 32, pm32, 48, pm48)")
+        .as(Seq("prefix_dims", "pm")))
+      .groupBy("prefix_dims")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("pm")).as("sum_pm"),
+        min(col("pm")).as("min_pm"))
+      .orderBy("prefix_dims")
+  }
+
+  val embMatryoshkaSql: String =
+    """WITH v AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |p AS (
+      |  SELECT d.prefix_dims,
+      |    CAST(FLOOR(list_dot_product(e[1:d.prefix_dims],
+      |                                e[1:d.prefix_dims]) * 1000.0 /
+      |               list_dot_product(e, e)) AS BIGINT) AS pm
+      |  FROM v CROSS JOIN
+      |    (SELECT unnest([16, 32, 48]) AS prefix_dims) d)
+      |SELECT prefix_dims, COUNT(*) AS n_vecs, SUM(pm) AS sum_pm,
+      |  MIN(pm) AS min_pm
+      |FROM p GROUP BY prefix_dims ORDER BY prefix_dims""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (embQuantize _),
+    "emb_matryoshka" -> (embMatryoshka _),
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
     "emb_quantize" -> embQuantizeSql,
+    "emb_matryoshka" -> embMatryoshkaSql,
     "sql_surface" -> sqlSurfaceSql)
 }
