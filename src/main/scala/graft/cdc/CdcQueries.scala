@@ -139,6 +139,88 @@ object CdcQueries extends QueryModule {
        |SELECT user_id, value, event_id AS last_event_id
        |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  // ----------------------------------- cdc_incremental_snapshot
+  /** DBLog-style incremental snapshot merge — the algorithm behind
+    * Debezium's ad-hoc/incremental snapshots (the reference's engine
+    * embeds Debezium, whose re-snapshot path is exactly this): the
+    * table is snapshotted in KEY-RANGE CHUNKS while the change stream
+    * keeps flowing; each chunk read is bracketed by a watermark, and a
+    * chunk row is superseded when a change for its key arrives after
+    * the chunk's watermark. The merged result must equal latest-per-key
+    * over snapshot ∪ changelog (CdcSpec pins that invariant against
+    * [[snapshotApply]]); the audit here reports, per chunk, how many
+    * keys survived, were superseded in-flight, were created only after
+    * their chunk was read, or ended deleted.
+    *
+    * Chunk watermarks derive deterministically from the log's time
+    * bounds (integer micros arithmetic — engine-exact). Scale shape:
+    * one tiny bounds agg broadcast everywhere, then ONE shuffle on the
+    * key — the per-key window and the per-key flag aggregation share
+    * the same hash partitioning (the agg groups by the window's
+    * partition key, so Catalyst reuses the exchange) — then a
+    * |chunks|-row audit agg. At 100 TB nothing holds more than a key's
+    * events in memory at once. */
+  def incrementalSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir).withColumn("ts_us", tsMicros)
+    val bounds = log.agg(min(col("ts_us")).as("tmin"),
+      max(col("ts_us")).as("tmax"),
+      max(expr("user_id div 100")).as("cmax"))
+    val e = log.crossJoin(broadcast(bounds))
+      .withColumn("chunk_id", expr("user_id div 100"))
+      .withColumn("wm",
+        expr("tmin + ((chunk_id + 1) * (tmax - tmin)) div (cmax + 2)"))
+    val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+    val perUser = e.withColumn("_rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(max(col("chunk_id")).as("chunk_id"),
+        max(when(col("_rn") === 1, col("event_id"))).as("final_event_id"),
+        max(when(col("_rn") === 1, col("op"))).as("final_op"),
+        max(when(col("ts_us") <= col("wm"), 1).otherwise(0)).as("has_snap"),
+        max(when(col("ts_us") > col("wm"), 1).otherwise(0)).as("has_after"))
+    val live = col("final_op") =!= "d"
+    perUser.groupBy("chunk_id")
+      .agg(sum(when(live, 1L).otherwise(0L)).as("n_live"),
+        sum(when(!live, 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(live && col("has_snap") === 1 && col("has_after") === 1,
+          1L).otherwise(0L)).as("n_superseded"),
+        sum(when(live && col("has_snap") === 0, 1L).otherwise(0L))
+          .as("n_stream_only"),
+        sum(when(live, col("final_event_id")).otherwise(0L))
+          .as("final_id_sum"))
+      .orderBy("chunk_id")
+  }
+
+  val incrementalSnapshotSql: String =
+    s"""WITH log AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, $opSql AS op
+       |  FROM events),
+       |b AS (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax,
+       |        MAX(user_id // 100) AS cmax FROM log),
+       |e AS (
+       |  SELECT l.*, l.user_id // 100 AS chunk_id,
+       |    b.tmin + ((l.user_id // 100 + 1) * (b.tmax - b.tmin))
+       |      // (b.cmax + 2) AS wm
+       |  FROM log l CROSS JOIN b),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+       |u AS (
+       |  SELECT user_id, MAX(chunk_id) AS chunk_id,
+       |    MAX(CASE WHEN rn = 1 THEN event_id END) AS final_event_id,
+       |    MAX(CASE WHEN rn = 1 THEN op END) AS final_op,
+       |    MAX(CASE WHEN ts_us <= wm THEN 1 ELSE 0 END) AS has_snap,
+       |    MAX(CASE WHEN ts_us > wm THEN 1 ELSE 0 END) AS has_after
+       |  FROM r GROUP BY user_id)
+       |SELECT chunk_id,
+       |  SUM(CASE WHEN final_op <> 'd' THEN 1 ELSE 0 END) AS n_live,
+       |  SUM(CASE WHEN final_op = 'd' THEN 1 ELSE 0 END) AS n_deleted,
+       |  SUM(CASE WHEN final_op <> 'd' AND has_snap = 1 AND has_after = 1
+       |      THEN 1 ELSE 0 END) AS n_superseded,
+       |  SUM(CASE WHEN final_op <> 'd' AND has_snap = 0
+       |      THEN 1 ELSE 0 END) AS n_stream_only,
+       |  SUM(CASE WHEN final_op <> 'd' THEN final_event_id ELSE 0 END)
+       |    AS final_id_sum
+       |FROM u GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   // --------------------------------------------- cdc_upsert_target
   /** Keyed APPEND/UPDATE/DELETE application against an existing target
     * (reference: Main.java:477-498 routes ops to /APPEND, /UPDATE=(key),
@@ -375,6 +457,7 @@ object CdcQueries extends QueryModule {
     "cdc_parse_envelope" -> (parseEnvelope _),
     "cdc_temporal_repair" -> (temporalRepair _),
     "cdc_wire_type_repair" -> (wireTypeRepair _),
+    "cdc_incremental_snapshot" -> (incrementalSnapshot _),
     "cdc_snapshot_apply" -> (snapshotApply _),
     "cdc_upsert_target" -> (upsertTarget _),
     "cdc_scd2_history" -> (scd2History _),
@@ -388,6 +471,7 @@ object CdcQueries extends QueryModule {
     "cdc_parse_envelope" -> parseEnvelopeSql,
     "cdc_temporal_repair" -> temporalRepairSql,
     "cdc_wire_type_repair" -> wireTypeRepairSql,
+    "cdc_incremental_snapshot" -> incrementalSnapshotSql,
     "cdc_snapshot_apply" -> snapshotApplySql,
     "cdc_upsert_target" -> upsertTargetSql,
     "cdc_scd2_history" -> scd2HistorySql,

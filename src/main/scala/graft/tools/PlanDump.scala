@@ -26,7 +26,9 @@ object PlanDump {
       "str_static_enrich", "pipe_interleave", "sql_surface",
       "cls_text_pii", "txt_vocab_stats",
       "pipe_pack_sequences", "q27_percentiles", "src_sheet_range",
-      "q28_range_frame", "pipe_dataset_card")
+      "q28_range_frame", "pipe_dataset_card",
+      "q31_kmv_distinct", "cdc_incremental_snapshot", "txt_repetition",
+      "src_avro_roundtrip", "emb_matryoshka", "cls_gini")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 5 physical-plan audit")

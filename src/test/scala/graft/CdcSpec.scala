@@ -13,6 +13,26 @@ class CdcSpec extends SparkSpec {
   private val rowSchema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType)))
 
+  test("incremental-snapshot merge equals latest-per-key (DBLog invariant)") {
+    // whatever the chunk watermarks, snapshot ∪ changelog merged with
+    // watermark dedup must produce exactly the plain changelog compaction
+    import org.apache.spark.sql.functions._
+    val audit = graft.cdc.CdcQueries.incrementalSnapshot(spark, sfDir)
+      .agg(sum("n_live").as("live"), sum("final_id_sum").as("idsum"))
+      .collect().head
+    val applied = graft.cdc.CdcQueries.snapshotApply(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sum("last_event_id").as("idsum"))
+      .collect().head
+    assert(audit.getLong(0) == applied.getLong(0),
+      "live key count diverges from snapshot-apply")
+    assert(audit.getLong(1) == applied.getLong(1),
+      "final event-id checksum diverges from snapshot-apply")
+    // and the in-flight supersede machinery must actually fire
+    val sup = graft.cdc.CdcQueries.incrementalSnapshot(spark, sfDir)
+      .agg(sum("n_superseded")).collect().head.getLong(0)
+    assert(sup > 0, "no chunk saw an in-flight change; watermarks degenerate")
+  }
+
   test("envelope round-trip preserves op, source, and row payload") {
     val df = Seq((1L, "alice", "c"), (2L, "bob", "u"), (3L, "eve", "d"))
       .toDF("id", "name", "op")
