@@ -52,6 +52,44 @@ object CdcStream {
     spark.readStream.format(format).options(options).load()
       .select(col("value").cast("string").as("value"))
 
+  /** Avro change-stream tail — Debezium's OTHER wire format: with a
+    * schema registry, connectors serialize envelopes as Avro, not
+    * JSON. Streams a directory of Avro object-container files (the
+    * file-landing equivalent of an Avro-encoded topic; the kafka
+    * variant swaps the source, not the decode) and decodes each
+    * container executor-side. A [[org.apache.avro.generic.GenericData]]
+    * record prints as canonical JSON, so the decoded stream feeds the
+    * SAME envelope plan ([[changes]]/[[maskedChanges]]) as every other
+    * transport — one `value` column, source-agnostic downstream.
+    * Micro-batch reads land whole containers (binaryFile); the BATCH
+    * path for huge containers is the splittable
+    * [[graft.sources.BinaryFormats.readAvro]]. */
+  def avroTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // binaryFile's schema is fixed but file streaming sources still
+    // demand it explicitly
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val rdr = new org.apache.avro.file.DataFileStream(
+          new java.io.ByteArrayInputStream(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (rdr.hasNext) buf += rdr.next().toString
+          buf
+        } finally rdr.close()
+      }
+      .toDF("value")
+  }
+
   /** Keyed change parsing for sources that carry the record key beside
     * the value (kafka: `key`/`value` columns). The upsert key is NOT
     * configured — it is DISCOVERED per record from the key JSON's

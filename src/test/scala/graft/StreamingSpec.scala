@@ -174,6 +174,58 @@ class StreamingSpec extends SparkSpec {
       op == "c" && Seq("P1", "P2", "P3").contains(name) })
   }
 
+  test("file-stream CDC: Avro-encoded envelopes feed the same masked plan") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcStream
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val rowSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType)))
+    val avro = new Schema.Parser().parse(
+      """{"type":"record","name":"Env","fields":[{"name":"payload","type":
+        |{"type":"record","name":"P","fields":[
+        |{"name":"before","type":["null",{"type":"record","name":"R","fields":[
+        |  {"name":"c_custkey","type":"long"},{"name":"c_name","type":"string"}]}],
+        |  "default":null},
+        |{"name":"after","type":["null","R"],"default":null},
+        |{"name":"source","type":{"type":"record","name":"S","fields":[
+        |  {"name":"db","type":"string"},{"name":"table","type":"string"}]}},
+        |{"name":"op","type":"string"},{"name":"ts_ms","type":"long"}]}}]}"""
+        .stripMargin)
+    val pS = avro.getField("payload").schema()
+    val rS = pS.getField("before").schema().getTypes.get(1)
+    val sS = pS.getField("source").schema()
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-stream")
+    def envelope(op: String, key: Long, name: String): GenericRecord = {
+      val row = new GenericData.Record(rS)
+      row.put("c_custkey", key); row.put("c_name", name)
+      val src = new GenericData.Record(sS)
+      src.put("db", "db"); src.put("table", "customer")
+      val p = new GenericData.Record(pS)
+      p.put(if (op == "d") "before" else "after", row)
+      p.put("source", src); p.put("op", op); p.put("ts_ms", 1L)
+      val e = new GenericData.Record(avro)
+      e.put("payload", p)
+      e
+    }
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avro))
+      .create(avro, new java.io.File(dir.toFile, "b0.avro"))
+    w.append(envelope("c", 1L, "Customer#1"))
+    w.append(envelope("u", 2L, "Customer#2"))
+    w.append(envelope("d", 3L, "Customer#3"))
+    w.close()
+    val out = CdcStream.changes(CdcStream.avroTail(spark, dir.toString), rowSchema)
+    val q = out.writeStream.format("memory").queryName("avrocdc")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("avrocdc").select("op", "c_custkey", "c_name")
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(rows.toSeq == Seq(("c", 1L, "Customer#1"),
+      ("u", 2L, "Customer#2"), ("d", 3L, "Customer#3")))
+  }
+
   test("stream-stream interval join matches the batch plan") {
     implicit val sql = spark.sqlContext
     // signups: u1@00:00, u2@02:00; purchases: u1@01:00 (in), u1 next
