@@ -36,6 +36,14 @@ import graft.streaming.{CdcStream, JdbcUpsert}
   *     ([[XmlCompat]] parses the reference's own formats)
   *   - `structureChangeEventLogPath` — where schema-drift records go
   *     (default `schema_change_events.log`, Main.java:112-113)
+  *   - `offset.storage.file.filename` — the reference's Debezium
+  *     resume-offset store (`offsets.dat`,
+  *     `offset.storage=FileOffsetBackingStore`). Spark's native
+  *     equivalent is the streaming CHECKPOINT: when set, the sink gets
+  *     `checkpointLocation = <value>.checkpoint`, so a restarted
+  *     pipeline resumes from the last committed offsets instead of
+  *     re-reading the source — same durability contract, engine-native
+  *     mechanism
   */
 final case class GraftConfig(
     tableExcludeList: Seq[String],
@@ -48,7 +56,8 @@ final case class GraftConfig(
     dsnUrl: Option[String],
     dataClassLibraryPath: Option[String],
     rulesLibraryPath: Option[String],
-    structureChangeLogPath: String) {
+    structureChangeLogPath: String,
+    offsetStoragePath: Option[String] = None) {
 
   def targetName(table: Column): Column = concat(table, lit(targetNamePostfix))
 
@@ -90,7 +99,8 @@ object GraftConfig {
       dataClassLibraryPath = opt("dataClassLibraryPath"),
       rulesLibraryPath = opt("rulesLibraryPath"),
       structureChangeLogPath = opt("structureChangeEventLogPath")
-        .getOrElse("schema_change_events.log"))
+        .getOrElse("schema_change_events.log"),
+      offsetStoragePath = opt("offset.storage.file.filename"))
   }
 }
 
@@ -175,20 +185,26 @@ object ConfigPipeline {
     * replayed micro-batch REWRITES its own directory instead of
     * appending duplicates. (The JDBC/DSN target goes through
     * [[applyJdbc]] in a foreachBatch instead — it needs a key.) */
-  def sinkStream(df: DataFrame, cfg: GraftConfig): DataStreamWriter[Row] =
-    if (cfg.dataTargetProcessType.equalsIgnoreCase("record"))
-      df.writeStream.foreach(new RecordWriter(
-        cfg.dataTarget.getOrElse(
-          throw new IllegalArgumentException("dataTarget not configured")),
-        cfg.dataTargetSeparator))
-    else
-      df.writeStream.foreachBatch { (b: DataFrame, epochId: Long) =>
-        val target = cfg.dataTarget.getOrElse(
-          throw new IllegalArgumentException("dataTarget not configured"))
-        b.write.mode("overwrite").partitionBy("target_table")
-          .option("sep", cfg.dataTargetSeparator)
-          .csv(s"$target/epoch=$epochId")
-      }
+  def sinkStream(df: DataFrame, cfg: GraftConfig): DataStreamWriter[Row] = {
+    val w =
+      if (cfg.dataTargetProcessType.equalsIgnoreCase("record"))
+        df.writeStream.foreach(new RecordWriter(
+          cfg.dataTarget.getOrElse(
+            throw new IllegalArgumentException("dataTarget not configured")),
+          cfg.dataTargetSeparator))
+      else
+        df.writeStream.foreachBatch { (b: DataFrame, epochId: Long) =>
+          val target = cfg.dataTarget.getOrElse(
+            throw new IllegalArgumentException("dataTarget not configured"))
+          b.write.mode("overwrite").partitionBy("target_table")
+            .option("sep", cfg.dataTargetSeparator)
+            .csv(s"$target/epoch=$epochId")
+        }
+    // the configured Debezium offset store maps to Spark's checkpoint:
+    // restarts resume from committed offsets (ConfSpec restart test)
+    cfg.offsetStoragePath.fold(w)(p =>
+      w.option("checkpointLocation", s"$p.checkpoint"))
+  }
 
   /** DSN target: per-target-table keyed upsert through the configured
     * `DSN.<name>.url` JDBC url. Target names (already postfixed) are

@@ -775,6 +775,64 @@ object Relational extends graft.QueryModule {
       |FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
       |ORDER BY sk.l_returnflag""".stripMargin
 
+  // --------------------------------------------------- q32_window_suite
+  /** The remaining ANSI window functions in one report: per-customer
+    * order quartiles (ntile), position statistics (percent_rank,
+    * cume_dist), and the customer's third-cheapest order key
+    * (nth_value over the full frame). Partitioned by o_custkey — HIGH
+    * cardinality, so the window parallelizes at any scale (the q27
+    * lesson); customers with <4 orders are excluded so ntile(4) and
+    * the (n−1) denominators are never degenerate (and DuckDB/Spark
+    * single-row percent_rank edge semantics never enter). The ordering
+    * key (o_totalprice, o_orderkey) is unique per partition, making
+    * every function's output deterministic; the doubles are floored at
+    * micro precision — identical IEEE division both engines — and
+    * summed exactly as integers. */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+    val w = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("n_orders", count(lit(1)).over(byCust))
+      .filter(col("n_orders") >= 4)
+      .select(
+        ntile(4).over(w).as("quartile"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("pr_micro"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cd_micro"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pr_micro")).as("sum_pr_micro"),
+        sum(col("cd_micro")).as("sum_cd_micro"),
+        sum(col("third_key")).as("third_key_sum"))
+      .orderBy("quartile")
+  }
+
+  val q32Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM orders),
+      |w AS (
+      |  SELECT
+      |    NTILE(4) OVER win AS quartile,
+      |    CAST(FLOOR(PERCENT_RANK() OVER win * 1000000) AS BIGINT)
+      |      AS pr_micro,
+      |    CAST(FLOOR(CUME_DIST() OVER win * 1000000) AS BIGINT)
+      |      AS cd_micro,
+      |    NTH_VALUE(o_orderkey, 3) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |      AS third_key
+      |  FROM o WHERE n_orders >= 4
+      |  WINDOW win AS (PARTITION BY o_custkey
+      |                 ORDER BY o_totalprice, o_orderkey))
+      |SELECT quartile, COUNT(*) AS n, SUM(pr_micro) AS sum_pr_micro,
+      |  SUM(cd_micro) AS sum_cd_micro, SUM(third_key) AS third_key_sum
+      |FROM w GROUP BY quartile ORDER BY quartile""".stripMargin
+
   // ------------------------------------- q29_percentile_bucketed
   /** Exact median over a HIGH-cardinality value domain
     * (o_totalprice — effectively unique doubles, where q27's value
@@ -850,6 +908,7 @@ object Relational extends graft.QueryModule {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_kmv_distinct" -> (q31 _),
+    "q32_window_suite" -> (q32 _),
     "q30_date_spine" -> (q30 _),
     "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
@@ -883,6 +942,7 @@ object Relational extends graft.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q31_kmv_distinct" -> q31Sql,
+    "q32_window_suite" -> q32Sql,
     "q30_date_spine" -> q30Sql,
     "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,

@@ -121,6 +121,36 @@ class ConfSpec extends SparkSpec {
       s"expected tab-separated record lines, got: $recs")
   }
 
+  test("offset store property makes a restarted pipeline resume, not replay") {
+    // the reference persists Debezium offsets in offsets.dat
+    // (offset.storage.file.filename); graft maps that to the Spark
+    // checkpoint. Restarting over a file source must pick up ONLY the
+    // file landed while down — no duplicates of the first batch.
+    val (cfg0, dir) = makeConfig("dataTargetProcessType=record")
+    val cfg = cfg0.copy(offsetStoragePath = Some(s"$dir/offsets.dat"))
+    val in = Files.createDirectory(java.nio.file.Path.of(dir, "in")).toString
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      envelope("users", rows).coalesce(1).write.mode("append").text(s"$in/$name")
+    def run(): Unit = {
+      val stream = spark.readStream.text(s"$in/*")
+      val masked = ConfigPipeline.assemble(stream, rowSchema, cfg,
+        ConfigPipeline.library(cfg))
+      val q = ConfigPipeline.sinkStream(masked, cfg).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land("f1", Seq((1L, "ada lovelace"), (2L, "alan turing")))
+    run()
+    land("f2", Seq((3L, "grace hopper")))
+    run()
+    val recs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".rec"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(recs.count(_.contains("ADA LOVELACE")) == 1 &&
+      recs.count(_.contains("GRACE HOPPER")) == 1 &&
+      recs.length == 3,
+      s"restart replayed or dropped records: $recs")
+  }
+
   test("DSN target upserts per postfixed table through the configured url") {
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val url = "jdbc:derby:memory:graftconf;create=true"
