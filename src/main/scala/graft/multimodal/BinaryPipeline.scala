@@ -433,6 +433,87 @@ object BinaryPipeline extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** aHash (average-hash) of the decoded image: nearest-neighbor
+    * resample to 8×8 grays, threshold each cell against the mean —
+    * `g·64 > Σg` keeps it pure integer, no division boundary — and
+    * pack the 64 bits row-major. Returned as (hi, lo) 32-bit halves so
+    * both engines stay in exact signed-64 range. */
+  def resizeAHash(bytes: Array[Byte], tw: Int, th: Int): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val n = tw * th
+    val g = new Array[Long](n)
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      g(i) = (img.getRGB((i % tw) * w / tw, (i / tw) * h / th) >> 16) & 0xff
+      sum += g(i)
+      i += 1
+    }
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < n) {
+      if (g(i) * n > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  // ------------------------------------------------ mm_image_phash
+  /** Perceptual image near-dup gate: aHash every image (REAL PNG
+    * decode → 8×8 resample → mean threshold) and count, per image, how
+    * many other corpus images share its hash — hash-equality blocking,
+    * the image-side analogue of the text dedup family (a hash join on
+    * a 16-byte key, never pairwise pixels). The decode/hash pass is
+    * map-only with the same content-addressed cache as the resize; the
+    * oracle recomputes every bit of every hash from the gradient
+    * arithmetic. */
+  def mmImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        it.map { id =>
+          val (hi, lo) = cache.getOrElseUpdate(id % 256,
+            resizeAHash(encodeGradientPng(id % 256), 8, 8))
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    val counts = hashes.groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("n_same"))
+    hashes.join(counts, Seq("hash_hi", "hash_lo"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  val mmImagePhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 7) % 32 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, flatten(list_transform(range(8), y ->
+      |    list_transform(range(8), x ->
+      |      (doc_id + (x * w) // 8 + (y * h) // 8) % 256))) AS gs
+      |  FROM d),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(32), i ->
+      |      CASE WHEN gs[i + 33] * 64 > list_sum(gs)
+      |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+      |    CAST(list_sum(list_transform(range(32), i ->
+      |      CASE WHEN gs[i + 1] * 64 > list_sum(gs)
+      |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+      |  FROM g),
+      |c AS (SELECT hash_hi, hash_lo, COUNT(*) AS n_same FROM h
+      |      GROUP BY hash_hi, hash_lo)
+      |SELECT h.doc_id, h.hash_hi, h.hash_lo, c.n_same
+      |FROM h JOIN c USING (hash_hi, hash_lo)
+      |ORDER BY h.doc_id""".stripMargin
+
   val mmImageResizeSql: String =
     """WITH d AS (
       |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 7) % 32 AS h
@@ -448,6 +529,7 @@ object BinaryPipeline extends QueryModule {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_image_decode" -> (mmImageDecode _),
     "mm_image_resize" -> (mmImageResize _),
+    "mm_image_phash" -> (mmImagePhash _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_waveform" -> (mmAudioWaveform _),
     "mm_video_frames" -> (mmVideoFrames _))
@@ -456,6 +538,7 @@ object BinaryPipeline extends QueryModule {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_image_decode" -> mmImageDecodeSql,
     "mm_image_resize" -> mmImageResizeSql,
+    "mm_image_phash" -> mmImagePhashSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_audio_waveform" -> mmAudioWaveformSql,
     "mm_video_frames" -> mmVideoFramesSql)
