@@ -298,6 +298,55 @@ object CorpusPipeline extends QueryModule {
       |    doc_id) - 1 AS pos
       |FROM documents ORDER BY pos""".stripMargin
 
+  // ------------------------------------------------ pipe_curriculum
+  /** Deterministic curriculum schedule — easy-to-hard training order:
+    * docs are staged by quality band (⌊quality·10⌋, the shared
+    * [[graft.text.TextAnalysis.qualityScore]] — identical IEEE doubles
+    * on every engine) and shuffled reproducibly WITHIN each stage.
+    * Same two-level decomposition as [[globalShuffle]], with the stage
+    * as the leading key: rank within (stage, hash-shard), offset by
+    * the exclusive prefix sum over the ≤ stages×shards aggregated
+    * counts — no global sort ever materializes. The oracle is the
+    * global ROW_NUMBER over (stage, hash, doc_id), proving the
+    * decomposition exact. */
+  def curriculum(docs: DataFrame, hashShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardWidth = (1L << 32) / hashShards
+    val base = docs
+      .withColumn("_stage",
+        floor(graft.text.TextAnalysis.qualityScore(col("text")) * 10)
+          .cast("long"))
+      .withColumn("_h", graft.mask.MaskFunctions.portableHash(col("doc_id")))
+      .withColumn("_shard", expr(s"_h div $shardWidth"))
+    val counts = base.groupBy("_stage", "_shard").agg(count(lit(1)).as("_c"))
+    val pre = Window.orderBy("_stage", "_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select(col("_stage"), col("_shard"), col("_off"))
+    val local = Window.partitionBy("_stage", "_shard")
+      .orderBy(col("_h"), col("doc_id"))
+    base
+      .withColumn("_lr", row_number().over(local).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("_stage", "_shard"))
+      .select(col("doc_id"), col("_stage").as("stage"),
+        (col("_off") + col("_lr")).as("pos"))
+      .orderBy("pos")
+  }
+
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculum(Tables.documents(spark, dir))
+
+  val pipeCurriculumSql: String = {
+    val q = graft.text.TextAnalysis.qualityScoreSql("text")
+    s"""SELECT doc_id,
+       |  CAST(FLOOR(($q) * 10) AS BIGINT) AS stage,
+       |  ROW_NUMBER() OVER (ORDER BY FLOOR(($q) * 10),
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+       |    doc_id) - 1 AS pos
+       |FROM documents ORDER BY pos""".stripMargin
+  }
+
   // ------------------------------------------------- pipe_contamination
   /** Benchmark-contamination check: which training documents share any
     * word n-gram with the held-out eval split? The standard leakage
@@ -416,6 +465,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_contamination" -> (pipeContamination _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
+    "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
@@ -426,5 +476,6 @@ object CorpusPipeline extends QueryModule {
     "pipe_contamination" -> pipeContaminationSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
+    "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_mix_weights" -> pipeMixWeightsSql)
 }

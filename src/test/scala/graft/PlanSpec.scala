@@ -145,6 +145,7 @@ class PlanSpec extends SparkSpec {
     for ((name, df) <- Seq(
         ("pack_sequences", CorpusPipeline.packSequences(docs, 2048, 64)),
         ("interleave", CorpusPipeline.interleave(docs, 20)),
+        ("curriculum", CorpusPipeline.curriculum(docs)),
         ("q27_percentiles", Relational.q27(spark, sfDir)))) {
       df.collect() // finalize AQE so query stages are materialized
       val nodes = allNodes(df.queryExecution.executedPlan)
