@@ -624,5 +624,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.minhashDescriptor)
     ext.injectFunction(VectorExprs.jaccardDescriptor)
     ext.injectFunction(VectorExprs.ngramsDescriptor)
+    // the custom-operator path: as-of join as a first-class plan node
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

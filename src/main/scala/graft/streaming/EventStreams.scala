@@ -136,6 +136,26 @@ object EventStreams extends QueryModule {
     asofJoin(Tables.events(spark, dir), Tables.orders(spark, dir))
       .orderBy("event_id")
 
+  /** The SAME as-of semantics through the custom plan node
+    * ([[graft.plans.AsOfJoinExec]] — co-partitioned streaming merge,
+    * O(1) per-task state): third implementation, same oracle as the
+    * window form and the state-array lookup. */
+  def strAsofExec(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.register(spark)
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_ots"),
+        col("o_orderdate"))
+    graft.plans.AsOfJoin(e, o,
+      keys = "user_id" -> "o_custkey", times = "ts" -> "o_ots",
+      tie = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
   val strAsofSql: String =
     """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
       |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
@@ -371,7 +391,8 @@ object EventStreams extends QueryModule {
     "str_sliding_agg" -> (strSliding _),
     "str_sessionize" -> (strSessionize _),
     "str_dedup_watermark" -> (strDedup _),
-    "str_asof_join" -> (strAsof _))
+    "str_asof_join" -> (strAsof _),
+    "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
     "str_funnel" -> strFunnelSql,
@@ -384,5 +405,6 @@ object EventStreams extends QueryModule {
     "str_sliding_agg" -> strSlidingSql,
     "str_sessionize" -> strSessionizeSql,
     "str_dedup_watermark" -> strDedupSql,
-    "str_asof_join" -> strAsofSql)
+    "str_asof_join" -> strAsofSql,
+    "str_asof_exec" -> strAsofSql)
 }
