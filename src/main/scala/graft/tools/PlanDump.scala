@@ -28,7 +28,8 @@ object PlanDump {
       "pipe_pack_sequences", "q27_percentiles", "src_sheet_range",
       "q28_range_frame", "pipe_dataset_card",
       "q31_kmv_distinct", "cdc_incremental_snapshot", "txt_repetition",
-      "src_avro_roundtrip", "emb_matryoshka", "cls_gini")
+      "src_avro_roundtrip", "emb_matryoshka", "cls_gini",
+      "str_asof_exec", "pipe_curriculum", "mm_image_phash")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 5 physical-plan audit")
