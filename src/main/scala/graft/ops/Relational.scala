@@ -833,6 +833,38 @@ object Relational extends graft.QueryModule {
       |  SUM(cd_micro) AS sum_cd_micro, SUM(third_key) AS third_key_sum
       |FROM w GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  // ------------------------------------------------ q33_recursive_cte
+  /** Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): transitive
+    * closure over a derived hierarchy — customer k's parent is k div 2
+    * (a binary org-tree), and the recursion computes every node's
+    * depth from the root. The per-level step is a JOIN against the
+    * previous frontier, so Spark executes it as iterated joins with
+    * the same distributed plan rules as any other join (the DuckDB
+    * oracle runs the IDENTICAL recursive SQL). Depth histogram output
+    * keeps it exact-integer. */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM graft_customer c JOIN tree t ON c.c_custkey DIV 2 = t.k
+        |  WHERE c.c_custkey > 1)
+        |SELECT depth, COUNT(*) AS n, SUM(k) AS sum_k
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q33Sql: String =
+    """WITH RECURSIVE tree(k, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.depth + 1
+      |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+      |  WHERE c.c_custkey > 1)
+      |SELECT depth, COUNT(*) AS n, SUM(k) AS sum_k
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   // ------------------------------------- q29_percentile_bucketed
   /** Exact median over a HIGH-cardinality value domain
     * (o_totalprice — effectively unique doubles, where q27's value
@@ -909,6 +941,7 @@ object Relational extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
+    "q33_recursive_cte" -> (q33 _),
     "q30_date_spine" -> (q30 _),
     "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
@@ -943,6 +976,7 @@ object Relational extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
+    "q33_recursive_cte" -> q33Sql,
     "q30_date_spine" -> q30Sql,
     "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,
