@@ -63,6 +63,36 @@ class AsOfSpec extends SparkSpec {
     assert(out2 == Map(1L -> 102L), "equal times must resolve to max tie")
   }
 
+  test("seeded fuzz: custom exec equals the window form on random logs") {
+    // 20 random (keys, times, ties) datasets with heavy key/time
+    // collisions; the custom merge must equal the declarative window
+    // formulation row-for-row every time. Deterministic seed.
+    AsOfJoin.register(spark)
+    val rnd = new scala.util.Random(1234)
+    (1 to 20).foreach { trial =>
+      val nl = 30 + rnd.nextInt(120)
+      val nr = 30 + rnd.nextInt(120)
+      val keySpace = 1 + rnd.nextInt(8) // heavy collisions
+      val timeSpace = 1 + rnd.nextInt(12)
+      val left = (1 to nl).map(i =>
+        (i.toLong, rnd.nextInt(keySpace).toLong, rnd.nextInt(timeSpace).toLong))
+        .toDF("lid", "k", "t")
+      val right = (1 to nr).map(i =>
+        (rnd.nextInt(keySpace).toLong, rnd.nextInt(timeSpace).toLong, i.toLong))
+        .toDF("k2", "t2", "oid")
+      val viaExec = AsOfJoin(left, right, "k" -> "k2", "t" -> "t2", tie = "oid")
+        .select("lid", "oid").as[(Long, Long)].collect().toSeq.sorted
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lid")
+        .orderBy(desc("t2"), desc("oid"))
+      val viaWindow = left.join(right,
+          col("k") === col("k2") && col("t2") <= col("t"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("lid", "oid").as[(Long, Long)].collect().toSeq.sorted
+      assert(viaExec == viaWindow, s"trial $trial diverged")
+    }
+  }
+
   test("null keys and times never join") {
     AsOfJoin.register(spark)
     val left = Seq((Some(1L), Some(5L), Some(10L)), (Some(2L), None, Some(10L)),
