@@ -328,6 +328,80 @@ object SourceQueries extends QueryModule {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  // ------------------------------------------- src_avro_changelog
+  /** The Avro CDC wire end-to-end in BATCH: the same change-stream
+    * hand-off as [[jsonlChangelog]], but the envelopes travel as Avro
+    * object containers (Debezium + schema registry) instead of JSONL —
+    * serialize each change as an envelope-shaped Avro record
+    * (executor-side container writes), read the containers back
+    * through the splittable input format, print each record to
+    * canonical JSON (GenericData's toString), and compact through the
+    * SAME [[graft.cdc.Envelope.parse]] plan. Oracle identical to the
+    * JSONL form: the wire format must be invisible to the result. */
+  def avroChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val envSchema =
+      """{"type":"record","name":"Env","fields":[{"name":"payload","type":
+        |{"type":"record","name":"P","fields":[
+        |{"name":"after","type":{"type":"record","name":"R","fields":[
+        |  {"name":"event_id","type":"long"},{"name":"user_id","type":"long"},
+        |  {"name":"value","type":["null","double"],"default":null}]}},
+        |{"name":"source","type":{"type":"record","name":"S","fields":[
+        |  {"name":"db","type":"string"},{"name":"table","type":"string"}]}},
+        |{"name":"op","type":"string"},{"name":"ts_ms","type":"long"}]}}]}"""
+        .stripMargin
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000").as("ts_ms"))
+    val tmp = Files.createTempDirectory("graft-avro-cdc").toString
+    ev.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val schema = new org.apache.avro.Schema.Parser().parse(envSchema)
+      val pS = schema.getField("payload").schema()
+      val rS = pS.getField("after").schema()
+      val sS = pS.getField("source").schema()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/p$pid.avro"), true)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema)).create(schema, out)
+      try it.foreach { r =>
+        val row = new org.apache.avro.generic.GenericData.Record(rS)
+        row.put("event_id", r.getLong(0)); row.put("user_id", r.getLong(1))
+        row.put("value", if (r.isNullAt(2)) null else Double.box(r.getDouble(2)))
+        val src = new org.apache.avro.generic.GenericData.Record(sS)
+        src.put("db", "graft"); src.put("table", "events")
+        val p = new org.apache.avro.generic.GenericData.Record(pS)
+        p.put("after", row); p.put("source", src)
+        p.put("op", r.getString(3)); p.put("ts_ms", r.getLong(4))
+        val env = new org.apache.avro.generic.GenericData.Record(schema)
+        env.put("payload", p)
+        w.append(env)
+      } finally w.close()
+    }
+    val json = BinaryFormats.readAvro(spark, tmp, envSchema)(_.toString)
+      .toDF("value")
+    val parsed = graft.cdc.Envelope.parse(json, col("value"), rowSchema)
+    val w = Window.partitionBy("after.user_id")
+      .orderBy(desc("ts_ms"), desc("after.event_id"))
+    parsed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).filter(col("op") =!= "d")
+      .select(col("after.user_id").as("user_id"),
+        col("after.value").as("value"),
+        col("after.event_id").as("last_event_id"))
+      .orderBy("user_id")
+  }
+
+  val avroChangelogSql: String = jsonlChangelogSql
+
   // ------------------------------------------------------ gen_rowgen
   /** Deterministic synthetic data generation — the reference family's
     * RowGen surface (IRI ships a test-data generator alongside the
@@ -376,6 +450,7 @@ object SourceQueries extends QueryModule {
     "src_ldif_roundtrip" -> (ldifRoundtrip _),
     "src_xml_roundtrip" -> (xmlRoundtrip _),
     "src_avro_roundtrip" -> (avroRoundtrip _),
+    "src_avro_changelog" -> (avroChangelog _),
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
     "gen_rowgen" -> (rowGen _))
 
@@ -389,6 +464,7 @@ object SourceQueries extends QueryModule {
     "src_ldif_roundtrip" -> ldifRoundtripSql,
     "src_xml_roundtrip" -> xmlRoundtripSql,
     "src_avro_roundtrip" -> avroRoundtripSql,
+    "src_avro_changelog" -> avroChangelogSql,
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
     "gen_rowgen" -> rowGenSql)
 }
