@@ -146,13 +146,82 @@ object EmbOps extends QueryModule {
       |  MIN(pm) AS min_pm
       |FROM p GROUP BY prefix_dims ORDER BY prefix_dims""".stripMargin
 
+  // ---------------------------------------------------------- emb_pq
+  /** Product quantization — the trillion-vector storage codec (IVF-PQ
+    * is the standard ANN index layout): the 64-dim vector splits into
+    * M=4 16-dim subspaces, each assigned to the nearest of K=8
+    * centroids, so a vector stores as 4 bytes of codes (64× smaller
+    * than fp32) plus the shared codebook. Centroids are deterministic
+    * DATA POINTS (the K lowest-id non-degenerate vectors — same
+    * seeding discipline as knn_centroid), so the full codebook,
+    * every assignment, and every quantization error reproduce
+    * bit-for-bit in the oracle. Distance math d = ⟨a,a⟩−2⟨a,b⟩+⟨b,b⟩
+    * runs on codegen graft_dot slices; argmin ties break on centroid
+    * id via lexicographic (d, k) minimum in BOTH engines.
+    *
+    * Scale shape: the codebook is K rows broadcast everywhere; each
+    * vector expands to K·M candidate rows INSIDE its partition (no
+    * shuffle before partial aggregation), and the final (vec, m)
+    * reduce ships only the winning struct. Linear in corpus size. */
+  def embPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val e = col("embedding").cast("array<double>")
+    def ss(c: Column): Column =
+      call_function(graft.expr.VectorExprs.dotName, c, c)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(ss(e) > 0 && ss(e) < lit(Double.PositiveInfinity))
+      .select(col("vec_id"), e.as("e"))
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("k"), col("e").as("c"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("k"),
+        explode(sequence(lit(0), lit(3))).as("m"), col("e"), col("c"))
+      .withColumn("a", expr("slice(e, m*16+1, 16)"))
+      .withColumn("b", expr("slice(c, m*16+1, 16)"))
+      .withColumn("d",
+        expr("graft_dot(a,a) - 2*graft_dot(a,b) + graft_dot(b,b)"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m").as("subspace"),
+        col("best.k").as("code"),
+        floor(col("best.d") * 1000000).cast("long").as("err_micro"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  val embPqSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |cents AS (SELECT vec_id AS k, e AS c FROM emb
+      |          ORDER BY vec_id LIMIT 8),
+      |pairs AS (
+      |  SELECT emb.vec_id, cents.k, mm.m,
+      |    list_dot_product(emb.e[mm.m*16+1 : mm.m*16+16],
+      |                     emb.e[mm.m*16+1 : mm.m*16+16])
+      |    - 2 * list_dot_product(emb.e[mm.m*16+1 : mm.m*16+16],
+      |                           cents.c[mm.m*16+1 : mm.m*16+16])
+      |    + list_dot_product(cents.c[mm.m*16+1 : mm.m*16+16],
+      |                       cents.c[mm.m*16+1 : mm.m*16+16]) AS d
+      |  FROM emb CROSS JOIN cents
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm)
+      |SELECT vec_id, m AS subspace,
+      |  min({'d': d, 'k': k}).k AS code,
+      |  CAST(FLOOR(min({'d': d, 'k': k}).d * 1000000) AS BIGINT)
+      |    AS err_micro
+      |FROM pairs GROUP BY vec_id, m ORDER BY vec_id, subspace""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (embQuantize _),
     "emb_matryoshka" -> (embMatryoshka _),
+    "emb_pq" -> (embPq _),
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
+    "emb_pq" -> embPqSql,
     "sql_surface" -> sqlSurfaceSql)
 }
