@@ -29,7 +29,8 @@ object PlanDump {
       "q28_range_frame", "pipe_dataset_card",
       "q31_kmv_distinct", "cdc_incremental_snapshot", "txt_repetition",
       "src_avro_roundtrip", "emb_matryoshka", "cls_gini",
-      "str_asof_exec", "pipe_curriculum", "mm_image_phash")
+      "str_asof_exec", "pipe_curriculum", "mm_image_phash",
+      "emb_pq", "src_avro_changelog")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 5 physical-plan audit")
