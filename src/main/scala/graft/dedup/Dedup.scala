@@ -86,6 +86,84 @@ object Dedup extends QueryModule {
       |SELECT fp AS fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       |FROM c GROUP BY fp ORDER BY keeper""".stripMargin
 
+  // ----------------------------------------------- dedup_containment
+  /** DIRECTIONAL excerpt containment: c(A→B) = |G(A)∩G(B)|/|G(A)| ≥
+    * t over word-8-GRAM sets — doc A's sequences are (mostly) inside
+    * doc B. The companion filter Jaccard can't provide: an excerpt
+    * inside a much larger doc has low Jaccard but containment ~1.0.
+    * Grams, not tokens, deliberately: token-set containment collapses
+    * on a small shared vocabulary (every doc ⊆ every doc), while
+    * 8-gram sets are sequence-sensitive and high-cardinality, so a hit
+    * means REAL copied spans (same signal family as
+    * [[spanFraction]], but per-pair and directional). t = 0.9 in
+    * EXACT integer form (i·10 ≥ 9·n) — no float thresholds.
+    *
+    * Scale shape: candidates come from a postings self-join on the
+    * 60-BIT portable gram hash — 8-gram document frequency is tiny
+    * (sequences repeat only in true copies), so posting lists are
+    * short and the join never sees hot keys; per-pair verification is
+    * the codegen sorted-merge intersection over the two gram-hash
+    * arrays. The oracle computes the full quadratic answer from raw
+    * gram strings, so blocking-completeness bugs and hash collisions
+    * alike would fail the gate. */
+  def containment(docs: DataFrame): DataFrame = {
+    // 60-bit portable hash (15 hex chars < 2^60): gram space is large
+    // enough that the 32-bit tokHash would risk oracle-visible
+    // collisions
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val grams = docs
+      .select(col("doc_id"),
+        explode(call_function(graft.expr.VectorExprs.ngramsName,
+          split(col("text"), "\\s+"), lit(8))).as("g"))
+      .select(col("doc_id"), gramHash(col("g")).as("gh"))
+      .distinct()
+    val sets = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gh"))).as("hs"),
+        count(lit(1)).as("n"))
+    val candidates = grams.select(col("doc_id").as("d1"), col("gh"))
+      .join(probeSide(grams.select(col("doc_id").as("d2"), col("gh"))), "gh")
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .withColumn("i", call_function(
+        graft.expr.VectorExprs.intersectName, col("hs1"), col("hs2")))
+      .filter(col("i") * 10 >= col("n1") * 9)
+      .select(col("d1").as("inner_doc"), col("d2").as("outer_doc"),
+        expr("i * 1000 div n1").as("cont_pm"))
+      .orderBy("inner_doc", "outer_doc")
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    containment(Tables.documents(spark, dir))
+  }
+
+  val dedupContainmentSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, g
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(w) - 6),
+      |        i -> array_to_string(w[i:i+7], ' '))) AS g
+      |    FROM docs) t),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1 AS inner_doc, d2 AS outer_doc,
+      |  i * 1000 // s1.n AS cont_pm
+      |FROM inter JOIN sizes s1 ON s1.doc_id = d1
+      |WHERE i * 10 >= s1.n * 9
+      |ORDER BY inner_doc, outer_doc""".stripMargin
+
   // ---------------------------------------------- dedup_ngram_jaccard
   /** Token-set Jaccard near-dup pairs:
     * j = |A∩B| / (|A|+|B|-|A∩B|).
@@ -668,6 +746,7 @@ object Dedup extends QueryModule {
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _))
@@ -682,6 +761,7 @@ object Dedup extends QueryModule {
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
