@@ -402,6 +402,55 @@ object SourceQueries extends QueryModule {
 
   val avroChangelogSql: String = jsonlChangelogSql
 
+  // ------------------------------------------------ src_report_sink
+  /** SortCL-heritage REPORT target: the reference's product line began
+    * as a report generator (sort → group → subtotal → formatted text),
+    * and its script language still carries the report surface. Here:
+    * group subtotal lines plus a grand-total trailer, formatted as
+    * fixed-width text, written, READ BACK, positionally parsed, and
+    * verified — every subtotal AND the grand total must survive the
+    * text round-trip exactly (decimals as exact strings, no float
+    * formatting). The oracle recomputes both levels from the table. */
+  def reportSink(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+    val detail = g.select(concat(
+      lit("G "), rpad(col("o_orderstatus"), 4, " "),
+      lpad(col("n").cast("string"), 12, " "),
+      lpad(col("total").cast("string"), 24, " ")).as("value"))
+    val trailer = g.agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .select(concat(lit("T "), rpad(lit("*"), 4, " "),
+        lpad(col("n").cast("string"), 12, " "),
+        lpad(col("total").cast("string"), 24, " ")).as("value"))
+    val tmp = Files.createTempDirectory("graft-report").toString
+    detail.union(trailer).write.mode("overwrite").text(tmp)
+    val back = spark.read.text(tmp).select(
+      substring(col("value"), 1, 1).as("tag"),
+      trim(substring(col("value"), 3, 4)).as("o_orderstatus"),
+      trim(substring(col("value"), 7, 12)).cast("long").as("n"),
+      trim(substring(col("value"), 19, 24)).cast(DecimalType(28, 2))
+        .as("total"))
+    val groups = back.filter(col("tag") === "G")
+      .select(col("o_orderstatus"), col("n"),
+        col("total").cast("double").as("total"))
+    val grand = back.filter(col("tag") === "T")
+      .select(col("n").as("grand_n"),
+        col("total").cast("double").as("grand_total"))
+    groups.crossJoin(broadcast(grand)).orderBy("o_orderstatus")
+  }
+
+  val reportSinkSql: String =
+    """WITH g AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total,
+      |  (SELECT SUM(n) FROM g) AS grand_n,
+      |  CAST((SELECT SUM(total) FROM g) AS DOUBLE) AS grand_total
+      |FROM g ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------ gen_rowgen
   /** Deterministic synthetic data generation — the reference family's
     * RowGen surface (IRI ships a test-data generator alongside the
@@ -451,6 +500,7 @@ object SourceQueries extends QueryModule {
     "src_xml_roundtrip" -> (xmlRoundtrip _),
     "src_avro_roundtrip" -> (avroRoundtrip _),
     "src_avro_changelog" -> (avroChangelog _),
+    "src_report_sink" -> (reportSink _),
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
     "gen_rowgen" -> (rowGen _))
 
@@ -465,6 +515,7 @@ object SourceQueries extends QueryModule {
     "src_xml_roundtrip" -> xmlRoundtripSql,
     "src_avro_roundtrip" -> avroRoundtripSql,
     "src_avro_changelog" -> avroChangelogSql,
+    "src_report_sink" -> reportSinkSql,
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
     "gen_rowgen" -> rowGenSql)
 }
