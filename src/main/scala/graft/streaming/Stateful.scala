@@ -38,6 +38,55 @@ object Stateful {
       }
   }
 
+  // -------------------------------------------------- streaming SCD2
+  final case class ChangeRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, value: Double, op: String)
+
+  final case class Scd2Closed(user_id: Long, event_id: Long, value: Double,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Per-key SCD2 state: the currently-open version (public — encoder
+    * codegen must reach the accessors). */
+  final case class Scd2Open(event_id: Long, value: Double,
+      ts: java.sql.Timestamp, stillOpen: Boolean)
+
+  /** INCREMENTAL SCD type-2 maintenance — the CDC-target pattern the
+    * batch [[graft.cdc.CdcQueries.scd2History]] builds in one pass,
+    * here maintained change-by-change across micro-batches: per key
+    * the state holds the currently-open version; each arriving change
+    * CLOSES it (emitting the finished validity interval, with deletes
+    * closing-without-reopening) and non-deletes open the next version.
+    * Emitted rows are exactly the batch history's `valid_to IS NOT
+    * NULL` rows (CdcSpec pins that), and the open rows live only in
+    * the state store — O(1) state per key, the scale contract.
+    * Within a micro-batch, rows sort by (ts, event_id); ACROSS
+    * batches arrival must respect event order per key (upstream
+    * watermark reordering — cdc_ooo_audit measures how much a real
+    * feed needs). */
+  def scd2Closed(changes: Dataset[ChangeRow]): Dataset[Scd2Closed] = {
+    implicit val stateEnc = Encoders.product[Scd2Open]
+    implicit val outEnc = Encoders.product[Scd2Closed]
+    implicit val keyEnc = Encoders.scalaLong
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ChangeRow], state: GroupState[Scd2Open]) =>
+          val ordered = rows.toSeq.sortBy(c => (c.ts.getTime, c.event_id))
+          var open = state.getOption.filter(_.stillOpen)
+          val out = Seq.newBuilder[Scd2Closed]
+          ordered.foreach { c =>
+            open.foreach { o =>
+              out += Scd2Closed(uid, o.event_id, o.value, o.ts, c.ts)
+            }
+            open = if (c.op != "d")
+              Some(Scd2Open(c.event_id, c.value, c.ts, stillOpen = true))
+            else None
+          }
+          state.update(open.getOrElse(Scd2Open(0L, 0.0, null, stillOpen = false)))
+          out.result().iterator
+      }
+  }
+
   /** The same running totals on Spark 4's `transformWithState` API —
     * the successor to flatMapGroupsWithState: typed per-key state
     * variables (Value/List/Map), per-state TTLs, and timers, backed

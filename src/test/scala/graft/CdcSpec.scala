@@ -33,6 +33,38 @@ class CdcSpec extends SparkSpec {
     assert(sup > 0, "no chunk saw an in-flight change; watermarks degenerate")
   }
 
+  test("streaming SCD2 closes exactly the batch history's intervals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.ChangeRow
+    implicit val sqlCtx = spark.sqlContext
+    // the sf0.001 changelog, fed in three event-time chunks
+    val log = graft.cdc.CdcQueries.changeLog(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value"), col("op"))
+      .as[ChangeRow].collect().sortBy(c => (c.ts.getTime, c.event_id))
+    val chunks = log.grouped(math.max(1, log.length / 3 + 1)).toSeq
+    val mem = MemoryStream[ChangeRow]
+    val q = Stateful.scd2Closed(mem.toDS()).writeStream
+      .format("memory").queryName("scd2stream").outputMode("append").start()
+    try chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("scd2stream")
+      .select("user_id", "event_id", "value", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).sorted
+    val batch = graft.cdc.CdcQueries.scd2History(spark, sfDir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("valid_from").cast("timestamp"), col("valid_to").cast("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).sorted
+    assert(streamed.length == batch.length,
+      s"interval counts differ: ${streamed.length} vs ${batch.length}")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("envelope round-trip preserves op, source, and row payload") {
     val df = Seq((1L, "alice", "c"), (2L, "bob", "u"), (3L, "eve", "d"))
       .toDF("id", "name", "op")
