@@ -390,7 +390,67 @@ object ClassifyQueries extends QueryModule {
       |  1000 - (1000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS gini_pm
       |FROM c GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  // ------------------------------------------------- cls_quasi_id
+  /** Quasi-identifier pair detection — the signal behind k-anonymity
+    * masking decisions ([[graft.mask.MaskQueries]] mask_generalize):
+    * for each column pair, how close is the pair's distinct-combination
+    * count to each side's own cardinality? `nd_ab == nd_a` means a
+    * functionally determines b (a is the stronger identifier); a
+    * combination count approaching the row count means the PAIR
+    * re-identifies rows even when each column alone looks safe. All
+    * exact integers — one multi-distinct aggregation pass (Catalyst
+    * plans the distinct sets via Expand, a single shuffle), unpivoted
+    * to a 3-row report. */
+  def clsQuasiId(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .agg(
+        countDistinct(col("c_mktsegment")).as("nd_seg"),
+        countDistinct(col("c_nationkey")).as("nd_nat"),
+        countDistinct(col("c_custkey")).as("nd_key"),
+        countDistinct(col("c_mktsegment"), col("c_nationkey")).as("nd_seg_nat"),
+        countDistinct(col("c_mktsegment"), col("c_custkey")).as("nd_seg_key"),
+        countDistinct(col("c_nationkey"), col("c_custkey")).as("nd_nat_key"),
+        count(lit(1)).as("n_rows"))
+      .select(expr(
+        """stack(3,
+          |  'c_mktsegment|c_nationkey', nd_seg, nd_nat, nd_seg_nat, n_rows,
+          |  'c_mktsegment|c_custkey', nd_seg, nd_key, nd_seg_key, n_rows,
+          |  'c_nationkey|c_custkey', nd_nat, nd_key, nd_nat_key, n_rows)"""
+          .stripMargin)
+        .as(Seq("pair", "nd_a", "nd_b", "nd_ab", "n_rows")))
+      .select(col("pair"), col("nd_a"), col("nd_b"), col("nd_ab"),
+        (col("nd_ab") === col("nd_a")).as("fd_a_determines_b"),
+        (col("nd_ab") === col("nd_b")).as("fd_b_determines_a"),
+        expr("nd_ab * 1000 div n_rows").as("reident_pm"))
+      .orderBy("pair")
+
+  val clsQuasiIdSql: String =
+    """WITH s AS (
+      |  SELECT COUNT(DISTINCT c_mktsegment) AS nd_seg,
+      |    COUNT(DISTINCT c_nationkey) AS nd_nat,
+      |    COUNT(DISTINCT c_custkey) AS nd_key,
+      |    COUNT(DISTINCT (c_mktsegment, c_nationkey)) AS nd_seg_nat,
+      |    COUNT(DISTINCT (c_mktsegment, c_custkey)) AS nd_seg_key,
+      |    COUNT(DISTINCT (c_nationkey, c_custkey)) AS nd_nat_key,
+      |    COUNT(*) AS n_rows
+      |  FROM customer),
+      |u AS (
+      |  SELECT 'c_mktsegment|c_nationkey' AS pair, nd_seg AS nd_a,
+      |    nd_nat AS nd_b, nd_seg_nat AS nd_ab, n_rows FROM s
+      |  UNION ALL
+      |  SELECT 'c_mktsegment|c_custkey', nd_seg, nd_key, nd_seg_key, n_rows
+      |  FROM s
+      |  UNION ALL
+      |  SELECT 'c_nationkey|c_custkey', nd_nat, nd_key, nd_nat_key, n_rows
+      |  FROM s)
+      |SELECT pair, nd_a, nd_b, nd_ab,
+      |  nd_ab = nd_a AS fd_a_determines_b,
+      |  nd_ab = nd_b AS fd_b_determines_a,
+      |  nd_ab * 1000 // n_rows AS reident_pm
+      |FROM u ORDER BY pair""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_quasi_id" -> (clsQuasiId _),
     "cls_gini" -> (clsGini _),
     "cls_orphans" -> (clsOrphans _),
     "cls_benford" -> (clsBenford _),
@@ -403,6 +463,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_quasi_id" -> clsQuasiIdSql,
     "cls_gini" -> clsGiniSql,
     "cls_orphans" -> clsOrphansSql,
     "cls_benford" -> clsBenfordSql,
