@@ -213,15 +213,131 @@ object EmbOps extends QueryModule {
       |    AS err_micro
       |FROM pairs GROUP BY vec_id, m ORDER BY vec_id, subspace""".stripMargin
 
+  // ------------------------------------------------------ knn_pq_adc
+  /** PQ-approximate nearest-neighbor search by ASYMMETRIC DISTANCE
+    * COMPUTATION — how a trillion-vector index actually ranks: the
+    * query stays full-precision, every corpus vector is its 4 PQ codes
+    * ([[embPq]]'s codebook), and distance is the sum over subspaces of
+    * d²(query-sub, centroid[code]) — looked up, never recomputed
+    * per-pair. The lookup table is (queries × K × M) rows — tiny,
+    * broadcast — so ranking touches only 4-byte codes per corpus
+    * vector: the bandwidth win IS the operator. Everything
+    * (codebook, codes, ADC sums, ranks) is deterministic, so the
+    * oracle reproduces the entire approximate index bit-for-bit. */
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val e = col("embedding").cast("array<double>")
+    def ss(c: Column): Column =
+      call_function(graft.expr.VectorExprs.dotName, c, c)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(ss(e) > 0 && ss(e) < lit(Double.PositiveInfinity))
+      .select(col("vec_id"), e.as("e"))
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("k"), col("e").as("c"))
+    // corpus → PQ codes (same assignment as emb_pq)
+    val codes = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("k"),
+        explode(sequence(lit(0), lit(3))).as("m"), col("e"), col("c"))
+      .withColumn("d", expr(
+        """graft_dot(slice(e, m*16+1, 16), slice(e, m*16+1, 16))
+          | - 2*graft_dot(slice(e, m*16+1, 16), slice(c, m*16+1, 16))
+          | + graft_dot(slice(c, m*16+1, 16), slice(c, m*16+1, 16))"""
+          .stripMargin))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    // query → per-(subspace, centroid) distance lookup table
+    val qdist = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("q"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("k"),
+        explode(sequence(lit(0), lit(3))).as("m"), col("q"), col("c"))
+      .withColumn("qd", expr(
+        """graft_dot(slice(q, m*16+1, 16), slice(q, m*16+1, 16))
+          | - 2*graft_dot(slice(q, m*16+1, 16), slice(c, m*16+1, 16))
+          | + graft_dot(slice(c, m*16+1, 16), slice(c, m*16+1, 16))"""
+          .stripMargin))
+      .select(col("qid"), col("m"), col("k").as("code"), col("qd"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(qdist), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      // FIXED-ORDER component sum, not sum(): a commutative float sum
+      // would make the ADC depend on aggregation arrival order
+      .agg(max(when(col("m") === 0, col("qd"))).as("q0"),
+        max(when(col("m") === 1, col("qd"))).as("q1"),
+        max(when(col("m") === 2, col("qd"))).as("q2"),
+        max(when(col("m") === 3, col("qd"))).as("q3"))
+      .withColumn("adc", expr("((q0 + q1) + q2) + q3"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+        floor(col("adc") * 1000000).cast("long").as("adc_micro"))
+      .orderBy("qid", "rank")
+  }
+
+  val knnPqAdcSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |cents AS (SELECT vec_id AS k, e AS c FROM emb
+      |          ORDER BY vec_id LIMIT 8),
+      |pairs AS (
+      |  SELECT emb.vec_id, cents.k, mm.m,
+      |    list_dot_product(emb.e[mm.m*16+1 : mm.m*16+16],
+      |                     emb.e[mm.m*16+1 : mm.m*16+16])
+      |    - 2 * list_dot_product(emb.e[mm.m*16+1 : mm.m*16+16],
+      |                           cents.c[mm.m*16+1 : mm.m*16+16])
+      |    + list_dot_product(cents.c[mm.m*16+1 : mm.m*16+16],
+      |                       cents.c[mm.m*16+1 : mm.m*16+16]) AS d
+      |  FROM emb CROSS JOIN cents
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+      |codes AS (
+      |  SELECT vec_id, m, min({'d': d, 'k': k}).k AS code
+      |  FROM pairs GROUP BY vec_id, m),
+      |qdist AS (
+      |  SELECT q.vec_id AS qid, mm.m, cents.k AS code,
+      |    list_dot_product(q.e[mm.m*16+1 : mm.m*16+16],
+      |                     q.e[mm.m*16+1 : mm.m*16+16])
+      |    - 2 * list_dot_product(q.e[mm.m*16+1 : mm.m*16+16],
+      |                           cents.c[mm.m*16+1 : mm.m*16+16])
+      |    + list_dot_product(cents.c[mm.m*16+1 : mm.m*16+16],
+      |                       cents.c[mm.m*16+1 : mm.m*16+16]) AS qd
+      |  FROM emb q CROSS JOIN cents
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm
+      |  WHERE q.vec_id % 50 = 0),
+      |adc AS (
+      |  SELECT d.qid, c.vec_id,
+      |    ((MAX(CASE WHEN c.m = 0 THEN d.qd END)
+      |      + MAX(CASE WHEN c.m = 1 THEN d.qd END))
+      |      + MAX(CASE WHEN c.m = 2 THEN d.qd END))
+      |      + MAX(CASE WHEN c.m = 3 THEN d.qd END) AS adc
+      |  FROM codes c JOIN qdist d ON c.m = d.m AND c.code = d.code
+      |  WHERE c.vec_id <> d.qid
+      |  GROUP BY d.qid, c.vec_id),
+      |r AS (
+      |  SELECT qid, vec_id, adc, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS nid,
+      |  CAST(FLOOR(adc * 1000000) AS BIGINT) AS adc_micro
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (embQuantize _),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_pq" -> (embPq _),
+    "knn_pq_adc" -> (knnPqAdc _),
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_pq" -> embPqSql,
+    "knn_pq_adc" -> knnPqAdcSql,
     "sql_surface" -> sqlSurfaceSql)
 }
