@@ -327,7 +327,141 @@ object EmbOps extends QueryModule {
       |  CAST(FLOOR(adc * 1000000) AS BIGINT) AS adc_micro
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------------ knn_ivf_pq
+  /** The COMPOSED production index: IVF coarse cells × PQ codes. The
+    * same 8 seed vectors serve as coarse quantizer (cell = argmin of
+    * the full-vector distance, computed as the fixed-order sum of the
+    * 4 subspace distances) and as PQ codebook (per-subspace argmin =
+    * the code). A query probes its nProbe=2 nearest cells and ranks
+    * ONLY those cells' members, by ADC lookup — at a trillion vectors
+    * this is the whole game: the scan touches |probed cells|/|cells|
+    * of the corpus and 4 bytes per touched vector. Build = one pass
+    * over the corpus emitting (cell, codes) — the stored index; here
+    * the pass is inlined so the oracle can rebuild the ENTIRE index
+    * (cells, codes, probes, ADC ranks) bit-for-bit. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val e = col("embedding").cast("array<double>")
+    def ss(c: Column): Column =
+      call_function(graft.expr.VectorExprs.dotName, c, c)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(ss(e) > 0 && ss(e) < lit(Double.PositiveInfinity))
+      .select(col("vec_id"), e.as("e"))
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("k"), col("e").as("c"))
+    // one distance pass feeds everything: (vec, k, m) subspace dists
+    val pairs = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("k"),
+        explode(sequence(lit(0), lit(3))).as("m"), col("e"), col("c"))
+      .withColumn("d", expr(
+        """graft_dot(slice(e, m*16+1, 16), slice(e, m*16+1, 16))
+          | - 2*graft_dot(slice(e, m*16+1, 16), slice(c, m*16+1, 16))
+          | + graft_dot(slice(c, m*16+1, 16), slice(c, m*16+1, 16))"""
+          .stripMargin))
+      .select(col("vec_id"), col("k"), col("m"), col("d"))
+    val full = pairs.groupBy("vec_id", "k")
+      .agg(max(when(col("m") === 0, col("d"))).as("d0"),
+        max(when(col("m") === 1, col("d"))).as("d1"),
+        max(when(col("m") === 2, col("d"))).as("d2"),
+        max(when(col("m") === 3, col("d"))).as("d3"))
+      .withColumn("td", expr("((d0 + d1) + d2) + d3"))
+      .select(col("vec_id"), col("k"), col("td"))
+    import org.apache.spark.sql.expressions.Window
+    val cellW = Window.partitionBy("vec_id").orderBy(col("td"), col("k"))
+    val cells = full.withColumn("_r", row_number().over(cellW))
+      .filter(col("_r") === 1).select(col("vec_id"), col("k").as("cell"))
+    val codes = pairs.groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    val isQ = col("vec_id") % 50 === 0
+    val probes = full.filter(isQ)
+      .withColumn("_r", row_number().over(cellW))
+      .filter(col("_r") <= 2)
+      .select(col("vec_id").as("qid"), col("k").as("cell"))
+    val qdist = pairs.filter(isQ)
+      .select(col("vec_id").as("qid"), col("m"), col("k").as("code"),
+        col("d").as("qd"))
+    val candidates = probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val rankW = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    candidates
+      .join(codes, "vec_id")
+      .join(broadcast(qdist), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(max(when(col("m") === 0, col("qd"))).as("q0"),
+        max(when(col("m") === 1, col("qd"))).as("q1"),
+        max(when(col("m") === 2, col("qd"))).as("q2"),
+        max(when(col("m") === 3, col("qd"))).as("q3"))
+      .withColumn("adc", expr("((q0 + q1) + q2) + q3"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+        floor(col("adc") * 1000000).cast("long").as("adc_micro"))
+      .orderBy("qid", "rank")
+  }
+
+  val knnIvfPqSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |cents AS (SELECT vec_id AS k, e AS c FROM emb
+      |          ORDER BY vec_id LIMIT 8),
+      |pairs AS (
+      |  SELECT emb.vec_id, cents.k, mm.m,
+      |    list_dot_product(emb.e[mm.m*16+1 : mm.m*16+16],
+      |                     emb.e[mm.m*16+1 : mm.m*16+16])
+      |    - 2 * list_dot_product(emb.e[mm.m*16+1 : mm.m*16+16],
+      |                           cents.c[mm.m*16+1 : mm.m*16+16])
+      |    + list_dot_product(cents.c[mm.m*16+1 : mm.m*16+16],
+      |                       cents.c[mm.m*16+1 : mm.m*16+16]) AS d
+      |  FROM emb CROSS JOIN cents
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+      |fulld AS (
+      |  SELECT vec_id, k,
+      |    ((MAX(CASE WHEN m = 0 THEN d END)
+      |      + MAX(CASE WHEN m = 1 THEN d END))
+      |      + MAX(CASE WHEN m = 2 THEN d END))
+      |      + MAX(CASE WHEN m = 3 THEN d END) AS td
+      |  FROM pairs GROUP BY vec_id, k),
+      |ranked AS (
+      |  SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY td, k) AS r
+      |  FROM fulld),
+      |cells AS (SELECT vec_id, k AS cell FROM ranked WHERE r = 1),
+      |codes AS (
+      |  SELECT vec_id, m, min({'d': d, 'k': k}).k AS code
+      |  FROM pairs GROUP BY vec_id, m),
+      |probes AS (
+      |  SELECT vec_id AS qid, k AS cell FROM ranked
+      |  WHERE r <= 2 AND vec_id % 50 = 0),
+      |qdist AS (
+      |  SELECT vec_id AS qid, m, k AS code, d AS qd FROM pairs
+      |  WHERE vec_id % 50 = 0),
+      |adc AS (
+      |  SELECT p.qid, cl.vec_id,
+      |    ((MAX(CASE WHEN co.m = 0 THEN q.qd END)
+      |      + MAX(CASE WHEN co.m = 1 THEN q.qd END))
+      |      + MAX(CASE WHEN co.m = 2 THEN q.qd END))
+      |      + MAX(CASE WHEN co.m = 3 THEN q.qd END) AS adc
+      |  FROM probes p
+      |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.qid
+      |  JOIN codes co ON co.vec_id = cl.vec_id
+      |  JOIN qdist q ON q.qid = p.qid AND q.m = co.m AND q.code = co.code
+      |  GROUP BY p.qid, cl.vec_id),
+      |r AS (
+      |  SELECT qid, vec_id, adc, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS nid,
+      |  CAST(FLOOR(adc * 1000000) AS BIGINT) AS adc_micro
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf_pq" -> (knnIvfPq _),
     "emb_quantize" -> (embQuantize _),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_pq" -> (embPq _),
@@ -339,5 +473,6 @@ object EmbOps extends QueryModule {
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_pq" -> embPqSql,
     "knn_pq_adc" -> knnPqAdcSql,
+    "knn_ivf_pq" -> knnIvfPqSql,
     "sql_surface" -> sqlSurfaceSql)
 }
