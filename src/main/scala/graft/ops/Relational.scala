@@ -865,6 +865,54 @@ object Relational extends graft.QueryModule {
       |SELECT depth, COUNT(*) AS n, SUM(k) AS sum_k
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ------------------------------------------------ q34_heavy_hitters
+  /** EXACT heavy hitters (frequency > n/100) by two-pass Misra–Gries —
+    * the scale alternative to a full groupBy when the value domain is
+    * huge but only heavy values matter: pass 1 runs a k-counter
+    * Misra–Gries summary PER PARTITION (mapPartitions, O(k) memory —
+    * its guarantee: every value with global frequency > n/k survives
+    * in at least one partition's summary), pass 2 exactly counts ONLY
+    * the ≤ partitions·(k−1) surviving candidates (broadcast hash
+    * filter — the full-domain shuffle never happens) and keeps those
+    * strictly above the threshold. The sketch can only ADD candidates,
+    * never lose a heavy value, so the final output is EXACT — the
+    * oracle is the plain GROUP BY ... HAVING, in pure integers. */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 100
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v")).as[Long]
+    val candidates = vals.mapPartitions { it =>
+      val counters = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { v =>
+        if (counters.contains(v)) counters(v) += 1L
+        else if (counters.size < k - 1) counters(v) = 1L
+        else {
+          // decrement all; drop zeros (the classic MG step) — iterate
+          // a key snapshot, never the live map being mutated
+          counters.keys.toArray.foreach { key =>
+            val c = counters(key)
+            if (c == 1L) counters.remove(key) else counters(key) = c - 1L
+          }
+        }
+      }
+      counters.keysIterator
+    }.distinct()
+    val n = Tables.lineitem(spark, dir).count()
+    Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"))
+      .join(broadcast(candidates.toDF("v")), "v")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .orderBy("v")
+  }
+
+  val q34Sql: String =
+    """SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1
+      |HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM lineitem)
+      |ORDER BY v""".stripMargin
+
   // ------------------------------------- q29_percentile_bucketed
   /** Exact median over a HIGH-cardinality value domain
     * (o_totalprice — effectively unique doubles, where q27's value
@@ -942,6 +990,7 @@ object Relational extends graft.QueryModule {
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
+    "q34_heavy_hitters" -> (q34 _),
     "q30_date_spine" -> (q30 _),
     "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
@@ -977,6 +1026,7 @@ object Relational extends graft.QueryModule {
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,
+    "q34_heavy_hitters" -> q34Sql,
     "q30_date_spine" -> q30Sql,
     "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,

@@ -8,6 +8,45 @@ import graft.ops.Skew
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("heavy hitters: exact answer, and the MG guarantee holds on skew") {
+    // adversarial skew: one value at 40%, one at 5%, rest unique
+    val data = (Seq.fill(4000)(77L) ++ Seq.fill(500)(88L) ++
+      (1L to 5500L).map(_ + 1000000L))
+    val df = scala.util.Random.shuffle(data).toDF("v").repartition(8)
+    val exact = df.groupBy("v").count()
+      .filter(col("count") * 100 > data.length).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the operator's answer must equal the plain groupBy+having
+    val viaQuery = {
+      // same machinery as q34, inlined on the synthetic frame
+      val k = 100
+      val candidates = df.as[Long].mapPartitions { it =>
+        val counters = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { v =>
+          if (counters.contains(v)) counters(v) += 1L
+          else if (counters.size < k - 1) counters(v) = 1L
+          else counters.keys.toArray.foreach { key =>
+            val c = counters(key)
+            if (c == 1L) counters.remove(key) else counters(key) = c - 1L
+          }
+        }
+        counters.keysIterator
+      }.distinct()
+      val cand = candidates.collect().toSet
+      // MG guarantee: every true heavy value survives pass 1
+      assert(exact.keySet.subsetOf(cand),
+        s"MG lost heavy values: ${exact.keySet -- cand}")
+      // candidate set stays bounded by partitions*(k-1)
+      assert(cand.size <= 8 * (k - 1), s"candidate blow-up: ${cand.size}")
+      df.join(broadcast(candidates.toDF("v")), "v")
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > data.length)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(viaQuery == exact)
+    assert(exact.contains(77L) && exact.contains(88L))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     // pathological skew: 90% of the big side hits one key
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
