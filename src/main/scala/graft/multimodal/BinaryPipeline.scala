@@ -514,6 +514,67 @@ object BinaryPipeline extends QueryModule {
       |FROM h JOIN c USING (hash_hi, hash_lo)
       |ORDER BY h.doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_video_scenes
+  /** Temporal analysis over the decoded frame sequence: scene-CUT
+    * detection by thresholding the inter-frame change of the 8×8
+    * resampled gray mass — the downstream stage after the container
+    * walk ([[videoFrameStats]] proves the seek/sample layer; this
+    * operator consumes consecutive frames, each through the REAL PNG
+    * decode + resample, and reports per video the frame count, cut
+    * count, and total absolute frame-to-frame delta). Exact integers
+    * throughout; the oracle recomputes every frame's resampled mass
+    * from the gradient arithmetic and the same lag/threshold. Decode
+    * stays content-addressed (≤256 distinct frames corpus-wide). */
+  def mmVideoScenes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val grayCache = scala.collection.mutable.HashMap.empty[Int, Long]
+        def gs(m: Int): Long = grayCache.getOrElseUpdate(m,
+          resizeGraySum(encodeGradientPng(m.toLong), 8, 8)._3)
+        it.map { id =>
+          val n = 4 + (id % 8).toInt
+          var cuts = 0L; var sumD = 0L; var prev = 0L
+          var f = 0
+          while (f < n) {
+            val g = gs(((id + f) % 256).toInt)
+            if (f > 0) {
+              val d = math.abs(g - prev)
+              sumD += d
+              if (d > 3000) cuts += 1
+            }
+            prev = g
+            f += 1
+          }
+          (id, n.toLong, cuts, sumD)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_cuts", "sum_delta")
+      .orderBy("doc_id")
+  }
+
+  val mmVideoScenesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 8 AS n FROM documents),
+      |fr AS (SELECT doc_id, n, unnest(range(n)) AS f FROM d),
+      |g AS (
+      |  SELECT doc_id, n, f,
+      |    list_sum(flatten(list_transform(range(8), y ->
+      |      list_transform(range(8), x ->
+      |        ((doc_id + f) % 256
+      |         + (x * (8 + (doc_id + f) % 256 % 32)) // 8
+      |         + (y * (8 + (((doc_id + f) % 256) * 7) % 32)) // 8)
+      |        % 256)))) AS gs
+      |  FROM fr),
+      |w AS (
+      |  SELECT doc_id, n,
+      |    gs - LAG(gs) OVER (PARTITION BY doc_id ORDER BY f) AS dd
+      |  FROM g)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+      |  SUM(CASE WHEN ABS(dd) > 3000 THEN 1 ELSE 0 END) AS n_cuts,
+      |  SUM(ABS(dd)) AS sum_delta
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val mmImageResizeSql: String =
     """WITH d AS (
       |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 7) % 32 AS h
@@ -530,6 +591,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_decode" -> (mmImageDecode _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_image_phash" -> (mmImagePhash _),
+    "mm_video_scenes" -> (mmVideoScenes _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_waveform" -> (mmAudioWaveform _),
     "mm_video_frames" -> (mmVideoFrames _))
@@ -539,6 +601,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_decode" -> mmImageDecodeSql,
     "mm_image_resize" -> mmImageResizeSql,
     "mm_image_phash" -> mmImagePhashSql,
+    "mm_video_scenes" -> mmVideoScenesSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_audio_waveform" -> mmAudioWaveformSql,
     "mm_video_frames" -> mmVideoFramesSql)
