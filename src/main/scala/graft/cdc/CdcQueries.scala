@@ -221,6 +221,34 @@ object CdcQueries extends QueryModule {
        |    AS final_id_sum
        |FROM u GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
 
+  // ------------------------------------------------- cdc_gap_audit
+  /** Replication completeness audit: the change stream's event ids are
+    * a (gapless-by-contract) sequence, so missing ids = dropped
+    * changes — the first check a replication target runs after
+    * catch-up. Blocked by id range (10k per block) so the audit
+    * LOCALIZES loss: per block, observed count, expected span count,
+    * and the missing delta, plus the block's min/max for gap
+    * triangulation. One map-side-combining agg; output is
+    * |id-range|/10k rows regardless of corpus size. All exact
+    * integers. */
+  def gapAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), expr("event_id div 10000").as("block"))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_seen"),
+        min(col("event_id")).as("id_min"),
+        max(col("event_id")).as("id_max"))
+      .withColumn("n_expected", expr("id_max - id_min + 1"))
+      .withColumn("n_missing", expr("n_expected - n_seen"))
+      .orderBy("block")
+
+  val gapAuditSql: String =
+    """SELECT event_id // 10000 AS block, COUNT(*) AS n_seen,
+      |  MIN(event_id) AS id_min, MAX(event_id) AS id_max,
+      |  MAX(event_id) - MIN(event_id) + 1 AS n_expected,
+      |  MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS n_missing
+      |FROM events GROUP BY 1 ORDER BY block""".stripMargin
+
   // --------------------------------------------- cdc_upsert_target
   /** Keyed APPEND/UPDATE/DELETE application against an existing target
     * (reference: Main.java:477-498 routes ops to /APPEND, /UPDATE=(key),
@@ -458,6 +486,7 @@ object CdcQueries extends QueryModule {
     "cdc_temporal_repair" -> (temporalRepair _),
     "cdc_wire_type_repair" -> (wireTypeRepair _),
     "cdc_incremental_snapshot" -> (incrementalSnapshot _),
+    "cdc_gap_audit" -> (gapAudit _),
     "cdc_snapshot_apply" -> (snapshotApply _),
     "cdc_upsert_target" -> (upsertTarget _),
     "cdc_scd2_history" -> (scd2History _),
@@ -472,6 +501,7 @@ object CdcQueries extends QueryModule {
     "cdc_temporal_repair" -> temporalRepairSql,
     "cdc_wire_type_repair" -> wireTypeRepairSql,
     "cdc_incremental_snapshot" -> incrementalSnapshotSql,
+    "cdc_gap_audit" -> gapAuditSql,
     "cdc_snapshot_apply" -> snapshotApplySql,
     "cdc_upsert_target" -> upsertTargetSql,
     "cdc_scd2_history" -> scd2HistorySql,
