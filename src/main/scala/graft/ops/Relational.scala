@@ -913,6 +913,52 @@ object Relational extends graft.QueryModule {
       |HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM lineitem)
       |ORDER BY v""".stripMargin
 
+  // ------------------------------------------------ q35_forward_fill
+  /** Gap-filling time series with the IGNORE NULLS window surface:
+    * error events carry no measurement (value → NULL), and each user's
+    * series forward-fills from the last observed value —
+    * `last_value(... IGNORE NULLS)` over (user, time) — the standard
+    * sensor/metric repair. Partitions are per-user (high cardinality);
+    * the report is integer-exact: missing counts, unfillable (leading)
+    * nulls, the id-checksum of filled rows, and the DISTINCT count of
+    * fill values (bit-copied doubles compare exactly — no float
+    * arithmetic crosses the oracle). */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("vf", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("vf").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+        sum(when(col("v").isNull && col("vf").isNotNull, col("event_id"))
+          .otherwise(0L)).as("fill_id_sum"),
+        countDistinct(when(col("v").isNull, col("vf"))).as("n_fill_values"))
+      .orderBy("user_id")
+  }
+
+  val q35Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events),
+      |f AS (
+      |  SELECT *, LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+      |  FROM ev)
+      |SELECT user_id,
+      |  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_missing,
+      |  SUM(CASE WHEN vf IS NULL THEN 1 ELSE 0 END) AS n_unfilled,
+      |  SUM(CASE WHEN v IS NULL AND vf IS NOT NULL THEN event_id
+      |      ELSE 0 END) AS fill_id_sum,
+      |  COUNT(DISTINCT CASE WHEN v IS NULL THEN vf END) AS n_fill_values
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------- q29_percentile_bucketed
   /** Exact median over a HIGH-cardinality value domain
     * (o_totalprice — effectively unique doubles, where q27's value
@@ -991,6 +1037,7 @@ object Relational extends graft.QueryModule {
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
     "q34_heavy_hitters" -> (q34 _),
+    "q35_forward_fill" -> (q35 _),
     "q30_date_spine" -> (q30 _),
     "q29_percentile_bucketed" -> (q29 _),
     "q28_range_frame" -> (q28 _),
@@ -1027,6 +1074,7 @@ object Relational extends graft.QueryModule {
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,
     "q34_heavy_hitters" -> q34Sql,
+    "q35_forward_fill" -> q35Sql,
     "q30_date_spine" -> q30Sql,
     "q29_percentile_bucketed" -> q29Sql,
     "q28_range_frame" -> q28Sql,
