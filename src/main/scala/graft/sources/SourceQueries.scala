@@ -316,8 +316,14 @@ object SourceQueries extends QueryModule {
       fields)
     val tmp = Files.createTempDirectory("graft-ebcdic").toString
     BinaryFormats.writeEbcdic(lines, tmp, recordLen)
-    Delimited.parseFixedWidth(
-      BinaryFormats.readEbcdic(spark, tmp, recordLen), fields)
+    // read back through the REAL DataSourceV2 connector
+    // ([[EbcdicSource]] — record-aligned splits, pruning pushdown),
+    // not the helper: the driver gate covers the connector path
+    spark.read.format("graft-ebcdic")
+      .option("fields",
+        fields.map(f => s"${f.name}:${f.start}:${f.width}").mkString(","))
+      .option("recordLen", recordLen.toString)
+      .load(tmp)
       .select(col("n_nationkey").cast("int").as("n_nationkey"),
         col("n_name"),
         col("n_regionkey").cast("int").as("n_regionkey"))

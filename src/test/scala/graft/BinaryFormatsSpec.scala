@@ -70,6 +70,38 @@ class BinaryFormatsSpec extends SparkSpec {
       .toSeq == Seq((7, "ALPHA"), (42, "BETA-2"), (999, "G")))
   }
 
+  test("DSv2 connector: splits align to records and pruning reaches the scan") {
+    val fields = Seq(
+      Delimited.FixedField("id", 1, 4),
+      Delimited.FixedField("name", 5, 10),
+      Delimited.FixedField("tag", 15, 6))
+    val recordLen = 20
+    val src = (1 to 500).map(i => (i, s"name$i", s"t${i % 7}"))
+      .toDF("id", "name", "tag")
+    val lines = Delimited.formatFixedWidth(src, fields).repartition(3)
+    val dir = Files.createTempDirectory("graft-ebcdic-dsv2").toString
+    BinaryFormats.writeEbcdic(lines, dir, recordLen)
+    def read() = spark.read.format("graft-ebcdic")
+      .option("fields", "id:1:4,name:5:10,tag:15:6")
+      .option("recordLen", recordLen.toString)
+      // force multiple splits per file: 60 bytes = 3 records
+      .option("splitBytes", "60")
+      .load(dir)
+    // full read round-trips all rows
+    val all = read().select(col("id").cast("int"), col("name"))
+      .orderBy("id").collect()
+    assert(all.length == 500 && all.head.getString(1) == "name1")
+    // splits: each file carved into record-aligned ranges
+    val parts = read().rdd.getNumPartitions
+    assert(parts > 3, s"expected record-aligned sub-file splits, got $parts")
+    // pruning: a 1-column projection reaches the scan's readSchema
+    val pruned = read().select("tag")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("fields=tag"),
+      s"expected pruned scan (fields=tag) in:\n$scanDesc")
+    assert(pruned.distinct().count() == 7)
+  }
+
   test("ebcdic writer rejects records that don't fit the code page") {
     val dir = Files.createTempDirectory("graft-ebcdic-bad").toString
     val lines = Seq("日本語padpadpad!").toDF("value")
