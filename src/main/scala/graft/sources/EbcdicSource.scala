@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,17 +70,115 @@ object EbcdicSource {
 }
 
 private final class EbcdicTable(tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-ebcdic:${options.get("path")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // merge table properties with per-read options (read options win)
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ caseInsensitiveOptions.asScala).asJava)
     new EbcdicScanBuilder(tableSchema, merged)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ info.options().asScala).asJava)
+    new EbcdicWriteBuilder(info.schema(), merged)
+  }
+}
+
+/** DSv2 WRITE path: each task writes one temp part file of exact-L
+  * EBCDIC records and reports it in its commit message; commit renames
+  * the temp files into place (write-then-publish — a failed/speculated
+  * task's temp file is simply never published, and abort deletes
+  * them), so the target directory only ever holds complete files. */
+private final class EbcdicWriteBuilder(writeSchema: StructType,
+    options: CaseInsensitiveStringMap) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new EbcdicBatchWrite(
+      writeSchema, options)
+  }
+}
+
+private final case class EbcdicCommit(tempFile: String)
+    extends WriterCommitMessage
+
+private final class EbcdicBatchWrite(writeSchema: StructType,
+    options: CaseInsensitiveStringMap) extends BatchWrite {
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-ebcdic requires a save path"))
+  private val recordLen = options.get("recordLen").toInt
+  private val codePage = Option(options.get("codePage")).getOrElse("IBM037")
+  private val specs = EbcdicSource.fieldSpecs(options)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // field order of the incoming rows
+    val order = writeSchema.fieldNames.toSeq
+    val ordered = specs.sortBy(_.start)
+    require(ordered.map(_.name).toSet == order.toSet,
+      s"fields option ${ordered.map(_.name)} must cover schema $order")
+    new EbcdicWriterFactory(path, recordLen, codePage, ordered,
+      ordered.map(f => order.indexOf(f.name)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Configuration())
+    fs.mkdirs(new Path(path))
+    messages.foreach { case EbcdicCommit(tmp) =>
+      val src = new Path(tmp)
+      fs.rename(src, new Path(path, src.getName.stripPrefix("_tmp_")))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Configuration())
+    messages.foreach {
+      case EbcdicCommit(tmp) => fs.delete(new Path(tmp), false)
+      case _ => ()
+    }
+  }
+}
+
+private final class EbcdicWriterFactory(path: String, recordLen: Int,
+    codePage: String, specs: Seq[EbcdicSource.FieldSpec],
+    fieldIdx: Seq[Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val cs = java.nio.charset.Charset.forName(codePage)
+    private val tmp = new Path(path,
+      s"_tmp_part-$partitionId-$taskId.bin")
+    private val out = {
+      val fs = FileSystem.get(new Configuration())
+      fs.mkdirs(new Path(path))
+      fs.create(tmp, true)
+    }
+    override def write(row: InternalRow): Unit = {
+      val sb = new java.lang.StringBuilder(recordLen)
+      specs.indices.foreach { i =>
+        val v = if (row.isNullAt(fieldIdx(i))) ""
+          else row.getUTF8String(fieldIdx(i)).toString
+        val w = specs(i).width
+        val padded =
+          if (v.length >= w) v.substring(0, w)
+          else v + " " * (w - v.length)
+        sb.append(padded)
+      }
+      val b = sb.toString.getBytes(cs)
+      require(b.length == recordLen,
+        s"record is ${b.length} bytes, expected $recordLen")
+      out.write(b)
+    }
+    override def commit(): WriterCommitMessage = {
+      out.close()
+      EbcdicCommit(tmp.toString)
+    }
+    override def abort(): Unit = { out.close() }
+    override def close(): Unit = ()
   }
 }
 

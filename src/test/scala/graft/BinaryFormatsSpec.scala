@@ -102,6 +102,29 @@ class BinaryFormatsSpec extends SparkSpec {
     assert(pruned.distinct().count() == 7)
   }
 
+  test("DSv2 connector: write path round-trips through commit/rename") {
+    val dir = Files.createTempDirectory("graft-ebcdic-w").toString + "/out"
+    val src = (1 to 200).map(i => (s"$i", s"n$i")).toDF("id", "name")
+      .repartition(3)
+    // columns deliberately NOT in fields order: writer maps by name
+    src.select("name", "id").write.format("graft-ebcdic")
+      .option("fields", "id:1:6,name:7:10")
+      .option("recordLen", "16")
+      .mode("append").save(dir)
+    // no temp files survive the commit
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.nonEmpty && !names.exists(_.startsWith("_tmp_")), names.toSeq)
+    val back = spark.read.format("graft-ebcdic")
+      .option("fields", "id:1:6,name:7:10")
+      .option("recordLen", "16")
+      .load(dir)
+      .select(col("id").cast("int").as("id"), col("name"))
+      .orderBy("id").collect()
+    assert(back.length == 200)
+    assert(back.head.getInt(0) == 1 && back.head.getString(1) == "n1")
+    assert(back.last.getInt(0) == 200 && back.last.getString(1) == "n200")
+  }
+
   test("ebcdic writer rejects records that don't fit the code page") {
     val dir = Files.createTempDirectory("graft-ebcdic-bad").toString
     val lines = Seq("日本語padpadpad!").toDF("value")
