@@ -30,7 +30,9 @@ object PlanDump {
       "q31_kmv_distinct", "cdc_incremental_snapshot", "txt_repetition",
       "src_avro_roundtrip", "emb_matryoshka", "cls_gini",
       "str_asof_exec", "pipe_curriculum", "mm_image_phash",
-      "emb_pq", "src_avro_changelog")
+      "emb_pq", "src_avro_changelog",
+      "dedup_containment", "q34_heavy_hitters", "knn_ivf_pq",
+      "cdc_incremental_snapshot", "src_ebcdic_fixedwidth")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 5 physical-plan audit")
