@@ -430,7 +430,57 @@ object TextAnalysis extends QueryModule {
       |  SUM(CASE WHEN pm >= 100 THEN 1 ELSE 0 END) AS n_repetitive
       |FROM pm GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ txt_rarity
+  /** Perplexity surrogate without transcendental math: every token
+    * gets a global rarity RANK (1 = most frequent, ties broken by the
+    * token itself), and each document scores the integer mean rank of
+    * its token INSTANCES — rare-token-heavy docs (noise, codes,
+    * boilerplate IDs) score high exactly where a unigram LM would
+    * assign high perplexity, but the statistic is engine-exact
+    * integers end to end. Scale shape: the rank window runs over the
+    * AGGREGATED vocabulary (post-groupBy, bounded by |vocab| not
+    * corpus size — the same post-agg-window class as the value
+    * histograms); the token→rank join is a plain shuffle join the
+    * optimizer may broadcast when the vocab is small. */
+  def txtRarity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("w"))
+    val rank = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("df"), col("w"))).cast("long"))
+      .select("w", "rank")
+    tok.join(rank, "w")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(col("rank")).as("rank_sum"))
+      .select(col("lang"), expr("rank_sum div n_tok").as("mean_rank"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("mean_rank")).as("sum_mean_rank"),
+        max(col("mean_rank")).as("max_mean_rank"))
+      .orderBy("lang")
+  }
+
+  val txtRaritySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(text, '\s+')) AS w
+      |  FROM documents),
+      |r AS (
+      |  SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rank
+      |  FROM tok GROUP BY w),
+      |d AS (
+      |  SELECT t.doc_id, t.lang,
+      |    SUM(r.rank) // COUNT(*) AS mean_rank
+      |  FROM tok t JOIN r USING (w)
+      |  GROUP BY t.doc_id, t.lang)
+      |SELECT lang, COUNT(*) AS n_docs, SUM(mean_rank) AS sum_mean_rank,
+      |  MAX(mean_rank) AS max_mean_rank
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_rarity" -> (txtRarity _),
     "txt_repetition" -> (txtRepetition _),
     "txt_tfidf" -> (txtTfidf _),
     "txt_collocations" -> (txtCollocations _),
@@ -443,6 +493,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_rarity" -> txtRaritySql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_collocations" -> txtCollocationsSql,
