@@ -298,6 +298,49 @@ object CorpusPipeline extends QueryModule {
       |    doc_id) - 1 AS pos
       |FROM documents ORDER BY pos""".stripMargin
 
+  // -------------------------------------------- pipe_shard_manifest
+  /** The dataloader-facing artifact: a SHARD MANIFEST over the
+    * deterministic global order — shard s holds positions
+    * [s·size, (s+1)·size), and the manifest records per shard the doc
+    * count, exact token mass, position range, and an id checksum, so
+    * a training job can (a) address any shard without scanning others
+    * and (b) prove it read exactly the intended docs. Built on the
+    * [[globalShuffle]] two-level rank (no global sort); everything is
+    * exact integers and the oracle re-derives the same manifest from
+    * the global ROW_NUMBER. */
+  def shardManifest(docs: DataFrame, shardSize: Long = 64): DataFrame = {
+    val ranked = globalShuffle(docs)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"),
+      graft.mask.MaskFunctions.portableHash(col("doc_id")).as("idh"))
+    ranked.join(toks, "doc_id")
+      .withColumn("shard", expr(s"pos div $shardSize"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"),
+        sum(col("idh")).as("id_checksum"))
+      .orderBy("shard")
+  }
+
+  def pipeShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(spark, dir))
+
+  val pipeShardManifestSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+      |      doc_id) - 1 AS pos,
+      |    len(regexp_split_to_array(text, '\s+')) AS nt,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS idh
+      |  FROM documents)
+      |SELECT pos // 64 AS shard, COUNT(*) AS n_docs,
+      |  SUM(nt) AS n_tokens, MIN(pos) AS pos_min, MAX(pos) AS pos_max,
+      |  SUM(idh) AS id_checksum
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   // ------------------------------------------------ pipe_curriculum
   /** Deterministic curriculum schedule — easy-to-hard training order:
     * docs are staged by quality band (⌊quality·10⌋, the shared
@@ -466,6 +509,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_curriculum" -> (pipeCurriculum _),
+    "pipe_shard_manifest" -> (pipeShardManifest _),
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
@@ -477,5 +521,6 @@ object CorpusPipeline extends QueryModule {
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_curriculum" -> pipeCurriculumSql,
+    "pipe_shard_manifest" -> pipeShardManifestSql,
     "pipe_mix_weights" -> pipeMixWeightsSql)
 }

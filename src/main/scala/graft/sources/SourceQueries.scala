@@ -408,6 +408,55 @@ object SourceQueries extends QueryModule {
 
   val avroChangelogSql: String = jsonlChangelogSql
 
+  // ------------------------------------------------ src_cobol_comp3
+  /** COBOL COMP-3 (packed decimal) round-trip — the other half of the
+    * mainframe story beside RECFM=F/EBCDIC: amounts live as BCD
+    * nibbles (two digits per byte, sign in the final nibble: C=+,
+    * D=−). Encode: integer cents → odd-length digit string → packed
+    * bytes (`unhex` — the hex text IS the nibble layout). The bytes
+    * round-trip a binary parquet column (what a COMP-3 field looks
+    * like after a 1:1 mainframe pull), and decode reverses it with
+    * builtins only: `hex` → sign nibble switch → digits → DECIMAL.
+    * The oracle pins decoded values AND sign handling against pure
+    * arithmetic on the source; negatives are exercised by balancing
+    * each order against the mean. */
+  def cobolComp3(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long") - lit(15000000L) // force a negative population
+    val sign = when(cents < 0, "D").otherwise("C")
+    val digits = lpad(abs(cents).cast("string"), 11, "0")
+    val packed = unhex(concat(digits, sign))
+    val tmp = Files.createTempDirectory("graft-comp3").toString
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), packed.as("amount_comp3"))
+      .write.mode("overwrite").parquet(tmp)
+    val h = upper(hex(col("amount_comp3")))
+    val mag = substring(h, 1, 11).cast("long")
+    val decodedCents = when(substring(h, 12, 1) === "D", -mag).otherwise(mag)
+    // aggregate exact integer CENTS; one double division at the end
+    // (decimal division detours through double in the oracle engine)
+    spark.read.parquet(tmp)
+      .select(decodedCents.as("cents"))
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < 0, 1L).otherwise(0L)).as("n_negative"),
+        (sum(col("cents")).cast("double") / 100).as("total"),
+        (min(col("cents")).cast("double") / 100).as("min_amount"),
+        (max(col("cents")).cast("double") / 100).as("max_amount"))
+  }
+
+  val cobolComp3Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    - 15000000 AS cents
+      |  FROM orders)
+      |SELECT COUNT(*) AS n,
+      |  SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS n_negative,
+      |  CAST(SUM(cents) AS DOUBLE) / 100 AS total,
+      |  CAST(MIN(cents) AS DOUBLE) / 100 AS min_amount,
+      |  CAST(MAX(cents) AS DOUBLE) / 100 AS max_amount
+      |FROM c""".stripMargin
+
   // ------------------------------------------------ src_report_sink
   /** SortCL-heritage REPORT target: the reference's product line began
     * as a report generator (sort → group → subtotal → formatted text),
@@ -507,6 +556,7 @@ object SourceQueries extends QueryModule {
     "src_avro_roundtrip" -> (avroRoundtrip _),
     "src_avro_changelog" -> (avroChangelog _),
     "src_report_sink" -> (reportSink _),
+    "src_cobol_comp3" -> (cobolComp3 _),
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
     "gen_rowgen" -> (rowGen _))
 
@@ -522,6 +572,7 @@ object SourceQueries extends QueryModule {
     "src_avro_roundtrip" -> avroRoundtripSql,
     "src_avro_changelog" -> avroChangelogSql,
     "src_report_sink" -> reportSinkSql,
+    "src_cobol_comp3" -> cobolComp3Sql,
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
     "gen_rowgen" -> rowGenSql)
 }
