@@ -211,14 +211,17 @@ object CdcQueries extends QueryModule {
        |    MAX(CASE WHEN ts_us > wm THEN 1 ELSE 0 END) AS has_after
        |  FROM r GROUP BY user_id)
        |SELECT chunk_id,
-       |  SUM(CASE WHEN final_op <> 'd' THEN 1 ELSE 0 END) AS n_live,
-       |  SUM(CASE WHEN final_op = 'd' THEN 1 ELSE 0 END) AS n_deleted,
-       |  SUM(CASE WHEN final_op <> 'd' AND has_snap = 1 AND has_after = 1
-       |      THEN 1 ELSE 0 END) AS n_superseded,
-       |  SUM(CASE WHEN final_op <> 'd' AND has_snap = 0
-       |      THEN 1 ELSE 0 END) AS n_stream_only,
-       |  SUM(CASE WHEN final_op <> 'd' THEN final_event_id ELSE 0 END)
-       |    AS final_id_sum
+       |  CAST(SUM(CASE WHEN final_op <> 'd' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_live,
+       |  CAST(SUM(CASE WHEN final_op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deleted,
+       |  CAST(SUM(CASE WHEN final_op <> 'd' AND has_snap = 1
+       |      AND has_after = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_superseded,
+       |  CAST(SUM(CASE WHEN final_op <> 'd' AND has_snap = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stream_only,
+       |  CAST(SUM(CASE WHEN final_op <> 'd' THEN final_event_id
+       |      ELSE 0 END) AS BIGINT) AS final_id_sum
        |FROM u GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
 
   // ------------------------------------------------- cdc_gap_audit

@@ -387,7 +387,8 @@ object ClassifyQueries extends QueryModule {
       |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer),
       |c AS (SELECT col_name, v, COUNT(*) AS c FROM u GROUP BY 1, 2)
       |SELECT col_name, COUNT(*) AS n_values,
-      |  1000 - (1000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS gini_pm
+      |  CAST(1000 - (1000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS BIGINT)
+      |    AS gini_pm
       |FROM c GROUP BY col_name ORDER BY col_name""".stripMargin
 
   // ------------------------------------------------- cls_quasi_id

@@ -571,8 +571,9 @@ object BinaryPipeline extends QueryModule {
       |    gs - LAG(gs) OVER (PARTITION BY doc_id ORDER BY f) AS dd
       |  FROM g)
       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
-      |  SUM(CASE WHEN ABS(dd) > 3000 THEN 1 ELSE 0 END) AS n_cuts,
-      |  SUM(ABS(dd)) AS sum_delta
+      |  CAST(SUM(CASE WHEN ABS(dd) > 3000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cuts,
+      |  CAST(SUM(ABS(dd)) AS BIGINT) AS sum_delta
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val mmImageResizeSql: String =

@@ -798,7 +798,7 @@ object Relational extends graft.QueryModule {
       .withColumn("n_orders", count(lit(1)).over(byCust))
       .filter(col("n_orders") >= 4)
       .select(
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         floor(percent_rank().over(w) * 1000000).cast("long").as("pr_micro"),
         floor(cume_dist().over(w) * 1000000).cast("long").as("cd_micro"),
         nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
@@ -829,8 +829,10 @@ object Relational extends graft.QueryModule {
       |  FROM o WHERE n_orders >= 4
       |  WINDOW win AS (PARTITION BY o_custkey
       |                 ORDER BY o_totalprice, o_orderkey))
-      |SELECT quartile, COUNT(*) AS n, SUM(pr_micro) AS sum_pr_micro,
-      |  SUM(cd_micro) AS sum_cd_micro, SUM(third_key) AS third_key_sum
+      |SELECT quartile, COUNT(*) AS n,
+      |  CAST(SUM(pr_micro) AS BIGINT) AS sum_pr_micro,
+      |  CAST(SUM(cd_micro) AS BIGINT) AS sum_cd_micro,
+      |  CAST(SUM(third_key) AS BIGINT) AS third_key_sum
       |FROM w GROUP BY quartile ORDER BY quartile""".stripMargin
 
   // ------------------------------------------------ q33_recursive_cte
@@ -862,7 +864,7 @@ object Relational extends graft.QueryModule {
       |  SELECT c.c_custkey, t.depth + 1
       |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
       |  WHERE c.c_custkey > 1)
-      |SELECT depth, COUNT(*) AS n, SUM(k) AS sum_k
+      |SELECT depth, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
   // ------------------------------------------------ q34_heavy_hitters
@@ -952,10 +954,12 @@ object Relational extends graft.QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
       |  FROM ev)
       |SELECT user_id,
-      |  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_missing,
-      |  SUM(CASE WHEN vf IS NULL THEN 1 ELSE 0 END) AS n_unfilled,
-      |  SUM(CASE WHEN v IS NULL AND vf IS NOT NULL THEN event_id
-      |      ELSE 0 END) AS fill_id_sum,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing,
+      |  CAST(SUM(CASE WHEN vf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unfilled,
+      |  CAST(SUM(CASE WHEN v IS NULL AND vf IS NOT NULL THEN event_id
+      |      ELSE 0 END) AS BIGINT) AS fill_id_sum,
       |  COUNT(DISTINCT CASE WHEN v IS NULL THEN vf END) AS n_fill_values
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 

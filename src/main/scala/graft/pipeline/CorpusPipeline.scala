@@ -337,8 +337,9 @@ object CorpusPipeline extends QueryModule {
       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS idh
       |  FROM documents)
       |SELECT pos // 64 AS shard, COUNT(*) AS n_docs,
-      |  SUM(nt) AS n_tokens, MIN(pos) AS pos_min, MAX(pos) AS pos_max,
-      |  SUM(idh) AS id_checksum
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  MIN(pos) AS pos_min, MAX(pos) AS pos_max,
+      |  CAST(SUM(idh) AS BIGINT) AS id_checksum
       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
   // ------------------------------------------------ pipe_curriculum

@@ -142,7 +142,8 @@ object EmbOps extends QueryModule {
       |               list_dot_product(e, e)) AS BIGINT) AS pm
       |  FROM v CROSS JOIN
       |    (SELECT unnest([16, 32, 48]) AS prefix_dims) d)
-      |SELECT prefix_dims, COUNT(*) AS n_vecs, SUM(pm) AS sum_pm,
+      |SELECT prefix_dims, COUNT(*) AS n_vecs,
+      |  CAST(SUM(pm) AS BIGINT) AS sum_pm,
       |  MIN(pm) AS min_pm
       |FROM p GROUP BY prefix_dims ORDER BY prefix_dims""".stripMargin
 
@@ -270,7 +271,7 @@ object EmbOps extends QueryModule {
         max(when(col("m") === 2, col("qd"))).as("q2"),
         max(when(col("m") === 3, col("qd"))).as("q3"))
       .withColumn("adc", expr("((q0 + q1) + q2) + q3"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id").as("nid"),
         floor(col("adc") * 1000000).cast("long").as("adc_micro"))
@@ -394,7 +395,7 @@ object EmbOps extends QueryModule {
         max(when(col("m") === 2, col("qd"))).as("q2"),
         max(when(col("m") === 3, col("qd"))).as("q3"))
       .withColumn("adc", expr("((q0 + q1) + q2) + q3"))
-      .withColumn("rank", row_number().over(rankW))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id").as("nid"),
         floor(col("adc") * 1000000).cast("long").as("adc_micro"))

@@ -451,7 +451,8 @@ object SourceQueries extends QueryModule {
       |    - 15000000 AS cents
       |  FROM orders)
       |SELECT COUNT(*) AS n,
-      |  SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS n_negative,
+      |  CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_negative,
       |  CAST(SUM(cents) AS DOUBLE) / 100 AS total,
       |  CAST(MIN(cents) AS DOUBLE) / 100 AS min_amount,
       |  CAST(MAX(cents) AS DOUBLE) / 100 AS max_amount
@@ -502,7 +503,7 @@ object SourceQueries extends QueryModule {
       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
       |  FROM orders GROUP BY o_orderstatus)
       |SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total,
-      |  (SELECT SUM(n) FROM g) AS grand_n,
+      |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS grand_n,
       |  CAST((SELECT SUM(total) FROM g) AS DOUBLE) AS grand_total
       |FROM g ORDER BY o_orderstatus""".stripMargin
 

@@ -426,8 +426,10 @@ object TextAnalysis extends QueryModule {
       |  SELECT lang,
       |    (len(g) - len(list_distinct(g))) * 1000 // len(g) AS pm
       |  FROM d WHERE len(g) >= 1)
-      |SELECT lang, COUNT(*) AS n_docs, SUM(pm) AS sum_pm, MAX(pm) AS max_pm,
-      |  SUM(CASE WHEN pm >= 100 THEN 1 ELSE 0 END) AS n_repetitive
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(pm) AS BIGINT) AS sum_pm, MAX(pm) AS max_pm,
+      |  CAST(SUM(CASE WHEN pm >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive
       |FROM pm GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------ txt_rarity
@@ -475,8 +477,9 @@ object TextAnalysis extends QueryModule {
       |    SUM(r.rank) // COUNT(*) AS mean_rank
       |  FROM tok t JOIN r USING (w)
       |  GROUP BY t.doc_id, t.lang)
-      |SELECT lang, COUNT(*) AS n_docs, SUM(mean_rank) AS sum_mean_rank,
-      |  MAX(mean_rank) AS max_mean_rank
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(mean_rank) AS BIGINT) AS sum_mean_rank,
+      |  CAST(MAX(mean_rank) AS BIGINT) AS max_mean_rank
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
