@@ -5,8 +5,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.mapred.AvroKey
 import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.NullWritable
 import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.TaskContext
@@ -45,10 +44,11 @@ object BinaryFormats {
     * file per partition under `dir`. */
   def writeAvro(df: DataFrame, dir: String, schemaJson: String): Unit = {
     val fields = df.schema.fields.map(_.name)
+    val conf = HadoopFs.serializable()
     df.foreachPartition { (it: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
       val schema = new Schema.Parser().parse(schemaJson)
-      val fs = FileSystem.get(new Configuration())
+      val fs = HadoopFs.fs(dir, conf.value)
       val out = fs.create(new Path(s"$dir/part-$pid.avro"), true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         .create(schema, out)
@@ -84,11 +84,12 @@ object BinaryFormats {
     * exactly `recordLen` chars) as concatenated EBCDIC (IBM037)
     * fixed-length records, one binary part file per partition. */
   def writeEbcdic(lines: DataFrame, dir: String, recordLen: Int,
-      codePage: String = "IBM037"): Unit =
+      codePage: String = "IBM037"): Unit = {
+    val conf = HadoopFs.serializable()
     lines.foreachPartition { (it: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
       val cs = java.nio.charset.Charset.forName(codePage)
-      val fs = FileSystem.get(new Configuration())
+      val fs = HadoopFs.fs(dir, conf.value)
       val out = fs.create(new Path(s"$dir/part-$pid.bin"), true)
       try it.foreach { row =>
         val b = row.getString(0).getBytes(cs)
@@ -98,6 +99,7 @@ object BinaryFormats {
         out.write(b)
       } finally out.close()
     }
+  }
 
   /** Read RECFM=F EBCDIC records of `recordLen` bytes under `dir`,
     * decode to a one-column (`value`) DataFrame of text lines. */

@@ -4,8 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -98,9 +97,19 @@ private final class EbcdicTable(tableSchema: StructType,
   * them), so the target directory only ever holds complete files. */
 private final class EbcdicWriteBuilder(writeSchema: StructType,
     options: CaseInsensitiveStringMap) extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new EbcdicBatchWrite(
-      writeSchema, options)
+  override def build(): Write = {
+    // fail at plan time, not mid-write on an executor: every incoming
+    // column must be a string (the writer calls getUTF8String), and
+    // the field spec must cover exactly the schema
+    val nonString = writeSchema.fields.filterNot(_.dataType == StringType)
+    require(nonString.isEmpty,
+      "graft-ebcdic writes string columns only; cast before writing: " +
+        nonString.map(f => s"${f.name}: ${f.dataType.simpleString}")
+          .mkString(", "))
+    new Write {
+      override def toBatch: BatchWrite = new EbcdicBatchWrite(
+        writeSchema, options)
+    }
   }
 }
 
@@ -113,6 +122,8 @@ private final class EbcdicBatchWrite(writeSchema: StructType,
     throw new IllegalArgumentException("graft-ebcdic requires a save path"))
   private val recordLen = options.get("recordLen").toInt
   private val codePage = Option(options.get("codePage")).getOrElse("IBM037")
+  private val allowTruncate =
+    Option(options.get("allowTruncate")).exists(_.toBoolean)
   private val specs = EbcdicSource.fieldSpecs(options)
 
   override def createBatchWriterFactory(
@@ -122,12 +133,13 @@ private final class EbcdicBatchWrite(writeSchema: StructType,
     val ordered = specs.sortBy(_.start)
     require(ordered.map(_.name).toSet == order.toSet,
       s"fields option ${ordered.map(_.name)} must cover schema $order")
-    new EbcdicWriterFactory(path, recordLen, codePage, ordered,
-      ordered.map(f => order.indexOf(f.name)))
+    new EbcdicWriterFactory(path, recordLen, codePage, allowTruncate,
+      ordered, ordered.map(f => order.indexOf(f.name)),
+      HadoopFs.serializable())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new Configuration())
+    val fs = HadoopFs.fs(path, HadoopFs.sessionConf())
     fs.mkdirs(new Path(path))
     messages.foreach { case EbcdicCommit(tmp) =>
       val src = new Path(tmp)
@@ -136,7 +148,7 @@ private final class EbcdicBatchWrite(writeSchema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new Configuration())
+    val fs = HadoopFs.fs(path, HadoopFs.sessionConf())
     messages.foreach {
       case EbcdicCommit(tmp) => fs.delete(new Path(tmp), false)
       case _ => ()
@@ -145,15 +157,17 @@ private final class EbcdicBatchWrite(writeSchema: StructType,
 }
 
 private final class EbcdicWriterFactory(path: String, recordLen: Int,
-    codePage: String, specs: Seq[EbcdicSource.FieldSpec],
-    fieldIdx: Seq[Int]) extends DataWriterFactory {
+    codePage: String, allowTruncate: Boolean,
+    specs: Seq[EbcdicSource.FieldSpec], fieldIdx: Seq[Int],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val cs = java.nio.charset.Charset.forName(codePage)
+    private val fs = HadoopFs.fs(path, conf.value)
     private val tmp = new Path(path,
       s"_tmp_part-$partitionId-$taskId.bin")
     private val out = {
-      val fs = FileSystem.get(new Configuration())
       fs.mkdirs(new Path(path))
       fs.create(tmp, true)
     }
@@ -163,6 +177,12 @@ private final class EbcdicWriterFactory(path: String, recordLen: Int,
         val v = if (row.isNullAt(fieldIdx(i))) ""
           else row.getUTF8String(fieldIdx(i)).toString
         val w = specs(i).width
+        // a mainframe target must not silently lose data: over-width
+        // values fail the task unless truncation is opted into
+        if (v.length > w && !allowTruncate)
+          throw new IllegalArgumentException(
+            s"value of ${specs(i).name} is ${v.length} chars, field " +
+              s"width is $w (set allowTruncate=true to truncate)")
         val padded =
           if (v.length >= w) v.substring(0, w)
           else v + " " * (w - v.length)
@@ -177,7 +197,12 @@ private final class EbcdicWriterFactory(path: String, recordLen: Int,
       out.close()
       EbcdicCommit(tmp.toString)
     }
-    override def abort(): Unit = { out.close() }
+    override def abort(): Unit = {
+      // failed/speculated attempts never reach BatchWrite.abort's
+      // commit-message sweep — delete the temp file here
+      out.close()
+      fs.delete(tmp, false)
+    }
     override def close(): Unit = ()
   }
 }
@@ -222,7 +247,7 @@ private final class EbcdicScan(readSchema: StructType,
       specs.map(_.name).mkString(",")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new Configuration())
+    val fs = HadoopFs.fs(path, HadoopFs.sessionConf())
     val files = fs.listStatus(new Path(path)).filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith("_"))
     // split stride aligned DOWN to a record multiple (min one record)
@@ -239,17 +264,20 @@ private final class EbcdicScan(readSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EbcdicReaderFactory(recordLen, codePage, specs)
+    new EbcdicReaderFactory(recordLen, codePage, specs,
+      HadoopFs.serializable())
 }
 
 private final class EbcdicReaderFactory(recordLen: Int, codePage: String,
-    specs: Seq[EbcdicSource.FieldSpec]) extends PartitionReaderFactory {
+    specs: Seq[EbcdicSource.FieldSpec],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[EbcdicPartition]
     new PartitionReader[InternalRow] {
       private val cs = java.nio.charset.Charset.forName(codePage)
       private val in = {
-        val s = FileSystem.get(new Configuration())
+        val s = HadoopFs.fs(part.file, conf.value)
           .open(new Path(part.file))
         s.seek(part.offset)
         s

@@ -155,12 +155,25 @@ object SheetRange {
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     .replace("\"", "&quot;").replace("'", "&apos;")
 
+  /** Hard cap on rows the XLSX writer will materialize on the driver:
+    * a spreadsheet target is a bounded dim/config sheet by nature, and
+    * without a cap a misdirected fact table OOMs the driver. XLSX
+    * itself caps a sheet at 1,048,576 rows; we fail far earlier. */
+  val MaxRows = 100000
+
   /** Emit a minimal standard XLSX package (inline strings). Driver
     * side, single file — spreadsheet targets are bounded dim/config
-    * sheets by nature; a fact table belongs in parquet/ORC. */
+    * sheets by nature; a fact table belongs in parquet/ORC. Fails
+    * fast over [[MaxRows]] rows rather than collecting them. */
   def write(df: DataFrame, path: String, sheet: String = "Sheet1"): Unit = {
     val header = df.columns.toSeq
-    val rows = header +: df.collect().toSeq.map(r =>
+    // limit(MaxRows+1) bounds the collect itself: the driver never
+    // holds more than the cap plus the one row that proves overflow
+    val collected = df.limit(MaxRows + 1).collect().toSeq
+    require(collected.length <= MaxRows,
+      s"XLSX writer is for bounded sheets: input exceeds $MaxRows " +
+        "rows; write a parquet/ORC target instead")
+    val rows = header +: collected.map(r =>
       (0 until r.length).map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
     val sheetXml = {
       val sb = new StringBuilder

@@ -11,13 +11,26 @@ import graft.{QueryModule, Tables}
   * original table (the oracle never sees the intermediate file). */
 object SourceQueries extends QueryModule {
 
+  /** Staging root for the round-trip intermediates. On a cluster the
+    * driver's local temp dir is NOT visible to executors, so set
+    * `spark.graft.stagingDir` to a shared location (HDFS/S3A path);
+    * unset, it falls back to a driver-local temp dir — correct only
+    * where driver and executors share a filesystem (local mode, where
+    * the verify gate runs). */
+  private def stagingDir(spark: SparkSession, prefix: String): String =
+    spark.conf.getOption("spark.graft.stagingDir") match {
+      case Some(root) =>
+        s"${root.stripSuffix("/")}/$prefix-${java.util.UUID.randomUUID()}"
+      case None => Files.createTempDirectory(prefix).toString
+    }
+
   // -------------------------------------- src_delimited_roundtrip
   /** TSV sink → source round-trip (the reference's delimited file
     * target, dataTargetSeparator='\t'), then aggregate. */
   def delimitedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val tmp = Files.createTempDirectory("graft-tsv").toString
+    val tmp = stagingDir(spark, "graft-tsv")
     Delimited.write(src, tmp, sep = "\t")
     val schema = StructType(src.schema.fields)
     Delimited.read(spark, tmp, schema, sep = "\t")
@@ -74,7 +87,7 @@ object SourceQueries extends QueryModule {
       struct(col("event_id"), col("user_id"), col("value")),
       "graft", "events", op,
       expr("unix_micros(cast(ts as timestamp)) div 1000"))
-    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val tmp = stagingDir(spark, "graft-jsonl")
     ev.select(json.as("value")).write.mode("overwrite").text(tmp)
     val parsed = graft.cdc.Envelope.parse(
       spark.read.text(tmp), col("value"), rowSchema)
@@ -113,7 +126,7 @@ object SourceQueries extends QueryModule {
   def ldifRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
       .select("n_nationkey", "n_name", "n_regionkey")
-    val tmp = Files.createTempDirectory("graft-ldif").toString
+    val tmp = stagingDir(spark, "graft-ldif")
     val rec = concat(
       lit("dn: nationkey="), col("n_nationkey"),
       lit(",ou=nations,dc=graft\n"),
@@ -147,7 +160,7 @@ object SourceQueries extends QueryModule {
   def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val tmp = Files.createTempDirectory("graft-xml").toString
+    val tmp = stagingDir(spark, "graft-xml")
     src.write.mode("overwrite").option("rowTag", "order")
       .format("xml").save(tmp)
     spark.read.option("rowTag", "order")
@@ -172,7 +185,7 @@ object SourceQueries extends QueryModule {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val tmp = Files.createTempDirectory("graft-orc").toString
+    val tmp = stagingDir(spark, "graft-orc")
     src.write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp)
       .groupBy("o_orderstatus")
@@ -276,7 +289,7 @@ object SourceQueries extends QueryModule {
         |{"name":"o_totalprice","type":"double"}]}""".stripMargin
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val tmp = Files.createTempDirectory("graft-avro").toString
+    val tmp = stagingDir(spark, "graft-avro")
     BinaryFormats.writeAvro(src, tmp, schemaJson)
     BinaryFormats.readAvro(spark, tmp, schemaJson) { r =>
       (r.get("o_orderkey").asInstanceOf[Long],
@@ -314,7 +327,7 @@ object SourceQueries extends QueryModule {
     val lines = Delimited.formatFixedWidth(
       Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"),
       fields)
-    val tmp = Files.createTempDirectory("graft-ebcdic").toString
+    val tmp = stagingDir(spark, "graft-ebcdic")
     BinaryFormats.writeEbcdic(lines, tmp, recordLen)
     // read back through the REAL DataSourceV2 connector
     // ([[EbcdicSource]] — record-aligned splits, pruning pushdown),
@@ -366,7 +379,7 @@ object SourceQueries extends QueryModule {
         when(col("event_type") === "signup", "c")
           .when(col("event_type") === "error", "d").otherwise("u").as("op"),
         expr("unix_micros(cast(ts as timestamp)) div 1000").as("ts_ms"))
-    val tmp = Files.createTempDirectory("graft-avro-cdc").toString
+    val tmp = stagingDir(spark, "graft-avro-cdc")
     ev.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val schema = new org.apache.avro.Schema.Parser().parse(envSchema)
@@ -426,7 +439,7 @@ object SourceQueries extends QueryModule {
     val sign = when(cents < 0, "D").otherwise("C")
     val digits = lpad(abs(cents).cast("string"), 11, "0")
     val packed = unhex(concat(digits, sign))
-    val tmp = Files.createTempDirectory("graft-comp3").toString
+    val tmp = stagingDir(spark, "graft-comp3")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), packed.as("amount_comp3"))
       .write.mode("overwrite").parquet(tmp)
@@ -480,7 +493,7 @@ object SourceQueries extends QueryModule {
       .select(concat(lit("T "), rpad(lit("*"), 4, " "),
         lpad(col("n").cast("string"), 12, " "),
         lpad(col("total").cast("string"), 24, " ")).as("value"))
-    val tmp = Files.createTempDirectory("graft-report").toString
+    val tmp = stagingDir(spark, "graft-report")
     detail.union(trailer).write.mode("overwrite").text(tmp)
     val back = spark.read.text(tmp).select(
       substring(col("value"), 1, 1).as("tag"),

@@ -32,7 +32,7 @@ object PlanDump {
       "str_asof_exec", "pipe_curriculum", "mm_image_phash",
       "emb_pq", "src_avro_changelog",
       "dedup_containment", "q34_heavy_hitters", "knn_ivf_pq",
-      "cdc_incremental_snapshot", "src_ebcdic_fixedwidth")
+      "src_ebcdic_fixedwidth").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - round 5 physical-plan audit")

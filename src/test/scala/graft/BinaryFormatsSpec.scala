@@ -125,6 +125,47 @@ class BinaryFormatsSpec extends SparkSpec {
     assert(back.last.getInt(0) == 200 && back.last.getString(1) == "n200")
   }
 
+  test("DSv2 connector: non-string columns fail at plan time") {
+    val dir = Files.createTempDirectory("graft-ebcdic-t").toString + "/out"
+    val e = intercept[IllegalArgumentException] {
+      Seq((1L, "a")).toDF("id", "name")
+        .write.format("graft-ebcdic")
+        .option("fields", "id:1:6,name:7:10")
+        .option("recordLen", "16")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("string columns only"), e.getMessage)
+  }
+
+  test("DSv2 connector: over-width values fail unless truncation is opted in") {
+    val dir1 = Files.createTempDirectory("graft-ebcdic-o1").toString + "/out"
+    val wide = Seq(("1", "this-name-is-way-too-long")).toDF("id", "name")
+    val e = intercept[org.apache.spark.SparkException] {
+      wide.write.format("graft-ebcdic")
+        .option("fields", "id:1:6,name:7:10")
+        .option("recordLen", "16")
+        .mode("append").save(dir1)
+    }
+    assert(e.getMessage.contains("allowTruncate")
+      || Option(e.getCause).exists(_.getMessage.contains("allowTruncate")),
+      e.getMessage)
+    // the failed attempt must not leave _tmp_ garbage behind
+    val leftovers = Option(new java.io.File(dir1).listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(!leftovers.exists(_.startsWith("_tmp_")), leftovers)
+    val dir2 = Files.createTempDirectory("graft-ebcdic-o2").toString + "/out"
+    wide.write.format("graft-ebcdic")
+      .option("fields", "id:1:6,name:7:10")
+      .option("recordLen", "16")
+      .option("allowTruncate", "true")
+      .mode("append").save(dir2)
+    val back = spark.read.format("graft-ebcdic")
+      .option("fields", "id:1:6,name:7:10")
+      .option("recordLen", "16")
+      .load(dir2).collect()
+    assert(back.length == 1 && back.head.getString(1) == "this-name-")
+  }
+
   test("ebcdic writer rejects records that don't fit the code page") {
     val dir = Files.createTempDirectory("graft-ebcdic-bad").toString
     val lines = Seq("日本語padpadpad!").toDF("value")

@@ -79,6 +79,15 @@ class SheetSpec extends SparkSpec {
     assert(grid == Seq(Seq(Some("1"), Some("x"))))
   }
 
+  test("XLSX writer fails fast over the row cap instead of collecting") {
+    val dir = Files.createTempDirectory("graft-sheet-cap").toString
+    val big = spark.range(SheetRange.MaxRows + 1L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      SheetRange.write(big, s"$dir/big.xlsx")
+    }
+    assert(e.getMessage.contains("bounded sheets"), e.getMessage)
+  }
+
   test("driver key selects the addressed nation sub-range") {
     import graft.sources.SourceQueries
     val rows = SourceQueries.sheetRange(spark, sfDir)
