@@ -370,6 +370,72 @@ object CdcQueries extends QueryModule {
       |FROM events WHERE event_type = 'error'
       |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- cdc_drift_dispatch
+  /** Schema-version dispatch after a mid-stream DDL — the batch form
+    * of [[graft.streaming.CdcStream.dispatchByVersion]] (the streaming
+    * form is driven by StreamingSpec): events after the stream's
+    * midpoint watermark carry an ADDED column (the drifted v2 shape),
+    * and the dispatcher routes every record by its OWN payload field
+    * set — [[graft.streaming.CdcStream.schemaVersion]] probes the
+    * record's JSON keys, never the timestamp — into per-version typed
+    * parse plans, unioned into one audit. The reference handles drift
+    * by regenerating the job per column set (Main.java:293-309); here
+    * both shapes flow through one plan with no restart.
+    *
+    * Scale shape: version detection and both parses are map-only over
+    * the stream; the only shuffle is the 2-row audit agg. The oracle
+    * recomputes the v1/v2 split arithmetically from the midpoint. */
+  def driftDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val v2 = StructType(v1.fields :+ StructField("event_type", StringType))
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val bounds = ev.agg(min(col("ts_us")).as("tmin"),
+      max(col("ts_us")).as("tmax"))
+    val drifted = ev.crossJoin(broadcast(bounds))
+      .withColumn("_v2", col("ts_us") * 2 > col("tmin") + col("tmax"))
+    val after1 = struct(col("event_id"), col("user_id"), col("value"))
+    val after2 = struct(col("event_id"), col("user_id"), col("value"),
+      col("event_type"))
+    val json = when(col("_v2"),
+      Envelope.wrap(lit(null).cast(v2), after2, "graft", "events",
+        opCol, expr("ts_us div 1000")))
+      .otherwise(Envelope.wrap(lit(null).cast(v1), after1, "graft",
+        "events", opCol, expr("ts_us div 1000")))
+    val wire = drifted.select(json.as("value"))
+    val parsed = graft.streaming.CdcStream
+      .dispatchByVersion(wire, Seq(1L -> v1, 2L -> v2))
+      .map { case (ver, df) =>
+        df.select(lit(ver).as("schema_version"),
+          col("after.event_id").as("event_id"),
+          (ver match {
+            case 2L => col("after").getField("event_type")
+            case _ => lit(null).cast(StringType)
+          }).as("event_type"))
+      }
+      .reduce(_.unionByName(_))
+    parsed.groupBy("schema_version")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(when(col("event_type").isNotNull, 1L).otherwise(0L))
+          .as("n_typed"))
+      .orderBy("schema_version")
+  }
+
+  val driftDispatchSql: String =
+    """WITH b AS (
+      |  SELECT MIN(epoch_us(ts)) + MAX(epoch_us(ts)) AS mid2 FROM events),
+      |v AS (
+      |  SELECT event_id,
+      |    CASE WHEN 2 * epoch_us(ts) > b.mid2 THEN 2 ELSE 1 END AS ver
+      |  FROM events CROSS JOIN b)
+      |SELECT CAST(ver AS BIGINT) AS schema_version, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_typed
+      |FROM v GROUP BY ver ORDER BY schema_version""".stripMargin
+
   // ------------------------------------------------ cdc_dlq_route
   /** Dead-letter routing for malformed change events: records whose
     * envelope JSON fails the typed parse (from_json → null payload)
@@ -494,7 +560,8 @@ object CdcQueries extends QueryModule {
     "cdc_upsert_target" -> (upsertTarget _),
     "cdc_scd2_history" -> (scd2History _),
     "cdc_route_tables" -> (routeTables _),
-    "cdc_schema_drift" -> (schemaDrift _))
+    "cdc_schema_drift" -> (schemaDrift _),
+    "cdc_drift_dispatch" -> (driftDispatch _))
 
   val oracles: Map[String, String] = Map(
     "cdc_ooo_audit" -> oooAuditSql,
@@ -509,5 +576,6 @@ object CdcQueries extends QueryModule {
     "cdc_upsert_target" -> upsertTargetSql,
     "cdc_scd2_history" -> scd2HistorySql,
     "cdc_route_tables" -> routeTablesSql,
-    "cdc_schema_drift" -> schemaDriftSql)
+    "cdc_schema_drift" -> schemaDriftSql,
+    "cdc_drift_dispatch" -> driftDispatchSql)
 }

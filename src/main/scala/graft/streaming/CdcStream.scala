@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -51,6 +51,61 @@ object CdcStream {
       options: Map[String, String]): DataFrame =
     spark.readStream.format(format).options(options).load()
       .select(col("value").cast("string").as("value"))
+
+  /** Whether the kafka streaming source is on the classpath
+    * (spark-sql-kafka-0-10 is a separate artifact, absent in this
+    * sandbox). */
+  def kafkaAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Canonical option map for a Debezium-topic tail. Validated here so
+    * misconfiguration fails at plan time with a clear message, not
+    * inside the kafka client. */
+  def kafkaOptions(bootstrapServers: String, subscribe: String,
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty): Map[String, String] = {
+    require(bootstrapServers.nonEmpty,
+      "kafka tail requires bootstrapServers (host:port[,host:port...])")
+    require(subscribe.nonEmpty,
+      "kafka tail requires subscribe (comma-separated topic list)")
+    require(!extra.contains("subscribePattern") && !extra.contains("assign"),
+      "subscribe is already set; subscribePattern/assign are mutually " +
+        "exclusive with it")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> subscribe,
+      "startingOffsets" -> startingOffsets,
+      // a Debezium topic is compacted; vanished offsets are expected
+      "failOnDataLoss" -> "false") ++ extra
+  }
+
+  /** Kafka transport for the live tail — the reference's standard
+    * deployment wire (a Debezium engine feeding a topic;
+    * Main.java:159-177). FEATURE-CHECKED: the kafka connector jars are
+    * a separate artifact, so when [[kafkaAvailable]] is false this
+    * either falls back to the given (format, options) transport — the
+    * socket/file tails prove the identical downstream plan — or
+    * refuses with an actionable error. With the jars present it is the
+    * one-config-flip `liveTail(spark, "kafka", kafkaOptions(...))`. */
+  def kafkaTail(spark: SparkSession, bootstrapServers: String,
+      subscribe: String, startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty,
+      fallback: Option[(String, Map[String, String])] = None): DataFrame = {
+    val opts = kafkaOptions(bootstrapServers, subscribe,
+      startingOffsets, extra)
+    if (kafkaAvailable) liveTail(spark, "kafka", opts)
+    else fallback match {
+      case Some((fmt, fopts)) => liveTail(spark, fmt, fopts)
+      case None => throw new UnsupportedOperationException(
+        "the kafka streaming source is not on the classpath: add " +
+          "spark-sql-kafka-0-10 (and kafka-clients) to the session " +
+          "jars, or pass fallback=Some((format, options)) for a " +
+          "socket/file tail of the same envelope stream")
+    }
+  }
 
   /** Avro change-stream tail — Debezium's OTHER wire format: with a
     * schema registry, connectors serialize envelopes as Avro, not
@@ -126,6 +181,43 @@ object CdcStream {
       .filter(col("_rn") === 1)
       .filter(col("op") =!= "d")
       .drop("_rn")
+  }
+
+  /** Each record's schema VERSION, detected from its own payload field
+    * set (sorted `payload.after` key list compared against each
+    * version's column set) — no timestamps, no config: the record
+    * itself says which shape it has, exactly how the reference keys
+    * its regenerated scripts on the event's column set
+    * (Main.java:293-309 + script cache). Null for a field set matching
+    * no known version (DLQ it). */
+  def schemaVersion(json: Column,
+      versions: Seq[(Long, StructType)]): Column =
+    versions.foldLeft(lit(null).cast("long")) { case (acc, (v, s)) =>
+      when(sort_array(json_object_keys(
+        get_json_object(json, "$.payload.after"))) ===
+        array(s.fieldNames.sorted.map(lit).toSeq: _*), lit(v))
+        .otherwise(acc)
+    }
+
+  /** DDL-drift dispatch WITHOUT a restart: split one envelope stream
+    * (column `value`) by detected schema version and parse each slice
+    * with its own row schema. The reference reacts to a DDL event by
+    * tearing down and regenerating the SortCL job (Main.java:293-309);
+    * a running Structured Streaming query cannot re-plan mid-stream,
+    * but dispatching inside `foreachBatch` over the KNOWN version set
+    * achieves the same operational behavior: pre-DDL and post-DDL
+    * records land in their per-version targets from the same query,
+    * and a genuinely new shape surfaces as version null (route to DLQ,
+    * register the schema, restart at leisure). StreamingSpec drives a
+    * mid-stream column-add through this; the batch form is the
+    * `cdc_drift_dispatch` driver key. */
+  def dispatchByVersion(envelopeJson: DataFrame,
+      versions: Seq[(Long, StructType)]): Seq[(Long, DataFrame)] = {
+    val v = schemaVersion(col("value"), versions)
+    versions.map { case (ver, rowSchema) =>
+      ver -> Envelope.parse(
+        envelopeJson.filter(v === ver), col("value"), rowSchema)
+    }
   }
 
   /** Full pipeline: parse, then classify-and-mask by the rule library.

@@ -512,4 +512,75 @@ class StreamingSpec extends SparkSpec {
     // sessions, plus 03:00 → three sessions total
     assert(batch.count(_._2 == 1L) == 3)
   }
+
+  test("DDL drift: mid-stream column-add dispatches to both version targets without restart") {
+    // the reference reacts to DDL by regenerating the job
+    // (Main.java:293-309); here one running query keeps consuming and
+    // routes each record by ITS OWN payload field set to the matching
+    // per-version plan
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcStream
+    implicit val sql = spark.sqlContext
+    val v1 = StructType(Seq(StructField("id", LongType)))
+    val v2 = StructType(Seq(StructField("id", LongType),
+      StructField("tier", StringType)))
+    def env1(id: Long) =
+      s"""{"payload":{"after":{"id":$id},"source":{"db":"d","table":"t"},"op":"c","ts_ms":$id}}"""
+    def env2(id: Long, tier: String) =
+      s"""{"payload":{"after":{"id":$id,"tier":"$tier"},"source":{"db":"d","table":"t"},"op":"c","ts_ms":$id}}"""
+    val mem = MemoryStream[String]
+    val got1 = scala.collection.concurrent.TrieMap[Long, Long]()
+    val got2 = scala.collection.concurrent.TrieMap[Long, String]()
+    val q = mem.toDF().toDF("value").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val routed = CdcStream.dispatchByVersion(
+          batch.toDF(), Seq(1L -> v1, 2L -> v2)).toMap
+        routed(1L).select(col("after.id")).collect()
+          .foreach(r => got1.put(r.getLong(0), r.getLong(0)))
+        routed(2L).select(col("after.id"), col("after.tier")).collect()
+          .foreach(r => got2.put(r.getLong(0), r.getString(1)))
+        ()
+      }
+      .start()
+    // pre-DDL batch: v1 shape only
+    mem.addData(env1(1), env1(2))
+    q.processAllAvailable()
+    assert(got1.keySet == Set(1L, 2L) && got2.isEmpty)
+    // the DDL lands mid-stream: the SAME query now sees v2 records
+    // (and one more v1 straggler) and routes both without a restart
+    mem.addData(env2(3, "gold"), env1(4), env2(5, "basic"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got1.keySet == Set(1L, 2L, 4L))
+    assert(got2.toMap == Map(3L -> "gold", 5L -> "basic"))
+  }
+
+  test("kafka tail: option validation, classpath gate, and transport fallback") {
+    import graft.streaming.CdcStream
+    // canonical option map for a Debezium topic
+    val opts = CdcStream.kafkaOptions("broker1:9092,broker2:9092",
+      "cdc.public.customer", "latest", Map("maxOffsetsPerTrigger" -> "5000"))
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "cdc.public.customer")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("failOnDataLoss") == "false")
+    assert(opts("maxOffsetsPerTrigger") == "5000")
+    // misconfiguration fails at plan time with clear messages
+    assert(intercept[IllegalArgumentException] {
+      CdcStream.kafkaOptions("", "topic")
+    }.getMessage.contains("bootstrapServers"))
+    assert(intercept[IllegalArgumentException] {
+      CdcStream.kafkaOptions("b:9092", "t",
+        extra = Map("subscribePattern" -> "cdc.*"))
+    }.getMessage.contains("mutually"))
+    // this sandbox has no kafka connector jars: the gate must say so
+    assert(!CdcStream.kafkaAvailable)
+    assert(intercept[UnsupportedOperationException] {
+      CdcStream.kafkaTail(spark, "b:9092", "t")
+    }.getMessage.contains("spark-sql-kafka"))
+    // with a fallback transport the same call yields a streaming tail
+    val df = CdcStream.kafkaTail(spark, "b:9092", "t",
+      fallback = Some(("rate", Map("rowsPerSecond" -> "1"))))
+    assert(df.isStreaming && df.columns.toSeq == Seq("value"))
+  }
 }
