@@ -373,6 +373,41 @@ object MaskQueries extends QueryModule {
       |  substr(c_name, 1, 4) AS name_prefix
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------ mask_kanonymity
+  /** k-anonymity audit over the GENERALIZED quasi-identifier view —
+    * the check that decides whether [[maskGeneralize]]'s coarsening
+    * was coarse ENOUGH: group rows by (segment, nation, acctbal band
+    * — the same width-500 banding mask_generalize emits) and report,
+    * per segment, the smallest group (k_min: the dataset's actual k),
+    * the group count, and how many rows sit in groups below k=5 (the
+    * re-identifiable population a release gate would block on).
+    * Two-level integer aggregation, one shuffle on the quasi-id. */
+  def maskKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal").cast("double") / 500.0).cast("long")
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"), band.as("band"))
+      .groupBy("c_mktsegment", "c_nationkey", "band")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("c_mktsegment")
+      .agg(min(col("k")).as("k_min"),
+        count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_rows"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_rows_at_risk"))
+      .orderBy("c_mktsegment")
+  }
+
+  val maskKAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500.0) AS BIGINT) AS band,
+      |    COUNT(*) AS k
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment, MIN(k) AS k_min, COUNT(*) AS n_groups,
+      |  CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk
+      |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------ mask_substitute
   /** Monoalphabetic substitution cipher — format-preserving by
     * construction: character class (letter/digit/other), case, and
@@ -400,6 +435,7 @@ object MaskQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
+    "mask_kanonymity" -> (maskKAnonymity _),
     "mask_consistent" -> (maskConsistent _),
     "mask_ip" -> (maskIp _),
     "mask_luhn_fpe" -> (maskLuhnFpe _),
@@ -418,6 +454,7 @@ object MaskQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,
+    "mask_kanonymity" -> maskKAnonymitySql,
     "mask_consistent" -> maskConsistentSql,
     "mask_ip" -> maskIpSql,
     "mask_luhn_fpe" -> maskLuhnFpeSql,

@@ -461,8 +461,49 @@ object EmbOps extends QueryModule {
       |  CAST(FLOOR(adc * 1000000) AS BIGINT) AS adc_micro
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------ emb_norm_audit
+  /** Vector-hygiene audit — the gate a production embedding pipeline
+    * runs before indexing: squared-norm histogram (deci-buckets of
+    * ⟨e,e⟩, FLOOR of identical IEEE doubles) with the degenerate
+    * population (zero/NaN/Inf norm — the vectors every other §2.7
+    * operator excludes) surfaced as the NULL bucket, plus each
+    * bucket's id range for triage. One codegen map pass and a
+    * |buckets|-row agg — linear, no shuffle before the partial agg. */
+  def embNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val e = col("embedding").cast("array<double>")
+    val ss = call_function(graft.expr.VectorExprs.dotName, e, e)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        when(ss > 0 && ss < lit(Double.PositiveInfinity),
+          floor(ss * 10).cast("long")).as("norm_bucket"))
+      .groupBy("norm_bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+      .orderBy(asc_nulls_first("norm_bucket"))
+  }
+
+  val embNormAuditSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    CASE WHEN isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                        CAST(embedding AS DOUBLE[])))
+      |          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[])) > 0
+      |      THEN CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                       CAST(embedding AS DOUBLE[]))
+      |                      * 10) AS BIGINT)
+      |    END AS norm_bucket
+      |  FROM embeddings)
+      |SELECT norm_bucket, COUNT(*) AS n_vecs,
+      |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+      |FROM v GROUP BY norm_bucket ORDER BY norm_bucket NULLS FIRST"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ivf_pq" -> (knnIvfPq _),
+    "emb_norm_audit" -> (embNormAudit _),
     "emb_quantize" -> (embQuantize _),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_pq" -> (embPq _),
@@ -470,6 +511,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_norm_audit" -> embNormAuditSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_pq" -> embPqSql,

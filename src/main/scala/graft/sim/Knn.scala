@@ -331,10 +331,60 @@ object Knn extends QueryModule {
        |WHERE q.vec_id < 10 AND list_dot_product(q.e, c.e) >= 0.2
        |ORDER BY qid, nid""".stripMargin
 
+  // ------------------------------------------------ knn_recall_audit
+  /** Recall audit of the approximate ANN paths against the exact
+    * baseline — THE number an ANN deployment is tuned by: for each
+    * query, how many of the true top-k survive in the LSH and IVF
+    * (centroid) results. Composes the oracle-verified operators
+    * unchanged and reports, per method, the query count, total hits
+    * (Σ overlap@k — recall@5 = n_hits/(n_queries·5)) and the worst
+    * query's overlap (the tail a p99 SLO cares about, which an
+    * average hides). Integers only.
+    *
+    * Scale shape: each approximate result is ≤ q·k rows, so the audit
+    * join is trivia next to the searches themselves — this runs as a
+    * continuous canary over a sampled query set in production. */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir).select("qid", "nid")
+    def audit(method: String, approx: DataFrame): DataFrame =
+      brute.join(
+          approx.select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"),
+          min(col("hits")).as("min_hits"))
+        .select(lit(method).as("method"), col("n_queries"),
+          col("n_hits"), col("min_hits"))
+    audit("centroid", knnCentroid(spark, dir))
+      .unionByName(audit("lsh", knnLsh(spark, dir)))
+      .orderBy("method")
+  }
+
+  val knnRecallSql: String =
+    s"""WITH brute AS ($knnBruteSql),
+       |l AS ($knnLshSql),
+       |c AS ($knnCentroidSql),
+       |pairs AS (
+       |  SELECT 'centroid' AS method, b.qid,
+       |    CASE WHEN x.nid IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM brute b LEFT JOIN c x ON b.qid = x.qid AND b.nid = x.nid
+       |  UNION ALL
+       |  SELECT 'lsh', b.qid,
+       |    CASE WHEN y.nid IS NOT NULL THEN 1 ELSE 0 END
+       |  FROM brute b LEFT JOIN l y ON b.qid = y.qid AND b.nid = y.nid),
+       |perq AS (
+       |  SELECT method, qid, SUM(hit) AS hits FROM pairs GROUP BY 1, 2)
+       |SELECT method, COUNT(*) AS n_queries,
+       |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+       |  CAST(MIN(hits) AS BIGINT) AS min_hits
+       |FROM perq GROUP BY method ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_range" -> (knnRange _),
+    "knn_recall_audit" -> (knnRecall _),
     "knn_centroid" -> (knnCentroid _))
 
   /** All three are oracle-verified: brute force and centroid are plain
@@ -344,5 +394,6 @@ object Knn extends QueryModule {
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,
+    "knn_recall_audit" -> knnRecallSql,
     "knn_centroid" -> knnCentroidSql)
 }

@@ -482,7 +482,57 @@ object TextAnalysis extends QueryModule {
       |  CAST(MAX(mean_rank) AS BIGINT) AS max_mean_rank
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ txt_char_classes
+  /** Per-language character-class profile — the writing-system signal
+    * beside [[txtLangid]]'s n-gram heuristic: per-mille of alphabetic,
+    * digit, and whitespace characters over each language's total
+    * character mass. Counts come from codegen regexp strips (length
+    * of text minus the class's complement), summed exactly as
+    * integers; the per-mille division happens once per language row.
+    * Row-local until the |langs|-row aggregation — no shuffle of
+    * text. */
+  def txtCharClasses(spark: SparkSession, dir: String): DataFrame = {
+    def kept(re: String) =
+      length(regexp_replace(col("text"), re, ""))
+    Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).as("n_chars"),
+        kept("[^A-Za-z]").as("n_alpha"),
+        kept("[^0-9]").as("n_digit"),
+        kept("[^\\s]").as("n_space"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sc"), sum(col("n_alpha")).as("sa"),
+        sum(col("n_digit")).as("sd"), sum(col("n_space")).as("ss"))
+      .select(col("lang"), col("n_docs"),
+        col("sc").as("n_chars"),
+        expr("sa * 1000 div sc").as("alpha_pm"),
+        expr("sd * 1000 div sc").as("digit_pm"),
+        expr("ss * 1000 div sc").as("space_pm"))
+      .orderBy("lang")
+  }
+
+  val txtCharClassesSql: String =
+    """WITH d AS (
+      |  SELECT lang, length(text) AS n_chars,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+      |    length(regexp_replace(text, '[^\s]', '', 'g')) AS n_space
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sc,
+      |    CAST(SUM(n_alpha) AS BIGINT) AS sa,
+      |    CAST(SUM(n_digit) AS BIGINT) AS sd,
+      |    CAST(SUM(n_space) AS BIGINT) AS ss
+      |  FROM d GROUP BY lang)
+      |SELECT lang, n_docs, sc AS n_chars,
+      |  (sa * 1000) // sc AS alpha_pm,
+      |  (sd * 1000) // sc AS digit_pm,
+      |  (ss * 1000) // sc AS space_pm
+      |FROM s ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_char_classes" -> (txtCharClasses _),
     "txt_rarity" -> (txtRarity _),
     "txt_repetition" -> (txtRepetition _),
     "txt_tfidf" -> (txtTfidf _),
@@ -496,6 +546,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_char_classes" -> txtCharClassesSql,
     "txt_rarity" -> txtRaritySql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_tfidf" -> txtTfidfSql,
