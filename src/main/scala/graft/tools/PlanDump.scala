@@ -3,13 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dumps the formatted physical plans of the scale-critical operators
-  * to a markdown file (docs/PLANS_r4.md) — the audit trail for the
-  * "explain and iterate until it's the plan you'd want" loop. Run:
+  * to a markdown file — the audit trail for the "explain and iterate
+  * until it's the plan you'd want" loop. Run:
   * `runMain graft.tools.PlanDump [sfDir] [outFile]`. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("docs/PLANS_r5.md")
+    val out = args.lift(1).getOrElse("docs/PLANS_r6.md")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -32,10 +32,11 @@ object PlanDump {
       "str_asof_exec", "pipe_curriculum", "mm_image_phash",
       "emb_pq", "src_avro_changelog",
       "dedup_containment", "q34_heavy_hitters", "knn_ivf_pq",
-      "src_ebcdic_fixedwidth").distinct
+      "src_ebcdic_fixedwidth", "cdc_drift_dispatch", "knn_recall_audit",
+      "emb_norm_audit", "mask_kanonymity", "txt_char_classes").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
-      w.println("# PLANS - round 5 physical-plan audit")
+      w.println("# PLANS - physical-plan audit")
       w.println()
       w.println(s"Executed (AQE-final) plans of the scale-critical operators at $sfDir.")
       w.println("What to look for: pair joins are LOGICALLY shuffle joins on blocking")
