@@ -739,7 +739,34 @@ object Dedup extends QueryModule {
       |FROM grams g JOIN posting p ON g.gh = p.gh
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- dedup_cluster_stats
+  /** The dedup run's summary artifact — cluster-size histogram over
+    * the connected components: how many singletons (unique docs), how
+    * many pairs, how big is the largest blob. THE report a corpus
+    * dedup pass publishes (keep-rate = n_clusters/n_docs; a giant
+    * component flags a boilerplate family or a threshold set too low).
+    * Derived from the oracle-verified [[dedupComponents]] by one more
+    * |components|-row aggregation — cost is the components run itself,
+    * the histogram is free. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("n_docs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        min(col("component")).as("min_component"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("min_component"))
+      .orderBy("cluster_size")
+
+  val dedupClusterStatsSql: String =
+    s"""WITH comp AS ($dedupComponentsSql)
+       |SELECT n_docs AS cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(n_docs * COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(component) AS min_component
+       |FROM comp GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_span_fraction" -> (dedupSpan _),
     "dedup_components" -> (dedupComponents _),
     "dedup_apply" -> (dedupApply _),
@@ -755,6 +782,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_span_fraction" -> dedupSpanSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,

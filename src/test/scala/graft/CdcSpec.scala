@@ -225,6 +225,46 @@ class CdcSpec extends SparkSpec {
     assert(again == back)
   }
 
+  test("JDBC target dialects: URL templates, native upsert SQL, and fallback parity") {
+    import graft.streaming.JdbcUpsert
+    import graft.streaming.JdbcUpsert.TargetDialect
+    // DSN-style resolution: name → dialect → URL (reference targets
+    // arbitrary ODBC DSNs; Main.java:477-498)
+    assert(TargetDialect.byName("postgresql")
+      .url("pg.internal", 5432, "corpus") ==
+      "jdbc:postgresql://pg.internal:5432/corpus")
+    assert(TargetDialect.byName("sqlserver")
+      .url("mssql", 1433, "corpus") ==
+      "jdbc:sqlserver://mssql:1433;databaseName=corpus")
+    // native upserts bind (key, values...) in the portable INSERT's
+    // parameter order
+    val pg = TargetDialect.postgresql.nativeUpsert.get("t", "id", Seq("v", "w"))
+    assert(pg == "INSERT INTO t (id, v, w) VALUES (?, ?, ?) " +
+      "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v, w = EXCLUDED.w", pg)
+    val my = TargetDialect.mysql.nativeUpsert.get("t", "id", Seq("v"))
+    assert(my == "INSERT INTO t (id, v) VALUES (?, ?) " +
+      "ON DUPLICATE KEY UPDATE v = VALUES(v)", my)
+    // engines without a safe native statement use the proven fallback
+    assert(TargetDialect.derby.nativeUpsert.isEmpty
+      && TargetDialect.sqlserver.nativeUpsert.isEmpty)
+    // e2e: the dialect-aware path against Derby (fallback branch) must
+    // converge exactly like the dialect-less sink
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftdlct;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().execute(
+      "CREATE TABLE target (id BIGINT PRIMARY KEY, v DOUBLE)")
+    finally c.close()
+    val batch = Seq((1L, 10.0, "c", 1L), (1L, 20.0, "u", 2L),
+      (2L, 1.0, "c", 3L), (2L, 0.0, "d", 4L)).toDF("id", "v", "op", "ts_ms")
+    JdbcUpsert.sink(url, "target", "id", "ts_ms", Seq("v"),
+      Some(TargetDialect.derby))(batch, 0L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "target").load()
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 20.0), s"target after apply: $back")
+  }
+
   test("JDBC sink survives a streaming restart from checkpoint without duplicate effects") {
     import graft.streaming.JdbcUpsert
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
