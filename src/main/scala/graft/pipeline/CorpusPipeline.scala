@@ -298,6 +298,67 @@ object CorpusPipeline extends QueryModule {
       |    doc_id) - 1 AS pos
       |FROM documents ORDER BY pos""".stripMargin
 
+  // --------------------------------------------- pipe_token_budget
+  /** Budgeted greedy selection per source — materializing a training
+    * mix: each source (lang) takes documents in the deterministic
+    * shuffled order until its TOKEN budget is filled (the step that
+    * turns [[pipeMixWeights]]-style proportions into an actual doc
+    * set). The cumulative token sum uses the same two-level prefix-sum
+    * decomposition as [[globalShuffle]] — running sum within
+    * (source, hash-shard) + broadcast exclusive shard offsets — so no
+    * window ever spans more than corpus/(sources·shards) rows and the
+    * plan survives a per-source corpus of any size (a naive
+    * per-source cumsum window would put one source's whole corpus in
+    * one partition — the r4 scale-killer class). The oracle IS that
+    * naive global cumsum, proving the decomposition exact. */
+  def tokenBudget(docs: DataFrame, budget: Long = 10000,
+      hashShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardWidth = (1L << 32) / hashShards
+    val base = docs
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("_nt"),
+        graft.mask.MaskFunctions.portableHash(col("doc_id")).as("_h"))
+      .withColumn("_shard", expr(s"_h div $shardWidth"))
+    val counts = base.groupBy("lang", "_shard").agg(sum(col("_nt")).as("_c"))
+    val pre = Window.partitionBy("lang").orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts // ≤ |langs|·shards rows — the ONLY skinny window
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select(col("lang"), col("_shard"), col("_off"))
+    val local = Window.partitionBy("lang", "_shard")
+      .orderBy(col("_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("_run", sum(col("_nt")).over(local))
+      .join(broadcast(offsets), Seq("lang", "_shard"))
+      .withColumn("_cum", col("_off") + col("_run"))
+      .filter(col("_cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("_nt")).as("tokens_selected"),
+        max(col("_cum")).as("max_cum"))
+      .orderBy("lang")
+  }
+
+  def pipeTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.documents(spark, dir))
+
+  val pipeTokenBudgetSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    len(regexp_split_to_array(text, '\s+')) AS nt,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, nt,
+      |    SUM(nt) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_selected,
+      |  CAST(SUM(nt) AS BIGINT) AS tokens_selected,
+      |  CAST(MAX(cum) AS BIGINT) AS max_cum
+      |FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------- pipe_shard_manifest
   /** The dataloader-facing artifact: a SHARD MANIFEST over the
     * deterministic global order — shard s holds positions
@@ -509,6 +570,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_contamination" -> (pipeContamination _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
+    "pipe_token_budget" -> (pipeTokenBudget _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
     "pipe_mix_weights" -> (pipeMixWeights _))
@@ -521,6 +583,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_contamination" -> pipeContaminationSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
+    "pipe_token_budget" -> pipeTokenBudgetSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,
     "pipe_mix_weights" -> pipeMixWeightsSql)

@@ -129,5 +129,8 @@ class ScaleSpec extends SparkSpec {
     val ilGlobal = rows(CorpusPipeline.interleave(docs, 20, hashShards = 1))
     assert(rows(CorpusPipeline.interleave(docs, 20, hashShards = 64)) == ilGlobal)
     assert(rows(CorpusPipeline.interleave(docs, 20, hashShards = 13)) == ilGlobal)
+    val tbGlobal = rows(CorpusPipeline.tokenBudget(docs, 10000, hashShards = 1))
+    assert(rows(CorpusPipeline.tokenBudget(docs, 10000, hashShards = 64)) == tbGlobal)
+    assert(rows(CorpusPipeline.tokenBudget(docs, 10000, hashShards = 13)) == tbGlobal)
   }
 }
