@@ -347,6 +347,55 @@ object SourceQueries extends QueryModule {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  // ------------------------------------------- src_cobol_occurs
+  /** COBOL OCCURS (repeating group) decode — the copybook shape beside
+    * COMP-3 ([[cobolComp3]]): a RECFM=F record whose layout is
+    * `ORDER-KEY PIC 9(9)` followed by `AMOUNT PIC 9(11) OCCURS 4
+    * TIMES` (four 11-digit display-format cent amounts inline). Encode
+    * derives the occurrences arithmetically from the order
+    * (occurrence q = cents·q mod 10^11 — oracle-recomputable), writes
+    * REAL EBCDIC fixed-length records, reads them back through the
+    * splittable binaryRecords path, and the decode slices each
+    * occurrence positionally and UNROLLS it with posexplode — the
+    * row-per-occurrence normalization every COBOL migration performs.
+    * Per-occurrence audit: count + exact cent total. */
+  def cobolOccurs(spark: SparkSession, dir: String): DataFrame = {
+    val occurs = 4
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val amounts = (1 to occurs).map(q =>
+      lpad(((cents * q) % 100000000000L).cast("string"), 11, "0"))
+    val line = concat(
+      (lpad(col("o_orderkey").cast("string"), 9, "0") +: amounts): _*)
+    val recordLen = 9 + 11 * occurs
+    val tmp = stagingDir(spark, "graft-occurs")
+    BinaryFormats.writeEbcdic(
+      Tables.orders(spark, dir).select(line.as("value")), tmp, recordLen)
+    val back = BinaryFormats.readEbcdic(spark, tmp, recordLen)
+    val occ = array((1 to occurs).map(q =>
+      substring(col("value"), 10 + (q - 1) * 11, 11).cast("long")): _*)
+    back.select(posexplode(occ).as(Seq("occ0", "amount_cents")))
+      .select((col("occ0") + 1).cast("long").as("occurrence"),
+        col("amount_cents"))
+      .groupBy("occurrence")
+      .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("total_cents"))
+      .orderBy("occurrence")
+  }
+
+  val cobolOccursSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents
+      |  FROM orders),
+      |o AS (
+      |  SELECT q.occurrence, (c.cents * q.occurrence) % 100000000000
+      |    AS amount_cents
+      |  FROM c CROSS JOIN
+      |    (SELECT unnest([1, 2, 3, 4]) AS occurrence) q)
+      |SELECT CAST(occurrence AS BIGINT) AS occurrence, COUNT(*) AS n,
+      |  CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+      |FROM o GROUP BY occurrence ORDER BY occurrence""".stripMargin
+
   // ------------------------------------------- src_avro_changelog
   /** The Avro CDC wire end-to-end in BATCH: the same change-stream
     * hand-off as [[jsonlChangelog]], but the envelopes travel as Avro
@@ -571,6 +620,7 @@ object SourceQueries extends QueryModule {
     "src_avro_changelog" -> (avroChangelog _),
     "src_report_sink" -> (reportSink _),
     "src_cobol_comp3" -> (cobolComp3 _),
+    "src_cobol_occurs" -> (cobolOccurs _),
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
     "gen_rowgen" -> (rowGen _))
 
@@ -587,6 +637,7 @@ object SourceQueries extends QueryModule {
     "src_avro_changelog" -> avroChangelogSql,
     "src_report_sink" -> reportSinkSql,
     "src_cobol_comp3" -> cobolComp3Sql,
+    "src_cobol_occurs" -> cobolOccursSql,
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
     "gen_rowgen" -> rowGenSql)
 }
