@@ -146,6 +146,7 @@ class PlanSpec extends SparkSpec {
         ("pack_sequences", CorpusPipeline.packSequences(docs, 2048, 64)),
         ("interleave", CorpusPipeline.interleave(docs, 20)),
         ("curriculum", CorpusPipeline.curriculum(docs)),
+        ("token_budget", CorpusPipeline.tokenBudget(docs)),
         ("q27_percentiles", Relational.q27(spark, sfDir)))) {
       df.collect() // finalize AQE so query stages are materialized
       val nodes = allNodes(df.queryExecution.executedPlan)
