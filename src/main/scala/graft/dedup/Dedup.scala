@@ -765,8 +765,40 @@ object Dedup extends QueryModule {
        |  MIN(component) AS min_component
        |FROM comp GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // ----------------------------------------------- dedup_recall_audit
+  /** Recall audit of the MinHash-LSH path against the exact blocked
+    * Jaccard truth set — the dedup-tuning counterpart of
+    * knn_recall_audit: of the pairs the exact operator proves ≥
+    * threshold, how many did the banded LSH candidate generation
+    * recover? (Band/row counts trade recall for candidate volume; this
+    * is the number that trade is tuned by.) Composes the two
+    * oracle-verified operators; the audit join is pairs-sized, trivia
+    * next to the searches. One row: truth size, LSH output size,
+    * recovered overlap. */
+  def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dedupNgram(spark, dir).select("d1", "d2")
+    val mh = dedupMinhash(spark, dir).select(col("d1"), col("d2"))
+    val overlap = truth.join(mh.withColumn("_hit", lit(1L)),
+        Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_recovered"))
+    overlap.crossJoin(
+      broadcast(mh.agg(count(lit(1)).as("n_lsh_pairs"))))
+      .select("n_true_pairs", "n_recovered", "n_lsh_pairs")
+  }
+
+  val dedupRecallAuditSql: String =
+    s"""WITH t AS ($dedupNgramSql),
+       |m AS ($dedupMinhashSql)
+       |SELECT COUNT(*) AS n_true_pairs,
+       |  CAST(SUM(CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_recovered,
+       |  CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_lsh_pairs
+       |FROM t LEFT JOIN m ON t.d1 = m.d1 AND t.d2 = m.d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> (dedupClusterStats _),
+    "dedup_recall_audit" -> (dedupRecallAudit _),
     "dedup_span_fraction" -> (dedupSpan _),
     "dedup_components" -> (dedupComponents _),
     "dedup_apply" -> (dedupApply _),
@@ -783,6 +815,7 @@ object Dedup extends QueryModule {
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_recall_audit" -> dedupRecallAuditSql,
     "dedup_span_fraction" -> dedupSpanSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,
