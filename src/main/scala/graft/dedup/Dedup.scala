@@ -651,6 +651,79 @@ object Dedup extends QueryModule {
       .orderBy("component")
   }
 
+  // ------------------------------------------- dedup_components_star
+  /** Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14) — the skew-bounded
+    * alternative to [[components]]' pointer jumping, for graphs with
+    * giant components. Pointer jumping funnels a whole component's
+    * rows through its min-label key every round; star contraction's
+    * per-round unit is the NEIGHBORHOOD MIN (a combiner-friendly
+    * hash-agg — a billion-spoke hub partial-aggregates map-side) and
+    * the join fan-out only ever re-emits existing edges, so no single
+    * key's reduce input exceeds its degree and AQE skew-split can cut
+    * even that.
+    *
+    * Per round on the symmetric directed edge set E:
+    *   large-star: m(u) = min(Γ(u) ∪ u); E ← {(v, m(u)) : v ∈ Γ(u),
+    *     v > u}, re-symmetrized — hangs every larger neighbor under
+    *     the local min, halving star depth for big-id chains;
+    *   small-star: on the larger→smaller view {(u,v) : v < u},
+    *     m(u) = min targets; E ← {(v, m(u))} ∪ {(u, m(u))} — folds
+    *     the smaller neighbors flat.
+    * Both preserve connectivity; the pair strictly decreases a
+    * potential until E is a union of min-rooted stars (O(log² n)
+    * rounds worst case, 2–3 on near-dup graphs). Convergence = the
+    * canonical larger→smaller edge set is unchanged over a full
+    * round (count + anti-join — exact, no checksum collisions). */
+  def componentsStar(docs: DataFrame, pairs: DataFrame, maxIter: Int = 40,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    def canon(e: DataFrame): DataFrame = e.where(col("v") < col("u"))
+    var edges = checkpoint(sym(
+      pairs.select(col("d1").as("u"), col("d2").as("v"))))
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star over the full symmetric set
+      val mLarge = edges.groupBy("u").agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      val afterLarge = sym(edges.join(mLarge, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star over the larger→smaller view
+      val s = canon(afterLarge)
+      val mSmall = s.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = checkpoint(sym(
+        s.join(mSmall, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mSmall.select(col("u"), col("m").as("v")))))
+      val (prevC, curC) = (canon(edges), canon(afterSmall))
+      converged = prevC.count() == curC.count() &&
+        curC.except(prevC).isEmpty
+      edges = afterSmall
+      iter += 1
+    }
+    // converged: every non-root points straight at its component min
+    val lbls = canon(edges).select(col("u").as("doc_id"), col("v").as("lbl"))
+    docs.select(col("doc_id"))
+      .join(lbls.withColumnRenamed("lbl", "_lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_lbl"), col("doc_id")).as("lbl"))
+  }
+
+  /** Driver key: the SAME component census as `dedup_components`, but
+    * computed by star contraction — the oracle (recursive-CTE
+    * transitive closure) proves the two algorithms agree exactly. */
+  def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    componentsStar(docs, ngramJaccard(docs, 0.9))
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("component")
+  }
+
   /** Oracle: transitive closure by recursive CTE — every node collects
     * the initial labels of everything reachable over the symmetric
     * edge set; MIN per node = the component's min doc_id. */
@@ -801,6 +874,7 @@ object Dedup extends QueryModule {
     "dedup_recall_audit" -> (dedupRecallAudit _),
     "dedup_span_fraction" -> (dedupSpan _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -818,6 +892,7 @@ object Dedup extends QueryModule {
     "dedup_recall_audit" -> dedupRecallAuditSql,
     "dedup_span_fraction" -> dedupSpanSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_components_star" -> dedupComponentsSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,

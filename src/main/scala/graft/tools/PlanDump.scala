@@ -33,7 +33,8 @@ object PlanDump {
       "emb_pq", "src_avro_changelog",
       "dedup_containment", "q34_heavy_hitters", "knn_ivf_pq",
       "src_ebcdic_fixedwidth", "cdc_drift_dispatch", "knn_recall_audit",
-      "emb_norm_audit", "mask_kanonymity", "txt_char_classes").distinct
+      "emb_norm_audit", "mask_kanonymity", "txt_char_classes",
+      "dedup_components_star").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

@@ -125,6 +125,24 @@ class ApproxSpec extends SparkSpec {
     assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("star contraction matches pointer jumping on a skewed hub graph") {
+    // the skew case pointer jumping funnels through one min-label key:
+    // a 400-spoke hub, an ascending chain, a DESCENDING-id chain (the
+    // large-star stress shape), and an isolated node — both algorithms
+    // must emit identical min-labels for every node
+    val hub = (1L to 400L).map(i => (0L, i))
+    val up = (500L until 524L).map(i => (i, i + 1))
+    val down = (581L to 600L).map(i => (i, i - 1))
+    val pairs = (hub ++ up ++ down).toDF("d1", "d2")
+    val nodes = ((0L to 400L) ++ (500L to 524L) ++ (580L to 600L) :+ 999L)
+      .toDF("doc_id")
+    val pj = Dedup.components(nodes, pairs).as[(Long, Long)].collect().toMap
+    val st = Dedup.componentsStar(nodes, pairs).as[(Long, Long)].collect().toMap
+    assert(st == pj)
+    assert(st(400L) == 0L && st(524L) == 500L && st(581L) == 580L
+      && st(999L) == 999L)
+  }
+
   test("image decode is a REAL codec round-trip (javax.imageio)") {
     // the PNG bytes must carry the dimensions/pixels through an actual
     // encoder+decoder, not arithmetic: corrupt bytes must fail
