@@ -700,8 +700,17 @@ object Dedup extends QueryModule {
           .select(col("v").as("u"), col("m").as("v"))
           .union(mSmall.select(col("u"), col("m").as("v")))))
       val (prevC, curC) = (canon(edges), canon(afterSmall))
-      converged = prevC.count() == curC.count() &&
-        curC.except(prevC).isEmpty
+      // ONE job for the convergence probe: the canonical sets are
+      // equal iff no (u,v) lands on a single side of the tagged union
+      // (both inputs are distinct sets, so the per-side sums are 0/1)
+      converged = prevC
+        .select(col("u"), col("v"), lit(1L).as("_a"), lit(0L).as("_b"))
+        .union(curC
+          .select(col("u"), col("v"), lit(0L).as("_a"), lit(1L).as("_b")))
+        .groupBy("u", "v")
+        .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
+        .filter(col("_na") =!= col("_nb"))
+        .isEmpty
       edges = afterSmall
       iter += 1
     }
@@ -724,10 +733,17 @@ object Dedup extends QueryModule {
       .orderBy("component")
   }
 
-  /** Oracle: transitive closure by recursive CTE — every node collects
-    * the initial labels of everything reachable over the symmetric
-    * edge set; MIN per node = the component's min doc_id. */
-  val dedupComponentsSql: String =
+  /** Oracle CTE chain: transitive closure by recursive CTE — every
+    * node collects the initial labels of everything reachable over the
+    * symmetric edge set; MIN per node = the component's min doc_id.
+    * Ends at the per-node `labels(id, lbl)` relation so derived
+    * oracles ([[dedupComponentsSql]], [[dedupKeepBestSql]]) can share
+    * the closure. */
+  /** The blocked-Jaccard near-dup `pairs(d1, d2)` CTE chain (t = 0.9,
+    * same semantics as [[ngramJaccard]]) — the shared front half of
+    * every pair-derived oracle. `RECURSIVE` is harmless when no CTE in
+    * the list recurses, so non-recursive reusers need no rewrite. */
+  private[graft] val nearDupPairsCte: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, lang,
       |    unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
@@ -741,16 +757,22 @@ object Dedup extends QueryModule {
       |pairs AS (
       |  SELECT d1, d2 FROM inter
       |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-      |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9),
-      |edges AS (
-      |  SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
-      |reach(id, lbl) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.d1, r.lbl FROM edges e JOIN reach r ON r.id = e.d2),
-      |labels AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
-      |SELECT lbl AS component, COUNT(*) AS n_docs
-      |FROM labels GROUP BY lbl ORDER BY component""".stripMargin
+      |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9)""".stripMargin
+
+  private val componentLabelsCte: String =
+    s"""$nearDupPairsCte,
+       |edges AS (
+       |  SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d1, r.lbl FROM edges e JOIN reach r ON r.id = e.d2),
+       |labels AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""$componentLabelsCte
+       |SELECT lbl AS component, COUNT(*) AS n_docs
+       |FROM labels GROUP BY lbl ORDER BY component""".stripMargin
 
   // ----------------------------------------------- dedup_span_fraction
   /** Exact-substring duplication signal: a document's word 8-grams are
@@ -838,6 +860,51 @@ object Dedup extends QueryModule {
        |  MIN(component) AS min_component
        |FROM comp GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // ------------------------------------------------- dedup_keep_best
+  /** Keeper selection by QUALITY, not id: production dedup keeps the
+    * best document of each near-dup cluster (highest quality score,
+    * smallest doc_id on ties), not the arbitrary min-id survivor of
+    * [[applyPairs]] — dropping a clean original in favor of its
+    * truncated copy is a real corpus regression. Composes the verified
+    * component labels with the verified [[graft.text.TextAnalysis
+    * .qualityScore]] (bit-identical across engines, so the arg-max is
+    * engine-stable): per component the max score is one more hash-agg
+    * over the label frame, and the tie-break is a MIN over the rows
+    * that reach it — both combiner-friendly, no windows, no sort.
+    * Emits per component the keeper and the drop count. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val lbls = components(docs, ngramJaccard(docs, 0.9))
+    val scored = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("_q"))
+    val j = lbls.join(scored, "doc_id")
+    val mx = j.groupBy("lbl")
+      .agg(max(col("_q")).as("_mq"), count(lit(1)).as("n_docs"))
+    j.join(mx, "lbl")
+      .filter(col("_q") === col("_mq"))
+      .groupBy(col("lbl").as("component"), col("n_docs"))
+      .agg(min(col("doc_id")).as("keeper_doc"))
+      .select(col("component"), col("keeper_doc"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy("component")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""$componentLabelsCte,
+       |q AS (SELECT doc_id,
+       |  ${graft.text.TextAnalysis.qualityScoreSql("text")} AS q
+       |  FROM documents),
+       |j AS (SELECT l.lbl, l.id AS doc_id, q.q
+       |  FROM labels l JOIN q ON q.doc_id = l.id),
+       |mx AS (SELECT lbl, MAX(q) AS mq, COUNT(*) AS n_docs
+       |  FROM j GROUP BY lbl)
+       |SELECT j.lbl AS component, MIN(j.doc_id) AS keeper_doc,
+       |  CAST(mx.n_docs AS BIGINT) AS n_docs,
+       |  CAST(mx.n_docs - 1 AS BIGINT) AS n_dropped
+       |FROM j JOIN mx ON j.lbl = mx.lbl AND j.q = mx.mq
+       |GROUP BY j.lbl, mx.n_docs ORDER BY component""".stripMargin
+
   // ----------------------------------------------- dedup_recall_audit
   /** Recall audit of the MinHash-LSH path against the exact blocked
     * Jaccard truth set — the dedup-tuning counterpart of
@@ -875,6 +942,7 @@ object Dedup extends QueryModule {
     "dedup_span_fraction" -> (dedupSpan _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -893,6 +961,7 @@ object Dedup extends QueryModule {
     "dedup_span_fraction" -> dedupSpanSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_star" -> dedupComponentsSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,

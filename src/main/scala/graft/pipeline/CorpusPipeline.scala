@@ -516,6 +516,72 @@ object CorpusPipeline extends QueryModule {
       |WHERE NOT t.is_eval AND e.is_eval
       |GROUP BY t.doc_id ORDER BY train_doc""".stripMargin
 
+  // ------------------------------------------------ pipe_split_leakage
+  /** Train/heldout split-leakage audit — the document-level sibling of
+    * [[contamination]]'s n-gram check: after assigning every document
+    * to train or heldout by a deterministic hash gate, does any
+    * NEAR-DUPLICATE pair cross the split? A heldout doc whose near-dup
+    * sits in train is a leaked eval example (the model "memorizes" it
+    * from the training copy), so the release gate is this one-row
+    * audit: split sizes, crossing-pair count, and the count of
+    * distinct leaked heldout docs. The expensive part is the verified
+    * [[Dedup.ngramJaccard]] pair join the pipeline already runs; the
+    * audit itself is two broadcast-sized joins over the pair set, and
+    * the remedy (move the whole near-dup CLUSTER to one side) is why
+    * split assignment must happen on cluster labels, not raw doc ids —
+    * the number this audit reports is exactly the cost of getting that
+    * wrong. */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame,
+      holdGate: Int): DataFrame = {
+    val split = docs.select(col("doc_id"),
+      (pmod(graft.mask.MaskFunctions.portableHash(col("doc_id")),
+        lit(holdGate.toLong)) === 0L).as("_held"))
+    val x = pairs
+      .join(split.select(col("doc_id").as("d1"), col("_held").as("h1")),
+        "d1")
+      .join(split.select(col("doc_id").as("d2"), col("_held").as("h2")),
+        "d2")
+      .filter(col("h1") =!= col("h2"))
+    val counts = split.agg(
+      sum(when(col("_held"), 0L).otherwise(1L)).as("n_train"),
+      sum(when(col("_held"), 1L).otherwise(0L)).as("n_heldout"))
+    counts
+      .crossJoin(broadcast(x.agg(count(lit(1)).as("n_cross_pairs"))))
+      .crossJoin(broadcast(
+        x.select(when(col("h1"), col("d1")).otherwise(col("d2"))
+            .as("held_doc"))
+          .distinct()
+          .agg(count(lit(1)).as("n_leaked_heldout"))))
+      .select("n_train", "n_heldout", "n_cross_pairs", "n_leaked_heldout")
+  }
+
+  def pipeSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    splitLeakage(docs, Dedup.ngramJaccard(docs, 0.9), 10)
+  }
+
+  val pipeSplitLeakageSql: String =
+    s"""${Dedup.nearDupPairsCte},
+       |split AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 = 0
+       |      AS held
+       |  FROM documents),
+       |x AS (
+       |  SELECT p.d1, p.d2, s1.held AS h1, s2.held AS h2
+       |  FROM pairs p JOIN split s1 ON s1.doc_id = p.d1
+       |  JOIN split s2 ON s2.doc_id = p.d2
+       |  WHERE s1.held <> s2.held)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM split WHERE NOT held) AS BIGINT)
+       |    AS n_train,
+       |  CAST((SELECT COUNT(*) FROM split WHERE held) AS BIGINT)
+       |    AS n_heldout,
+       |  CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_cross_pairs,
+       |  CAST((SELECT COUNT(DISTINCT CASE WHEN h1 THEN d1 ELSE d2 END)
+       |    FROM x) AS BIGINT) AS n_leaked_heldout""".stripMargin
+
   // ------------------------------------------------ pipe_dataset_card
   /** Dataset-card stats — the per-source summary every corpus release
     * ships: doc count, exact total tokens, and EXACT median/p90 token
@@ -568,6 +634,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_pack_sequences" -> (pipePackSequences _),
     "pipe_interleave" -> (pipeInterleave _),
     "pipe_contamination" -> (pipeContamination _),
+    "pipe_split_leakage" -> (pipeSplitLeakage _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_token_budget" -> (pipeTokenBudget _),
@@ -581,6 +648,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_pack_sequences" -> pipePackSequencesSql,
     "pipe_interleave" -> pipeInterleaveSql,
     "pipe_contamination" -> pipeContaminationSql,
+    "pipe_split_leakage" -> pipeSplitLeakageSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,

@@ -113,4 +113,79 @@ object BinaryFormats {
       }
       .toDF("value")
   }
+
+  // ------------------------------------------------- EBCDIC RECFM=V
+  /** Write variable-length EBCDIC records (mainframe RECFM=V): each
+    * record is a 4-byte RDW — 2-byte big-endian length INCLUSIVE of
+    * the RDW itself, then 2 reserved zero bytes (z/OS DFSMS record
+    * format) — followed by the payload bytes. One part file per
+    * partition, so read parallelism equals write parallelism. */
+  def writeEbcdicVariable(lines: DataFrame, dir: String,
+      codePage: String = "IBM037"): Unit = {
+    val conf = HadoopFs.serializable()
+    lines.foreachPartition { (it: Iterator[Row]) =>
+      val pid = TaskContext.getPartitionId()
+      val cs = java.nio.charset.Charset.forName(codePage)
+      val fs = HadoopFs.fs(dir, conf.value)
+      val out = fs.create(new Path(s"$dir/part-$pid.bin"), true)
+      try it.foreach { row =>
+        val b = row.getString(0).getBytes(cs)
+        val len = b.length + 4
+        // RDW length is a signed 15-bit field on the mainframe
+        require(len <= 0x7FFF,
+          s"record is ${b.length} bytes; RECFM=V caps payloads at " +
+            s"${0x7FFF - 4}")
+        out.write((len >> 8) & 0xFF)
+        out.write(len & 0xFF)
+        out.write(0)
+        out.write(0)
+        out.write(b)
+      } finally out.close()
+    }
+  }
+
+  /** Read RECFM=V EBCDIC datasets under `dir` by walking RDWs.
+    *
+    * Unlike RECFM=F, variable records have NO computable split points —
+    * a byte offset is only known to be a record boundary by walking
+    * every RDW before it — so the parallel unit is the FILE (exactly
+    * the constraint mainframe tooling lives with; the standard scale
+    * path is many moderate files, which the per-partition writer
+    * produces, or a one-pass record-index sidecar that turns the next
+    * read into offset-aligned splits). Each file streams through a
+    * bounded buffer — a file is never materialized in memory. */
+  def readEbcdicVariable(spark: SparkSession, dir: String,
+      codePage: String = "IBM037"): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(dir)
+      .flatMap { case (name, pds) =>
+        val cs = java.nio.charset.Charset.forName(codePage)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(pds.open(), 1 << 16))
+        new Iterator[String] {
+          private var nextRec: String = advance()
+          private def advance(): String = {
+            val b0 = in.read()
+            if (b0 < 0) { in.close(); null }
+            else {
+              val b1 = in.read()
+              require(b1 >= 0, s"$name: truncated RDW")
+              val len = (b0 << 8) | b1
+              require(len >= 4, s"$name: RDW length $len < 4")
+              val r2 = in.read(); val r3 = in.read()
+              require(r2 == 0 && r3 == 0,
+                s"$name: nonzero RDW reserved bytes (not RECFM=V?)")
+              val payload = new Array[Byte](len - 4)
+              in.readFully(payload)
+              new String(payload, cs)
+            }
+          }
+          override def hasNext: Boolean = nextRec != null
+          override def next(): String = {
+            val r = nextRec; nextRec = advance(); r
+          }
+        }
+      }
+      .toDF("value")
+  }
 }

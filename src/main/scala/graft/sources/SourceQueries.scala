@@ -520,6 +520,44 @@ object SourceQueries extends QueryModule {
       |  CAST(MAX(cents) AS DOUBLE) / 100 AS max_amount
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- src_recfm_vb
+  /** Mainframe RECFM=V round-trip — variable-length EBCDIC records
+    * behind 4-byte RDWs ([[BinaryFormats.writeEbcdicVariable]]), the
+    * OTHER record format a z/OS migration meets beside RECFM=F.
+    * Layout: 9-digit doc id + 8-char padded language + the raw
+    * variable-length document text (what makes the record variable).
+    * Decode slices the fixed prefix positionally and takes the
+    * remainder as the payload — record length itself carries
+    * information, so the audit sums the recovered text lengths per
+    * language. RECFM=V has no computable split points (see
+    * [[BinaryFormats.readEbcdicVariable]]); parallelism is per file,
+    * which the per-partition writer supplies. */
+  def recfmVb(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      lpad(col("doc_id").cast("string"), 9, "0"),
+      rpad(col("lang"), 8, " "),
+      col("text"))
+    val tmp = stagingDir(spark, "graft-recfmv")
+    BinaryFormats.writeEbcdicVariable(
+      Tables.documents(spark, dir).select(line.as("value")), tmp)
+    BinaryFormats.readEbcdicVariable(spark, tmp)
+      .select(
+        substring(col("value"), 1, 9).cast("long").as("doc_id"),
+        trim(substring(col("value"), 10, 8)).as("lang"),
+        (length(col("value")) - 17).cast("long").as("text_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_total"),
+        sum(col("text_chars")).as("text_total"))
+      .orderBy("lang")
+  }
+
+  val recfmVbSql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_total,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS text_total
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------ src_report_sink
   /** SortCL-heritage REPORT target: the reference's product line began
     * as a report generator (sort → group → subtotal → formatted text),
@@ -622,6 +660,7 @@ object SourceQueries extends QueryModule {
     "src_cobol_comp3" -> (cobolComp3 _),
     "src_cobol_occurs" -> (cobolOccurs _),
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
+    "src_recfm_vb" -> (recfmVb _),
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
@@ -639,5 +678,6 @@ object SourceQueries extends QueryModule {
     "src_cobol_comp3" -> cobolComp3Sql,
     "src_cobol_occurs" -> cobolOccursSql,
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
+    "src_recfm_vb" -> recfmVbSql,
     "gen_rowgen" -> rowGenSql)
 }

@@ -70,6 +70,28 @@ class BinaryFormatsSpec extends SparkSpec {
       .toSeq == Seq((7, "ALPHA"), (42, "BETA-2"), (999, "G")))
   }
 
+  test("ebcdic RECFM=V round-trip: RDW framing, empty and long payloads") {
+    val vals = Seq("A", "", "VARIABLE-LENGTH RECORD", "x" * 300)
+    val src = vals.toDF("value").repartition(2)
+    val dir = Files.createTempDirectory("graft-recfmv-spec").toString
+    BinaryFormats.writeEbcdicVariable(src, dir)
+    // on-disk framing: total bytes = sum of (payload + 4-byte RDW)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin"))
+    assert(files.map(_.length).sum == vals.map(_.length + 4).sum)
+    val back = BinaryFormats.readEbcdicVariable(spark, dir)
+      .as[String].collect().toSeq
+    assert(back.sorted == vals.sorted)
+    // a nonzero RDW reserved byte must fail decode, not corrupt rows
+    val bad = Files.createTempDirectory("graft-recfmv-bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bad, "part-0.bin"),
+      Array[Byte](0, 5, 9, 0, 0x40))
+    assertThrows[Exception] {
+      BinaryFormats.readEbcdicVariable(spark, bad).collect()
+    }
+  }
+
   test("DSv2 connector: splits align to records and pruning reaches the scan") {
     val fields = Seq(
       Delimited.FixedField("id", 1, 4),
