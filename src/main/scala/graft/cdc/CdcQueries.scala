@@ -547,7 +547,54 @@ object CdcQueries extends QueryModule {
       |  MAX(CASE WHEN us < prev THEN prev - us END) AS max_regress_us
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------- cdc_lag_audit
+  /** Replication-lag percentile audit — THE dashboard number a CDC
+    * deployment is operated by (how far behind the source is each op
+    * path?). Lag is modeled as a deterministic per-event jitter
+    * (portable md5-prefix hash of event_id, mod 5 s) so the audit is
+    * engine-reproducible; the mechanics are the production ones:
+    * exact p50/p95/max per op via the value-histogram selection
+    * ([[graft.ops.OrderStats]]) — a map-side-combining (op, lag)
+    * count, ranks located in cumulative sums, so windows only ever
+    * see the ≤ |ops|×5000-row histogram, never the changelog. */
+  def lagAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats._
+    val rank95 = ceil(col("n").cast("double") * 0.95)
+    val lags = changeLog(spark, dir).select(col("op"),
+      pmod(MaskFunctions.portableHash(col("event_id")), lit(5000L))
+        .as("lag_ms"))
+    cumulativeHistogram(lags, Seq("op"), "lag_ms")
+      .groupBy("op")
+      .agg(max(col("n")).as("n"),
+        max(when(holdsRank(midRank1), col("lag_ms"))).as("p50_lag_ms"),
+        max(when(holdsRank(rank95), col("lag_ms"))).as("p95_lag_ms"),
+        max(col("lag_ms")).as("max_lag_ms"))
+      .orderBy("op")
+  }
+
+  val lagAuditSql: String =
+    s"""WITH l AS (
+       |  SELECT $opSql AS op,
+       |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT
+       |      % 5000 AS lag_ms
+       |  FROM events),
+       |h AS (SELECT op, lag_ms, COUNT(*) AS c FROM l GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT op, lag_ms, c,
+       |    SUM(c) OVER (PARTITION BY op ORDER BY lag_ms) AS hi,
+       |    SUM(c) OVER (PARTITION BY op ORDER BY lag_ms) - c + 1 AS lo,
+       |    SUM(c) OVER (PARTITION BY op) AS n
+       |  FROM h)
+       |SELECT op, CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST(MAX(CASE WHEN lo <= (n + 1) // 2 AND (n + 1) // 2 <= hi
+       |    THEN lag_ms END) AS BIGINT) AS p50_lag_ms,
+       |  CAST(MAX(CASE WHEN lo <= CEIL(n * 0.95) AND CEIL(n * 0.95) <= hi
+       |    THEN lag_ms END) AS BIGINT) AS p95_lag_ms,
+       |  CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
+       |FROM cum GROUP BY op ORDER BY op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_lag_audit" -> (lagAudit _),
     "cdc_ooo_audit" -> (oooAudit _),
     "cdc_changed_columns" -> (changedColumns _),
     "cdc_dlq_route" -> (dlqRoute _),
@@ -564,6 +611,7 @@ object CdcQueries extends QueryModule {
     "cdc_drift_dispatch" -> (driftDispatch _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_lag_audit" -> lagAuditSql,
     "cdc_ooo_audit" -> oooAuditSql,
     "cdc_changed_columns" -> changedColumnsSql,
     "cdc_dlq_route" -> dlqRouteSql,

@@ -298,6 +298,57 @@ object CorpusPipeline extends QueryModule {
       |    doc_id) - 1 AS pos
       |FROM documents ORDER BY pos""".stripMargin
 
+  // ----------------------------------------------- pipe_epoch_plan
+  /** Epoch planning — the step that turns [[mixWeights]]' proportions
+    * into per-source REPEAT FACTORS for a fixed training budget: a
+    * source whose temperature-scaled target exceeds its available
+    * tokens is repeated (the "N epochs of the small corpus" decision),
+    * the rest contribute a partial pass. Per language: available
+    * tokens, the per-mille weight, the integer target, full epochs
+    * (target div available) and the leftover partial-pass tokens — all
+    * exact integer arithmetic, one map-side-combining agg over the
+    * corpus plus a |langs|-row plan join. */
+  def epochPlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val nt = size(split(col("text"), "\\s+")).cast("long")
+    val counts = docs.select(col("lang"), nt.as("_nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("avail_tokens"))
+      .withColumn("_m", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = counts.agg(sum(col("_m")).as("_tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight_pm", expr("_m * 1000 div _tot"))
+      .withColumn("target_tokens",
+        expr(s"weight_pm * $budgetTokens div 1000"))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        col("weight_pm"), col("target_tokens"),
+        expr("target_tokens div avail_tokens").as("n_full_epochs"),
+        expr("target_tokens % avail_tokens").as("partial_tokens"))
+      .orderBy("lang")
+  }
+
+  def pipeEpochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlan(Tables.documents(spark, dir), 2000000L)
+
+  val pipeEpochPlanSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+      |      AS avail_tokens,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS m
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(m) AS BIGINT) AS tot FROM c),
+      |p AS (
+      |  SELECT lang, n_docs, avail_tokens,
+      |    CAST(m * 1000 // tot AS BIGINT) AS weight_pm
+      |  FROM c CROSS JOIN t)
+      |SELECT lang, n_docs, avail_tokens, weight_pm,
+      |  CAST(weight_pm * 2000000 // 1000 AS BIGINT) AS target_tokens,
+      |  CAST(weight_pm * 2000000 // 1000 // avail_tokens AS BIGINT)
+      |    AS n_full_epochs,
+      |  CAST(weight_pm * 2000000 // 1000 % avail_tokens AS BIGINT)
+      |    AS partial_tokens
+      |FROM p ORDER BY lang""".stripMargin
+
   // --------------------------------------------- pipe_token_budget
   /** Budgeted greedy selection per source — materializing a training
     * mix: each source (lang) takes documents in the deterministic
@@ -638,6 +689,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_token_budget" -> (pipeTokenBudget _),
+    "pipe_epoch_plan" -> (pipeEpochPlan _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
     "pipe_mix_weights" -> (pipeMixWeights _))
@@ -652,6 +704,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
+    "pipe_epoch_plan" -> pipeEpochPlanSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,
     "pipe_mix_weights" -> pipeMixWeightsSql)

@@ -380,7 +380,41 @@ object Knn extends QueryModule {
        |  CAST(MIN(hits) AS BIGINT) AS min_hits
        |FROM perq GROUP BY method ORDER BY method""".stripMargin
 
+  // --------------------------------------------------- knn_filtered
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * operation every production vector store exposes (tenant/shard/
+    * attribute-scoped search). This is the PRE-filter shape: the
+    * predicate prunes the corpus BEFORE any dot product (here a plain
+    * Catalyst filter the parquet scan can push down), so recall is
+    * exact over the qualifying set — unlike post-filtering a top-k',
+    * which silently under-fills when the predicate is selective. At
+    * scale the same composition holds through the IVF path (filter
+    * inside each probed cell); the exact baseline is what the gate
+    * verifies. Predicate: even label. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    bruteForce(emb.filter(col("label") % 2 === 0),
+      emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
+  }
+
+  val knnFilteredSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_dot_product(q.e, c.e) AS c
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10 AND c.label % 2 = 0),
+       |ranked AS (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY c DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_filtered" -> (knnFiltered _),
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_range" -> (knnRange _),
@@ -391,6 +425,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_filtered" -> knnFilteredSql,
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,
