@@ -34,7 +34,9 @@ object PlanDump {
       "dedup_containment", "q34_heavy_hitters", "knn_ivf_pq",
       "src_ebcdic_fixedwidth", "cdc_drift_dispatch", "knn_recall_audit",
       "emb_norm_audit", "mask_kanonymity", "txt_char_classes",
-      "dedup_components_star").distinct
+      "dedup_components_star", "dedup_keep_best", "pipe_split_leakage",
+      "src_recfm_vb", "knn_filtered", "pipe_epoch_plan",
+      "cdc_lag_audit").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

@@ -147,6 +147,7 @@ class PlanSpec extends SparkSpec {
         ("interleave", CorpusPipeline.interleave(docs, 20)),
         ("curriculum", CorpusPipeline.curriculum(docs)),
         ("token_budget", CorpusPipeline.tokenBudget(docs)),
+        ("cdc_lag_audit", graft.cdc.CdcQueries.lagAudit(spark, sfDir)),
         ("q27_percentiles", Relational.q27(spark, sfDir)))) {
       df.collect() // finalize AQE so query stages are materialized
       val nodes = allNodes(df.queryExecution.executedPlan)
