@@ -860,6 +860,81 @@ object Dedup extends QueryModule {
        |  MIN(component) AS min_component
        |FROM comp GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // ---------------------------------------------- dedup_incremental
+  /** INCREMENTAL near-dup detection — the daily-ingest shape: a small
+    * incoming batch is checked against the standing corpus WITHOUT
+    * ever re-joining existing×existing (at 100 TB the standing side is
+    * the lake; re-scoring it against itself every ingest is the cost
+    * this operator exists to avoid). Same blocking-complete
+    * (lang, log-size bucket ±1) scheme as [[ngramJaccard]] — the probe
+    * explosion rides the SMALL incoming side, the standing side keeps
+    * one bucket row per doc (in production: precomputed and stored
+    * bucketed on (lang, bucket), so an ingest touches only its own
+    * buckets' files). Output: every (new_doc, old_doc) pair at
+    * j ≥ t. The oracle computes the full quadratic incoming×existing
+    * answer from raw tokens, so blocking completeness is gate-checked,
+    * not assumed. */
+  def ngramJaccardAgainst(incoming: DataFrame, existing: DataFrame,
+      threshold: Double): DataFrame = {
+    def sets(d: DataFrame): DataFrame = tokens(d)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_set(xxhash64(col("w")))).as("hs"))
+      .withColumn("n", size(col("hs")))
+    def bucket(n: Column): Column =
+      floor(log(n.cast("double")) / math.log(1.0 / threshold))
+    val corpus = sets(existing).select(col("doc_id").as("old_doc"),
+        col("lang"), col("hs").as("hs2"), col("n").as("n2"))
+      .withColumn("bk", bucket(col("n2")))
+    val probe = sets(incoming).select(col("doc_id").as("new_doc"),
+        col("lang").as("lang1"), col("hs").as("hs1"), col("n").as("n1"))
+      .withColumn("bk1", explode(array(
+        bucket(col("n1")) - 1, bucket(col("n1")), bucket(col("n1")) + 1)))
+    corpus.join(probeSide(probe),
+        col("lang") === col("lang1") && col("bk") === col("bk1") &&
+          col("new_doc") =!= col("old_doc") &&
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")).cast("double") * threshold)
+      .select(col("new_doc"), col("old_doc"),
+        call_function(graft.expr.VectorExprs.jaccardName,
+          col("hs1"), col("hs2")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val isNew = pmod(graft.mask.MaskFunctions.portableHash(col("doc_id")),
+      lit(5L)) === 0L
+    ngramJaccardAgainst(docs.filter(isNew), docs.filter(!isNew), 0.9)
+      .orderBy("new_doc", "old_doc")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |flag AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0
+      |      AS is_new
+      |  FROM documents),
+      |inter AS (
+      |  SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id <> b.doc_id
+      |  JOIN flag fa ON fa.doc_id = a.doc_id
+      |  JOIN flag fb ON fb.doc_id = b.doc_id
+      |  WHERE fa.is_new AND NOT fb.is_new
+      |  GROUP BY 1, 2)
+      |SELECT new_doc, old_doc,
+      |  CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) AS j
+      |FROM inter JOIN sizes s1 ON s1.doc_id = new_doc
+      |JOIN sizes s2 ON s2.doc_id = old_doc
+      |WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9
+      |ORDER BY new_doc, old_doc""".stripMargin
+
   // ------------------------------------------------- dedup_keep_best
   /** Keeper selection by QUALITY, not id: production dedup keeps the
     * best document of each near-dup cluster (highest quality score,
@@ -943,6 +1018,7 @@ object Dedup extends QueryModule {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -962,6 +1038,7 @@ object Dedup extends QueryModule {
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_star" -> dedupComponentsSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,

@@ -558,6 +558,50 @@ object SourceQueries extends QueryModule {
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS text_total
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------- src_schema_evolution
+  /** Parquet schema evolution across historical batches — the lake
+    * reality every long-lived pipeline meets: batch 1 was written
+    * before a column existed, batch 2 carries it, and readers must see
+    * ONE schema with nulls where history is silent. Batches split
+    * deterministically (even/odd order key), batch 2 adds
+    * `price_cents`; the read goes through `mergeSchema` (parquet
+    * footer union — at scale set `spark.sql.parquet.mergeSchema` off
+    * and a metastore holds the merged schema instead; the NULL
+    * semantics this key verifies are identical). Audit: per batch the
+    * row count, missing-column count, and exact cent total. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = stagingDir(spark, "graft-evolve")
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("price_cents"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("price_cents").isNull, 1L).otherwise(0L))
+          .as("n_missing"),
+        sum(coalesce(col("price_cents"), lit(0L))).as("total_cents"))
+      .select(col("batch").cast("long").as("batch"), col("n"),
+        col("n_missing"), col("total_cents"))
+      .orderBy("batch")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+      |    AS batch,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY batch""".stripMargin
+
   // ------------------------------------------------ src_report_sink
   /** SortCL-heritage REPORT target: the reference's product line began
     * as a report generator (sort → group → subtotal → formatted text),
@@ -661,6 +705,7 @@ object SourceQueries extends QueryModule {
     "src_cobol_occurs" -> (cobolOccurs _),
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
     "src_recfm_vb" -> (recfmVb _),
+    "src_schema_evolution" -> (schemaEvolution _),
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
@@ -679,5 +724,6 @@ object SourceQueries extends QueryModule {
     "src_cobol_occurs" -> cobolOccursSql,
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
     "src_recfm_vb" -> recfmVbSql,
+    "src_schema_evolution" -> schemaEvolutionSql,
     "gen_rowgen" -> rowGenSql)
 }

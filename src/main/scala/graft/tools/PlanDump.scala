@@ -36,7 +36,8 @@ object PlanDump {
       "emb_norm_audit", "mask_kanonymity", "txt_char_classes",
       "dedup_components_star", "dedup_keep_best", "pipe_split_leakage",
       "src_recfm_vb", "knn_filtered", "pipe_epoch_plan",
-      "cdc_lag_audit").distinct
+      "cdc_lag_audit", "dedup_incremental",
+      "src_schema_evolution").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")
