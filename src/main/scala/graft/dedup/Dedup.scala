@@ -503,15 +503,64 @@ object Dedup extends QueryModule {
     a.join(broadcast(feasible), col("ca") === col("c1"))
       .join(b, col("cb") === col("c2") &&
         (col("ca") < col("cb") || col("v1") < col("v2")))
-      .filter(fastDot(col("e1"), col("e2")) >= threshold)
+      .withColumn("cos", fastDot(col("e1"), col("e2")))
+      .filter(col("cos") >= threshold)
       .select(least(col("v1"), col("v2")).as("id1"),
-        greatest(col("v1"), col("v2")).as("id2"))
+        greatest(col("v1"), col("v2")).as("id2"), col("cos"))
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
-    embeddingPairs(Tables.embeddings(spark, dir), 0.40).orderBy("id1", "id2")
+    // ids only cross the oracle boundary; the cosine stays engine-side
+    embeddingPairs(Tables.embeddings(spark, dir), 0.40)
+      .select("id1", "id2").orderBy("id1", "id2")
   }
+
+  // --------------------------------------------------- dedup_emb_sweep
+  /** Threshold-tuning sweep for embedding dedup — the curve a
+    * threshold decision is made from (how many pairs does each cut
+    * admit?), computed from ONE candidate generation at the loosest
+    * threshold: the sweep itself is a conditional count over the
+    * verified pair set, so tightening the answer costs nothing beyond
+    * the 0.40 run the pipeline already does. Counts (exact integers)
+    * are all that cross the oracle boundary; the oracle recomputes
+    * every threshold's count from the full normalized pair join. */
+  def dedupEmbSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    import spark.implicits._
+    val ts = Seq(400L, 500L, 600L, 700L, 800L)
+    val pairs = embeddingPairs(Tables.embeddings(spark, dir), 0.40)
+    val counts = pairs
+      .select(explode(typedLit(ts)).as("threshold_pm"), col("cos"))
+      .filter(col("cos") >=
+        col("threshold_pm").cast("double") / lit(1000.0))
+      .groupBy("threshold_pm").agg(count(lit(1)).as("_n"))
+    ts.toDF("threshold_pm")
+      .join(counts, Seq("threshold_pm"), "left")
+      .select(col("threshold_pm"), coalesce(col("_n"), lit(0L)).as("n_pairs"))
+      .orderBy("threshold_pm")
+  }
+
+  val dedupEmbSweepSql: String =
+    """WITH n AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS e
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |p AS (
+      |  SELECT list_dot_product(a.e, b.e) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.e, b.e) >= 0.40),
+      |t AS (SELECT unnest([400, 500, 600, 700, 800]) AS threshold_pm)
+      |SELECT CAST(t.threshold_pm AS BIGINT) AS threshold_pm,
+      |  CAST(COUNT(p.cos) AS BIGINT) AS n_pairs
+      |FROM t LEFT JOIN p ON p.cos >= t.threshold_pm / 1000.0
+      |GROUP BY 1 ORDER BY threshold_pm""".stripMargin
 
   val dedupEmbeddingSql: String =
     """WITH n AS (
@@ -1019,6 +1068,7 @@ object Dedup extends QueryModule {
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_emb_sweep" -> (dedupEmbSweep _),
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -1039,6 +1089,7 @@ object Dedup extends QueryModule {
     "dedup_components_star" -> dedupComponentsSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_emb_sweep" -> dedupEmbSweepSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,

@@ -323,6 +323,56 @@ object TextAnalysis extends QueryModule {
       |    AS INTEGER) AS max_sentence_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- txt_boilerplate
+  /** Sentence-level boilerplate detection — the CCNet-style paragraph
+    * dedup signal beside the 8-gram span fraction: a NORMALIZED
+    * sentence (lowercased, whitespace-collapsed) that appears in ≥ 2
+    * distinct documents is boilerplate (headers, footers, license
+    * blurbs), and a doc's boilerplate per-mille decides whether it
+    * survives corpus filtering. Same linear shape as
+    * [[graft.dedup.Dedup.spanFraction]]: one sentence-split pass, each
+    * sentence reduced to the portable 32-bit md5-prefix hash so every
+    * exchange ships 16-byte rows; per-doc distinct → posting counts
+    * via one map-side-combining hash-agg; join-back adds no fan-out
+    * beyond existing rows. Counts are over DISTINCT normalized
+    * sentences per doc. */
+  def txtBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segs = filter(split(col("text"), "[.!?]+"), s => s.rlike("\\w"))
+    val sh = conv(substring(md5(
+      regexp_replace(trim(lower(col("s"))), "\\s+", " ")), 1, 8), 16, 10)
+      .cast("long")
+    val sents = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(segs).as("s"))
+      .select(col("doc_id"), sh.as("sh"))
+      .distinct()
+    val posting = sents.groupBy("sh").agg(count(lit(1)).as("_nd"))
+    sents.join(posting, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_pm", expr("n_boiler * 1000 div n_sentences"))
+      .orderBy("doc_id")
+  }
+
+  val txtBoilerplateSql: String =
+    """WITH s AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x'||substr(md5(regexp_replace(trim(lower(x)), '\s+', ' ',
+      |      'g')),1,8))::BIGINT AS sh
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |        x -> regexp_matches(x, '\w'))) AS x
+      |    FROM documents) t),
+      |p AS (SELECT sh, COUNT(*) AS nd FROM s GROUP BY sh)
+      |SELECT s.doc_id, COUNT(*) AS n_sentences,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boiler,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS boiler_pm
+      |FROM s JOIN p ON s.sh = p.sh
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- txt_tfidf
   /** Per-language salient terms by exact-integer TF-IDF lift: for each
     * (lang, term), tf = occurrences in that language, df = distinct
@@ -538,6 +588,7 @@ object TextAnalysis extends QueryModule {
     "txt_tfidf" -> (txtTfidf _),
     "txt_collocations" -> (txtCollocations _),
     "txt_sentences" -> (txtSentences _),
+    "txt_boilerplate" -> (txtBoilerplate _),
     "txt_vocab_stats" -> (txtVocabStats _),
     "txt_top_bigrams" -> (txtTopBigrams _),
     "txt_token_count" -> (txtTokenCount _),
@@ -552,6 +603,7 @@ object TextAnalysis extends QueryModule {
     "txt_tfidf" -> txtTfidfSql,
     "txt_collocations" -> txtCollocationsSql,
     "txt_sentences" -> txtSentencesSql,
+    "txt_boilerplate" -> txtBoilerplateSql,
     "txt_vocab_stats" -> txtVocabStatsSql,
     "txt_top_bigrams" -> txtTopBigramsSql,
     "txt_token_count" -> txtTokenCountSql,

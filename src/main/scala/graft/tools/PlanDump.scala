@@ -37,7 +37,8 @@ object PlanDump {
       "dedup_components_star", "dedup_keep_best", "pipe_split_leakage",
       "src_recfm_vb", "knn_filtered", "pipe_epoch_plan",
       "cdc_lag_audit", "dedup_incremental",
-      "src_schema_evolution").distinct
+      "src_schema_evolution", "dedup_emb_sweep",
+      "txt_boilerplate").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

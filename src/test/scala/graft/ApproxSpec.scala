@@ -55,7 +55,7 @@ class ApproxSpec extends SparkSpec {
       (3L, "a", Array(0.0f, 0.0f)), (4L, "b", Array(Float.NaN, 1.0f)))
       .toDF("vec_id", "label", "embedding")
     val pairs = Dedup.embeddingPairs(rows, 0.9)
-      .as[(Long, Long)].collect().toSet
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
