@@ -808,7 +808,7 @@ object Dedup extends QueryModule {
       |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
       |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + s2.n - i AS DOUBLE) >= 0.9)""".stripMargin
 
-  private val componentLabelsCte: String =
+  private[graft] val componentLabelsCte: String =
     s"""$nearDupPairsCte,
        |edges AS (
        |  SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),

@@ -633,6 +633,58 @@ object CorpusPipeline extends QueryModule {
        |  CAST((SELECT COUNT(DISTINCT CASE WHEN h1 THEN d1 ELSE d2 END)
        |    FROM x) AS BIGINT) AS n_leaked_heldout""".stripMargin
 
+  // --------------------------------------------- pipe_split_by_cluster
+  /** The REMEDY [[splitLeakage]] motivates: assign train/heldout on
+    * the near-dup CLUSTER label, not the raw doc id, so a whole
+    * near-dup family lands on one side and no pair can cross the
+    * split BY CONSTRUCTION. Emits per split the doc/token masses plus
+    * the crossing-pair count — which this assignment provably pins to
+    * zero, and the oracle recomputes all of it (labels, hash
+    * assignment, pair join) to hold the construction to its claim.
+    * Cost beyond the components run the dedup pass already does: one
+    * hash of the label and a broadcast-sized audit join. */
+  def pipeSplitByCluster(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccard(docs, 0.9)
+    val assign = Dedup.components(docs, pairs).select(col("doc_id"),
+      when(pmod(graft.mask.MaskFunctions.portableHash(col("lbl")),
+        lit(10L)) === 0L, "heldout").otherwise("train").as("split"))
+    val x = pairs
+      .join(assign.select(col("doc_id").as("d1"), col("split").as("s1")),
+        "d1")
+      .join(assign.select(col("doc_id").as("d2"), col("split").as("s2")),
+        "d2")
+      .filter(col("s1") =!= col("s2"))
+    val nt = size(split(col("text"), "\\s+")).cast("long")
+    docs.select(col("doc_id"), nt.as("_nt"))
+      .join(assign, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .crossJoin(broadcast(x.agg(count(lit(1)).as("n_cross_pairs"))))
+      .select("split", "n_docs", "n_tokens", "n_cross_pairs")
+      .orderBy("split")
+  }
+
+  val pipeSplitByClusterSql: String =
+    s"""${Dedup.componentLabelsCte},
+       |assign AS (
+       |  SELECT id AS doc_id,
+       |    CASE WHEN ('0x'||substr(md5(CAST(lbl AS VARCHAR)),1,8))::BIGINT
+       |      % 10 = 0 THEN 'heldout' ELSE 'train' END AS split
+       |  FROM labels),
+       |x AS (
+       |  SELECT p.d1 FROM pairs p
+       |  JOIN assign a1 ON a1.doc_id = p.d1
+       |  JOIN assign a2 ON a2.doc_id = p.d2
+       |  WHERE a1.split <> a2.split)
+       |SELECT a.split, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_split_to_array(d.text, '\\s+'))) AS BIGINT)
+       |    AS n_tokens,
+       |  CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_cross_pairs
+       |FROM documents d JOIN assign a ON a.doc_id = d.doc_id
+       |GROUP BY a.split ORDER BY a.split""".stripMargin
+
   // ------------------------------------------------ pipe_dataset_card
   /** Dataset-card stats — the per-source summary every corpus release
     * ships: doc count, exact total tokens, and EXACT median/p90 token
@@ -686,6 +738,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_interleave" -> (pipeInterleave _),
     "pipe_contamination" -> (pipeContamination _),
     "pipe_split_leakage" -> (pipeSplitLeakage _),
+    "pipe_split_by_cluster" -> (pipeSplitByCluster _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_token_budget" -> (pipeTokenBudget _),
@@ -701,6 +754,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_interleave" -> pipeInterleaveSql,
     "pipe_contamination" -> pipeContaminationSql,
     "pipe_split_leakage" -> pipeSplitLeakageSql,
+    "pipe_split_by_cluster" -> pipeSplitByClusterSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
