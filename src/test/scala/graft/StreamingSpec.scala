@@ -145,6 +145,46 @@ class StreamingSpec extends SparkSpec {
     assert(target.toMap == Map(1L -> 20.0, 3L -> 5.0))
   }
 
+  test("incremental dedup streams: each micro-batch probes the standing corpus") {
+    // the streaming form of dedup_incremental: incoming docs arrive on
+    // a stream and are near-dup-checked against the STANDING corpus
+    // only (stream-side sets are per-batch; the standing side would be
+    // a precomputed bucketed table in production) — existing×existing
+    // is never recomputed, and results accumulate across micro-batches
+    import graft.dedup.Dedup
+    val standing = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "one two three four five six seven"),
+      (3L, "fr", "un deux trois quatre cinq six sept"))
+      .toDF("doc_id", "lang", "text")
+    val incoming = Seq(
+      (10L, "en", "zeta epsilon delta gamma beta alpha"),
+      (11L, "en", "completely different words here entirely"),
+      (12L, "fr", "sept six cinq quatre trois deux un"))
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val got = scala.collection.concurrent.TrieMap[(Long, Long), Boolean]()
+    val q = mem.toDF().toDF("doc_id", "lang", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.expr.VectorExprs.register(batch.sparkSession)
+        Dedup.ngramJaccardAgainst(batch.toDF(), standing, 0.9)
+          .select("new_doc", "old_doc").collect()
+          .foreach(r => got.put((r.getLong(0), r.getLong(1)), true))
+        ()
+      }
+      .start()
+    mem.addData(incoming.take(1): _*)
+    q.processAllAvailable()
+    assert(got.keySet == Set((10L, 1L)))
+    mem.addData(incoming.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    // the unique doc matches nothing; the fr permutation matches its
+    // standing original; no existing×existing pair ever appears
+    assert(got.keySet == Set((10L, 1L), (12L, 3L)))
+  }
+
   test("file-stream CDC: masked replication from a JSONL envelope directory") {
     import org.apache.spark.sql.types._
     import graft.cdc.Envelope
