@@ -646,7 +646,11 @@ object CorpusPipeline extends QueryModule {
   def pipeSplitByCluster(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.ngramJaccard(docs, 0.9)
+    // the pair set feeds BOTH the components run (its own actions) and
+    // the final audit join — without a checkpoint the second consumer
+    // replays the whole Jaccard pair join; same executor-storage
+    // tradeoff as Dedup.components' per-round checkpoint
+    val pairs = Dedup.ngramJaccard(docs, 0.9).localCheckpoint()
     val assign = Dedup.components(docs, pairs).select(col("doc_id"),
       when(pmod(graft.mask.MaskFunctions.portableHash(col("lbl")),
         lit(10L)) === 0L, "heldout").otherwise("train").as("split"))
