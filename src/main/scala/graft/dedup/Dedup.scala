@@ -1002,7 +1002,10 @@ object Dedup extends QueryModule {
     val lbls = components(docs, ngramJaccard(docs, 0.9))
     val scored = docs.select(col("doc_id"),
       graft.text.TextAnalysis.qualityScore(col("text")).as("_q"))
-    val j = lbls.join(scored, "doc_id")
+    // consumed by the per-component max AND the keeper filter-back —
+    // checkpointing the skinny (doc_id, lbl, score) frame runs the
+    // regex-heavy quality scan once instead of once per consumer
+    val j = lbls.join(scored, "doc_id").localCheckpoint()
     val mx = j.groupBy("lbl")
       .agg(max(col("_q")).as("_mq"), count(lit(1)).as("n_docs"))
     j.join(mx, "lbl")

@@ -651,6 +651,43 @@ object SourceQueries extends QueryModule {
       |  CAST((SELECT SUM(total) FROM g) AS DOUBLE) AS grand_total
       |FROM g ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------- src_warc_ingest
+  /** WARC ingest round-trip — the Common Crawl shape ([[WarcSource]]):
+    * documents leave as `response` records (URL synthesized from
+    * source+doc_id, language in the Common Crawl header field,
+    * payload length-delimited UTF-8) and come back through the
+    * streaming per-file parser. The verification is strict: the
+    * payload-hash SUM proves every text round-tripped bit-exact (a
+    * single flipped byte moves the sum), `total_bytes` pins the
+    * Content-Length accounting, and `first_url` pins the URI header —
+    * while the oracle computes all three straight from the documents
+    * table, never seeing a WARC byte. */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      col("lang"), col("text"))
+    val tmp = stagingDir(spark, "graft-warc")
+    WarcSource.write(docs, tmp)
+    WarcSource.read(spark, tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("content_length")).as("total_bytes"),
+        sum(graft.mask.MaskFunctions.portableHash(col("text")))
+          .as("payload_hash"),
+        min(col("url")).as("first_url"))
+      .orderBy("lang")
+  }
+
+  val warcIngestSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(('0x'||substr(md5(text),1,8))::BIGINT) AS BIGINT)
+      |    AS payload_hash,
+      |  MIN('https://'||source||'.example.com/doc/'||
+      |    CAST(doc_id AS VARCHAR)) AS first_url
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ gen_rowgen
   /** Deterministic synthetic data generation — the reference family's
     * RowGen surface (IRI ships a test-data generator alongside the
@@ -706,6 +743,7 @@ object SourceQueries extends QueryModule {
     "src_ebcdic_fixedwidth" -> (ebcdicFixedwidth _),
     "src_recfm_vb" -> (recfmVb _),
     "src_schema_evolution" -> (schemaEvolution _),
+    "src_warc_ingest" -> (warcIngest _),
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
@@ -725,5 +763,6 @@ object SourceQueries extends QueryModule {
     "src_ebcdic_fixedwidth" -> ebcdicFixedwidthSql,
     "src_recfm_vb" -> recfmVbSql,
     "src_schema_evolution" -> schemaEvolutionSql,
+    "src_warc_ingest" -> warcIngestSql,
     "gen_rowgen" -> rowGenSql)
 }

@@ -38,7 +38,8 @@ object PlanDump {
       "src_recfm_vb", "knn_filtered", "pipe_epoch_plan",
       "cdc_lag_audit", "dedup_incremental",
       "src_schema_evolution", "dedup_emb_sweep",
-      "txt_boilerplate", "pipe_split_by_cluster").distinct
+      "txt_boilerplate", "pipe_split_by_cluster",
+      "src_warc_ingest").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

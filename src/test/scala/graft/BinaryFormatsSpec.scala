@@ -196,4 +196,45 @@ class BinaryFormatsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("warc round-trip: length-delimited payloads survive embedded magic") {
+    val dir = Files.createTempDirectory("graft-warc-spec").toString
+    // payloads chosen to break any scan-for-next-magic parser: a record
+    // whose BODY contains a full WARC record header, CRLFs, an empty
+    // payload, and multi-byte UTF-8
+    val rows = Seq(
+      ("https://a.example.com/1", "en",
+        "WARC/1.0\r\nWARC-Type: response\r\n\r\nfake inner record"),
+      ("https://a.example.com/2", "de", ""),
+      ("https://b.example.com/3", "ja", "日本語のテキスト\r\nzeile zwei"),
+      ("https://b.example.com/4", "en", "plain"))
+      .toDF("url", "lang", "text").repartition(2)
+    graft.sources.WarcSource.write(rows, dir)
+    // one WARC member per input partition on disk (binaryFiles may
+    // batch tiny files into one task; GB-scale members map 1:1)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".warc")) == 2)
+    val back = graft.sources.WarcSource.read(spark, dir)
+    val got = back.select("url", "lang", "text").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == rows.select("url", "lang", "text")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq)
+    // content_length is the UTF-8 byte length, not the char count
+    val ja = back.filter(col("url").endsWith("/3"))
+      .select("content_length").as[Long].head()
+    assert(ja == "日本語のテキスト\r\nzeile zwei".getBytes("UTF-8").length)
+  }
+
+  test("warc reader rejects truncated records instead of emitting junk") {
+    val dir = Files.createTempDirectory("graft-warc-bad").toString
+    val f = new java.io.FileOutputStream(s"$dir/bad.warc")
+    f.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x\r\nContent-Length: 999\r\n\r\nshort")
+      .getBytes("UTF-8"))
+    f.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.WarcSource.read(spark, dir).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
