@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.dedup.Dedup
@@ -689,6 +689,104 @@ object CorpusPipeline extends QueryModule {
        |FROM documents d JOIN assign a ON a.doc_id = d.doc_id
        |GROUP BY a.split ORDER BY a.split""".stripMargin
 
+  // ----------------------------------------------- pipe_url_canonical
+  /** URL canonicalization + dedup — the first dedup a crawl corpus
+    * gets (before any text comparison): the same page arrives under
+    * http/https, with/without `www.`, mixed-case host, tracking
+    * params, trailing slashes and fragments, and URL-level dedup
+    * removes those re-fetches at hash-join cost, reserving MinHash
+    * money for true near-dups. The whole chain is codegen'd
+    * regexp_replace/extract — no UDF: strip fragment, force https,
+    * drop `www.`, lowercase the HOST ONLY (paths are case-
+    * significant), remove `utm_*` tracking params (repairing `?`/`&`
+    * structure), strip the trailing slash. The oracle synthesizes the
+    * same messy variants from a portable hash and must land on the
+    * same families. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val https = regexp_replace(noFrag, "(?i)^https?://", "https://")
+    val noWww = regexp_replace(https, "(?i)^https://www\\.", "https://")
+    val host = lower(regexp_extract(noWww, "^https://([^/?#]+)", 1))
+    val rest = regexp_extract(noWww, "^https://[^/?#]+(.*)$", 1)
+    val q1 = regexp_replace(rest, "&utm_[^&]*", "")
+    val q2 = regexp_replace(q1, "\\?utm_[^&]*&", "?")
+    val q3 = regexp_replace(q2, "\\?utm_[^&]*$", "")
+    val s1 = regexp_replace(q3, "/\\?", "?")
+    val s2 = regexp_replace(s1, "/$", "")
+    concat(lit("https://"), host, s2)
+  }
+
+  def pipeUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.mask.MaskFunctions.portableHash(
+      concat(lit("url:"), col("doc_id").cast("string")))
+    val messy = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), h.as("_h"))
+      .select(col("source"), concat(
+        when(col("_h") % 2 === 0, "http").otherwise("https"), lit("://"),
+        when(shiftright(col("_h"), 1) % 2 === 0, "www.").otherwise(""),
+        when(shiftright(col("_h"), 2) % 2 === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com/doc/"), (col("doc_id") % 300).cast("string"),
+        when(shiftright(col("_h"), 3) % 2 === 0, "/").otherwise(""),
+        when(shiftright(col("_h"), 4) % 2 === 0,
+          concat(lit("?utm_source=feed&utm_ref="),
+            (col("_h") % 100).cast("string"))).otherwise(""))
+        .as("url"))
+    val fams = messy.select(col("source"), canonicalizeUrl(col("url")).as("canon"))
+      .groupBy("source", "canon").agg(count(lit(1)).as("k"))
+    fams.groupBy("source")
+      .agg(sum(col("k")).as("n_urls"),
+        count(lit(1)).as("n_canonical"),
+        sum(when(col("k") > 1, col("k")).otherwise(0L))
+          .as("n_in_dup_families"),
+        max(col("k")).as("max_family"))
+      .orderBy("source")
+  }
+
+  val pipeUrlCanonicalSql: String =
+    """WITH u AS (
+      |  SELECT source, doc_id % 300 AS pid,
+      |    ('0x'||substr(md5('url:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+      |      AS h
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    (CASE WHEN h%2=0 THEN 'http' ELSE 'https' END)||'://'||
+      |    (CASE WHEN (h//2)%2=0 THEN 'www.' ELSE '' END)||
+      |    (CASE WHEN (h//4)%2=0 THEN upper(source) ELSE source END)||
+      |    '.example.com/doc/'||CAST(pid AS VARCHAR)||
+      |    (CASE WHEN (h//8)%2=0 THEN '/' ELSE '' END)||
+      |    (CASE WHEN (h//16)%2=0
+      |       THEN '?utm_source=feed&utm_ref='||CAST(h%100 AS VARCHAR)
+      |       ELSE '' END) AS url
+      |  FROM u),
+      |c AS (
+      |  SELECT source,
+      |    'https://'||
+      |    lower(regexp_extract(
+      |      regexp_replace(regexp_replace(regexp_replace(url,
+      |        '#.*$', ''), '(?i)^https?://', 'https://'),
+      |        '(?i)^https://www\.', 'https://'),
+      |      '^https://([^/?#]+)', 1))||
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(
+      |        regexp_extract(
+      |          regexp_replace(regexp_replace(regexp_replace(url,
+      |            '#.*$', ''), '(?i)^https?://', 'https://'),
+      |            '(?i)^https://www\.', 'https://'),
+      |          '^https://[^/?#]+(.*)$', 1),
+      |        '&utm_[^&]*', '', 'g'),
+      |      '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', ''),
+      |      '/\?', '?'), '/$', '') AS canon
+      |  FROM m),
+      |f AS (SELECT source, canon, COUNT(*) AS k FROM c GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(k) AS BIGINT) AS n_urls,
+      |  COUNT(*) AS n_canonical,
+      |  CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_in_dup_families,
+      |  CAST(MAX(k) AS BIGINT) AS max_family
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------ pipe_dataset_card
   /** Dataset-card stats — the per-source summary every corpus release
     * ships: doc count, exact total tokens, and EXACT median/p90 token
@@ -743,6 +841,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_contamination" -> (pipeContamination _),
     "pipe_split_leakage" -> (pipeSplitLeakage _),
     "pipe_split_by_cluster" -> (pipeSplitByCluster _),
+    "pipe_url_canonical" -> (pipeUrlCanonical _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_token_budget" -> (pipeTokenBudget _),
@@ -759,6 +858,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_contamination" -> pipeContaminationSql,
     "pipe_split_leakage" -> pipeSplitLeakageSql,
     "pipe_split_by_cluster" -> pipeSplitByClusterSql,
+    "pipe_url_canonical" -> pipeUrlCanonicalSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,

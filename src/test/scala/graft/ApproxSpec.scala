@@ -225,4 +225,26 @@ class ApproxSpec extends SparkSpec {
     // per-mille = 1 * 1000 div 13
     assert(rows(1L)._4 == 1000 / 13)
   }
+
+  test("url canonicalization folds tracking variants, preserves real params") {
+    import graft.pipeline.CorpusPipeline.canonicalizeUrl
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(canonicalizeUrl(col("u"))).as[String].head()
+    // every messy variant of the same page folds to one form
+    val expect = "https://site.example.com/Doc/7"
+    for (u <- Seq(
+      "http://site.example.com/Doc/7",
+      "https://www.site.example.com/Doc/7/",
+      "https://SITE.example.com/Doc/7#frag",
+      "https://site.example.com/Doc/7/?utm_source=feed&utm_ref=9",
+      "https://www.SITE.example.com/Doc/7?utm_a=1"))
+      assert(canon(u) == expect, u)
+    // path case is significant and survives; real params survive with
+    // repaired '?' structure; utm in the middle repairs '&' chains
+    assert(canon("https://h.io/A/b?utm_x=1&page=2") == "https://h.io/A/b?page=2")
+    assert(canon("https://h.io/p?page=2&utm_x=1") == "https://h.io/p?page=2")
+    // idempotent: canonicalizing a canonical url is identity
+    val once = canon("http://WWW.h.io/p/?utm_s=1#x")
+    assert(canon(once) == once)
+  }
 }
