@@ -139,6 +139,46 @@ object CdcQueries extends QueryModule {
        |SELECT user_id, value, event_id AS last_event_id
        |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------- cdc_log_compact
+  /** Kafka-style log compaction with tombstone GC — the retention
+    * semantics a compacted CDC topic applies between the wire and the
+    * warehouse (`cleanup.policy=compact` + `delete.retention.ms`):
+    * keep the LATEST record per key, keep a delete marker (tombstone)
+    * only while younger than the GC horizon — long enough for every
+    * consumer to observe the delete — then drop it. Differs from
+    * [[snapshotApply]] exactly by the retained-tombstone window, which
+    * is what lets a late-joining consumer distinguish "deleted
+    * recently" from "never existed". One per-key window + a one-row
+    * broadcast horizon; the value column passes through untouched (no
+    * float arithmetic crosses the oracle). */
+  def logCompact(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir).withColumn("ts_us", tsMicros)
+    val horizon = log.agg(
+      (max(col("ts_us")) - lit(7L * 86400000000L)).as("_hz"))
+    latestPerKey(log).crossJoin(broadcast(horizon))
+      .filter(col("op") =!= "d" || col("ts_us") >= col("_hz"))
+      .select(col("user_id"),
+        col("op"),
+        when(col("op") === "d", lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        col("event_id").as("last_event_id"),
+        (col("op") === "d").as("is_tombstone"))
+      .orderBy("user_id")
+  }
+
+  val logCompactSql: String =
+    s"""WITH log AS (SELECT event_id, ts, epoch_us(ts) AS ts_us, user_id,
+       |               value, $opSql AS op FROM events),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |             ORDER BY ts DESC, event_id DESC) AS rn FROM log),
+       |h AS (SELECT MAX(ts_us) - 7 * 86400000000 AS hz FROM log)
+       |SELECT user_id, op,
+       |  CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+       |  event_id AS last_event_id, op = 'd' AS is_tombstone
+       |FROM ranked, h
+       |WHERE rn = 1 AND (op <> 'd' OR ts_us >= hz)
+       |ORDER BY user_id""".stripMargin
+
   // ----------------------------------- cdc_incremental_snapshot
   /** DBLog-style incremental snapshot merge — the algorithm behind
     * Debezium's ad-hoc/incremental snapshots (the reference's engine
@@ -608,7 +648,8 @@ object CdcQueries extends QueryModule {
     "cdc_scd2_history" -> (scd2History _),
     "cdc_route_tables" -> (routeTables _),
     "cdc_schema_drift" -> (schemaDrift _),
-    "cdc_drift_dispatch" -> (driftDispatch _))
+    "cdc_drift_dispatch" -> (driftDispatch _),
+    "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
     "cdc_lag_audit" -> lagAuditSql,
@@ -625,5 +666,6 @@ object CdcQueries extends QueryModule {
     "cdc_scd2_history" -> scd2HistorySql,
     "cdc_route_tables" -> routeTablesSql,
     "cdc_schema_drift" -> schemaDriftSql,
-    "cdc_drift_dispatch" -> driftDispatchSql)
+    "cdc_drift_dispatch" -> driftDispatchSql,
+    "cdc_log_compact" -> logCompactSql)
 }

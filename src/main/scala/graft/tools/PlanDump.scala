@@ -39,7 +39,8 @@ object PlanDump {
       "cdc_lag_audit", "dedup_incremental",
       "src_schema_evolution", "dedup_emb_sweep",
       "txt_boilerplate", "pipe_split_by_cluster",
-      "src_warc_ingest", "pipe_url_canonical").distinct
+      "src_warc_ingest", "pipe_url_canonical",
+      "cdc_log_compact").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")
