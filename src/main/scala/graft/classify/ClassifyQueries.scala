@@ -450,7 +450,61 @@ object ClassifyQueries extends QueryModule {
       |  nd_ab * 1000 // n_rows AS reident_pm
       |FROM u ORDER BY pair""".stripMargin
 
+  // -------------------------------------------- cls_functional_dep
+  /** Exact functional-dependency profiling — the schema-discovery
+    * question "does column A determine column B?" with the VIOLATION
+    * COUNT a profiler reports (how many A-groups break the rule), not
+    * just the boolean [[clsQuasiId]]'s distinct-count identity gives.
+    * All candidate pairs are checked in ONE scan: each row melts into
+    * (pair, det_value, dep_value) entries, one hash-agg counts
+    * distinct dependents per determinant group, one more folds each
+    * pair to (groups, violations). Cost at 100 TB: rows × pairs melt
+    * (linear, map-side) + two combiner-friendly aggs — never one scan
+    * per candidate pair. */
+  def clsFunctionalDep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_custkey" -> "o_orderstatus",
+      "o_orderstatus" -> "o_orderpriority",
+      "o_orderpriority" -> "o_orderstatus")
+    val melted = Tables.orders(spark, dir).select(explode(array(
+      pairs.map { case (a, b) => struct(
+        lit(a).as("det"), lit(b).as("dep"),
+        col(a).cast("string").as("dv"), col(b).cast("string").as("pv"))
+      }: _*)).as("x")).select("x.*")
+    melted.groupBy("det", "dep", "dv")
+      .agg(countDistinct(col("pv")).as("_d"))
+      .groupBy("det", "dep")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("_d") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(col("det").as("determinant"), col("dep").as("dependent"),
+        col("n_groups"), col("n_violating"),
+        (col("n_violating") === 0L).as("holds"))
+      .orderBy("determinant", "dependent")
+  }
+
+  val clsFunctionalDepSql: String =
+    """WITH m AS (
+      |  SELECT 'o_orderkey' AS det, 'o_custkey' AS dep,
+      |    CAST(o_orderkey AS VARCHAR) AS dv,
+      |    CAST(o_custkey AS VARCHAR) AS pv FROM orders
+      |  UNION ALL SELECT 'o_custkey', 'o_orderstatus',
+      |    CAST(o_custkey AS VARCHAR), o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', 'o_orderpriority',
+      |    o_orderstatus, o_orderpriority FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus',
+      |    o_orderpriority, o_orderstatus FROM orders),
+      |g AS (SELECT det, dep, dv, COUNT(DISTINCT pv) AS d
+      |      FROM m GROUP BY 1, 2, 3)
+      |SELECT det AS determinant, dep AS dependent,
+      |  COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      |FROM g GROUP BY 1, 2 ORDER BY determinant, dependent""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_functional_dep" -> (clsFunctionalDep _),
     "cls_quasi_id" -> (clsQuasiId _),
     "cls_gini" -> (clsGini _),
     "cls_orphans" -> (clsOrphans _),
@@ -464,6 +518,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_functional_dep" -> clsFunctionalDepSql,
     "cls_quasi_id" -> clsQuasiIdSql,
     "cls_gini" -> clsGiniSql,
     "cls_orphans" -> clsOrphansSql,

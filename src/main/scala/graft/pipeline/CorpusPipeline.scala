@@ -689,6 +689,42 @@ object CorpusPipeline extends QueryModule {
        |FROM documents d JOIN assign a ON a.doc_id = d.doc_id
        |GROUP BY a.split ORDER BY a.split""".stripMargin
 
+  // ------------------------------------------------ pipe_cross_source
+  /** Cross-source contamination matrix — the dataset-release question
+    * "how much of source A also lives in source B?" answered at
+    * hash-join cost: documents sharing a HEAD FINGERPRINT (md5 of the
+    * first 8 normalized tokens — the prefix signal that catches
+    * syndicated articles and boilerplate-headed families that differ
+    * in their tails, which exact-content fingerprints miss) are
+    * counted per source pair. distinct(source, fp) first, so the join
+    * is over the compacted fingerprint set, never doc×doc; the
+    * fingerprint IS the shuffle key, so a 100 TB corpus pairs with
+    * ordinary hash-partition parallelism. */
+  def pipeCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val fp = md5(array_join(slice(split(norm, " "), 1, 8), " "))
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"), fp.as("fp")).distinct()
+    fps.select(col("source").as("source_a"), col("fp"))
+      .join(fps.select(col("source").as("source_b"), col("fp")), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_heads"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val pipeCrossSourceSql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string((regexp_split_to_array(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+      |      ' '))[1:8], ' ')) AS fp
+      |  FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS n_shared_heads
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // ----------------------------------------------- pipe_url_canonical
   /** URL canonicalization + dedup — the first dedup a crawl corpus
     * gets (before any text comparison): the same page arrives under
@@ -842,6 +878,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_split_leakage" -> (pipeSplitLeakage _),
     "pipe_split_by_cluster" -> (pipeSplitByCluster _),
     "pipe_url_canonical" -> (pipeUrlCanonical _),
+    "pipe_cross_source" -> (pipeCrossSource _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_token_budget" -> (pipeTokenBudget _),
@@ -859,6 +896,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_split_leakage" -> pipeSplitLeakageSql,
     "pipe_split_by_cluster" -> pipeSplitByClusterSql,
     "pipe_url_canonical" -> pipeUrlCanonicalSql,
+    "pipe_cross_source" -> pipeCrossSourceSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
