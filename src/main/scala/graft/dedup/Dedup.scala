@@ -1063,7 +1063,55 @@ object Dedup extends QueryModule {
        |  CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_lsh_pairs
        |FROM t LEFT JOIN m ON t.d1 = m.d1 AND t.d2 = m.d2""".stripMargin
 
+  // ---------------------------------------------------- dedup_lines
+  /** Line/sentence-level dedup census (the CCNet/RefinedWeb step that
+    * whole-doc and span dedup both miss): each doc's sentences are
+    * normalized and hashed, occurrence counts are taken over the WHOLE
+    * corpus, and every doc reports how much of it is corpus-repeated
+    * boilerplate (nav bars, cookie banners, syndicated footers). The
+    * remove decision is per LINE, not per doc — a doc can be 90% novel
+    * and still carry the same footer as a million others. Shape at
+    * 100 TB: one linear explode, one hash-agg on the 8-byte line hash,
+    * one join back on that same hash (partitioning reused), one
+    * per-doc agg — no windows, no pair joins. */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val segs = filter(split(col("text"), "[.!?]+"), s => s.rlike("\\w"))
+    val lineHash = graft.mask.MaskFunctions.portableHash(
+      regexp_replace(trim(lower(col("s"))), "\\s+", " "))
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(segs).as("s"))
+      .select(col("doc_id"), lineHash.as("h"))
+    val counts = exploded.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    exploded.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        floor(col("n_dup_lines") * 1000.0 / col("n_lines")).cast("long")
+          .as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(regexp_replace(trim(lower(s)), '\s+', ' ',
+      |      'g')),1,8))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |            s -> regexp_matches(s, '\w'))) AS s
+      |        FROM documents)),
+      |c AS (SELECT h, COUNT(*) AS n_occ FROM e GROUP BY h)
+      |SELECT e.doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_lines,
+      |  CAST(FLOOR(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 1000.0
+      |    / COUNT(*)) AS BIGINT) AS dup_permille
+      |FROM e JOIN c ON e.h = c.h
+      |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> (dedupLines _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_recall_audit" -> (dedupRecallAudit _),
     "dedup_span_fraction" -> (dedupSpan _),
@@ -1085,6 +1133,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_recall_audit" -> dedupRecallAuditSql,
     "dedup_span_fraction" -> dedupSpanSql,

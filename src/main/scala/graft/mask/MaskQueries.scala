@@ -432,7 +432,78 @@ object MaskQueries extends QueryModule {
        |FROM customer ORDER BY c_custkey""".stripMargin
   }
 
+  // ------------------------------------------------- mask_text_scrub
+  /** Free-TEXT PII scrubbing — the rewrite step after
+    * [[graft.classify.ClassifyQueries.clsTextPii]]'s discovery: emails
+    * and SSN-shaped refs are replaced IN the text with typed
+    * placeholders (`[EMAIL]`/`[SSN]`), the form a training corpus
+    * ships in. Same deterministic PII synthesis as `cls_text_pii`, so
+    * hit rates are realistic and both engines rebuild identical
+    * inputs. The per-lang report carries replacement counts plus a
+    * checksum over every scrubbed doc (sum of portable 32-bit text
+    * hashes), so the oracle proves the REWRITTEN BYTES match, not just
+    * the counts. Pure map pass + one combiner-friendly agg; at 100 TB
+    * the checksum is per-shard-summable. */
+  private val scrubEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val scrubSsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def maskTextScrub(spark: SparkSession, dir: String): DataFrame = {
+    val nine = lpad((col("doc_id") * 2654435761L % 1000000000L).cast("string"),
+      9, "0")
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" ref "), nine.substr(1, 3), lit("-"), nine.substr(4, 2),
+          lit("-"), nine.substr(6, 4))).otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(injected, scrubEmailPat, "[EMAIL]"),
+      scrubSsnPat, "[SSN]")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(injected, lit(scrubEmailPat), lit(0))).as("ne"),
+        size(regexp_extract_all(injected, lit(scrubSsnPat), lit(0))).as("ns"),
+        MaskFunctions.portableHash(scrubbed).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ns") > 0, 1L).otherwise(0L))
+          .as("docs_scrubbed"),
+        sum(col("ne")).cast("long").as("email_repl"),
+        sum(col("ns")).cast("long").as("ssn_repl"),
+        sum(col("h")).cast("long").as("scrub_checksum"))
+      .orderBy("lang")
+  }
+
+  val maskTextScrubSql: String = {
+    val nine = "lpad(CAST(doc_id * 2654435761 % 1000000000 AS VARCHAR), 9, '0')"
+    s"""WITH v AS (
+       |  SELECT lang, text ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' ref ' || substr($nine,1,3) || '-' || substr($nine,4,2)
+       |              || '-' || substr($nine,6,4) ELSE '' END AS t
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(t, '$scrubEmailPat')) AS ne,
+       |    len(regexp_extract_all(t, '$scrubSsnPat')) AS ns,
+       |    ${hashSql(s"regexp_replace(regexp_replace(t, " +
+           s"'$scrubEmailPat', '[EMAIL]', 'g'), '$scrubSsnPat', '[SSN]', 'g')")}
+       |      AS h
+       |  FROM v)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN ne + ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_scrubbed,
+       |  CAST(SUM(ne) AS BIGINT) AS email_repl,
+       |  CAST(SUM(ns) AS BIGINT) AS ssn_repl,
+       |  CAST(SUM(h) AS BIGINT) AS scrub_checksum
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_text_scrub" -> (maskTextScrub _),
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
     "mask_kanonymity" -> (maskKAnonymity _),
@@ -452,6 +523,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_text_scrub" -> maskTextScrubSql,
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,
     "mask_kanonymity" -> maskKAnonymitySql,
