@@ -633,7 +633,81 @@ object CdcQueries extends QueryModule {
        |  CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
        |FROM cum GROUP BY op ORDER BY op""".stripMargin
 
+  // ------------------------------------------------- cdc_reconcile
+  /** Replication reconciliation by bucketed checksums — the
+    * pt-table-checksum audit every CDC deployment runs to answer "has
+    * the target drifted from the source?" WITHOUT shipping rows: keys
+    * hash into a fixed bucket count, each side reports per-bucket row
+    * count + summed row checksum, and only bucket-level mismatches
+    * (then drill-down) cross the wire. The target here is the applied
+    * state with deterministic injected drift (~1% rows dropped, ~1%
+    * values corrupted, gated on the row hash so both engines inject
+    * identically); the audit must and does flag exactly those buckets.
+    * Shape at 100 TB: a map pass (row hash) + one combiner-friendly
+    * 16-row agg per side + a 16-row join — reconciliation cost is
+    * independent of table width and ships O(buckets), not O(rows). */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    def repr: Column = concat_ws("|", col("user_id"),
+      col("value").cast(DecimalType(18, 2)).cast("string"), col("event_id"))
+    val state = applyLog(changeLog(spark, dir))
+      .select(col("user_id"), col("value"), col("event_id"))
+    val src = state.withColumn("rh", MaskFunctions.portableHash(repr))
+    val target = src
+      .filter(pmod(col("rh"), lit(97L)) =!= 0L)
+      .withColumn("value",
+        when(pmod(col("rh"), lit(89L)) === 0L, -col("value"))
+          .otherwise(col("value")))
+      .withColumn("rh", MaskFunctions.portableHash(repr))
+    def bucketAgg(df: DataFrame, rows: String, sum_ : String): DataFrame = df
+      .groupBy(pmod(MaskFunctions.portableHash(col("user_id")), lit(16L))
+        .as("bucket"))
+      .agg(count(lit(1)).as(rows), sum(col("rh")).as(sum_))
+    bucketAgg(src, "src_rows", "src_checksum")
+      .join(bucketAgg(target, "tgt_rows", "tgt_checksum"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
+        (coalesce(col("src_rows"), lit(0L)) -
+          coalesce(col("tgt_rows"), lit(0L))).as("rows_delta"),
+        (coalesce(col("src_checksum"), lit(0L)) ===
+          coalesce(col("tgt_checksum"), lit(0L))).as("checksum_match"))
+      .orderBy("bucket")
+  }
+
+  val reconcileSql: String = {
+    def repr(v: String) =
+      s"user_id || '|' || CAST(CAST($v AS DECIMAL(18,2)) AS VARCHAR) || '|' || event_id"
+    def h(e: String) = s"(('0x'||substr(md5($e),1,8))::BIGINT)"
+    s"""WITH log AS (SELECT event_id, ts, user_id, value, $opSql AS op FROM events),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |             ORDER BY ts DESC, event_id DESC) AS rn FROM log),
+       |state AS (SELECT user_id, value, event_id
+       |          FROM ranked WHERE rn = 1 AND op <> 'd'),
+       |src AS (SELECT user_id, value, event_id,
+       |          ${h(repr("value"))} AS rh FROM state),
+       |tgt0 AS (SELECT user_id,
+       |           CASE WHEN rh % 89 = 0 THEN -value ELSE value END AS value,
+       |           event_id
+       |         FROM src WHERE rh % 97 <> 0),
+       |tgt AS (SELECT user_id, value, event_id,
+       |          ${h(repr("value"))} AS rh FROM tgt0),
+       |sa AS (SELECT ${h("CAST(user_id AS VARCHAR)")} % 16 AS bucket, COUNT(*) AS src_rows,
+       |         CAST(SUM(rh) AS BIGINT) AS src_checksum FROM src GROUP BY 1),
+       |ta AS (SELECT ${h("CAST(user_id AS VARCHAR)")} % 16 AS bucket, COUNT(*) AS tgt_rows,
+       |         CAST(SUM(rh) AS BIGINT) AS tgt_checksum FROM tgt GROUP BY 1)
+       |SELECT COALESCE(sa.bucket, ta.bucket) AS bucket,
+       |  COALESCE(src_rows, 0) AS src_rows,
+       |  COALESCE(tgt_rows, 0) AS tgt_rows,
+       |  COALESCE(src_rows, 0) - COALESCE(tgt_rows, 0) AS rows_delta,
+       |  COALESCE(src_checksum, 0) = COALESCE(tgt_checksum, 0)
+       |    AS checksum_match
+       |FROM sa FULL JOIN ta ON sa.bucket = ta.bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_reconcile" -> (reconcile _),
     "cdc_lag_audit" -> (lagAudit _),
     "cdc_ooo_audit" -> (oooAudit _),
     "cdc_changed_columns" -> (changedColumns _),
@@ -652,6 +726,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_reconcile" -> reconcileSql,
     "cdc_lag_audit" -> lagAuditSql,
     "cdc_ooo_audit" -> oooAuditSql,
     "cdc_changed_columns" -> changedColumnsSql,

@@ -581,7 +581,69 @@ object TextAnalysis extends QueryModule {
       |  (ss * 1000) // sc AS space_pm
       |FROM s ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------- txt_html_strip
+  /** HTML → text extraction (the first transform a crawl corpus gets,
+    * before any quality/dedup step): drop script/style subtrees, strip
+    * tags, decode the common entities, collapse whitespace. The HTML
+    * is synthesized deterministically around each doc's text (title
+    * heading, paragraph body, nav div with entities, a script and a
+    * style block), so both engines rebuild identical input pages; the
+    * per-doc hash of the extracted text proves the cleaned BYTES
+    * match, and the markup/clean length delta is the boilerplate-mass
+    * signal. Pure codegen map pass — no shuffle until the final
+    * per-doc projection. */
+  def txtHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val title = array_join(slice(words(col("text")), 1, 5), " ")
+    val html = concat(
+      lit("<html><head><script type=\"text/javascript\">var x = 1;</script>"),
+      lit("<style>.nav{color:red}</style></head><body><h1>"), title,
+      lit("</h1><p>"), col("text"),
+      lit("</p><div class=\"nav\">Home &amp; News &gt; Archive&nbsp;2024</div>"),
+      lit("</body></html>"))
+    val noScript = regexp_replace(
+      regexp_replace(html, "<script.*?</script>", " "),
+      "<style.*?</style>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&nbsp;", " ")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(html).cast("long").as("n_chars_html"),
+        length(clean).cast("long").as("n_chars_clean"),
+        substring(clean, 1, 40).as("clean_head"),
+        graft.mask.MaskFunctions.portableHash(clean).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  val txtHtmlStripSql: String = {
+    val title =
+      "array_to_string((regexp_split_to_array(text, '\\s+'))[1:5], ' ')"
+    val html = "'<html><head><script type=\"text/javascript\">var x = 1;" +
+      "</script><style>.nav{color:red}</style></head><body><h1>' || " +
+      title + " || '</h1><p>' || text || '</p><div class=\"nav\">" +
+      "Home &amp; News &gt; Archive&nbsp;2024</div></body></html>'"
+    s"""WITH h AS (SELECT doc_id, $html AS page FROM documents),
+       |c AS (
+       |  SELECT doc_id, page, trim(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(page,
+       |        '<script.*?</script>', ' ', 'g'),
+       |        '<style.*?</style>', ' ', 'g'),
+       |        '<[^>]+>', ' ', 'g'),
+       |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |        '&nbsp;', ' ', 'g'),
+       |    '\\s+', ' ', 'g')) AS clean
+       |  FROM h)
+       |SELECT doc_id, CAST(length(page) AS BIGINT) AS n_chars_html,
+       |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       |  substr(clean, 1, 40) AS clean_head,
+       |  (('0x'||substr(md5(clean),1,8))::BIGINT) AS clean_hash
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_html_strip" -> (txtHtmlStrip _),
     "txt_char_classes" -> (txtCharClasses _),
     "txt_rarity" -> (txtRarity _),
     "txt_repetition" -> (txtRepetition _),
@@ -597,6 +659,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_html_strip" -> txtHtmlStripSql,
     "txt_char_classes" -> txtCharClassesSql,
     "txt_rarity" -> txtRaritySql,
     "txt_repetition" -> txtRepetitionSql,
