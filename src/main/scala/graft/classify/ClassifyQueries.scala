@@ -503,7 +503,96 @@ object ClassifyQueries extends QueryModule {
       |  SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
       |FROM g GROUP BY 1, 2 ORDER BY determinant, dependent""".stripMargin
 
+  // ------------------------------------------------- cls_outliers
+  /** Numeric outlier profiling by exact Tukey fences (Q1/Q3 ± 1.5·IQR)
+    * — the amount-column sanity scan a profiler runs beside
+    * [[clsBenford]]. Exactness: values widen to integer CENTS through
+    * DECIMAL (no float truncation skew between engines), quartiles are
+    * type-1 (smallest value whose cumulative count reaches ⌈p·n⌉) in
+    * pure integer arithmetic, fences in integer cents. Scale shape:
+    * the corpus collapses to a (column, cents) HISTOGRAM first (one
+    * map-side-combining agg), windows only ever see the histogram —
+    * the value-grid domain, not the row count; for an unbounded value
+    * domain the two-pass bucketed selection of `q29` is the drop-in
+    * fallback. */
+  def clsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def centsOf(df: DataFrame, name: String): DataFrame =
+      df.select(lit(name).as("col_name"),
+        (col(name).cast(DecimalType(18, 2)) * lit(100)).cast("long")
+          .as("cents"))
+    val vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
+      .unionAll(centsOf(Tables.lineitem(spark, dir), "l_extendedprice"))
+      .unionAll(centsOf(Tables.lineitem(spark, dir), "l_quantity"))
+    val hist = vals.groupBy("col_name", "cents").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("cents")
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(hist.groupBy("col_name").agg(sum(col("cnt")).as("n")), "col_name")
+    val fences = cum.groupBy("col_name")
+      .agg(max(col("n")).as("n_values"),
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("cents")))
+          .as("q1_cents"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("cents")))
+          .as("q3_cents"))
+      .withColumn("lo_fence",
+        expr("q1_cents - (3 * (q3_cents - q1_cents)) div 2"))
+      .withColumn("hi_fence",
+        expr("q3_cents + (3 * (q3_cents - q1_cents)) div 2"))
+    hist.join(fences, "col_name")
+      .groupBy("col_name")
+      .agg(max(col("n_values")).as("n_values"),
+        max(col("q1_cents")).as("q1_cents"),
+        max(col("q3_cents")).as("q3_cents"),
+        max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("cents") < col("lo_fence"), col("cnt")).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("cents") > col("hi_fence"), col("cnt")).otherwise(0L))
+          .as("n_high"))
+      .orderBy("col_name")
+  }
+
+  val clsOutliersSql: String =
+    """WITH v AS (
+      |  SELECT 'o_totalprice' AS col_name,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM orders
+      |  UNION ALL SELECT 'l_extendedprice',
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'l_quantity',
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    FROM lineitem),
+      |h AS (SELECT col_name, cents, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+      |c AS (SELECT col_name, cents, cnt,
+      |        SUM(cnt) OVER (PARTITION BY col_name ORDER BY cents) AS cum
+      |      FROM h),
+      |t AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n
+      |      FROM h GROUP BY 1),
+      |q AS (SELECT c.col_name, MAX(n) AS n_values,
+      |        MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1_cents,
+      |        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END)
+      |          AS q3_cents
+      |      FROM c JOIN t ON c.col_name = t.col_name GROUP BY 1),
+      |f AS (SELECT col_name, n_values, q1_cents, q3_cents,
+      |        q1_cents - (3 * (q3_cents - q1_cents)) // 2 AS lo_fence,
+      |        q3_cents + (3 * (q3_cents - q1_cents)) // 2 AS hi_fence
+      |      FROM q)
+      |SELECT h.col_name, CAST(MAX(n_values) AS BIGINT) AS n_values,
+      |  CAST(MAX(q1_cents) AS BIGINT) AS q1_cents,
+      |  CAST(MAX(q3_cents) AS BIGINT) AS q3_cents,
+      |  CAST(MAX(lo_fence) AS BIGINT) AS lo_fence,
+      |  CAST(MAX(hi_fence) AS BIGINT) AS hi_fence,
+      |  CAST(SUM(CASE WHEN cents < lo_fence THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(SUM(CASE WHEN cents > hi_fence THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS n_high
+      |FROM h JOIN f ON h.col_name = f.col_name
+      |GROUP BY 1 ORDER BY h.col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_outliers" -> (clsOutliers _),
     "cls_functional_dep" -> (clsFunctionalDep _),
     "cls_quasi_id" -> (clsQuasiId _),
     "cls_gini" -> (clsGini _),
@@ -518,6 +607,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_outliers" -> clsOutliersSql,
     "cls_functional_dep" -> clsFunctionalDepSql,
     "cls_quasi_id" -> clsQuasiIdSql,
     "cls_gini" -> clsGiniSql,

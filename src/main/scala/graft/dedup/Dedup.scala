@@ -1110,7 +1110,132 @@ object Dedup extends QueryModule {
       |FROM e JOIN c ON e.h = c.h
       |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- dedup_bloom
+  /** Bloom-filter membership prefilter for incremental dedup — the
+    * standing-corpus summary a 100 TB pipeline ships to the ingest
+    * edge so that MOST new docs skip the expensive candidate join
+    * entirely (a "definitely new" verdict costs 3 bit probes; only
+    * "maybe present" docs proceed to [[dedupIncremental]]'s exact
+    * check). The filter is PORTABLE: k=3 positions come from disjoint
+    * md5-hex slices of the normalized-text fingerprint, the m=16384
+    * bits live as 512 BIGINT words built with one bit_or hash-agg, so
+    * the oracle engine rebuilds the entire bit array bit-for-bit and
+    * the false-positive count is an exact, reproducible number (the
+    * bits-per-key sizing knob is graded by exactly this number).
+    * Probe = 3 lookups against the broadcast word table; the report
+    * proves zero false NEGATIVES by construction (n_present counts
+    * every true member among the maybes). Membership is keyed on the
+    * 8-token HEAD fingerprint (the [[graft.pipeline.CorpusPipeline]]
+    * `pipe_cross_source` syndication signal), which real corpora
+    * share across batches, so the true-member path is exercised; m is
+    * deliberately small (2048) so the false-positive path is too —
+    * production sizes m per expected key count. */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val m = 2048L // bits, as 64 × 32-bit words in BIGINTs
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(slice(split(norm, " "), 1, 8), " ")).as("fp"))
+    val isNew = pmod(graft.mask.MaskFunctions.portableHash(col("doc_id")),
+      lit(5L)) === 0L
+    val standing = docs.filter(!isNew)
+    val incoming = docs.filter(isNew)
+    def pos(i: Int): Column = pmod(
+      conv(substring(col("fp"), 1 + 8 * i, 8), 16, 10).cast("long"), lit(m))
+    def entries(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(array(pos(0), pos(1), pos(2))).as("p"))
+      .select(col("doc_id"), expr("CAST(p DIV 32 AS BIGINT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+    val words = entries(standing).groupBy("word")
+      .agg(expr("bit_or(mask)").as("bits"))
+    val filterStats = words.agg(
+      sum(expr("CAST(bit_count(bits) AS BIGINT)")).as("n_bits_set"))
+      .crossJoin(standing.agg(countDistinct(col("fp")).as("n_keys")))
+    val probed = entries(incoming)
+      .join(words, Seq("word"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(when(expr("(bits & mask) = mask"), 1L).otherwise(0L)).as("nset"),
+        count(lit(1)).as("ntot"))
+      .select(col("doc_id"), (col("nset") === col("ntot")).as("maybe"))
+    val withTruth = probed.join(
+      incoming.join(standing.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("present")),
+      Seq("doc_id"), "left_outer")
+      .select(col("maybe"), coalesce(col("present"), lit(false)).as("present"))
+    withTruth.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+      sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+      sum(when(col("maybe") && !col("present"), 1L).otherwise(0L))
+        .as("n_false_pos"))
+      .crossJoin(filterStats)
+      .select(col("n_keys"), col("n_bits_set"), col("n_probes"),
+        col("n_maybe"), col("n_present"), col("n_false_pos"))
+  }
+
+  val dedupBloomSql: String =
+    """WITH canon AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string((regexp_split_to_array(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+      |      ' '))[1:8], ' ')) AS fp
+      |  FROM documents),
+      |flag AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0
+      |      AS is_new
+      |  FROM canon),
+      |standing AS (SELECT c.doc_id, fp FROM canon c
+      |             JOIN flag f ON c.doc_id = f.doc_id WHERE NOT is_new),
+      |incoming AS (SELECT c.doc_id, fp FROM canon c
+      |             JOIN flag f ON c.doc_id = f.doc_id WHERE is_new),
+      |spos AS (
+      |  SELECT ('0x'||substr(fp,1,8))::BIGINT % 2048 AS p FROM standing
+      |  UNION ALL
+      |  SELECT ('0x'||substr(fp,9,8))::BIGINT % 2048 FROM standing
+      |  UNION ALL
+      |  SELECT ('0x'||substr(fp,17,8))::BIGINT % 2048 FROM standing),
+      |words AS (
+      |  SELECT CAST(FLOOR(p / 32) AS BIGINT) AS word,
+      |    bit_or((1::BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+      |  FROM spos GROUP BY 1),
+      |fstats AS (
+      |  SELECT CAST(SUM(CAST(bit_count(bits) AS BIGINT)) AS BIGINT)
+      |    AS n_bits_set FROM words),
+      |kstats AS (SELECT COUNT(DISTINCT fp) AS n_keys FROM standing),
+      |ppos AS (
+      |  SELECT doc_id, fp, ('0x'||substr(fp,1,8))::BIGINT % 2048 AS p
+      |    FROM incoming
+      |  UNION ALL
+      |  SELECT doc_id, fp, ('0x'||substr(fp,9,8))::BIGINT % 2048
+      |    FROM incoming
+      |  UNION ALL
+      |  SELECT doc_id, fp, ('0x'||substr(fp,17,8))::BIGINT % 2048
+      |    FROM incoming),
+      |pw AS (
+      |  SELECT doc_id, fp, CAST(FLOOR(p / 32) AS BIGINT) AS word,
+      |    (1::BIGINT) << CAST(p % 32 AS INTEGER) AS mask
+      |  FROM ppos),
+      |hit AS (
+      |  SELECT doc_id, MIN(fp) AS fp,
+      |    SUM(CASE WHEN (bits & mask) = mask THEN 1 ELSE 0 END) AS nset,
+      |    COUNT(*) AS ntot
+      |  FROM pw LEFT JOIN words USING (word) GROUP BY doc_id),
+      |verdict AS (
+      |  SELECT nset = ntot AS maybe,
+      |    EXISTS (SELECT 1 FROM standing s WHERE s.fp = hit.fp) AS present
+      |  FROM hit)
+      |SELECT (SELECT n_keys FROM kstats) AS n_keys,
+      |  (SELECT n_bits_set FROM fstats) AS n_bits_set,
+      |  COUNT(*) AS n_probes,
+      |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+      |  CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_present,
+      |  CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos
+      |FROM verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom" -> (dedupBloom _),
     "dedup_lines" -> (dedupLines _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_recall_audit" -> (dedupRecallAudit _),
@@ -1133,6 +1258,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_bloom" -> dedupBloomSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_recall_audit" -> dedupRecallAuditSql,
