@@ -725,6 +725,78 @@ object CorpusPipeline extends QueryModule {
       |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ----------------------------------------------- pipe_domain_filter
+  /** Domain blocklist filtering — the crawl-hygiene gate that runs on
+    * the canonical URL before any text is even read: docs from exactly
+    * blocklisted domains (a curated list, here a deterministic
+    * hash-gated stand-in for the external list file, applied as a
+    * small broadcast membership join) and from blocked TLD suffixes
+    * (.biz/.info) are dropped; the report is the per-source keep/drop
+    * census a release audit wants. The two rules are DISJOINT in the
+    * report (exact list wins) so the counts reconcile to n_docs. One
+    * map pass + one tiny distinct-domain agg for the list. */
+  def pipeDomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.mask.MaskFunctions.portableHash(
+      concat(lit("dom:"), col("doc_id").cast("string")))
+    val tlds = array(lit("com"), lit("org"), lit("net"),
+      lit("info"), lit("biz"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), h.as("_h"))
+      .select(col("source"), concat(col("source"), lit("-"),
+        pmod(shiftright(col("_h"), 3), lit(50L)).cast("string"), lit("."),
+        element_at(tlds, (pmod(col("_h"), lit(5L)) + 1).cast("int")))
+        .as("domain"))
+    val blocklist = docs.select(col("domain")).distinct()
+      .filter(pmod(graft.mask.MaskFunctions.portableHash(col("domain")),
+        lit(11L)) === 0L)
+      .withColumn("listed", lit(true))
+    docs.join(broadcast(blocklist), Seq("domain"), "left_outer")
+      .select(col("source"), col("domain"),
+        coalesce(col("listed"), lit(false)).as("in_list"),
+        (col("domain").endsWith(".biz") || col("domain").endsWith(".info"))
+          .as("bad_tld"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("domain")).as("n_domains"),
+        sum(when(col("in_list"), 1L).otherwise(0L)).as("n_blocked_list"),
+        sum(when(!col("in_list") && col("bad_tld"), 1L).otherwise(0L))
+          .as("n_blocked_tld"),
+        sum(when(!col("in_list") && !col("bad_tld"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("kept_pm", expr("n_kept * 1000 div n_docs"))
+      .orderBy("source")
+  }
+
+  val pipeDomainFilterSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    source || '-' || CAST(
+      |      (('0x'||substr(md5('dom:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+      |        // 8) % 50 AS VARCHAR) || '.' ||
+      |    (['com','org','net','info','biz'])[
+      |      CAST(('0x'||substr(md5('dom:'||CAST(doc_id AS VARCHAR)),1,8))
+      |        ::BIGINT % 5 + 1 AS INTEGER)] AS domain
+      |  FROM documents),
+      |bl AS (
+      |  SELECT DISTINCT domain, TRUE AS listed FROM d
+      |  WHERE ('0x'||substr(md5(domain),1,8))::BIGINT % 11 = 0),
+      |f AS (
+      |  SELECT source, d.domain,
+      |    COALESCE(listed, FALSE) AS in_list,
+      |    (d.domain LIKE '%.biz' OR d.domain LIKE '%.info') AS bad_tld
+      |  FROM d LEFT JOIN bl ON d.domain = bl.domain)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+      |  CAST(SUM(CASE WHEN in_list THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_blocked_list,
+      |  CAST(SUM(CASE WHEN NOT in_list AND bad_tld THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_blocked_tld,
+      |  CAST(SUM(CASE WHEN NOT in_list AND NOT bad_tld THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN NOT in_list AND NOT bad_tld THEN 1 ELSE 0 END)
+      |    * 1000 // COUNT(*) AS BIGINT) AS kept_pm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------- pipe_url_canonical
   /** URL canonicalization + dedup — the first dedup a crawl corpus
     * gets (before any text comparison): the same page arrives under
@@ -879,6 +951,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_split_by_cluster" -> (pipeSplitByCluster _),
     "pipe_url_canonical" -> (pipeUrlCanonical _),
     "pipe_cross_source" -> (pipeCrossSource _),
+    "pipe_domain_filter" -> (pipeDomainFilter _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_global_shuffle" -> (pipeGlobalShuffle _),
     "pipe_token_budget" -> (pipeTokenBudget _),
@@ -897,6 +970,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_split_by_cluster" -> pipeSplitByClusterSql,
     "pipe_url_canonical" -> pipeUrlCanonicalSql,
     "pipe_cross_source" -> pipeCrossSourceSql,
+    "pipe_domain_filter" -> pipeDomainFilterSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_global_shuffle" -> pipeGlobalShuffleSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,

@@ -642,7 +642,119 @@ object TextAnalysis extends QueryModule {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- txt_vocab_coverage
+  /** Top-k vocabulary coverage curve — the tokenizer-design question
+    * "what fraction of corpus tokens do the k most frequent words
+    * cover?" over a k-grid (3/10/30 here, spanning the test corpus's
+    * deliberately small vocab; production grids are 100/1k/10k). Computed TIE-BREAK-FREE from the
+    * frequency histogram: words collapse to (count → #words, mass)
+    * rows, a prefix sum in descending count order locates each k's
+    * bracket, and the partial tie group contributes (k − words_above)
+    * × count — so no per-word ordering ever matters and no window
+    * ever sees the vocab, only the ≤|distinct counts| histogram (the
+    * q27/q29 value-histogram trick applied to frequencies). */
+  def txtVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val hist = tok.groupBy("c").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("c"))
+    val cum = hist
+      .withColumn("cw", sum(col("m")).over(w))
+      .withColumn("cm", sum(expr("c * m")).over(w))
+    val tot = tok.agg(count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("total_tokens"))
+    val ks = spark.range(1).select(
+      explode(array(lit(3L), lit(10L), lit(30L))).as("k"))
+    ks.crossJoin(broadcast(tot))
+      .join(cum, col("cw") >= col("k") && col("cw") - col("m") < col("k"),
+        "left_outer")
+      .select(col("k"), col("vocab_size"), col("total_tokens"),
+        coalesce(col("cm") - col("c") * col("m") +
+          (col("k") - (col("cw") - col("m"))) * col("c"),
+          col("total_tokens")).as("tokens_covered"))
+      .withColumn("coverage_pm",
+        expr("tokens_covered * 1000 div total_tokens"))
+      .orderBy("k")
+  }
+
+  val txtVocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+      |    FROM documents) t
+      |  GROUP BY w),
+      |hist AS (SELECT c, COUNT(*) AS m FROM tok GROUP BY c),
+      |cum AS (SELECT c, m,
+      |          SUM(m) OVER (ORDER BY c DESC) AS cw,
+      |          SUM(c * m) OVER (ORDER BY c DESC) AS cm
+      |        FROM hist),
+      |tot AS (SELECT COUNT(*) AS vocab_size,
+      |          CAST(SUM(c) AS BIGINT) AS total_tokens FROM tok),
+      |ks AS (SELECT unnest([3, 10, 30]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k, vocab_size, total_tokens,
+      |  CAST(COALESCE(cm - c * m + (k - (cw - m)) * c, total_tokens)
+      |    AS BIGINT) AS tokens_covered,
+      |  CAST(COALESCE(cm - c * m + (k - (cw - m)) * c, total_tokens)
+      |    * 1000 // total_tokens AS BIGINT) AS coverage_pm
+      |FROM ks CROSS JOIN tot
+      |LEFT JOIN cum ON cw >= k AND cw - m < k
+      |ORDER BY k""".stripMargin
+
+  // ------------------------------------------------- txt_readability
+  /** Readability profile per language — words/sentences/syllables and
+    * an integer Flesch–Kincaid grade: syllables are vowel-group runs
+    * (the deterministic proxy both engines compute identically via one
+    * regexp pass), and the grade is the FK formula in MILLI-grade
+    * integer arithmetic (390·W div S + 11800·Syl div W − 15590), so no
+    * float ratio ever crosses the oracle boundary. One codegen map
+    * pass + one combiner-friendly per-lang agg. */
+  def txtReadability(spark: SparkSession, dir: String): DataFrame = {
+    val nW = size(words(col("text"))).cast("long")
+    val nS = size(filter(split(col("text"), "[.!?]+"),
+      s => s.rlike("\\w"))).cast("long")
+    val nSyl = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("lang"), nW.as("nw"), nS.as("ns"), nSyl.as("nsy"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_sentences"), sum(col("nsy")).as("n_syllables"))
+      .withColumn("wps_milli", expr("n_words * 1000 div n_sentences"))
+      .withColumn("spw_milli", expr("n_syllables * 1000 div n_words"))
+      .withColumn("fk_grade_milli",
+        expr("390 * n_words div n_sentences " +
+          "+ 11800 * n_syllables div n_words - 15590"))
+      .orderBy("lang")
+  }
+
+  val txtReadabilitySql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nw,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |      s -> regexp_matches(s, '\w'))) AS BIGINT) AS ns,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS nsy
+      |  FROM documents),
+      |a AS (SELECT lang, COUNT(*) AS n_docs,
+      |        CAST(SUM(nw) AS BIGINT) AS n_words,
+      |        CAST(SUM(ns) AS BIGINT) AS n_sentences,
+      |        CAST(SUM(nsy) AS BIGINT) AS n_syllables
+      |      FROM d GROUP BY lang)
+      |SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+      |  CAST(n_words * 1000 // NULLIF(n_sentences, 0) AS BIGINT)
+      |    AS wps_milli,
+      |  CAST(n_syllables * 1000 // NULLIF(n_words, 0) AS BIGINT)
+      |    AS spw_milli,
+      |  CAST(390 * n_words // NULLIF(n_sentences, 0)
+      |    + 11800 * n_syllables // NULLIF(n_words, 0) - 15590 AS BIGINT)
+      |    AS fk_grade_milli
+      |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_vocab_coverage" -> (txtVocabCoverage _),
+    "txt_readability" -> (txtReadability _),
     "txt_html_strip" -> (txtHtmlStrip _),
     "txt_char_classes" -> (txtCharClasses _),
     "txt_rarity" -> (txtRarity _),
@@ -659,6 +771,8 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_vocab_coverage" -> txtVocabCoverageSql,
+    "txt_readability" -> txtReadabilitySql,
     "txt_html_strip" -> txtHtmlStripSql,
     "txt_char_classes" -> txtCharClassesSql,
     "txt_rarity" -> txtRaritySql,
