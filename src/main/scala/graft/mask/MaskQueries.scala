@@ -447,6 +447,11 @@ object MaskQueries extends QueryModule {
   private val scrubEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val scrubSsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
+  /** The scrub rewrite itself (shared with the spec that pins it). */
+  def scrubPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, scrubEmailPat, "[EMAIL]"),
+      scrubSsnPat, "[SSN]")
+
   def maskTextScrub(spark: SparkSession, dir: String): DataFrame = {
     val nine = lpad((col("doc_id") * 2654435761L % 1000000000L).cast("string"),
       9, "0")
@@ -457,9 +462,7 @@ object MaskQueries extends QueryModule {
       when(pmod(col("doc_id"), lit(7)) === 0,
         concat(lit(" ref "), nine.substr(1, 3), lit("-"), nine.substr(4, 2),
           lit("-"), nine.substr(6, 4))).otherwise(lit("")))
-    val scrubbed = regexp_replace(
-      regexp_replace(injected, scrubEmailPat, "[EMAIL]"),
-      scrubSsnPat, "[SSN]")
+    val scrubbed = scrubPii(injected)
     Tables.documents(spark, dir)
       .select(col("lang"),
         size(regexp_extract_all(injected, lit(scrubEmailPat), lit(0))).as("ne"),

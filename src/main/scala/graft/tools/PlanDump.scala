@@ -40,7 +40,11 @@ object PlanDump {
       "src_schema_evolution", "dedup_emb_sweep",
       "txt_boilerplate", "pipe_split_by_cluster",
       "src_warc_ingest", "pipe_url_canonical",
-      "cdc_log_compact").distinct
+      "cdc_log_compact", "cls_functional_dep", "pipe_cross_source",
+      "mask_text_scrub", "dedup_lines", "cdc_reconcile",
+      "txt_html_strip", "dedup_bloom", "cls_outliers",
+      "txt_vocab_coverage", "txt_readability",
+      "pipe_domain_filter").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")
