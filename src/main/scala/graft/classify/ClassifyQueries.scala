@@ -591,7 +591,74 @@ object ClassifyQueries extends QueryModule {
       |FROM h JOIN f ON h.col_name = f.col_name
       |GROUP BY 1 ORDER BY h.col_name""".stripMargin
 
+  // --------------------------------------------- cls_inclusion_deps
+  /** Inclusion-dependency discovery (the Binder/Spider profiler scan
+    * that finds FOREIGN KEYS nobody declared): candidate key/reference
+    * columns melt into one (column, value) stream, each column's
+    * DISTINCT value set is built in a single hash-agg, and one
+    * value-keyed self-join counts shared values per column pair —
+    * a ⊆ b falls out as n_shared = n_a. Cost at 100 TB: distinct
+    * compaction rides (column, value) hash partitioning, the pair join
+    * touches only compacted value sets, and the per-pair report is
+    * |pairs| rows — never a table×table comparison. */
+  def clsInclusionDeps(spark: SparkSession, dir: String): DataFrame = {
+    def melt(df: DataFrame, c: String, tag: String): DataFrame =
+      df.select(lit(tag).as("col_name"), col(c).cast("string").as("v"))
+        .distinct()
+    val vals =
+      melt(Tables.customer(spark, dir), "c_custkey", "customer.c_custkey")
+        .unionAll(melt(Tables.customer(spark, dir), "c_nationkey",
+          "customer.c_nationkey"))
+        .unionAll(melt(Tables.orders(spark, dir), "o_custkey",
+          "orders.o_custkey"))
+        .unionAll(melt(Tables.supplier(spark, dir), "s_nationkey",
+          "supplier.s_nationkey"))
+        .unionAll(melt(Tables.nation(spark, dir), "n_nationkey",
+          "nation.n_nationkey"))
+    val sizes = vals.groupBy("col_name").agg(count(lit(1)).as("n"))
+    vals.select(col("col_name").as("col_a"), col("v"))
+      .join(vals.select(col("col_name").as("col_b"), col("v")), "v")
+      .filter(col("col_a") < col("col_b"))
+      .groupBy("col_a", "col_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("col_name").as("col_a"), col("n").as("n_a")),
+        "col_a")
+      .join(sizes.select(col("col_name").as("col_b"), col("n").as("n_b")),
+        "col_b")
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared") === col("n_a")).as("a_in_b"),
+        (col("n_shared") === col("n_b")).as("b_in_a"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val clsInclusionDepsSql: String =
+    """WITH vals AS (
+      |  SELECT DISTINCT 'customer.c_custkey' AS col_name,
+      |    CAST(c_custkey AS VARCHAR) AS v FROM customer
+      |  UNION SELECT DISTINCT 'customer.c_nationkey',
+      |    CAST(c_nationkey AS VARCHAR) FROM customer
+      |  UNION SELECT DISTINCT 'orders.o_custkey',
+      |    CAST(o_custkey AS VARCHAR) FROM orders
+      |  UNION SELECT DISTINCT 'supplier.s_nationkey',
+      |    CAST(s_nationkey AS VARCHAR) FROM supplier
+      |  UNION SELECT DISTINCT 'nation.n_nationkey',
+      |    CAST(n_nationkey AS VARCHAR) FROM nation),
+      |sizes AS (SELECT col_name, COUNT(*) AS n FROM vals GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.col_name AS col_a, b.col_name AS col_b,
+      |    COUNT(*) AS n_shared
+      |  FROM vals a JOIN vals b ON a.v = b.v AND a.col_name < b.col_name
+      |  GROUP BY 1, 2)
+      |SELECT col_a, col_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+      |  n_shared = sa.n AS a_in_b, n_shared = sb.n AS b_in_a
+      |FROM pairs
+      |JOIN sizes sa ON sa.col_name = col_a
+      |JOIN sizes sb ON sb.col_name = col_b
+      |ORDER BY col_a, col_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_inclusion_deps" -> (clsInclusionDeps _),
     "cls_outliers" -> (clsOutliers _),
     "cls_functional_dep" -> (clsFunctionalDep _),
     "cls_quasi_id" -> (clsQuasiId _),
@@ -607,6 +674,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_inclusion_deps" -> clsInclusionDepsSql,
     "cls_outliers" -> clsOutliersSql,
     "cls_functional_dep" -> clsFunctionalDepSql,
     "cls_quasi_id" -> clsQuasiIdSql,
