@@ -706,7 +706,54 @@ object CdcQueries extends QueryModule {
        |ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------ cdc_txn_assemble
+  /** Transaction assembly from an interleaved change stream — the
+    * consumer-side mirror of Debezium's transaction-metadata topic
+    * (BEGIN/END markers carrying the event count a sink needs before
+    * it can apply a transaction atomically). Events are grouped into
+    * commit units (here: the 1-hour commit window of their
+    * microsecond timestamp — deterministic, so the oracle regroups
+    * identically), and each unit reports what an exactly-once applier
+    * consumes: event count, tables touched, distinct keys, the
+    * boundary event ids in stream order, and the commit span. One
+    * hash-agg over (txn_id) after a map-side window id — at 100 TB
+    * this is a single combiner-friendly shuffle keyed on the commit
+    * unit, never a sort of the whole stream; the in-window ordering
+    * rides row_number over (txn, ts, event_id), whose partitions are
+    * commit-unit-sized by construction. */
+  def txnAssemble(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+      .withColumn("txn_id", expr("ts_us div 3600000000"))
+    val w = Window.partitionBy("txn_id").orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("_rn", row_number().over(w))
+      .groupBy("txn_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_tables"),
+        countDistinct(col("user_id")).as("n_keys"),
+        min_by(col("event_id"), col("_rn")).as("first_event_id"),
+        max_by(col("event_id"), col("_rn")).as("last_event_id"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+      .orderBy("txn_id")
+  }
+
+  val txnAssembleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) // 3600000000 AS txn_id
+      |  FROM events),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY txn_id
+      |        ORDER BY ts_us, event_id) AS rn FROM e)
+      |SELECT txn_id, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_tables,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+      |  arg_min(event_id, rn) AS first_event_id,
+      |  arg_max(event_id, rn) AS last_event_id,
+      |  MAX(ts_us) - MIN(ts_us) AS span_us
+      |FROM r GROUP BY txn_id ORDER BY txn_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_txn_assemble" -> (txnAssemble _),
     "cdc_reconcile" -> (reconcile _),
     "cdc_lag_audit" -> (lagAudit _),
     "cdc_ooo_audit" -> (oooAudit _),
@@ -726,6 +773,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_txn_assemble" -> txnAssembleSql,
     "cdc_reconcile" -> reconcileSql,
     "cdc_lag_audit" -> lagAuditSql,
     "cdc_ooo_audit" -> oooAuditSql,

@@ -281,6 +281,72 @@ object Knn extends QueryModule {
        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------------------------- knn_graph
+  /** Mutual k-NN GRAPH over the whole corpus — the SemDeDup /
+    * semantic-clustering primitive (every vector's top-k inside its
+    * probed IVF cells, kept only where both endpoints choose each
+    * other). Mutuality is the cheap symmetry filter that turns a noisy
+    * directed k-NN relation into clusterable undirected edges. Scale
+    * shape: the corpus is its own query set, so candidate generation is
+    * the SAME cell-bounded shuffle as [[centroidKnn]] (nProbe cells per
+    * vector, never all-pairs), and the mutual check is a self-join on
+    * the skinny directed edge list (≤ k·n rows) — both keyed shuffles
+    * an AQE plan handles at any corpus size. Feed the edges to
+    * [[graft.dedup.Dedup]]'s components to get semantic clusters. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val edges = centroidKnn(emb, emb, 5)
+    val rev = edges.select(col("qid").as("_b"), col("nid").as("_a"),
+      col("rank").as("rank_ba"))
+    edges.filter(col("qid") < col("nid"))
+      .join(rev, col("qid") === col("_a") && col("nid") === col("_b"))
+      .select(col("qid").as("a"), col("nid").as("b"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+      .orderBy("a", "b")
+  }
+
+  /** [[knnCentroidSql]] without the query-subset filter, plus the
+    * mutual self-join: both directions must rank within k. */
+  val knnGraphSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |seeds AS (
+       |  SELECT label AS cell, e AS ce FROM (
+       |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY vec_id) AS r
+       |    FROM n)
+       |  WHERE r = 1),
+       |assigned AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT nn.vec_id, nn.e, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT nn.vec_id AS qid, nn.e AS qe, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s)
+       |  WHERE rk <= 3),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS nid, list_dot_product(p.qe, a.e) AS c
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE p.qid <> a.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY c DESC, nid) AS rank
+       |  FROM scored),
+       |k AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5)
+       |SELECT f.qid AS a, f.nid AS b,
+       |  CAST(f.rank AS INTEGER) AS rank_ab,
+       |  CAST(r.rank AS INTEGER) AS rank_ba
+       |FROM k f JOIN k r ON r.qid = f.nid AND r.nid = f.qid
+       |WHERE f.qid < f.nid
+       |ORDER BY a, b""".stripMargin
+
   // -------------------------------------------------------- knn_range
   /** Radius (range) similarity search: ALL neighbors with cosine ≥
     * threshold per query — the retrieval mode leakage/copyright
@@ -415,6 +481,7 @@ object Knn extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_filtered" -> (knnFiltered _),
+    "knn_graph" -> (knnGraph _),
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_range" -> (knnRange _),
@@ -426,6 +493,7 @@ object Knn extends QueryModule {
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
     "knn_filtered" -> knnFilteredSql,
+    "knn_graph" -> knnGraphSql,
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,

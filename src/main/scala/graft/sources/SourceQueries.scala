@@ -726,7 +726,57 @@ object SourceQueries extends QueryModule {
       |FROM g JOIN nation n ON g.h % 25 = n.n_nationkey
       |ORDER BY g.id""".stripMargin
 
+  // -------------------------------------------- src_malformed_audit
+  /** Permissive ingest with corrupt-record routing — the first thing a
+    * 100 TB file drop needs: rows that fail the schema are captured
+    * (Spark PERMISSIVE mode + `columnNameOfCorruptRecord`), counted
+    * into a per-group DLQ tally, and EXCLUDED from the numeric
+    * aggregate, all in the one scan that processes the good rows. A
+    * FAILFAST read would abort the whole job on the first bad byte; a
+    * DROPMALFORMED read would silently lose data — this keeps both the
+    * rows and the evidence. Corruption here is synthesized
+    * deterministically (every `o_orderkey % 7 == 3` row gets a
+    * non-numeric price token), so the oracle reproduces the audit from
+    * the clean table without ever seeing the staged file. */
+  def malformedAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(7)) === 3, lit("N/A"))
+          .otherwise(col("o_totalprice").cast("string")).as("price_raw"))
+    val tmp = stagingDir(spark, "graft-badrec")
+    src.select(concat_ws("\t", col("o_orderkey"), col("o_orderstatus"),
+        col("price_raw")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("sep", "\t").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_bad").isNull,
+          col("o_totalprice").cast(DecimalType(18, 2)))).cast("double")
+          .as("total_good"))
+      .orderBy("o_orderstatus")
+  }
+
+  val malformedAuditSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bad,
+      |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 3
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS total_good
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_malformed_audit" -> (malformedAudit _),
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
     "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
     "src_jsonl_changelog" -> (jsonlChangelog _),
@@ -747,6 +797,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_malformed_audit" -> malformedAuditSql,
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,

@@ -44,7 +44,8 @@ object PlanDump {
       "mask_text_scrub", "dedup_lines", "cdc_reconcile",
       "txt_html_strip", "dedup_bloom", "cls_outliers",
       "txt_vocab_coverage", "txt_readability",
-      "pipe_domain_filter", "cls_inclusion_deps").distinct
+      "pipe_domain_filter", "cls_inclusion_deps",
+      "src_malformed_audit", "cdc_txn_assemble", "knn_graph").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")
