@@ -47,17 +47,34 @@ object Tables {
 
   /** Content fingerprint for write-once layout caches (q26's buckets,
     * the partitioned-docs layout): md5 over the source dir path PLUS
-    * every parquet file's (name, size, mtime). Regenerated data at the
-    * same path changes the tag, so a stale layout is abandoned rather
-    * than silently re-attached. Single-writer per tag is still assumed
-    * (fine for a bench sandbox; a shared lakehouse wants a real
-    * transactional catalog instead of an `_SUCCESS` probe). */
+    * every parquet file's (name, size, first+last 4 KiB of bytes) —
+    * the tail covers the parquet footer (row counts, column stats,
+    * offsets), so changed CONTENT changes the tag while a
+    * byte-identical regeneration (same deterministic generator, fresh
+    * mtimes) keeps it and re-attaches the layout instead of paying the
+    * bucketed write again. Deliberately NOT mtime-based: the bench
+    * data is regenerated per round with identical bytes, and an
+    * mtime-keyed tag made every round rebuild a layout it already had.
+    * Single-writer per tag is still assumed (fine for a bench sandbox;
+    * a shared lakehouse wants a real transactional catalog instead of
+    * an `_SUCCESS` probe). */
   def layoutTag(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
     val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest((dir +: files).mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
+    files.foreach { f =>
+      md.update(s"|${f.getName}:${f.length}:".getBytes("UTF-8"))
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(4096L, raf.length).toInt)
+        raf.readFully(head); md.update(head)
+        if (raf.length > 4096) {
+          val tail = new Array[Byte](4096)
+          raf.seek(raf.length - 4096); raf.readFully(tail); md.update(tail)
+        }
+      } finally raf.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(8)
   }
 }

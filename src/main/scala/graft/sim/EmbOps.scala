@@ -501,7 +501,66 @@ object EmbOps extends QueryModule {
       |FROM v GROUP BY norm_bucket ORDER BY norm_bucket NULLS FIRST"""
       .stripMargin
 
+  // ---------------------------------------------------- emb_drift
+  /** Embedding-distribution drift between two populations — the
+    * monitor a vector store runs when the encoder is retrained or a
+    * new ingest source lands (centroid shift per leading dimension;
+    * a systematic shift means re-indexing, not appending). The
+    * populations split deterministically on vec_id parity so the
+    * oracle recomputes both sides; per leading dimension d<8 each
+    * side reports its exact milli-quantized component sum and count,
+    * plus the cross-multiplied mean gap |Σa·n_b − Σb·n_a| — all
+    * integer arithmetic after FLOOR of identical IEEE doubles. Shape:
+    * posexplode bounded to 8 entries/vector (map-only), one 8-row
+    * agg; linear in corpus size, constant output. */
+  def embDrift(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .filter(col("dim") < 8)
+      .select(col("dim").cast("long").as("dim"),
+        (col("vec_id") % 2 === 0).as("_a"),
+        floor(col("x") * 1000).cast("long").as("milli"))
+      .groupBy("dim")
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_a"), col("milli")).otherwise(0L)).as("sum_a_milli"),
+        sum(when(!col("_a"), col("milli")).otherwise(0L)).as("sum_b_milli"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("sum_a_milli"), col("sum_b_milli"),
+        // cross-multiplied mean gap — division-free because floor- vs
+        // truncating integer division disagree on NEGATIVE sums
+        // across engines; |Σa·n_b − Σb·n_a| is exact and sign-safe
+        abs(col("sum_a_milli") * col("n_b") -
+          col("sum_b_milli") * col("n_a")).as("shift_x"))
+      .orderBy("dim")
+
+  val embDriftSql: String =
+    """WITH dims AS (SELECT UNNEST(range(8)) AS dim),
+      |x AS (
+      |  SELECT vec_id, d.dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(d.dim AS INTEGER) + 1]
+      |      AS DOUBLE) * 1000) AS BIGINT) AS milli
+      |  FROM embeddings CROSS JOIN dims d
+      |  WHERE len(embedding) > d.dim),
+      |g AS (
+      |  SELECT CAST(dim AS BIGINT) AS dim,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN milli ELSE 0 END)
+      |      AS BIGINT) AS sum_a_milli,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE milli END)
+      |      AS BIGINT) AS sum_b_milli
+      |  FROM x GROUP BY dim)
+      |SELECT dim, n_a, n_b, sum_a_milli, sum_b_milli,
+      |  CAST(ABS(sum_a_milli * n_b - sum_b_milli * n_a) AS BIGINT)
+      |    AS shift_x
+      |FROM g ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_drift" -> (embDrift _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "emb_norm_audit" -> (embNormAudit _),
     "emb_quantize" -> (embQuantize _),
@@ -511,6 +570,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_drift" -> embDriftSql,
     "emb_norm_audit" -> embNormAuditSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,

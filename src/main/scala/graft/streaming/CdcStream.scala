@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.cdc.Envelope
 import graft.classify.DataClassLibrary
 import graft.mask.RuleEngine
@@ -199,24 +199,55 @@ object CdcStream {
         .otherwise(acc)
     }
 
+  /** Merged field set across the live versions, in first-seen order —
+    * the superset row schema one parse can decode EVERY version with
+    * (a field absent from a record's own version parses as null and is
+    * dropped again by that version's projection). */
+  def supersetSchema(versions: Seq[(Long, StructType)]): StructType = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    versions.foreach { case (_, s) =>
+      s.fields.foreach(f => if (!seen.contains(f.name)) seen += f.name -> f)
+    }
+    StructType(seen.values.toSeq)
+  }
+
+  /** Single-pass dispatch core: scan and JSON-decode the wire ONCE
+    * with the superset schema, tagging each record with its detected
+    * `schema_version` — no matter how many schema versions are live.
+    * (The obvious alternative — one filtered typed parse per version —
+    * re-reads the whole stream V times: V full passes at 100 TB.) */
+  def parseTagged(envelopeJson: DataFrame,
+      versions: Seq[(Long, StructType)]): DataFrame =
+    Envelope.parse(envelopeJson, col("value"), supersetSchema(versions),
+      schemaVersion(col("value"), versions).as("schema_version"))
+
   /** DDL-drift dispatch WITHOUT a restart: split one envelope stream
-    * (column `value`) by detected schema version and parse each slice
-    * with its own row schema. The reference reacts to a DDL event by
-    * tearing down and regenerating the SortCL job (Main.java:293-309);
-    * a running Structured Streaming query cannot re-plan mid-stream,
-    * but dispatching inside `foreachBatch` over the KNOWN version set
-    * achieves the same operational behavior: pre-DDL and post-DDL
-    * records land in their per-version targets from the same query,
-    * and a genuinely new shape surfaces as version null (route to DLQ,
-    * register the schema, restart at leisure). StreamingSpec drives a
-    * mid-stream column-add through this; the batch form is the
+    * (column `value`) by detected schema version and project each
+    * slice down to its own row schema. The reference reacts to a DDL
+    * event by tearing down and regenerating the SortCL job
+    * (Main.java:293-309); a running Structured Streaming query cannot
+    * re-plan mid-stream, but dispatching inside `foreachBatch` over
+    * the KNOWN version set achieves the same operational behavior:
+    * pre-DDL and post-DDL records land in their per-version targets
+    * from the same query, and a genuinely new shape surfaces as
+    * version null (route to DLQ, register the schema, restart at
+    * leisure). Built on [[parseTagged]], so the underlying wire parse
+    * is version-count-independent; a caller fanning the slices out to
+    * V separate sinks should persist the batch (or the tagged parse)
+    * first so the V sink actions share one scan. StreamingSpec drives
+    * a mid-stream column-add through this; the batch form is the
     * `cdc_drift_dispatch` driver key. */
   def dispatchByVersion(envelopeJson: DataFrame,
       versions: Seq[(Long, StructType)]): Seq[(Long, DataFrame)] = {
-    val v = schemaVersion(col("value"), versions)
-    versions.map { case (ver, rowSchema) =>
-      ver -> Envelope.parse(
-        envelopeJson.filter(v === ver), col("value"), rowSchema)
+    val parsed = parseTagged(envelopeJson, versions)
+    versions.map { case (ver, s) =>
+      def narrowed(p: String): Column =
+        when(col(p).isNull, lit(null).cast(s)).otherwise(
+          struct(s.fieldNames.toSeq.map(n => col(s"$p.$n").as(n)): _*))
+      ver -> parsed.filter(col("schema_version") === ver)
+        .select(narrowed("before").as("before"),
+          narrowed("after").as("after"), col("db"), col("table"),
+          col("op"), col("ts_ms"), col("src_schema"))
     }
   }
 

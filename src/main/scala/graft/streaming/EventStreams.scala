@@ -380,7 +380,76 @@ object EventStreams extends QueryModule {
       |  UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p)
       |ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------ str_retention
+  /** Cohort retention — the product-analytics table behind every
+    * "day-N retention" chart: each user's cohort is their FIRST-seen
+    * day, and (cohort_day, day_offset) counts the distinct users seen
+    * again `offset` days later (offset 0 = cohort size). Shape at
+    * 100 TB: one user-keyed min-agg (high-cardinality hash agg), one
+    * join back co-partitioned on user_id, one (cohort, offset)-keyed
+    * distinct-count — no windows, no low-cardinality partitions; the
+    * offset cap bounds output at |days|·8 rows. */
+  def strRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val strRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+      |      GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(e.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |WHERE e.day - c.cohort_day <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---------------------------------------------- str_transitions
+  /** Per-user event-type transition counts — the first-order Markov
+    * view of user behavior (what follows what), the input to
+    * next-action models and anomaly scoring. Each user's events are
+    * ordered by (ts, event_id) — a UNIQUE key, so lag() is
+    * deterministic — and consecutive (prev → next) type pairs are
+    * counted globally. The window partitions on user_id (high
+    * cardinality: scale-safe); output is |types|² rows. */
+  def strTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val strTransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type AS from_type, event_type AS to_type,
+      |  COUNT(*) AS n
+      |FROM o WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_retention" -> (strRetention _),
+    "str_transitions" -> (strTransitions _),
     "str_funnel" -> (strFunnel _),
     "str_interval_outer" -> (strIntervalOuter _),
     "str_topk_windowed" -> (strTopkWindowed _),
@@ -395,6 +464,8 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_retention" -> strRetentionSql,
+    "str_transitions" -> strTransitionsSql,
     "str_funnel" -> strFunnelSql,
     "str_interval_outer" -> strIntervalOuterSql,
     "str_topk_windowed" -> strTopkWindowedSql,

@@ -489,20 +489,44 @@ object TextAnalysis extends QueryModule {
     * its token INSTANCES — rare-token-heavy docs (noise, codes,
     * boilerplate IDs) score high exactly where a unigram LM would
     * assign high perplexity, but the statistic is engine-exact
-    * integers end to end. Scale shape: the rank window runs over the
-    * AGGREGATED vocabulary (post-groupBy, bounded by |vocab| not
-    * corpus size — the same post-agg-window class as the value
-    * histograms); the token→rank join is a plain shuffle join the
-    * optimizer may broadcast when the vocab is small. */
+    * integers end to end. Scale shape: the global rarity rank is
+    * computed WITHOUT a global one-partition window — the
+    * shard-rank + exclusive-prefix-sum decomposition of
+    * [[graft.pipeline.CorpusPipeline.globalShuffle]] applied to the
+    * (df desc, w) order key. Shard = (df, first code point of w):
+    * contiguous in the global order (string comparison is code-point
+    * order, so bucketing by the first code point respects it), and it
+    * splits the huge df=1 long-tail across ≤|alphabet| sub-shards.
+    * The local row_number runs per shard; shard offsets come from a
+    * prefix-sum window over the AGGREGATED per-shard counts (≤
+    * |distinct df|·|alphabet| rows — the same bounded post-agg-window
+    * class as the value histograms, never |vocab|). The token→rank
+    * join is a plain shuffle join the optimizer may broadcast when
+    * the vocab is small. */
   def txtRarity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("w"))
-    val rank = tok.groupBy("w").agg(count(lit(1)).as("df"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("df"), col("w"))).cast("long"))
-      .select("w", "rank")
+    val hist = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .withColumn("_wb", ascii(substring(col("w"), 1, 1)))
+    val counts = hist.groupBy("df", "_wb").agg(count(lit(1)).as("_c"))
+    // single-partition BY DESIGN (input is the bounded aggregated
+    // shard-count frame, not the vocab). The partition key is a
+    // constant-valued but non-foldable expression: a literal would be
+    // folded away by EliminateWindowPartitions and re-trip WindowExec's
+    // unpartitioned-window warning meant for corpus-sized inputs.
+    val pre = Window.partitionBy(pmod(col("_c"), lit(1)))
+      .orderBy(desc("df"), col("_wb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select(col("df"), col("_wb"), col("_off"))
+    val local = Window.partitionBy(col("df"), col("_wb")).orderBy(col("w"))
+    val rank = hist
+      .withColumn("_lr", row_number().over(local).cast("long"))
+      .join(offsets, Seq("df", "_wb"))
+      .select(col("w"), (col("_off") + col("_lr")).as("rank"))
     tok.join(rank, "w")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tok"), sum(col("rank")).as("rank_sum"))
@@ -658,7 +682,11 @@ object TextAnalysis extends QueryModule {
       .select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val hist = tok.groupBy("c").agg(count(lit(1)).as("m"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("c"))
+    // single-partition by design: runs over the ≤|distinct counts|
+    // histogram, never the vocab (non-foldable constant key — see
+    // txtRarity — keeps the deliberate single partition warning-free)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("m"), lit(1))).orderBy(desc("c"))
     val cum = hist
       .withColumn("cw", sum(col("m")).over(w))
       .withColumn("cm", sum(expr("c * m")).over(w))
@@ -752,7 +780,93 @@ object TextAnalysis extends QueryModule {
       |    AS fk_grade_milli
       |FROM a ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ txt_hapax
+  /** Hapax-legomena census per language — the vocabulary-tail health
+    * metric (a scraped corpus whose hapax share explodes is full of
+    * OCR noise / IDs / mojibake; one whose share collapses is
+    * template spam). Per language: vocabulary size, hapax count
+    * (words seen exactly once IN THAT LANGUAGE), total token mass,
+    * hapax per-mille of the vocabulary. One explode + one
+    * (lang, word) hash-agg + one |langs|-row fold — no windows, no
+    * joins; the same two-agg shape as the TF-IDF DF pass. */
+  def txtHapax(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("df"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("df")).as("total_tokens"))
+      .select(col("lang"), col("vocab_size"), col("n_hapax"),
+        col("total_tokens"),
+        expr("n_hapax * 1000 div vocab_size").as("hapax_pm"))
+      .orderBy("lang")
+
+  val txtHapaxSql: String =
+    """WITH tf AS (
+      |  SELECT lang, w, COUNT(*) AS df
+      |  FROM (SELECT lang,
+      |          unnest(regexp_split_to_array(text, '\s+')) AS w
+      |        FROM documents) t
+      |  GROUP BY lang, w),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS vocab_size,
+      |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hapax,
+      |    CAST(SUM(df) AS BIGINT) AS total_tokens
+      |  FROM tf GROUP BY lang)
+      |SELECT lang, vocab_size, n_hapax, total_tokens,
+      |  CAST(n_hapax * 1000 // vocab_size AS BIGINT) AS hapax_pm
+      |FROM g ORDER BY lang""".stripMargin
+
+  // --------------------------------------------- txt_encoding_audit
+  /** Encoding-health audit per source — the mojibake detector every
+    * web-scale ingest runs before training: how many documents carry
+    * C0 control characters (broken escapes, binary bleed-through),
+    * the U+FFFD replacement character (a decoder already gave up
+    * upstream), or classic UTF-8-as-Latin-1 mojibake marks (Â/Ã
+    * digraph residue). Pure codegen rlike flags + one |sources|-row
+    * agg; row-local until the final fold. */
+  def txtEncodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ctrl = col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val repl = col("text").contains("�")
+    // concrete digraphs ("Ã©" = mojibake é, "â€" = mojibake quote
+    // family), not a regex over non-ASCII ranges — substring match
+    // has identical semantics in any engine
+    val moji = col("text").contains("Ã©") || col("text").contains("â€")
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(ctrl, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(repl, 1L).otherwise(0L)).as("n_replacement"),
+        sum(when(moji, 1L).otherwise(0L)).as("n_mojibake"))
+      .select(col("source"), col("n_docs"), col("n_ctrl"),
+        col("n_replacement"), col("n_mojibake"),
+        expr("(n_ctrl + n_replacement + n_mojibake) * 1000 div n_docs")
+          .as("suspect_pm"))
+      .orderBy("source")
+  }
+
+  val txtEncodingAuditSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE WHEN regexp_matches(text,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS c,
+      |    CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS r,
+      |    CASE WHEN contains(text, 'Ã©') OR contains(text, 'â€')
+      |      THEN 1 ELSE 0 END AS m
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(c) AS BIGINT) AS n_ctrl,
+      |  CAST(SUM(r) AS BIGINT) AS n_replacement,
+      |  CAST(SUM(m) AS BIGINT) AS n_mojibake,
+      |  CAST((SUM(c) + SUM(r) + SUM(m)) * 1000 // COUNT(*) AS BIGINT)
+      |    AS suspect_pm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_hapax" -> (txtHapax _),
+    "txt_encoding_audit" -> (txtEncodingAudit _),
     "txt_vocab_coverage" -> (txtVocabCoverage _),
     "txt_readability" -> (txtReadability _),
     "txt_html_strip" -> (txtHtmlStrip _),
@@ -771,6 +885,8 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_hapax" -> txtHapaxSql,
+    "txt_encoding_audit" -> txtEncodingAuditSql,
     "txt_vocab_coverage" -> txtVocabCoverageSql,
     "txt_readability" -> txtReadabilitySql,
     "txt_html_strip" -> txtHtmlStripSql,

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant pins for the round-7 work: the two-level rarity rank vs
+  * a brute-force global sort, the single-parse drift dispatch's
+  * per-version narrowing, the correlation moments and MAD vs
+  * brute-force recomputation, retention/transition conservation laws,
+  * the LWW winner rule, the dedup-intermediate memo actually reusing
+  * one frame, and the layout fingerprint's mtime-independence. */
+class R7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf001 = "/root/testdata/sf0.01"
+
+  test("txt_rarity: two-level shard rank equals brute-force global rank") {
+    // df per word from the SAME tokenization, rank recomputed by a
+    // plain in-memory global sort — the decomposition must agree
+    val tok = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("w"))
+    val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val rank = df.sortBy { case (w, d) => (-d, w) }.zipWithIndex
+      .map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    val docs = tok.collect()
+      .groupBy(r => (r.getLong(0), r.getString(1))).toSeq
+      .map { case ((_, lang), rows) =>
+        val ranks = rows.map(r => rank(r.getString(2)))
+        lang -> (ranks.sum / ranks.length)
+      }.groupBy(_._1)
+    val brute = docs.map { case (lang, ms) =>
+      lang -> (ms.size.toLong, ms.map(_._2).sum, ms.map(_._2).max)
+    }
+    val out = graft.text.TextAnalysis.txtRarity(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, s, m) = brute(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("sum_mean_rank") == s,
+        s"lang=${r.getString(0)}: two-level=${r.getLong(2)} brute=$s")
+      assert(r.getAs[Long]("max_mean_rank") == m)
+    }
+  }
+
+  test("dispatchByVersion: one superset parse, per-version narrowing") {
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(StructField("id", LongType)))
+    val v2 = StructType(v1.fields :+ StructField("tier", StringType))
+    val wire = Seq(
+      """{"payload":{"after":{"id":1},"source":{"db":"d","table":"t"},"op":"c","ts_ms":1}}""",
+      """{"payload":{"after":{"id":2,"tier":"gold"},"source":{"db":"d","table":"t"},"op":"c","ts_ms":2}}""")
+      .toDF("value")
+    val sup = graft.streaming.CdcStream.supersetSchema(Seq(1L -> v1, 2L -> v2))
+    assert(sup.fieldNames.toSeq == Seq("id", "tier"))
+    val routed = graft.streaming.CdcStream
+      .dispatchByVersion(wire, Seq(1L -> v1, 2L -> v2)).toMap
+    // each slice narrows to its OWN schema — v1 must not leak `tier`
+    assert(routed(1L).schema("after").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("id"))
+    assert(routed(2L).schema("after").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("id", "tier"))
+    assert(routed(1L).select("after.id").as[Long].collect().toSeq == Seq(1L))
+    assert(routed(2L).select("after.tier").as[String].collect().toSeq ==
+      Seq("gold"))
+  }
+
+  test("cls_corr: moments match brute-force recomputation") {
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (math.floor(r.getDouble(0)).toLong,
+        math.floor(r.getDouble(1)).toLong))
+    val out = graft.classify.ClassifyQueries.clsCorr(spark, sf001)
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+    val r = out("l_quantity~l_extendedprice")
+    assert(r.getAs[Long]("n") == li.length)
+    assert(r.getAs[Long]("sx") == li.map(_._1).sum)
+    assert(r.getAs[Long]("sy") == li.map(_._2).sum)
+    assert(r.getAs[Long]("sxy") == li.map(p => p._1 * p._2).sum)
+    assert(r.getAs[Long]("sxx") == li.map(p => p._1 * p._1).sum)
+  }
+
+  test("q36_mad: type-1 median and MAD match a brute-force sort") {
+    val cents = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+          .cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted }
+    def typ1(xs: Array[Long]): Long = xs((xs.length + 1) / 2 - 1)
+    graft.ops.Relational.q36(spark, sf001).collect().foreach { r =>
+      val xs = cents(r.getAs[String]("l_returnflag"))
+      val med = typ1(xs)
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(r.getAs[Long]("median_cents") == med)
+      assert(r.getAs[Long]("mad_cents") ==
+        typ1(xs.map(x => math.abs(x - med)).sorted))
+    }
+  }
+
+  test("str_retention: offset-0 equals cohort size; no offset exceeds it") {
+    val out = graft.streaming.EventStreams.strRetention(spark, sf001)
+      .collect()
+      .groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    out.foreach { case (_, rows) =>
+      val byOff = rows.map(r =>
+        r.getAs[Long]("day_offset") -> r.getAs[Long]("n_users")).toMap
+      assert(byOff.contains(0L), "cohort missing its own day-0 row")
+      byOff.foreach { case (_, n) => assert(n <= byOff(0L)) }
+    }
+    // every user belongs to exactly one cohort
+    val totalUsers = Tables.events(spark, sf001)
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    assert(out.values.map(_.collectFirst {
+      case r if r.getAs[Long]("day_offset") == 0L => r.getAs[Long]("n_users")
+    }.get).sum == totalUsers)
+  }
+
+  test("str_transitions: conservation — transitions = events − users") {
+    val n = graft.streaming.EventStreams.strTransitions(spark, sf001)
+      .agg(sum(col("n"))).as[Long].head()
+    val ev = Tables.events(spark, sf001)
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    assert(n == nEvents - nUsers,
+      s"per-user lag must emit exactly one transition per non-first event")
+  }
+
+  test("cdc_conflict_lww: priority and recency paths both resolve to b") {
+    val out = graft.cdc.CdcQueries.conflictLww(spark, sf001)
+      .collect().map(r => r.getAs[String]("site") -> r).toMap
+    val ids = Tables.events(spark, sf001)
+      .select(col("event_id")).as[Long].collect()
+    val nB = ids.count(_ % 3 == 0).toLong
+    // site b writes every 3rd key and always prevails: odd keys by
+    // later timestamp, even keys by site priority at EQUAL timestamp
+    assert(out("b").getAs[Long]("n_wins") == nB)
+    assert(out("b").getAs[Long]("n_conflicts") == nB)
+    assert(out("a").getAs[Long]("n_wins") == ids.length - nB)
+    assert(out("a").getAs[Long]("n_conflicts") == 0L)
+  }
+
+  test("txt_hapax: census matches brute-force per-language df") {
+    val tf = Tables.documents(spark, sf001)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.groupBy(_.getString(1)).map(_._2.length.toLong) }
+    graft.text.TextAnalysis.txtHapax(spark, sf001).collect().foreach { r =>
+      val dfs = tf(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("vocab_size") == dfs.size)
+      assert(r.getAs[Long]("n_hapax") == dfs.count(_ == 1L))
+      assert(r.getAs[Long]("total_tokens") == dfs.sum)
+    }
+  }
+
+  test("emb_drift: every leading dim accounts for every vector") {
+    val total = Tables.embeddings(spark, sf001).count()
+    val out = graft.sim.EmbOps.embDrift(spark, sf001).collect()
+    assert(out.map(_.getAs[Long]("dim")).toSeq == (0L until 8L))
+    out.foreach(r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == total))
+  }
+
+  test("dedup memo: repeated lookups return the SAME checkpointed frame") {
+    val a = graft.dedup.Dedup.pairs09(spark, sf001)
+    val b = graft.dedup.Dedup.pairs09(spark, sf001)
+    assert(a eq b, "memo must hand every consumer one materialized frame")
+    assert(graft.dedup.Dedup.labels09(spark, sf001) eq
+      graft.dedup.Dedup.labels09(spark, sf001))
+  }
+
+  test("layoutTag: mtime-independent, content-sensitive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tag").toFile
+    val f = new java.io.File(dir, "a.parquet")
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](9000)(7))
+    val t1 = Tables.layoutTag(dir.getPath)
+    f.setLastModified(f.lastModified() - 86400000L)
+    assert(Tables.layoutTag(dir.getPath) == t1,
+      "a fresh mtime over identical bytes must keep the layout tag")
+    val bytes = Array.fill[Byte](9000)(7); bytes(8999) = 8
+    java.nio.file.Files.write(f.toPath, bytes)
+    assert(Tables.layoutTag(dir.getPath) != t1,
+      "changed content must abandon the cached layout")
+  }
+
+  test("cls_psi_drift: shares conserve the orders population") {
+    val out = graft.classify.ClassifyQueries.clsPsiDrift(spark, sf001)
+      .collect()
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(out.map(r =>
+      r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum == nOrders)
+    assert(out.forall(r => r.getAs[Long]("bucket") <= 9L))
+  }
+}
