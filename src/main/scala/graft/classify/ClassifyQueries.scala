@@ -530,9 +530,26 @@ object ClassifyQueries extends QueryModule {
       .unionAll(centsOf(Tables.lineitem(spark, dir),
         "l_extendedprice", "l_quantity"))
     val hist = vals.groupBy("col_name", "cents").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("col_name").orderBy("cents")
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    // two-level cumulative count: a window partitioned by col_name
+    // alone sorts each column's WHOLE value grid in one task (~500k
+    // hist rows per column at sf0.1; worse at scale for fine-grained
+    // amounts). Shard the grid into contiguous cents ranges, run the
+    // running sum within (col_name, shard), and offset by the
+    // exclusive prefix sum over the aggregated per-shard totals —
+    // identical cum values, parallel sorts (globalShuffle pattern).
+    import org.apache.spark.sql.expressions.Window
+    val sharded = hist.withColumn("_sh", expr("cents div 1048576"))
+    val offW = Window.partitionBy("col_name").orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("col_name", "_sh")
+      .agg(sum(col("cnt")).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(offW), lit(0L)))
+      .select(col("col_name"), col("_sh"), col("_off"))
+    val localW = Window.partitionBy("col_name", "_sh").orderBy("cents")
+    val cum = sharded
+      .withColumn("_lc", sum(col("cnt")).over(localW))
+      .join(offsets, Seq("col_name", "_sh"))
+      .withColumn("cum", col("_off") + col("_lc"))
       .join(hist.groupBy("col_name").agg(sum(col("cnt")).as("n")), "col_name")
     val fences = cum.groupBy("col_name")
       .agg(max(col("n")).as("n_values"),

@@ -136,6 +136,44 @@ object MaskQueries extends QueryModule {
       |  translate(phone, '0123456789', '3456789012') AS masked
       |FROM src ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------- mask_fpe_alpha
+  /** KEYED format-preserving letter substitution: the permutation of
+    * a–z is derived from the md5 of a salt by Fisher–Yates (md5's 128
+    * bits cover log₂(26!) ≈ 88 — a full-entropy draw), computed once
+    * on the driver, applied as a codegen `translate` over both cases.
+    * Different salt ⇒ different permutation ⇒ re-keyable masking, while
+    * length, case pattern, and non-letters survive exactly — the
+    * FieldShield-style alpha FPE beside [[MaskFunctions.fpeDigits]]'
+    * fixed digit map. The oracle rebuilds nothing: the derived
+    * permutation is embedded verbatim in its `translate`. */
+  private[graft] def alphaPerm(salt: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var seed = BigInt(1, md.digest(salt.getBytes("UTF-8")))
+    val arr = ('a' to 'z').toArray
+    for (i <- arr.length - 1 to 1 by -1) {
+      val j = (seed % (i + 1)).toInt
+      seed /= (i + 1)
+      val t = arr(i); arr(i) = arr(j); arr(j) = t
+    }
+    new String(arr)
+  }
+
+  private val alphaFrom = "abcdefghijklmnopqrstuvwxyz"
+  private val alphaTo = alphaPerm("graft")
+
+  def maskFpeAlpha(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        translate(col("c_name"), alphaFrom + alphaFrom.toUpperCase,
+          alphaTo + alphaTo.toUpperCase).as("masked"))
+      .orderBy("c_custkey")
+
+  val maskFpeAlphaSql: String =
+    s"""SELECT c_custkey, c_name,
+       |  translate(c_name, '$alphaFrom${alphaFrom.toUpperCase}',
+       |    '$alphaTo${alphaTo.toUpperCase}') AS masked
+       |FROM customer ORDER BY c_custkey""".stripMargin
+
   def maskEmail(spark: SparkSession, dir: String): DataFrame = {
     val email = concat(lower(regexp_replace(col("c_name"), "#", ".")),
       lit("@example.com"))
@@ -521,6 +559,7 @@ object MaskQueries extends QueryModule {
     "mask_blur" -> (maskBlur _),
     "mask_dateshift" -> (maskDateShift _),
     "mask_fpe_digits" -> (maskFpe _),
+    "mask_fpe_alpha" -> (maskFpeAlpha _),
     "mask_email" -> (maskEmail _),
     "mask_tokenize" -> (maskTokenize _),
     "mask_classified" -> (maskClassified _))
@@ -541,6 +580,7 @@ object MaskQueries extends QueryModule {
     "mask_blur" -> maskBlurSql,
     "mask_dateshift" -> maskDateShiftSql,
     "mask_fpe_digits" -> maskFpeSql,
+    "mask_fpe_alpha" -> maskFpeAlphaSql,
     "mask_email" -> maskEmailSql,
     "mask_tokenize" -> maskTokenizeSql,
     "mask_classified" -> maskClassifiedSql)

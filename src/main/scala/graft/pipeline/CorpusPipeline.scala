@@ -948,7 +948,67 @@ object CorpusPipeline extends QueryModule {
       |      THEN nt END) AS p90_tokens
       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ pipe_dataset_diff
+  /** Dataset VERSION diff — the release-engineering view a corpus
+    * publisher ships with every refresh: per source, how many docs
+    * were added, removed, changed, or untouched between v1 and v2.
+    * v2 is synthesized deterministically from v1 (every 11th doc
+    * dropped, every remaining 7th doc edited, every 13th re-ingested
+    * under a new id) so the oracle recomputes both versions. Shape:
+    * content collapses to md5 DIGESTS before the join, so the
+    * full-outer diff join shuffles (id, source, 32-byte hash) — never
+    * document bodies — and the report is a |sources|×|statuses| fold.
+    * At 100 TB this is the manifest-diff pattern: hash at the scan,
+    * join on the key, compare digests. */
+  def datasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text")))
+    def digests(df: DataFrame, tag: String): DataFrame =
+      df.select(col("doc_id"), col("source").as(s"src_$tag"),
+        md5(col("text")).as(s"h_$tag"))
+    digests(v1, "a").join(digests(v2, "b"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_b").isNull, "removed")
+          .when(col("h_a").isNull, "added")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  def pipeDatasetDiff(spark: SparkSession, dir: String): DataFrame =
+    datasetDiff(spark, dir)
+
+  val pipeDatasetDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+      |      AS text
+      |  FROM v1 WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, text
+      |  FROM v1 WHERE doc_id % 13 = 0),
+      |j AS (
+      |  SELECT COALESCE(a.source, b.source) AS source,
+      |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+      |         WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT source, status, COUNT(*) AS n_docs
+      |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dataset_diff" -> (pipeDatasetDiff _),
     "pipe_corpus_filter" -> (pipeCorpusFilter _),
     "pipe_sample_stratified" -> (pipeSampleStratified _),
     "pipe_pack_sequences" -> (pipePackSequences _),
@@ -968,6 +1028,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_dataset_diff" -> pipeDatasetDiffSql,
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
     "pipe_sample_stratified" -> pipeSampleStratifiedSql,
     "pipe_pack_sequences" -> pipePackSequencesSql,

@@ -479,7 +479,70 @@ object Knn extends QueryModule {
        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------------------------- knn_rerank
+  /** Two-stage retrieval: a CHEAP quantized shortlist, then an exact
+    * re-rank of only the survivors — the pattern every production ANN
+    * stack ends with (the index prunes, the re-ranker restores the
+    * true metric; recall lost to quantization comes back as long as
+    * the truth is inside the shortlist). Stage 1 scores int6-quantized
+    * components (⌊64x⌋ — integer-valued doubles, so the score is exact
+    * in BOTH engines, no float-rounding divergence in the shortlist
+    * boundary); stage 2 re-scores the L=20 survivors with the exact
+    * normalized dot and keeps top-5, reporting each hit's stage-1 rank
+    * (>5 values prove the re-rank actually reorders). At scale stage 1
+    * is where the index goes (IVF/PQ over the quantized codes); the
+    * verified content is the two-stage rank arithmetic. */
+  def knnRerank(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), norm(col("embedding")).as("qe"))
+      .withColumn("qz", expr("transform(qe, x -> cast(floor(x * 64) as double))"))
+    val c = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("nid"), norm(col("embedding")).as("ne"))
+      .withColumn("nz", expr("transform(ne, x -> cast(floor(x * 64) as double))"))
+    val short = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        fastDot(col("qz"), col("nz")).as("zc"),
+        fastDot(col("qe"), col("ne")).as("c"))
+      .withColumn("stage1_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("zc"), col("nid"))).cast("long"))
+      .filter(col("stage1_rank") <= 20)
+    short
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("nid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("stage1_rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val knnRerankSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |z AS (
+       |  SELECT vec_id, e,
+       |    list_transform(e, x -> CAST(FLOOR(x * 64) AS DOUBLE)) AS zv
+       |  FROM n),
+       |s1 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_dot_product(q.zv, c.zv) AS zc,
+       |    list_dot_product(q.e, c.e) AS c
+       |  FROM z q JOIN z c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |r1 AS (
+       |  SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY zc DESC, nid) AS stage1_rank
+       |  FROM s1),
+       |r2 AS (
+       |  SELECT qid, nid, stage1_rank, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY c DESC, nid) AS rank
+       |  FROM r1 WHERE stage1_rank <= 20)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid,
+       |  CAST(stage1_rank AS BIGINT) AS stage1_rank
+       |FROM r2 WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_rerank" -> (knnRerank _),
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_bruteforce" -> (knnBrute _),
@@ -492,6 +555,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_rerank" -> knnRerankSql,
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_bruteforce" -> knnBruteSql,

@@ -864,7 +864,59 @@ object TextAnalysis extends QueryModule {
       |    AS suspect_pm
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------- txt_novelty
+  /** Per-document n-gram NOVELTY in corpus order — the "how much of
+    * this doc has the corpus already seen" profile (the streaming-
+    * ingest complement of span dedup: attribution goes to the FIRST
+    * doc_id carrying each 5-gram, so re-crawls and syndicated copies
+    * score near zero while fresh content scores high). Shape: one
+    * linear gram explode + distinct, one min-agg on the 8-byte gram
+    * hash (combiner-friendly — a boilerplate gram partial-aggregates
+    * map-side), one join back on the same hash partitioning, one
+    * per-doc fold. No windows, no pair joins — the dedup_span shape
+    * with min-attribution instead of a document-frequency test. */
+  def txtNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(call_function(graft.expr.VectorExprs.ngramsName,
+          words(col("text")), lit(5))).as("g"))
+      .select(col("doc_id"),
+        graft.mask.MaskFunctions.portableHash(col("g")).as("gh"))
+      .distinct()
+    val first = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("n_novel * 1000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val txtNoveltySql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x'||substr(md5(g),1,8))::BIGINT AS gh
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(w) - 3),
+      |        i -> array_to_string(w[i:i+4], ' '))) AS g
+      |    FROM docs) t),
+      |f AS (SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+      |    * 1000 // COUNT(*) AS BIGINT) AS novelty_pm
+      |FROM grams g JOIN f USING (gh)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_novelty" -> (txtNovelty _),
     "txt_hapax" -> (txtHapax _),
     "txt_encoding_audit" -> (txtEncodingAudit _),
     "txt_vocab_coverage" -> (txtVocabCoverage _),
@@ -885,6 +937,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_novelty" -> txtNoveltySql,
     "txt_hapax" -> txtHapaxSql,
     "txt_encoding_audit" -> txtEncodingAuditSql,
     "txt_vocab_coverage" -> txtVocabCoverageSql,

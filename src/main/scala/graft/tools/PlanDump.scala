@@ -45,7 +45,13 @@ object PlanDump {
       "txt_html_strip", "dedup_bloom", "cls_outliers",
       "txt_vocab_coverage", "txt_readability",
       "pipe_domain_filter", "cls_inclusion_deps",
-      "src_malformed_audit", "cdc_txn_assemble", "knn_graph").distinct
+      "src_malformed_audit", "cdc_txn_assemble", "knn_graph",
+      // r7: the three perf fixes + the round's new operators
+      "txt_rarity", "q36_mad", "cdc_conflict_lww", "cls_corr",
+      "cls_psi_drift", "mask_fpe_alpha", "str_retention",
+      "str_transitions", "pipe_dataset_diff", "emb_drift",
+      "knn_rerank", "txt_hapax", "txt_encoding_audit",
+      "txt_novelty").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

@@ -160,4 +160,43 @@ class PlanSpec extends SparkSpec {
           offenders.mkString("\n"))
     }
   }
+
+  test("r7 fixes: no unpartitioned window anywhere; drift parses once") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    // the r6 verdict's WindowExec warning: every window in the fixed
+    // operators must carry a partition spec (bounded prefix-sum
+    // windows use a deliberate non-foldable constant key)
+    for ((name, df) <- Seq(
+        ("txt_rarity", graft.text.TextAnalysis.txtRarity(spark, sfDir)),
+        ("txt_vocab_coverage",
+          graft.text.TextAnalysis.txtVocabCoverage(spark, sfDir)),
+        ("cls_outliers",
+          graft.classify.ClassifyQueries.clsOutliers(spark, sfDir)),
+        ("pipe_global_shuffle",
+          graft.pipeline.CorpusPipeline.pipeGlobalShuffle(spark, sfDir)))) {
+      df.collect()
+      val bare = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$name still has an unpartitioned window:\n${bare.mkString("\n")}")
+    }
+    // single-pass drift dispatch: the whole plan holds exactly ONE
+    // JSON envelope parse, however many schema versions are live
+    val drift = graft.cdc.CdcQueries.driftDispatch(spark, sfDir)
+    drift.collect()
+    val plan = drift.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses == 1,
+      s"drift dispatch must parse the wire once, found $parses:\n" +
+        plan.take(2000))
+  }
 }

@@ -185,6 +185,77 @@ class R7OpsSpec extends SparkSpec {
       "changed content must abandon the cached layout")
   }
 
+  test("knn_rerank: exact order restored inside the shortlist") {
+    val out = graft.sim.Knn.knnRerank(spark, sf001).collect()
+    val brute = graft.sim.Knn.knnBrute(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Int]("rank"))
+      // the exact re-rank must agree with the exact brute-force top-k
+      // wherever the truth survived the stage-1 shortlist; rank 1 of a
+      // 20-deep quantized shortlist virtually always does
+      if (r.getAs[Int]("rank") == 1)
+        assert(brute(key) == r.getAs[Long]("nid"),
+          s"q=${key._1}: rerank top-1 ${r.getAs[Long]("nid")} != brute ${brute(key)}")
+      assert(r.getAs[Long]("stage1_rank") <= 20L)
+    }
+    // the re-rank must actually reorder somewhere, or stage 2 is dead
+    assert(out.exists(r =>
+      r.getAs[Long]("stage1_rank") != r.getAs[Int]("rank").toLong))
+  }
+
+  test("txt_novelty: first doc is fully novel; totals conserve grams") {
+    val rows = graft.text.TextAnalysis.txtNovelty(spark, sf001).collect()
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"),
+      "the lowest doc_id must own every one of its grams")
+    // every distinct gram is novel exactly once across the corpus
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    val distinctGrams = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.call_function(
+          graft.expr.VectorExprs.ngramsName,
+          split(col("text"), "\\s+"), lit(5))).as("g"))
+      .select(graft.mask.MaskFunctions.portableHash(col("g")))
+      .distinct().count()
+    assert(totalNovel == distinctGrams)
+  }
+
+  test("pipe_dataset_diff: statuses partition both versions exactly") {
+    val out = graft.pipeline.CorpusPipeline.pipeDatasetDiff(spark, sf001)
+      .collect()
+      .groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val n = Tables.documents(spark, sf001).count()
+    val ids = Tables.documents(spark, sf001)
+      .select(col("doc_id")).as[Long].collect()
+    val removed = ids.count(_ % 11 == 0).toLong
+    val added = ids.count(_ % 13 == 0).toLong
+    val changed = ids.count(i => i % 11 != 0 && i % 7 == 0).toLong
+    assert(out("removed") == removed)
+    assert(out("added") == added)
+    assert(out("changed") == changed)
+    assert(out("unchanged") == n - removed - changed)
+  }
+
+  test("mask_fpe_alpha: a bijection that preserves format and case") {
+    val perm = graft.mask.MaskQueries.alphaPerm("graft")
+    assert(perm.sorted == "abcdefghijklmnopqrstuvwxyz", "not a permutation")
+    assert(perm != "abcdefghijklmnopqrstuvwxyz", "identity permutation")
+    val rows = graft.mask.MaskQueries.maskFpeAlpha(spark, sf001).collect()
+    rows.foreach { r =>
+      val (orig, masked) = (r.getAs[String]("c_name"), r.getAs[String]("masked"))
+      assert(masked.length == orig.length)
+      orig.zip(masked).foreach { case (o, m) =>
+        if (o.isLetter) {
+          assert(m.isLetter && o.isUpper == m.isUpper)
+          assert(m.toLower == perm(o.toLower - 'a'))
+        } else assert(m == o, s"non-letter '$o' must survive")
+      }
+    }
+  }
+
   test("cls_psi_drift: shares conserve the orders population") {
     val out = graft.classify.ClassifyQueries.clsPsiDrift(spark, sf001)
       .collect()
