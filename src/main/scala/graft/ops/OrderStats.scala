@@ -34,6 +34,42 @@ object OrderStats {
       .withColumn("n", max(col("hi")).over(byGroup))
   }
 
+  /** Two-level variant of [[cumulativeHistogram]] for HIGH-cardinality
+    * value domains (fine-grained amounts whose histogram approaches
+    * the row count): identical (c, lo, hi, n) output, but the
+    * cumulative count is decomposed so no window ever partitions by
+    * the group alone. Shards are contiguous value ranges
+    * (`value div shardWidth`), the running sum runs within
+    * (group, shard) — parallel, bounded partitions — and shard
+    * offsets come from an exclusive prefix sum over the aggregated
+    * per-shard totals; `n` is a broadcast |groups|-row join, not a
+    * whole-histogram max window. Requires a NON-NEGATIVE value domain
+    * (truncating integer div would break shard contiguity across
+    * zero). */
+  def cumulativeHistogramSharded(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, shardWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(col)
+    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("_sh", expr(s"$valueCol div $shardWidth"))
+    val offW = Window.partitionBy(gCols: _*).orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy((gCols :+ col("_sh")): _*)
+      .agg(sum(col("c")).as("_sc"))
+      .withColumn("_off", coalesce(sum(col("_sc")).over(offW), lit(0L)))
+      .select(gCols :+ col("_sh") :+ col("_off"): _*)
+    val totals = hist.groupBy(gCols: _*).agg(sum(col("c")).as("n"))
+    val localW = Window.partitionBy(gCols :+ col("_sh"): _*)
+      .orderBy(valueCol)
+    hist.withColumn("_lc", sum(col("c")).over(localW))
+      .join(offsets, groupCols :+ "_sh")
+      .withColumn("hi", col("_off") + col("_lc"))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .join(broadcast(totals), groupCols)
+      .drop("_sh", "_lc", "_off")
+  }
+
   /** Does this histogram row's rank range cover rank `k`? The selected
     * VALUE is tie-invariant: a row covers the whole [lo, hi] span of
     * its duplicates. */

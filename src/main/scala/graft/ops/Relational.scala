@@ -1041,19 +1041,24 @@ object Relational extends graft.QueryModule {
     * `cls_outliers` fences off). Exact integers end to end: values
     * widen to cents through DECIMAL, both medians are the TYPE-1 lower
     * median (smallest value whose cumulative count reaches ⌈n/2⌉) by
-    * [[OrderStats.cumulativeHistogram]] selection, deviations are
-    * integer |x − med|. Two passes by necessity (MAD is a composed
-    * statistic — the second histogram needs the first's median); each
-    * pass is a map-side-combining (group, value) histogram whose
-    * window sees only distinct values, and the 3-row median frame
-    * broadcasts back. */
+    * [[OrderStats.cumulativeHistogramSharded]] selection (the
+    * two-level cum decomposition — cents are near-unique, so the
+    * histogram is corpus-sized and a group-only window would
+    * single-task it), deviations are integer |x − med|. Two passes by
+    * necessity (MAD is a composed statistic — the second histogram
+    * needs the first's median); each pass is a map-side-combining
+    * (group, value) histogram, and the 3-row median frame broadcasts
+    * back. */
   def q36(spark: SparkSession, dir: String): DataFrame = {
     import OrderStats._
     import org.apache.spark.sql.types.DecimalType
     val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("long").as("cents"))
-    val med = cumulativeHistogram(vals, Seq("l_returnflag"), "cents")
+    // sharded cum-histogram: l_extendedprice cents are near-unique, so
+    // the per-group histogram is corpus-sized — the plain group-only
+    // window would single-task it
+    val med = cumulativeHistogramSharded(vals, Seq("l_returnflag"), "cents")
       .groupBy("l_returnflag")
       .agg(max(col("n")).as("n"),
         min(when(holdsRank(midRank1), col("cents"))).as("median_cents"))
@@ -1062,7 +1067,7 @@ object Relational extends graft.QueryModule {
         "l_returnflag")
       .select(col("l_returnflag"),
         abs(col("cents") - col("median_cents")).as("dev"))
-    cumulativeHistogram(dev, Seq("l_returnflag"), "dev")
+    cumulativeHistogramSharded(dev, Seq("l_returnflag"), "dev")
       .groupBy("l_returnflag")
       .agg(min(when(holdsRank(midRank1), col("dev"))).as("mad_cents"))
       .join(med, "l_returnflag")

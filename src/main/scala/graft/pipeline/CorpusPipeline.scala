@@ -651,14 +651,13 @@ object CorpusPipeline extends QueryModule {
     * Cost beyond the components run the dedup pass already does: one
     * hash of the label and a broadcast-sized audit join. */
   def pipeSplitByCluster(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.VectorExprs.register(spark)
     val docs = Tables.documents(spark, dir)
-    // the pair set feeds BOTH the components run (its own actions) and
-    // the final audit join — without a checkpoint the second consumer
-    // replays the whole Jaccard pair join; same executor-storage
-    // tradeoff as Dedup.components' per-round checkpoint
-    val pairs = Dedup.ngramJaccard(docs, 0.9).localCheckpoint()
-    val assign = Dedup.components(docs, pairs).select(col("doc_id"),
+    // the session-scoped memo hands back the SAME checkpointed pair
+    // set and label frame the dedup keys already materialized — the
+    // pair join and the components iteration run once per JVM, not
+    // once per consumer key
+    val pairs = Dedup.pairs09(spark, dir)
+    val assign = Dedup.labels09(spark, dir).select(col("doc_id"),
       when(pmod(graft.mask.MaskFunctions.portableHash(col("lbl")),
         lit(10L)) === 0L, "heldout").otherwise("train").as("split"))
     val x = pairs
