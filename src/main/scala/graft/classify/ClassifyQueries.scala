@@ -803,7 +803,76 @@ object ClassifyQueries extends QueryModule {
       |    AS diff_pm
       |FROM g CROSS JOIN tot ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ cls_datatype_infer
+  /** Data-type inference over STRING columns — the profiler step that
+    * recovers schema from text dumps (every CSV/mainframe ingest needs
+    * it before typed processing): per column, how many values parse as
+    * integer / numeric / ISO date, and the inferred verdict by strict
+    * precedence (int ⊃ numeric, so int wins only when EVERY value is
+    * integral; any miss falls through to string). Anchored regexes are
+    * engine-identical; the mixed column proves the fall-through. One
+    * orders scan melts all profiled columns (explode), one hash-agg.
+    * Doubles are never cast to string (float formatting diverges
+    * across engines) — profiled strings are built from ints, dates,
+    * and existing text only. */
+  def clsDatatypeInfer(spark: SparkSession, dir: String): DataFrame = {
+    val cols: Seq[(String, Column)] = Seq(
+      ("order_key_str", col("o_orderkey").cast("string")),
+      ("order_date_str", col("o_orderdate").cast("date").cast("string")),
+      ("priority_str", col("o_orderpriority")),
+      ("mixed_str", when(col("o_orderkey") % 3 === 0,
+        col("o_orderkey").cast("string")).otherwise(col("o_orderpriority"))))
+    val isInt = col("v").rlike("^[+-]?[0-9]+$")
+    val isNum = col("v").rlike("^[+-]?[0-9]+(\\.[0-9]+)?$")
+    val isDate = col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    Tables.orders(spark, dir)
+      .select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.as("v"))
+      }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        sum(when(isInt, 1L).otherwise(0L)).as("n_int"),
+        sum(when(isNum, 1L).otherwise(0L)).as("n_num"),
+        sum(when(isDate, 1L).otherwise(0L)).as("n_date"))
+      .withColumn("verdict",
+        when(col("n_int") === col("n"), "integer")
+          .when(col("n_num") === col("n"), "numeric")
+          .when(col("n_date") === col("n"), "date")
+          .otherwise("string"))
+      .orderBy("col_name")
+  }
+
+  val clsDatatypeInferSql: String =
+    """WITH m AS (
+      |  SELECT 'order_key_str' AS col_name,
+      |    CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      |  UNION ALL SELECT 'order_date_str',
+      |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'priority_str', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'mixed_str',
+      |    CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+      |         ELSE o_orderpriority END FROM orders),
+      |g AS (
+      |  SELECT col_name, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+      |    CAST(SUM(CASE WHEN regexp_matches(v,
+      |      '^[+-]?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_num,
+      |    CAST(SUM(CASE WHEN regexp_matches(v,
+      |      '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_date
+      |  FROM m GROUP BY col_name)
+      |SELECT col_name, n, n_int, n_num, n_date,
+      |  CASE WHEN n_int = n THEN 'integer'
+      |       WHEN n_num = n THEN 'numeric'
+      |       WHEN n_date = n THEN 'date'
+      |       ELSE 'string' END AS verdict
+      |FROM g ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_datatype_infer" -> (clsDatatypeInfer _),
     "cls_corr" -> (clsCorr _),
     "cls_psi_drift" -> (clsPsiDrift _),
     "cls_inclusion_deps" -> (clsInclusionDeps _),
@@ -822,6 +891,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_datatype_infer" -> clsDatatypeInferSql,
     "cls_corr" -> clsCorrSql,
     "cls_psi_drift" -> clsPsiDriftSql,
     "cls_inclusion_deps" -> clsInclusionDepsSql,

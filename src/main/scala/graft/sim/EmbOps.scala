@@ -559,7 +559,65 @@ object EmbOps extends QueryModule {
       |    AS shift_x
       |FROM g ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------- emb_outliers
+  /** Per-cluster embedding outliers — the mislabeled/noise detector a
+    * labeled vector corpus runs before training (a vector far from
+    * its own label's centroid is a labeling error or garbage
+    * ingest). Exact integer throughout: components quantize to milli
+    * units, the per-(label, dim) SUM plays the centroid (mean × n),
+    * and each vector scores Σ_d (n·x_d − S_d)² — n²·(distance to
+    * centroid)², same argsort, no division, no sqrt. Top-3 per label
+    * by (score desc, vec_id). Shape: bounded posexplode, one
+    * combiner-friendly (label, dim) sum-agg broadcast back, one
+    * per-vector agg; the per-label rank filter runs as a partial
+    * map-side WindowGroupLimit (k=3 state per task). */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v") * 1000).cast("long").as("milli"))
+    val sums = x.groupBy("label", "dim")
+      .agg(sum(col("milli")).as("s"), count(lit(1)).as("n"))
+    x.join(broadcast(sums), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("(n * milli - s) * (n * milli - s)")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("label")
+        .orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("label"), col("rnk"), col("vec_id"), col("score"))
+      .orderBy("label", "rnk")
+  }
+
+  val embOutliersSql: String =
+    """WITH dims AS (SELECT UNNEST(range(256)) AS dim),
+      |x AS (
+      |  SELECT vec_id, label, d.dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(d.dim AS INTEGER) + 1]
+      |      AS DOUBLE) * 1000) AS BIGINT) AS milli
+      |  FROM embeddings CROSS JOIN dims d
+      |  WHERE len(embedding) > d.dim),
+      |sums AS (
+      |  SELECT label, dim, CAST(SUM(milli) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM x GROUP BY label, dim),
+      |scored AS (
+      |  SELECT x.vec_id, x.label,
+      |    CAST(SUM((n * milli - s) * (n * milli - s)) AS BIGINT)
+      |      AS score
+      |  FROM x JOIN sums ON x.label = sums.label AND x.dim = sums.dim
+      |  GROUP BY x.vec_id, x.label),
+      |r AS (
+      |  SELECT label, vec_id, score, ROW_NUMBER() OVER (
+      |    PARTITION BY label ORDER BY score DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, score
+      |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "emb_drift" -> (embDrift _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "emb_norm_audit" -> (embNormAudit _),
@@ -570,6 +628,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_outliers" -> embOutliersSql,
     "emb_drift" -> embDriftSql,
     "emb_norm_audit" -> embNormAuditSql,
     "emb_quantize" -> embQuantizeSql,

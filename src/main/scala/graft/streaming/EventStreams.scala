@@ -447,7 +447,84 @@ object EventStreams extends QueryModule {
       |FROM o WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------- str_anomaly
+  /** Robust anomaly detection per event type — the median/MAD gate
+    * (immune to the very outliers it hunts, unlike mean/stddev): an
+    * event is anomalous when its |value − median| exceeds 3×MAD, all
+    * in exact integer cents via the value-histogram selection
+    * ([[graft.ops.OrderStats]] — windows only ever see the bounded
+    * (type, cents) histogram, never event rows). Per type: n, median,
+    * MAD, anomaly count, the worst deviation. The same median/MAD
+    * frame is what a streaming deployment would broadcast as
+    * reference state and compare per micro-batch. */
+  def strAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats._
+    import org.apache.spark.sql.types.DecimalType
+    val vals = Tables.events(spark, dir).select(col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val med = cumulativeHistogram(vals, Seq("event_type"), "cents")
+      .groupBy("event_type")
+      .agg(min(when(holdsRank(midRank1), col("cents")))
+        .as("median_cents"))
+    val dev = vals.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("median_cents"),
+        abs(col("cents") - col("median_cents")).as("dev"))
+    val mad = cumulativeHistogram(dev.select("event_type", "dev"),
+        Seq("event_type"), "dev")
+      .groupBy("event_type")
+      .agg(min(when(holdsRank(midRank1), col("dev"))).as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_anomalies"),
+        max(col("dev")).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  val strAnomalySql: String =
+    """WITH v AS (
+      |  SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |h AS (SELECT g, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |ch AS (SELECT g, cents, c,
+      |         CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents)
+      |           AS BIGINT) AS hi
+      |       FROM h),
+      |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g),
+      |med AS (
+      |  SELECT ch.g,
+      |    MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
+      |          AND (n.n + 1) // 2 <= hi THEN cents END) AS median_cents
+      |  FROM ch JOIN n ON ch.g = n.g GROUP BY ch.g),
+      |d AS (SELECT v.g, m.median_cents,
+      |        ABS(v.cents - m.median_cents) AS dev
+      |      FROM v JOIN med m ON v.g = m.g),
+      |h2 AS (SELECT g, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |ch2 AS (SELECT g, dev, c,
+      |          CAST(SUM(c) OVER (PARTITION BY g ORDER BY dev)
+      |            AS BIGINT) AS hi
+      |        FROM h2),
+      |mad AS (
+      |  SELECT ch2.g,
+      |    MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
+      |          AND (n.n + 1) // 2 <= hi THEN dev END) AS mad_cents
+      |  FROM ch2 JOIN n ON ch2.g = n.g GROUP BY ch2.g)
+      |SELECT d.g AS event_type, COUNT(*) AS n,
+      |  CAST(MAX(d.median_cents) AS BIGINT) AS median_cents,
+      |  CAST(MAX(mad.mad_cents) AS BIGINT) AS mad_cents,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anomalies,
+      |  CAST(MAX(d.dev) AS BIGINT) AS max_dev
+      |FROM d JOIN mad ON d.g = mad.g
+      |GROUP BY d.g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_anomaly" -> (strAnomaly _),
     "str_retention" -> (strRetention _),
     "str_transitions" -> (strTransitions _),
     "str_funnel" -> (strFunnel _),
@@ -464,6 +541,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_anomaly" -> strAnomalySql,
     "str_retention" -> strRetentionSql,
     "str_transitions" -> strTransitionsSql,
     "str_funnel" -> strFunnelSql,

@@ -51,7 +51,8 @@ object PlanDump {
       "cls_psi_drift", "mask_fpe_alpha", "str_retention",
       "str_transitions", "pipe_dataset_diff", "emb_drift",
       "knn_rerank", "txt_hapax", "txt_encoding_audit",
-      "txt_novelty").distinct
+      "txt_novelty", "str_anomaly", "cls_datatype_infer",
+      "emb_outliers").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

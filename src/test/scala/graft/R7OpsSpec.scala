@@ -256,6 +256,70 @@ class R7OpsSpec extends SparkSpec {
     }
   }
 
+  test("str_anomaly: median/MAD match brute force; gate flags correctly") {
+    val cents = Tables.events(spark, sf001)
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * lit(100)).cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted }
+    def typ1(xs: Array[Long]): Long = xs((xs.length + 1) / 2 - 1)
+    graft.streaming.EventStreams.strAnomaly(spark, sf001).collect()
+      .foreach { r =>
+        val xs = cents(r.getAs[String]("event_type"))
+        val med = typ1(xs)
+        val devs = xs.map(x => math.abs(x - med))
+        val mad = typ1(devs.sorted)
+        assert(r.getAs[Long]("n") == xs.length)
+        assert(r.getAs[Long]("median_cents") == med)
+        assert(r.getAs[Long]("mad_cents") == mad)
+        assert(r.getAs[Long]("n_anomalies") == devs.count(_ > 3 * mad))
+        assert(r.getAs[Long]("max_dev") == devs.max)
+      }
+  }
+
+  test("cls_datatype_infer: verdict precedence holds on every column") {
+    val out = graft.classify.ClassifyQueries.clsDatatypeInfer(spark, sf001)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("order_key_str").getAs[String]("verdict") == "integer")
+    assert(out("order_date_str").getAs[String]("verdict") == "date")
+    assert(out("priority_str").getAs[String]("verdict") == "string")
+    // the mixed column parses partially as int — must fall to string
+    val mixed = out("mixed_str")
+    assert(mixed.getAs[Long]("n_int") > 0 &&
+      mixed.getAs[Long]("n_int") < mixed.getAs[Long]("n"))
+    assert(mixed.getAs[String]("verdict") == "string")
+    // integer strings are also numeric: int count never exceeds num
+    out.values.foreach(r =>
+      assert(r.getAs[Long]("n_int") <= r.getAs[Long]("n_num")))
+  }
+
+  test("emb_outliers: integer score agrees with float distance argmax") {
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1000).toLong)))
+    val byLabel = vecs.groupBy(_._2)
+    val out = graft.sim.EmbOps.embOutliers(spark, sf001).collect()
+    out.filter(_.getAs[Long]("rnk") == 1L).foreach { r =>
+      val label = r.getAs[Int]("label")
+      val members = byLabel(label)
+      val n = members.length.toLong
+      val dims = members.head._3.length
+      val s = (0 until dims).map(d => members.map(_._3(d)).sum)
+      def score(v: Seq[Long]): BigInt = (0 until dims)
+        .map(d => BigInt(n * v(d) - s(d)) * BigInt(n * v(d) - s(d))).sum
+      val best = members.map(m => (score(m._3), m._1))
+        .maxBy { case (sc, id) => (sc, -id) }
+      assert(r.getAs[Long]("vec_id") == best._2,
+        s"label $label: top outlier ${r.getAs[Long]("vec_id")} != brute ${best._2}")
+      assert(BigInt(r.getAs[Long]("score")) == best._1)
+    }
+    assert(out.groupBy(_.getAs[Int]("label")).forall(_._2.length == 3))
+  }
+
   test("cls_psi_drift: shares conserve the orders population") {
     val out = graft.classify.ClassifyQueries.clsPsiDrift(spark, sf001)
       .collect()
