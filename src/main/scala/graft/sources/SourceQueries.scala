@@ -68,6 +68,70 @@ object SourceQueries extends QueryModule {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  // ------------------------------------- src_multiline_csv
+  /** Quoted-CSV round-trip with EMBEDDED newlines, quotes and
+    * delimiters inside a field — the corner every naive line-splitting
+    * reader corrupts (a quoted field may span physical lines; Spark's
+    * `multiLine` parser handles it, and the written quoting must agree
+    * with the read escaping). The comment field is synthesized to
+    * contain all three hazards; the verified output carries each
+    * field's md5, proving the BYTES survived the sink→source trip —
+    * the oracle rebuilds the same field from the base table and never
+    * sees the intermediate file. */
+  def multilineCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val comment = concat(col("n_name"), lit(",\"li\nne1\n"),
+      lit("line2 of "), col("n_name"))
+    val src = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), comment.as("comment"))
+    val tmp = stagingDir(spark, "graft-mlcsv")
+    src.write.option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").mode("overwrite").csv(tmp)
+    spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(StructType(src.schema.fields)).csv(tmp)
+      .select(col("n_nationkey"),
+        length(col("comment")).as("clen"),
+        md5(col("comment")).as("cmd5"))
+      .orderBy("n_nationkey")
+  }
+
+  val multilineCsvRoundtripSql: String =
+    """WITH c AS (
+      |  SELECT n_nationkey,
+      |    n_name || ',"li' || chr(10) || 'ne1' || chr(10) ||
+      |      'line2 of ' || n_name AS comment
+      |  FROM nation)
+      |SELECT n_nationkey, CAST(length(comment) AS INTEGER) AS clen,
+      |  md5(comment) AS cmd5
+      |FROM c ORDER BY n_nationkey""".stripMargin
+
+  // ------------------------------------------ src_gzip_text
+  /** Compressed text round-trip: the sink writes gzip (the standard
+    * interchange codec for line-oriented dumps), the source
+    * decompresses transparently by extension — the "my extracts are
+    * .gz" reality of every warehouse hand-off. Codec work happens in
+    * the JVM's Deflater on write and per-split decompress on read
+    * (gzip is NOT splittable — at 100 TB write MANY files so read
+    * parallelism = file count, which the partitioned write gives for
+    * free; a splittable codec or parquet is the preferred lake
+    * format, this op covers the interchange reality). R7OpsSpec pins
+    * that the staged bytes really are gzip. */
+  def gzipTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.nation(spark, dir)
+      .select(concat_ws("|", col("n_nationkey"), col("n_name"))
+        .as("value"))
+    val tmp = stagingDir(spark, "graft-gz")
+    src.write.option("compression", "gzip").mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("int").as("n_nationkey"),
+        col("p").getItem(1).as("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  val gzipTextRoundtripSql: String =
+    """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""
+
   // ---------------------------------------- src_jsonl_changelog
   /** JSONL change-stream interchange: serialize a Debezium-style
     * envelope stream to a JSON-lines file (the wire format the
@@ -778,6 +842,8 @@ object SourceQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_malformed_audit" -> (malformedAudit _),
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
+    "src_multiline_csv" -> (multilineCsvRoundtrip _),
+    "src_gzip_text" -> (gzipTextRoundtrip _),
     "src_fixedwidth_roundtrip" -> (fixedWidthRoundtrip _),
     "src_jsonl_changelog" -> (jsonlChangelog _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -799,6 +865,8 @@ object SourceQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "src_malformed_audit" -> malformedAuditSql,
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
+    "src_multiline_csv" -> multilineCsvRoundtripSql,
+    "src_gzip_text" -> gzipTextRoundtripSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,
     "src_orc_roundtrip" -> orcRoundtripSql,

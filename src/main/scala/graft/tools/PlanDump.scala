@@ -52,7 +52,7 @@ object PlanDump {
       "str_transitions", "pipe_dataset_diff", "emb_drift",
       "knn_rerank", "txt_hapax", "txt_encoding_audit",
       "txt_novelty", "str_anomaly", "cls_datatype_infer",
-      "emb_outliers").distinct
+      "emb_outliers", "src_multiline_csv", "src_gzip_text").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS - physical-plan audit")

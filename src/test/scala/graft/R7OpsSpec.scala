@@ -320,6 +320,50 @@ class R7OpsSpec extends SparkSpec {
     assert(out.groupBy(_.getAs[Int]("label")).forall(_._2.length == 3))
   }
 
+  test("src_gzip_text: staged files are genuinely gzip-compressed") {
+    import org.apache.spark.sql.functions.{concat_ws => cw}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gz-spec")
+      .toString
+    Tables.nation(spark, sf001)
+      .select(cw("|", col("n_nationkey"), col("n_name")).as("value"))
+      .write.option("compression", "gzip").mode("overwrite").text(tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      assert(f.getName.endsWith(".gz"), s"${f.getName} not .gz")
+      val in = new java.io.FileInputStream(f)
+      val magic = try { val b = new Array[Byte](2); in.read(b); b }
+      finally in.close()
+      // RFC 1952 magic
+      assert((magic(0) & 0xff) == 0x1f && (magic(1) & 0xff) == 0x8b,
+        s"${f.getName} lacks the gzip magic bytes")
+    }
+    // and the transparent read restores every row
+    assert(spark.read.text(tmp).count() ==
+      Tables.nation(spark, sf001).count())
+  }
+
+  test("src_multiline_csv: hazards survive the quoted round-trip") {
+    val out = graft.sources.SourceQueries
+      .multilineCsvRoundtrip(spark, sf001).collect()
+    val base = Tables.nation(spark, sf001)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getString(1))
+      .toMap
+    assert(out.length == base.size)
+    out.foreach { r =>
+      val name = base(
+        r.getAs[Number]("n_nationkey").longValue)
+      val expected = name + ",\"li\nne1\n" + "line2 of " + name
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("cmd5") == md,
+        s"embedded newline/quote/delimiter corrupted for $name")
+    }
+  }
+
   test("cls_psi_drift: shares conserve the orders population") {
     val out = graft.classify.ClassifyQueries.clsPsiDrift(spark, sf001)
       .collect()
