@@ -35,6 +35,60 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("anomaly gate scores micro-batches against broadcast reference") {
+    // the deployment shape strAnomaly documents: the oracle-verified
+    // batch median/MAD frame is the broadcast REFERENCE STATE, and
+    // each micro-batch scores its events against it — flags must be
+    // identical whichever micro-batch an event arrives in
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click", 10.00),
+      (2L, ts("2024-01-01 00:02:00"), 1L, "click", 10.02),
+      (3L, ts("2024-01-01 00:03:00"), 2L, "click", 10.04),
+      (4L, ts("2024-01-01 00:04:00"), 2L, "click", 99.99),
+      (5L, ts("2024-01-01 00:05:00"), 3L, "view", 5.00),
+      (6L, ts("2024-01-01 00:06:00"), 3L, "view", 5.02),
+      (7L, ts("2024-01-01 00:07:00"), 1L, "view", 4.98),
+      (8L, ts("2024-01-01 00:08:00"), 2L, "view", 80.00))
+    def typ1(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val byType = events.groupBy(_._4)
+      .map { case (t, es) => t -> es.map(e => math.round(e._5 * 100)) }
+    val ref = byType.map { case (t, vs) =>
+      val med = typ1(vs)
+      (t, med, typ1(vs.map(v => math.abs(v - med))))
+    }.toSeq.toDF("event_type", "median_cents", "mad_cents")
+    val flags = byType.flatMap { case (t, _) =>
+      val med = typ1(byType(t))
+      val mad = typ1(byType(t).map(v => math.abs(v - med)))
+      events.filter(_._4 == t).map(e =>
+        e._1 -> (math.abs(math.round(e._5 * 100) - med) > 3 * mad))
+    }
+    val got = scala.collection.concurrent.TrieMap[Long, Boolean]()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.join(broadcast(ref), "event_type")
+            .select(col("event_id"),
+              (abs((col("value").cast(
+                org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+                .cast("long") - col("median_cents")) >
+                lit(3L) * col("mad_cents")).as("anom"))
+            .collect().foreach(r => got.put(r.getLong(0), r.getBoolean(1)))
+          ()
+      }.start()
+    try {
+      mem.addData(events.take(4): _*); q.processAllAvailable()
+      mem.addData(events.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == flags,
+      s"streamed flags $got != batch reference flags $flags")
+    assert(flags(4L) && flags(8L) && !flags(1L))
+  }
+
   test("tumbling agg over MemoryStream matches the batch plan") {
     // append-mode emission needs the watermark to pass: send a late
     // high-ts record in a second batch so earlier windows close
