@@ -531,8 +531,66 @@ case class NGrams(child: Expression, n: Expression)
     copy(child = newLeft, n = newRight)
 }
 
+/** Codegen'd element-wise ⌊x·k⌋ over a double/float array — the
+  * integer quantizer the two-stage re-rank shortlist scores with
+  * (values stay DoubleType but integer-valued, so the codegen dot
+  * product consumes them directly and the arithmetic is exact in any
+  * engine). The HOF formulation (`transform(e, x -> floor(x*k))`) is
+  * CodegenFallback — interpreted per row — which is exactly the
+  * non-codegen hot-path §3 forbids; this emits one primitive loop. */
+case class FloorScale(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_floor_scale"
+
+  override protected def nullSafeEval(a: Any, k: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = k.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = math.floor(v * s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val get =
+        if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (Object) java.lang.Math.floor($get * $k);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
+  val floorScaleName = "graft_floor_scale"
   val intersectName = "graft_intersect_size"
   val asofName = "graft_asof_index"
   val bigramsName = "graft_bigrams"
@@ -584,6 +642,11 @@ object VectorExprs {
     (children: Seq[Expression]) =>
       MinHashBands(children.head, children(1), children(2)))
 
+  val floorScaleDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(floorScaleName),
+    new ExpressionInfo(classOf[FloorScale].getName, floorScaleName),
+    (children: Seq[Expression]) => FloorScale(children.head, children(1)))
+
   /** Idempotent direct registration for sessions built without the
     * extensions config (Verify/Bench/tests). */
   def register(spark: SparkSession): Unit = {
@@ -608,6 +671,9 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ngramsName,
       children => NGrams(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      floorScaleName,
+      children => FloorScale(children.head, children(1)), "built-in")
   }
 }
 
@@ -624,6 +690,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.minhashDescriptor)
     ext.injectFunction(VectorExprs.jaccardDescriptor)
     ext.injectFunction(VectorExprs.ngramsDescriptor)
+    ext.injectFunction(VectorExprs.floorScaleDescriptor)
     // the custom-operator path: as-of join as a first-class plan node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

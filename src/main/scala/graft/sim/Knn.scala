@@ -495,12 +495,17 @@ object Knn extends QueryModule {
   def knnRerank(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
+    // codegen quantizer (graft_floor_scale) — the transform() HOF
+    // formulation is CodegenFallback, an interpreted loop in the
+    // corpus-side hot path
+    def qz(c: Column): Column =
+      call_function(VectorExprs.floorScaleName, c, lit(64.0))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), norm(col("embedding")).as("qe"))
-      .withColumn("qz", expr("transform(qe, x -> cast(floor(x * 64) as double))"))
+      .withColumn("qz", qz(col("qe")))
     val c = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("nid"), norm(col("embedding")).as("ne"))
-      .withColumn("nz", expr("transform(ne, x -> cast(floor(x * 64) as double))"))
+      .withColumn("nz", qz(col("ne")))
     val short = broadcast(q).join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         fastDot(col("qz"), col("nz")).as("zc"),

@@ -46,6 +46,23 @@ class ExprSpec extends SparkSpec {
     assert(row.getInt(6) == 4)
   }
 
+  test("graft_floor_scale is bit-identical to the HOF formulation") {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("id", "a")
+    val out = rows.select(
+      expr("transform(cast(a as array<double>), " +
+        "x -> cast(floor(x * 64) as double))").as("hof"),
+      call_function(graft.expr.VectorExprs.floorScaleName,
+        col("a"), lit(64.0)).as("fast"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    assert(out.forall { case (h, f) => h == f }) // exact, incl. -0.0 vs 0.0
+    // negative values floor DOWN (-0.3*64 -> -20), matching SQL FLOOR
+    val neg = spark.sql(
+      "SELECT graft_floor_scale(array(-0.3d, 0.3d), 64.0d) AS z").head()
+    assert(neg.getSeq[Double](0) == Seq(-20.0, 19.0))
+  }
+
   test("graft_jaccard equals the composed intersect formulation exactly") {
     val rows = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),       // partial overlap
