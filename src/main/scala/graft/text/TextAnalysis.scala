@@ -915,7 +915,51 @@ object TextAnalysis extends QueryModule {
       |FROM grams g JOIN f USING (gh)
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- txt_bpe_pairs
+  /** The first BPE-training iteration: per language, the most frequent
+    * ADJACENT CHARACTER pairs inside words — the statistic byte-pair
+    * encoding greedily merges, and the vocabulary-design signal a
+    * tokenizer team reads per corpus slice (which digraphs dominate
+    * which language). Pair extraction is a generated position sequence
+    * + substring (codegen Generate — no interpreted lambda), counts
+    * are one (lang, pair) hash-agg, and the per-language top-10 runs
+    * as a partial map-side WindowGroupLimit. A full BPE trainer
+    * iterates this exact unit: count → merge best pair → recount. */
+  def txtBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("lang"), col("w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("lang"), expr("substring(w, i, 2)").as("pair"))
+      .groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("n"), col("pair")))
+        .cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("pair"), col("n"))
+      .orderBy("lang", "rnk")
+  }
+
+  val txtBpePairsSql: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, substr(w, CAST(i AS INTEGER), 2) AS pair
+      |  FROM (SELECT lang, w, unnest(range(1, length(w))) AS i
+      |        FROM t WHERE length(w) >= 2) z),
+      |c AS (SELECT lang, pair, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, pair, n, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, pair) AS rnk
+      |  FROM c)
+      |SELECT lang, CAST(rnk AS BIGINT) AS rnk, pair, n
+      |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bpe_pairs" -> (txtBpePairs _),
     "txt_novelty" -> (txtNovelty _),
     "txt_hapax" -> (txtHapax _),
     "txt_encoding_audit" -> (txtEncodingAudit _),
@@ -937,6 +981,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_bpe_pairs" -> txtBpePairsSql,
     "txt_novelty" -> txtNoveltySql,
     "txt_hapax" -> txtHapaxSql,
     "txt_encoding_audit" -> txtEncodingAuditSql,

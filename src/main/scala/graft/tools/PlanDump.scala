@@ -51,7 +51,7 @@ object PlanDump {
       "cls_psi_drift", "mask_fpe_alpha", "str_retention",
       "str_transitions", "pipe_dataset_diff", "emb_drift",
       "knn_rerank", "txt_hapax", "txt_encoding_audit",
-      "txt_novelty", "str_anomaly", "cls_datatype_infer",
+      "txt_novelty", "txt_bpe_pairs", "str_anomaly", "cls_datatype_infer",
       "emb_outliers", "src_multiline_csv", "src_gzip_text").distinct
     val w = new java.io.PrintWriter(out, "UTF-8")
     try {

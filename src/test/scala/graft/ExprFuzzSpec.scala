@@ -88,6 +88,15 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("FloorScale matches floor(x*k) elementwise on random vectors") {
+    (1 to 200).foreach { _ =>
+      val a = dblArray(1 + rnd.nextInt(96))
+      val k = (rnd.nextInt(512) + 1).toDouble
+      val got = dbls(FloorScale(litArr(a), Literal(k)).eval(null))
+      assert(got == a.map(x => math.floor(x * k)).toSeq)
+    }
+  }
+
   test("MinHashBands matches a reference minima+polynomial-mix build") {
     (1 to 200).foreach { _ =>
       val hs = Array.fill(1 + rnd.nextInt(80))(
