@@ -480,18 +480,23 @@ object Knn extends QueryModule {
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // -------------------------------------------------------- knn_rerank
-  /** Two-stage retrieval: a CHEAP quantized shortlist, then an exact
-    * re-rank of only the survivors — the pattern every production ANN
-    * stack ends with (the index prunes, the re-ranker restores the
-    * true metric; recall lost to quantization comes back as long as
-    * the truth is inside the shortlist). Stage 1 scores int6-quantized
-    * components (⌊64x⌋ — integer-valued doubles, so the score is exact
-    * in BOTH engines, no float-rounding divergence in the shortlist
-    * boundary); stage 2 re-scores the L=20 survivors with the exact
-    * normalized dot and keeps top-5, reporting each hit's stage-1 rank
-    * (>5 values prove the re-rank actually reorders). At scale stage 1
-    * is where the index goes (IVF/PQ over the quantized codes); the
-    * verified content is the two-stage rank arithmetic. */
+  /** Two-stage retrieval: a CHEAP quantized shortlist generated INSIDE
+    * the IVF probe, then an exact re-rank of only the survivors — the
+    * pattern every production ANN stack ends with (the index prunes,
+    * the quantized code cheapens the candidate score, the re-ranker
+    * restores the true metric). Stage 1 rides the SAME cell machinery
+    * as [[centroidKnn]] — deterministic seeds, argmax assignment,
+    * nProbe=3 probed cells per query — so candidate generation touches
+    * only probed-cell members (≈ nProbe·n/cells rows per query), never
+    * the whole corpus, and scores int6-quantized components (⌊64x⌋ —
+    * integer-valued doubles, exact in BOTH engines, no float-rounding
+    * divergence at the shortlist boundary). Stage 2 re-scores the L=20
+    * survivors with the exact normalized dot and keeps top-5,
+    * reporting each hit's stage-1 rank (>5 values prove the re-rank
+    * actually reorders). At yet larger scale stage 1 swaps the
+    * quantized dot for PQ-ADC over the same probed cells
+    * ([[EmbOps]]'s knn_ivf_pq) and stage 2 fetches survivors by id —
+    * the plan shape here is already that one. */
   def knnRerank(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -500,13 +505,30 @@ object Knn extends QueryModule {
     // corpus-side hot path
     def qz(c: Column): Column =
       call_function(VectorExprs.floorScaleName, c, lit(64.0))
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), norm(col("embedding")).as("qe"))
-      .withColumn("qz", qz(col("qe")))
-    val c = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("nid"), norm(col("embedding")).as("ne"))
+    val n = normalizedWithLabel(
+      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
+    val seeds = seedCells(n)
+    // corpus→cell argmax assignment (identical to centroidKnn), with
+    // the quantized code attached once at assignment time
+    val assigned = n.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"), col("cell"),
+        fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id").as("nid"), col("e").as("ne"), col("cell"))
       .withColumn("nz", qz(col("ne")))
-    val short = broadcast(q).join(c, col("qid") =!= col("nid"))
+    // query probes: top-nProbe cells per query, quantized query code
+    val probes = n.filter(col("vec_id") < 10).crossJoin(broadcast(seeds))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"),
+        fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("_d"), col("cell"))))
+      .filter(col("_rk") <= 3)
+      .select(col("qid"), col("qe"), qz(col("qe")).as("qz"), col("cell"))
+    // stage 1: quantized dots over probed-cell members ONLY
+    val short = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         fastDot(col("qz"), col("nz")).as("zc"),
         fastDot(col("qe"), col("ne")).as("c"))
@@ -524,16 +546,37 @@ object Knn extends QueryModule {
   val knnRerankSql: String =
     s"""WITH n AS (
        |$normSqlCte),
-       |z AS (
-       |  SELECT vec_id, e,
-       |    list_transform(e, x -> CAST(FLOOR(x * 64) AS DOUBLE)) AS zv
-       |  FROM n),
+       |seeds AS (
+       |  SELECT label AS cell, e AS ce FROM (
+       |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY vec_id) AS r
+       |    FROM n)
+       |  WHERE r = 1),
+       |assigned AS (
+       |  SELECT nid, ne, cell,
+       |    list_transform(ne, x -> CAST(FLOOR(x * 64) AS DOUBLE)) AS nz
+       |  FROM (
+       |    SELECT nn.vec_id AS nid, nn.e AS ne, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT qid, qe,
+       |    list_transform(qe, x -> CAST(FLOOR(x * 64) AS DOUBLE)) AS qz,
+       |    cell
+       |  FROM (
+       |    SELECT nn.vec_id AS qid, nn.e AS qe, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s WHERE nn.vec_id < 10)
+       |  WHERE rk <= 3),
        |s1 AS (
-       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-       |    list_dot_product(q.zv, c.zv) AS zc,
-       |    list_dot_product(q.e, c.e) AS c
-       |  FROM z q JOIN z c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 10),
+       |  SELECT p.qid, a.nid,
+       |    list_dot_product(p.qz, a.nz) AS zc,
+       |    list_dot_product(p.qe, a.ne) AS c
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE p.qid <> a.nid),
        |r1 AS (
        |  SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY zc DESC, nid) AS stage1_rank

@@ -112,6 +112,27 @@ class PlanSpec extends SparkSpec {
       s"the candidate pair join must be an equi-join on cells:\n$plan")
   }
 
+  test("knn_rerank stage-1 is IVF-probe-bounded, not a corpus scan") {
+    // the r7 weak mark: stage-1 shortlisted by nested-loop-joining the
+    // 10 queries against EVERY corpus vector. The fixed shape: the
+    // candidate set comes from the probed IVF cells, so the
+    // query×corpus contact is an equi-join on `cell` — the only loop
+    // joins left are against the bounded seed table (one per argmax
+    // assignment side).
+    val df = graft.sim.Knn.knnRerank(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val loopJoins = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(loopJoins <= 2,
+      s"stage-1 must not nested-loop the corpus (seed joins only):\n$plan")
+    val equiJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(equiJoins >= 1,
+      s"the probe→member contact must be an equi-join on cell:\n$plan")
+  }
+
   test("KMV sketch bounds per-task state via a partial WindowGroupLimit") {
     // q31's k-smallest-per-group must run as WindowGroupLimit(Partial)
     // BEFORE the exchange — each map task forwards at most k hashes per
