@@ -65,15 +65,26 @@ object Tables {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.foreach { f =>
       md.update(s"|${f.getName}:${f.length}:".getBytes("UTF-8"))
-      val raf = new java.io.RandomAccessFile(f, "r")
+      // a file deleted/swapped between listFiles() and open must not
+      // kill the caller — fold the failure into the tag instead (the
+      // next call over settled files produces the settled tag). Bytes
+      // changed ONLY in the unsampled middle of an equal-sized file
+      // are a known blind spot; the sampled tail covers the parquet
+      // footer (row counts, column stats, offsets), which any real
+      // parquet rewrite perturbs.
       try {
-        val head = new Array[Byte](math.min(4096L, raf.length).toInt)
-        raf.readFully(head); md.update(head)
-        if (raf.length > 4096) {
-          val tail = new Array[Byte](4096)
-          raf.seek(raf.length - 4096); raf.readFully(tail); md.update(tail)
-        }
-      } finally raf.close()
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val head = new Array[Byte](math.min(4096L, raf.length).toInt)
+          raf.readFully(head); md.update(head)
+          if (raf.length > 4096) {
+            val tail = new Array[Byte](4096)
+            raf.seek(raf.length - 4096); raf.readFully(tail); md.update(tail)
+          }
+        } finally raf.close()
+      } catch {
+        case _: java.io.IOException => md.update("unreadable".getBytes("UTF-8"))
+      }
     }
     md.digest().map("%02x".format(_)).mkString.take(8)
   }

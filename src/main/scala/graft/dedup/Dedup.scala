@@ -220,9 +220,15 @@ object Dedup extends QueryModule {
     * already computed — memoizing the eagerly `localCheckpoint`ed
     * frame runs each intermediate once per (session, source dir)
     * instead of once per key. Reuse is deterministic: the checkpoint
-    * materializes one concrete result all consumers read. Keyed
-    * weakly on the session so test sessions don't pin each other's
-    * executors' checkpoint blocks. */
+    * materializes one concrete result all consumers read. The cached
+    * frames strongly reference their session (DataFrame →
+    * QueryExecution → SparkSession), so weak keying alone can never
+    * collect an entry — eviction is explicit instead: an
+    * application-end listener drops the session's entry when its
+    * context stops (the checkpoint blocks die with the context
+    * anyway). The inner key includes [[Tables.layoutTag]]'s content
+    * fingerprint, so regenerated data under the same dir invalidates
+    * the memo instead of silently serving stale pairs. */
   private val memo = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
   private def memoized(spark: SparkSession, dir: String, what: String)(
@@ -232,10 +238,17 @@ object Dedup extends QueryModule {
       if (cur == null) {
         cur = scala.collection.concurrent.TrieMap.empty
         memo.put(spark, cur)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = memo.synchronized { memo.remove(spark) }
+          })
       }
       cur
     }
-    m.getOrElseUpdate((dir, what), build.localCheckpoint())
+    m.getOrElseUpdate((s"${Tables.layoutTag(dir)}|$dir", what),
+      build.localCheckpoint())
   }
 
   /** Memoized exact blocked-Jaccard pairs over `documents` at t=0.9. */

@@ -549,8 +549,27 @@ case class FloorScale(left: Expression, right: Expression)
     case _ => false
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elementsNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  // null elements propagate (matching the transform() HOF this
+  // replaces), so the output is element-nullable iff the input is
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = elementsNullable)
   override def prettyName: String = "graft_floor_scale"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    left.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
+          if right.dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double|float>, double), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
   override protected def nullSafeEval(a: Any, k: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -559,8 +578,11 @@ case class FloorScale(left: Expression, right: Expression)
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val v = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      out(i) = math.floor(v * s)
+      if (x.isNullAt(i)) out(i) = null
+      else {
+        val v = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = math.floor(v * s)
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -577,7 +599,8 @@ case class FloorScale(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (Object) java.lang.Math.floor($get * $k);
+         |  $out[$i] = $a.isNullAt($i) ? null :
+         |    (Object) java.lang.Math.floor($get * $k);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -202,11 +202,26 @@ object CdcStream {
   /** Merged field set across the live versions, in first-seen order —
     * the superset row schema one parse can decode EVERY version with
     * (a field absent from a record's own version parses as null and is
-    * dropped again by that version's projection). */
+    * dropped again by that version's projection). A DDL that CHANGES
+    * an existing field's type cannot ride one superset parse — the
+    * first-seen type would silently misparse the other versions'
+    * values — so a same-name/different-type collision fails fast here;
+    * route such version sets through per-version parses instead. */
   def supersetSchema(versions: Seq[(Long, StructType)]): StructType = {
     val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
-    versions.foreach { case (_, s) =>
-      s.fields.foreach(f => if (!seen.contains(f.name)) seen += f.name -> f)
+    versions.foreach { case (v, s) =>
+      s.fields.foreach { f =>
+        seen.get(f.name) match {
+          case Some(prev) if prev.dataType != f.dataType =>
+            throw new IllegalArgumentException(
+              s"schema version $v redefines field '${f.name}' as " +
+                s"${f.dataType.simpleString} (previously " +
+                s"${prev.dataType.simpleString}); type drift cannot share " +
+                "a superset parse — dispatch those versions separately")
+          case Some(_) => ()
+          case None => seen += f.name -> f
+        }
+      }
     }
     StructType(seen.values.toSeq)
   }

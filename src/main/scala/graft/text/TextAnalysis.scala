@@ -881,8 +881,12 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"),
         explode(call_function(graft.expr.VectorExprs.ngramsName,
           words(col("text")), lit(5))).as("g"))
+      // 60-bit gram key (15 md5 hex chars — the Dedup.scala signed-
+      // BIGINT idiom): a 32-bit key birthday-collides past ~10^5
+      // distinct grams, merging unrelated grams and deflating n_novel
+      // at corpus scale
       .select(col("doc_id"),
-        graft.mask.MaskFunctions.portableHash(col("g")).as("gh"))
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       .distinct()
     val first = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, "gh")
@@ -900,7 +904,7 @@ object TextAnalysis extends QueryModule {
       |  FROM documents),
       |grams AS (
       |  SELECT DISTINCT doc_id,
-      |    ('0x'||substr(md5(g),1,8))::BIGINT AS gh
+      |    ('0x'||substr(md5(g),1,15))::BIGINT AS gh
       |  FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(w) - 3),
