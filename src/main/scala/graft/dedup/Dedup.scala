@@ -937,6 +937,91 @@ object Dedup extends QueryModule {
       |FROM grams g JOIN posting p ON g.gh = p.gh
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- dedup_substring
+  /** Exact-substring dedup at SPAN granularity — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * 2022) primitive: report every maximal span of ≥ minTokens
+    * consecutive tokens that also appears verbatim in ANOTHER
+    * document. Whole-doc Jaccard and the per-mille span fraction
+    * dilute long verbatim runs stitched into otherwise-unique docs;
+    * this surfaces them with their position and length so a pipeline
+    * can cut the span, not the doc.
+    *
+    * Formulation (sorted-gram-extension, no suffix array): a repeated
+    * span of L ≥ minTokens tokens is exactly a run of L−g+1
+    * CONSECUTIVE positions whose g-grams are each shared with another
+    * doc. So: positioned g-grams (codegen [[graft.expr.NGrams]] +
+    * posexplode), cross-doc posting counts on the 60-bit gram hash,
+    * then per-doc gaps-and-islands (pos − row_number) to stitch
+    * consecutive duplicated positions into maximal runs. Linear in
+    * corpus grams: one explode, one map-side-combining posting agg,
+    * one join-back on the gram-hash partitioning, and windows
+    * partitioned by doc_id — millions of bounded partitions, never a
+    * corpus-sized one. The posting count is precomputed, so a
+    * boilerplate gram shared by a million docs adds no join fan-out
+    * beyond the (doc, pos) rows that already exist. */
+  def substringSpans(docs: DataFrame, g: Int, minTokens: Int): DataFrame = {
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(call_function(graft.expr.VectorExprs.ngramsName,
+          split(col("text"), "\\s+"), lit(g))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        gramHash(col("g")).as("gh"))
+    val posting = grams.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("_docs"))
+    val dup = grams.join(posting, "gh").filter(col("_docs") >= 2)
+    dup
+      .withColumn("_isl", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("pos")).as("span_pos"),
+        (count(lit(1)) + lit(g - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rep_spans"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        min(col("span_pos")).as("first_span_pos"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    substringSpans(Tables.documents(spark, dir), 8, 16)
+  }
+
+  /** Oracle replays the identical positioned grams (1-based DuckDB
+    * slice → pos = i−1), posting counts, and island arithmetic. */
+  val dedupSubstringSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM docs),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15))::BIGINT
+      |      AS gh
+      |  FROM idx),
+      |posting AS (
+      |  SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh),
+      |dup AS (
+      |  SELECT g.doc_id, g.pos FROM grams g JOIN posting p ON g.gh = p.gh
+      |  WHERE p.nd >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+      |  FROM dup),
+      |spans AS (
+      |  SELECT doc_id, MIN(pos) AS span_pos, COUNT(*) + 7 AS span_tokens
+      |  FROM isl GROUP BY doc_id, k
+      |  HAVING COUNT(*) + 7 >= 16)
+      |SELECT doc_id, COUNT(*) AS n_rep_spans,
+      |  CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+      |  CAST(MIN(span_pos) AS BIGINT) AS first_span_pos
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- dedup_cluster_stats
   /** The dedup run's summary artifact — cluster-size histogram over
     * the connected components: how many singletons (unique docs), how
@@ -1293,6 +1378,7 @@ object Dedup extends QueryModule {
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_recall_audit" -> (dedupRecallAudit _),
     "dedup_span_fraction" -> (dedupSpan _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -1316,6 +1402,7 @@ object Dedup extends QueryModule {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_recall_audit" -> dedupRecallAuditSql,
     "dedup_span_fraction" -> dedupSpanSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_star" -> dedupComponentsSql,
     "dedup_keep_best" -> dedupKeepBestSql,

@@ -962,8 +962,122 @@ object TextAnalysis extends QueryModule {
       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, pair, n
       |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
 
+  // --------------------------------------------------- txt_bpe_train
+  /** K greedy BPE merge rounds — the iterated form of
+    * [[txtBpePairs]]'s single counting pass: per language, count
+    * adjacent symbol pairs, merge the most frequent pair into one
+    * symbol, recount over the merged encoding, K times. Emits the
+    * merge table (lang, round, pair, frequency at merge time) — the
+    * artifact a tokenizer training run publishes.
+    *
+    * Scale shape: the corpus is first collapsed to WORD TYPES with
+    * occurrence counts (one linear hash-agg — the classic BPE trainer
+    * optimization; every later round works on the type table, orders
+    * of magnitude smaller than the corpus). Each round is then one
+    * (lang, x, y) weighted hash-agg + a per-lang argmax + one
+    * broadcast of the ≤|langs| winning pairs back onto the type
+    * table. The merge itself is a single codegen `replace` over a
+    * sentinel-delimited symbol string: each symbol is wrapped in
+    * U+0001 so adjacency is the 2-sentinel boundary, and replace()'s
+    * left-to-right non-overlapping scan IS the BPE merge rule (both
+    * engines share those semantics, so "aaa" merges to [aa, a]
+    * identically). No driver-side loop state beyond the fixed K. */
+  def txtBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir), 4)
+
+  /** The K-round trainer core over any (lang, text) frame. */
+  def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SEP = "\u0001"
+    val K = k
+    var cur = docs
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("lang", "w").agg(count(lit(1)).as("wn"))
+      .select(col("lang"), col("wn"),
+        regexp_replace(col("w"), "(.)", SEP + "$1" + SEP).as("enc"))
+    var merges: DataFrame = null
+    for (r <- 1 to K) {
+      val pairs = cur
+        .select(col("lang"), col("wn"),
+          split(trim(col("enc"), SEP), SEP + SEP).as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("lang"), col("wn"), col("s"),
+          explode(sequence(lit(0), size(col("s")) - 2)).as("i"))
+        .select(col("lang"), col("wn"),
+          col("s")(col("i")).as("x"), col("s")(col("i") + 1).as("y"))
+        .groupBy("lang", "x", "y").agg(sum(col("wn")).as("n"))
+      val best = pairs
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("n"), col("x"), col("y"))))
+        .filter(col("_rk") === 1)
+        .select(col("lang"), lit(r.toLong).as("round"),
+          col("x"), col("y"), col("n"))
+      merges = if (merges == null) best else merges.union(best)
+      cur = cur.join(broadcast(best.select("lang", "x", "y")),
+          Seq("lang"), "left")
+        .withColumn("enc", when(col("x").isNull, col("enc")).otherwise(
+          replace(col("enc"),
+            concat(lit(SEP), col("x"), lit(SEP + SEP), col("y"), lit(SEP)),
+            concat(lit(SEP), col("x"), col("y"), lit(SEP)))))
+        .select("lang", "wn", "enc")
+    }
+    merges
+      .select(col("lang"), col("round"), col("x").as("pair_left"),
+        col("y").as("pair_right"), col("n"))
+      .orderBy("lang", "round")
+  }
+
+  /** Oracle replays the identical K merges: same sentinel encoding,
+    * same weighted pair counts, same (n DESC, x, y) argmax, same
+    * left-to-right replace. Generated per round so Spark and SQL can
+    * never drift on K. */
+  val txtBpeTrainSql: String = {
+    val S = "chr(1)"
+    val rounds = (1 to 4).map { r =>
+      s"""s$r AS (
+         |  SELECT lang, wn,
+         |    string_split(trim(e${r - 1}.enc, $S), $S||$S) AS s
+         |  FROM e${r - 1}),
+         |p$r AS (
+         |  SELECT lang, x, y, CAST(SUM(wn) AS BIGINT) AS n FROM (
+         |    SELECT lang, wn, s[i] AS x, s[i+1] AS y
+         |    FROM (SELECT lang, wn, s, unnest(range(1, len(s))) AS i
+         |          FROM s$r) z) q
+         |  GROUP BY 1, 2, 3),
+         |b$r AS (
+         |  SELECT lang, x, y, n FROM (
+         |    SELECT lang, x, y, n, ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY n DESC, x, y) AS rk
+         |    FROM p$r) q WHERE rk = 1),
+         |e$r AS (
+         |  SELECT e.lang, e.wn,
+         |    CASE WHEN b.x IS NULL THEN e.enc ELSE
+         |      replace(e.enc, $S||b.x||$S||$S||b.y||$S, $S||b.x||b.y||$S)
+         |    END AS enc
+         |  FROM e${r - 1} e LEFT JOIN b$r b USING (lang))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 4).map { r =>
+      s"""SELECT lang, CAST($r AS BIGINT) AS round, x AS pair_left,
+         |  y AS pair_right, n FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wt AS (
+       |  SELECT lang, w, COUNT(*) AS wn FROM (
+       |    SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE length(w) >= 2 GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT lang, wn,
+       |    regexp_replace(w, '(.)', $S||'\\1'||$S, 'g') AS enc
+       |  FROM wt),
+       |$rounds
+       |$out
+       |ORDER BY lang, round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_bpe_pairs" -> (txtBpePairs _),
+    "txt_bpe_train" -> (txtBpeTrain _),
     "txt_novelty" -> (txtNovelty _),
     "txt_hapax" -> (txtHapax _),
     "txt_encoding_audit" -> (txtEncodingAudit _),
@@ -986,6 +1100,7 @@ object TextAnalysis extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "txt_bpe_pairs" -> txtBpePairsSql,
+    "txt_bpe_train" -> txtBpeTrainSql,
     "txt_novelty" -> txtNoveltySql,
     "txt_hapax" -> txtHapaxSql,
     "txt_encoding_audit" -> txtEncodingAuditSql,

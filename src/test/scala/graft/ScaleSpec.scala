@@ -133,4 +133,41 @@ class ScaleSpec extends SparkSpec {
     assert(rows(CorpusPipeline.tokenBudget(docs, 10000, hashShards = 64)) == tbGlobal)
     assert(rows(CorpusPipeline.tokenBudget(docs, 10000, hashShards = 13)) == tbGlobal)
   }
+
+  test("substring spans: exact island arithmetic, doc-bounded windows") {
+    import graft.dedup.Dedup
+    graft.expr.VectorExprs.register(spark)
+    // doc 1 and 2 share a verbatim 20-token span at different offsets
+    // inside otherwise globally-unique text; doc 3 is fully unique
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 10)} $shared ${uniq("b", 5)}"),
+      (2L, s"${uniq("c", 4)} $shared ${uniq("d", 9)}"),
+      (3L, uniq("e", 40))).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, 8, 16)
+    out.collect() // finalize AQE before reading the plan
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // a 20-token shared span = 13 consecutive duplicated 8-grams;
+    // span_tokens = 13 + 7 = 20, first position = the span's offset
+    assert(got == Map(1L -> (1L, 20L, 10L), 2L -> (1L, 20L, 4L)),
+      s"island arithmetic wrong: $got")
+    // spans one token under the threshold must vanish entirely
+    val shortShared = (1 to 15).map(i => s"t$i").mkString(" ")
+    val short = Seq(
+      (1L, s"${uniq("f", 10)} $shortShared"),
+      (2L, s"${uniq("g", 10)} $shortShared")).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(short, 8, 16).collect().isEmpty)
+    // shape: the island window partitions by doc_id (bounded
+    // partitions), and nothing nested-loops or cartesians
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"island window must partition by doc_id:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"substring spans must stay equi-join only:\n$plan")
+  }
 }
