@@ -389,9 +389,8 @@ object EventStreams extends QueryModule {
     * join back co-partitioned on user_id, one (cohort, offset)-keyed
     * distinct-count — no windows, no low-cardinality partitions; the
     * offset cap bounds output at |days|·8 rows. */
-  def strRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts").cast("date").as("day"))
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts").cast("date").as("day"))
     val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     ev.join(cohort, "user_id")
       .withColumn("day_offset",
@@ -399,8 +398,11 @@ object EventStreams extends QueryModule {
       .filter(col("day_offset") <= 7)
       .groupBy("cohort_day", "day_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("cohort_day", "day_offset")
   }
+
+  def strRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.events(spark, dir))
+      .orderBy("cohort_day", "day_offset")
 
   val strRetentionSql: String =
     """WITH e AS (
@@ -422,10 +424,10 @@ object EventStreams extends QueryModule {
     * deterministic — and consecutive (prev → next) type pairs are
     * counted globally. The window partitions on user_id (high
     * cardinality: scale-safe); output is |types|² rows. */
-  def strTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def transitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(cast(ts as timestamp))").as("us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -433,8 +435,11 @@ object EventStreams extends QueryModule {
       .groupBy(col("prev_type").as("from_type"),
         col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("from_type", "to_type")
   }
+
+  def strTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables.events(spark, dir))
+      .orderBy("from_type", "to_type")
 
   val strTransitionsSql: String =
     """WITH o AS (

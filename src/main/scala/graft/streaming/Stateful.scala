@@ -87,6 +87,99 @@ object Stateful {
       }
   }
 
+  // ------------------------------------------- streaming retention
+  /** One retention fact per (user, cohort, offset). */
+  final case class RetentionFact(user_id: Long, cohort_day: java.sql.Date,
+      day_offset: Long)
+
+  /** Per-user retention state: cohort as epoch-day plus a bitmask of
+    * the ≤8 offsets already emitted — 12 bytes per user, the bounded-
+    * state contract (public — encoder codegen reaches accessors). */
+  final case class RetentionState(cohortDay: Int, emitted: Long)
+
+  /** INCREMENTAL cohort retention — the streaming form of
+    * [[EventStreams.strRetention]]'s batch table: per user the state
+    * store holds (cohort epoch-day, emitted-offset bitmask), and each
+    * micro-batch emits exactly one fact per NEW (cohort, offset ≤ 7)
+    * pair, so a downstream `COUNT(*)` per (cohort_day, day_offset)
+    * over the emitted stream IS the batch table's
+    * `COUNT(DISTINCT user_id)` — the distinct is enforced by the
+    * bitmask, not a shuffle. Cohort = first-SEEN day: agreement with
+    * the batch min() is exact when a user's earliest day arrives in
+    * their first batch (event-time-ordered feeds); a later-arriving
+    * earlier day re-bases the cohort for FUTURE facts but append mode
+    * cannot retract already-emitted ones — the same horizon contract
+    * scd2Closed documents. */
+  def retentionUpdates(events: Dataset[EventRow]): Dataset[RetentionFact] = {
+    implicit val stateEnc = Encoders.product[RetentionState]
+    implicit val outEnc = Encoders.product[RetentionFact]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+            state: GroupState[RetentionState]) =>
+          val days = rows.map(e =>
+            e.ts.toLocalDateTime.toLocalDate.toEpochDay.toInt).toSeq
+          val prev = state.getOption
+          val cohort = math.min(prev.map(_.cohortDay)
+            .getOrElse(Int.MaxValue), days.min)
+          var emitted = prev match {
+            case Some(s) if s.cohortDay == cohort => s.emitted
+            case _ => 0L // first sight, or a re-base: offsets restart
+          }
+          val out = Seq.newBuilder[RetentionFact]
+          days.sorted.foreach { d =>
+            val off = d - cohort
+            if (off >= 0 && off <= 7 && (emitted & (1L << off)) == 0L) {
+              emitted |= 1L << off
+              out += RetentionFact(uid,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohort.toLong)),
+                off.toLong)
+            }
+          }
+          state.update(RetentionState(cohort, emitted))
+          out.result().iterator
+      }
+  }
+
+  // ----------------------------------------- streaming transitions
+  final case class TransitionFact(user_id: Long, from_type: String,
+      to_type: String)
+
+  /** Per-user last event: (type, unix-micros, event_id) — O(1) state. */
+  final case class LastEvent(tpe: String, us: Long, eventId: Long)
+
+  /** INCREMENTAL first-order transitions — the streaming form of
+    * [[EventStreams.strTransitions]]: state is each user's LAST event
+    * in (ts, event_id) order; a micro-batch sorts its own rows by
+    * that key, emits the (prev → next) pair chain starting from the
+    * stored last, and leaves the new last behind. `COUNT(*)` per
+    * (from_type, to_type) over the emitted facts equals the batch
+    * lag()-window counts when per-user arrival respects event order
+    * across batches (within a batch any order is fine — the sort
+    * restores it), the scd2Closed horizon contract again. */
+  def transitionUpdates(events: Dataset[EventRow]): Dataset[TransitionFact] = {
+    implicit val stateEnc = Encoders.product[LastEvent]
+    implicit val outEnc = Encoders.product[TransitionFact]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[LastEvent]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionFact]
+          ordered.foreach { e =>
+            last.foreach(l => out += TransitionFact(uid, l.tpe, e.event_type))
+            last = Some(LastEvent(e.event_type,
+              e.ts.getTime * 1000L, e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** The same running totals on Spark 4's `transformWithState` API —
     * the successor to flatMapGroupsWithState: typed per-key state
     * variables (Value/List/Map), per-state TTLs, and timers, backed

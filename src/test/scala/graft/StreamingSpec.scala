@@ -89,6 +89,82 @@ class StreamingSpec extends SparkSpec {
     assert(flags(4L) && flags(8L) && !flags(1L))
   }
 
+  test("streaming retention facts aggregate to the batch cohort table") {
+    // multi-day events split across micro-batches in event-time order;
+    // the per-user (cohort, offset-bitmask) state must emit each
+    // (user, cohort, offset) exactly once, so COUNT(*) over facts ==
+    // the batch table's COUNT(DISTINCT user_id)
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0),
+      (3L, ts("2024-01-02 08:00:00"), 1L, "view", 1.0),
+      (4L, ts("2024-01-02 09:00:00"), 3L, "click", 1.0),
+      (5L, ts("2024-01-03 08:00:00"), 1L, "click", 1.0),
+      (6L, ts("2024-01-03 09:00:00"), 2L, "view", 1.0),
+      (7L, ts("2024-01-03 10:00:00"), 1L, "view", 1.0), // same (u,off): no new fact
+      (8L, ts("2024-01-12 08:00:00"), 1L, "click", 1.0)) // offset 11 > 7: dropped
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.retentionUpdates(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("ret_facts")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*); q.processAllAvailable()
+      mem.addData(events.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ret_facts")
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.streaming.EventStreams.retention(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(batch(("2024-01-01", 0L)) == 2L && batch(("2024-01-01", 2L)) == 2L)
+    assert(!batch.contains(("2024-01-01", 11L)), "offsets past 7 must drop")
+  }
+
+  test("streaming transition facts aggregate to the batch lag counts") {
+    implicit val sql = spark.sqlContext
+    // within-batch disorder (event 3 arrives before 2 in the feed) must
+    // be restored by the (ts, event_id) sort; across batches the chain
+    // must continue from the stored last event (user 1: view -> click
+    // spans the batch boundary)
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 00:03:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 00:02:00"), 1L, "view", 1.0),
+      (10L, ts("2024-01-01 00:01:00"), 2L, "view", 1.0))
+    val b2 = Seq(
+      (4L, ts("2024-01-01 00:04:00"), 1L, "click", 1.0),
+      (11L, ts("2024-01-01 00:05:00"), 2L, "purchase", 1.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.transitionUpdates(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("trans_facts")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans_facts")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.streaming.EventStreams.transitions(
+        (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // the cross-boundary pair must exist
+    assert(batch(("view", "click")) == 1L)
+  }
+
   test("tumbling agg over MemoryStream matches the batch plan") {
     // append-mode emission needs the watermark to pass: send a late
     // high-ts record in a second batch so earlier windows close
