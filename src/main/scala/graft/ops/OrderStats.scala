@@ -47,11 +47,26 @@ object OrderStats {
     * (truncating integer div would break shard contiguity across
     * zero). */
   def cumulativeHistogramSharded(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, shardWidth: Long = 1L << 20): DataFrame = {
+      valueCol: String, shardWidth: Long = 1L << 20): DataFrame =
+    weightedCumulativeHistogramSharded(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("c")),
+      groupCols, valueCol, shardWidth)
+
+  /** [[cumulativeHistogramSharded]] over a PRE-COUNTED (group, value,
+    * `c`) histogram — the form a composed statistic reuses: a derived
+    * histogram (e.g. MAD's |x − median| deviations) regroups an
+    * existing value histogram instead of re-reading the corpus, so
+    * the second selection pass costs |histogram| rows, not |rows|.
+    * Values mapping to the same derived value merge their weights
+    * here (the leading sum re-group). */
+  def weightedCumulativeHistogramSharded(pre: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      shardWidth: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gCols = groupCols.map(col)
-    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("c"))
+    val hist = pre.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(col("c")).as("c"))
       .withColumn("_sh", expr(s"$valueCol div $shardWidth"))
     val offW = Window.partitionBy(gCols: _*).orderBy("_sh")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1044,30 +1044,37 @@ object Relational extends graft.QueryModule {
     * [[OrderStats.cumulativeHistogramSharded]] selection (the
     * two-level cum decomposition — cents are near-unique, so the
     * histogram is corpus-sized and a group-only window would
-    * single-task it), deviations are integer |x − med|. Two passes by
-    * necessity (MAD is a composed statistic — the second histogram
-    * needs the first's median); each pass is a map-side-combining
-    * (group, value) histogram, and the 3-row median frame broadcasts
-    * back. */
+    * single-task it), deviations are integer |x − med|.
+    *
+    * MAD is a composed statistic — the deviation selection needs the
+    * value selection's median first — but the second pass does NOT
+    * need the rows again: |x − med| REGROUPS the existing (group,
+    * cents) histogram (weights merge where two cents land on the same
+    * deviation), so lineitem is scanned ONCE and the deviation pass
+    * costs |histogram| rows — bounded by the price DOMAIN in cents,
+    * not the corpus. The histogram is eagerly checkpointed: both
+    * selection passes read one materialized copy instead of trusting
+    * exchange reuse across the broadcast boundary. */
   def q36(spark: SparkSession, dir: String): DataFrame = {
     import OrderStats._
     import org.apache.spark.sql.types.DecimalType
     val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("long").as("cents"))
-    // sharded cum-histogram: l_extendedprice cents are near-unique, so
-    // the per-group histogram is corpus-sized — the plain group-only
-    // window would single-task it
-    val med = cumulativeHistogramSharded(vals, Seq("l_returnflag"), "cents")
+    val h = vals.groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val med = weightedCumulativeHistogramSharded(
+        h, Seq("l_returnflag"), "cents")
       .groupBy("l_returnflag")
       .agg(max(col("n")).as("n"),
         min(when(holdsRank(midRank1), col("cents"))).as("median_cents"))
-    val dev = vals
+    val devHist = h
       .join(broadcast(med.select(col("l_returnflag"), col("median_cents"))),
         "l_returnflag")
       .select(col("l_returnflag"),
-        abs(col("cents") - col("median_cents")).as("dev"))
-    cumulativeHistogramSharded(dev, Seq("l_returnflag"), "dev")
+        abs(col("cents") - col("median_cents")).as("dev"), col("c"))
+    weightedCumulativeHistogramSharded(devHist, Seq("l_returnflag"), "dev")
       .groupBy("l_returnflag")
       .agg(min(when(holdsRank(midRank1), col("dev"))).as("mad_cents"))
       .join(med, "l_returnflag")
@@ -1093,9 +1100,9 @@ object Relational extends graft.QueryModule {
       |    MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
       |          AND (n.n + 1) // 2 <= hi THEN cents END) AS median_cents
       |  FROM ch JOIN n ON ch.g = n.g GROUP BY ch.g),
-      |d AS (SELECT v.g, ABS(v.cents - m.median_cents) AS dev
-      |      FROM v JOIN med m ON v.g = m.g),
-      |h2 AS (SELECT g, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |h2 AS (SELECT h.g, ABS(h.cents - m.median_cents) AS dev,
+      |         CAST(SUM(h.c) AS BIGINT) AS c
+      |       FROM h JOIN med m ON h.g = m.g GROUP BY 1, 2),
       |ch2 AS (SELECT g, dev, c,
       |          CAST(SUM(c) OVER (PARTITION BY g ORDER BY dev)
       |            AS BIGINT) AS hi

@@ -133,6 +133,23 @@ class PlanSpec extends SparkSpec {
       s"the probe→member contact must be an equi-join on cell:\n$plan")
   }
 
+  test("q36 MAD derives the deviation pass from the value histogram") {
+    // the r7 note: the second (deviation) selection re-read lineitem.
+    // Fixed shape: the (group, cents) histogram is checkpointed once
+    // and BOTH selection passes read that materialization — the final
+    // plan must contain zero parquet scans of lineitem (the one scan
+    // happened at checkpoint time) and at least two ExistingRDD reads
+    val df = Relational.q36(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("lineitem.parquet"),
+      s"deviation pass must not re-scan lineitem:\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans >= 2,
+      s"both selection passes should read the checkpointed histogram:\n$plan")
+  }
+
   test("KMV sketch bounds per-task state via a partial WindowGroupLimit") {
     // q31's k-smallest-per-group must run as WindowGroupLimit(Partial)
     // BEFORE the exchange — each map task forwards at most k hashes per
