@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -50,6 +51,75 @@ object EmbOps extends QueryModule {
       |          CAST(list_min(embedding) AS DOUBLE)) / 255.0)), 255.0) AS BIGINT)))
       |    END AS BIGINT) AS code_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------- emb_hamming_topk
+  /** Binary (sign-bit) quantization + exact Hamming top-k — the
+    * billion-scale memory path: each vector collapses to one bit per
+    * dimension (64 dims → 8 bytes, a 32× cut vs float32), distance is
+    * `bit_count(xor)` (one popcount instruction per word), and
+    * cosine-neighbor recall stays high because the sign pattern of a
+    * normalized embedding preserves angular locality (the SimHash
+    * identity). Packing uses 32-bit words (two per 64-dim vector) so
+    * the bit arithmetic stays inside non-negative BIGINT range in
+    * every engine — no sign-bit wraparound to reconcile.
+    *
+    * Scale shape: the corpus side is a 24-byte (id, lo, hi) code
+    * table — the form you pin in RAM across a fleet; the 10-query
+    * probe broadcasts over it and the per-query top-5 runs as a
+    * partial map-side WindowGroupLimit. This is the brute-force scan
+    * of [[Knn.knnBrute]] made ~50× cheaper per row, and the shortlist
+    * stage a binary-first retrieval stack re-ranks behind. */
+  def hammingTopK(emb: DataFrame, k: Int): DataFrame = {
+    val width = emb.limit(1).select(size(col("embedding"))).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(width <= 64, s"two-word packing covers <=64 dims, got $width")
+    def word(from: Int, until: Int): Column =
+      (from until math.min(until, width)).map { i =>
+        when(element_at(col("embedding"), i + 1) > lit(0.0f),
+          lit(1L << (i - from))).otherwise(lit(0L))
+      }.reduceOption(_ + _).getOrElse(lit(0L))
+    val sigs = emb.select(col("vec_id"), word(0, 32).as("lo"),
+      word(32, 64).as("hi"))
+    val q = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val c = sigs.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("nid"), col("lo"), col("hi"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi")))
+          .cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("hamming"))
+  }
+
+  def embHammingTopK(spark: SparkSession, dir: String): DataFrame =
+    hammingTopK(Tables.embeddings(spark, dir), 5).orderBy("qid", "rank")
+
+  val embHammingSql: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN embedding[i] > 0
+      |           THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN embedding[i] > 0
+      |           THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    CAST(bit_count(xor(q.lo, c.lo)) +
+      |         bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+      |  FROM s q JOIN s c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10),
+      |r AS (
+      |  SELECT qid, nid, hamming, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY hamming, nid) AS rank
+      |  FROM d)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, hamming
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // -------------------------------------------------- sql_surface
   /** The pure-SQL user surface: the whole query is `spark.sql` TEXT
@@ -618,6 +688,7 @@ object EmbOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_outliers" -> (embOutliers _),
+    "emb_hamming_topk" -> (embHammingTopK _),
     "emb_drift" -> (embDrift _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "emb_norm_audit" -> (embNormAudit _),
@@ -629,6 +700,7 @@ object EmbOps extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "emb_outliers" -> embOutliersSql,
+    "emb_hamming_topk" -> embHammingSql,
     "emb_drift" -> embDriftSql,
     "emb_norm_audit" -> embNormAuditSql,
     "emb_quantize" -> embQuantizeSql,
