@@ -1022,6 +1022,91 @@ object Dedup extends QueryModule {
       |  CAST(MIN(span_pos) AS BIGINT) AS first_span_pos
       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- dedup_chunks
+  /** Content-defined chunking dedup — the rsync/backup-industry
+    * primitive applied to corpus hygiene: split each document at
+    * positions where a rolling 8-char window's portable hash ≡ 0
+    * (mod 64), fingerprint the variable-size chunks between cuts, and
+    * report per doc how many chunks are shared with ANOTHER document.
+    * Because boundaries are chosen by CONTENT, an insertion near the
+    * start of a copied document shifts only the chunks it touches —
+    * every later boundary re-synchronizes — which is exactly what
+    * fixed-stride blocking cannot do; this is the byte-level
+    * complement of [[substringSpans]]' token spans (and the shape
+    * that extends to opaque binary columns, where no tokenizer
+    * exists).
+    *
+    * Scale shape, linear in corpus characters: the boundary test is a
+    * positioned substring+md5 scan (a codegen Generate — rows never
+    * leave the stage), cut lists are per-doc windows over ~len/64
+    * cut rows (doc-bounded partitions), chunk fingerprints are
+    * 60-bit hashes, and the posting join mirrors spanFraction: the
+    * count is precomputed, so a million-doc boilerplate chunk adds
+    * no fan-out. */
+  def chunkDedup(docs: DataFrame, window: Int, mask: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val cuts = base
+      .filter(col("len") >= window + 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(2), col("len") - (window - 1))).as("i"))
+      .filter(conv(substring(md5(
+          expr(s"substring(text, i, $window)")), 1, 8), 16, 10)
+        .cast("long") % mask === 0)
+      .select(col("doc_id"), col("i").as("cut"))
+      .union(base.select(col("doc_id"), lit(1).cast("int").as("cut")))
+    val chunks = cuts.join(base, "doc_id")
+      .withColumn("_next", coalesce(
+        lead(col("cut"), 1).over(
+          Window.partitionBy("doc_id").orderBy("cut")),
+        col("len") + 1))
+      .select(col("doc_id"),
+        conv(substring(md5(
+            expr("substring(text, cut, _next - cut)")), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+    val posting = chunks.select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("_docs"))
+    chunks.join(posting, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_pm", expr("n_dup_chunks * 1000 div n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables.documents(spark, dir), 8, 64)
+
+  val dedupChunksSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS cut FROM (
+      |    SELECT doc_id, text, unnest(range(2, GREATEST(len - 6, 2))) AS i
+      |    FROM base) z
+      |  WHERE ('0x'||substr(md5(substr(text, CAST(i AS INTEGER), 8)),1,8))
+      |          ::BIGINT % 64 = 0
+      |  UNION ALL SELECT doc_id, 1 FROM base),
+      |m AS (
+      |  SELECT c.doc_id, c.cut, b.text, b.len,
+      |    COALESCE(LEAD(c.cut) OVER (PARTITION BY c.doc_id ORDER BY c.cut),
+      |      b.len + 1) AS nxt
+      |  FROM cuts c JOIN base b USING (doc_id)),
+      |ch AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(substr(text, cut, nxt - cut)),1,15))::BIGINT
+      |      AS fp
+      |  FROM m),
+      |posting AS (
+      |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+      |SELECT c.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS dup_pm
+      |FROM ch c JOIN posting p ON c.fp = p.fp
+      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- dedup_cluster_stats
   /** The dedup run's summary artifact — cluster-size histogram over
     * the connected components: how many singletons (unique docs), how
@@ -1379,6 +1464,7 @@ object Dedup extends QueryModule {
     "dedup_recall_audit" -> (dedupRecallAudit _),
     "dedup_span_fraction" -> (dedupSpan _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_chunks" -> (dedupChunks _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -1403,6 +1489,7 @@ object Dedup extends QueryModule {
     "dedup_recall_audit" -> dedupRecallAuditSql,
     "dedup_span_fraction" -> dedupSpanSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_chunks" -> dedupChunksSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_star" -> dedupComponentsSql,
     "dedup_keep_best" -> dedupKeepBestSql,

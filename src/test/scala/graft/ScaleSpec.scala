@@ -134,6 +134,31 @@ class ScaleSpec extends SparkSpec {
     assert(rows(CorpusPipeline.tokenBudget(docs, 10000, hashShards = 13)) == tbGlobal)
   }
 
+  test("content-defined chunks re-synchronize after an insertion") {
+    import graft.dedup.Dedup
+    // doc 2 = doc 1 with 7 chars injected at the front. Content-chosen
+    // boundaries must re-synchronize downstream of the edit, so most
+    // of doc 2's chunks are fingerprint-identical to doc 1's — the
+    // property fixed-stride blocking cannot have (every block after
+    // the insertion point would shift and nothing would match).
+    val rnd = new scala.util.Random(42)
+    val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, s), (2L, "zqwerty" + s)).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, 8, 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, (n, dup)) <- out) {
+      assert(n >= 10, s"doc $id: expected ~len/64 chunks, got $n")
+      assert(dup * 2 >= n,
+        s"doc $id: boundaries failed to re-sync ($dup of $n chunks shared)")
+    }
+    // and a doc with no shared content shares nothing
+    val t = (1 to 2000).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val solo = Dedup.chunkDedup(
+      Seq((1L, s), (2L, "zqwerty" + s), (3L, t)).toDF("doc_id", "text"),
+      8, 64).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(solo(3L) == 0L, s"unrelated doc must share no chunks: $solo")
+  }
+
   test("substring spans: exact island arithmetic, doc-bounded windows") {
     import graft.dedup.Dedup
     graft.expr.VectorExprs.register(spark)
