@@ -816,7 +816,65 @@ object CdcQueries extends QueryModule {
       |  CAST(SUM(cents) AS BIGINT) AS cents_sum
       |FROM r WHERE rn = 1 GROUP BY site ORDER BY site""".stripMargin
 
+  // --------------------------------------- cdc_replay_idempotence
+  /** Exactly-once APPLY over an at-least-once wire — the
+    * crash-recovery contract every CDC consumer must honor: after a
+    * restart the transport REPLAYS a window of already-delivered
+    * events (synthesized deterministically here: every 5th offset is
+    * redelivered), and the target must converge to the same state as
+    * a single clean delivery. The idempotent apply is ONE
+    * high-cardinality hash-agg keyed on the source offset
+    * (event_id) — the scale shape: no sort, no window, map-side
+    * combine collapses most duplicates before the shuffle. The audit
+    * reports per op: delivered vs applied counts and the exact cents
+    * checksum BOTH ways — the delivered−applied gap is precisely the
+    * corruption a non-idempotent consumer would have written. */
+  def replayIdempotence(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir)
+      .select(col("event_id"), col("op"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val wire = log.unionAll(log.filter(col("event_id") % 5 === 0))
+    val delivered = wire.groupBy("op")
+      .agg(count(lit(1)).as("n_delivered"),
+        sum(col("cents")).as("delivered_cents"))
+    val applied = wire.groupBy("event_id")
+      .agg(max(col("op")).as("op"), max(col("cents")).as("cents"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_applied"),
+        sum(col("cents")).as("applied_cents"))
+    delivered.join(applied, "op")
+      .select(col("op"), col("n_delivered"), col("n_applied"),
+        (col("n_delivered") - col("n_applied")).as("n_dup_deliveries"),
+        col("delivered_cents"), col("applied_cents"))
+      .orderBy("op")
+  }
+
+  val replayIdempotenceSql: String =
+    s"""WITH log AS (
+       |  SELECT event_id, $opSql AS op,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+       |wire AS (
+       |  SELECT * FROM log
+       |  UNION ALL SELECT * FROM log WHERE event_id % 5 = 0),
+       |d AS (
+       |  SELECT op, COUNT(*) AS n_delivered, SUM(cents)
+       |    AS delivered_cents
+       |  FROM wire GROUP BY op),
+       |a0 AS (
+       |  SELECT event_id, MAX(op) AS op, MAX(cents) AS cents
+       |  FROM wire GROUP BY event_id),
+       |a AS (
+       |  SELECT op, COUNT(*) AS n_applied, SUM(cents) AS applied_cents
+       |  FROM a0 GROUP BY op)
+       |SELECT d.op, CAST(n_delivered AS BIGINT) AS n_delivered,
+       |  CAST(n_applied AS BIGINT) AS n_applied,
+       |  CAST(n_delivered - n_applied AS BIGINT) AS n_dup_deliveries,
+       |  CAST(delivered_cents AS BIGINT) AS delivered_cents,
+       |  CAST(applied_cents AS BIGINT) AS applied_cents
+       |FROM d JOIN a ON d.op = a.op ORDER BY d.op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_replay_idempotence" -> (replayIdempotence _),
     "cdc_conflict_lww" -> (conflictLww _),
     "cdc_txn_assemble" -> (txnAssemble _),
     "cdc_reconcile" -> (reconcile _),
@@ -838,6 +896,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_replay_idempotence" -> replayIdempotenceSql,
     "cdc_conflict_lww" -> conflictLwwSql,
     "cdc_txn_assemble" -> txnAssembleSql,
     "cdc_reconcile" -> reconcileSql,

@@ -871,7 +871,148 @@ object ClassifyQueries extends QueryModule {
       |       ELSE 'string' END AS verdict
       |FROM g ORDER BY col_name""".stripMargin
 
+  // ------------------------------------------------ cls_contingency
+  /** Exact contingency-table audit between two categorical columns
+    * (`l_returnflag` × `l_linestatus`) — the independence screen a
+    * profiler runs before trusting one column as a proxy for another.
+    * Per cell: observed count, row/col marginals, grand total, and the
+    * integer LEVERAGE `n·obs − rowTotal·colTotal` (the division-free
+    * chi-square numerator input; positive → the cell is
+    * over-represented vs independence). All arithmetic stays in exact
+    * BIGINT, so no float ratio crosses the oracle boundary. Shape: one
+    * lineitem scan → |cells| hash-agg; marginals re-aggregate the
+    * cell frame (AQE exchange reuse), and every join is a broadcast
+    * of a ≤|cells|-row frame. */
+  def clsContingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy("l_returnflag")
+      .agg(sum(col("obs")).as("row_total"))
+    val colTot = cells.groupBy("l_linestatus")
+      .agg(sum(col("obs")).as("col_total"))
+    val grand = cells.agg(sum(col("obs")).as("n"))
+    cells.join(broadcast(rowTot), "l_returnflag")
+      .join(broadcast(colTot), "l_linestatus")
+      .crossJoin(broadcast(grand))
+      .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
+        col("row_total"), col("col_total"), col("n"),
+        (col("n") * col("obs") - col("row_total") * col("col_total"))
+          .as("leverage"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val clsContingencySql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, SUM(obs) AS row_total
+      |      FROM cells GROUP BY 1),
+      |c AS (SELECT l_linestatus, SUM(obs) AS col_total
+      |      FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(obs) AS n FROM cells)
+      |SELECT cells.l_returnflag, cells.l_linestatus,
+      |  CAST(obs AS BIGINT) AS obs,
+      |  CAST(row_total AS BIGINT) AS row_total,
+      |  CAST(col_total AS BIGINT) AS col_total,
+      |  CAST(n AS BIGINT) AS n,
+      |  CAST(n * obs - row_total * col_total AS BIGINT) AS leverage
+      |FROM cells JOIN r USING (l_returnflag)
+      |  JOIN c USING (l_linestatus) CROSS JOIN t
+      |ORDER BY cells.l_returnflag, cells.l_linestatus""".stripMargin
+
+  // ------------------------------------------------ cls_ks_drift
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    * reference and current halves of the order timeline (same
+    * midpoint split as [[clsPsiDrift]] — no configured date), over
+    * `o_totalprice` in cents. The KS sup-gap is cross-multiplied to
+    * stay in exact integers: `ks_num = max_v |F_ref(v)·n_cur −
+    * F_cur(v)·n_ref|`, `ks_den = n_ref·n_cur` (D = ks_num/ks_den one
+    * driver-side division away), with `at_cents` the smallest value
+    * attaining the sup (deterministic tie-break). BIGINT holds up to
+    * ~3e9 rows per side; beyond that the cross-product needs
+    * DECIMAL(38) — documented seam, same plan.
+    *
+    * Shape: one orders scan → (value, c_ref, c_cur) pooled-grid
+    * hash-agg; the cumulative F's use the repo's two-level
+    * prefix-sum decomposition (local window per contiguous value
+    * shard + exclusive prefix over the ≤|shards| aggregated totals —
+    * the deliberate single-partition idiom), so no window ever sees
+    * more than a shard; the final sup is one map-side-combining
+    * struct-max. */
+  def clsKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val od = Tables.orders(spark, dir)
+      .withColumn("_d",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")))
+    val bounds = od.agg(min(col("_d")).as("dmin"), max(col("_d")).as("dmax"))
+    val sides = od.crossJoin(broadcast(bounds))
+      .select(floor(col("o_totalprice") * 100).cast("long").as("v"),
+        (col("_d") * 2 > col("dmin") + col("dmax")).as("_cur"))
+    val hist = sides.groupBy("v")
+      .agg(sum(when(col("_cur"), 0L).otherwise(1L)).as("c_ref"),
+        sum(when(col("_cur"), 1L).otherwise(0L)).as("c_cur"))
+      .withColumn("_sh", expr("v div 1048576"))
+    val pre = Window.partitionBy(pmod(col("_tr"), lit(1))).orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy("_sh")
+      .agg(sum(col("c_ref")).as("_tr"), sum(col("c_cur")).as("_tc"))
+      .withColumn("_or", coalesce(sum(col("_tr")).over(pre), lit(0L)))
+      .withColumn("_oc", coalesce(sum(col("_tc")).over(pre), lit(0L)))
+      .select("_sh", "_or", "_oc")
+    val local = Window.partitionBy("_sh").orderBy("v")
+    val cums = hist
+      .withColumn("_lr", sum(col("c_ref")).over(local))
+      .withColumn("_lc", sum(col("c_cur")).over(local))
+      .join(broadcast(offsets), Seq("_sh"))
+      .select(col("v"), (col("_or") + col("_lr")).as("cum_ref"),
+        (col("_oc") + col("_lc")).as("cum_cur"))
+    val tot = sides.agg(
+      sum(when(col("_cur"), 0L).otherwise(1L)).as("n_ref"),
+      sum(when(col("_cur"), 1L).otherwise(0L)).as("n_cur"))
+    cums.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref")))
+      .groupBy("n_ref", "n_cur")
+      .agg(max(struct(col("gap"), (-col("v")).as("_nv"))).as("_m"))
+      .select(col("n_ref"), col("n_cur"),
+        col("_m.gap").as("ks_num"),
+        (col("n_ref") * col("n_cur")).as("ks_den"),
+        (-col("_m._nv")).as("at_cents"))
+  }
+
+  val clsKsDriftSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      AS BIGINT) AS dd,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |b AS (SELECT MIN(dd) + MAX(dd) AS mid2 FROM d),
+      |s AS (SELECT v, dd * 2 > b.mid2 AS cur FROM d CROSS JOIN b),
+      |h AS (
+      |  SELECT v, SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS c_ref,
+      |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cur
+      |  FROM s GROUP BY v),
+      |c AS (
+      |  SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+      |    SUM(c_cur) OVER (ORDER BY v) AS cum_cur FROM h),
+      |t AS (
+      |  SELECT SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref,
+      |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur FROM s),
+      |g AS (
+      |  SELECT v, ABS(cum_ref * t.n_cur - cum_cur * t.n_ref) AS gap
+      |  FROM c CROSS JOIN t),
+      |mx AS (SELECT MAX(gap) AS ks_num FROM g)
+      |SELECT CAST(t.n_ref AS BIGINT) AS n_ref,
+      |  CAST(t.n_cur AS BIGINT) AS n_cur,
+      |  CAST(mx.ks_num AS BIGINT) AS ks_num,
+      |  CAST(t.n_ref * t.n_cur AS BIGINT) AS ks_den,
+      |  CAST((SELECT MIN(v) FROM g WHERE g.gap = mx.ks_num)
+      |    AS BIGINT) AS at_cents
+      |FROM t CROSS JOIN mx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_contingency" -> (clsContingency _),
+    "cls_ks_drift" -> (clsKsDrift _),
     "cls_datatype_infer" -> (clsDatatypeInfer _),
     "cls_corr" -> (clsCorr _),
     "cls_psi_drift" -> (clsPsiDrift _),
@@ -891,6 +1032,8 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_contingency" -> clsContingencySql,
+    "cls_ks_drift" -> clsKsDriftSql,
     "cls_datatype_infer" -> clsDatatypeInferSql,
     "cls_corr" -> clsCorrSql,
     "cls_psi_drift" -> clsPsiDriftSql,

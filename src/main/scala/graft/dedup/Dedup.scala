@@ -1457,7 +1457,60 @@ object Dedup extends QueryModule {
       |    AS BIGINT) AS n_false_pos
       |FROM verdict""".stripMargin
 
+  // --------------------------------------------- dedup_edit_distance
+  /** Edit-distance near-dup pairs — the character-level complement to
+    * token-set Jaccard: catches single-character typo/OCR drift that
+    * keeps the token SET intact but not the bytes, and costs an exact
+    * Levenshtein DP only on BLOCKED candidates. Each doc is reduced
+    * to its 64-char normalized prefix (lower/strip-punct/collapse —
+    * same canon as [[normalizedExact]]; the prefix bounds the DP at
+    * 64×64 per pair), blocked on (first 6 canon chars, length div 16)
+    * — a deliberate within-block contract (an edit inside the first
+    * 6 chars lands in another block; MinHash/ngram keys own that
+    * recall), replayed identically by the oracle so completeness is
+    * defined, not assumed. Shape: |block|² pairs only inside each
+    * (prefix, length-bucket) shuffle bucket; AQE skew-split cuts any
+    * hot template block. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    val canon = substring(trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " ")), 1, 64)
+    val keyed = docs
+      .select(col("doc_id"), canon.as("c64"))
+      .withColumn("p", substring(col("c64"), 1, 6))
+      .withColumn("lb", expr("length(c64) div 16"))
+    val a = keyed.select(col("doc_id").as("d1"), col("c64").as("t1"),
+      col("p"), col("lb"))
+    val b = keyed.select(col("doc_id").as("d2"), col("c64").as("t2"),
+      col("p"), col("lb"))
+    a.join(b, Seq("p", "lb"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") <= maxDist && col("dist") > 0)
+      .select("d1", "d2", "dist")
+      .orderBy("d1", "d2")
+  }
+
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.documents(spark, dir))
+
+  val dedupEditDistanceSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    substr(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), 1, 64) AS c64
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, c64, substr(c64, 1, 6) AS p,
+      |    length(c64) // 16 AS lb FROM c)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(levenshtein(a.c64, b.c64) AS INTEGER) AS dist
+      |FROM k a JOIN k b
+      |  ON a.p = b.p AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.c64, b.c64) BETWEEN 1 AND 8
+      |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_lines" -> (dedupLines _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
@@ -1483,6 +1536,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_bloom" -> dedupBloomSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,

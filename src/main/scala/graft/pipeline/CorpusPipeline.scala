@@ -1006,7 +1006,83 @@ object CorpusPipeline extends QueryModule {
       |SELECT source, status, COUNT(*) AS n_docs
       |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
 
+  // --------------------------------------------- pipe_compaction
+  /** Small-file compaction PLANNER — the table-maintenance step every
+    * 100 TB lake needs: manifest entries (here (source, lang) groups
+    * with their byte mass) are greedily packed into target-size output
+    * files by exclusive-prefix-sum division (`offset div target`), so
+    * consecutive small entries coalesce and oversize entries span
+    * files — contiguity within source is preserved (the property that
+    * keeps partition pruning effective after compaction). The planner
+    * runs entirely on MANIFEST metadata (|sources×langs| rows), never
+    * on data: the only window is over one source's manifest entries.
+    * Emits per planned output file: entry count, doc count, bytes. */
+  def compactionPlan(docs: DataFrame, target: Long = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val entries = docs.groupBy("source", "lang")
+      .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+    val pre = Window.partitionBy("source").orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    entries
+      .withColumn("_off", coalesce(sum(col("bytes")).over(pre), lit(0L)))
+      .withColumn("out_file", expr(s"_off div $target"))
+      .groupBy("source", "out_file")
+      .agg(count(lit(1)).as("n_entries"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("bytes"))
+      .orderBy("source", "out_file")
+  }
+
+  def pipeCompaction(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(Tables.documents(spark, dir))
+
+  val pipeCompactionSql: String =
+    """WITH e AS (
+      |  SELECT source, lang, SUM(n_chars) AS bytes,
+      |    COUNT(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |o AS (
+      |  SELECT source, lang, n_docs, bytes,
+      |    COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS off
+      |  FROM e)
+      |SELECT source, CAST(off // 65536 AS BIGINT) AS out_file,
+      |  COUNT(*) AS n_entries, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes
+      |FROM o GROUP BY 1, 2 ORDER BY source, out_file""".stripMargin
+
+  // ------------------------------------------- pipe_dedup_weights
+  /** Cluster-size sampling weights — the SemDeDup-style soft
+    * alternative to dropping near-dups: every document in a near-dup
+    * cluster (the memoized 0.9-Jaccard components,
+    * [[graft.dedup.Dedup.labels09]]) gets weight 1000 div |cluster|
+    * per-mille, so a cluster contributes ~one document's mass to the
+    * training mix regardless of how many copies were crawled. Shape:
+    * the component labels (already computed once per corpus and
+    * shared across every dedup consumer) → |clusters| size agg →
+    * join back on the label key both sides already hash by. */
+  def pipeDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val lbls = graft.dedup.Dedup.labels09(spark, dir)
+    val sizes = lbls.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    lbls.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"),
+        expr("1000 div cluster_size").as("weight_pm"))
+      .orderBy("doc_id")
+  }
+
+  val pipeDedupWeightsSql: String =
+    s"""${graft.dedup.Dedup.componentLabelsCte},
+       |csizes AS (SELECT lbl, COUNT(*) AS cluster_size
+       |           FROM labels GROUP BY lbl)
+       |SELECT l.id AS doc_id, l.lbl AS cluster,
+       |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(1000 // s.cluster_size AS BIGINT) AS weight_pm
+       |FROM labels l JOIN csizes s USING (lbl)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_compaction" -> (pipeCompaction _),
+    "pipe_dedup_weights" -> (pipeDedupWeights _),
     "pipe_dataset_diff" -> (pipeDatasetDiff _),
     "pipe_corpus_filter" -> (pipeCorpusFilter _),
     "pipe_sample_stratified" -> (pipeSampleStratified _),
@@ -1027,6 +1103,8 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_compaction" -> pipeCompactionSql,
+    "pipe_dedup_weights" -> pipeDedupWeightsSql,
     "pipe_dataset_diff" -> pipeDatasetDiffSql,
     "pipe_corpus_filter" -> pipeCorpusFilterSql,
     "pipe_sample_stratified" -> pipeSampleStratifiedSql,

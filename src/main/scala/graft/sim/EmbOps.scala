@@ -686,7 +686,100 @@ object EmbOps extends QueryModule {
       |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, score
       |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
 
+  // ------------------------------------------------ knn_kmeans_refine
+  /** One Lloyd (k-means) refinement round over the IVF seed cells —
+    * the training step that turns data-point seeds into REAL
+    * centroids (seeded IVF is the r1 bootstrap; production indexes
+    * train their coarse quantizer). Exact integer throughout, so both
+    * engines replay the round bit-for-bit: components quantize to
+    * milli units, each vector assigns to the argmin-d² seed
+    * (tie-break by cell), and the within-cell sum of squares is
+    * reported around BOTH the seed and the post-update mean — the
+    * mean's WCSS·n uses the division-free identity
+    * n·Σ‖x−μ‖² = n·ΣΣx² − Σ_d(Σx)², proving the Lloyd update
+    * improves every cell (inertia_mean_xn ≤ inertia_seed_xn) without
+    * a float mean ever crossing the oracle boundary.
+    *
+    * Shape: posexplode → (cells×dims) broadcast seed table → one
+    * (vec, cell) distance agg (the IVF assignment cost, corpus×cells
+    * skinny rows), argmin via per-vector WindowGroupLimit, then two
+    * combiner-friendly hash-aggs; further rounds repeat the same
+    * plan with the (cell, dim, sum, n) frame as the new quantized
+    * centroid table. */
+  def knnKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val x = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v") * 1000).cast("long").as("m"))
+    val seedIds = emb.groupBy(col("label").as("cell"))
+      .agg(min(col("vec_id")).as("svid"))
+    val seeds = x.join(broadcast(seedIds), col("vec_id") === col("svid"))
+      .select(col("cell"), col("dim"), col("m").as("sv"))
+    val assign = x.join(broadcast(seeds), Seq("dim"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(expr("(m - sv) * (m - sv)")).as("d2"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))))
+      .filter(col("_rk") === 1)
+      .select("vec_id", "cell", "d2")
+    val seedInertia = assign.groupBy("cell")
+      .agg(sum(col("d2")).as("ins"), count(lit(1)).as("n2"))
+    val meanInertia = x.join(assign.select("vec_id", "cell"), "vec_id")
+      .groupBy("cell", "dim")
+      .agg(sum(col("m")).as("sm"), sum(expr("m * m")).as("smm"),
+        count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(max(col("n")).as("n"),
+        sum(expr("n * smm - sm * sm")).as("inertia_mean_xn"))
+    meanInertia.join(seedInertia, "cell")
+      .select(col("cell"), col("n"),
+        (col("ins") * col("n2")).as("inertia_seed_xn"),
+        col("inertia_mean_xn"))
+      .orderBy("cell")
+  }
+
+  val knnKmeansRefineSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, d.dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(d.dim AS INTEGER) + 1]
+      |      AS DOUBLE) * 1000) AS BIGINT) AS m
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT UNNEST(range(256)) AS dim) d
+      |  WHERE len(embedding) > d.dim),
+      |sid AS (SELECT label AS cell, MIN(vec_id) AS svid
+      |        FROM embeddings GROUP BY label),
+      |s AS (SELECT sid.cell, x.dim, x.m AS sv
+      |      FROM x JOIN sid ON x.vec_id = sid.svid),
+      |dist AS (
+      |  SELECT x.vec_id, s.cell,
+      |    SUM((x.m - s.sv) * (x.m - s.sv)) AS d2
+      |  FROM x JOIN s ON x.dim = s.dim GROUP BY 1, 2),
+      |a AS (
+      |  SELECT vec_id, cell, d2 FROM (
+      |    SELECT vec_id, cell, d2, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM dist) t
+      |  WHERE rk = 1),
+      |si AS (SELECT cell, SUM(d2) AS ins, COUNT(*) AS n2
+      |       FROM a GROUP BY cell),
+      |pd AS (
+      |  SELECT a.cell, x.dim, SUM(x.m) AS sm, SUM(x.m * x.m) AS smm,
+      |    COUNT(*) AS n
+      |  FROM x JOIN a ON x.vec_id = a.vec_id GROUP BY 1, 2),
+      |im AS (
+      |  SELECT cell, MAX(n) AS n, SUM(n * smm - sm * sm)
+      |    AS inertia_mean_xn
+      |  FROM pd GROUP BY cell)
+      |SELECT im.cell, CAST(im.n AS BIGINT) AS n,
+      |  CAST(si.ins * si.n2 AS BIGINT) AS inertia_seed_xn,
+      |  CAST(im.inertia_mean_xn AS BIGINT) AS inertia_mean_xn
+      |FROM im JOIN si ON im.cell = si.cell ORDER BY im.cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_kmeans_refine" -> (knnKmeansRefine _),
     "emb_outliers" -> (embOutliers _),
     "emb_hamming_topk" -> (embHammingTopK _),
     "emb_drift" -> (embDrift _),
@@ -699,6 +792,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "knn_kmeans_refine" -> knnKmeansRefineSql,
     "emb_outliers" -> embOutliersSql,
     "emb_hamming_topk" -> embHammingSql,
     "emb_drift" -> embDriftSql,

@@ -589,7 +589,62 @@ object Knn extends QueryModule {
        |  CAST(stage1_rank AS BIGINT) AS stage1_rank
        |FROM r2 WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------- knn_loo_label
+  /** Leave-one-out 1-NN label agreement — the embedding-quality eval
+    * every labeled vector corpus runs before trusting its labels (or
+    * its embedding model): for each query, does the nearest OTHER
+    * vector share its label? Per label: query count, agreement count,
+    * exact per-mille. Evaluation is EXACT by definition (it is the
+    * ground truth other ANN ops' recall is measured against), and runs
+    * over a deterministic ~10% hash-gated query sample — the standard
+    * eval-set shape, so the corpus-side scan is paid once per eval,
+    * not per vector; the sample rides the [[bruteForce]] broadcast
+    * (queries broadcast, corpus streamed — never the reverse). */
+  def knnLooLabel(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val sample = emb.filter(pmod(
+      graft.mask.MaskFunctions.portableHash(col("vec_id")), lit(10)) === 0L)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    bruteForce(emb, sample, 1)
+      .join(lbl.select(col("vec_id").as("qid"), col("label").as("q_label")),
+        "qid")
+      .join(lbl.select(col("vec_id").as("nid"), col("label").as("n_label")),
+        "nid")
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_pm", expr("n_agree * 1000 div n_queries"))
+      .orderBy("label")
+  }
+
+  val knnLooLabelSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |q AS (
+       |  SELECT * FROM n
+       |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT
+       |    % 10 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, q.label AS q_label,
+       |    c.vec_id AS nid, c.label AS n_label,
+       |    list_dot_product(q.e, c.e) AS c
+       |  FROM q JOIN n c ON q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, q_label, n_label, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY c DESC, nid) AS rk
+       |  FROM scored)
+       |SELECT q_label AS label, COUNT(*) AS n_queries,
+       |  CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS agree_pm
+       |FROM ranked WHERE rk = 1
+       |GROUP BY q_label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_loo_label" -> (knnLooLabel _),
     "knn_rerank" -> (knnRerank _),
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
@@ -603,6 +658,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_loo_label" -> knnLooLabelSql,
     "knn_rerank" -> knnRerankSql,
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,

@@ -839,7 +839,57 @@ object SourceQueries extends QueryModule {
       |    AS total_good
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------ src_json_flatten
+  /** Semi-structured JSON flatten + validity audit — the step that
+    * turns an embedded JSON payload column (`events.props`) into typed
+    * relational columns: a REAL schema-driven `from_json` parse (not a
+    * substring hack) extracts `k` as BIGINT, rows whose payload fails
+    * to parse (deterministically mangled digits stand in for wire
+    * corruption) flatten to NULL under PERMISSIVE mode, and the audit
+    * reports per event_type the row count, parse-valid count, and
+    * exact min/sum/max of the extracted value. Row-local codegen parse
+    * until the |event_types|-row agg — no shuffle carries the JSON
+    * text. The oracle re-derives the same values with regex (DuckDB's
+    * JSON extension is not assumed), so the parse semantics are
+    * gate-checked across engines. */
+  def srcJsonFlatten(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val p = when(col("event_id") % 97 === 0,
+        regexp_replace(col("props"), "[0-9]", "x"))
+      .otherwise(col("props"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(p, StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_valid"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val srcJsonFlattenSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 97 = 0
+      |         THEN regexp_replace(props, '[0-9]', 'x', 'g')
+      |         ELSE props END AS p
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type,
+      |    CASE WHEN regexp_matches(p, '"k":\s*-?[0-9]+')
+      |         THEN CAST(regexp_extract(p, '"k":\s*(-?[0-9]+)', 1)
+      |           AS BIGINT)
+      |         ELSE NULL END AS k
+      |  FROM m)
+      |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_valid,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_json_flatten" -> (srcJsonFlatten _),
     "src_malformed_audit" -> (malformedAudit _),
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
     "src_multiline_csv" -> (multilineCsvRoundtrip _),
@@ -863,6 +913,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_json_flatten" -> srcJsonFlattenSql,
     "src_malformed_audit" -> malformedAuditSql,
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
     "src_multiline_csv" -> multilineCsvRoundtripSql,

@@ -528,7 +528,68 @@ object EventStreams extends QueryModule {
       |FROM d JOIN mad ON d.g = mad.g
       |GROUP BY d.g ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ str_cep_pattern
+  /** Complex-event pattern with NEGATION — "signup followed by a
+    * purchase within 7 days with NO error strictly between" — the CEP
+    * shape (A → B within T, ¬C between) that a funnel can't express:
+    * the absence condition is the semantic content (an error between
+    * the two invalidates the conversion). Batch form: the candidate
+    * (signup, purchase) pairs come from a user-keyed join bounded by
+    * the 7-day window (high-cardinality user_id partitioning, the
+    * time bound caps per-user fan-out), and the negation is ONE
+    * left-anti join against the user's errors inside each candidate
+    * interval — no per-user sequence collect, no window over raw
+    * events. Streaming form: the same three keyed frames under
+    * watermarked interval joins. Emits per converting user the match
+    * count and first matched pair. */
+  def cepPattern(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val win = 7L * 24 * 3600 * 1000000L
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("us").as("s_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("_eu"), col("us").as("e_us"))
+    val cand = s.join(p, Seq("user_id"))
+      .filter(col("p_us") > col("s_us") && col("p_us") <= col("s_us") + win)
+    cand.join(err,
+        col("_eu") === col("user_id") && col("e_us") > col("s_us") &&
+          col("e_us") < col("p_us"), "left_anti")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("s_us")).as("first_signup_us"),
+        min(col("p_us")).as("first_purchase_us"))
+      .orderBy("user_id")
+  }
+
+  def strCepPattern(spark: SparkSession, dir: String): DataFrame =
+    cepPattern(Tables.events(spark, dir))
+
+  val strCepPatternSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s AS (SELECT user_id, us AS s_us FROM e
+      |      WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, us AS p_us FROM e
+      |      WHERE event_type = 'purchase'),
+      |err AS (SELECT user_id, us AS e_us FROM e
+      |        WHERE event_type = 'error'),
+      |m AS (
+      |  SELECT s.user_id, s_us, p_us
+      |  FROM s JOIN p ON p.user_id = s.user_id
+      |    AND p_us > s_us AND p_us <= s_us + 604800000000
+      |  WHERE NOT EXISTS (SELECT 1 FROM err
+      |    WHERE err.user_id = s.user_id
+      |      AND e_us > s_us AND e_us < p_us))
+      |SELECT user_id, COUNT(*) AS n_matches,
+      |  CAST(MIN(s_us) AS BIGINT) AS first_signup_us,
+      |  CAST(MIN(p_us) AS BIGINT) AS first_purchase_us
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_cep_pattern" -> (strCepPattern _),
     "str_anomaly" -> (strAnomaly _),
     "str_retention" -> (strRetention _),
     "str_transitions" -> (strTransitions _),
@@ -546,6 +607,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_cep_pattern" -> strCepPatternSql,
     "str_anomaly" -> strAnomalySql,
     "str_retention" -> strRetentionSql,
     "str_transitions" -> strTransitionsSql,

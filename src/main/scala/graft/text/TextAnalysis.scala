@@ -1075,7 +1075,46 @@ object TextAnalysis extends QueryModule {
        |ORDER BY lang, round""".stripMargin
   }
 
+  // ------------------------------------------------------- txt_zipf
+  /** Rank–frequency (Zipf) audit of the global token distribution —
+    * the head-of-vocabulary fingerprint a corpus report leads with:
+    * the top-100 tokens with rank, frequency, and the integer
+    * `rank × freq` product whose rough constancy IS the Zipf signal
+    * (a corpus whose product collapses after rank ~10 is template
+    * spam, not natural text). Shape: one explode + one (token)
+    * map-side-combining hash-agg, then a global top-100 via
+    * TakeOrderedAndProject (no full sort — each partition forwards
+    * only its own top-100); the rank window runs over the collected
+    * 100-row frame (deliberate single partition). */
+  def txtZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(100)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col("freq"), lit(1)))
+          .orderBy(desc("freq"), col("token"))))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("rank").cast("long") * col("freq")).as("rank_freq"))
+      .orderBy("rank")
+  }
+
+  val txtZipfSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+      |  FROM documents),
+      |g AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+      |r AS (SELECT token, freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM g)
+      |SELECT CAST(rank AS INTEGER) AS rank, token,
+      |  CAST(freq AS BIGINT) AS freq,
+      |  CAST(rank * freq AS BIGINT) AS rank_freq
+      |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_zipf" -> (txtZipf _),
     "txt_bpe_pairs" -> (txtBpePairs _),
     "txt_bpe_train" -> (txtBpeTrain _),
     "txt_novelty" -> (txtNovelty _),
@@ -1099,6 +1138,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_zipf" -> txtZipfSql,
     "txt_bpe_pairs" -> txtBpePairsSql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_novelty" -> txtNoveltySql,

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-8 operator batch: contingency
+  * marginal identities, the KS sup-gap bounds, Zipf rank arithmetic,
+  * compaction byte conservation, dedup-weight coverage, JSON-flatten
+  * validity accounting, CEP negation, blocked edit-distance recall,
+  * the Lloyd-round inertia guarantee, and replay idempotence. */
+class R8bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cls_contingency: marginal identities hold (row leverage sums to 0)") {
+    val out = graft.classify.ClassifyQueries.clsContingency(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val n = out.head.getAs[Long]("n")
+    assert(out.map(_.getAs[Long]("obs")).sum == n)
+    // per returnflag: sum(obs) = row_total and sum(leverage) = 0
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("obs")).sum ==
+        rows.head.getAs[Long]("row_total"))
+      assert(rows.map(_.getAs[Long]("leverage")).sum == 0L,
+        "leverage must sum to zero within a row of the table")
+    }
+  }
+
+  test("cls_ks_drift: sup gap is bounded and attained at a data value") {
+    val r = graft.classify.ClassifyQueries.clsKsDrift(spark, sfDir)
+      .collect().head
+    val (nRef, nCur) = (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))
+    val num = r.getAs[Long]("ks_num")
+    assert(r.getAs[Long]("ks_den") == nRef * nCur)
+    assert(num >= 0 && num <= nRef * nCur, "0 <= D <= 1 scaled")
+    val atCents = r.getAs[Long]("at_cents")
+    val exists = Tables.orders(spark, sfDir)
+      .filter(floor(col("o_totalprice") * 100).cast("long") === atCents)
+      .limit(1).count()
+    assert(exists == 1L, "argmax value must be an observed data value")
+  }
+
+  test("txt_zipf: ranks are 1..100 and rank_freq = rank * freq") {
+    val out = graft.text.TextAnalysis.txtZipf(spark, sfDir).collect()
+    // sf0.001's vocabulary is smaller than the top-100 cap; ranks
+    // must still be dense from 1 and never exceed 100
+    assert(out.length <= 100)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    val freqs = out.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      "frequency must be non-increasing in rank")
+    assert(out.forall(r =>
+      r.getAs[Long]("rank_freq") ==
+        r.getAs[Int]("rank").toLong * r.getAs[Long]("freq")))
+  }
+
+  test("pipe_compaction: plan conserves bytes and docs; file ids contiguous") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.pipeline.CorpusPipeline.pipeCompaction(spark, sfDir)
+      .collect()
+    val totalBytes = docs.agg(sum(col("n_chars"))).as[Long].head()
+    assert(out.map(_.getAs[Long]("bytes")).sum == totalBytes)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("out_file")).sorted
+      assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq,
+        "output file ids must be contiguous from 0 within a source")
+    }
+  }
+
+  test("pipe_dedup_weights: every doc weighted once; singletons get 1000") {
+    val out = graft.pipeline.CorpusPipeline.pipeDedupWeights(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    assert(out.length == Tables.documents(spark, sfDir).count())
+    out.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rows) =>
+      val size = rows.head.getAs[Long]("cluster_size")
+      assert(rows.length == size)
+      assert(rows.forall(_.getAs[Long]("weight_pm") == 1000L / size))
+    }
+  }
+
+  test("src_json_flatten: validity accounting matches the mangle gate") {
+    val out = graft.sources.SourceQueries.srcJsonFlatten(spark, sfDir)
+      .collect()
+    val expected = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_id") % 97 === 0, 0L).otherwise(1L)).as("ok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, ok) = expected(r.getString(0))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_valid") == ok,
+        "every unmangled payload must parse, every mangled one must not")
+    }
+    assert(out.map(_.getAs[Long]("n_valid")).sum <
+      out.map(_.getAs[Long]("n")).sum, "the mangle gate must fire")
+  }
+
+  test("str_cep_pattern: negation kills a match; window bounds apply") {
+    def ev(id: Long, user: Long, tpe: String, hour: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-0${1 + hour / 24}%d " +
+        f"${hour % 24}%02d:00:00"), user, tpe, 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "signup", 0), ev(2, 1, "purchase", 5),    // clean: match
+      ev(3, 2, "signup", 0), ev(4, 2, "error", 2),
+      ev(5, 2, "purchase", 5),                           // error between: no
+      ev(6, 3, "signup", 0), ev(7, 3, "purchase", 26),   // in window: match
+      ev(8, 4, "signup", 0), ev(9, 4, "purchase", 5),
+      ev(10, 4, "error", 7)                              // error after: match
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.streaming.EventStreams.cepPattern(events)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"user 2's error-between match must be suppressed: $out")
+  }
+
+  test("dedup_edit_distance: one-char drift pairs; blocking is the contract") {
+    val docs = Seq(
+      (1L, "shared prefix alpha beta gamma delta", "en", "a", 1L),
+      (2L, "shared prefix alpha beta gamma delts", "en", "a", 1L),
+      (3L, "shared prefix alpha beta gamma delta", "en", "a", 1L),
+      (4L, "different opening words entirely here", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.dedup.Dedup.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,2) and (2,3) at dist 1; (1,3) identical -> dist 0 excluded;
+    // doc 4 in another block -> never paired
+    assert(out.toSet == Set((1L, 2L, 1), (2L, 3L, 1)), s"got ${out.toSeq}")
+  }
+
+  test("knn_kmeans_refine: the Lloyd update improves every cell") {
+    val out = graft.sim.EmbOps.knnKmeansRefine(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("inertia_mean_xn") <=
+        r.getAs[Long]("inertia_seed_xn"),
+        s"cell ${r.get(0)}: mean-centered WCSS must not exceed seed WCSS")
+    }
+  }
+
+  test("knn_loo_label: agreement bounded; per-mille arithmetic exact") {
+    val out = graft.sim.Knn.knnLooLabel(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, a) = (r.getAs[Long]("n_queries"), r.getAs[Long]("n_agree"))
+      assert(a >= 0 && a <= n)
+      assert(r.getAs[Long]("agree_pm") == a * 1000 / n)
+    }
+  }
+
+  test("cdc_replay_idempotence: applied state equals clean delivery") {
+    val out = graft.cdc.CdcQueries.replayIdempotence(spark, sfDir).collect()
+    val clean = Tables.events(spark, sfDir)
+      .select(when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (col("event_id") % 5 === 0).as("replayed"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        sum(when(col("replayed"), 1L).otherwise(0L)).as("n_rep"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, cents, nRep) = clean(r.getString(0))
+      assert(r.getAs[Long]("n_applied") == n,
+        "exactly-once apply must converge to the clean row count")
+      assert(r.getAs[Long]("applied_cents") == cents,
+        "exactly-once apply must converge to the clean checksum")
+      assert(r.getAs[Long]("n_dup_deliveries") == nRep,
+        "dup count must equal the replayed-offset count")
+      assert(r.getAs[Long]("n_delivered") == n + nRep)
+    }
+  }
+}
