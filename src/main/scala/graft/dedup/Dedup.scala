@@ -1464,19 +1464,27 @@ object Dedup extends QueryModule {
     * Levenshtein DP only on BLOCKED candidates. Each doc is reduced
     * to its 64-char normalized prefix (lower/strip-punct/collapse —
     * same canon as [[normalizedExact]]; the prefix bounds the DP at
-    * 64×64 per pair), blocked on (first 6 canon chars, length div 16)
-    * — a deliberate within-block contract (an edit inside the first
-    * 6 chars lands in another block; MinHash/ngram keys own that
-    * recall), replayed identically by the oracle so completeness is
-    * defined, not assumed. Shape: |block|² pairs only inside each
+    * 64×64 per pair), blocked on (first 12 canon chars, length div
+    * 16) — a deliberate within-block contract (an edit inside the
+    * first 12 chars lands in another block; MinHash/ngram keys own
+    * that recall), replayed identically by the oracle so completeness
+    * is defined, not assumed. The 12-char prefix is the selectivity
+    * knob: at 6 chars this corpus's template-heavy openings collapse
+    * into ~200-doc blocks (~400k DP pairs, 70× the work); 12 chars
+    * keeps max block ≈ 13. Shape: |block|² pairs only inside each
     * (prefix, length-bucket) shuffle bucket; AQE skew-split cuts any
-    * hot template block. */
+    * residual hot block. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    // normalize only the first 256 raw chars (enough to yield 64
+    // canon chars unless the opening is >75% punctuation — part of
+    // the replayed contract): the regex pass is the per-row cost and
+    // must not touch the full document body
     val canon = substring(trim(regexp_replace(regexp_replace(
-      lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " ")), 1, 64)
+      lower(substring(col("text"), 1, 256)), "[^a-z0-9\\s]", " "),
+      "\\s+", " ")), 1, 64)
     val keyed = docs
       .select(col("doc_id"), canon.as("c64"))
-      .withColumn("p", substring(col("c64"), 1, 6))
+      .withColumn("p", substring(col("c64"), 1, 12))
       .withColumn("lb", expr("length(c64) div 16"))
     val a = keyed.select(col("doc_id").as("d1"), col("c64").as("t1"),
       col("p"), col("lb"))
@@ -1496,11 +1504,12 @@ object Dedup extends QueryModule {
   val dedupEditDistanceSql: String =
     """WITH c AS (
       |  SELECT doc_id,
-      |    substr(trim(regexp_replace(regexp_replace(lower(text),
+      |    substr(trim(regexp_replace(regexp_replace(
+      |      lower(substr(text, 1, 256)),
       |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), 1, 64) AS c64
       |  FROM documents),
       |k AS (
-      |  SELECT doc_id, c64, substr(c64, 1, 6) AS p,
+      |  SELECT doc_id, c64, substr(c64, 1, 12) AS p,
       |    length(c64) // 16 AS lb FROM c)
       |SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  CAST(levenshtein(a.c64, b.c64) AS INTEGER) AS dist
