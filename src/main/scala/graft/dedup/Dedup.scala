@@ -231,8 +231,8 @@ object Dedup extends QueryModule {
     * the memo instead of silently serving stale pairs. */
   private val memo = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
-  private def memoized(spark: SparkSession, dir: String, what: String)(
-      build: => DataFrame): DataFrame = {
+  private[graft] def memoized(spark: SparkSession, dir: String,
+      what: String)(build: => DataFrame): DataFrame = {
     val m = memo.synchronized {
       var cur = memo.get(spark)
       if (cur == null) {

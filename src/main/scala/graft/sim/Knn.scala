@@ -293,18 +293,25 @@ object Knn extends QueryModule {
     * the skinny directed edge list (≤ k·n rows) — both keyed shuffles
     * an AQE plan handles at any corpus size. Feed the edges to
     * [[graft.dedup.Dedup]]'s components to get semantic clusters. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    VectorExprs.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val edges = centroidKnn(emb, emb, 5)
-    val rev = edges.select(col("qid").as("_b"), col("nid").as("_a"),
-      col("rank").as("rank_ba"))
-    edges.filter(col("qid") < col("nid"))
-      .join(rev, col("qid") === col("_a") && col("nid") === col("_b"))
-      .select(col("qid").as("a"), col("nid").as("b"),
-        col("rank").as("rank_ab"), col("rank_ba"))
-      .orderBy("a", "b")
-  }
+  /** Memoized mutual-kNN edge set over `embeddings` — shared by
+    * `knn_graph` and `knn_graph_clusters` (same session-scoped,
+    * layout-fingerprinted memo as the dedup pair sets: the graph is
+    * the expensive intermediate, its consumers are cheap). */
+  def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnMutualEdges") {
+      VectorExprs.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val edges = centroidKnn(emb, emb, 5)
+      val rev = edges.select(col("qid").as("_b"), col("nid").as("_a"),
+        col("rank").as("rank_ba"))
+      edges.filter(col("qid") < col("nid"))
+        .join(rev, col("qid") === col("_a") && col("nid") === col("_b"))
+        .select(col("qid").as("a"), col("nid").as("b"),
+          col("rank").as("rank_ab"), col("rank_ba"))
+    }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    mutualEdges(spark, dir).orderBy("a", "b")
 
   /** [[knnCentroidSql]] without the query-subset filter, plus the
     * mutual self-join: both directions must rank within k. */
@@ -643,7 +650,60 @@ object Knn extends QueryModule {
        |FROM ranked WHERE rk = 1
        |GROUP BY q_label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------ knn_graph_clusters
+  /** Semantic clustering = connected components over the mutual k-NN
+    * graph (the SemDeDup shape: mutual-neighbor edges are the
+    * conservative "actually similar" relation, and their components
+    * are the semantic duplicate groups a curation pipeline keeps one
+    * representative of). Pure composition of machinery the repo
+    * already owns — [[knnGraph]]'s cell-bounded mutual edges feed
+    * [[graft.dedup.Dedup.components]]' pointer-jumping label
+    * propagation — so the scale properties are inherited: candidate
+    * generation never leaves probed cells, components never exceed
+    * O(log d) rounds of combiner-friendly min-aggs. Per cluster: its
+    * size, how many distinct TRUE labels it mixes, the modal label's
+    * count, and exact purity per-mille — the eval that says whether
+    * unsupervised structure recovers the labeling. */
+  def knnGraphClusters(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val edges = mutualEdges(spark, dir)
+    val lbls = graft.dedup.Dedup.components(
+      emb.select(col("vec_id").as("doc_id")),
+      edges.select(col("a").as("d1"), col("b").as("d2")))
+    lbls.join(emb.select(col("vec_id").as("doc_id"), col("label")),
+        "doc_id")
+      .groupBy(col("lbl").as("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("cluster")
+      .agg(sum(col("c")).as("n_vectors"),
+        count(lit(1)).as("n_labels"), max(col("c")).as("n_top"))
+      .withColumn("purity_pm", expr("n_top * 1000 div n_vectors"))
+      .orderBy("cluster")
+  }
+
+  val knnGraphClustersSql: String =
+    s"""WITH RECURSIVE g AS (SELECT * FROM ($knnGraphSql) t),
+       |edges AS (
+       |  SELECT a AS d1, b AS d2 FROM g
+       |  UNION ALL SELECT b AS d1, a AS d2 FROM g),
+       |reach(id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.d1, r.lbl FROM edges e JOIN reach r ON r.id = e.d2),
+       |lbls AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+       |pl AS (
+       |  SELECT l.lbl AS cluster, em.label, COUNT(*) AS c
+       |  FROM lbls l JOIN embeddings em ON em.vec_id = l.id
+       |  GROUP BY 1, 2)
+       |SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_vectors,
+       |  CAST(COUNT(*) AS BIGINT) AS n_labels,
+       |  CAST(MAX(c) AS BIGINT) AS n_top,
+       |  CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS purity_pm
+       |FROM pl GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_clusters" -> (knnGraphClusters _),
     "knn_loo_label" -> (knnLooLabel _),
     "knn_rerank" -> (knnRerank _),
     "knn_filtered" -> (knnFiltered _),
@@ -658,6 +718,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_graph_clusters" -> knnGraphClustersSql,
     "knn_loo_label" -> knnLooLabelSql,
     "knn_rerank" -> knnRerankSql,
     "knn_filtered" -> knnFilteredSql,

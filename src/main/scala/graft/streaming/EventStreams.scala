@@ -588,7 +588,71 @@ object EventStreams extends QueryModule {
       |  CAST(MIN(p_us) AS BIGINT) AS first_purchase_us
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------- str_distinct_windowed
+  /** Windowed distinct-cardinality SKETCH — the streaming form of the
+    * q31 KMV sketch: per 6-hour tumbling window, the k=64 smallest
+    * distinct portable user-id hashes estimate the distinct-user
+    * count ((k−1)·2³²/h_k), beside the exact count and exact
+    * per-mille error. This is the shape a stream keeps when exact
+    * windowed COUNT(DISTINCT) state would be unbounded: the sketch is
+    * MERGEABLE (k smallest of a union = k smallest of the per-task k
+    * smallest — the WindowGroupLimit applies rank ≤ k map-side, so
+    * each task forwards ≤ k hashes per window) and the estimator is
+    * deterministic integer math the oracle replays bit-for-bit. */
+  def distinctWindowed(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = events.select(
+        window(col("ts"), "6 hours").getField("start").as("window_start"),
+        graft.mask.MaskFunctions.portableHash(col("user_id")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("window_start").orderBy("h")
+    val sk = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("window_start")
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+        count(lit(1)).as("n_kept"))
+    val exact = d.groupBy("window_start")
+      .agg(count(lit(1)).as("exact_users"))
+    sk.join(exact, "window_start")
+      .select(col("window_start"),
+        when(col("n_kept") < k, col("exact_users"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div hk"))
+          .as("est_users"),
+        col("exact_users"))
+      .withColumn("err_pm",
+        expr("abs(est_users - exact_users) * 1000 div exact_users"))
+      .orderBy("window_start")
+  }
+
+  def strDistinctWindowed(spark: SparkSession, dir: String): DataFrame =
+    distinctWindowed(Tables.events(spark, dir))
+
+  val strDistinctWindowedSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT epoch_us(ts) // 21600000000 AS wb,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+      |      AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT wb, h,
+      |    ROW_NUMBER() OVER (PARTITION BY wb ORDER BY h) AS rn
+      |  FROM d),
+      |sk AS (
+      |  SELECT wb, MAX(CASE WHEN rn = 64 THEN h END) AS hk,
+      |    COUNT(*) AS n_kept
+      |  FROM r WHERE rn <= 64 GROUP BY wb),
+      |ex AS (SELECT wb, COUNT(*) AS exact_users FROM d GROUP BY wb)
+      |SELECT make_timestamp(sk.wb * 21600000000) AS window_start,
+      |  CAST(CASE WHEN sk.n_kept < 64 THEN ex.exact_users
+      |       ELSE (63 * 4294967296) // sk.hk END AS BIGINT) AS est_users,
+      |  CAST(ex.exact_users AS BIGINT) AS exact_users,
+      |  CAST(abs((CASE WHEN sk.n_kept < 64 THEN ex.exact_users
+      |        ELSE (63 * 4294967296) // sk.hk END) - ex.exact_users)
+      |    * 1000 // ex.exact_users AS BIGINT) AS err_pm
+      |FROM sk JOIN ex ON sk.wb = ex.wb ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_distinct_windowed" -> (strDistinctWindowed _),
     "str_cep_pattern" -> (strCepPattern _),
     "str_anomaly" -> (strAnomaly _),
     "str_retention" -> (strRetention _),
@@ -607,6 +671,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_distinct_windowed" -> strDistinctWindowedSql,
     "str_cep_pattern" -> strCepPatternSql,
     "str_anomaly" -> strAnomalySql,
     "str_retention" -> strRetentionSql,

@@ -180,6 +180,59 @@ object Stateful {
       }
   }
 
+  // ---------------------------------------------- streaming CEP
+  final case class CepMatch(user_id: Long, s_us: Long, p_us: Long)
+
+  /** One open signup: its micros plus the first error seen after it
+    * (MaxValue sentinel = none yet). Public — encoder codegen. */
+  final case class OpenSignup(sUs: Long, errUs: Long)
+  final case class CepState(signups: List[OpenSignup])
+
+  /** INCREMENTAL CEP with negation — the streaming form of
+    * [[EventStreams.strCepPattern]] (signup → purchase ≤ 7 d, no
+    * error strictly between): state per user is the list of OPEN
+    * signups, each carrying the first error micros after it. An
+    * error flags every older open signup; a purchase emits a match
+    * for every open signup within the window whose first error (if
+    * any) is not strictly inside (s, p); signups older than the
+    * window are pruned on every event, so state is bounded by the
+    * per-user signup rate × 7 d — the CEP engine contract. Ties are
+    * handled by value, not arrival order (errUs ≥ p_us does not
+    * suppress), so the facts equal the batch pair set whenever
+    * per-user arrival respects event-time order across batches
+    * (within a batch the (ts, event_id) sort restores it). */
+  def cepMatchUpdates(events: Dataset[EventRow],
+      winUs: Long = 7L * 24 * 3600 * 1000000L): Dataset[CepMatch] = {
+    implicit val stateEnc = Encoders.product[CepState]
+    implicit val outEnc = Encoders.product[CepMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[CepState]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption.map(_.signups).getOrElse(Nil)
+          val out = Seq.newBuilder[CepMatch]
+          ordered.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            open = open.filter(_.sUs + winUs >= us) // prune expired
+            e.event_type match {
+              case "signup" => open = OpenSignup(us, Long.MaxValue) :: open
+              case "error" => open = open.map { s =>
+                  if (s.sUs < us && us < s.errUs) s.copy(errUs = us) else s
+                }
+              case "purchase" => open.foreach { s =>
+                  if (us > s.sUs && us <= s.sUs + winUs && s.errUs >= us)
+                    out += CepMatch(uid, s.sUs, us)
+                }
+              case _ => ()
+            }
+          }
+          state.update(CepState(open))
+          out.result().iterator
+      }
+  }
+
   /** The same running totals on Spark 4's `transformWithState` API —
     * the successor to flatMapGroupsWithState: typed per-key state
     * variables (Value/List/Map), per-state TTLs, and timers, backed

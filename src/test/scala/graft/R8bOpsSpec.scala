@@ -153,6 +153,36 @@ class R8bOpsSpec extends SparkSpec {
     }
   }
 
+  test("str_distinct_windowed: sketch falls back to exact below k") {
+    val out = graft.streaming.EventStreams
+      .strDistinctWindowed(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (est, exact) =
+        (r.getAs[Long]("est_users"), r.getAs[Long]("exact_users"))
+      assert(exact > 0)
+      // windows under k distinct users must report exactly
+      if (exact < 64) assert(est == exact,
+        s"sub-k window must be exact: est=$est exact=$exact")
+      assert(r.getAs[Long]("err_pm") ==
+        math.abs(est - exact) * 1000 / exact)
+    }
+  }
+
+  test("knn_graph_clusters: cluster census covers the corpus; purity exact") {
+    val out = graft.sim.Knn.knnGraphClusters(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_vectors")).sum ==
+      Tables.embeddings(spark, sfDir).count(),
+      "every vector must land in exactly one cluster")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_top") <= r.getAs[Long]("n_vectors"))
+      assert(r.getAs[Long]("n_labels") >= 1)
+      assert(r.getAs[Long]("purity_pm") ==
+        r.getAs[Long]("n_top") * 1000 / r.getAs[Long]("n_vectors"))
+    }
+  }
+
   test("cdc_replay_idempotence: applied state equals clean delivery") {
     val out = graft.cdc.CdcQueries.replayIdempotence(spark, sfDir).collect()
     val clean = Tables.events(spark, sfDir)

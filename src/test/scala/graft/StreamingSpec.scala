@@ -753,4 +753,97 @@ class StreamingSpec extends SparkSpec {
       fallback = Some(("rate", Map("rowsPerSecond" -> "1"))))
     assert(df.isStreaming && df.columns.toSeq == Seq("value"))
   }
+
+  test("streaming CEP facts equal the batch pair set across batch splits") {
+    implicit val sql = spark.sqlContext
+    // signup in b1, error + purchase in b2, second purchase in b3 —
+    // the open-signup state must survive every boundary, the error
+    // must suppress only pairs it sits strictly inside, and the
+    // 7-day window must expire user 4's stale signup
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup", 1.0),
+      (2L, ts("2024-01-01 00:00:00"), 2L, "signup", 1.0),
+      (10L, ts("2024-01-01 00:00:00"), 4L, "signup", 1.0))
+    val b2 = Seq(
+      (3L, ts("2024-01-02 00:00:00"), 1L, "purchase", 1.0),
+      (4L, ts("2024-01-02 00:00:00"), 2L, "error", 1.0),
+      (5L, ts("2024-01-03 00:00:00"), 2L, "purchase", 1.0))
+    val b3 = Seq(
+      (6L, ts("2024-01-04 00:00:00"), 1L, "purchase", 1.0),
+      (11L, ts("2024-01-20 00:00:00"), 4L, "purchase", 1.0))
+    val all = b1 ++ b2 ++ b3
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.cepMatchUpdates(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("cep_facts")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cep_facts")
+      .groupBy("user_id").agg(count(lit(1)).as("n_matches"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.streaming.EventStreams.cepPattern(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // user 1 converts twice (both purchases in window, no error);
+    // user 2's error suppresses; user 4's signup expired
+    assert(batch == Map(1L -> 2L))
+  }
+
+  test("windowed KMV sketches merge across micro-batches to the batch estimate") {
+    implicit val sql = spark.sqlContext
+    val k = 64
+    // three 6-hour windows: sub-k (exact path), exactly k, and >> k
+    // (estimate path); the last window arrives split across batches
+    // with overlapping users (distinct-merge must dedup)
+    def evs(hour: Int, users: Range, base: Long) = users.map { u =>
+      (base + u, ts(f"2024-01-01 ${hour}%02d:30:00"), u.toLong, "view", 1.0)
+    }
+    val all = evs(1, 0 until 30, 1000) ++ evs(7, 100 until 164, 2000) ++
+      evs(13, 1000 until 1200, 3000) ++ evs(14, 1000 until 1100, 4000)
+    val state = scala.collection.concurrent.TrieMap[Timestamp,
+      scala.collection.immutable.SortedSet[Long]]()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          // per-batch KMV partials (≤ k hashes per window leave the
+          // batch) merged into the running sketch: k smallest of a
+          // union = k smallest of (k-smallest(A) ∪ k-smallest(B))
+          batch.select(
+              window(col("ts"), "6 hours").getField("start").as("w"),
+              graft.mask.MaskFunctions.portableHash(col("user_id"))
+                .as("h"))
+            .distinct().collect().foreach { r =>
+              val merged = state.getOrElse(r.getTimestamp(0),
+                scala.collection.immutable.SortedSet.empty[Long]) +
+                r.getLong(1)
+              state.put(r.getTimestamp(0), merged.take(k))
+            }
+          ()
+      }.start()
+    try {
+      all.grouped(120).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val expected = graft.streaming.EventStreams.distinctWindowed(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Long]("est_users")).toMap
+    val got = state.map { case (w, s) =>
+      w -> (if (s.size < k) s.size.toLong
+            else (63L * 4294967296L) / s.last)
+    }.toMap
+    assert(got == expected, s"merged sketch $got != batch $expected")
+    assert(expected.size == 3)
+  }
 }
