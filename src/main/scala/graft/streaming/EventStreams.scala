@@ -651,7 +651,65 @@ object EventStreams extends QueryModule {
       |    * 1000 // ex.exact_users AS BIGINT) AS err_pm
       |FROM sk JOIN ex ON sk.wb = ex.wb ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------ str_lateness_audit
+  /** Out-of-orderness profile — the measurement that SETS a stream's
+    * watermark delay (guess too low → dropped events, too high →
+    * state bloat): with arrival order proxied by event_id, an event's
+    * lateness is (max event-time seen so far) − (its own event-time).
+    * The running max uses the repo's two-level decomposition — local
+    * prefix-max within contiguous event_id shards + an exclusive
+    * prefix-max over the ≤|shards| per-shard maxes (deliberate
+    * single-partition window) — so no window spans the raw feed; the
+    * oracle IS the naive global running max, proving the
+    * decomposition exact. Per 6 h event-time window: event count, the
+    * worst lateness, and how many events a 1 h watermark would have
+    * dropped. */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_id"), col("ts"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("_sh", expr("event_id div 1024"))
+    val pre = Window.partitionBy(pmod(col("_mx"), lit(1))).orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("_sh").agg(max(col("us")).as("_mx"))
+      .withColumn("_off", max(col("_mx")).over(pre))
+      .select("_sh", "_off")
+    val local = Window.partitionBy("_sh").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("_lm", max(col("us")).over(local))
+      .join(broadcast(offsets), Seq("_sh"))
+      .withColumn("late_us",
+        greatest(col("_lm"), coalesce(col("_off"), col("_lm"))) - col("us"))
+      // window() on the NTZ ts keeps the bucket NTZ (timestamp_micros
+      // would re-type it LTZ and diverge from the oracle's
+      // make_timestamp)
+      .withColumn("window_start",
+        window(col("ts"), "6 hours").getField("start"))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+          .as("n_late_1h"))
+      .orderBy("window_start")
+  }
+
+  def strLatenessAudit(spark: SparkSession, dir: String): DataFrame =
+    latenessAudit(Tables.events(spark, dir))
+
+  val strLatenessAuditSql: String =
+    """WITH b AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT us, MAX(us) OVER (ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+      |  FROM b)
+      |SELECT make_timestamp((us // 21600000000) * 21600000000)
+      |    AS window_start,
+      |  COUNT(*) AS n, CAST(MAX(sm - us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(CASE WHEN sm - us > 3600000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late_1h
+      |FROM m GROUP BY 1 ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_lateness_audit" -> (strLatenessAudit _),
     "str_distinct_windowed" -> (strDistinctWindowed _),
     "str_cep_pattern" -> (strCepPattern _),
     "str_anomaly" -> (strAnomaly _),
@@ -671,6 +729,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_lateness_audit" -> strLatenessAuditSql,
     "str_distinct_windowed" -> strDistinctWindowedSql,
     "str_cep_pattern" -> strCepPatternSql,
     "str_anomaly" -> strAnomalySql,

@@ -986,7 +986,16 @@ object TextAnalysis extends QueryModule {
     bpeTrain(Tables.documents(spark, dir), 4)
 
   /** The K-round trainer core over any (lang, text) frame. */
-  def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, k: Int): DataFrame =
+    bpeRounds(docs, k)._1
+      .select(col("lang"), col("round"), col("x").as("pair_left"),
+        col("y").as("pair_right"), col("n"))
+      .orderBy("lang", "round")
+
+  /** K greedy merge rounds; returns (merge table, the FINAL encoded
+    * word-type table (lang, wn, enc)) — the encoded table is what
+    * [[txtBpeApply]] measures tokenizer fertility on. */
+  private def bpeRounds(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val SEP = "\u0001"
     val K = k
@@ -1022,17 +1031,42 @@ object TextAnalysis extends QueryModule {
             concat(lit(SEP), col("x"), col("y"), lit(SEP)))))
         .select("lang", "wn", "enc")
     }
-    merges
-      .select(col("lang"), col("round"), col("x").as("pair_left"),
-        col("y").as("pair_right"), col("n"))
-      .orderBy("lang", "round")
+    (merges, cur)
+  }
+
+  // ---------------------------------------------------- txt_bpe_apply
+  /** Apply the K trained BPE merges corpus-wide and measure tokenizer
+    * FERTILITY — the statistic that decides whether a merge table is
+    * worth shipping: per language, weighted word instances, total
+    * characters, total post-merge symbols, and symbols-per-1000-chars
+    * (1000 = nothing merged; lower = the tokenizer compresses). Only
+    * the trained vocabulary (words ≥ 2 chars) is measured — the same
+    * contract as the trainer. The encoded word-TYPE table is tiny
+    * (vocab-sized, weights carry the instance counts), so applying
+    * merges costs |vocab| work regardless of corpus size — the
+    * classic trainer/encoder asymmetry. */
+  def txtBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val SEP = "\u0001"
+    val enc = bpeRounds(Tables.documents(spark, dir), 4)._2
+    enc.select(col("lang"), col("wn"),
+        size(split(trim(col("enc"), SEP), SEP + SEP)).as("n_sym"),
+        length(regexp_replace(col("enc"), SEP, "")).as("n_chars"))
+      .groupBy("lang")
+      .agg(sum(col("wn")).as("n_words"),
+        sum(col("wn") * col("n_chars")).as("chars"),
+        sum(col("wn") * col("n_sym")).as("symbols"))
+      .withColumn("symbols_per_kchar", expr("symbols * 1000 div chars"))
+      .orderBy("lang")
   }
 
   /** Oracle replays the identical K merges: same sentinel encoding,
     * same weighted pair counts, same (n DESC, x, y) argmax, same
     * left-to-right replace. Generated per round so Spark and SQL can
     * never drift on K. */
-  val txtBpeTrainSql: String = {
+  /** Both BPE oracles share ONE merge-chain builder (through e4), so
+    * the trainer and the fertility measure can never drift on K or on
+    * the merge semantics. */
+  private lazy val bpeSqlPair: (String, String) = {
     val S = "chr(1)"
     val rounds = (1 to 4).map { r =>
       s"""s$r AS (
@@ -1061,7 +1095,7 @@ object TextAnalysis extends QueryModule {
       s"""SELECT lang, CAST($r AS BIGINT) AS round, x AS pair_left,
          |  y AS pair_right, n FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH wt AS (
+    val chain = s"""WITH wt AS (
        |  SELECT lang, w, COUNT(*) AS wn FROM (
        |    SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
        |    FROM documents) t
@@ -1070,10 +1104,72 @@ object TextAnalysis extends QueryModule {
        |  SELECT lang, wn,
        |    regexp_replace(w, '(.)', $S||'\\1'||$S, 'g') AS enc
        |  FROM wt),
-       |$rounds
+       |$rounds""".stripMargin
+    val applySql = s"""$chain,
+       |fin AS (
+       |  SELECT lang, wn,
+       |    len(string_split(trim(enc, $S), $S||$S)) AS n_sym,
+       |    length(replace(enc, $S, '')) AS n_chars
+       |  FROM e4)
+       |SELECT lang, CAST(SUM(wn) AS BIGINT) AS n_words,
+       |  CAST(SUM(wn * n_chars) AS BIGINT) AS chars,
+       |  CAST(SUM(wn * n_sym) AS BIGINT) AS symbols,
+       |  CAST(SUM(wn * n_sym) * 1000 // SUM(wn * n_chars) AS BIGINT)
+       |    AS symbols_per_kchar
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+    val trainSql = s"""$chain
        |$out
        |ORDER BY lang, round""".stripMargin
+    (trainSql, applySql)
   }
+
+  val txtBpeTrainSql: String = bpeSqlPair._1
+  val txtBpeApplySql: String = bpeSqlPair._2
+
+  // ------------------------------------------------ txt_source_overlap
+  /** Pairwise SOURCE vocabulary overlap — the provenance signal a
+    * corpus report uses to spot re-crawled or mirrored feeds before
+    * dedup ever runs (two "independent" sources sharing 90% of their
+    * vocabulary are one source): per source the distinct token set,
+    * pairwise intersection via ONE token-keyed self-join, exact
+    * integer Jaccard per-mille. Scale shape: the join fans out at
+    * most |sources|² per token (source count is bounded metadata
+    * cardinality, not data volume), and only (source, token-hash)
+    * pairs shuffle. */
+  def txtSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .distinct()
+    val sizes = tok.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = tok.select(col("source").as("s1"), col("w"))
+    val b = tok.select(col("source").as("s2"), col("w"))
+    a.join(b, Seq("w")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.select(col("source").as("s1"),
+        col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"),
+        col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("i"), col("n1"), col("n2"),
+        expr("i * 1000 div (n1 + n2 - i)").as("jaccard_pm"))
+      .orderBy("s1", "s2")
+  }
+
+  val txtSourceOverlapSql: String =
+    """WITH t0 AS (
+      |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |  FROM documents),
+      |tok AS (SELECT DISTINCT source, w FROM t0),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, CAST(i AS BIGINT) AS i,
+      |  CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+      |  CAST(i * 1000 // (x.n + y.n - i) AS BIGINT) AS jaccard_pm
+      |FROM inter JOIN sizes x ON x.source = inter.s1
+      |  JOIN sizes y ON y.source = inter.s2
+      |ORDER BY s1, s2""".stripMargin
 
   // ------------------------------------------------------- txt_zipf
   /** Rank–frequency (Zipf) audit of the global token distribution —
@@ -1115,6 +1211,8 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_zipf" -> (txtZipf _),
+    "txt_bpe_apply" -> (txtBpeApply _),
+    "txt_source_overlap" -> (txtSourceOverlap _),
     "txt_bpe_pairs" -> (txtBpePairs _),
     "txt_bpe_train" -> (txtBpeTrain _),
     "txt_novelty" -> (txtNovelty _),
@@ -1139,6 +1237,8 @@ object TextAnalysis extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "txt_zipf" -> txtZipfSql,
+    "txt_bpe_apply" -> txtBpeApplySql,
+    "txt_source_overlap" -> txtSourceOverlapSql,
     "txt_bpe_pairs" -> txtBpePairsSql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_novelty" -> txtNoveltySql,

@@ -183,6 +183,56 @@ class R8bOpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_bpe_apply: merging strictly compresses; bounds hold") {
+    val out = graft.text.TextAnalysis.txtBpeApply(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (chars, syms) = (r.getAs[Long]("chars"), r.getAs[Long]("symbols"))
+      assert(syms <= chars, "a merge can only reduce symbol count")
+      assert(syms >= r.getAs[Long]("n_words"),
+        "every word is at least one symbol")
+      assert(r.getAs[Long]("symbols_per_kchar") == syms * 1000 / chars)
+      assert(syms * 1000 / chars < 1000,
+        "4 merge rounds must compress a natural-language corpus")
+    }
+  }
+
+  test("txt_source_overlap: Jaccard symmetric-bounded; diagonal excluded") {
+    val out = graft.text.TextAnalysis.txtSourceOverlap(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "only s1 < s2 pairs")
+      val (i, n1, n2) = (r.getAs[Long]("i"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"))
+      assert(i <= math.min(n1, n2))
+      assert(r.getAs[Long]("jaccard_pm") == i * 1000 / (n1 + n2 - i))
+    }
+  }
+
+  test("str_lateness_audit: two-level running max equals the naive one") {
+    val out = graft.streaming.EventStreams.strLatenessAudit(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // recompute the naive global running max on the driver
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var seen = Long.MinValue
+    val late = evs.map { case (_, us) =>
+      seen = math.max(seen, us); (us, seen - us)
+    }
+    val naive = late.groupBy { case (us, _) => us / 21600000000L }
+      .map { case (w, xs) => w -> xs.map(_._2).max }
+    val got = out.map { r =>
+      val us = r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      us / 21600000000L -> r.getAs[Long]("max_late_us")
+    }.toMap
+    assert(got == naive, "decomposed running max must equal the naive scan")
+  }
+
   test("cdc_replay_idempotence: applied state equals clean delivery") {
     val out = graft.cdc.CdcQueries.replayIdempotence(spark, sfDir).collect()
     val clean = Tables.events(spark, sfDir)
