@@ -134,20 +134,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q36 MAD derives the deviation pass from the value histogram") {
-    // the r7 note: the second (deviation) selection re-read lineitem.
-    // Fixed shape: the (group, cents) histogram is checkpointed once
-    // and BOTH selection passes read that materialization — the final
-    // plan must contain zero parquet scans of lineitem (the one scan
-    // happened at checkpoint time) and at least two ExistingRDD reads
+    // r8 shape: the deviation histogram REGROUPS the value histogram
+    // (never ranks raw rows), the histogram is not materialized
+    // (checkpointing a near-corpus-sized frame cost more than the
+    // pruned re-scan), so the plan may contain at most the two
+    // column-pruned lineitem scans, every one reading ONLY the two
+    // needed columns, with exchange reuse sharing the shuffles
     val df = Relational.q36(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(!plan.contains("lineitem.parquet"),
-      s"deviation pass must not re-scan lineitem:\n$plan")
-    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
-    assert(rddScans >= 2,
-      s"both selection passes should read the checkpointed histogram:\n$plan")
+    val scans = plan.split("\n").filter(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans.length <= 2,
+      s"more lineitem scans than the two selection passes:\n$plan")
+    assert(scans.forall(l => l.contains(
+      "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>")),
+      s"lineitem scan must prune to the two used columns:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"histogram shuffles should be shared via exchange reuse:\n$plan")
   }
 
   test("KMV sketch bounds per-task state via a partial WindowGroupLimit") {
