@@ -983,7 +983,10 @@ object TextAnalysis extends QueryModule {
     * engines share those semantics, so "aaa" merges to [aa, a]
     * identically). No driver-side loop state beyond the fixed K. */
   def txtBpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrain(Tables.documents(spark, dir), 4)
+    bpeShared(spark, dir).filter(col("kind") === "m")
+      .select(col("lang"), col("round"), col("x").as("pair_left"),
+        col("y").as("pair_right"), col("n"))
+      .orderBy("lang", "round")
 
   /** The K-round trainer core over any (lang, text) frame. */
   def bpeTrain(docs: DataFrame, k: Int): DataFrame =
@@ -991,6 +994,26 @@ object TextAnalysis extends QueryModule {
       .select(col("lang"), col("round"), col("x").as("pair_left"),
         col("y").as("pair_right"), col("n"))
       .orderBy("lang", "round")
+
+  /** Session-memoized combined (merge table ⊎ encoded words) frame at
+    * K=4 — `txt_bpe_train` and `txt_bpe_apply` are two views of ONE
+    * trainer run, so the 4-round chain executes once per corpus (the
+    * dedup pair-set memo pattern; the union carries a kind tag and
+    * per-kind nulls so one checkpoint serves both schemas). */
+  private def bpeShared(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "bpe4") {
+      val (m, e) = bpeRounds(Tables.documents(spark, dir), 4)
+      m.select(lit("m").as("kind"), col("lang"), col("round"),
+          col("x"), col("y"), col("n"),
+          lit(null).cast("long").as("wn"),
+          lit(null).cast("string").as("enc"))
+        .unionAll(e.select(lit("e").as("kind"), col("lang"),
+          lit(null).cast("long").as("round"),
+          lit(null).cast("string").as("x"),
+          lit(null).cast("string").as("y"),
+          lit(null).cast("long").as("n"),
+          col("wn"), col("enc")))
+    }
 
   /** K greedy merge rounds; returns (merge table, the FINAL encoded
     * word-type table (lang, wn, enc)) — the encoded table is what
@@ -1047,7 +1070,7 @@ object TextAnalysis extends QueryModule {
     * classic trainer/encoder asymmetry. */
   def txtBpeApply(spark: SparkSession, dir: String): DataFrame = {
     val SEP = "\u0001"
-    val enc = bpeRounds(Tables.documents(spark, dir), 4)._2
+    val enc = bpeShared(spark, dir).filter(col("kind") === "e")
     enc.select(col("lang"), col("wn"),
         size(split(trim(col("enc"), SEP), SEP + SEP)).as("n_sym"),
         length(regexp_replace(col("enc"), SEP, "")).as("n_chars"))
