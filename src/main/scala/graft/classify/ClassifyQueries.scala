@@ -940,9 +940,15 @@ object ClassifyQueries extends QueryModule {
     * the deliberate single-partition idiom), so no window ever sees
     * more than a shard; the final sup is one map-side-combining
     * struct-max. */
-  def clsKsDrift(spark: SparkSession, dir: String): DataFrame = {
+  def clsKsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.orders(spark, dir))
+
+  /** The KS core with the shard width exposed — ScaleSpec pins that
+    * the result is shard-width-INVARIANT (the decomposition is pure
+    * plumbing, not semantics). */
+  def ksDrift(orders: DataFrame, shardWidth: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val od = Tables.orders(spark, dir)
+    val od = orders
       .withColumn("_d",
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01")))
     val bounds = od.agg(min(col("_d")).as("dmin"), max(col("_d")).as("dmax"))
@@ -952,7 +958,7 @@ object ClassifyQueries extends QueryModule {
     val hist = sides.groupBy("v")
       .agg(sum(when(col("_cur"), 0L).otherwise(1L)).as("c_ref"),
         sum(when(col("_cur"), 1L).otherwise(0L)).as("c_cur"))
-      .withColumn("_sh", expr("v div 1048576"))
+      .withColumn("_sh", expr(s"v div $shardWidth"))
     val pre = Window.partitionBy(pmod(col("_tr"), lit(1))).orderBy("_sh")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hist.groupBy("_sh")

@@ -664,11 +664,12 @@ object EventStreams extends QueryModule {
     * decomposition exact. Per 6 h event-time window: event count, the
     * worst lateness, and how many events a 1 h watermark would have
     * dropped. */
-  def latenessAudit(events: DataFrame): DataFrame = {
+  def latenessAudit(events: DataFrame, shardWidth: Long = 1024L)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = events.select(col("event_id"), col("ts"),
         expr("unix_micros(cast(ts as timestamp))").as("us"))
-      .withColumn("_sh", expr("event_id div 1024"))
+      .withColumn("_sh", expr(s"event_id div $shardWidth"))
     val pre = Window.partitionBy(pmod(col("_mx"), lit(1))).orderBy("_sh")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("_sh").agg(max(col("us")).as("_mx"))

@@ -195,4 +195,22 @@ class ScaleSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"substring spans must stay equi-join only:\n$plan")
   }
+
+  test("KS drift is shard-width-invariant (the decomposition is plumbing)") {
+    val orders = Tables.orders(spark, sfDir)
+    def run(w: Long) = graft.classify.ClassifyQueries.ksDrift(orders, w)
+      .collect().map(_.toSeq).toSeq
+    val base = run(1L << 20)
+    assert(base == run(1L << 14), "narrow shards must not change the sup")
+    assert(base == run(1L << 30), "one giant shard must not change the sup")
+  }
+
+  test("lateness audit is shard-width-invariant") {
+    val events = Tables.events(spark, sfDir)
+    def run(w: Long) = graft.streaming.EventStreams.latenessAudit(events, w)
+      .collect().map(_.toSeq).toSeq
+    val base = run(1024L)
+    assert(base == run(16L), "narrow shards must not change running max")
+    assert(base == run(1L << 40), "one giant shard must not change it")
+  }
 }
