@@ -446,6 +446,59 @@ object MaskQueries extends QueryModule {
       |    AS n_rows_at_risk
       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------ mask_ldiversity
+  /** l-diversity audit — k-anonymity's necessary companion: a
+    * quasi-ID group can be large (k high) yet still leak when every
+    * member shares the SAME sensitive value (homogeneity attack —
+    * knowing someone is in the group reveals their attribute). Per
+    * quasi-ID group ((segment, nation, balance band), the
+    * [[maskKAnonymity]] grouping) the distinct-sensitive count l is
+    * computed by the two-level hash-agg (cells keyed on
+    * (quasi, sensitive) first — never a COUNT DISTINCT over raw
+    * rows), then per segment: worst l, group count, fully-homogeneous
+    * group count (l = 1 — total disclosure), and the rows exposed in
+    * them. The sensitive class derives deterministically from the
+    * portable hash (a stand-in for e.g. diagnosis codes) so both
+    * engines see identical data. */
+  def maskLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal").cast("double") / 500.0).cast("long")
+    val sens = pmod(MaskFunctions.portableHash(col("c_custkey")), lit(5))
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"), band.as("band"),
+        sens.as("s"))
+      .groupBy("c_mktsegment", "c_nationkey", "band", "s")
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("c_mktsegment", "c_nationkey", "band")
+      .agg(count(lit(1)).as("l"), sum(col("c")).as("k"))
+      .groupBy("c_mktsegment")
+      .agg(min(col("l")).as("l_min"), count(lit(1)).as("n_groups"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_groups_l1"),
+        sum(when(col("l") === 1, col("k")).otherwise(0L))
+          .as("n_rows_exposed"))
+      .orderBy("c_mktsegment")
+  }
+
+  val maskLDiversitySql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500.0) AS BIGINT)
+      |      AS band,
+      |    ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+      |      % 5 AS s,
+      |    COUNT(*) AS c
+      |  FROM customer GROUP BY 1, 2, 3, 4),
+      |g AS (
+      |  SELECT c_mktsegment, c_nationkey, band, COUNT(*) AS l,
+      |    SUM(c) AS k
+      |  FROM cells GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment, CAST(MIN(l) AS BIGINT) AS l_min,
+      |  COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_groups_l1,
+      |  CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_rows_exposed
+      |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------ mask_substitute
   /** Monoalphabetic substitution cipher — format-preserving by
     * construction: character class (letter/digit/other), case, and
@@ -548,6 +601,7 @@ object MaskQueries extends QueryModule {
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
     "mask_kanonymity" -> (maskKAnonymity _),
+    "mask_ldiversity" -> (maskLDiversity _),
     "mask_consistent" -> (maskConsistent _),
     "mask_ip" -> (maskIp _),
     "mask_luhn_fpe" -> (maskLuhnFpe _),
@@ -569,6 +623,7 @@ object MaskQueries extends QueryModule {
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,
     "mask_kanonymity" -> maskKAnonymitySql,
+    "mask_ldiversity" -> maskLDiversitySql,
     "mask_consistent" -> maskConsistentSql,
     "mask_ip" -> maskIpSql,
     "mask_luhn_fpe" -> maskLuhnFpeSql,

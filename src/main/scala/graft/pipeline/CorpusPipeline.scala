@@ -1051,6 +1051,45 @@ object CorpusPipeline extends QueryModule {
       |  CAST(SUM(bytes) AS BIGINT) AS bytes
       |FROM o GROUP BY 1, 2 ORDER BY source, out_file""".stripMargin
 
+  // --------------------------------------------- pipe_filter_sweep
+  /** Quality-threshold SWEEP — the tuning curve a corpus owner plots
+    * before fixing a length filter (what does each candidate
+    * threshold cost in documents and tokens?): one scan melts each
+    * doc into its |thresholds| (threshold, survives?) entries and one
+    * hash-agg yields surviving doc and token counts per threshold.
+    * The sweep costs ONE pass regardless of how many thresholds are
+    * probed — never a pass per candidate. */
+  def pipeFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(50, 100, 200, 400, 800)
+    Tables.documents(spark, dir)
+      .select(col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"),
+        col("n_chars"), col("nt"))
+      .groupBy("threshold")
+      .agg(sum(when(col("n_chars") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_docs"),
+        sum(when(col("n_chars") >= col("threshold"), col("nt"))
+          .otherwise(0L)).as("n_tokens"))
+      .orderBy("threshold")
+  }
+
+  val pipeFilterSweepSql: String =
+    """WITH d AS (
+      |  SELECT n_chars,
+      |    len(regexp_split_to_array(text, '\s+')) AS nt
+      |  FROM documents),
+      |m AS (
+      |  SELECT unnest([50, 100, 200, 400, 800]) AS threshold,
+      |    n_chars, nt
+      |  FROM d)
+      |SELECT CAST(threshold AS INTEGER) AS threshold,
+      |  CAST(SUM(CASE WHEN n_chars >= threshold THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_chars >= threshold THEN nt ELSE 0 END)
+      |    AS BIGINT) AS n_tokens
+      |FROM m GROUP BY threshold ORDER BY threshold""".stripMargin
+
   // ------------------------------------------- pipe_dedup_weights
   /** Cluster-size sampling weights — the SemDeDup-style soft
     * alternative to dropping near-dups: every document in a near-dup
@@ -1082,6 +1121,7 @@ object CorpusPipeline extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_compaction" -> (pipeCompaction _),
+    "pipe_filter_sweep" -> (pipeFilterSweep _),
     "pipe_dedup_weights" -> (pipeDedupWeights _),
     "pipe_dataset_diff" -> (pipeDatasetDiff _),
     "pipe_corpus_filter" -> (pipeCorpusFilter _),
@@ -1104,6 +1144,7 @@ object CorpusPipeline extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "pipe_compaction" -> pipeCompactionSql,
+    "pipe_filter_sweep" -> pipeFilterSweepSql,
     "pipe_dedup_weights" -> pipeDedupWeightsSql,
     "pipe_dataset_diff" -> pipeDatasetDiffSql,
     "pipe_corpus_filter" -> pipeCorpusFilterSql,

@@ -233,6 +233,29 @@ class R8bOpsSpec extends SparkSpec {
     assert(got == naive, "decomposed running max must equal the naive scan")
   }
 
+  test("mask_ldiversity: l bounded by group size and sensitive domain") {
+    val out = graft.mask.MaskQueries.maskLDiversity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lMin = r.getAs[Long]("l_min")
+      assert(lMin >= 1 && lMin <= 5, "l is bounded by the 5-class domain")
+      assert(r.getAs[Long]("n_groups_l1") <= r.getAs[Long]("n_groups"))
+      if (r.getAs[Long]("n_groups_l1") == 0)
+        assert(lMin >= 2, "no homogeneous groups implies l_min >= 2")
+    }
+  }
+
+  test("pipe_filter_sweep: monotone in the threshold; zero-threshold = all") {
+    val out = graft.pipeline.CorpusPipeline.pipeFilterSweep(spark, sfDir)
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(50, 100, 200, 400, 800))
+    val docs = out.map(_.getAs[Long]("n_docs"))
+    val toks = out.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      "surviving docs must be non-increasing in the threshold")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cdc_replay_idempotence: applied state equals clean delivery") {
     val out = graft.cdc.CdcQueries.replayIdempotence(spark, sfDir).collect()
     val clean = Tables.events(spark, sfDir)
