@@ -738,6 +738,54 @@ object ClassifyQueries extends QueryModule {
       |  CAST(SUM(x * y) AS BIGINT) AS sxy
       |FROM m GROUP BY pair ORDER BY pair""".stripMargin
 
+  // -------------------------------------------------- cls_autocorr
+  /** Seasonality / serial-dependence profiling of an event timeline —
+    * the profiler check that tells a sampler or forecaster whether
+    * "daily volume" is i.i.d. or periodic (weekly cycles in order
+    * flow): lag-k autocorrelation of the daily order-count series for
+    * k ∈ {1, 7, 30}. Like [[clsCorr]], what crosses the engine
+    * boundary are Pearson's EXACT sufficient statistics per lag
+    * (n, Σx, Σy, Σx², Σy², Σxy as BIGINTs over the (xₜ, xₜ₊ₖ)
+    * pairs) — r is one driver-side division away, bit-stable.
+    * Shape: ONE corpus-sized scan collapses to the |days| daily
+    * series (map-side-combining hash-agg); the lag melt and
+    * self-join then run on ~10³ rows — AQE broadcasts them — so the
+    * operator costs one scan regardless of corpus size. */
+  def clsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val melted = daily.select(
+      explode(typedLit(Seq(1, 7, 30))).as("lag"), col("d"), col("x"))
+    val shifted = daily.select(col("d").as("d2"), col("x").as("y"))
+    melted.join(shifted,
+        melted("d") + melted("lag") === shifted("d2"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .orderBy("lag")
+  }
+
+  val clsAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+      |    COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT unnest([1, 7, 30]) AS lag),
+      |j AS (
+      |  SELECT l.lag, a.x AS x, b.x AS y
+      |  FROM l CROSS JOIN daily a JOIN daily b ON b.d = a.d + l.lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |  CAST(SUM(y * y) AS BIGINT) AS syy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy
+      |FROM j GROUP BY lag ORDER BY lag""".stripMargin
+
   // -------------------------------------------------- cls_psi_drift
   /** Distribution-drift audit between two time periods — the
     * population-stability check a production classifier runs on every
@@ -1021,6 +1069,7 @@ object ClassifyQueries extends QueryModule {
     "cls_ks_drift" -> (clsKsDrift _),
     "cls_datatype_infer" -> (clsDatatypeInfer _),
     "cls_corr" -> (clsCorr _),
+    "cls_autocorr" -> (clsAutocorr _),
     "cls_psi_drift" -> (clsPsiDrift _),
     "cls_inclusion_deps" -> (clsInclusionDeps _),
     "cls_outliers" -> (clsOutliers _),
@@ -1042,6 +1091,7 @@ object ClassifyQueries extends QueryModule {
     "cls_ks_drift" -> clsKsDriftSql,
     "cls_datatype_infer" -> clsDatatypeInferSql,
     "cls_corr" -> clsCorrSql,
+    "cls_autocorr" -> clsAutocorrSql,
     "cls_psi_drift" -> clsPsiDriftSql,
     "cls_inclusion_deps" -> clsInclusionDepsSql,
     "cls_outliers" -> clsOutliersSql,

@@ -499,6 +499,70 @@ object MaskQueries extends QueryModule {
       |    AS n_rows_exposed
       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------- mask_rand_response
+  /** Randomized response (Warner 1965) — the local-DP mechanism for a
+    * categorical column: each row keeps its true category with
+    * probability 1−f and is replaced by a uniform draw from the
+    * domain with probability f (f = 0.1, domain = the 25 nations) —
+    * plausible deniability per ROW, unlike suppression/generalization
+    * which only protect groups. Both coins derive from the portable
+    * keyed hash (":rr" flip gate, ":pick" replacement), so the
+    * "randomness" replays bit-identically on any engine. The audit
+    * reports, per nation, the true count, the observed (noised)
+    * count, and the UNBIASED estimator a consumer reconstructs
+    * aggregates with — E[obs] = n·(1−f) + N·f/25, inverted exactly in
+    * integer arithmetic as (1000·obs − 4·N) / 900 (numerator emitted
+    * raw; the quotient clamps at 0 so both engines' integer division
+    * agrees). Shape: ONE customer scan melted to (tag, nation) pairs,
+    * one combiner-friendly hash-agg, 1-row total broadcast. */
+  def maskRandResponse(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey").cast("string")
+    val flip = pmod(MaskFunctions.portableHash(concat(key, lit(":rr"))),
+      lit(1000L)) < 100L
+    val pick = pmod(MaskFunctions.portableHash(concat(key, lit(":pick"))),
+      lit(25L))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nt"),
+        when(flip, pick).otherwise(col("c_nationkey").cast("long"))
+          .as("no"))
+    val tot = base.agg(count(lit(1)).as("_n"))
+    base.select(explode(array(
+        struct(lit("t").as("tag"), col("nt").as("nat")),
+        struct(lit("o").as("tag"), col("no").as("nat")))).as("m"))
+      .select(col("m.tag").as("tag"), col("m.nat").as("nat"))
+      .groupBy("nat")
+      .agg(sum(when(col("tag") === "t", 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("tag") === "o", 1L).otherwise(0L)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("nat").as("nationkey"), col("n_true"), col("n_obs"),
+        (col("n_obs") * 1000L - col("_n") * 4L).as("est_num"),
+        expr("greatest(n_obs * 1000 - _n * 4, 0L) div 900").as("est_true"))
+      .orderBy("nationkey")
+  }
+
+  val maskRandResponseSql: String =
+    """WITH b AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nt,
+      |    CASE WHEN ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)||':rr'),
+      |                1,8))::BIGINT % 1000 < 100
+      |      THEN ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)||':pick'),
+      |                1,8))::BIGINT % 25
+      |      ELSE CAST(c_nationkey AS BIGINT) END AS no
+      |  FROM customer),
+      |n AS (SELECT COUNT(*) AS tot FROM b),
+      |m AS (SELECT 't' AS tag, nt AS nat FROM b
+      |      UNION ALL SELECT 'o', no FROM b)
+      |SELECT nat AS nationkey,
+      |  CAST(SUM(CASE WHEN tag = 't' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true,
+      |  CAST(SUM(CASE WHEN tag = 'o' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_obs,
+      |  CAST(SUM(CASE WHEN tag = 'o' THEN 1 ELSE 0 END) * 1000 - tot * 4
+      |    AS BIGINT) AS est_num,
+      |  CAST(GREATEST(SUM(CASE WHEN tag = 'o' THEN 1 ELSE 0 END) * 1000
+      |    - tot * 4, 0) // 900 AS BIGINT) AS est_true
+      |FROM m CROSS JOIN n GROUP BY nat, tot ORDER BY nationkey""".stripMargin
+
   // ------------------------------------------------ mask_substitute
   /** Monoalphabetic substitution cipher — format-preserving by
     * construction: character class (letter/digit/other), case, and
@@ -597,6 +661,7 @@ object MaskQueries extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_rand_response" -> (maskRandResponse _),
     "mask_text_scrub" -> (maskTextScrub _),
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
@@ -619,6 +684,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_rand_response" -> maskRandResponseSql,
     "mask_text_scrub" -> maskTextScrubSql,
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,

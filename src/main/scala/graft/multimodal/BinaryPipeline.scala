@@ -471,9 +471,13 @@ object BinaryPipeline extends QueryModule {
     * map-only with the same content-addressed cache as the resize; the
     * oracle recomputes every bit of every hash from the gradient
     * arithmetic. */
-  def mmImagePhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-image aHash frame (doc_id, hash_hi, hash_lo) — the REAL
+    * PNG-decode + 8×8 resample pass, content-addressed per partition.
+    * Shared by [[mmImagePhash]] (equality blocking) and
+    * [[mmPhashDedup]] (banded Hamming near-dup). */
+  private def aHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
         it.map { id =>
@@ -483,6 +487,10 @@ object BinaryPipeline extends QueryModule {
         }
       }
       .toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
+  def mmImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = aHashes(spark, dir)
     val counts = hashes.groupBy("hash_hi", "hash_lo")
       .agg(count(lit(1)).as("n_same"))
     hashes.join(counts, Seq("hash_hi", "hash_lo"))
@@ -490,7 +498,10 @@ object BinaryPipeline extends QueryModule {
       .orderBy("doc_id")
   }
 
-  val mmImagePhashSql: String =
+  /** Oracle CTE chain ending at `h(doc_id, hash_hi, hash_lo)` — the
+    * gradient-arithmetic mirror of [[aHashes]], shared by both
+    * aHash-consuming oracles. */
+  private val aHashCte: String =
     """WITH d AS (
       |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 7) % 32 AS h
       |  FROM documents),
@@ -507,12 +518,82 @@ object BinaryPipeline extends QueryModule {
       |    CAST(list_sum(list_transform(range(32), i ->
       |      CASE WHEN gs[i + 1] * 64 > list_sum(gs)
       |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
-      |  FROM g),
-      |c AS (SELECT hash_hi, hash_lo, COUNT(*) AS n_same FROM h
-      |      GROUP BY hash_hi, hash_lo)
-      |SELECT h.doc_id, h.hash_hi, h.hash_lo, c.n_same
-      |FROM h JOIN c USING (hash_hi, hash_lo)
-      |ORDER BY h.doc_id""".stripMargin
+      |  FROM g)""".stripMargin
+
+  val mmImagePhashSql: String =
+    s"""$aHashCte,
+       |c AS (SELECT hash_hi, hash_lo, COUNT(*) AS n_same FROM h
+       |      GROUP BY hash_hi, hash_lo)
+       |SELECT h.doc_id, h.hash_hi, h.hash_lo, c.n_same
+       |FROM h JOIN c USING (hash_hi, hash_lo)
+       |ORDER BY h.doc_id""".stripMargin
+
+  // ------------------------------------------------ mm_phash_dedup
+  /** Perceptual NEAR-dup pairs over the image corpus — the multimodal
+    * analogue of SimHash text dedup: two images whose 64-bit aHashes
+    * differ in ≤ 3 bits are near-identical content (recompression,
+    * slight crops). Granularity is the DISTINCT hash class (the
+    * content-addressed store's unit, with member counts), not the doc
+    * — a billion re-posts of one image are one class row. Candidate
+    * generation is the pigeonhole band trick: 4 disjoint 16-bit bands
+    * per hash; any pair within Hamming ≤ 3 agrees EXACTLY on ≥ 1 band
+    * (4 bands, ≤ 3 differing bits), so one melt + one self-join on
+    * (band_idx, band_value) finds every qualifying pair with no
+    * all-pairs scan, and `bit_count(xor)` verifies survivors — both
+    * plain codegen integer ops. At corpus scale the join shuffles the
+    * skinny (16-byte key, counts) class table on band keys — band
+    * selectivity 2⁻¹⁶ per band bounds bucket fan-out. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hh = aHashes(spark, dir)
+      .groupBy("hash_hi", "hash_lo").agg(count(lit(1)).as("n"))
+    val melted = hh.select(col("hash_hi"), col("hash_lo"), col("n"),
+        posexplode(array(
+          pmod(col("hash_lo"), lit(65536L)),
+          expr("hash_lo div 65536"),
+          pmod(col("hash_hi"), lit(65536L)),
+          expr("hash_hi div 65536"))))
+      .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
+    val left = melted.select(col("bi"), col("bv"), col("hash_hi").as("h1"),
+      col("hash_lo").as("l1"), col("n").as("n1"))
+    val right = melted.select(col("bi"), col("bv"), col("hash_hi").as("h2"),
+      col("hash_lo").as("l2"), col("n").as("n2"))
+    left.join(right, Seq("bi", "bv"))
+      .filter(col("h1") < col("h2") ||
+        (col("h1") === col("h2") && col("l1") < col("l2")))
+      .select("h1", "l1", "n1", "h2", "l2", "n2").distinct()
+      .withColumn("hamming",
+        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
+          bit_count(col("l1").bitwiseXOR(col("l2")))).cast("long"))
+      .filter(col("hamming") <= 3L)
+      .select(col("h1").as("hash_hi1"), col("l1").as("hash_lo1"),
+        col("h2").as("hash_hi2"), col("l2").as("hash_lo2"),
+        col("hamming"), col("n1"), col("n2"))
+      .orderBy("hash_hi1", "hash_lo1", "hash_hi2", "hash_lo2")
+  }
+
+  val mmPhashDedupSql: String =
+    s"""$aHashCte,
+       |hh AS (SELECT hash_hi, hash_lo, COUNT(*) AS n FROM h
+       |       GROUP BY hash_hi, hash_lo),
+       |b AS (
+       |  SELECT hash_hi, hash_lo, n,
+       |    unnest([0, 1, 2, 3]) AS bi,
+       |    unnest([hash_lo % 65536, hash_lo // 65536,
+       |            hash_hi % 65536, hash_hi // 65536]) AS bv
+       |  FROM hh),
+       |cand AS (
+       |  SELECT DISTINCT a.hash_hi AS h1, a.hash_lo AS l1, a.n AS n1,
+       |    c.hash_hi AS h2, c.hash_lo AS l2, c.n AS n2
+       |  FROM b a JOIN b c ON a.bi = c.bi AND a.bv = c.bv
+       |    AND (a.hash_hi < c.hash_hi OR
+       |         (a.hash_hi = c.hash_hi AND a.hash_lo < c.hash_lo)))
+       |SELECT h1 AS hash_hi1, l1 AS hash_lo1,
+       |  h2 AS hash_hi2, l2 AS hash_lo2,
+       |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT)
+       |    AS hamming, n1, n2
+       |FROM cand
+       |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3
+       |ORDER BY hash_hi1, hash_lo1, hash_hi2, hash_lo2""".stripMargin
 
   // ------------------------------------------------ mm_video_scenes
   /** Temporal analysis over the decoded frame sequence: scene-CUT
@@ -592,6 +673,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_decode" -> (mmImageDecode _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_image_phash" -> (mmImagePhash _),
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_video_scenes" -> (mmVideoScenes _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_waveform" -> (mmAudioWaveform _),
@@ -602,6 +684,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_decode" -> mmImageDecodeSql,
     "mm_image_resize" -> mmImageResizeSql,
     "mm_image_phash" -> mmImagePhashSql,
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_video_scenes" -> mmVideoScenesSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_audio_waveform" -> mmAudioWaveformSql,

@@ -778,7 +778,121 @@ object EmbOps extends QueryModule {
       |  CAST(im.inertia_mean_xn AS BIGINT) AS inertia_mean_xn
       |FROM im JOIN si ON im.cell = si.cell ORDER BY im.cell""".stripMargin
 
+  // ------------------------------------------------ emb_covariance
+  /** Exact-integer dimension co-moment matrix — the sufficient
+    * statistics for PCA / whitening / decorrelation of an embedding
+    * space (which dims are redundant, where the variance lives):
+    * per dim pair (i ≤ j) the count, milli-quantized sums, and the
+    * cross-multiplied covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ — all
+    * BIGINT, so no float summation order crosses the oracle boundary
+    * (q = floor(1000·x) caps at ~±525 here; Σq² stays inside int64
+    * past 10¹² vectors).
+    *
+    * Shape: ONE scan; two chained codegen Generates emit the d(d+1)/2
+    * upper-triangle slots per row, and the single hash-agg partial-
+    * aggregates them map-side into |pairs| groups — the shuffle is
+    * 2,080 rows regardless of corpus size. The d² per-row work is the
+    * covariance matrix's inherent cost; at larger d you'd block the
+    * triangle (i-stripes) to bound the Generate fan-out per pass. */
+  def embCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("qv"))
+    val e1 = q.select(col("qv"), posexplode(col("qv")))
+      .withColumnRenamed("pos", "i0").withColumnRenamed("col", "qi")
+    e1.select(col("i0"), col("qi"), posexplode(col("qv")))
+      .withColumnRenamed("pos", "j0").withColumnRenamed("col", "qj")
+      .filter(col("j0") >= col("i0"))
+      .groupBy((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("sum_qi"), sum(col("qj")).as("sum_qj"),
+        sum(col("qi") * col("qj")).as("sum_qij"))
+      .withColumn("cov_xn2",
+        col("n") * col("sum_qij") - col("sum_qi") * col("sum_qj"))
+      .orderBy("i", "j")
+  }
+
+  val embCovarianceSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, unnest(range(1, len(qv) + 1)) AS i, qv FROM q),
+      |x AS (SELECT vec_id, i, qv[CAST(i AS INTEGER)] AS qi FROM e),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j, a.qi AS qi, b.qi AS qj
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i)
+      |SELECT i, j, COUNT(*) AS n,
+      |  CAST(SUM(qi) AS BIGINT) AS sum_qi,
+      |  CAST(SUM(qj) AS BIGINT) AS sum_qj,
+      |  CAST(SUM(qi * qj) AS BIGINT) AS sum_qij,
+      |  CAST(COUNT(*) * SUM(qi * qj) - SUM(qi) * SUM(qj) AS BIGINT)
+      |    AS cov_xn2
+      |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------ emb_power_iter
+  /** One matrix-free POWER-ITERATION step toward the top principal
+    * direction — the scale path when [[embCovariance]]'s d² co-moment
+    * matrix is itself too big (d in the tens of thousands): never
+    * materialize A = Σ xxᵀ; compute A·v₀ = Σᵣ (xᵣ·v₀)·xᵣ in one
+    * corpus pass. The start vector v₀ is the deterministic ±1 md5
+    * sign vector (the [[Knn.planeVec]] derivation, tag "pw") —
+    * computed once on the driver, shipped as a literal, rebuilt
+    * symbolically by the oracle. Exactness: each row's per-dim
+    * contribution floor(1000·yᵣ·xᵣ[d]) is quantized BEFORE summation,
+    * so only exact BIGINTs cross engines — no float sum order.
+    * Shape: one scan, codegen dot + Generate, one map-side-combining
+    * hash-agg into d groups; iterate by feeding the (normalized)
+    * result back as the next v — each round is this same plan. */
+  def embPowerIter(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val width = emb.limit(1).select(size(col("embedding"))).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val v0: Seq[Double] = Seq.tabulate(width) { i =>
+      val hex = mdig.digest(s"pw,$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+    }
+    val dbl = col("embedding").cast("array<double>")
+    emb.select(dbl.as("x"),
+        graft.dedup.Dedup.fastDot(dbl, typedLit(v0)).as("y"))
+      .select(posexplode(transform(col("x"),
+        xd => floor(col("y") * xd * 1000).cast("long"))))
+      .withColumnRenamed("pos", "d0").withColumnRenamed("col", "c")
+      .groupBy((col("d0") + 1).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("v1_q"))
+      .withColumn("v0",
+        element_at(typedLit(v0.map(_.toLong)), col("d").cast("int")))
+      .orderBy("d")
+  }
+
+  val embPowerIterSql: String = {
+    val v0Term =
+      "list_transform(range(len(x)), i -> CAST(((('0x'||substr(md5('pw,'||" +
+        "CAST(i AS VARCHAR)),1,8))::BIGINT & 1)*2 - 1) AS DOUBLE))"
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |y AS (
+       |  SELECT vec_id, x, list_dot_product(x, $v0Term) AS y,
+       |    $v0Term AS v0 FROM x),
+       |e AS (
+       |  SELECT unnest(range(1, len(x) + 1)) AS d, x, y, v0 FROM y),
+       |c AS (
+       |  SELECT d, CAST(FLOOR(y * x[CAST(d AS INTEGER)] * 1000) AS BIGINT)
+       |    AS c, CAST(v0[CAST(d AS INTEGER)] AS BIGINT) AS v0d
+       |  FROM e)
+       |SELECT d, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS v1_q,
+       |  MAX(v0d) AS v0
+       |FROM c GROUP BY d ORDER BY d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_power_iter" -> (embPowerIter _),
+    "emb_covariance" -> (embCovariance _),
     "knn_kmeans_refine" -> (knnKmeansRefine _),
     "emb_outliers" -> (embOutliers _),
     "emb_hamming_topk" -> (embHammingTopK _),
@@ -792,6 +906,8 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_power_iter" -> embPowerIterSql,
+    "emb_covariance" -> embCovarianceSql,
     "knn_kmeans_refine" -> knnKmeansRefineSql,
     "emb_outliers" -> embOutliersSql,
     "emb_hamming_topk" -> embHammingSql,

@@ -702,7 +702,105 @@ object Knn extends QueryModule {
        |  CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS purity_pm
        |FROM pl GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ------------------------------------------------------ knn_dbscan
+  /** Density-based clustering (DBSCAN, Ester et al. 1996) on the
+    * cosine-neighbor relation — the curation clustering that, unlike
+    * k-means/IVF cells, needs no cluster count and leaves genuine
+    * outliers UNclustered (the docs a dedup pipeline should keep):
+    *   - neighbors: cosine ≥ eps (0.30), generated EXACTLY by
+    *     [[graft.dedup.Dedup.embeddingPairs]]' IVF-cell +
+    *     triangle-inequality pruning — never all-pairs;
+    *   - core: ≥ minPts (3) neighbors, one count over the symmetric
+    *     pair list (a combiner-friendly hash-agg on vec_id);
+    *   - clusters: connected components over CORE–CORE edges only
+    *     (semi-joins keep the skinny edge list skinny), via the
+    *     pointer-jumping [[graft.dedup.Dedup.components]] machinery —
+    *     density-reachability collapses to connectivity on cores;
+    *   - border: non-core with a core neighbor joins its MIN-labeled
+    *     adjacent cluster (deterministic tie-break); the rest is
+    *     noise (cluster −1).
+    * Every stage is a keyed shuffle on ids or a bounded hash-agg; the
+    * only iteration is the O(log diameter) component loop. Ids and
+    * roles only cross the oracle boundary — the oracle rebuilds the
+    * identical neighbor set by brute force and the identical closure
+    * by recursive CTE. */
+  def knnDbscan(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = graft.dedup.Dedup.embeddingPairs(emb, 0.30)
+      .select("id1", "id2")
+    val sym = pairs.select(col("id1").as("v"), col("id2").as("w"))
+      .union(pairs.select(col("id2").as("v"), col("id1").as("w")))
+    val core = sym.groupBy("v").agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= 3L).select(col("v").as("core_id"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("core_id", "id1"), Seq("id1"), "left_semi")
+      .join(core.withColumnRenamed("core_id", "id2"), Seq("id2"), "left_semi")
+    val coreLbl = graft.dedup.Dedup.components(
+        core.select(col("core_id").as("doc_id")),
+        coreEdges.select(col("id1").as("d1"), col("id2").as("d2")))
+      .select(col("doc_id").as("vec_id"), col("lbl").as("_core_cluster"))
+    val borderLbl = sym
+      .join(coreLbl.withColumnRenamed("vec_id", "w")
+        .withColumnRenamed("_core_cluster", "_c"), Seq("w"))
+      .join(core.withColumnRenamed("core_id", "v"), Seq("v"), "left_anti")
+      .groupBy(col("v").as("vec_id"))
+      .agg(min(col("_c")).as("_border_cluster"))
+    emb.select(col("vec_id"))
+      .join(coreLbl, Seq("vec_id"), "left")
+      .join(borderLbl, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("_core_cluster").isNotNull, lit("core"))
+          .when(col("_border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("_core_cluster"), col("_border_cluster"), lit(-1L))
+          .as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  val knnDbscanSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS e
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.e, b.e) >= 0.30),
+      |sym AS (SELECT d1 AS v, d2 AS w FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |core AS (SELECT v FROM sym GROUP BY v HAVING COUNT(*) >= 3),
+      |ce AS (
+      |  SELECT s.v, s.w FROM sym s
+      |  JOIN core c1 ON c1.v = s.v JOIN core c2 ON c2.v = s.w),
+      |reach(id, lbl) AS (
+      |  SELECT v, v FROM core
+      |  UNION
+      |  SELECT e.v, r.lbl FROM ce e JOIN reach r ON r.id = e.w),
+      |lbls AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+      |border AS (
+      |  SELECT s.v, MIN(l.lbl) AS lbl
+      |  FROM sym s JOIN lbls l ON l.id = s.w
+      |  WHERE s.v NOT IN (SELECT v FROM core)
+      |  GROUP BY s.v)
+      |SELECT em.vec_id,
+      |  CASE WHEN lc.lbl IS NOT NULL THEN 'core'
+      |       WHEN b.lbl IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  COALESCE(lc.lbl, b.lbl, -1) AS cluster
+      |FROM embeddings em
+      |LEFT JOIN lbls lc ON lc.id = em.vec_id
+      |LEFT JOIN border b ON b.v = em.vec_id
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_dbscan" -> (knnDbscan _),
     "knn_graph_clusters" -> (knnGraphClusters _),
     "knn_loo_label" -> (knnLooLabel _),
     "knn_rerank" -> (knnRerank _),
@@ -718,6 +816,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_dbscan" -> knnDbscanSql,
     "knn_graph_clusters" -> knnGraphClustersSql,
     "knn_loo_label" -> knnLooLabelSql,
     "knn_rerank" -> knnRerankSql,

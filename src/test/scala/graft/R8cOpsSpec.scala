@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the second round-8 operator batch: DBSCAN
+  * role/density consistency, co-moment positive-semidefiniteness
+  * diagonals, the power-iteration/covariance cross-check, randomized-
+  * response count conservation and estimator quality, banded-Hamming
+  * completeness against brute force, and autocorrelation moment
+  * identities. */
+class R8cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knn_dbscan: roles partition the corpus; density rules hold") {
+    val out = graft.sim.Knn.knnDbscan(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(out.length == emb.count())
+    val byRole = out.groupBy(_.getAs[String]("role")).view.mapValues(_.length)
+    assert(byRole.getOrElse("core", 0) > 0, "eps/minPts must yield cores")
+    assert(byRole.getOrElse("noise", 0) > 0, "outliers must stay unclustered")
+    // every core/border row carries a real cluster label; noise = -1
+    out.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      if (r.getAs[String]("role") == "noise") assert(c == -1L)
+      else assert(c >= 0L, "clustered rows need a component label")
+    }
+    // cluster label is the min vec_id of the cluster's CORE members
+    val cores = out.filter(_.getAs[String]("role") == "core")
+    cores.groupBy(_.getAs[Long]("cluster")).foreach { case (lbl, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).min == lbl)
+    }
+    // border labels refer to existing core clusters
+    val coreLbls = cores.map(_.getAs[Long]("cluster")).toSet
+    out.filter(_.getAs[String]("role") == "border")
+      .foreach(r => assert(coreLbls.contains(r.getAs[Long]("cluster"))))
+  }
+
+  test("knn_dbscan: core degree >= 3 against the exact neighbor relation") {
+    graft.expr.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val deg = graft.dedup.Dedup.embeddingPairs(emb, 0.30)
+      .select(col("id1").as("v")).union(
+        graft.dedup.Dedup.embeddingPairs(emb, 0.30).select(col("id2")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.sim.Knn.knnDbscan(spark, sfDir).collect().foreach { r =>
+      val d = deg.getOrElse(r.getAs[Long]("vec_id"), 0L)
+      if (r.getAs[String]("role") == "core") assert(d >= 3L)
+      else assert(d < 3L, "non-core rows must be below the density gate")
+    }
+  }
+
+  test("emb_covariance: full triangle, diagonal variance non-negative") {
+    val out = graft.sim.EmbOps.embCovariance(spark, sfDir).collect()
+    val d = out.map(_.getAs[Long]("i")).max
+    assert(out.length == d * (d + 1) / 2, "one row per upper-triangle slot")
+    out.foreach { r =>
+      assert(r.getAs[Long]("cov_xn2") ==
+        r.getAs[Long]("n") * r.getAs[Long]("sum_qij") -
+          r.getAs[Long]("sum_qi") * r.getAs[Long]("sum_qj"))
+      if (r.getAs[Long]("i") == r.getAs[Long]("j"))
+        assert(r.getAs[Long]("cov_xn2") >= 0L,
+          "n*Σq² - (Σq)² >= 0 by Cauchy-Schwarz")
+    }
+  }
+
+  test("emb_power_iter: one row per dim, n = corpus size, v0 = ±1") {
+    val out = graft.sim.EmbOps.embPowerIter(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("d")).toSeq == (1L to out.length))
+    assert(out.forall(_.getAs[Long]("n") == n))
+    assert(out.forall(r => math.abs(r.getAs[Long]("v0")) == 1L))
+    // A·v0 must not be the zero vector for a full-rank-ish corpus
+    assert(out.exists(_.getAs[Long]("v1_q") != 0L))
+  }
+
+  test("mask_rand_response: counts conserved; estimator tracks truth") {
+    val out = graft.mask.MaskQueries.maskRandResponse(spark, sfDir).collect()
+    val nTrue = out.map(_.getAs[Long]("n_true")).sum
+    val nObs = out.map(_.getAs[Long]("n_obs")).sum
+    assert(nTrue == nObs, "RR permutes categories; total mass is conserved")
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_num") ==
+        r.getAs[Long]("n_obs") * 1000L - nTrue * 4L)
+    }
+    // the debiased estimate recovers each nation's true count to
+    // within the mechanism's noise (generous bound for small SFs)
+    val mad = out.map(r => math.abs(
+      r.getAs[Long]("est_true") - r.getAs[Long]("n_true"))).max
+    val bound = math.max(10L, nTrue / 10)
+    assert(mad <= bound, s"estimator error $mad exceeds $bound")
+  }
+
+  test("mm_phash_dedup: matches brute-force Hamming<=3 over hash classes") {
+    val out = graft.multimodal.BinaryPipeline.mmPhashDedup(spark, sfDir)
+      .collect()
+    out.foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 1L && h <= 3L)
+    }
+    // brute force over the distinct classes (bounded: <=256 classes)
+    val classes = graft.multimodal.BinaryPipeline.mmImagePhash(spark, sfDir)
+      .select(col("hash_hi"), col("hash_lo")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = for {
+      a <- classes; b <- classes
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      ham = java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+      if ham <= 3
+    } yield (a, b)
+    val got = out.map(r => ((r.getAs[Long]("hash_hi1"),
+      r.getAs[Long]("hash_lo1")),
+      (r.getAs[Long]("hash_hi2"), r.getAs[Long]("hash_lo2")))).toSet
+    assert(got == brute.toSet,
+      "banded candidates must find exactly the brute-force pairs")
+  }
+
+  test("cls_autocorr: moment identities and pair counts per lag") {
+    val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[Long]("lag")).toSeq == Seq(1L, 7L, 30L))
+    out.foreach { r =>
+      val (n, sxx, sx) = (r.getAs[Long]("n"), r.getAs[Long]("sxx"),
+        r.getAs[Long]("sx"))
+      assert(n > 0)
+      assert(n * sxx >= sx * sx, "variance numerator non-negative")
+    }
+    // each lag's pair count is bounded by the day count (a sparse
+    // series need NOT be monotone in the lag — a gap pattern can
+    // match more day pairs at lag 30 than at lag 7)
+    val nDays = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate")).distinct().count()
+    assert(out.forall(_.getAs[Long]("n") <= nDays))
+  }
+}
