@@ -873,7 +873,58 @@ object CdcQueries extends QueryModule {
        |  CAST(applied_cents AS BIGINT) AS applied_cents
        |FROM d JOIN a ON d.op = a.op ORDER BY d.op""".stripMargin
 
+  // ------------------------------------------------ cdc_sparse_patch
+  /** Partial-update (sparse patch) reconstruction — the wire format
+    * where an update carries ONLY the changed columns and everything
+    * else arrives NULL (MongoDB oplog / JSON-merge-patch style, vs
+    * the full-row images [[snapshotApply]] assumes): current row
+    * state = per key, per COLUMN, the value at the highest sequence
+    * where that column was present. The patch feed derives
+    * deterministically from `events` (each column present on its own
+    * id-modulus schedule, so presence patterns interleave). The whole
+    * reconstruction is ONE combiner-friendly hash-agg on the key —
+    * `max_by(col, seq) FILTER (col IS NOT NULL)` per column, no
+    * window, no self-join — the shape that survives a billion-key
+    * keyspace (partial aggregation eats most patches map-side). */
+  def sparsePatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id").as("seq"),
+        when(pmod(col("event_id"), lit(3)) =!= 0, col("value"))
+          .as("c_val"),
+        when(pmod(col("event_id"), lit(4)) =!= 0,
+          concat(lit("s"), pmod(col("event_id"), lit(5)).cast("string")))
+          .as("c_status"))
+      .groupBy("user_id")
+      .agg(
+        expr("max_by(c_val, seq) FILTER (WHERE c_val IS NOT NULL)")
+          .as("val"),
+        expr("max_by(c_status, seq) FILTER (WHERE c_status IS NOT NULL)")
+          .as("status"),
+        max(col("seq")).as("last_seq"),
+        count(lit(1)).as("n_patches"),
+        count(col("c_val")).as("n_val_patches"),
+        count(col("c_status")).as("n_status_patches"))
+      .orderBy("user_id")
+
+  val sparsePatchSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS seq,
+      |    CASE WHEN event_id % 3 <> 0 THEN value END AS c_val,
+      |    CASE WHEN event_id % 4 <> 0
+      |      THEN 's' || CAST(event_id % 5 AS VARCHAR) END AS c_status
+      |  FROM events)
+      |SELECT user_id,
+      |  max_by(c_val, seq) FILTER (WHERE c_val IS NOT NULL) AS val,
+      |  max_by(c_status, seq) FILTER (WHERE c_status IS NOT NULL)
+      |    AS status,
+      |  CAST(MAX(seq) AS BIGINT) AS last_seq,
+      |  COUNT(*) AS n_patches,
+      |  COUNT(c_val) AS n_val_patches,
+      |  COUNT(c_status) AS n_status_patches
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_sparse_patch" -> (sparsePatch _),
     "cdc_replay_idempotence" -> (replayIdempotence _),
     "cdc_conflict_lww" -> (conflictLww _),
     "cdc_txn_assemble" -> (txnAssemble _),
@@ -896,6 +947,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_sparse_patch" -> sparsePatchSql,
     "cdc_replay_idempotence" -> replayIdempotenceSql,
     "cdc_conflict_lww" -> conflictLwwSql,
     "cdc_txn_assemble" -> txnAssembleSql,

@@ -1119,7 +1119,46 @@ object CorpusPipeline extends QueryModule {
        |FROM labels l JOIN csizes s USING (lbl)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- pipe_sample_fixed
+  /** Deterministic EXACT-k uniform sample — the eval/holdout-set
+    * primitive (a fixed-size set every run and every engine agrees
+    * on, unlike rate-based sampling whose size drifts with the
+    * corpus): order by (portable id hash, doc_id) and take the first
+    * k = 100. The hash order is uniform in the ids, so the prefix is
+    * an unbiased sample; the plan is TakeOrderedAndProject — each
+    * partition forwards at most k rows, no global sort, no shuffle of
+    * the corpus — the same shape at any scale. The in-sample rank is
+    * a window over the ≤ k collected rows only (deliberate
+    * single-partition marker, same idiom as the prefix-sum offsets).
+    */
+  def pipeSampleFixed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val h = graft.mask.MaskFunctions.portableHash(col("doc_id"))
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("_h"))
+      .orderBy(col("_h"), col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col("_h"), lit(1)))
+          .orderBy(col("_h"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"))
+      .orderBy("rank")
+  }
+
+  val pipeSampleFixedSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rank
+      |  FROM h)
+      |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang
+      |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample_fixed" -> (pipeSampleFixed _),
     "pipe_compaction" -> (pipeCompaction _),
     "pipe_filter_sweep" -> (pipeFilterSweep _),
     "pipe_dedup_weights" -> (pipeDedupWeights _),
@@ -1143,6 +1182,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_sample_fixed" -> pipeSampleFixedSql,
     "pipe_compaction" -> pipeCompactionSql,
     "pipe_filter_sweep" -> pipeFilterSweepSql,
     "pipe_dedup_weights" -> pipeDedupWeightsSql,

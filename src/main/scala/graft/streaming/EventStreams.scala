@@ -709,7 +709,73 @@ object EventStreams extends QueryModule {
       |    AS BIGINT) AS n_late_1h
       |FROM m GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------ str_concurrency
+  /** Peak-concurrency gauge over event intervals — the capacity
+    * number (max simultaneous sessions/connections) a stream SLO is
+    * provisioned from. Each event opens an interval [ts, ts + dur)
+    * (dur deterministic in the id, standing in for a session-length
+    * column); the classic sweep turns intervals into ±1 deltas and
+    * the concurrency at any instant is the running sum in (t, delta)
+    * order (−1 sorts first: an interval ending exactly when another
+    * starts never overlaps it). The running sum uses the repo's
+    * two-level prefix decomposition — local window inside contiguous
+    * 1 h time shards + exclusive prefix over the ≤|shards| per-shard
+    * delta sums — so no window spans the feed; the oracle IS the
+    * naive global running sum. Ties (equal (t, delta)) permute only
+    * within equal-delta runs, whose running-sum multiset is
+    * order-independent, so the per-window MAX is well-defined on both
+    * engines. Per 6 h window: interval starts and peak concurrency. */
+  def concurrency(events: DataFrame, shardWidth: Long = 3600000000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("s"))
+      .withColumn("e",
+        col("s") + (lit(60L) + pmod(col("event_id"), lit(600L))) * 1000000L)
+    val deltas = base.select(col("s").as("t"), lit(1L).as("d"))
+      .union(base.select(col("e").as("t"), lit(-1L).as("d")))
+      .withColumn("_sh", expr(s"t div $shardWidth"))
+    val pre = Window.partitionBy(pmod(col("_c"), lit(1))).orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("_sh").agg(sum(col("d")).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select("_sh", "_off")
+    val local = Window.partitionBy("_sh").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("_run", sum(col("d")).over(local))
+      .join(broadcast(offsets), Seq("_sh"))
+      .withColumn("run", col("_off") + col("_run"))
+      .groupBy(expr("t div 21600000000").as("wb"))
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        max(col("run")).as("max_concurrent"))
+      .select(timestamp_micros(col("wb") * 21600000000L)
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("window_start"),
+        col("n_starts"), col("max_concurrent"))
+      .orderBy("window_start")
+  }
+
+  def strConcurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrency(Tables.events(spark, dir))
+
+  val strConcurrencySql: String =
+    """WITH b AS (SELECT event_id, epoch_us(ts) AS s FROM events),
+      |i AS (SELECT s, s + (60 + event_id % 600) * 1000000 AS e FROM b),
+      |d AS (SELECT s AS t, 1 AS dd FROM i
+      |      UNION ALL SELECT e, -1 FROM i),
+      |r AS (
+      |  SELECT t, dd, SUM(dd) OVER (ORDER BY t, dd
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM d)
+      |SELECT make_timestamp((t // 21600000000) * 21600000000)
+      |    AS window_start,
+      |  CAST(SUM(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_starts,
+      |  CAST(MAX(run) AS BIGINT) AS max_concurrent
+      |FROM r GROUP BY 1 ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_concurrency" -> (strConcurrency _),
     "str_lateness_audit" -> (strLatenessAudit _),
     "str_distinct_windowed" -> (strDistinctWindowed _),
     "str_cep_pattern" -> (strCepPattern _),
@@ -730,6 +796,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_concurrency" -> strConcurrencySql,
     "str_lateness_audit" -> strLatenessAuditSql,
     "str_distinct_windowed" -> strDistinctWindowedSql,
     "str_cep_pattern" -> strCepPatternSql,

@@ -116,6 +116,58 @@ class R8cOpsSpec extends SparkSpec {
       "banded candidates must find exactly the brute-force pairs")
   }
 
+  test("str_concurrency: peak bounded by opens, conserved delta sum") {
+    val out = graft.streaming.EventStreams.strConcurrency(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_starts")).sum == nEvents,
+      "every event opens exactly one interval")
+    out.foreach { r =>
+      val peak = r.getAs[Long]("max_concurrent")
+      assert(peak >= 1L, "a window with a start or end saw >= 1 active")
+      assert(peak <= nEvents)
+    }
+    // some window must hold more than one concurrent session, or the
+    // sweep degenerates to a counter
+    assert(out.exists(_.getAs[Long]("max_concurrent") > 1L))
+  }
+
+  test("cdc_sparse_patch: reconstruction matches a per-key replay") {
+    val out = graft.cdc.CdcQueries.sparsePatch(spark, sfDir).collect()
+    val patches = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = patches.groupBy(_._1)
+    assert(out.length == byUser.size)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val mine = byUser(u).sortBy(_._2)
+      assert(r.getAs[Long]("last_seq") == mine.last._2)
+      assert(r.getAs[Long]("n_patches") == mine.length)
+      // replay: last value whose seq escapes the null schedule
+      val lastVal = mine.filter(_._2 % 3 != 0).lastOption.map(_._3)
+      assert(Option(r.getAs[java.lang.Double]("val")).map(_.toDouble)
+        == lastVal)
+      val lastStatus = mine.filter(_._2 % 4 != 0).lastOption
+        .map(t => s"s${t._2 % 5}")
+      assert(Option(r.getAs[String]("status")) == lastStatus)
+    }
+  }
+
+  test("pipe_sample_fixed: exactly k, stable under re-run, hash-ordered") {
+    val a = graft.pipeline.CorpusPipeline.pipeSampleFixed(spark, sfDir)
+      .collect()
+    val b = graft.pipeline.CorpusPipeline.pipeSampleFixed(spark, sfDir)
+      .collect()
+    val k = math.min(100L, Tables.documents(spark, sfDir).count())
+    assert(a.length == k, "sample must be exactly min(k, corpus)")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "the sample is deterministic across runs")
+    assert(a.map(_.getAs[Int]("rank")).toSeq == (1 to a.length))
+  }
+
   test("cls_autocorr: moment identities and pair counts per lag") {
     val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
       .collect()

@@ -213,4 +213,13 @@ class ScaleSpec extends SparkSpec {
     assert(base == run(16L), "narrow shards must not change running max")
     assert(base == run(1L << 40), "one giant shard must not change it")
   }
+
+  test("concurrency sweep is shard-width-invariant") {
+    val events = Tables.events(spark, sfDir)
+    def run(w: Long) = graft.streaming.EventStreams.concurrency(events, w)
+      .collect().map(_.toSeq).toSeq
+    val base = run(3600000000L)
+    assert(base == run(60000000L), "narrow time shards must not change peaks")
+    assert(base == run(1L << 60), "one giant shard must not change peaks")
+  }
 }
