@@ -752,10 +752,14 @@ object ClassifyQueries extends QueryModule {
     * self-join then run on ~10³ rows — AQE broadcasts them — so the
     * operator costs one scan regardless of corpus size. */
   def clsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    // the daily series feeds BOTH join sides; checkpoint the ~|days|
+    // rows so the corpus is scanned ONCE (exchange reuse across the
+    // rename boundary is not guaranteed by the planner)
     val daily = Tables.orders(spark, dir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01")).as("d"))
       .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
     val melted = daily.select(
       explode(typedLit(Seq(1, 7, 30))).as("lag"), col("d"), col("x"))
     val shifted = daily.select(col("d").as("d2"), col("x").as("y"))

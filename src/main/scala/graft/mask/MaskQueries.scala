@@ -499,6 +499,38 @@ object MaskQueries extends QueryModule {
       |    AS n_rows_exposed
       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------- mask_rare_suppress
+  /** Rare-category suppression — the categorical companion to value
+    * banding: any category with fewer than k = 3 members is replaced
+    * by 'OTHER' (a 1-member part type is itself a quasi-identifier;
+    * banding can't help a nominal column). Shape: ONE |categories|
+    * hash-agg (map-side combining) broadcast back against the corpus
+    * — the corpus never shuffles, the category frame is dimension-
+    * sized at any scale. */
+  def maskRareSuppress(spark: SparkSession, dir: String): DataFrame = {
+    val cat = concat_ws("/", col("p_type"), col("p_size"))
+    val counts = Tables.part(spark, dir)
+      .groupBy(cat.as("category")).agg(count(lit(1)).as("_n"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), cat.as("category"))
+      .join(broadcast(counts), Seq("category"))
+      .select(col("p_partkey"), col("category"),
+        when(col("_n") < 3L, lit("OTHER")).otherwise(col("category"))
+          .as("category_masked"))
+      .orderBy("p_partkey")
+  }
+
+  val maskRareSuppressSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey,
+      |    p_type || '/' || CAST(p_size AS VARCHAR) AS category
+      |  FROM part),
+      |c AS (SELECT category, COUNT(*) AS n FROM p GROUP BY category)
+      |SELECT p_partkey, category,
+      |  CASE WHEN c.n < 3 THEN 'OTHER' ELSE category END
+      |    AS category_masked
+      |FROM p JOIN c USING (category) ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------- mask_rand_response
   /** Randomized response (Warner 1965) — the local-DP mechanism for a
     * categorical column: each row keeps its true category with
@@ -662,6 +694,7 @@ object MaskQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_rand_response" -> (maskRandResponse _),
+    "mask_rare_suppress" -> (maskRareSuppress _),
     "mask_text_scrub" -> (maskTextScrub _),
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
@@ -685,6 +718,7 @@ object MaskQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "mask_rand_response" -> maskRandResponseSql,
+    "mask_rare_suppress" -> maskRareSuppressSql,
     "mask_text_scrub" -> maskTextScrubSql,
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,

@@ -544,8 +544,11 @@ object BinaryPipeline extends QueryModule {
     * skinny (16-byte key, counts) class table on band keys — band
     * selectivity 2⁻¹⁶ per band bounds bucket fan-out. */
   def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // both self-join sides read the class table; checkpoint the
+    // ≤ |distinct hashes| rows so the decode pass runs ONCE
     val hh = aHashes(spark, dir)
       .groupBy("hash_hi", "hash_lo").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val melted = hh.select(col("hash_hi"), col("hash_lo"), col("n"),
         posexplode(array(
           pmod(col("hash_lo"), lit(65536L)),

@@ -727,8 +727,11 @@ object Knn extends QueryModule {
   def knnDbscan(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
+    // the neighbor set feeds degree, core-edge, and border stages —
+    // checkpoint the skinny id-pair list so the cell-pruned candidate
+    // generation (normalize + assign + radii + verify) runs ONCE
     val pairs = graft.dedup.Dedup.embeddingPairs(emb, 0.30)
-      .select("id1", "id2")
+      .select("id1", "id2").localCheckpoint()
     val sym = pairs.select(col("id1").as("v"), col("id2").as("w"))
       .union(pairs.select(col("id2").as("v"), col("id1").as("w")))
     val core = sym.groupBy("v").agg(count(lit(1)).as("_deg"))

@@ -888,7 +888,64 @@ object SourceQueries extends QueryModule {
       |  CAST(MAX(k) AS BIGINT) AS max_k
       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------- src_zip_archive
+  /** ZIP container walk — the archive interchange format batch drops
+    * actually arrive in: per document a deterministic multi-entry
+    * archive is built with the JDK's real Deflater
+    * (ZipOutputStream), then parsed back ENTRY BY ENTRY with
+    * ZipInputStream — central-directory order, entry names, and every
+    * decompressed byte come out of the actual codec, and the emitted
+    * counts are bytes READ from the stream, not recomputation. The
+    * oracle re-derives entry count and payload sizes arithmetically,
+    * so a hash match proves a real compress→decompress round-trip.
+    * Map-only (mapPartitions); archives never cross a shuffle — at
+    * scale each task walks its own archives, parallelism = archive
+    * count. */
+  def srcZipArchive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (2 + id % 4).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(bos)
+        (0 until n).foreach { k =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(s"part-$k.txt"))
+          val body = s"doc-$id-part-$k:" + "x" * (10 + ((id + k) % 50)).toInt
+          zos.write(body.getBytes("UTF-8"))
+          zos.closeEntry()
+        }
+        zos.close()
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        var entries = 0L
+        var bytes = 0L
+        var e = zis.getNextEntry
+        while (e != null) {
+          require(e.getName == s"part-$entries.txt",
+            s"zip walk out of order at ${e.getName}")
+          val buf = new Array[Byte](256)
+          var r = zis.read(buf)
+          while (r > 0) { bytes += r; r = zis.read(buf) }
+          entries += 1
+          e = zis.getNextEntry
+        }
+        zis.close()
+        (id, entries, bytes)
+      })
+      .toDF("doc_id", "n_entries", "total_bytes")
+      .orderBy("doc_id")
+  }
+
+  val srcZipArchiveSql: String =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+      |e AS (SELECT doc_id, n, unnest(range(n)) AS k FROM d)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_entries,
+      |  CAST(SUM(22 + length(CAST(doc_id AS VARCHAR))
+      |    + (doc_id + k) % 50) AS BIGINT) AS total_bytes
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_zip_archive" -> (srcZipArchive _),
     "src_json_flatten" -> (srcJsonFlatten _),
     "src_malformed_audit" -> (malformedAudit _),
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
@@ -918,6 +975,7 @@ object SourceQueries extends QueryModule {
     "src_delimited_roundtrip" -> delimitedRoundtripSql,
     "src_multiline_csv" -> multilineCsvRoundtripSql,
     "src_gzip_text" -> gzipTextRoundtripSql,
+    "src_zip_archive" -> srcZipArchiveSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,
     "src_orc_roundtrip" -> orcRoundtripSql,

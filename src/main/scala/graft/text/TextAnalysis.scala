@@ -1232,6 +1232,56 @@ object TextAnalysis extends QueryModule {
       |  CAST(rank * freq AS BIGINT) AS rank_freq
       |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------ txt_script_mix
+  /** Mixed-script / homoglyph audit — the spoofing signal a corpus
+    * sanitizer runs before tokenization (Cyrillic 'а' inside Latin
+    * words defeats exact dedup, poisons vocab, and is the classic
+    * spam/phish obfuscation): per document the Latin and Cyrillic
+    * letter counts and the number of WORDS mixing both scripts. The
+    * corpus is ASCII, so a deterministic homoglyph injection
+    * (translate a/e/o → U+0430/0435/043E on every 7th doc) plants the
+    * attack both engines see identically; detection is row-local
+    * codegen (translate + regexp counts + a filtered word split) —
+    * no shuffle at any scale. */
+  def txtScriptMix(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(7)) === 0,
+      translate(col("text"), "aeo", "\u0430\u0435\u043e"))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("s"))
+      .select(col("doc_id"),
+        length(regexp_replace(col("s"), "[^a-z]", "")).as("n_latin"),
+        length(regexp_replace(col("s"), "[^\u0430-\u044f]", ""))
+          .as("n_cyr"),
+        size(filter(split(col("s"), "\\s+"),
+          w => w.rlike("[a-z]") && w.rlike("[\u0430-\u044f]")))
+          .as("n_mixed_words"))
+      .withColumn("suspicious", col("n_mixed_words") > 0)
+      .orderBy("doc_id")
+  }
+
+  val txtScriptMixSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN translate(text, 'aeo', '\u0430\u0435\u043e')
+      |      ELSE text END AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(regexp_replace(s, '[^a-z]', '', 'g')) AS INTEGER)
+      |    AS n_latin,
+      |  CAST(length(regexp_replace(s, '[^\u0430-\u044f]', '', 'g'))
+      |    AS INTEGER) AS n_cyr,
+      |  CAST(len(list_filter(regexp_split_to_array(s, '\s+'),
+      |    w -> regexp_matches(w, '[a-z]')
+      |     AND regexp_matches(w, '[\u0430-\u044f]'))) AS INTEGER)
+      |    AS n_mixed_words,
+      |  len(list_filter(regexp_split_to_array(s, '\s+'),
+      |    w -> regexp_matches(w, '[a-z]')
+      |     AND regexp_matches(w, '[\u0430-\u044f]'))) > 0
+      |    AS suspicious
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_zipf" -> (txtZipf _),
     "txt_bpe_apply" -> (txtBpeApply _),
@@ -1256,6 +1306,7 @@ object TextAnalysis extends QueryModule {
     "txt_token_count" -> (txtTokenCount _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangid _),
+    "txt_script_mix" -> (txtScriptMix _),
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -1282,5 +1333,6 @@ object TextAnalysis extends QueryModule {
     "txt_token_count" -> txtTokenCountSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangidSql,
+    "txt_script_mix" -> txtScriptMixSql,
     "txt_fingerprint" -> txtFingerprintSql)
 }

@@ -168,6 +168,53 @@ class R8cOpsSpec extends SparkSpec {
     assert(a.map(_.getAs[Int]("rank")).toSeq == (1 to a.length))
   }
 
+  test("src_zip_archive: real round-trip with per-archive size arithmetic") {
+    val out = graft.sources.SourceQueries.srcZipArchive(spark, sfDir)
+      .collect()
+    assert(out.length == Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = 2 + id % 4
+      assert(r.getAs[Long]("n_entries") == n)
+      val expect = (0L until n).map(k =>
+        22 + id.toString.length + (id + k) % 50).sum
+      assert(r.getAs[Long]("total_bytes") == expect,
+        "bytes read from ZipInputStream must equal the written payload")
+    }
+  }
+
+  test("mask_rare_suppress: rare categories masked, frequent kept") {
+    val part = Tables.part(spark, sfDir)
+    val counts = part
+      .groupBy(concat_ws("/", col("p_type"), col("p_size")).as("c"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.mask.MaskQueries.maskRareSuppress(spark, sfDir)
+      .collect()
+    assert(out.length == part.count())
+    out.foreach { r =>
+      val t = r.getAs[String]("category")
+      val m = r.getAs[String]("category_masked")
+      if (counts(t) < 3) assert(m == "OTHER") else assert(m == t)
+    }
+    assert(out.exists(_.getAs[String]("category_masked") == "OTHER"),
+      "the sf corpus must contain rare categories for the op to bite")
+  }
+
+  test("txt_script_mix: homoglyph injection detected on exactly id%7==0") {
+    val out = graft.text.TextAnalysis.txtScriptMix(spark, sfDir).collect()
+    out.foreach { r =>
+      val injected = r.getAs[Long]("doc_id") % 7 == 0
+      if (injected) {
+        assert(r.getAs[Int]("n_cyr") > 0)
+        assert(r.getAs[Boolean]("suspicious"),
+          "translated docs must carry mixed-script words")
+      } else {
+        assert(r.getAs[Int]("n_cyr") == 0)
+        assert(!r.getAs[Boolean]("suspicious"))
+      }
+    }
+  }
+
   test("cls_autocorr: moment identities and pair counts per lag") {
     val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
       .collect()
