@@ -790,6 +790,51 @@ object ClassifyQueries extends QueryModule {
       |  CAST(SUM(x * y) AS BIGINT) AS sxy
       |FROM j GROUP BY lag ORDER BY lag""".stripMargin
 
+  // -------------------------------------------------- cls_skewness
+  /** Shape profiling past variance — skewness and kurtosis from EXACT
+    * integer raw moments (n, Σx, Σx², Σx³, Σx⁴ per column): the
+    * profiler signal that separates "symmetric around the mean"
+    * (maskable by blur) from heavy-tailed / one-sided columns (where
+    * mean-preserving noise leaks outliers). Like [[clsCorr]], only
+    * the sufficient statistics cross engines; the float ratios are a
+    * driver division away. Columns are chosen (quantity units,
+    * discount/tax milli) so x⁴ stays in int64 headroom past 10¹²
+    * rows (50⁴·10¹² ≈ 6·10¹⁸ < 2⁶³). One melt scan → one
+    * combiner-friendly 3-group hash-agg. */
+  def clsSkewness(spark: SparkSession, dir: String): DataFrame = {
+    def units(c: String): Column = floor(col(c)).cast("long")
+    def milli(c: String): Column = floor(col(c) * 1000).cast("long")
+    val cols = Seq(
+      ("l_quantity", units("l_quantity")),
+      ("l_discount_milli", milli("l_discount")),
+      ("l_tax_milli", milli("l_tax")))
+    Tables.lineitem(spark, dir)
+      .select(explode(array(cols.map { case (name, x) =>
+        struct(lit(name).as("col"), x.as("x"))
+      }: _*)).as("m"))
+      .select(col("m.col").as("col"), col("m.x").as("x"))
+      .groupBy("col")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .orderBy("col")
+  }
+
+  val clsSkewnessSql: String =
+    """WITH m AS (
+      |  SELECT 'l_quantity' AS col,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS x FROM lineitem
+      |  UNION ALL SELECT 'l_discount_milli',
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_tax_milli',
+      |    CAST(FLOOR(l_tax * 1000) AS BIGINT) FROM lineitem)
+      |SELECT col, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+      |  CAST(SUM(x*x) AS BIGINT) AS s2,
+      |  CAST(SUM(x*x*x) AS BIGINT) AS s3,
+      |  CAST(SUM(x*x*x*x) AS BIGINT) AS s4
+      |FROM m GROUP BY col ORDER BY col""".stripMargin
+
   // -------------------------------------------------- cls_psi_drift
   /** Distribution-drift audit between two time periods — the
     * population-stability check a production classifier runs on every
@@ -1074,6 +1119,7 @@ object ClassifyQueries extends QueryModule {
     "cls_datatype_infer" -> (clsDatatypeInfer _),
     "cls_corr" -> (clsCorr _),
     "cls_autocorr" -> (clsAutocorr _),
+    "cls_skewness" -> (clsSkewness _),
     "cls_psi_drift" -> (clsPsiDrift _),
     "cls_inclusion_deps" -> (clsInclusionDeps _),
     "cls_outliers" -> (clsOutliers _),
@@ -1096,6 +1142,7 @@ object ClassifyQueries extends QueryModule {
     "cls_datatype_infer" -> clsDatatypeInferSql,
     "cls_corr" -> clsCorrSql,
     "cls_autocorr" -> clsAutocorrSql,
+    "cls_skewness" -> clsSkewnessSql,
     "cls_psi_drift" -> clsPsiDriftSql,
     "cls_inclusion_deps" -> clsInclusionDepsSql,
     "cls_outliers" -> clsOutliersSql,

@@ -671,12 +671,166 @@ object BinaryPipeline extends QueryModule {
       |    AS BIGINT) AS gray_sum
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_audio_vad
+  /** Energy-based voice-activity segmentation — the audio curation
+    * primitive (cut silence, keep speech-dense spans) run over the
+    * REAL decoded PCM: frames of 32 samples, frame energy = Σ|s|
+    * (exact integer), a frame is ACTIVE when energy > 530000 (the
+    * corpus median — both engines compare the same integers), and
+    * active runs merge into segments by gaps-and-islands on the frame
+    * index. Per doc: full frames, active frames, segment count, and
+    * the longest segment. The decode is the same map-only
+    * [[decodeWavSamples]] path as the waveform stats; the only window
+    * is per-doc over ≤ 10 frames. The oracle recomputes every sample
+    * arithmetically and replays the identical thresholds. */
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sm = decodeWavSamples(encodeWav(id))
+        val nf = sm.length / 32
+        var f = 0
+        var active = 0L
+        var segs = 0L
+        var run = 0L
+        var maxRun = 0L
+        while (f < nf) {
+          var e = 0L
+          var i = f * 32
+          val end = i + 32
+          while (i < end) { e += math.abs(sm(i)); i += 1 }
+          if (e > 530000L) {
+            active += 1
+            if (run == 0) segs += 1
+            run += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+          f += 1
+        }
+        (id, nf.toLong, active, segs, maxRun)
+      })
+      .toDF("doc_id", "n_frames", "n_active", "n_segments", "max_run")
+      .orderBy("doc_id")
+  }
+
+  val mmAudioVadSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k,
+      |    ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256 AS u
+      |  FROM (SELECT doc_id, unnest(range(0, ns)) AS k FROM d) t),
+      |v AS (SELECT doc_id, k // 32 AS f,
+      |  ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+      |  FROM s),
+      |fr AS (
+      |  SELECT doc_id, f, SUM(a) AS e FROM v
+      |  GROUP BY doc_id, f HAVING COUNT(*) = 32),
+      |act AS (
+      |  SELECT doc_id, f, e > 530000 AS live FROM fr),
+      |isl AS (
+      |  SELECT doc_id, f,
+      |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS g
+      |  FROM act WHERE live),
+      |runs AS (
+      |  SELECT doc_id, COUNT(*) AS rl FROM isl GROUP BY doc_id, g),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_segments, MAX(rl) AS max_run,
+      |    SUM(rl) AS n_active
+      |  FROM runs GROUP BY doc_id),
+      |base AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr
+      |         GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n_frames AS BIGINT) AS n_frames,
+      |  CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+      |  CAST(COALESCE(a.n_segments, 0) AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(a.max_run, 0) AS BIGINT) AS max_run
+      |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------- mm_image_patches
+  /** ViT-style PATCH extraction — the preprocessing that turns an
+    * image into the token sequence a vision transformer trains on:
+    * the REAL decoded image is cut into non-overlapping 8×8 pixel
+    * patches (ragged edges cropped, the standard behavior) and each
+    * patch emits its exact integer gray mass — the stand-in for the
+    * patch-embedding input vector. One row per (doc, py, px): the
+    * exploded layout a multimodal training pipeline shuffles by doc
+    * or interleaves with text tokens. Decode is content-addressed
+    * (≤ 256 distinct images) and map-only; no shuffle carries pixels.
+    * The oracle recomputes every patch mass from the gradient
+    * arithmetic. */
+  def mmImagePatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap
+          .empty[Int, Array[(Int, Int, Long)]]
+        def patches(m: Int): Array[(Int, Int, Long)] =
+          cache.getOrElseUpdate(m, {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(encodeGradientPng(m.toLong)))
+            val (w, h) = (img.getWidth, img.getHeight)
+            (for {
+              py <- 0 until h / 8
+              px <- 0 until w / 8
+            } yield {
+              var mass = 0L
+              var dy = 0
+              while (dy < 8) {
+                var dx = 0
+                while (dx < 8) {
+                  mass += (img.getRGB(px * 8 + dx, py * 8 + dy) >> 16) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              (py, px, mass)
+            }).toArray
+          })
+        it.flatMap { id =>
+          patches((id % 256).toInt).iterator.map { case (py, px, m) =>
+            (id, py.toLong, px.toLong, m)
+          }
+        }
+      }
+      .toDF("doc_id", "py", "px", "mass")
+      .orderBy("doc_id", "py", "px")
+  }
+
+  val mmImagePatchesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 7) % 32 AS h,
+      |    doc_id % 256 AS base
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, base,
+      |    unnest(range(0, h // 8)) AS py, w, h
+      |  FROM d),
+      |gp AS (
+      |  SELECT doc_id, base, py, unnest(range(0, w // 8)) AS px
+      |  FROM g),
+      |px8 AS (
+      |  SELECT doc_id, base, py, px, unnest(range(0, 8)) AS dy
+      |  FROM gp),
+      |cells AS (
+      |  SELECT doc_id, py, px,
+      |    list_sum(list_transform(range(0, 8),
+      |      dx -> (base + (px*8 + dx) + (py*8 + dy)) % 256)) AS rowmass
+      |  FROM px8)
+      |SELECT doc_id, py, px, CAST(SUM(rowmass) AS BIGINT) AS mass
+      |FROM cells GROUP BY doc_id, py, px
+      |ORDER BY doc_id, py, px""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_image_decode" -> (mmImageDecode _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_image_phash" -> (mmImagePhash _),
     "mm_phash_dedup" -> (mmPhashDedup _),
+    "mm_audio_vad" -> (mmAudioVad _),
+    "mm_image_patches" -> (mmImagePatches _),
     "mm_video_scenes" -> (mmVideoScenes _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_waveform" -> (mmAudioWaveform _),
@@ -688,6 +842,8 @@ object BinaryPipeline extends QueryModule {
     "mm_image_resize" -> mmImageResizeSql,
     "mm_image_phash" -> mmImagePhashSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
+    "mm_audio_vad" -> mmAudioVadSql,
+    "mm_image_patches" -> mmImagePatchesSql,
     "mm_video_scenes" -> mmVideoScenesSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_audio_waveform" -> mmAudioWaveformSql,

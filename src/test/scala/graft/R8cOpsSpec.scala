@@ -215,6 +215,59 @@ class R8cOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_vad: accounting identities over the real decode") {
+    val out = graft.multimodal.BinaryPipeline.mmAudioVad(spark, sfDir)
+      .collect()
+    assert(out.length == Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      val (nf, na, ns, mr) = (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("max_run"))
+      assert(nf == (100 + r.getAs[Long]("doc_id") % 50) *
+        (1 + r.getAs[Long]("doc_id") % 2) / 32)
+      assert(na <= nf)
+      assert(ns <= na, "each segment holds at least one active frame")
+      assert(mr <= na && (na == 0 || mr >= (na + ns - 1) / ns),
+        "max run bounds: <= total active, >= ceil(active/segments)")
+    }
+    assert(out.exists(_.getAs[Long]("n_segments") > 1L),
+      "the threshold must produce real segmentation, not one blob")
+  }
+
+  test("mm_image_patches: grid dims and total mass match the gradient") {
+    val out = graft.multimodal.BinaryPipeline.mmImagePatches(spark, sfDir)
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      val (w, h) = (8 + id % 32, 8 + (id * 7) % 32)
+      assert(rows.length == (w / 8) * (h / 8),
+        "one row per non-ragged 8x8 patch")
+      rows.foreach { r =>
+        val (py, px) = (r.getAs[Long]("py"), r.getAs[Long]("px"))
+        val base = id % 256
+        var expect = 0L
+        for (dy <- 0 until 8; dx <- 0 until 8)
+          expect += (base + (px * 8 + dx) + (py * 8 + dy)) % 256
+        assert(r.getAs[Long]("mass") == expect,
+          s"decoded patch mass must match gradient arithmetic at ($py,$px)")
+      }
+    }
+  }
+
+  test("cls_skewness: moment chain inequalities hold") {
+    val out = graft.classify.ClassifyQueries.clsSkewness(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[String]("col")).toSeq ==
+      Seq("l_discount_milli", "l_quantity", "l_tax_milli"))
+    out.foreach { r =>
+      val (n, s1, s2, s4) = (r.getAs[Long]("n"), r.getAs[Long]("s1"),
+        r.getAs[Long]("s2"), r.getAs[Long]("s4"))
+      assert(n * s2 >= s1 * s1, "Cauchy-Schwarz on (1, x)")
+      assert(n * s4 >= s2 * s2, "Cauchy-Schwarz on (1, x^2)")
+      assert(s2 >= 0 && s4 >= 0)
+    }
+  }
+
   test("cls_autocorr: moment identities and pair counts per lag") {
     val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
       .collect()
