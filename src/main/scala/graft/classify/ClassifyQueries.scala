@@ -790,6 +790,66 @@ object ClassifyQueries extends QueryModule {
       |  CAST(SUM(x * y) AS BIGINT) AS sxy
       |FROM j GROUP BY lag ORDER BY lag""".stripMargin
 
+  // ----------------------------------------------- cls_entity_match
+  /** Blocked fuzzy ENTITY RESOLUTION — the master-data matching step
+    * (find the clean registry record a dirty feed row refers to,
+    * typos and all): a dirty registry is synthesized by giving every
+    * 10th customer a duplicate whose name carries a deterministic
+    * adjacent-digit transposition (the classic data-entry error;
+    * Levenshtein ≤ 2), keyed 10M above its source. Matching blocks on
+    * the STABLE attributes (nation, 500-unit balance band — typo-free
+    * by construction), and only within-block candidates pay the
+    * Levenshtein gate — the [[graft.dedup.Dedup]] edit-distance
+    * contract: never all-pairs, block fan-out bounded by block size.
+    * Output is every (dirty, candidate) pair the matcher accepts,
+    * INCLUDING block-collision false positives — the precision
+    * signal an ER deployment tunes its blocking key by. */
+  def clsEntityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val swapName =
+      """concat('Customer#',
+        |  substring(substring(c_name, 10, 9), 1, c_custkey % 8),
+        |  substring(substring(c_name, 10, 9), c_custkey % 8 + 2, 1),
+        |  substring(substring(c_name, 10, 9), c_custkey % 8 + 1, 1),
+        |  substring(substring(c_name, 10, 9), c_custkey % 8 + 3, 9))"""
+        .stripMargin
+    val dirty = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select((col("c_custkey") + 10000000L).as("d_key"),
+        expr(swapName).as("d_name"),
+        col("c_nationkey").as("nk"),
+        floor(col("c_acctbal") / 500).cast("long").as("band"))
+    val clean = c.select(col("c_custkey").as("cand_key"),
+      col("c_name"), col("c_nationkey").as("nk"),
+      floor(col("c_acctbal") / 500).cast("long").as("band"))
+    dirty.join(clean, Seq("nk", "band"))
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+      .filter(col("dist") <= 2)
+      .select(col("d_key"), col("cand_key"), col("dist"))
+      .orderBy("d_key", "cand_key")
+  }
+
+  val clsEntityMatchSql: String =
+    """WITH dirty AS (
+      |  SELECT c_custkey + 10000000 AS d_key,
+      |    'Customer#' ||
+      |      substring(substring(c_name, 10, 9), 1, c_custkey % 8) ||
+      |      substring(substring(c_name, 10, 9), c_custkey % 8 + 2, 1) ||
+      |      substring(substring(c_name, 10, 9), c_custkey % 8 + 1, 1) ||
+      |      substring(substring(c_name, 10, 9), c_custkey % 8 + 3, 9)
+      |      AS d_name,
+      |    c_nationkey AS nk,
+      |    CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS band
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |clean AS (
+      |  SELECT c_custkey AS cand_key, c_name, c_nationkey AS nk,
+      |    CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS band
+      |  FROM customer)
+      |SELECT d.d_key, c.cand_key,
+      |  CAST(levenshtein(d.d_name, c.c_name) AS INTEGER) AS dist
+      |FROM dirty d JOIN clean c ON c.nk = d.nk AND c.band = d.band
+      |WHERE levenshtein(d.d_name, c.c_name) <= 2
+      |ORDER BY d_key, cand_key""".stripMargin
+
   // -------------------------------------------------- cls_skewness
   /** Shape profiling past variance — skewness and kurtosis from EXACT
     * integer raw moments (n, Σx, Σx², Σx³, Σx⁴ per column): the
@@ -1120,6 +1180,7 @@ object ClassifyQueries extends QueryModule {
     "cls_corr" -> (clsCorr _),
     "cls_autocorr" -> (clsAutocorr _),
     "cls_skewness" -> (clsSkewness _),
+    "cls_entity_match" -> (clsEntityMatch _),
     "cls_psi_drift" -> (clsPsiDrift _),
     "cls_inclusion_deps" -> (clsInclusionDeps _),
     "cls_outliers" -> (clsOutliers _),
@@ -1143,6 +1204,7 @@ object ClassifyQueries extends QueryModule {
     "cls_corr" -> clsCorrSql,
     "cls_autocorr" -> clsAutocorrSql,
     "cls_skewness" -> clsSkewnessSql,
+    "cls_entity_match" -> clsEntityMatchSql,
     "cls_psi_drift" -> clsPsiDriftSql,
     "cls_inclusion_deps" -> clsInclusionDepsSql,
     "cls_outliers" -> clsOutliersSql,

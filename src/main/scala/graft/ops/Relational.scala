@@ -1122,8 +1122,47 @@ object Relational extends graft.QueryModule {
       |ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ------------------------------------------------------ q37_unpivot
+  /** Wide→long reshape as a first-class relational operator (the
+    * reformat step every report/export pipeline has): three measure
+    * columns melt through the Dataset `unpivot` API (Catalyst's
+    * Unpivot node → a codegen Expand, ONE scan emitting 3 rows per
+    * input — never 3 scans), then a per-measure profile collapses the
+    * melt map-side. Measures are integerized (units/cents/milli) so
+    * the long-format value column is one exact BIGINT type — the
+    * type-unification trap of melting heterogeneous floats never
+    * arises. */
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("quantity"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        floor(col("l_discount") * 1000).cast("long").as("discount_milli"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("price_cents"), col("discount_milli")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy("measure")
+
+  val q37Sql: String =
+    """WITH m AS (
+      |  SELECT 'quantity' AS measure,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS value FROM lineitem
+      |  UNION ALL SELECT 'price_cents',
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'discount_milli',
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT) FROM lineitem)
+      |SELECT measure, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS total,
+      |  CAST(MIN(value) AS BIGINT) AS vmin,
+      |  CAST(MAX(value) AS BIGINT) AS vmax
+      |FROM m GROUP BY measure ORDER BY measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_mad" -> (q36 _),
+    "q37_unpivot" -> (q37 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1162,6 +1201,7 @@ object Relational extends graft.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q36_mad" -> q36Sql,
+    "q37_unpivot" -> q37Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

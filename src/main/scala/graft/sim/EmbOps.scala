@@ -890,7 +890,37 @@ object EmbOps extends QueryModule {
        |FROM c GROUP BY d ORDER BY d""".stripMargin
   }
 
+  // ---------------------------------------------- knn_recall_binary
+  /** Recall audit of the sign-bit Hamming path against the exact
+    * baseline — completes the per-method canary set
+    * ([[graft.sim.Knn.knnRecall]] covers LSH and IVF): per query, how
+    * many of the true cosine top-5 survive in the Hamming top-5. The
+    * number that decides whether binary-first retrieval can be the
+    * fleet's memory-resident stage. Both operands are the
+    * oracle-verified operators unchanged; the audit join runs on
+    * ≤ q·k rows. */
+  def knnRecallBinary(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val h = hammingTopK(emb, 5)
+      .select(col("qid"), col("nid"), lit(1L).as("_m"))
+    val b = Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("qid", "nid")
+    b.join(h, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("_m"), lit(0L))).as("n_hits"))
+      .orderBy("qid")
+  }
+
+  val knnRecallBinarySql: String =
+    s"""WITH h AS (SELECT * FROM ($embHammingSql) th),
+       |b AS (SELECT * FROM (${Knn.knnBruteSql}) tb)
+       |SELECT b.qid AS qid, CAST(COUNT(h.nid) AS BIGINT) AS n_hits
+       |FROM b LEFT JOIN h ON h.qid = b.qid AND h.nid = b.nid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_recall_binary" -> (knnRecallBinary _),
     "emb_power_iter" -> (embPowerIter _),
     "emb_covariance" -> (embCovariance _),
     "knn_kmeans_refine" -> (knnKmeansRefine _),
@@ -906,6 +936,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "knn_recall_binary" -> knnRecallBinarySql,
     "emb_power_iter" -> embPowerIterSql,
     "emb_covariance" -> embCovarianceSql,
     "knn_kmeans_refine" -> knnKmeansRefineSql,

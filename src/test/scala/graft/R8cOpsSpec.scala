@@ -268,6 +268,46 @@ class R8cOpsSpec extends SparkSpec {
     }
   }
 
+  test("q37_unpivot: melt triples the row mass, totals match columns") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = graft.ops.Relational.q37(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("measure")).toSeq ==
+      Seq("discount_milli", "price_cents", "quantity"))
+    val n = li.count()
+    assert(out.forall(_.getAs[Long]("n") == n),
+      "every measure melts once per source row")
+    val qtySum = li.agg(sum(floor(col("l_quantity")).cast("long")))
+      .head().getLong(0)
+    assert(out.find(_.getAs[String]("measure") == "quantity").get
+      .getAs[Long]("total") == qtySum)
+  }
+
+  test("cls_entity_match: every dirty record finds its source record") {
+    val out = graft.classify.ClassifyQueries.clsEntityMatch(spark, sfDir)
+      .collect()
+    val pairs = out.map(r => r.getAs[Long]("d_key") ->
+      r.getAs[Long]("cand_key")).toSet
+    val dirtyKeys = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select("c_custkey").collect().map(_.getLong(0))
+    dirtyKeys.foreach { k =>
+      assert(pairs.contains((k + 10000000L) -> k),
+        s"transposed duplicate of $k must match back to its source")
+    }
+    // the transposition is <= 2 edits, so the true pair passes the gate
+    out.foreach(r => assert(r.getAs[Int]("dist") <= 2))
+  }
+
+  test("knn_recall_binary: per-query overlap in [0, 5] for 10 queries") {
+    val out = graft.sim.EmbOps.knnRecallBinary(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.forall { r =>
+      val h = r.getAs[Long]("n_hits"); h >= 0 && h <= 5
+    })
+    assert(out.map(_.getAs[Long]("n_hits")).sum > 0,
+      "the sign-bit path must recover some true neighbors")
+  }
+
   test("cls_autocorr: moment identities and pair counts per lag") {
     val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
       .collect()
