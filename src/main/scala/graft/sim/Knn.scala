@@ -802,8 +802,73 @@ object Knn extends QueryModule {
       |LEFT JOIN border b ON b.v = em.vec_id
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------- knn_centrality
+  /** Graph centrality over the mutual k-NN graph by EXACT integer
+    * mass routing — the PageRank-shaped "which vectors anchor the
+    * semantic neighborhood" signal (hub docs make good cluster
+    * exemplars; perpetual donors are fringe): every node starts with
+    * 1000 milli-units; each of K = 3 rounds sends floor(mass/deg)
+    * along every edge and keeps the remainder, so total mass is
+    * conserved EXACTLY (Σ = 1000·n, spec-pinned) and no float
+    * damping crosses the oracle boundary. Per round: one keyed join
+    * (edges × masses on the sender) + one combiner-friendly
+    * receiver hash-agg — the [[graft.dedup.Dedup.components]] plan
+    * shape, K fixed, lineage cut per round. The graph is the
+    * memoized [[mutualEdges]] set; the oracle unrolls the same K
+    * rounds over the recursive-CTE-free edge list. */
+  def knnCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val edges = mutualEdges(spark, dir)
+      .select(col("a"), col("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var masses = deg.select(col("v"), lit(1000L).as("mass"))
+    for (_ <- 1 to 3) {
+      val share = masses.join(deg, Seq("v"))
+        .select(col("v"), (col("mass") % col("deg")).as("rem"),
+          expr("mass div deg").as("out"))
+      val incoming = sym
+        .join(share.select(col("v").as("a"), col("out")), Seq("a"))
+        .groupBy(col("b").as("v")).agg(sum(col("out")).as("inc"))
+      masses = share.select(col("v"), col("rem"))
+        .join(incoming, Seq("v"), "left")
+        .select(col("v"),
+          (col("rem") + coalesce(col("inc"), lit(0L))).as("mass"))
+        .localCheckpoint()
+    }
+    masses.join(deg, Seq("v"))
+      .select(col("v").as("vec_id"), col("deg"), col("mass"))
+      .orderBy("vec_id")
+  }
+
+  val knnCentralitySql: String = {
+    def round(i: Int): String =
+      s"""s$i AS (
+         |  SELECT m.v, m.mass % d.deg AS rem, m.mass // d.deg AS outm
+         |  FROM m${i - 1} m JOIN deg d ON d.v = m.v),
+         |i$i AS (
+         |  SELECT e.b AS v, SUM(s.outm) AS inc
+         |  FROM sym e JOIN s$i s ON s.v = e.a GROUP BY e.b),
+         |m$i AS (
+         |  SELECT s.v, s.rem + COALESCE(i.inc, 0) AS mass
+         |  FROM s$i s LEFT JOIN i$i i ON i.v = s.v)"""
+        .stripMargin
+    s"""WITH g AS (SELECT a, b FROM ($knnGraphSql) t),
+       |sym AS (SELECT a, b FROM g UNION ALL SELECT b, a FROM g),
+       |deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+       |m0 AS (SELECT v, 1000 AS mass FROM deg),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT m.v AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+       |  CAST(m.mass AS BIGINT) AS mass
+       |FROM m3 m JOIN deg d ON d.v = m.v ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_dbscan" -> (knnDbscan _),
+    "knn_centrality" -> (knnCentrality _),
     "knn_graph_clusters" -> (knnGraphClusters _),
     "knn_loo_label" -> (knnLooLabel _),
     "knn_rerank" -> (knnRerank _),
@@ -820,6 +885,7 @@ object Knn extends QueryModule {
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
     "knn_dbscan" -> knnDbscanSql,
+    "knn_centrality" -> knnCentralitySql,
     "knn_graph_clusters" -> knnGraphClustersSql,
     "knn_loo_label" -> knnLooLabelSql,
     "knn_rerank" -> knnRerankSql,

@@ -242,4 +242,45 @@ class PlanSpec extends SparkSpec {
       s"drift dispatch must parse the wire once, found $parses:\n" +
         plan.take(2000))
   }
+
+  test("r8 ops: single-scan shapes and partitioned windows hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    // every new windowed op keeps its windows partitioned (the
+    // deliberate pmod marker counts as a partition spec)
+    for ((name, df) <- Seq(
+        ("str_concurrency",
+          graft.streaming.EventStreams.strConcurrency(spark, sfDir)),
+        ("pipe_sample_fixed",
+          graft.pipeline.CorpusPipeline.pipeSampleFixed(spark, sfDir)),
+        ("knn_dbscan", graft.sim.Knn.knnDbscan(spark, sfDir)))) {
+      df.collect()
+      val bare = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$name has an unpartitioned window:\n${bare.mkString("\n")}")
+    }
+    // cls_autocorr: the checkpointed daily series means ONE orders scan
+    val ac = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
+    ac.collect()
+    val acScans = "Scan parquet".r
+      .findAllIn(ac.queryExecution.executedPlan.toString).size
+    assert(acScans == 0, // both sides read the checkpointed RDD
+      s"autocorr must feed both join sides from the checkpoint, " +
+        s"found $acScans parquet scans")
+    // emb_covariance: one scan, one (tiny) aggregate exchange
+    val cov = graft.sim.EmbOps.embCovariance(spark, sfDir)
+    cov.collect()
+    val covPlan = cov.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(covPlan).size == 1,
+      "covariance must scan the corpus exactly once")
+  }
 }

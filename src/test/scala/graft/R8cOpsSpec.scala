@@ -308,6 +308,17 @@ class R8cOpsSpec extends SparkSpec {
       "the sign-bit path must recover some true neighbors")
   }
 
+  test("knn_centrality: mass conserved exactly across rounds") {
+    val out = graft.sim.Knn.knnCentrality(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("mass")).sum == 1000L * out.length,
+      "integer routing must conserve total mass bit-exactly")
+    assert(out.forall(_.getAs[Long]("deg") >= 1L),
+      "only edge-incident nodes participate")
+    assert(out.map(_.getAs[Long]("mass")).distinct.length > 1,
+      "routing must differentiate hubs from fringe")
+  }
+
   test("cls_autocorr: moment identities and pair counts per lag") {
     val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
       .collect()
