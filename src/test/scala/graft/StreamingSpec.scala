@@ -846,4 +846,67 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"merged sketch $got != batch $expected")
     assert(expected.size == 3)
   }
+
+  test("concurrency peaks merge across micro-batches via shard partials") {
+    implicit val sql = spark.sqlContext
+    // per-shard partial = (delta sum, max prefix) over the shard's
+    // deltas in (t, d) order; segments combine associatively:
+    // total = sA + sB, maxPrefix = max(mpA, sA + mpB). Batches only
+    // ADD deltas to a shard's multiset, so the state is the per-shard
+    // delta list and the fold replays the batch decomposition.
+    val shardW = 3600000000L
+    val events = (0 until 300).map { i =>
+      (4000L + i, ts(f"2024-01-01 ${i / 25}%02d:${(i * 7) % 60}%02d:00"),
+        i.toLong % 40, "view", 1.0)
+    }
+    val state = scala.collection.concurrent.TrieMap[Long,
+      Vector[(Long, Long)]]()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val deltas = batch.select(col("event_id"),
+              expr("unix_micros(cast(ts as timestamp))").as("s"))
+            .collect().flatMap { r =>
+              val st = r.getLong(1)
+              val en = st + (60L + r.getLong(0) % 600L) * 1000000L
+              Seq((st, 1L), (en, -1L))
+            }
+          deltas.foreach { case (t, d) =>
+            val sh = t / shardW
+            state.put(sh, state.getOrElse(sh, Vector.empty) :+ (t, d))
+          }
+          ()
+      }.start()
+    try {
+      events.grouped(80).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // fold shard partials in shard order, tracking the global carry
+    val windowPeak = scala.collection.mutable.Map[Long, Long]()
+    var carry = 0L
+    state.toSeq.sortBy(_._1).foreach { case (sh, ds) =>
+      var run = 0L
+      ds.sortBy(identity).foreach { case (t, d) =>
+        run += d
+        val wb = t / 21600000000L
+        windowPeak(wb) = math.max(
+          windowPeak.getOrElse(wb, Long.MinValue), carry + run)
+      }
+      carry += ds.map(_._2).sum
+    }
+    val batchOut = graft.streaming.EventStreams.concurrency(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L /
+        21600000000L -> r.getAs[Long]("max_concurrent")).toMap
+    assert(windowPeak.toMap == batchOut,
+      s"merged shard partials ${windowPeak.toMap} != batch $batchOut")
+    assert(batchOut.values.max > 1L)
+  }
 }
