@@ -1,0 +1,35 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst optimizer rules for the graft expression family — the
+  * `Rule[LogicalPlan]` rung of the custom-operator ladder
+  * (expression → rule → strategy → plan node; the other rungs live in
+  * [[VectorExprs]] and [[graft.plans.AsOfJoinPlan]]). Injected by
+  * [[GraftExtensions]] via `injectOptimizerRule`, so every session
+  * configured with `spark.sql.extensions=graft.expr.GraftExtensions`
+  * optimizes these for free.
+  */
+object GraftRules {
+
+  /** `graft_normalize(graft_normalize(x))` → `graft_normalize(x)`.
+    *
+    * Users compose normalization unknowingly (a pre-normalized view
+    * joined into an operator that defensively normalizes again), and
+    * each application is a full O(d) two-pass per row. The rewrite
+    * applies graft_normalize's CONTRACT — projection onto the unit
+    * sphere, definitionally idempotent: for degenerate input (zero /
+    * non-finite norm) both sides produce the same NaN array, and for
+    * regular input the inner result is unit-norm up to 1 ulp, so the
+    * dropped outer pass could only rescale by (1 ± ulp). No driver
+    * key nests normalizes, so the DuckDB bit-parity contract is
+    * untouched; the rule exists for user queries.
+    */
+  object NormalizeIdempotence extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case NormalizeArray(inner @ NormalizeArray(_)) => inner
+      }
+  }
+}

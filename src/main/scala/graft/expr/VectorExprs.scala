@@ -716,5 +716,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VectorExprs.floorScaleDescriptor)
     // the custom-operator path: as-of join as a first-class plan node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer rung: algebraic simplifications of the graft exprs
+    ext.injectOptimizerRule(_ => GraftRules.NormalizeIdempotence)
   }
 }

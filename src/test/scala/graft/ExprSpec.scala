@@ -126,4 +126,31 @@ class ExprSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out.forall { case (x, y) => x == y })
   }
+
+  test("NormalizeIdempotence rule collapses nested normalizes bit-exactly") {
+    import graft.expr.{GraftRules, NormalizeArray, VectorExprs}
+    VectorExprs.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ GraftRules.NormalizeIdempotence
+    try {
+      def normed(n: Int) = {
+        var c: org.apache.spark.sql.Column =
+          col("embedding").cast("array<double>")
+        (1 to n).foreach(_ => c = call_function(VectorExprs.normName, c))
+        Tables.embeddings(spark, sfDir).select(c.as("e")).orderBy(col("e"))
+      }
+      val double = normed(2)
+      val nNodes = double.queryExecution.optimizedPlan
+        .collect { case p => p.expressions
+          .map(_.collect { case x: NormalizeArray => x }.size).sum }
+        .sum
+      assert(nNodes == 1,
+        s"rule must leave exactly one normalize, found $nNodes")
+      // the rewritten double-normalize IS the single normalize plan,
+      // so the outputs must be bit-identical
+      assert(double.collect().map(_.toSeq).toSeq ==
+        normed(1).collect().map(_.toSeq).toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
