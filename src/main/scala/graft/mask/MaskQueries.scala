@@ -499,6 +499,36 @@ object MaskQueries extends QueryModule {
       |    AS n_rows_exposed
       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // -------------------------------------------------- mask_encrypt
+  /** Real AES encryption as a masking rule — the reversible
+    * (key-holding) protection class beside hashing (one-way) and FPE
+    * (format-keeping): every name round-trips through Spark's builtin
+    * `aes_encrypt`/`aes_decrypt` (AES-128-ECB + PKCS, deterministic —
+    * equal plaintexts mask equally, the property a joinable encrypted
+    * key column needs; use GCM + per-row IVs when determinism is NOT
+    * wanted). The oracle cannot run AES, so the driver key emits what
+    * it CAN pin bit-for-bit: the decrypted round-trip (proving
+    * encrypt∘decrypt = id over the real cipher) and the exact PKCS
+    * ciphertext length; R8cOpsSpec additionally pins the FIPS-197
+    * AES-128 known-answer vector through the same builtin. Row-local
+    * codegen; no UDF. */
+  def maskEncrypt(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        expr("aes_encrypt(cast(c_name as binary), " +
+          "cast('0123456789abcdef' as binary), 'ECB', 'PKCS')")
+          .as("_ct"))
+      .select(col("c_custkey"),
+        expr("cast(aes_decrypt(_ct, cast('0123456789abcdef' as binary), " +
+          "'ECB', 'PKCS') as string)").as("dec"),
+        length(col("_ct")).cast("long").as("cipher_len"))
+      .orderBy("c_custkey")
+
+  val maskEncryptSql: String =
+    """SELECT c_custkey, c_name AS dec,
+      |  CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------- mask_rare_suppress
   /** Rare-category suppression — the categorical companion to value
     * banding: any category with fewer than k = 3 members is replaced
@@ -695,6 +725,7 @@ object MaskQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_rand_response" -> (maskRandResponse _),
     "mask_rare_suppress" -> (maskRareSuppress _),
+    "mask_encrypt" -> (maskEncrypt _),
     "mask_text_scrub" -> (maskTextScrub _),
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
@@ -719,6 +750,7 @@ object MaskQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "mask_rand_response" -> maskRandResponseSql,
     "mask_rare_suppress" -> maskRareSuppressSql,
+    "mask_encrypt" -> maskEncryptSql,
     "mask_text_scrub" -> maskTextScrubSql,
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,

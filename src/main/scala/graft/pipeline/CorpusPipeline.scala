@@ -1119,6 +1119,61 @@ object CorpusPipeline extends QueryModule {
        |FROM labels l JOIN csizes s USING (lbl)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- pipe_mix_alpha_curve
+  /** The FULL temperature-sampling curve — how the language mixture
+    * shifts as α sweeps proportional → uniform ([[mixWeights]] is the
+    * single α = ½ point): per α ∈ {0, ¼, ½, ¾, 1} the weight
+    * w = ⌊n^α⌋ computed ONLY from correctly-rounded IEEE sqrt
+    * compositions (α = ¼ is √√n, ¾ is √n·√√n — bit-identical on any
+    * engine; no pow(), whose rounding is libm-dependent), and each
+    * α's exact per-mille share. One corpus scan collapses to |langs|
+    * counts; the curve is a 5-way melt of that dimension-sized frame.
+    */
+  def pipeMixAlphaCurve(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val nD = col("n_docs").cast("double")
+    val alphas: Seq[(Int, Column)] = Seq(
+      0 -> lit(1L),
+      250 -> floor(sqrt(sqrt(nD))).cast("long"),
+      500 -> floor(sqrt(nD)).cast("long"),
+      750 -> floor(sqrt(nD) * sqrt(sqrt(nD))).cast("long"),
+      1000 -> col("n_docs"))
+    val melted = counts.select(col("lang"), col("n_docs"),
+        explode(array(alphas.map { case (a, w) =>
+          struct(lit(a).as("alpha_pm"), w.as("w"))
+        }: _*)).as("m"))
+      .select(col("lang"), col("n_docs"),
+        col("m.alpha_pm").as("alpha_pm"), col("m.w").as("w"))
+    val tot = melted.groupBy("alpha_pm").agg(sum(col("w")).as("_tot"))
+    melted.join(broadcast(tot), Seq("alpha_pm"))
+      .select(col("alpha_pm").cast("long").as("alpha_pm"), col("lang"),
+        col("n_docs"), col("w"),
+        expr("w * 1000 div _tot").as("share_pm"))
+      .orderBy("alpha_pm", "lang")
+  }
+
+  val pipeMixAlphaCurveSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |m AS (
+      |  SELECT lang, n_docs,
+      |    unnest([0, 250, 500, 750, 1000]) AS alpha_pm,
+      |    unnest([1,
+      |      CAST(FLOOR(SQRT(SQRT(CAST(n_docs AS DOUBLE)))) AS BIGINT),
+      |      CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT),
+      |      CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) *
+      |        SQRT(SQRT(CAST(n_docs AS DOUBLE)))) AS BIGINT),
+      |      n_docs]) AS w
+      |  FROM c),
+      |t AS (SELECT alpha_pm, SUM(w) AS tot FROM m GROUP BY alpha_pm)
+      |SELECT CAST(m.alpha_pm AS BIGINT) AS alpha_pm, m.lang, m.n_docs,
+      |  CAST(m.w AS BIGINT) AS w,
+      |  CAST(m.w * 1000 // t.tot AS BIGINT) AS share_pm
+      |FROM m JOIN t ON t.alpha_pm = m.alpha_pm
+      |ORDER BY alpha_pm, lang""".stripMargin
+
   // ---------------------------------------------- pipe_sample_fixed
   /** Deterministic EXACT-k uniform sample — the eval/holdout-set
     * primitive (a fixed-size set every run and every engine agrees
@@ -1159,6 +1214,7 @@ object CorpusPipeline extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_fixed" -> (pipeSampleFixed _),
+    "pipe_mix_alpha_curve" -> (pipeMixAlphaCurve _),
     "pipe_compaction" -> (pipeCompaction _),
     "pipe_filter_sweep" -> (pipeFilterSweep _),
     "pipe_dedup_weights" -> (pipeDedupWeights _),
@@ -1183,6 +1239,7 @@ object CorpusPipeline extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "pipe_sample_fixed" -> pipeSampleFixedSql,
+    "pipe_mix_alpha_curve" -> pipeMixAlphaCurveSql,
     "pipe_compaction" -> pipeCompactionSql,
     "pipe_filter_sweep" -> pipeFilterSweepSql,
     "pipe_dedup_weights" -> pipeDedupWeightsSql,

@@ -890,6 +890,86 @@ object EmbOps extends QueryModule {
        |FROM c GROUP BY d ORDER BY d""".stripMargin
   }
 
+  // ------------------------------------------------ emb_rq_sketch
+  /** Residual quantization sketch — the third compression family
+    * beside affine int8 ([[quantize]]) and sign-bit packing
+    * ([[hammingTopK]]), and the SCaNN/faiss-style two-level code: a
+    * vector is stored as (coarse cell, sign pattern of the residual
+    * against the cell seed). The residual carries what the coarse
+    * quantizer lost, so its sign word separates vectors that share a
+    * cell — 8 bytes + a cell id per vector. Assignment reuses the
+    * deterministic IVF seeds (min-vec_id member per label, the
+    * oracle-reproducible choice); residual = e − seed element-wise on
+    * the normalized doubles; the milli-floored residual energy is
+    * the exactness witness (same IEEE subtract/dot both engines).
+    * One scan + a broadcast seed table — the map-only encode shape a
+    * trillion-vector store runs. */
+  def embRqSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id"), col("label"),
+      call_function(graft.expr.VectorExprs.normName, col("embedding"))
+        .as("e"))
+    val seeds = n.withColumn("_r",
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("_r") === 1)
+      .select(col("label").as("cell"), col("e").as("ce"))
+    val assigned = n.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"), col("cell"), col("ce"),
+        graft.dedup.Dedup.fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+      .filter(col("_rk") === 1)
+    def word(from: Int, until: Int): Column =
+      (from until until).map { i =>
+        when(element_at(col("r"), i + 1) > 0.0, lit(1L << (i - from)))
+          .otherwise(0L)
+      }.reduce(_ + _)
+    assigned
+      .withColumn("r", zip_with(col("e"), col("ce"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"),
+        word(0, 32).as("rq_lo"), word(32, 64).as("rq_hi"),
+        floor(graft.dedup.Dedup.fastDot(col("r"), col("r")) * 1000)
+          .cast("long").as("rnorm_milli"))
+      .orderBy("vec_id")
+  }
+
+  val embRqSketchSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS e
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT label AS cell, e AS ce FROM (
+      |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY vec_id) AS r
+      |    FROM n)
+      |  WHERE r = 1),
+      |assigned AS (
+      |  SELECT vec_id, e, cell, ce FROM (
+      |    SELECT nn.vec_id, nn.e, s.cell, s.ce,
+      |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+      |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+      |    FROM n nn CROSS JOIN seeds s)
+      |  WHERE rk = 1),
+      |res AS (
+      |  SELECT vec_id, cell,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> e[CAST(i AS INTEGER)] - ce[CAST(i AS INTEGER)]) AS r
+      |  FROM assigned)
+      |SELECT vec_id, cell,
+      |  CAST(list_sum(list_transform(range(1, 33),
+      |    i -> CASE WHEN r[CAST(i AS INTEGER)] > 0
+      |         THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS rq_lo,
+      |  CAST(list_sum(list_transform(range(33, 65),
+      |    i -> CASE WHEN r[CAST(i AS INTEGER)] > 0
+      |         THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS rq_hi,
+      |  CAST(FLOOR(list_dot_product(r, r) * 1000) AS BIGINT)
+      |    AS rnorm_milli
+      |FROM res ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------- knn_recall_binary
   /** Recall audit of the sign-bit Hamming path against the exact
     * baseline — completes the per-method canary set
@@ -921,6 +1001,7 @@ object EmbOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_recall_binary" -> (knnRecallBinary _),
+    "emb_rq_sketch" -> (embRqSketch _),
     "emb_power_iter" -> (embPowerIter _),
     "emb_covariance" -> (embCovariance _),
     "knn_kmeans_refine" -> (knnKmeansRefine _),
@@ -937,6 +1018,7 @@ object EmbOps extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "knn_recall_binary" -> knnRecallBinarySql,
+    "emb_rq_sketch" -> embRqSketchSql,
     "emb_power_iter" -> embPowerIterSql,
     "emb_covariance" -> embCovarianceSql,
     "knn_kmeans_refine" -> knnKmeansRefineSql,

@@ -319,6 +319,65 @@ class R8cOpsSpec extends SparkSpec {
       "routing must differentiate hubs from fringe")
   }
 
+  test("mask_encrypt: FIPS-197 known-answer vector through the builtin") {
+    // AES-128 ECB: plaintext 00112233445566778899aabbccddeeff with
+    // key 000102030405060708090a0b0c0d0e0f encrypts to
+    // 69c4e0d86a7b0430d8cdb78070b4c55a (FIPS-197 appendix C.1)
+    // ECB encrypts blocks independently, so under PKCS padding (the
+    // only ECB padding Spark supports) the FIRST ciphertext block of
+    // the 16-byte plaintext is still the FIPS-197 answer
+    val got = spark.sql(
+      """SELECT lower(substr(hex(aes_encrypt(
+        |  unhex('00112233445566778899AABBCCDDEEFF'),
+        |  unhex('000102030405060708090A0B0C0D0E0F'),
+        |  'ECB', 'PKCS')), 1, 32)) AS ct""".stripMargin)
+      .head().getString(0)
+    assert(got == "69c4e0d86a7b0430d8cdb78070b4c55a",
+      s"the cipher must be real AES, got $got")
+    // and the driver key's round-trip over real data
+    val out = graft.mask.MaskQueries.maskEncrypt(spark, sfDir).collect()
+    val names = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[String]("dec") == names(r.getAs[Long]("c_custkey")))
+      assert(r.getAs[Long]("cipher_len") % 16 == 0)
+    }
+  }
+
+  test("emb_rq_sketch: residual energy bounded, codes differ in-cell") {
+    val out = graft.sim.EmbOps.embRqSketch(spark, sfDir).collect()
+    assert(out.length == Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      // both e and seed are unit vectors: |r|^2 = 2 - 2cos <= 4
+      val en = r.getAs[Long]("rnorm_milli")
+      assert(en >= 0 && en <= 4000)
+      val (lo, hi) = (r.getAs[Long]("rq_lo"), r.getAs[Long]("rq_hi"))
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+    }
+    // the sign pattern must discriminate members within a cell
+    out.groupBy(_.getAs[Int]("cell")).foreach { case (_, rows) =>
+      if (rows.length > 1)
+        assert(rows.map(r => (r.getAs[Long]("rq_lo"),
+          r.getAs[Long]("rq_hi"))).distinct.length > 1)
+    }
+  }
+
+  test("pipe_mix_alpha_curve: monotone flattening toward uniform") {
+    val out = graft.pipeline.CorpusPipeline.pipeMixAlphaCurve(spark, sfDir)
+      .collect()
+    val byAlpha = out.groupBy(_.getAs[Long]("alpha_pm"))
+    assert(byAlpha.keySet == Set(0L, 250L, 500L, 750L, 1000L))
+    // at alpha=0 every language gets equal weight; at alpha=1000 the
+    // share equals the raw document share
+    byAlpha(0L).foreach(r => assert(r.getAs[Long]("w") == 1L))
+    val spread = byAlpha.view.mapValues { rows =>
+      val s = rows.map(_.getAs[Long]("share_pm"))
+      s.max - s.min
+    }.toMap
+    assert(spread(0L) <= spread(500L) && spread(500L) <= spread(1000L),
+      s"share spread must grow with alpha, got $spread")
+  }
+
   test("cls_autocorr: moment identities and pair counts per lag") {
     val out = graft.classify.ClassifyQueries.clsAutocorr(spark, sfDir)
       .collect()
