@@ -873,6 +873,76 @@ object CdcQueries extends QueryModule {
        |  CAST(applied_cents AS BIGINT) AS applied_cents
        |FROM d JOIN a ON d.op = a.op ORDER BY d.op""".stripMargin
 
+  // ---------------------------------------------- cdc_e2e_replicate
+  /** The reference's WHOLE loop as one dataflow (Main.java:159-521:
+    * consume change events → repair → apply → classify-driven mask →
+    * route to targets), composed from the verified pieces: the
+    * changelog goes through the REAL envelope wire (wrap → JSON →
+    * typed parse), collapses to current state per key (latest wins,
+    * trailing deletes drop), sensitive columns are masked with the
+    * keyed rules (identifier → portable-hash pseudonym, financial →
+    * integer-cents blur — exact arithmetic, no float noise), and the
+    * surviving rows route per op class to their `_masked` targets.
+    * Per target: row count, exact masked-cents total, and the
+    * pseudonym checksum a downstream reconciler would verify. The
+    * oracle replays the same latest-state/mask/route chain without
+    * the wire (the envelope round-trip is identity, proven by
+    * cdc_parse_envelope). ONE shuffle for the per-key window + one
+    * 2-row hash-agg: the plan a 100 TB replication tick runs. */
+  def cdcE2eReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val json = Envelope.wrap(lit(null).cast(rowSchema),
+      struct(col("event_id"), col("user_id"), col("value")),
+      "graft", "events", opCol, expr("ts_us div 1000"))
+    val parsed = Envelope.parse(ev.select(json.as("j")), col("j"), rowSchema)
+      .select(col("after.event_id").as("event_id"),
+        col("after.user_id").as("user_id"),
+        col("after.value").as("value"), col("op"), col("ts_ms"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts_ms"), desc("event_id"))
+    val state = parsed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).filter(col("op") =!= "d")
+    val key = col("user_id").cast("string")
+    state.select(
+        when(col("op") === "c", "users_masked")
+          .otherwise("activity_masked").as("target_table"),
+        MaskFunctions.portableHash(key).as("pseudonym"),
+        (floor(col("value") * 100).cast("long") +
+          pmod(MaskFunctions.portableHash(concat(key, lit(":blur"))),
+            lit(2001L)) - 1000L).as("masked_cents"))
+      .groupBy("target_table")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("masked_cents")).as("masked_cents_sum"),
+        sum(col("pseudonym")).as("pseudonym_checksum"))
+      .orderBy("target_table")
+  }
+
+  val cdcE2eReplicateSql: String =
+    s"""WITH log AS (
+       |  SELECT event_id, epoch_us(ts) // 1000 AS ts_ms, user_id, value,
+       |    $opSql AS op
+       |  FROM events),
+       |latest AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY ts_ms DESC, event_id DESC) AS rn FROM log),
+       |live AS (SELECT * FROM latest WHERE rn = 1 AND op <> 'd'),
+       |m AS (
+       |  SELECT CASE WHEN op = 'c' THEN 'users_masked'
+       |              ELSE 'activity_masked' END AS target_table,
+       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+       |      AS pseudonym,
+       |    CAST(FLOOR(value * 100) AS BIGINT) +
+       |      ('0x'||substr(md5(CAST(user_id AS VARCHAR)||':blur'),1,8))
+       |        ::BIGINT % 2001 - 1000 AS masked_cents
+       |  FROM live)
+       |SELECT target_table, COUNT(*) AS n_rows,
+       |  CAST(SUM(masked_cents) AS BIGINT) AS masked_cents_sum,
+       |  CAST(SUM(pseudonym) AS BIGINT) AS pseudonym_checksum
+       |FROM m GROUP BY target_table ORDER BY target_table""".stripMargin
+
   // ------------------------------------------------ cdc_sparse_patch
   /** Partial-update (sparse patch) reconstruction — the wire format
     * where an update carries ONLY the changed columns and everything
@@ -925,6 +995,7 @@ object CdcQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_sparse_patch" -> (sparsePatch _),
+    "cdc_e2e_replicate" -> (cdcE2eReplicate _),
     "cdc_replay_idempotence" -> (replayIdempotence _),
     "cdc_conflict_lww" -> (conflictLww _),
     "cdc_txn_assemble" -> (txnAssemble _),
@@ -948,6 +1019,7 @@ object CdcQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "cdc_sparse_patch" -> sparsePatchSql,
+    "cdc_e2e_replicate" -> cdcE2eReplicateSql,
     "cdc_replay_idempotence" -> replayIdempotenceSql,
     "cdc_conflict_lww" -> conflictLwwSql,
     "cdc_txn_assemble" -> txnAssembleSql,

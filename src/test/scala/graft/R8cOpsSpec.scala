@@ -395,4 +395,20 @@ class R8cOpsSpec extends SparkSpec {
       .select(col("o_orderdate")).distinct().count()
     assert(out.forall(_.getAs[Long]("n") <= nDays))
   }
+
+  test("cdc_e2e_replicate: routed mass equals the live state exactly") {
+    val out = graft.cdc.CdcQueries.cdcE2eReplicate(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("target_table")).toSet ==
+      Set("users_masked", "activity_masked"))
+    // the routed row total equals the applied snapshot's live keys
+    val live = graft.cdc.CdcQueries.snapshotApply(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == live,
+      "every surviving state row routes to exactly one target")
+    // blur is zero-mean over the hash range: the masked total stays
+    // within ±1000 cents per row of the true total
+    val trueCents = graft.cdc.CdcQueries.snapshotApply(spark, sfDir)
+      .agg(sum(floor(col("value") * 100).cast("long"))).head().getLong(0)
+    val maskedCents = out.map(_.getAs[Long]("masked_cents_sum")).sum
+    assert(math.abs(maskedCents - trueCents) <= 1000L * live)
+  }
 }
