@@ -888,6 +888,59 @@ object SourceQueries extends QueryModule {
       |  CAST(MAX(k) AS BIGINT) AS max_k
       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------- src_dialect_sniff
+  /** CSV dialect detection — the ingest-hardening step for files that
+    * arrive without a spec: three dialect variants of the nation dim
+    * are STAGED as real text files (pipe / semicolon / tab), then the
+    * sniffer reads each back and votes among candidate delimiters by
+    * the consistency rule every CSV sniffer uses: the winning
+    * delimiter yields the SAME field count (> 1) on every line. The
+    * vote is one aggregation over (file, candidate) — per line the
+    * candidate's occurrence count, per candidate min = max ≠ 0 across
+    * lines — no row ever leaves the executor unsplit. The oracle
+    * knows each variant's dialect by construction and re-derives the
+    * field counts arithmetically. */
+  def srcDialectSniff(spark: SparkSession, dir: String): DataFrame = {
+    val dialects = Seq(("pipe", "|"), ("semicolon", ";"), ("tab", "\t"))
+    val candidates = Seq(("|", "[|]"), (";", ";"), ("\t", "\t"), (",", ","))
+    val staged = dialects.map { case (name, sep) =>
+      val tmp = stagingDir(spark, s"graft-sniff-$name")
+      Tables.nation(spark, dir)
+        .select(concat_ws(sep, col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      (name, tmp)
+    }
+    val perFile = staged.map { case (name, tmp) =>
+      spark.read.text(tmp).select(lit(name).as("dialect_id"), col("value"))
+    }.reduce(_ union _)
+    val counted = perFile.select(col("dialect_id"),
+      array(candidates.map { case (c, rx) =>
+        struct(lit(c).as("cand"),
+          (size(split(col("value"), rx, -1)) - 1).as("nsep"))
+      }: _*).as("cs"))
+      .select(col("dialect_id"), explode(col("cs")).as("c"))
+      .select(col("dialect_id"), col("c.cand").as("cand"),
+        col("c.nsep").as("nsep"))
+      .groupBy("dialect_id", "cand")
+      .agg(count(lit(1)).as("n_lines"), min(col("nsep")).as("mn"),
+        max(col("nsep")).as("mx"))
+    counted
+      .filter(col("mn") === col("mx") && col("mn") > 0)
+      .select(col("dialect_id"), col("cand").as("detected_delim"),
+        col("n_lines"), (col("mn") + 1).cast("long").as("fields_per_line"))
+      .orderBy("dialect_id")
+  }
+
+  val srcDialectSniffSql: String =
+    """SELECT * FROM (VALUES
+      |  ('pipe', '|', (SELECT COUNT(*) FROM nation), CAST(3 AS BIGINT)),
+      |  ('semicolon', ';', (SELECT COUNT(*) FROM nation),
+      |    CAST(3 AS BIGINT)),
+      |  ('tab', chr(9), (SELECT COUNT(*) FROM nation), CAST(3 AS BIGINT)))
+      |  AS t(dialect_id, detected_delim, n_lines, fields_per_line)
+      |ORDER BY dialect_id""".stripMargin
+
   // ---------------------------------------------- src_zip_archive
   /** ZIP container walk — the archive interchange format batch drops
     * actually arrive in: per document a deterministic multi-entry
@@ -946,6 +999,7 @@ object SourceQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_zip_archive" -> (srcZipArchive _),
+    "src_dialect_sniff" -> (srcDialectSniff _),
     "src_json_flatten" -> (srcJsonFlatten _),
     "src_malformed_audit" -> (malformedAudit _),
     "src_delimited_roundtrip" -> (delimitedRoundtrip _),
@@ -976,6 +1030,7 @@ object SourceQueries extends QueryModule {
     "src_multiline_csv" -> multilineCsvRoundtripSql,
     "src_gzip_text" -> gzipTextRoundtripSql,
     "src_zip_archive" -> srcZipArchiveSql,
+    "src_dialect_sniff" -> srcDialectSniffSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,
     "src_orc_roundtrip" -> orcRoundtripSql,

@@ -411,4 +411,14 @@ class R8cOpsSpec extends SparkSpec {
     val maskedCents = out.map(_.getAs[Long]("masked_cents_sum")).sum
     assert(math.abs(maskedCents - trueCents) <= 1000L * live)
   }
+
+  test("src_dialect_sniff: one unambiguous detection per staged file") {
+    val out = graft.sources.SourceQueries.srcDialectSniff(spark, sfDir)
+      .collect()
+    assert(out.length == 3, "each file must sniff to exactly one dialect")
+    val got = out.map(r => r.getAs[String]("dialect_id") ->
+      r.getAs[String]("detected_delim")).toMap
+    assert(got == Map("pipe" -> "|", "semicolon" -> ";", "tab" -> "\t"))
+    assert(out.forall(_.getAs[Long]("fields_per_line") == 3L))
+  }
 }
