@@ -421,4 +421,51 @@ class R8cOpsSpec extends SparkSpec {
     assert(got == Map("pipe" -> "|", "semicolon" -> ";", "tab" -> "\t"))
     assert(out.forall(_.getAs[Long]("fields_per_line") == 3L))
   }
+
+  test("property: 4x16-bit bands catch every Hamming<=3 pair (pigeonhole)") {
+    // pure function property behind mm_phash_dedup's candidate
+    // generation: any two 64-bit codes differing in <= 3 bits agree
+    // exactly on at least one of the 4 disjoint 16-bit bands
+    val rnd = new scala.util.Random(42)
+    def bands(hi: Long, lo: Long): Seq[Long] =
+      Seq(lo % 65536, lo / 65536, hi % 65536, hi / 65536)
+    (1 to 2000).foreach { _ =>
+      val hi = rnd.nextInt().toLong & 0xffffffffL
+      val lo = rnd.nextInt().toLong & 0xffffffffL
+      val nFlips = rnd.nextInt(4) // 0..3 bit flips
+      var (h2, l2) = (hi, lo)
+      (1 to nFlips).foreach { _ =>
+        val b = rnd.nextInt(64)
+        if (b < 32) l2 ^= (1L << b) else h2 ^= (1L << (b - 32))
+      }
+      val ham = java.lang.Long.bitCount(hi ^ h2) +
+        java.lang.Long.bitCount(lo ^ l2)
+      assert(ham <= 3)
+      assert(bands(hi, lo).zip(bands(h2, l2)).exists(p => p._1 == p._2),
+        s"pair at hamming $ham must share a band")
+    }
+  }
+
+  test("property: segment (sum, maxPrefix) combine is the sweep's law") {
+    // the associative combine the streaming concurrency merge uses:
+    // for delta segments A ++ B, total = sA + sB and
+    // maxPrefix = max(mpA, sA + mpB) — checked against the direct
+    // prefix scan over random delta sequences
+    val rnd = new scala.util.Random(7)
+    def direct(ds: Seq[Long]): (Long, Long) = {
+      var run = 0L; var mp = Long.MinValue
+      ds.foreach { d => run += d; mp = math.max(mp, run) }
+      (run, mp)
+    }
+    (1 to 500).foreach { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(20))((rnd.nextInt(3) - 1).toLong)
+      val b = Seq.fill(1 + rnd.nextInt(20))((rnd.nextInt(3) - 1).toLong)
+      val (sa, mpa) = direct(a)
+      val (sb, mpb) = direct(b)
+      val (st, mpt) = direct(a ++ b)
+      assert(st == sa + sb)
+      assert(mpt == math.max(mpa, sa + mpb),
+        "the combine law must equal the direct scan")
+    }
+  }
 }
