@@ -857,10 +857,13 @@ object ClassifyQueries extends QueryModule {
     * (maskable by blur) from heavy-tailed / one-sided columns (where
     * mean-preserving noise leaks outliers). Like [[clsCorr]], only
     * the sufficient statistics cross engines; the float ratios are a
-    * driver division away. Columns are chosen (quantity units,
-    * discount/tax milli) so x⁴ stays in int64 headroom past 10¹²
-    * rows (50⁴·10¹² ≈ 6·10¹⁸ < 2⁶³). One melt scan → one
-    * combiner-friendly 3-group hash-agg. */
+    * driver division away. Integerization bounds the 4th-moment
+    * growth: quantity (≤ 50) keeps Σx⁴ inside int64 to ~1.4·10¹²
+    * rows; the milli columns (≤ 100) only to ~9·10¹⁰ — past that,
+    * widen BOTH engines' sums to DECIMAL(38,0) (Spark wraps silently
+    * under non-ANSI int64 while DuckDB's HUGEINT→BIGINT cast errors,
+    * so crossing the bound breaks parity loudly on one side only).
+    * One melt scan → one combiner-friendly 3-group hash-agg. */
   def clsSkewness(spark: SparkSession, dir: String): DataFrame = {
     def units(c: String): Column = floor(col(c)).cast("long")
     def milli(c: String): Column = floor(col(c) * 1000).cast("long")

@@ -19,10 +19,12 @@ object GraftRules {
     * joined into an operator that defensively normalizes again), and
     * each application is a full O(d) two-pass per row. The rewrite
     * applies graft_normalize's CONTRACT — projection onto the unit
-    * sphere, definitionally idempotent: for degenerate input (zero /
-    * non-finite norm) both sides produce the same NaN array, and for
+    * sphere, idempotent for EVERY input class: degenerate input
+    * (zero / NaN / infinite norm) produces the ALL-NaN array on both
+    * the single and the double application ([[NormalizeArray]]
+    * special-cases non-finite norms for exactly this reason), and for
     * regular input the inner result is unit-norm up to 1 ulp, so the
-    * dropped outer pass could only rescale by (1 ± ulp). No driver
+    * dropped outer pass could only rescale by a few ulps. No driver
     * key nests normalizes, so the DuckDB bit-parity contract is
     * untouched; the rule exists for user queries.
     */

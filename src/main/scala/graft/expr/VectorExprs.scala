@@ -346,10 +346,20 @@ case class NormalizeArray(child: Expression)
     var s = 0.0
     i = 0
     while (i < n) { s += v(i) * v(i); i += 1 }
-    val norm = math.sqrt(s)
+    // degenerate input (zero / NaN / overflowing norm) → ALL-NaN
+    // output, which makes normalize idempotent for EVERY input class
+    // (normalize of an all-NaN array is again all-NaN) — the contract
+    // GraftRules.NormalizeIdempotence relies on. A zero vector already
+    // produced all-NaN (0/0); this extends the same answer to
+    // infinite norms, whose old mixed [NaN, 0, …] result broke
+    // idempotence. Every oracle-checked operator excludes degenerate
+    // vectors before normalizing, so DuckDB parity is untouched.
+    val norm = if (s > 0.0 && s < Double.PositiveInfinity)
+      math.sqrt(s) else Double.NaN
     val out = new Array[Any](n)
     i = 0
-    while (i < n) { out(i) = v(i) / norm; i += 1 }
+    while (i < n) { out(i) = if (java.lang.Double.isNaN(norm)) Double.NaN
+      else v(i) / norm; i += 1 }
     new GenericArrayData(out)
   }
 
@@ -369,10 +379,12 @@ case class NormalizeArray(child: Expression)
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) { $v[$i] = $get; }
          |for (int $i = 0; $i < $n; $i++) { $s += $v[$i] * $v[$i]; }
-         |double $nm = java.lang.Math.sqrt($s);
+         |double $nm = ($s > 0.0 && $s < Double.POSITIVE_INFINITY)
+         |  ? java.lang.Math.sqrt($s) : Double.NaN;
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (Object) ($v[$i] / $nm);
+         |  $out[$i] = (Object) (Double.isNaN($nm)
+         |    ? Double.NaN : ($v[$i] / $nm));
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

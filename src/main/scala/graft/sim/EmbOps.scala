@@ -69,17 +69,23 @@ object EmbOps extends QueryModule {
     * partial map-side WindowGroupLimit. This is the brute-force scan
     * of [[Knn.knnBrute]] made ~50× cheaper per row, and the shortlist
     * stage a binary-first retrieval stack re-ranks behind. */
+  /** Pack the sign bits of elements [from, until) of array column `c`
+    * (1-based element_at; positive → 1) into one long word — shared
+    * by the raw-embedding packing here and the residual packing in
+    * [[embRqSketch]]. */
+  private def packSigns(c: Column, from: Int, until: Int,
+      width: Int): Column =
+    (from until math.min(until, width)).map { i =>
+      when(element_at(c, i + 1) > lit(0.0), lit(1L << (i - from)))
+        .otherwise(lit(0L))
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+
   def hammingTopK(emb: DataFrame, k: Int): DataFrame = {
-    val width = emb.limit(1).select(size(col("embedding"))).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val width = Knn.embWidth(emb)
     require(width <= 64, s"two-word packing covers <=64 dims, got $width")
-    def word(from: Int, until: Int): Column =
-      (from until math.min(until, width)).map { i =>
-        when(element_at(col("embedding"), i + 1) > lit(0.0f),
-          lit(1L << (i - from))).otherwise(lit(0L))
-      }.reduceOption(_ + _).getOrElse(lit(0L))
-    val sigs = emb.select(col("vec_id"), word(0, 32).as("lo"),
-      word(32, 64).as("hi"))
+    val sigs = emb.select(col("vec_id"),
+      packSigns(col("embedding"), 0, 32, width).as("lo"),
+      packSigns(col("embedding"), 32, 64, width).as("hi"))
     val q = sigs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("lo").as("qlo"),
         col("hi").as("qhi"))
@@ -795,8 +801,15 @@ object EmbOps extends QueryModule {
     * covariance matrix's inherent cost; at larger d you'd block the
     * triangle (i-stripes) to bound the Generate fan-out per pass. */
   def embCovariance(spark: SparkSession, dir: String): DataFrame = {
+    // degenerate (zero / NaN / Inf) vectors are excluded up front,
+    // the same contract as every other embedding operator: a NaN
+    // component would floor-cast to 0 under non-ANSI Spark while the
+    // DuckDB oracle errors on CAST(FLOOR(NaN) AS BIGINT)
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = graft.dedup.Dedup.fastDot(dbl, dbl)
     val q = Tables.embeddings(spark, dir)
-      .select(transform(col("embedding").cast("array<double>"),
+      .filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(transform(dbl,
         x => floor(x * 1000).cast("long")).as("qv"))
     val e1 = q.select(col("qv"), posexplode(col("qv")))
       .withColumnRenamed("pos", "i0").withColumnRenamed("col", "qi")
@@ -817,7 +830,11 @@ object EmbOps extends QueryModule {
     """WITH q AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
       |e AS (
       |  SELECT vec_id, unnest(range(1, len(qv) + 1)) AS i, qv FROM q),
       |x AS (SELECT vec_id, i, qv[CAST(i AS INTEGER)] AS qi FROM e),
@@ -849,16 +866,13 @@ object EmbOps extends QueryModule {
   def embPowerIter(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val width = emb.limit(1).select(size(col("embedding"))).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val mdig = java.security.MessageDigest.getInstance("MD5")
-    val v0: Seq[Double] = Seq.tabulate(width) { i =>
-      val hex = mdig.digest(s"pw,$i".getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
-    }
+    val v0: Seq[Double] =
+      Knn.signVec("pw", Knn.embWidth(emb)).toSeq
     val dbl = col("embedding").cast("array<double>")
-    emb.select(dbl.as("x"),
+    // same degenerate-vector exclusion as the rest of the family
+    val nrm2 = graft.dedup.Dedup.fastDot(dbl, dbl)
+    emb.filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(dbl.as("x"),
         graft.dedup.Dedup.fastDot(dbl, typedLit(v0)).as("y"))
       .select(posexplode(transform(col("x"),
         xd => floor(col("y") * xd * 1000).cast("long"))))
@@ -875,7 +889,11 @@ object EmbOps extends QueryModule {
       "list_transform(range(len(x)), i -> CAST(((('0x'||substr(md5('pw,'||" +
         "CAST(i AS VARCHAR)),1,8))::BIGINT & 1)*2 - 1) AS DOUBLE))"
     s"""WITH x AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+       |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])))
+       |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[])) > 0),
        |y AS (
        |  SELECT vec_id, x, list_dot_product(x, $v0Term) AS y,
        |    $v0Term AS v0 FROM x),
@@ -907,28 +925,24 @@ object EmbOps extends QueryModule {
   def embRqSketch(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.select(col("vec_id"), col("label"),
-      call_function(graft.expr.VectorExprs.normName, col("embedding"))
-        .as("e"))
-    val seeds = n.withColumn("_r",
-        row_number().over(Window.partitionBy("label").orderBy("vec_id")))
-      .filter(col("_r") === 1)
-      .select(col("label").as("cell"), col("e").as("ce"))
-    val assigned = n.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("e"), col("cell"), col("ce"),
-        graft.dedup.Dedup.fastDot(col("e"), col("ce")).as("_d"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+    // same degenerate-vector exclusion as the rest of the family (a
+    // NaN residual would floor-cast to 0 here, error in the oracle)
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = graft.dedup.Dedup.fastDot(dbl, dbl)
+    val n = emb
+      .filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(col("vec_id"), col("label"),
+        call_function(graft.expr.VectorExprs.normName, col("embedding"))
+          .as("e"))
+    // seed choice + assignment are the SHARED IVF core — one site to
+    // change the contract (Knn.seedCells / Knn.rankedSeedCells)
+    val assigned = Knn.rankedSeedCells(n, Knn.seedCells(n))
       .filter(col("_rk") === 1)
-    def word(from: Int, until: Int): Column =
-      (from until until).map { i =>
-        when(element_at(col("r"), i + 1) > 0.0, lit(1L << (i - from)))
-          .otherwise(0L)
-      }.reduce(_ + _)
     assigned
       .withColumn("r", zip_with(col("e"), col("ce"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"),
-        word(0, 32).as("rq_lo"), word(32, 64).as("rq_hi"),
+        packSigns(col("r"), 0, 32, 64).as("rq_lo"),
+        packSigns(col("r"), 32, 64, 64).as("rq_hi"),
         floor(graft.dedup.Dedup.fastDot(col("r"), col("r")) * 1000)
           .cast("long").as("rnorm_milli"))
       .orderBy("vec_id")
@@ -940,7 +954,11 @@ object EmbOps extends QueryModule {
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
       |                                     CAST(embedding AS DOUBLE[])))) AS e
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
       |seeds AS (
       |  SELECT label AS cell, e AS ce FROM (
       |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label

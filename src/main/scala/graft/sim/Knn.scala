@@ -84,19 +84,27 @@ object Knn extends QueryModule {
     * hash of "plane,dim" — computed ONCE on the driver and shipped as
     * array literals, so per-row signature work is pure codegen dots.
     * The oracle engine rebuilds the same planes from the same md5. */
-  private[sim] def planeVec(p: Int, width: Int): Array[Double] = {
+  /** The ONE portable ±1 sign-vector derivation (md5 of "tag,dim",
+    * first 4 bytes, parity) — shared by the LSH planes (integer tags)
+    * and the power-iteration start vector ("pw"); both SQL oracles
+    * rebuild the identical bytes, so this is the single Scala site a
+    * portable-hash contract change must touch. */
+  private[sim] def signVec(tag: String, width: Int): Array[Double] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(width) { i =>
-      val hex = mdig.digest(s"$p,$i".getBytes("UTF-8"))
+      val hex = mdig.digest(s"$tag,$i".getBytes("UTF-8"))
         .take(4).map(b => f"$b%02x").mkString
       if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
     }
   }
 
+  private[sim] def planeVec(p: Int, width: Int): Array[Double] =
+    signVec(p.toString, width)
+
   /** Embedding width read from the data (a hardcoded width would
     * silently zero-pad or drop dimensions for other embedding sets);
     * vectors are assumed uniform-width per table. */
-  private def embWidth(emb: DataFrame): Int =
+  private[sim] def embWidth(emb: DataFrame): Int =
     emb.limit(1).select(size(col("embedding"))).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
@@ -205,6 +213,19 @@ object Knn extends QueryModule {
     * oracle-verified behavior. Assignment stays a broadcast of the
     * seed set; at very large cell counts you'd assign via a coarse
     * quantizer instead (documented seam, same plan otherwise). */
+  /** Every (vector, seed) pair ranked by cosine per vector — the
+    * shared IVF assignment core: _rk = 1 is the cell assignment,
+    * _rk ≤ nProbe the probe set. Keeps the seed vector (`ce`) so
+    * residual consumers ([[EmbOps.embRqSketch]]) read it; Catalyst
+    * prunes it where unused. */
+  private[sim] def rankedSeedCells(n: DataFrame, seeds: DataFrame)
+      : DataFrame =
+    n.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"), col("cell"), col("ce"),
+        fastDot(col("e"), col("ce")).as("_d"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+
   def centroidKnn(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 3,
       cellGate: Option[Long] = None): DataFrame = {
     val n = normalizedWithLabel(
@@ -215,20 +236,12 @@ object Knn extends QueryModule {
         .select(col("vec_id").as("cell"), col("e").as("ce"))
       case None => seedCells(n)
     }
-    val assigned = n.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("e"), col("cell"),
-        fastDot(col("e"), col("ce")).as("_d"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
+    val assigned = rankedSeedCells(n, seeds)
       .filter(col("_rk") === 1)
       .select(col("vec_id"), col("e"), col("cell"))
-    val probes = normalizedWithLabel(queries).crossJoin(broadcast(seeds))
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"),
-        fastDot(col("e"), col("ce")).as("_d"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("_d"), col("cell"))))
+    val probes = rankedSeedCells(normalizedWithLabel(queries), seeds)
       .filter(col("_rk") <= nProbe)
-      .select("qid", "qe", "cell")
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"))
     probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),

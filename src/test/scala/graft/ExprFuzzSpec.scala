@@ -148,4 +148,33 @@ class ExprFuzzSpec extends AnyFunSuite {
       assert(got == exp)
     }
   }
+
+  test("NormalizeArray is idempotent for every input class") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def normOnce(a: Array[Double]) =
+      dbls(NormalizeArray(litArr(a)).eval(null))
+    def normTwice(a: Array[Double]) =
+      dbls(NormalizeArray(NormalizeArray(litArr(a))
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+        match { case e => e }).eval(null))
+    // degenerate classes must produce ALL-NaN on both applications —
+    // the contract GraftRules.NormalizeIdempotence relies on
+    for (a <- Seq(Array(0.0, 0.0), Array(1e200, 1e200),
+        Array(Double.PositiveInfinity, 1.0), Array(Double.NaN, 2.0))) {
+      assert(normOnce(a).forall(_.isNaN), s"single on ${a.toSeq}")
+      assert(normTwice(a).forall(_.isNaN), s"double on ${a.toSeq}")
+    }
+    // regular vectors: double-normalize differs from single by a
+    // few ulps per element (the rule's documented trade: the inner
+    // norm is 1 ± ulp and the rescale by 1/sqrt of it compounds)
+    (1 to 100).foreach { _ =>
+      val a = dblArray(1 + rnd.nextInt(64))
+      val one = normOnce(a)
+      val two = normTwice(a)
+      one.zip(two).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 4 * math.ulp(x),
+          s"double-normalize drifted past 4 ulps: $x vs $y")
+      }
+    }
+  }
 }
