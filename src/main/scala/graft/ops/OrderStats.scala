@@ -146,6 +146,58 @@ object OrderStats {
         avg(col("_v")).as(s"median_$valueCol"))
   }
 
+  /** Exact TYPE-1 (lower) median for NON-NEGATIVE LONG value domains
+    * by fixed-width radix selection — the shape whose every shuffle is
+    * bounded by the VALUE DOMAIN, never the corpus:
+    *
+    *   pass 1: map-side-combining count on (group, value >> shift) —
+    *           at most domain/2^shift bucket rows per group reach the
+    *           exchange; a plain per-group cumulative window over that
+    *           bucket histogram locates the bucket holding the lower-
+    *           median rank k = ⌈n/2⌉ and the rank offset below it;
+    *   pass 2: ONLY the located bucket's rows re-aggregate, and they
+    *           aggregate to at most 2^shift DISTINCT values per group
+    *           (the bucket's value range), so the in-bucket cumulative
+    *           window is domain-bounded too — even a maximally skewed
+    *           corpus puts ≤ 2^shift rows in a window partition.
+    *
+    * Two corpus scans, zero corpus-sized exchanges: unlike the
+    * full-value-histogram path ([[cumulativeHistogramSharded]]), whose
+    * (group, value) exchange approaches the row count when values are
+    * near-unique, both exchanges here carry histogram rows capped by
+    * the domain split. That cap is what survives a 100 TB corpus.
+    *
+    * Returns one row per group: (groupCols..., n, median) where
+    * `median` is the smallest value whose cumulative count reaches
+    * ⌈n/2⌉ (the tie-invariant lower median).
+    */
+  def radixLowerMedian(vals: DataFrame, groupCols: Seq[String],
+      valueCol: String, shift: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val withB = vals.withColumn("_b", shiftright(col(valueCol), shift))
+    val bhist = withB.groupBy(g :+ col("_b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(g: _*)
+    val target = bhist
+      .withColumn("hi", sum(col("c")).over(byG.orderBy("_b")))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .withColumn("n", max(col("hi")).over(byG))
+      .filter(holdsRank(midRank1))
+      .select(g :+ col("_b") :+ (col("lo") - 1L).as("_off")
+        :+ col("n"): _*)
+    val inB = withB.join(broadcast(target), groupCols :+ "_b")
+      .groupBy(g :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("c"), max(col("_off")).as("_off"),
+        max(col("n")).as("n"))
+    inB
+      .withColumn("hi", col("_off") + sum(col("c")).over(
+        byG.orderBy(valueCol)))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .filter(holdsRank(midRank1))
+      .select(g :+ col("n") :+ col(valueCol).as("median"): _*)
+  }
+
   // Spark's `/` is true division even on longs — `div` floors.
   // midRank1 == midRank2 for odd n; for even n they bracket the
   // middle, so avg over the matching row(s) is the textbook median.

@@ -1047,39 +1047,31 @@ object Relational extends graft.QueryModule {
     * single-task it), deviations are integer |x − med|.
     *
     * MAD is a composed statistic — the deviation selection needs the
-    * value selection's median first — but the second pass does NOT
-    * need the rows again: |x − med| REGROUPS the existing (group,
-    * cents) histogram (weights merge where two cents land on the same
-    * deviation), so lineitem is scanned ONCE and the deviation pass
-    * costs |histogram| rows — bounded by the price DOMAIN in cents,
-    * not the corpus. The histogram is deliberately NOT materialized
-    * (r8): checkpointing the near-corpus-sized histogram cost more
-    * than the column-pruned 2-column re-scan it saved (7.5 s → 5.5 s
-    * at sf0.1), and at 100 TB persisting a corpus-sized frame is the
-    * bigger hazard — AQE exchange reuse shares the histogram shuffle
-    * where the subtrees match, and the scan stays pruned to
-    * (l_returnflag, l_extendedprice) either way. */
+    * value selection's median first — so both selections run as
+    * [[OrderStats.radixLowerMedian]] radix passes (r9): cents are
+    * near-unique, so the r8 full-value histogram approached the CORPUS
+    * size and its (group, cents) exchange + two-level cumulative
+    * windows dominated the wall time (12.9 s on the r8 driver bench).
+    * The radix shape replaces that with four column-pruned scans whose
+    * exchanges carry at most domain/2^12 bucket rows (pass 1) or 2^12
+    * in-bucket values (pass 2) per group — bounded by the price DOMAIN
+    * split, never the corpus, which is also the only shape whose
+    * shuffles stay flat at 100 TB. */
   def q36(spark: SparkSession, dir: String): DataFrame = {
     import OrderStats._
     import org.apache.spark.sql.types.DecimalType
     val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("long").as("cents"))
-    val h = vals.groupBy(col("l_returnflag"), col("cents"))
-      .agg(count(lit(1)).as("c"))
-    val med = weightedCumulativeHistogramSharded(
-        h, Seq("l_returnflag"), "cents")
-      .groupBy("l_returnflag")
-      .agg(max(col("n")).as("n"),
-        min(when(holdsRank(midRank1), col("cents"))).as("median_cents"))
-    val devHist = h
+    val med = radixLowerMedian(vals, Seq("l_returnflag"), "cents")
+      .withColumnRenamed("median", "median_cents")
+    val dev = vals
       .join(broadcast(med.select(col("l_returnflag"), col("median_cents"))),
         "l_returnflag")
       .select(col("l_returnflag"),
-        abs(col("cents") - col("median_cents")).as("dev"), col("c"))
-    weightedCumulativeHistogramSharded(devHist, Seq("l_returnflag"), "dev")
-      .groupBy("l_returnflag")
-      .agg(min(when(holdsRank(midRank1), col("dev"))).as("mad_cents"))
+        abs(col("cents") - col("median_cents")).as("dev"))
+    radixLowerMedian(dev, Seq("l_returnflag"), "dev")
+      .select(col("l_returnflag"), col("median").as("mad_cents"))
       .join(med, "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("median_cents"),
         col("mad_cents"))

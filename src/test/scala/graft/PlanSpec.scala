@@ -133,26 +133,33 @@ class PlanSpec extends SparkSpec {
       s"the probe→member contact must be an equi-join on cell:\n$plan")
   }
 
-  test("q36 MAD derives the deviation pass from the value histogram") {
-    // r8 shape: the deviation histogram REGROUPS the value histogram
-    // (never ranks raw rows), the histogram is not materialized
-    // (checkpointing a near-corpus-sized frame cost more than the
-    // pruned re-scan), so the plan may contain at most the two
-    // column-pruned lineitem scans, every one reading ONLY the two
-    // needed columns, with exchange reuse sharing the shuffles
+  test("q36 MAD selects both medians by radix passes, never a corpus " +
+      "histogram") {
+    // r9 shape: each median is a radixLowerMedian — a (group, value
+    // >> 12) bucket count, then an in-bucket count over ONLY the rank-
+    // holding bucket's rows. The boundedness witnesses in the executed
+    // plan: at most four column-pruned lineitem scans (two per
+    // selection), the rank-holding bucket targets joined back as
+    // BROADCASTs (a corpus-sized target could not broadcast), and no
+    // trace of the r8 two-level shard machinery (`_sh`) whose
+    // near-corpus (group, cents) histogram made q36 the bench's
+    // slowest key.
     val df = Relational.q36(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     val scans = plan.split("\n").filter(l =>
       l.contains("FileScan") && l.contains("lineitem"))
-    assert(scans.length <= 2,
-      s"more lineitem scans than the two selection passes:\n$plan")
+    assert(scans.length <= 4,
+      s"more lineitem scans than the four radix passes:\n$plan")
     assert(scans.forall(l => l.contains(
       "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>")),
       s"lineitem scan must prune to the two used columns:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"histogram shuffles should be shared via exchange reuse:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3,
+      s"bucket targets and the median must join as broadcasts:\n$plan")
+    assert(!plan.contains("_sh#"),
+      s"the corpus-histogram shard machinery is back:\n$plan")
   }
 
   test("KMV sketch bounds per-task state via a partial WindowGroupLimit") {
