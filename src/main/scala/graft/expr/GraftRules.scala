@@ -20,9 +20,11 @@ object GraftRules {
     * each application is a full O(d) two-pass per row. The rewrite
     * applies graft_normalize's CONTRACT — projection onto the unit
     * sphere, idempotent for EVERY input class: degenerate input
-    * (zero / NaN / infinite norm) produces the ALL-NaN array on both
-    * the single and the double application ([[NormalizeArray]]
-    * special-cases non-finite norms for exactly this reason), and for
+    * (zero vector, NaN or infinite COMPONENTS) produces the ALL-NaN
+    * array on both the single and the double application, finite
+    * vectors whose squared norm overflows are rescued by
+    * [[NormalizeArray]]'s max-abs pre-scale (the result is unit-norm,
+    * so the second application takes the regular path), and for
     * regular input the inner result is unit-norm up to 1 ulp, so the
     * dropped outer pass could only rescale by a few ulps. No driver
     * key nests normalizes, so the DuckDB bit-parity contract is

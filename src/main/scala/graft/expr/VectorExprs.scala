@@ -346,13 +346,29 @@ case class NormalizeArray(child: Expression)
     var s = 0.0
     i = 0
     while (i < n) { s += v(i) * v(i); i += 1 }
-    // degenerate input (zero / NaN / overflowing norm) → ALL-NaN
-    // output, which makes normalize idempotent for EVERY input class
-    // (normalize of an all-NaN array is again all-NaN) — the contract
-    // GraftRules.NormalizeIdempotence relies on. A zero vector already
-    // produced all-NaN (0/0); this extends the same answer to
-    // infinite norms, whose old mixed [NaN, 0, …] result broke
-    // idempotence. Every oracle-checked operator excludes degenerate
+    // Overflowed-but-finite norms (components ~1e155+) are still
+    // mathematically normalizable: pre-scale by the max-abs component
+    // (|u_i| ≤ 1, so Σ u² ∈ [1, n]) and normalize the scaled copy.
+    // The rescue runs ONLY when s overflowed, so finite-norm inputs
+    // keep the plain left-to-right accumulation bit-for-bit (the
+    // DuckDB `x / sqrt(list_dot_product(x, x))` parity contract). An
+    // infinite COMPONENT survives as Inf/Inf = NaN in the scaled
+    // copy, landing in the NaN branch below.
+    if (s == Double.PositiveInfinity) {
+      var m = 0.0
+      i = 0
+      while (i < n) { m = math.max(m, math.abs(v(i))); i += 1 }
+      i = 0
+      while (i < n) { v(i) = v(i) / m; i += 1 }
+      s = 0.0
+      i = 0
+      while (i < n) { s += v(i) * v(i); i += 1 }
+    }
+    // remaining degenerate input (zero vector, NaN anywhere, an
+    // infinite component) → ALL-NaN output, which makes normalize
+    // idempotent for EVERY input class (normalize of an all-NaN array
+    // is again all-NaN) — the contract GraftRules.NormalizeIdempotence
+    // relies on. Every oracle-checked operator excludes degenerate
     // vectors before normalizing, so DuckDB parity is untouched.
     val norm = if (s > 0.0 && s < Double.PositiveInfinity)
       math.sqrt(s) else Double.NaN
@@ -379,6 +395,17 @@ case class NormalizeArray(child: Expression)
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) { $v[$i] = $get; }
          |for (int $i = 0; $i < $n; $i++) { $s += $v[$i] * $v[$i]; }
+         |if ($s == Double.POSITIVE_INFINITY) {
+         |  double ${s}m = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${s}m = java.lang.Math.max(${s}m, java.lang.Math.abs($v[$i]));
+         |  }
+         |  $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $v[$i] = $v[$i] / ${s}m;
+         |    $s += $v[$i] * $v[$i];
+         |  }
+         |}
          |double $nm = ($s > 0.0 && $s < Double.POSITIVE_INFINITY)
          |  ? java.lang.Math.sqrt($s) : Double.NaN;
          |Object[] $out = new Object[$n];

@@ -938,11 +938,16 @@ object EmbOps extends QueryModule {
     // change the contract (Knn.seedCells / Knn.rankedSeedCells)
     val assigned = Knn.rankedSeedCells(n, Knn.seedCells(n))
       .filter(col("_rk") === 1)
+    // measured width, same guard as hammingTopK: a hardcoded 64 would
+    // read past the array for d<64 (throws under ANSI mode) and
+    // silently drop dimensions for d>64
+    val width = Knn.embWidth(emb)
+    require(width <= 64, s"two-word packing covers <=64 dims, got $width")
     assigned
       .withColumn("r", zip_with(col("e"), col("ce"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"),
-        packSigns(col("r"), 0, 32, 64).as("rq_lo"),
-        packSigns(col("r"), 32, 64, 64).as("rq_hi"),
+        packSigns(col("r"), 0, 32, width).as("rq_lo"),
+        packSigns(col("r"), 32, 64, width).as("rq_hi"),
         floor(graft.dedup.Dedup.fastDot(col("r"), col("r")) * 1000)
           .cast("long").as("rnorm_milli"))
       .orderBy("vec_id")

@@ -724,7 +724,19 @@ object EventStreams extends QueryModule {
     * naive global running sum. Ties (equal (t, delta)) permute only
     * within equal-delta runs, whose running-sum multiset is
     * order-independent, so the per-window MAX is well-defined on both
-    * engines. Per 6 h window: interval starts and peak concurrency. */
+    * engines.
+    *
+    * TRUE peak semantics (r9): a window's peak is NOT just the max at
+    * its own delta instants — concurrency carried in from earlier
+    * intervals counts too (a window whose first in-window event is an
+    * interval END previously underreported, and a window fully
+    * spanned by open intervals emitted no row at all). Each window is
+    * therefore seeded with its carried-in running sum (the exclusive
+    * prefix of per-window delta totals — |windows| rows), and a
+    * window SPINE from the first to the last delta window guarantees
+    * every window in range reports, delta-less ones at exactly the
+    * carried concurrency. Per 6 h window: interval starts and the
+    * true peak concurrency over the whole window span. */
   def concurrency(events: DataFrame, shardWidth: Long = 3600000000L)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -742,16 +754,26 @@ object EventStreams extends QueryModule {
       .select("_sh", "_off")
     val local = Window.partitionBy("_sh").orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("_run", sum(col("d")).over(local))
+    val perWin = deltas.withColumn("_run", sum(col("d")).over(local))
       .join(broadcast(offsets), Seq("_sh"))
       .withColumn("run", col("_off") + col("_run"))
       .groupBy(expr("t div 21600000000").as("wb"))
       .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
-        max(col("run")).as("max_concurrent"))
+        max(col("run")).as("_mx"), sum(col("d")).as("_sd"))
+    // window spine: every 6 h bucket between the first and last delta
+    // reports (bounded by the time RANGE / 6 h, not the corpus)
+    val spine = perWin.agg(min(col("wb")).as("_lo"), max(col("wb")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("wb"))
+    val carryW = Window.partitionBy(pmod(col("wb"), lit(1))).orderBy("wb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine.join(perWin, Seq("wb"), "left")
+      .withColumn("_carry", coalesce(sum(col("_sd")).over(carryW), lit(0L)))
       .select(timestamp_micros(col("wb") * 21600000000L)
           .cast(org.apache.spark.sql.types.TimestampNTZType)
           .as("window_start"),
-        col("n_starts"), col("max_concurrent"))
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        greatest(coalesce(col("_mx"), col("_carry")), col("_carry"))
+          .as("max_concurrent"))
       .orderBy("window_start")
   }
 
@@ -766,13 +788,26 @@ object EventStreams extends QueryModule {
       |r AS (
       |  SELECT t, dd, SUM(dd) OVER (ORDER BY t, dd
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-      |  FROM d)
-      |SELECT make_timestamp((t // 21600000000) * 21600000000)
-      |    AS window_start,
-      |  CAST(SUM(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_starts,
-      |  CAST(MAX(run) AS BIGINT) AS max_concurrent
-      |FROM r GROUP BY 1 ORDER BY window_start""".stripMargin
+      |  FROM d),
+      |pw AS (
+      |  SELECT t // 21600000000 AS wb,
+      |    SUM(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS n_starts,
+      |    MAX(run) AS mx, SUM(dd) AS sd
+      |  FROM r GROUP BY 1),
+      |sp AS (
+      |  SELECT unnest(range((SELECT MIN(wb) FROM pw),
+      |                      (SELECT MAX(wb) FROM pw) + 1)) AS wb),
+      |c AS (
+      |  SELECT sp.wb, pw.n_starts, pw.mx,
+      |    COALESCE(SUM(pw.sd) OVER (ORDER BY sp.wb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS carry
+      |  FROM sp LEFT JOIN pw ON sp.wb = pw.wb)
+      |SELECT make_timestamp(wb * 21600000000) AS window_start,
+      |  CAST(COALESCE(n_starts, 0) AS BIGINT) AS n_starts,
+      |  CAST(GREATEST(COALESCE(mx, carry), carry) AS BIGINT)
+      |    AS max_concurrent
+      |FROM c ORDER BY window_start""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_concurrency" -> (strConcurrency _),

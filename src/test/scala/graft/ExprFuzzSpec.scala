@@ -159,10 +159,32 @@ class ExprFuzzSpec extends AnyFunSuite {
         match { case e => e }).eval(null))
     // degenerate classes must produce ALL-NaN on both applications —
     // the contract GraftRules.NormalizeIdempotence relies on
-    for (a <- Seq(Array(0.0, 0.0), Array(1e200, 1e200),
+    for (a <- Seq(Array(0.0, 0.0),
         Array(Double.PositiveInfinity, 1.0), Array(Double.NaN, 2.0))) {
       assert(normOnce(a).forall(_.isNaN), s"single on ${a.toSeq}")
       assert(normTwice(a).forall(_.isNaN), s"double on ${a.toSeq}")
+    }
+    // large-but-FINITE vectors whose squared norm overflows are
+    // rescued by the max-abs pre-scale: still unit-sphere, still
+    // idempotent (r9 — the old answer was all-NaN, and before that a
+    // broken [NaN, 0, …])
+    for (a <- Seq(Array(1e200, 1e200), Array(1e308, -1e308, 5e307),
+        Array(-1e160, 1e160, 1e160, 1e160))) {
+      val one = normOnce(a)
+      val exp = {
+        val m = a.map(math.abs).max
+        val u = a.map(_ / m)
+        val s = math.sqrt(u.map(x => x * x).sum)
+        u.map(_ / s)
+      }
+      one.zip(exp).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 4 * math.ulp(y),
+          s"overflow rescue drifted on ${a.toSeq}: $x vs $y") }
+      assert(math.abs(one.map(x => x * x).sum - 1.0) < 1e-12,
+        s"rescued vector not unit-norm on ${a.toSeq}")
+      normOnce(a).zip(normTwice(a)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 4 * math.ulp(x),
+          s"overflow rescue broke idempotence: $x vs $y") }
     }
     // regular vectors: double-normalize differs from single by a
     // few ulps per element (the rule's documented trade: the inner

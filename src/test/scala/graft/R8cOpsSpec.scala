@@ -125,12 +125,21 @@ class R8cOpsSpec extends SparkSpec {
       "every event opens exactly one interval")
     out.foreach { r =>
       val peak = r.getAs[Long]("max_concurrent")
-      assert(peak >= 1L, "a window with a start or end saw >= 1 active")
-      assert(peak <= nEvents)
+      if (r.getAs[Long]("n_starts") > 0L)
+        assert(peak >= 1L, "a window with a start saw >= 1 active")
+      assert(peak >= 0L && peak <= nEvents)
     }
     // some window must hold more than one concurrent session, or the
     // sweep degenerates to a counter
     assert(out.exists(_.getAs[Long]("max_concurrent") > 1L))
+    // the r9 carried-in seed: the window SPINE is gap-free (every 6 h
+    // bucket between first and last delta reports, delta-less ones at
+    // the carried concurrency)
+    val starts = out.map(_.getAs[java.time.LocalDateTime]("window_start")
+      .toEpochSecond(java.time.ZoneOffset.UTC)).sorted
+    starts.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(1) - p(0) == 21600L, s"spine gap between ${p(0)} and ${p(1)}")
+    }
   }
 
   test("cdc_sparse_patch: reconstruction matches a per-key replay") {

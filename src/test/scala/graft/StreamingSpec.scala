@@ -886,18 +886,31 @@ class StreamingSpec extends SparkSpec {
         mem.addData(b.toSeq: _*); q.processAllAvailable()
       }
     } finally q.stop()
-    // fold shard partials in shard order, tracking the global carry
+    // fold shard partials in shard order, tracking the global carry;
+    // r9 semantics: every window is seeded with the concurrency
+    // carried in at its start, and the spine is gap-free between the
+    // first and last delta window
     val windowPeak = scala.collection.mutable.Map[Long, Long]()
+    val windowEntry = scala.collection.mutable.Map[Long, Long]()
     var carry = 0L
     state.toSeq.sortBy(_._1).foreach { case (sh, ds) =>
       var run = 0L
       ds.sortBy(identity).foreach { case (t, d) =>
-        run += d
         val wb = t / 21600000000L
+        windowEntry.getOrElseUpdate(wb, carry + run)
+        run += d
         windowPeak(wb) = math.max(
           windowPeak.getOrElse(wb, Long.MinValue), carry + run)
       }
       carry += ds.map(_._2).sum
+    }
+    (windowPeak.keys.min to windowPeak.keys.max).foreach { wb =>
+      val entry = windowEntry.getOrElse(wb,
+        // delta-less window: carried value = entry of the next
+        // reporting window (no deltas in between change it)
+        windowEntry.toSeq.filter(_._1 > wb).minBy(_._1)._2)
+      windowPeak(wb) = math.max(windowPeak.getOrElse(wb, Long.MinValue),
+        entry)
     }
     val batchOut = graft.streaming.EventStreams.concurrency(
         events.toDF("event_id", "ts", "user_id", "event_type", "value"))
