@@ -1212,7 +1212,58 @@ object CorpusPipeline extends QueryModule {
       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang
       |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  // ------------------------------------------- pipe_sample_weighted
+  /** Deterministic EXACT-k WEIGHTED sample — the quality/mass-
+    * proportional selection step (SemDeDup cluster weights, DoReMi
+    * domain weights, token-mass-proportional holdouts) beside
+    * [[pipeSampleFixed]]'s uniform draw. The classic algorithm is
+    * Efraimidis–Spirakis (A-ES: top-k by u^(1/w)) — but pow on
+    * doubles is not bit-portable across engines, so the key is the
+    * EXACT-INTEGER race surrogate: key = hash div w, smallest k win.
+    * The hash is a uniform 32-bit integer draw per doc, and dividing
+    * by the integer weight shrinks a doc's expected key
+    * proportionally — selection probability rises monotonically with
+    * w (doubling w halves the key) while staying pure integer math
+    * both engines replay bit-for-bit. Weight here is token mass
+    * (1 + n_chars div 64 — a BPE-ish chars-per-token scale).
+    *
+    * Same plan shape as the uniform draw: TakeOrderedAndProject on
+    * (key, doc_id) — each partition forwards at most k rows, no
+    * global sort, no corpus shuffle; the in-sample rank windows over
+    * the ≤ k collected rows (single-partition marker). */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.mask.MaskFunctions.portableHash(col("doc_id"))
+    val top = docs
+      .select(col("doc_id"), col("lang"),
+        expr("1 + n_chars div 64").as("w"), h.as("_h"))
+      .withColumn("_key", expr("_h div w"))
+      .orderBy(col("_key"), col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col("_key"), lit(1)))
+          .orderBy(col("_key"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("w"))
+      .orderBy("rank")
+  }
+
+  def pipeSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), 100)
+
+  val pipeSampleWeightedSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, 1 + n_chars // 64 AS w,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, w,
+      |    ROW_NUMBER() OVER (ORDER BY h // w, doc_id) AS rank
+      |  FROM h)
+      |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang,
+      |  CAST(w AS BIGINT) AS w
+      |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample_weighted" -> (pipeSampleWeighted _),
     "pipe_sample_fixed" -> (pipeSampleFixed _),
     "pipe_mix_alpha_curve" -> (pipeMixAlphaCurve _),
     "pipe_compaction" -> (pipeCompaction _),
@@ -1238,6 +1289,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_sample_weighted" -> pipeSampleWeightedSql,
     "pipe_sample_fixed" -> pipeSampleFixedSql,
     "pipe_mix_alpha_curve" -> pipeMixAlphaCurveSql,
     "pipe_compaction" -> pipeCompactionSql,

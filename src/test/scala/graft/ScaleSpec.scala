@@ -222,4 +222,28 @@ class ScaleSpec extends SparkSpec {
     assert(base == run(60000000L), "narrow time shards must not change peaks")
     assert(base == run(1L << 60), "one giant shard must not change peaks")
   }
+
+  test("weighted sample is deterministic and weight-monotone") {
+    // the deterministic integer race: same sample regardless of
+    // physical partitioning (TakeOrdered is order-insensitive), and
+    // selection is biased toward heavier docs — the sample's mean
+    // weight must exceed the corpus mean (A-ES contract)
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.pipeline.CorpusPipeline
+      .weightedSample(docs, 100).collect().map(_.toSeq).toSeq
+    for (reshaped <- Seq(docs.repartition(7, col("lang")),
+        docs.repartition(64), docs.coalesce(1))) {
+      val again = graft.pipeline.CorpusPipeline
+        .weightedSample(reshaped, 100).collect().map(_.toSeq).toSeq
+      assert(got == again,
+        "weighted sample must be partitioning-invariant")
+    }
+    val meanSample = got.map(_(3).asInstanceOf[Long].toDouble).sum /
+      got.size
+    val meanCorpus = docs.agg(avg(expr("1 + n_chars div 64")))
+      .collect().head.getDouble(0)
+    assert(meanSample > meanCorpus,
+      f"weighted draw not biased to heavy docs: " +
+        f"sample mean $meanSample%.1f vs corpus $meanCorpus%.1f")
+  }
 }

@@ -923,6 +923,80 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.values.max > 1L)
   }
 
+  test("CEP negation pattern folds per-user state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    // the incremental form of cepPattern: per-user event lists are the
+    // state a transformWithState operator would hold (bounded by the
+    // 7-day window's retention); batches only APPEND to a user's
+    // multiset, and the match/negation computation is a pure function
+    // of the final per-user state — so the fold replays the batch
+    // semantics exactly, micro-batch boundaries invisible.
+    val events = (0 until 30).flatMap { u =>
+      val m = u % 3
+      val base = Seq(
+        (5000L + u * 10, ts(f"2024-01-${1 + m}%02d 08:00:00"),
+          u.toLong, "signup", 1.0),
+        (5001L + u * 10, ts(f"2024-01-${2 + m}%02d 09:30:00"),
+          u.toLong, "purchase", 1.0))
+      val extra = if (u % 3 == 0)
+        Seq((5002L + u * 10, ts(f"2024-01-${3 + m}%02d 10:00:00"),
+          u.toLong, "purchase", 1.0)) else Seq.empty
+      val err = if (u % 4 == 0)
+        Seq((5003L + u * 10, ts(f"2024-01-${1 + m}%02d 20:00:00"),
+          u.toLong, "error", 1.0)) else Seq.empty
+      base ++ extra ++ err
+    }
+    val state = scala.collection.concurrent.TrieMap[Long,
+      Vector[(String, Long)]]()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.select(col("user_id"), col("event_type"),
+              expr("unix_micros(cast(ts as timestamp))"))
+            .collect().foreach { r =>
+              val u = r.getLong(0)
+              state.put(u, state.getOrElse(u, Vector.empty) :+
+                (r.getString(1), r.getLong(2)))
+            }
+          ()
+      }.start()
+    try {
+      events.grouped(23).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val win = 604800000000L
+    val folded = state.flatMap { case (u, evs) =>
+      val ss = evs.collect { case ("signup", t) => t }
+      val ps = evs.collect { case ("purchase", t) => t }
+      val es = evs.collect { case ("error", t) => t }
+      val matches = for {
+        s <- ss; p <- ps
+        if p > s && p <= s + win && !es.exists(e => e > s && e < p)
+      } yield (s, p)
+      if (matches.isEmpty) None
+      else Some(u -> (matches.size.toLong, matches.map(_._1).min,
+        matches.map(_._2).min))
+    }.toMap
+    val batchOut = EventStreams.cepPattern(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_signup_us"),
+          r.getAs[Long]("first_purchase_us"))).toMap
+    assert(folded == batchOut,
+      s"folded CEP state $folded != batch $batchOut")
+    // the scenario exercises both arms: some users negated by an
+    // in-between error, some with multiple matches
+    assert(batchOut.values.exists(_._1 > 1L))
+    assert((0 until 30).exists(u => u % 4 == 0 &&
+      !batchOut.contains(u.toLong)))
+  }
+
   test("checkpointed state survives a query restart (file source)") {
     // the recovery contract a production CDC pipeline leans on: stop
     // the query, restart from the same checkpoint, and the stateful
