@@ -1176,7 +1176,106 @@ object ClassifyQueries extends QueryModule {
       |    AS BIGINT) AS at_cents
       |FROM t CROSS JOIN mx""".stripMargin
 
+  // ------------------------------------------- cls_histogram_profile
+  /** Equi-width distribution histogram per numeric column — the
+    * shape sketch a profiler renders beside [[clsOutliers]]' fences:
+    * 16 equal-width bins over each column's exact [min, max] cents
+    * range, all columns melted in ONE scan per table so lineitem's
+    * two amount columns cost one FileScan. Classic two-pass shape
+    * (pass 1: per-column min/max — a tiny agg broadcast back; pass 2:
+    * integer bin assignment + count, map-side combining into ≤ 16
+    * rows per column), both exchanges bounded by |columns| × 16
+    * regardless of corpus size. Pure integer bin arithmetic
+    * (`(v−mn)·16 div (mx−mn+1)`) both engines replay exactly. */
+  def clsHistogramProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def centsOf(df: DataFrame, names: String*): DataFrame =
+      df.select(explode(array(names.map(n =>
+          struct(lit(n).as("col_name"),
+            (col(n).cast(DecimalType(18, 2)) * lit(100)).cast("long")
+              .as("cents"))): _*)).as("v"))
+        .select(col("v.col_name").as("col_name"), col("v.cents").as("cents"))
+    def vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
+      .unionAll(centsOf(Tables.lineitem(spark, dir),
+        "l_extendedprice", "l_quantity"))
+    val stats = vals.groupBy("col_name")
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    vals.join(broadcast(stats), "col_name")
+      .withColumn("bin",
+        least(expr("(cents - mn) * 16 div (mx - mn + 1)"), lit(15L)))
+      .groupBy("col_name", "bin")
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("bin_min_cents"),
+        max(col("cents")).as("bin_max_cents"))
+      .orderBy("col_name", "bin")
+  }
+
+  val clsHistogramProfileSql: String =
+    """WITH vals AS (
+      |  SELECT 'o_totalprice' AS col_name,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM orders
+      |  UNION ALL
+      |  SELECT 'l_extendedprice',
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity',
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    FROM lineitem),
+      |s AS (
+      |  SELECT col_name, MIN(cents) AS mn, MAX(cents) AS mx
+      |  FROM vals GROUP BY col_name)
+      |SELECT v.col_name,
+      |  LEAST((v.cents - s.mn) * 16 // (s.mx - s.mn + 1), 15) AS bin,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(v.cents) AS BIGINT) AS bin_min_cents,
+      |  CAST(MAX(v.cents) AS BIGINT) AS bin_max_cents
+      |FROM vals v JOIN s ON v.col_name = s.col_name
+      |GROUP BY 1, 2 ORDER BY v.col_name, bin""".stripMargin
+
+  // -------------------------------------------- cls_dow_seasonality
+  /** Day-of-week seasonality profile — the periodicity complement to
+    * [[clsAutocorr]]'s lag correlation: order volume and value by
+    * weekday, each day's traffic share and its per-mille deviation
+    * from the uniform 1/7 (the integer chi-square-style residual a
+    * drift monitor thresholds). One scan, a 7-row aggregate, total
+    * broadcast back — flat at any corpus size. */
+  def clsDowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byDow = Tables.orders(spark, dir)
+      .select((dayofweek(to_date(col("o_orderdate"))) - 1).as("dow"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+    val tot = byDow.agg(sum(col("n_orders")).as("_t"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"), col("cents_sum"),
+        expr("n_orders * 1000 div _t").as("share_pm"),
+        expr("abs(n_orders * 7 - _t) * 1000 div _t").as("dev_pm"))
+      .orderBy("dow")
+  }
+
+  val clsDowSeasonalitySql: String =
+    """WITH d AS (
+      |  SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |g AS (
+      |  SELECT dow, COUNT(*) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_sum
+      |  FROM d GROUP BY dow),
+      |t AS (SELECT SUM(n_orders) AS tt FROM g)
+      |SELECT CAST(g.dow AS INTEGER) AS dow, g.n_orders, g.cents_sum,
+      |  CAST(g.n_orders * 1000 // t.tt AS BIGINT) AS share_pm,
+      |  CAST(ABS(g.n_orders * 7 - t.tt) * 1000 // t.tt AS BIGINT)
+      |    AS dev_pm
+      |FROM g CROSS JOIN t ORDER BY dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_histogram_profile" -> (clsHistogramProfile _),
+    "cls_dow_seasonality" -> (clsDowSeasonality _),
     "cls_contingency" -> (clsContingency _),
     "cls_ks_drift" -> (clsKsDrift _),
     "cls_datatype_infer" -> (clsDatatypeInfer _),
@@ -1201,6 +1300,8 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_histogram_profile" -> clsHistogramProfileSql,
+    "cls_dow_seasonality" -> clsDowSeasonalitySql,
     "cls_contingency" -> clsContingencySql,
     "cls_ks_drift" -> clsKsDriftSql,
     "cls_datatype_infer" -> clsDatatypeInferSql,

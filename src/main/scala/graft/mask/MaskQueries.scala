@@ -722,7 +722,80 @@ object MaskQueries extends QueryModule {
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------ mask_shuffle
+  /** Value SHUFFLING — the masking technique that replaces each row's
+    * sensitive value with ANOTHER row's value from the same group
+    * (marginal distribution per nation preserved exactly, row linkage
+    * destroyed): rows are ranked in a deterministic pseudo-random
+    * order (portable hash of the key), values are ranked in value
+    * order, and rank r's row receives rank r's value. Deterministic —
+    * both engines derive the identical permutation, unlike RNG-based
+    * shuffling no oracle could replay.
+    *
+    * Scale shape: NO per-nation global window — both rankings use the
+    * two-level shard-rank + exclusive-prefix-offset decomposition
+    * (row ranks sharded by hash high bits, value ranks by contiguous
+    * cents ranges shifted non-negative), so window partitions are
+    * (nation, shard)-bounded and the offsets windows run over
+    * aggregated shard counts only. The rank↔rank equi-join is an
+    * ordinary shuffle join on (nation, rank). */
+  def maskShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("h", MaskFunctions.portableHash(col("c_custkey")))
+    def twoLevelRank(df: DataFrame, shard: org.apache.spark.sql.Column,
+        order: Seq[org.apache.spark.sql.Column],
+        out: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val sh = df.withColumn("_sh", shard)
+      val pre = Window.partitionBy(col("c_nationkey")).orderBy("_sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = sh.groupBy("c_nationkey", "_sh")
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+        .select(col("c_nationkey"), col("_sh"), col("_off"))
+      val local = Window.partitionBy(col("c_nationkey"), col("_sh"))
+        .orderBy(order: _*)
+      sh.withColumn("_lr", row_number().over(local).cast("long"))
+        .join(off, Seq("c_nationkey", "_sh"))
+        .select(col("c_nationkey") +: (col("_off") + col("_lr")).as("r")
+          +: out: _*)
+    }
+    val rowsR = twoLevelRank(c, expr("h div 67108864"),
+      Seq(col("h"), col("c_custkey")), Seq(col("c_custkey")))
+    val valsR = twoLevelRank(c, expr("(cents + 100000) div 1048576"),
+      Seq(col("cents"), col("c_custkey")), Seq(col("cents")))
+    rowsR.join(valsR, Seq("c_nationkey", "r"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("cents").as("shuffled_cents"))
+      .orderBy("c_custkey")
+  }
+
+  val maskShuffleSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM customer),
+      |rr AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY h, c_custkey) AS r
+      |  FROM c),
+      |vr AS (
+      |  SELECT c_nationkey, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cents, c_custkey) AS r
+      |  FROM c)
+      |SELECT rr.c_custkey, rr.c_nationkey, vr.cents AS shuffled_cents
+      |FROM rr JOIN vr ON rr.c_nationkey = vr.c_nationkey AND rr.r = vr.r
+      |ORDER BY rr.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_shuffle" -> (maskShuffle _),
     "mask_rand_response" -> (maskRandResponse _),
     "mask_rare_suppress" -> (maskRareSuppress _),
     "mask_encrypt" -> (maskEncrypt _),
@@ -748,6 +821,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_shuffle" -> maskShuffleSql,
     "mask_rand_response" -> maskRandResponseSql,
     "mask_rare_suppress" -> maskRareSuppressSql,
     "mask_encrypt" -> maskEncryptSql,

@@ -172,12 +172,23 @@ object OrderStats {
     * ⌈n/2⌉ (the tie-invariant lower median).
     */
   def radixLowerMedian(vals: DataFrame, groupCols: Seq[String],
-      valueCol: String, shift: Int = 12): DataFrame = {
+      valueCol: String, shift: Int = 12): DataFrame =
+    radixLowerMedianWeighted(vals, groupCols, valueCol, lit(1L), shift)
+
+  /** WEIGHTED lower median by the same radix selection: the smallest
+    * value whose cumulative WEIGHT reaches ⌈W/2⌉ (row weights from
+    * `weight`, e.g. a quantity column — the repeat-count reading).
+    * Identical scale bounds: both exchanges carry domain-capped
+    * histogram rows, weights merge map-side. `n` in the output is the
+    * total weight W. */
+  def radixLowerMedianWeighted(vals: DataFrame, groupCols: Seq[String],
+      valueCol: String, weight: Column, shift: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val withB = vals.withColumn("_b", shiftright(col(valueCol), shift))
+    val withB = vals.withColumn("_w", weight)
+      .withColumn("_b", shiftright(col(valueCol), shift))
     val bhist = withB.groupBy(g :+ col("_b"): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("_w")).as("c"))
     val byG = Window.partitionBy(g: _*)
     val target = bhist
       .withColumn("hi", sum(col("c")).over(byG.orderBy("_b")))
@@ -188,7 +199,7 @@ object OrderStats {
         :+ col("n"): _*)
     val inB = withB.join(broadcast(target), groupCols :+ "_b")
       .groupBy(g :+ col(valueCol): _*)
-      .agg(count(lit(1)).as("c"), max(col("_off")).as("_off"),
+      .agg(sum(col("_w")).as("c"), max(col("_off")).as("_off"),
         max(col("n")).as("n"))
     inB
       .withColumn("hi", col("_off") + sum(col("c")).over(

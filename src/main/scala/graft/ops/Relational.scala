@@ -1113,6 +1113,93 @@ object Relational extends graft.QueryModule {
       |FROM med JOIN mad ON med.g = mad.g
       |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------ q38_band_join
+  /** Banded (range) self-join — "pairs whose values differ by at most
+    * δ" — rewritten as the EQUI-join Spark can shuffle-partition: a
+    * raw `|a.v − b.v| <= δ` predicate has no equality key, so Catalyst
+    * can only nested-loop it (quadratic, the classic range-join trap);
+    * instead each row replicates to its value bucket's neighbors
+    * (bucket width ≥ δ, so a qualifying pair is always within one
+    * bucket step), the join runs on (group, bucket) — hash-
+    * partitionable, skew-bounded by the bucket population — and the
+    * exact band test filters the candidates. Constant 3× replication
+    * buys an equi-join; each qualifying pair matches EXACTLY once
+    * (the right row's bucket fixes which of the three left replicas
+    * hits). Per brand: qualifying pairs of parts priced within 50
+    * cents and their total gap. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = Tables.part(spark, dir).select(col("p_partkey"),
+      col("p_brand"),
+      (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val left = p.withColumn("nb", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("p_brand"), (expr("cents div 100") + col("nb")).as("bkt"),
+        col("p_partkey").as("k1"), col("cents").as("c1"))
+    val right = p.select(col("p_brand"), expr("cents div 100").as("bkt"),
+      col("p_partkey").as("k2"), col("cents").as("c2"))
+    left.join(right, Seq("p_brand", "bkt"))
+      .filter(col("k1") < col("k2") && abs(col("c1") - col("c2")) <= 50L)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("c1") - col("c2"))).as("gap_cents_sum"))
+      .orderBy("p_brand")
+  }
+
+  val q38Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM part)
+      |SELECT a.p_brand, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ABS(a.cents - b.cents)) AS BIGINT) AS gap_cents_sum
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand
+      |  AND a.p_partkey < b.p_partkey
+      |  AND ABS(a.cents - b.cents) <= 50
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ q39_weighted_median
+  /** Weighted median — the order statistic where each row counts with
+    * its integer weight (quantity-weighted price: "the price at which
+    * half the UNITS shipped cost less"): the same domain-bounded radix
+    * selection as [[q36]]'s MAD ([[OrderStats.radixLowerMedianWeighted]]
+    * — weights merge map-side into the bucket histogram, so the
+    * exchanges stay domain-capped no matter how heavy the weights),
+    * selecting the smallest cents whose cumulative quantity reaches
+    * half the total. */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import OrderStats._
+    import org.apache.spark.sql.types.DecimalType
+    val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    radixLowerMedianWeighted(vals, Seq("l_returnflag"), "cents", col("qty"))
+      .select(col("l_returnflag"), col("n").as("total_qty"),
+        col("median").as("wmedian_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val q39Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |h AS (SELECT g, cents, SUM(qty) AS c FROM v GROUP BY 1, 2),
+      |ch AS (SELECT g, cents, c,
+      |         CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents)
+      |           AS BIGINT) AS hi
+      |       FROM h),
+      |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g)
+      |SELECT ch.g AS l_returnflag, MAX(n.n) AS total_qty,
+      |  MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
+      |        AND (n.n + 1) // 2 <= hi THEN cents END) AS wmedian_cents
+      |FROM ch JOIN n ON ch.g = n.g GROUP BY ch.g
+      |ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1155,6 +1242,8 @@ object Relational extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_mad" -> (q36 _),
     "q37_unpivot" -> (q37 _),
+    "q38_band_join" -> (q38 _),
+    "q39_weighted_median" -> (q39 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1194,6 +1283,8 @@ object Relational extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "q36_mad" -> q36Sql,
     "q37_unpivot" -> q37Sql,
+    "q38_band_join" -> q38Sql,
+    "q39_weighted_median" -> q39Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -1282,7 +1282,113 @@ object TextAnalysis extends QueryModule {
       |    AS suspicious
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- txt_heaps
+  /** Heaps'-law vocabulary-growth audit — how fast the vocabulary
+    * grows as the corpus grows, the curve that says whether more data
+    * still buys new tokens (sublinear growth ⇒ healthy natural text;
+    * near-linear ⇒ ID/noise contamination): per corpus decile (docs
+    * in doc_id order), cumulative docs, token occurrences, and
+    * DISTINCT vocabulary. The trick that makes cumulative-distinct
+    * scale: a token's decile of FIRST occurrence (one min per
+    * distinct token) fully determines every prefix's vocabulary —
+    * vocab(decile) = Σ first-occurrence counts up to it — so the
+    * corpus collapses to three ≤10-row bucket aggregates and the
+    * cumulative windows run over those 10 rows, never the corpus. */
+  def txtHeaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val md = docs.agg((max(col("doc_id")) + 1L).as("md"))
+    def bucketed(df: DataFrame, idCol: String, outName: String): DataFrame =
+      df.crossJoin(broadcast(md))
+        .groupBy(expr(s"$idCol * 10 div md + 1").as("decile"))
+        .agg(count(lit(1)).as(outName))
+    val d = bucketed(docs, "doc_id", "_d")
+    val t = bucketed(tok, "doc_id", "_t")
+    val v = bucketed(tok.groupBy("w").agg(min(col("doc_id")).as("fdoc")),
+      "fdoc", "_v")
+    val cum = Window.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(t, Seq("decile"), "full").join(v, Seq("decile"), "full")
+      .select(col("decile"),
+        sum(coalesce(col("_d"), lit(0L))).over(cum).as("docs_n"),
+        sum(coalesce(col("_t"), lit(0L))).over(cum).as("tokens_n"),
+        sum(coalesce(col("_v"), lit(0L))).over(cum).as("vocab_n"))
+      .orderBy("decile")
+  }
+
+  val txtHeapsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |  FROM documents),
+      |mx AS (SELECT MAX(doc_id) + 1 AS md FROM documents),
+      |db AS (SELECT doc_id * 10 // md + 1 AS decile, COUNT(*) AS d
+      |       FROM documents, mx GROUP BY 1),
+      |tb AS (SELECT doc_id * 10 // md + 1 AS decile, COUNT(*) AS t
+      |       FROM tok, mx GROUP BY 1),
+      |fd AS (SELECT w, MIN(doc_id) AS fdoc FROM tok GROUP BY w),
+      |vb AS (SELECT fdoc * 10 // md + 1 AS decile, COUNT(*) AS v
+      |       FROM fd, mx GROUP BY 1),
+      |u AS (
+      |  SELECT COALESCE(db.decile, tb.decile, vb.decile) AS decile,
+      |    COALESCE(d, 0) AS d, COALESCE(t, 0) AS t, COALESCE(v, 0) AS v
+      |  FROM db FULL JOIN tb ON db.decile = tb.decile
+      |    FULL JOIN vb ON COALESCE(db.decile, tb.decile) = vb.decile)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(SUM(d) OVER w AS BIGINT) AS docs_n,
+      |  CAST(SUM(t) OVER w AS BIGINT) AS tokens_n,
+      |  CAST(SUM(v) OVER w AS BIGINT) AS vocab_n
+      |FROM u
+      |WINDOW w AS (ORDER BY decile
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY decile""".stripMargin
+
+  // ------------------------------------------------ txt_doc_keywords
+  /** Per-document keyword extraction — the top-3 TF-IDF terms that
+    * summarize each doc (the retrieval/labeling primitive): integer
+    * score tf·N div df (exact surrogate for tf·idf — monotone in the
+    * same ratio, no float log), ranked per doc with the rank-≤-3
+    * filter Spark executes as a WindowGroupLimit (each task forwards
+    * ≤3 candidates per doc before the exchange). Window partitions
+    * are per-DOC (bounded by doc length), never corpus-wide; df and
+    * N are hash-agg + 1-row broadcast. */
+  def txtDocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(df, "w").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * nd div df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), col("w"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val txtDocKeywordsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |r AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf * n.nd // df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * n.nd // df.df DESC, tf.w) AS rank
+      |  FROM tf JOIN df USING (w) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, w,
+      |  CAST(score AS BIGINT) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_heaps" -> (txtHeaps _),
+    "txt_doc_keywords" -> (txtDocKeywords _),
     "txt_zipf" -> (txtZipf _),
     "txt_bpe_apply" -> (txtBpeApply _),
     "txt_source_overlap" -> (txtSourceOverlap _),
@@ -1310,6 +1416,8 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_heaps" -> txtHeapsSql,
+    "txt_doc_keywords" -> txtDocKeywordsSql,
     "txt_zipf" -> txtZipfSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_source_overlap" -> txtSourceOverlapSql,

@@ -11,11 +11,15 @@ import org.apache.spark.sql.SparkSession
   * median from repeat runs in one JVM.
   *
   * Usage: runMain graft.tools.WarmProbe <bench.json> <out.md>
-  *          [sfDir] [topK] [runs]
+  *          [sfDir] [topK|tSECS] [runs]
   *
   * Reads the driver bench JSON (one line, `queries: {key: seconds}`),
-  * probes the topK slowest keys `runs` times each, and writes a
-  * markdown table (key, cold s, warm median s, warm min s, spread).
+  * probes the topK slowest keys — or, with a `t`-prefixed threshold
+  * (e.g. `t2.0`), EVERY key whose cold seconds exceed it (the round-9
+  * mode: noise regressions on mid-cost keys were indistinguishable
+  * from real ones while only the top-12 had warm data) — `runs` times
+  * each, and writes a markdown table (key, cold s, warm median s,
+  * warm min s, spread).
   */
 object WarmProbe {
   def main(args: Array[String]): Unit = {
@@ -23,7 +27,7 @@ object WarmProbe {
       sys.error("usage: WarmProbe <bench.json> <out.md> [sfDir] [topK] [runs]"))
     val outMd = args.lift(1).getOrElse(sys.error("missing <out.md>"))
     val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
-    val topK = args.lift(3).map(_.toInt).getOrElse(10)
+    val sel = args.lift(3).getOrElse("10")
     val runs = args.lift(4).map(_.toInt).getOrElse(3)
 
     val spark = SparkSession.builder()
@@ -58,7 +62,10 @@ object WarmProbe {
     }
     val cold = queriesNode.properties().iterator().asScala
       .map(e => e.getKey -> e.getValue.asDouble()).toMap
-    val targets = cold.toSeq.sortBy(-_._2).take(topK)
+    val ranked = cold.toSeq.sortBy(-_._2)
+    val targets =
+      if (sel.startsWith("t")) ranked.takeWhile(_._2 > sel.drop(1).toDouble)
+      else ranked.take(sel.toInt)
 
     val rows = targets.map { case (key, coldSec) =>
       val times = (1 to runs).map { _ =>
@@ -75,7 +82,8 @@ object WarmProbe {
     }
 
     val sb = new StringBuilder
-    sb ++= s"# Warm-probe deltas — top $topK bench keys\n\n"
+    sb ++= s"# Warm-probe deltas — ${targets.size} bench keys " +
+      s"(selector: $sel)\n\n"
     sb ++= s"Source: `$benchJson` at `$dir`, $runs warm runs per key in "
     sb ++= "one JVM (codegen/JIT amortized). `spread` = warm max − min; "
     sb ++= "a cold/warm gap inside the spread is machine noise, not a "
