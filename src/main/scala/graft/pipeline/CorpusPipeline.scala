@@ -1212,6 +1212,53 @@ object CorpusPipeline extends QueryModule {
       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang
       |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  // ----------------------------------------------- pipe_pad_waste
+  /** Length-bucket padding-waste audit — the batching-efficiency
+    * number behind sequence bucketing: docs batch with peers of
+    * similar length, each padded to its bucket ceiling {128, 256,
+    * 512, 1024, 2048} (longer docs truncate at the top bucket), and
+    * waste is ceiling − tokens. The table a pipeline reads to trade
+    * padding FLOPs against truncation loss when choosing bucket
+    * boundaries (the [[packSequences]] alternative for
+    * position-sensitive training). One scan, map-side combine into
+    * ≤ 5 rows — flat at any corpus size. */
+  def pipePadWaste(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    Tables.documents(spark, dir).select(toks.as("t"))
+      .withColumn("bucket",
+        when(col("t") <= 128, 128L).when(col("t") <= 256, 256L)
+          .when(col("t") <= 512, 512L).when(col("t") <= 1024, 1024L)
+          .otherwise(2048L))
+      .withColumn("kept", least(col("t"), lit(2048L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("tokens_kept"),
+        sum(col("bucket") - col("kept")).as("pad_tokens"),
+        sum(greatest(col("t") - lit(2048L), lit(0L)))
+          .as("truncated_tokens"))
+      .withColumn("waste_pm",
+        expr("pad_tokens * 1000 div (pad_tokens + tokens_kept)"))
+      .orderBy("bucket")
+  }
+
+  val pipePadWasteSql: String =
+    """WITH d AS (
+      |  SELECT len(regexp_split_to_array(text, '\s+')) AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT t,
+      |    CASE WHEN t <= 128 THEN 128 WHEN t <= 256 THEN 256
+      |         WHEN t <= 512 THEN 512 WHEN t <= 1024 THEN 1024
+      |         ELSE 2048 END AS bucket,
+      |    LEAST(t, 2048) AS kept
+      |  FROM d)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(kept) AS BIGINT) AS tokens_kept,
+      |  CAST(SUM(bucket - kept) AS BIGINT) AS pad_tokens,
+      |  CAST(SUM(GREATEST(t - 2048, 0)) AS BIGINT) AS truncated_tokens,
+      |  CAST(SUM(bucket - kept) * 1000
+      |    // (SUM(bucket - kept) + SUM(kept)) AS BIGINT) AS waste_pm
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------- pipe_sample_weighted
   /** Deterministic EXACT-k WEIGHTED sample — the quality/mass-
     * proportional selection step (SemDeDup cluster weights, DoReMi
@@ -1264,6 +1311,7 @@ object CorpusPipeline extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
+    "pipe_pad_waste" -> (pipePadWaste _),
     "pipe_sample_fixed" -> (pipeSampleFixed _),
     "pipe_mix_alpha_curve" -> (pipeMixAlphaCurve _),
     "pipe_compaction" -> (pipeCompaction _),
@@ -1290,6 +1338,7 @@ object CorpusPipeline extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "pipe_sample_weighted" -> pipeSampleWeightedSql,
+    "pipe_pad_waste" -> pipePadWasteSql,
     "pipe_sample_fixed" -> pipeSampleFixedSql,
     "pipe_mix_alpha_curve" -> pipeMixAlphaCurveSql,
     "pipe_compaction" -> pipeCompactionSql,

@@ -367,6 +367,62 @@ object Knn extends QueryModule {
        |WHERE f.qid < f.nid
        |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------- knn_triangles
+  /** Triangle census of the mutual k-NN graph — the local-density
+    * signal that separates tight semantic clusters (neighbors of
+    * neighbors are neighbors) from chains and noise, and the standard
+    * smell test on an ANN index's graph quality. Classic distributed
+    * triangle counting: with the canonical a<b edge list, a triangle
+    * {x<y<z} is counted exactly once as wedge (x,y)+(x,z) closed by
+    * edge (y,z) — two equi-joins on the skinny edge list. The usual
+    * hub hazard (a degree-d node spawns d² wedges) is structurally
+    * absent here: mutual-kNN degree is ≤ k by construction, so wedge
+    * fan-out is ≤ k(k−1)/2 per node at ANY corpus size (for general
+    * graphs the degree-ordered orientation restores that bound).
+    * Output: nodes/edges/wedges/triangles and the global clustering
+    * coefficient (3·triangles per wedge, in per-mille). */
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = mutualEdges(spark, dir).select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = e.select(col("a"), col("b").as("x"))
+      .join(e.select(col("a"), col("b").as("y")), "a")
+      .filter(col("x") < col("y"))
+    val closing = e.select(col("a").as("x"), col("b").as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000 div n_wedges").as("clustering_pm"))
+  }
+
+  val knnTrianglesSql: String =
+    s"""WITH g AS (SELECT a, b FROM ($knnGraphSql) t),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM g UNION ALL SELECT b FROM g) z
+       |  GROUP BY v),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM g e1 JOIN g e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  WHERE EXISTS (SELECT 1 FROM g e3
+       |                WHERE e3.a = e1.b AND e3.b = e2.b)),
+       |s AS (
+       |  SELECT COUNT(*) AS n_nodes,
+       |    CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM g)
+       |SELECT s.n_nodes, ne.n_edges, s.n_wedges,
+       |  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       |  CAST(3 * tri.n_triangles * 1000 // s.n_wedges AS BIGINT)
+       |    AS clustering_pm
+       |FROM s, ne, tri""".stripMargin
+
   // -------------------------------------------------------- knn_range
   /** Radius (range) similarity search: ALL neighbors with cosine ≥
     * threshold per query — the retrieval mode leakage/copyright
@@ -887,6 +943,7 @@ object Knn extends QueryModule {
     "knn_rerank" -> (knnRerank _),
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
+    "knn_triangles" -> (knnTriangles _),
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_range" -> (knnRange _),
@@ -904,6 +961,7 @@ object Knn extends QueryModule {
     "knn_rerank" -> knnRerankSql,
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
+    "knn_triangles" -> knnTrianglesSql,
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,

@@ -777,6 +777,62 @@ object EventStreams extends QueryModule {
       .orderBy("window_start")
   }
 
+  // ------------------------------------------------ str_outage_windows
+  /** Feed-outage detection — the silence gaps that mean the PIPELINE
+    * was down, as opposed to [[latenessAudit]]'s late data: collapse
+    * the stream to per-minute activity counts (map-side combine — the
+    * only corpus-sized pass), span a minute spine from first to last
+    * activity, and the empty-minute runs (gaps-and-islands on the
+    * spine's anti-join) are the outages, reported per day. Every
+    * post-collapse structure is bounded by the TIME RANGE in minutes,
+    * never the event count — the single-partition island window runs
+    * over empty minutes only (the deliberate pmod marker). */
+  def outageWindows(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = events.select(
+        expr("unix_micros(cast(ts as timestamp)) div 60000000").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n"))
+    val spine = m.agg(min(col("m")).as("_lo"), max(col("m")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("m"))
+    val empty = spine.join(m, Seq("m"), "left_anti")
+    val w = Window.partitionBy(pmod(col("m"), lit(1))).orderBy("m")
+    empty.withColumn("k", col("m") - row_number().over(w))
+      .groupBy("k")
+      .agg(min(col("m")).as("start_m"), count(lit(1)).as("len_min"))
+      .groupBy(expr("start_m div 1440").as("_day"))
+      .agg(count(lit(1)).as("n_outages"),
+        sum(col("len_min")).as("silent_min"),
+        max(col("len_min")).as("max_outage_min"))
+      .select(timestamp_micros(col("_day") * 86400000000L)
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("day_start"),
+        col("n_outages"), col("silent_min"), col("max_outage_min"))
+      .orderBy("day_start")
+  }
+
+  def strOutageWindows(spark: SparkSession, dir: String): DataFrame =
+    outageWindows(Tables.events(spark, dir))
+
+  val strOutageWindowsSql: String =
+    """WITH m AS (
+      |  SELECT epoch_us(ts) // 60000000 AS m, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |sp AS (
+      |  SELECT unnest(range((SELECT MIN(m) FROM m),
+      |                      (SELECT MAX(m) FROM m) + 1)) AS m),
+      |e AS (
+      |  SELECT sp.m FROM sp LEFT JOIN m ON sp.m = m.m
+      |  WHERE m.m IS NULL),
+      |i AS (SELECT m, m - ROW_NUMBER() OVER (ORDER BY m) AS k FROM e),
+      |o AS (SELECT MIN(m) AS start_m, COUNT(*) AS len_min
+      |      FROM i GROUP BY k)
+      |SELECT make_timestamp((start_m // 1440) * 86400000000)
+      |    AS day_start,
+      |  COUNT(*) AS n_outages,
+      |  CAST(SUM(len_min) AS BIGINT) AS silent_min,
+      |  CAST(MAX(len_min) AS BIGINT) AS max_outage_min
+      |FROM o GROUP BY 1 ORDER BY day_start""".stripMargin
+
   def strConcurrency(spark: SparkSession, dir: String): DataFrame =
     concurrency(Tables.events(spark, dir))
 
@@ -811,6 +867,7 @@ object EventStreams extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_concurrency" -> (strConcurrency _),
+    "str_outage_windows" -> (strOutageWindows _),
     "str_lateness_audit" -> (strLatenessAudit _),
     "str_distinct_windowed" -> (strDistinctWindowed _),
     "str_cep_pattern" -> (strCepPattern _),
@@ -832,6 +889,7 @@ object EventStreams extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "str_concurrency" -> strConcurrencySql,
+    "str_outage_windows" -> strOutageWindowsSql,
     "str_lateness_audit" -> strLatenessAuditSql,
     "str_distinct_windowed" -> strDistinctWindowedSql,
     "str_cep_pattern" -> strCepPatternSql,
