@@ -86,6 +86,60 @@ object Dedup extends QueryModule {
       |SELECT fp AS fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       |FROM c GROUP BY fp ORDER BY keeper""".stripMargin
 
+  // ------------------------------------------------- dedup_template
+  /** TEMPLATE dedup — cluster documents that are the same boilerplate
+    * with different FILL-INS (log lines, generated pages, receipts):
+    * [[normalizedExact]]'s canonicalization plus digit-run masking
+    * (every number → '#'), so "error 404 at 10:31" and "error 500 at
+    * 22:07" share a fingerprint. Reports each template family with
+    * ≥ 2 members — the structure dedup_exact/dedup_normalized cannot
+    * see because the instantiated values differ byte-wise. Same ONE
+    * map-side-combining hash-agg shuffle; the mask is a codegen
+    * regexp pass that never leaves the map side. */
+  def templateDedup(docs: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "#"),
+      "[^a-z#\\s]", " "), "\\s+", " "))
+    docs.groupBy(md5(canon).as("template_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("exemplar"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** The driver key runs the template core over synthesized LOG LINES
+    * (first token + per-doc ids/sizes interpolated) — the operator's
+    * real input shape; the test corpus itself is digit-free word
+    * salad with zero repeated structure, which would verify the
+    * operator against an always-empty answer. */
+  def dedupTemplate(spark: SparkSession, dir: String): DataFrame =
+    templateDedup(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat(regexp_extract(col("text"), "^\\S+", 0),
+          lit(" request "), col("doc_id").cast("string"),
+          lit(" from "), col("source"),
+          lit(" in "), col("n_chars").cast("string"), lit("ms"))
+          .as("text")))
+      .orderBy("exemplar")
+
+  val dedupTemplateSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, source,
+      |    regexp_extract(text, '^\S+') || ' request ' ||
+      |      CAST(doc_id AS VARCHAR) || ' from ' || source || ' in ' ||
+      |      CAST(n_chars AS VARCHAR) || 'ms' AS text
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(text), '[0-9]+', '#', 'g'),
+      |      '[^a-z#\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      |  FROM l)
+      |SELECT fp AS template_fp, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources, MIN(doc_id) AS exemplar
+      |FROM c GROUP BY fp HAVING COUNT(*) >= 2
+      |ORDER BY exemplar""".stripMargin
+
   // ----------------------------------------------- dedup_containment
   /** DIRECTIONAL excerpt containment: c(A→B) = |G(A)∩G(B)|/|G(A)| ≥
     * t over word-8-GRAM sets — doc A's sequences are (mostly) inside
@@ -1535,6 +1589,7 @@ object Dedup extends QueryModule {
     "dedup_apply" -> (dedupApply _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
+    "dedup_template" -> (dedupTemplate _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
@@ -1561,6 +1616,7 @@ object Dedup extends QueryModule {
     "dedup_apply" -> dedupApplySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,
+    "dedup_template" -> dedupTemplateSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,

@@ -1200,6 +1200,63 @@ object Relational extends graft.QueryModule {
       |FROM ch JOIN n ON ch.g = n.g GROUP BY ch.g
       |ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------- q40_skyline
+  /** SKYLINE (Pareto frontier) — the multi-criteria shortlist query
+    * ("no part is both cheaper AND bigger"): part p survives iff no q
+    * has price ≤ p's and size ≥ p's with one strict. The naive form is
+    * a quadratic NOT-EXISTS self-join; the 2-D decomposition makes it
+    * a PREFIX-MAX: p is on the frontier iff its size exceeds the max
+    * size over all STRICTLY cheaper parts and equals the max size at
+    * its own price. The prefix-max runs over the per-price aggregate
+    * (domain-bounded, never the corpus) with the two-level shard
+    * decomposition — local running max inside contiguous cents shards,
+    * exclusive shard-offset prefix over the per-shard maxes — so no
+    * window spans the price domain in one task either. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_size"),
+      (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val perPrice = p.groupBy("cents").agg(max(col("p_size")).as("mx"))
+      .withColumn("_sh", expr("cents div 1048576"))
+    val pre = Window.partitionBy(pmod(col("_m"), lit(1))).orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPrice.groupBy("_sh").agg(max(col("mx")).as("_m"))
+      .withColumn("_off", max(col("_m")).over(pre))
+      .select("_sh", "_off")
+    val local = Window.partitionBy("_sh").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cm = perPrice
+      .withColumn("_lm", max(col("mx")).over(local))
+      .join(broadcast(offsets), Seq("_sh"))
+      .select(col("cents"), col("mx"),
+        greatest(coalesce(col("_lm"), lit(Int.MinValue.toLong)),
+          coalesce(col("_off"), lit(Int.MinValue.toLong))).as("prevmx"))
+    p.join(cm, "cents")
+      .filter(col("p_size") === col("mx") && col("p_size") > col("prevmx"))
+      .select(col("p_partkey"), col("cents"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  val q40Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM part),
+      |pp AS (SELECT cents, MAX(p_size) AS mx FROM p GROUP BY cents),
+      |cm AS (
+      |  SELECT cents, mx,
+      |    COALESCE(MAX(mx) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -2147483648) AS prevmx
+      |  FROM pp)
+      |SELECT p.p_partkey, p.cents, p.p_size
+      |FROM p JOIN cm ON p.cents = cm.cents
+      |WHERE p.p_size = cm.mx AND p.p_size > cm.prevmx
+      |ORDER BY p.p_partkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1244,6 +1301,7 @@ object Relational extends graft.QueryModule {
     "q37_unpivot" -> (q37 _),
     "q38_band_join" -> (q38 _),
     "q39_weighted_median" -> (q39 _),
+    "q40_skyline" -> (q40 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1285,6 +1343,7 @@ object Relational extends graft.QueryModule {
     "q37_unpivot" -> q37Sql,
     "q38_band_join" -> q38Sql,
     "q39_weighted_median" -> q39Sql,
+    "q40_skyline" -> q40Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -941,6 +941,56 @@ object SourceQueries extends QueryModule {
       |  AS t(dialect_id, detected_delim, n_lines, fields_per_line)
       |ORDER BY dialect_id""".stripMargin
 
+  // -------------------------------------------- src_header_reorder
+  /** Header-driven column alignment — the ingest reality that files
+    * from the same feed arrive with columns REORDERED or MISSING
+    * (exporters change, versions drift): three CSV variants of the
+    * nation dim are staged with headers (canonical order, shuffled
+    * order, and one with the region column dropped), each is read
+    * back header-first, and `unionByName(allowMissingColumns)` aligns
+    * them BY NAME — the dropped column materializes as nulls, never
+    * as silently transposed data. The audit sums the key column per
+    * file: a by-position union would shear the reordered variant's
+    * columns and the hash check would catch it. The oracle re-derives
+    * each variant's totals from the dim arithmetically. */
+  def srcHeaderReorder(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val variants = Seq(
+      ("v1_canonical", Seq("n_nationkey", "n_name", "n_regionkey")),
+      ("v2_reordered", Seq("n_regionkey", "n_name", "n_nationkey")),
+      ("v3_missing", Seq("n_name", "n_nationkey")))
+    val staged = variants.map { case (name, cols) =>
+      val tmp = stagingDir(spark, s"graft-hdr-$name")
+      n.select(cols.map(col): _*)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      (name, tmp)
+    }
+    staged.map { case (name, tmp) =>
+      spark.read.option("header", "true").csv(tmp)
+        .withColumn("file_id", lit(name))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey").cast("long")).as("key_sum"),
+        sum(when(col("n_regionkey").isNull, 1L).otherwise(0L))
+          .as("n_null_region"))
+      .orderBy("file_id")
+  }
+
+  val srcHeaderReorderSql: String =
+    """SELECT * FROM (VALUES
+      |  ('v1_canonical', (SELECT COUNT(*) FROM nation),
+      |    (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation),
+      |    CAST(0 AS BIGINT)),
+      |  ('v2_reordered', (SELECT COUNT(*) FROM nation),
+      |    (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation),
+      |    CAST(0 AS BIGINT)),
+      |  ('v3_missing', (SELECT COUNT(*) FROM nation),
+      |    (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation),
+      |    (SELECT COUNT(*) FROM nation)))
+      |  AS t(file_id, n_rows, key_sum, n_null_region)
+      |ORDER BY file_id""".stripMargin
+
   // ---------------------------------------------- src_zip_archive
   /** ZIP container walk — the archive interchange format batch drops
     * actually arrive in: per document a deterministic multi-entry
@@ -999,6 +1049,7 @@ object SourceQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_zip_archive" -> (srcZipArchive _),
+    "src_header_reorder" -> (srcHeaderReorder _),
     "src_dialect_sniff" -> (srcDialectSniff _),
     "src_json_flatten" -> (srcJsonFlatten _),
     "src_malformed_audit" -> (malformedAudit _),
@@ -1030,6 +1081,7 @@ object SourceQueries extends QueryModule {
     "src_multiline_csv" -> multilineCsvRoundtripSql,
     "src_gzip_text" -> gzipTextRoundtripSql,
     "src_zip_archive" -> srcZipArchiveSql,
+    "src_header_reorder" -> srcHeaderReorderSql,
     "src_dialect_sniff" -> srcDialectSniffSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,

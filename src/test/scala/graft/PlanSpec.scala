@@ -290,4 +290,51 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(covPlan).size == 1,
       "covariance must scan the corpus exactly once")
   }
+
+  test("r9 ops: equi-join band join, group-limited keywords, " +
+      "partitioned windows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    // q38: the band predicate must ride an equi-join on (brand,
+    // bucket) — a raw |a-b|<=δ join would nested-loop (quadratic)
+    val band = Relational.q38(spark, sfDir)
+    band.collect()
+    val bandPlan = band.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!bandPlan.contains("BroadcastNestedLoopJoin") &&
+      !bandPlan.contains("CartesianProduct"),
+      s"band join fell back to a loop join:\n$bandPlan")
+    // txt_doc_keywords: rank<=3 must apply as a partial
+    // WindowGroupLimit BEFORE the exchange (each task forwards <=3
+    // candidates per doc)
+    val kw = graft.text.TextAnalysis.txtDocKeywords(spark, sfDir)
+    kw.collect()
+    val kwPlan = kw.queryExecution.executedPlan.toString
+    assert(kwPlan.contains("WindowGroupLimit") &&
+      kwPlan.contains("Partial"),
+      s"keyword top-3 should group-limit map-side:\n${kwPlan.take(2000)}")
+    // the new windowed ops keep every window partitioned (the
+    // deliberate pmod marker counts as a partition spec)
+    for ((name, df) <- Seq(
+        ("mask_shuffle", graft.mask.MaskQueries.maskShuffle(spark, sfDir)),
+        ("str_outage_windows",
+          graft.streaming.EventStreams.strOutageWindows(spark, sfDir)),
+        ("txt_heaps", graft.text.TextAnalysis.txtHeaps(spark, sfDir)),
+        ("q39_weighted_median", Relational.q39(spark, sfDir)),
+        ("pipe_sample_weighted",
+          graft.pipeline.CorpusPipeline.pipeSampleWeighted(spark, sfDir)))) {
+      df.collect()
+      val bare = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$name has an unpartitioned window:\n${bare.mkString("\n")}")
+    }
+  }
 }
