@@ -722,6 +722,43 @@ object MaskQueries extends QueryModule {
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------ mask_cell_suppress
+  /** Small-cell suppression — the disclosure-control rule every
+    * statistical agency applies to published aggregates (and the
+    * tabular companion to [[maskKAnonymity]]'s row-level rule): a
+    * (nation, segment) cell whose population is below the threshold
+    * k = 8 has its count AND total nulled — publishing even the count
+    * of a tiny cell re-identifies its members; the suppressed flag
+    * stays so consumers can distinguish "suppressed" from "zero".
+    * One hash-agg; the threshold test is post-aggregation, so nothing
+    * row-level crosses the shuffle beyond the partial aggregates. */
+  def maskCellSuppress(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("_n"),
+        sum((col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("_s"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("_n") < 8, lit(null)).otherwise(col("_n")).as("n"),
+        when(col("_n") < 8, lit(null)).otherwise(col("_s"))
+          .as("balance_cents"),
+        (col("_n") < 8).as("suppressed"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val maskCellSuppressSql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+      |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS s
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CASE WHEN n < 8 THEN NULL ELSE n END AS n,
+      |  CASE WHEN n < 8 THEN NULL ELSE s END AS balance_cents,
+      |  n < 8 AS suppressed
+      |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // ------------------------------------------------------ mask_shuffle
   /** Value SHUFFLING — the masking technique that replaces each row's
     * sensitive value with ANOTHER row's value from the same group
@@ -796,6 +833,7 @@ object MaskQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_shuffle" -> (maskShuffle _),
+    "mask_cell_suppress" -> (maskCellSuppress _),
     "mask_rand_response" -> (maskRandResponse _),
     "mask_rare_suppress" -> (maskRareSuppress _),
     "mask_encrypt" -> (maskEncrypt _),
@@ -822,6 +860,7 @@ object MaskQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "mask_shuffle" -> maskShuffleSql,
+    "mask_cell_suppress" -> maskCellSuppressSql,
     "mask_rand_response" -> maskRandResponseSql,
     "mask_rare_suppress" -> maskRareSuppressSql,
     "mask_encrypt" -> maskEncryptSql,

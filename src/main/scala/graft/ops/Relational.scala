@@ -1257,6 +1257,39 @@ object Relational extends graft.QueryModule {
       |WHERE p.p_size = cm.mx AND p.p_size > cm.prevmx
       |ORDER BY p.p_partkey""".stripMargin
 
+  // ----------------------------------------------------------- q41_mode
+  /** Exact MODE per group — the most frequent value, the third member
+    * of the profiler's central-tendency trio beside mean and [[q36]]'s
+    * median: one map-side-combining (group, value) count collapses the
+    * corpus to the value domain, a tiny per-group max picks the top
+    * frequency, and the smallest value holding it breaks ties
+    * deterministically (both engines agree without an arbitrary
+    * ordering). The count re-join broadcasts the |groups|-row max —
+    * nothing after the first agg scales with the corpus. */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("c"))
+    val m = h.groupBy("l_returnflag").agg(max(col("c")).as("_mc"))
+    h.join(broadcast(m), "l_returnflag")
+      .filter(col("c") === col("_mc"))
+      .groupBy("l_returnflag")
+      .agg(min(col("qty")).as("mode_qty"), max(col("_mc")).as("mode_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q41Sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+      |    COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT l_returnflag, MAX(c) AS mc FROM h GROUP BY 1)
+      |SELECT h.l_returnflag, MIN(h.qty) AS mode_qty,
+      |  CAST(MAX(m.mc) AS BIGINT) AS mode_count
+      |FROM h JOIN m ON h.l_returnflag = m.l_returnflag AND h.c = m.mc
+      |GROUP BY h.l_returnflag ORDER BY h.l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1302,6 +1335,7 @@ object Relational extends graft.QueryModule {
     "q38_band_join" -> (q38 _),
     "q39_weighted_median" -> (q39 _),
     "q40_skyline" -> (q40 _),
+    "q41_mode" -> (q41 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1344,6 +1378,7 @@ object Relational extends graft.QueryModule {
     "q38_band_join" -> q38Sql,
     "q39_weighted_median" -> q39Sql,
     "q40_skyline" -> q40Sql,
+    "q41_mode" -> q41Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

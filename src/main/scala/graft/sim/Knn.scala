@@ -522,6 +522,50 @@ object Knn extends QueryModule {
        |  CAST(MIN(hits) AS BIGINT) AS min_hits
        |FROM perq GROUP BY method ORDER BY method""".stripMargin
 
+  // ------------------------------------------------- knn_probe_sweep
+  /** Recall-vs-nProbe tuning curve — THE dial an IVF deployment sets:
+    * each extra probed cell buys recall at linear candidate cost, and
+    * this table (recall@5 against the exact baseline for nProbe =
+    * 1, 2, 3) is how the knee is chosen. Composes the oracle-verified
+    * [[centroidKnn]] at each probe count against [[knnBrute]]; every
+    * audit join runs on ≤ q·k rows. Recall is monotone in nProbe by
+    * construction (probe sets nest) — a non-monotone row means the
+    * index is broken, which is why the sweep, not a single point, is
+    * the production canary. */
+  def knnProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val brute = knnBrute(spark, dir).select("qid", "nid")
+    def audit(p: Int): DataFrame =
+      brute.join(
+          centroidKnn(emb, emb.filter(col("vec_id") < 10), 5, nProbe = p)
+            .select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"),
+          min(col("hits")).as("min_hits"))
+        .select(lit(p).as("n_probe"), col("n_queries"), col("n_hits"),
+          col("min_hits"))
+    (1 to 3).map(audit).reduce(_.unionByName(_)).orderBy("n_probe")
+  }
+
+  val knnProbeSweepSql: String = {
+    // the centroid oracle with its probe bound re-templated per point
+    def block(p: Int) =
+      s"""SELECT $p AS n_probe, COUNT(*) AS n_queries,
+         |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+         |  CAST(MIN(hits) AS BIGINT) AS min_hits
+         |FROM (
+         |  SELECT b.qid,
+         |    SUM(CASE WHEN x.nid IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM ($knnBruteSql) b
+         |  LEFT JOIN (${knnCentroidSql.replace("rk <= 3", s"rk <= $p")}) x
+         |    ON b.qid = x.qid AND b.nid = x.nid
+         |  GROUP BY b.qid) q$p""".stripMargin
+    (1 to 3).map(block).mkString("", "\nUNION ALL\n", "\nORDER BY n_probe")
+  }
+
   // --------------------------------------------------- knn_filtered
   /** FILTERED vector search — top-k under a metadata predicate, the
     * operation every production vector store exposes (tenant/shard/
@@ -944,6 +988,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
+    "knn_probe_sweep" -> (knnProbeSweep _),
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_range" -> (knnRange _),
@@ -962,6 +1007,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
+    "knn_probe_sweep" -> knnProbeSweepSql,
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,

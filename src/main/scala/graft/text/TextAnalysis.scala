@@ -127,6 +127,34 @@ object TextAnalysis extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- txt_lang_confusion
+  /** Language-ID confusion matrix — the aggregate quality report over
+    * [[txtLangid]]'s per-doc predictions (which language leaks into
+    * which, and how much lands in "und"): one hash-agg over the
+    * classifier output plus each actual language's total broadcast
+    * back for a per-mille share. The matrix is |langs|² rows at any
+    * corpus size — the operator a routing decision ("trust lang X's
+    * auto-label?") actually reads, where the per-doc form is too big
+    * to eyeball. */
+  def txtLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cell = txtLangid(spark, dir).groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy("lang").agg(sum(col("n")).as("_t"))
+    cell.join(broadcast(tot), "lang")
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("n * 1000 div _t").as("share_pm"))
+      .orderBy("lang", "predicted")
+  }
+
+  val txtLangConfusionSql: String =
+    s"""WITH p AS ($txtLangidSql),
+       |c AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+       |t AS (SELECT lang, SUM(n) AS tt FROM c GROUP BY lang)
+       |SELECT c.lang, c.predicted, c.n,
+       |  CAST(c.n * 1000 // t.tt AS BIGINT) AS share_pm
+       |FROM c JOIN t ON c.lang = t.lang
+       |ORDER BY c.lang, c.predicted""".stripMargin
+
   // -------------------------------------------------- txt_fingerprint
   /** Document fingerprints: normalized-content md5 + order-insensitive
     * (sorted-token) md5 — the cheap near-dup prefilter pair. */
@@ -1388,6 +1416,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_heaps" -> (txtHeaps _),
+    "txt_lang_confusion" -> (txtLangConfusion _),
     "txt_doc_keywords" -> (txtDocKeywords _),
     "txt_zipf" -> (txtZipf _),
     "txt_bpe_apply" -> (txtBpeApply _),
@@ -1417,6 +1446,7 @@ object TextAnalysis extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "txt_heaps" -> txtHeapsSql,
+    "txt_lang_confusion" -> txtLangConfusionSql,
     "txt_doc_keywords" -> txtDocKeywordsSql,
     "txt_zipf" -> txtZipfSql,
     "txt_bpe_apply" -> txtBpeApplySql,
