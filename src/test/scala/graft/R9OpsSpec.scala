@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{OrderStats, Relational}
+
+/** Brute-force agreement + property pins for the round-9 operators:
+  * every scale-shaped implementation (radix selection, prefix-max
+  * skyline, bucketed band join, bounded triangle join) must equal the
+  * naive formulation on data small enough to compute it. */
+class R9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(90)
+
+  test("radixLowerMedian equals the sort-based lower median, any shift") {
+    // groups of wildly different sizes and value ranges, duplicates
+    // included; the lower median is the ⌈n/2⌉-th smallest
+    val rows = (1 to 4).flatMap { g =>
+      val n = g * g * 37 + rnd.nextInt(20)
+      (1 to n).map(_ => (s"g$g", math.abs(rnd.nextLong()) % (g match {
+        case 1 => 10L          // tiny domain, heavy ties
+        case 2 => 100000L      // fits one bucket at shift 20
+        case 3 => 1L << 40     // spans many buckets
+        case _ => 3L
+      })))
+    }
+    val df = rows.toDF("g", "v")
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> (sorted.length.toLong, sorted(((sorted.length + 1) / 2) - 1))
+    }
+    for (shift <- Seq(4, 12, 20)) {
+      val got = OrderStats.radixLowerMedian(df, Seq("g"), "v", shift)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("median"))).toMap
+      assert(got == expected, s"shift=$shift")
+    }
+  }
+
+  test("weighted radix median equals the repeat-expansion median") {
+    val rows = (1 to 150).map(_ =>
+      ("g", math.abs(rnd.nextLong()) % 5000L, 1L + rnd.nextInt(9)))
+    val df = rows.toDF("g", "v", "w")
+    val expanded = rows.flatMap { case (_, v, w) =>
+      Seq.fill(w.toInt)(v) }.sorted
+    val expected = expanded(((expanded.length + 1) / 2) - 1)
+    val got = OrderStats.radixLowerMedianWeighted(
+        df, Seq("g"), "v", col("w"), 8)
+      .collect().head
+    assert(got.getAs[Long]("median") == expected)
+    assert(got.getAs[Long]("n") == expanded.length.toLong)
+  }
+
+  test("q40 skyline equals the brute-force dominance filter") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brute = parts.filter { case (_, sz, c) =>
+      !parts.exists { case (_, sz2, c2) =>
+        c2 <= c && sz2 >= sz && (c2 < c || sz2 > sz) }
+    }.map(_._1).toSet
+    val got = Relational.q40(spark, sfDir)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == brute)
+  }
+
+  test("q38 band join equals the naive theta join") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val naive = parts.groupBy(_._2).view.mapValues { ps =>
+      val pairs = for {
+        a <- ps; b <- ps
+        if a._1 < b._1 && math.abs(a._3 - b._3) <= 50
+      } yield math.abs(a._3 - b._3)
+      (pairs.size.toLong, pairs.sum)
+    }.toMap.filter(_._2._1 > 0)
+    val got = Relational.q38(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("gap_cents_sum"))).toMap
+    assert(got == naive)
+  }
+
+  test("q41 mode equals the brute-force frequency argmax") {
+    val qs = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val brute = qs.groupBy(_._1).map { case (g, vs) =>
+      val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val mc = counts.values.max
+      g -> (counts.filter(_._2 == mc).keys.min, mc)
+    }
+    val got = Relational.q41(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("mode_qty"), r.getAs[Long]("mode_count"))).toMap
+    assert(got == brute)
+  }
+
+  test("knn_triangles equals the brute-force census on the edge set") {
+    val edges = graft.sim.Knn.knnGraph(spark, sfDir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val brute = (for {
+      (x, y) <- edges; (x2, z) <- edges
+      if x2 == x && y < z && edges.contains((y, z))
+    } yield (x, y, z)).size.toLong
+    val deg = nodes.map(v =>
+      v -> edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val row = graft.sim.Knn.knnTriangles(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_triangles") == brute)
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    assert(row.getAs[Long]("n_nodes") == nodes.size.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+  }
+
+  test("mask_shuffle preserves each nation's value multiset exactly") {
+    val orig = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val shuffled = graft.mask.MaskQueries.maskShuffle(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey"),
+        r.getAs[Long]("shuffled_cents")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(shuffled == orig,
+      "shuffling must permute values within the group, never alter them")
+  }
+
+  test("probe sweep recall is monotone in nProbe") {
+    val rows = graft.sim.Knn.knnProbeSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("n_probe"))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"recall regressed across probe counts: ${hits.toSeq}")
+    assert(rows.last.getAs[Long]("n_hits") > 0)
+  }
+
+  test("txt_heaps: cumulative columns are monotone; final vocab exact") {
+    val rows = graft.text.TextAnalysis.txtHeaps(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    for (c <- Seq("docs_n", "tokens_n", "vocab_n")) {
+      val vs = rows.map(_.getAs[Long](c))
+      assert(vs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"$c not monotone")
+    }
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .select("w").distinct().count()
+    assert(rows.last.getAs[Long]("vocab_n") == vocab)
+    assert(rows.last.getAs[Long]("docs_n") ==
+      Tables.documents(spark, sfDir).count())
+  }
+}
