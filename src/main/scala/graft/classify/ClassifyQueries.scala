@@ -517,6 +517,7 @@ object ClassifyQueries extends QueryModule {
     * fallback. */
   def clsOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    import graft.ops.OrderStats
     // melt every profiled column of a table in ONE scan: each row
     // explodes to its (col_name, cents) entries, so lineitem's two
     // amount columns cost one FileScan, not two
@@ -526,51 +527,37 @@ object ClassifyQueries extends QueryModule {
             (col(n).cast(DecimalType(18, 2)) * lit(100)).cast("long")
               .as("cents"))): _*)).as("v"))
         .select(col("v.col_name").as("col_name"), col("v.cents").as("cents"))
-    val vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
+    def vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
       .unionAll(centsOf(Tables.lineitem(spark, dir),
         "l_extendedprice", "l_quantity"))
-    val hist = vals.groupBy("col_name", "cents").agg(count(lit(1)).as("cnt"))
-    // two-level cumulative count: a window partitioned by col_name
-    // alone sorts each column's WHOLE value grid in one task (~500k
-    // hist rows per column at sf0.1; worse at scale for fine-grained
-    // amounts). Shard the grid into contiguous cents ranges, run the
-    // running sum within (col_name, shard), and offset by the
-    // exclusive prefix sum over the aggregated per-shard totals —
-    // identical cum values, parallel sorts (globalShuffle pattern).
-    import org.apache.spark.sql.expressions.Window
-    val sharded = hist.withColumn("_sh", expr("cents div 1048576"))
-    val offW = Window.partitionBy("col_name").orderBy("_sh")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy("col_name", "_sh")
-      .agg(sum(col("cnt")).as("_c"))
-      .withColumn("_off", coalesce(sum(col("_c")).over(offW), lit(0L)))
-      .select(col("col_name"), col("_sh"), col("_off"))
-    val localW = Window.partitionBy("col_name", "_sh").orderBy("cents")
-    val cum = sharded
-      .withColumn("_lc", sum(col("cnt")).over(localW))
-      .join(offsets, Seq("col_name", "_sh"))
-      .withColumn("cum", col("_off") + col("_lc"))
-      .join(hist.groupBy("col_name").agg(sum(col("cnt")).as("n")), "col_name")
-    val fences = cum.groupBy("col_name")
+    // Both quartiles by ONE shared radix selection
+    // (OrderStats.radixRankSelect, the r9 shape that fixed q36): the
+    // r8 full-value histogram approached the corpus for near-unique
+    // amounts and its exchange + sharded cum windows made this the
+    // bench's second-slowest key; radix exchanges are capped by the
+    // value-domain split instead. A third pruned pass counts the
+    // fence-escaping rows against the broadcast fences.
+    val fences = OrderStats.radixRankSelect(vals, Seq("col_name"), "cents",
+        Seq("q1" -> expr("(n + 3) div 4"),
+          "q3" -> expr("(3 * n + 3) div 4")))
+      .groupBy("col_name")
       .agg(max(col("n")).as("n_values"),
-        min(when(col("cum") >= expr("(n + 3) div 4"), col("cents")))
-          .as("q1_cents"),
-        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("cents")))
-          .as("q3_cents"))
+        max(when(col("sel") === "q1", col("sel_value"))).as("q1_cents"),
+        max(when(col("sel") === "q3", col("sel_value"))).as("q3_cents"))
       .withColumn("lo_fence",
         expr("q1_cents - (3 * (q3_cents - q1_cents)) div 2"))
       .withColumn("hi_fence",
         expr("q3_cents + (3 * (q3_cents - q1_cents)) div 2"))
-    hist.join(fences, "col_name")
+    vals.join(broadcast(fences), "col_name")
       .groupBy("col_name")
       .agg(max(col("n_values")).as("n_values"),
         max(col("q1_cents")).as("q1_cents"),
         max(col("q3_cents")).as("q3_cents"),
         max(col("lo_fence")).as("lo_fence"),
         max(col("hi_fence")).as("hi_fence"),
-        sum(when(col("cents") < col("lo_fence"), col("cnt")).otherwise(0L))
+        sum(when(col("cents") < col("lo_fence"), 1L).otherwise(0L))
           .as("n_low"),
-        sum(when(col("cents") > col("hi_fence"), col("cnt")).otherwise(0L))
+        sum(when(col("cents") > col("hi_fence"), 1L).otherwise(0L))
           .as("n_high"))
       .orderBy("col_name")
   }

@@ -182,7 +182,25 @@ object OrderStats {
     * histogram rows, weights merge map-side. `n` in the output is the
     * total weight W. */
   def radixLowerMedianWeighted(vals: DataFrame, groupCols: Seq[String],
-      valueCol: String, weight: Column, shift: Int = 12): DataFrame = {
+      valueCol: String, weight: Column, shift: Int = 12): DataFrame =
+    radixRankSelect(vals, groupCols, valueCol,
+        Seq("median" -> midRank1), weight, shift)
+      .select(groupCols.map(col) :+ col("n")
+        :+ col("sel_value").as("median"): _*)
+
+  /** The GENERAL radix selection: every named rank (an expression over
+    * the group total `n`, e.g. `(n+3) div 4` for Q1) is located in the
+    * same two passes — one (group, value >> shift) bucket histogram
+    * shared by all ranks, then one in-bucket pass over the UNION of
+    * the rank-holding buckets (a bucket holding two ranks is probed
+    * once per rank via the exploded rank list — ≤ |ranks| target rows
+    * per group). Returns one row per (group, rank name):
+    * (groupCols..., n, sel, sel_value), where sel_value is the
+    * smallest value whose cumulative weight reaches the rank. Same
+    * domain-capped exchange bounds as the median special case. */
+  def radixRankSelect(vals: DataFrame, groupCols: Seq[String],
+      valueCol: String, ranks: Seq[(String, Column)],
+      weight: Column = lit(1L), shift: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val withB = vals.withColumn("_w", weight)
@@ -190,23 +208,27 @@ object OrderStats {
     val bhist = withB.groupBy(g :+ col("_b"): _*)
       .agg(sum(col("_w")).as("c"))
     val byG = Window.partitionBy(g: _*)
+    val rankArr = array(ranks.map { case (nm, rk) =>
+      struct(lit(nm).as("nm"), rk.as("k")) }: _*)
     val target = bhist
       .withColumn("hi", sum(col("c")).over(byG.orderBy("_b")))
       .withColumn("lo", col("hi") - col("c") + 1L)
       .withColumn("n", max(col("hi")).over(byG))
-      .filter(holdsRank(midRank1))
-      .select(g :+ col("_b") :+ (col("lo") - 1L).as("_off")
-        :+ col("n"): _*)
-    val inB = withB.join(broadcast(target), groupCols :+ "_b")
-      .groupBy(g :+ col(valueCol): _*)
+      .withColumn("_r", explode(rankArr))
+      .filter(col("lo") <= col("_r.k") && col("_r.k") <= col("hi"))
+      .select(g :+ col("_b") :+ (col("lo") - 1L).as("_off") :+ col("n")
+        :+ col("_r.nm").as("sel") :+ col("_r.k").as("_k"): _*)
+    val bySel = Window.partitionBy(g :+ col("sel"): _*)
+    withB.join(broadcast(target), groupCols :+ "_b")
+      .groupBy(g :+ col("sel") :+ col(valueCol): _*)
       .agg(sum(col("_w")).as("c"), max(col("_off")).as("_off"),
-        max(col("n")).as("n"))
-    inB
+        max(col("n")).as("n"), max(col("_k")).as("_k"))
       .withColumn("hi", col("_off") + sum(col("c")).over(
-        byG.orderBy(valueCol)))
+        bySel.orderBy(valueCol)))
       .withColumn("lo", col("hi") - col("c") + 1L)
-      .filter(holdsRank(midRank1))
-      .select(g :+ col("n") :+ col(valueCol).as("median"): _*)
+      .filter(col("lo") <= col("_k") && col("_k") <= col("hi"))
+      .select(g :+ col("n") :+ col("sel")
+        :+ col(valueCol).as("sel_value"): _*)
   }
 
   // Spark's `/` is true division even on longs — `div` floors.

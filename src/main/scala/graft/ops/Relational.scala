@@ -1063,8 +1063,13 @@ object Relational extends graft.QueryModule {
     val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("long").as("cents"))
+    // med is consumed twice (deviation derivation + final join); it is
+    // a |groups|-row frame, so materializing it costs nothing and
+    // guarantees the selection passes run once (subtree reuse across
+    // the two consumers is not reliable through the rank explode)
     val med = radixLowerMedian(vals, Seq("l_returnflag"), "cents")
       .withColumnRenamed("median", "median_cents")
+      .localCheckpoint()
     val dev = vals
       .join(broadcast(med.select(col("l_returnflag"), col("median_cents"))),
         "l_returnflag")
