@@ -993,6 +993,67 @@ object EmbOps extends QueryModule {
       |    AS rnorm_milli
       |FROM res ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ emb_anisotropy
+  /** Embedding-space anisotropy — the mean pairwise cosine across the
+    * WHOLE corpus, the collapse metric from the representation-
+    * degeneration literature (healthy spaces sit near 0; a high mean
+    * cosine means every vector points the same way and retrieval
+    * contrast is gone). The naive form is n² dots; the sufficient-
+    * statistic identity Σ_{u≠v} u·v = |Σe|² − Σ|e|² makes it ONE
+    * scan: per-dimension component sums + per-vector self-dots.
+    * Vectors are normalized then milli-quantized (the
+    * [[embCovariance]] convention), so every sum is exact integer
+    * arithmetic both engines replay — float Σ over an unordered
+    * corpus would be partitioning-dependent. Output units:
+    * micro-cosine (q ≈ 1000·e, so q·q ≈ 10⁶·cosine). */
+  def embAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = graft.dedup.Dedup.fastDot(dbl, dbl)
+    val q = Tables.embeddings(spark, dir)
+      .filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(transform(
+        call_function(graft.expr.VectorExprs.normName, col("embedding")),
+        x => floor(x * 1000).cast("long")).as("qv"))
+    val self = q.select(
+      expr("aggregate(qv, 0L, (a, x) -> a + x * x)").as("sq"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("self_sum"))
+    val dims = q.select(posexplode(col("qv")))
+      .groupBy("pos").agg(sum(col("col")).as("s"))
+      .agg(sum(col("s") * col("s")).as("cross_sum"))
+    self.crossJoin(broadcast(dims))
+      // the numerator is NEGATIVE for a healthy (near-orthogonal)
+      // space; both engines' integer division truncates toward zero
+      // on this expression (verified against the gate at sf0.001-0.1)
+      .select(col("n"), col("self_sum"), col("cross_sum"),
+        expr("(cross_sum - self_sum) div (n * n - n)")
+          .as("mean_dot_micro"))
+  }
+
+  val embAnisotropySql: String =
+    """WITH f AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |q AS (
+      |  SELECT list_transform(e0, x -> CAST(FLOOR(
+      |    x / sqrt(list_dot_product(e0, e0)) * 1000) AS BIGINT)) AS qv
+      |  FROM f),
+      |slf AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(list_sum(list_transform(qv, x -> x * x))) AS BIGINT)
+      |      AS self_sum
+      |  FROM q),
+      |d AS (SELECT unnest(range(1, len(qv) + 1)) AS i, qv FROM q),
+      |sd AS (SELECT i, SUM(qv[CAST(i AS INTEGER)]) AS s FROM d GROUP BY i),
+      |x AS (SELECT CAST(SUM(s * s) AS BIGINT) AS cross_sum FROM sd)
+      |SELECT slf.n, slf.self_sum, x.cross_sum,
+      |  CAST((x.cross_sum - slf.self_sum)
+      |    // (slf.n * slf.n - slf.n) AS BIGINT) AS mean_dot_micro
+      |FROM slf, x""".stripMargin
+
   // ---------------------------------------------- knn_recall_binary
   /** Recall audit of the sign-bit Hamming path against the exact
     * baseline — completes the per-method canary set
@@ -1027,6 +1088,7 @@ object EmbOps extends QueryModule {
     "emb_rq_sketch" -> (embRqSketch _),
     "emb_power_iter" -> (embPowerIter _),
     "emb_covariance" -> (embCovariance _),
+    "emb_anisotropy" -> (embAnisotropy _),
     "knn_kmeans_refine" -> (knnKmeansRefine _),
     "emb_outliers" -> (embOutliers _),
     "emb_hamming_topk" -> (embHammingTopK _),
@@ -1044,6 +1106,7 @@ object EmbOps extends QueryModule {
     "emb_rq_sketch" -> embRqSketchSql,
     "emb_power_iter" -> embPowerIterSql,
     "emb_covariance" -> embCovarianceSql,
+    "emb_anisotropy" -> embAnisotropySql,
     "knn_kmeans_refine" -> knnKmeansRefineSql,
     "emb_outliers" -> embOutliersSql,
     "emb_hamming_topk" -> embHammingSql,

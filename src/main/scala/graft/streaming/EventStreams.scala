@@ -810,6 +810,61 @@ object EventStreams extends QueryModule {
       .orderBy("day_start")
   }
 
+  // -------------------------------------------------- str_burstiness
+  /** Traffic burstiness (Fano factor) per day — the dispersion index
+    * capacity planning reads next to [[outageWindows]]' silences: over
+    * the day's minute spine (zeros INCLUDED — skipping empty minutes
+    * silently deflates the variance), the per-minute count variance
+    * over its mean, in per-mille. ≈1000 is Poisson-like arrivals;
+    * far above means bursts, far below means rate-limited/clocked
+    * traffic. Everything after the minute collapse is bounded by the
+    * time range; the statistic is the exact integer identity
+    * (N·Σc² − (Σc)²)·1000 div (N·Σc), no float moments. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val m = events.select(
+        expr("unix_micros(cast(ts as timestamp)) div 60000000").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+    val spine = m.agg(min(col("m")).as("_lo"), max(col("m")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("m"))
+    spine.join(m, Seq("m"), "left")
+      .select(col("m"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(expr("m div 1440").as("_day"))
+      .agg(count(lit(1)).as("n_minutes"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("_s2"))
+      .filter(col("n_events") > 0)
+      .select(timestamp_micros(col("_day") * 86400000000L)
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("day_start"),
+        col("n_minutes"), col("n_events"),
+        expr("""(n_minutes * _s2 - n_events * n_events) * 1000
+                div (n_minutes * n_events)""").as("fano_pm"))
+      .orderBy("day_start")
+  }
+
+  def strBurstiness(spark: SparkSession, dir: String): DataFrame =
+    burstiness(Tables.events(spark, dir))
+
+  val strBurstinessSql: String =
+    """WITH m AS (
+      |  SELECT epoch_us(ts) // 60000000 AS m, COUNT(*) AS c
+      |  FROM events GROUP BY 1),
+      |sp AS (
+      |  SELECT unnest(range((SELECT MIN(m) FROM m),
+      |                      (SELECT MAX(m) FROM m) + 1)) AS m),
+      |f AS (
+      |  SELECT sp.m, COALESCE(mm.c, 0) AS c
+      |  FROM sp LEFT JOIN m mm ON sp.m = mm.m),
+      |d AS (
+      |  SELECT m // 1440 AS day, COUNT(*) AS n_minutes,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM f GROUP BY 1)
+      |SELECT make_timestamp(day * 86400000000) AS day_start,
+      |  n_minutes, n_events,
+      |  CAST((n_minutes * s2 - n_events * n_events) * 1000
+      |    // (n_minutes * n_events) AS BIGINT) AS fano_pm
+      |FROM d WHERE n_events > 0 ORDER BY day_start""".stripMargin
+
   def strOutageWindows(spark: SparkSession, dir: String): DataFrame =
     outageWindows(Tables.events(spark, dir))
 
@@ -868,6 +923,7 @@ object EventStreams extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_concurrency" -> (strConcurrency _),
     "str_outage_windows" -> (strOutageWindows _),
+    "str_burstiness" -> (strBurstiness _),
     "str_lateness_audit" -> (strLatenessAudit _),
     "str_distinct_windowed" -> (strDistinctWindowed _),
     "str_cep_pattern" -> (strCepPattern _),
@@ -890,6 +946,7 @@ object EventStreams extends QueryModule {
   val oracles: Map[String, String] = Map(
     "str_concurrency" -> strConcurrencySql,
     "str_outage_windows" -> strOutageWindowsSql,
+    "str_burstiness" -> strBurstinessSql,
     "str_lateness_audit" -> strLatenessAuditSql,
     "str_distinct_windowed" -> strDistinctWindowedSql,
     "str_cep_pattern" -> strCepPatternSql,
