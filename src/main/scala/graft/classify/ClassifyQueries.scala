@@ -1260,7 +1260,67 @@ object ClassifyQueries extends QueryModule {
       |    AS dev_pm
       |FROM g CROSS JOIN t ORDER BY dow""".stripMargin
 
+  // ------------------------------------------------- cls_null_profile
+  /** Missingness profile — the FIRST panel every data profiler renders
+    * (null rate per column, rows fully populated): the TPC-H dump is
+    * complete by construction, so the driver key profiles a
+    * deterministically SPARSIFIED wire view (each column dropped on a
+    * portable modulus of the key — the [[clsEntityMatch]] /
+    * dedup_template precedent: synthesize the operator's real input
+    * shape when the corpus lacks it). One melt scan → one hash-agg;
+    * the per-row any-null flag rides the same melt via a max over the
+    * row's entries, so "complete rows" costs no second scan. Scale:
+    * output is |columns|+1 rows however large the table. */
+  def clsNullProfile(spark: SparkSession, dir: String): DataFrame = {
+    val entries = Tables.orders(spark, dir).select(
+      explode(array(
+        struct(lit("o_custkey").as("col_name"),
+          (col("o_orderkey") % 7 === 0).as("miss")),
+        struct(lit("o_totalprice").as("col_name"),
+          (col("o_orderkey") % 13 === 0).as("miss")),
+        struct(lit("o_orderpriority").as("col_name"),
+          (col("o_orderkey") % 5 === 0).as("miss")))).as("e"),
+      col("o_orderkey"))
+    val perCol = entries
+      .groupBy(col("e.col_name").as("col_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e.miss").cast("long")).as("n_null"))
+    val anyNull = entries
+      .groupBy("o_orderkey")
+      .agg(max(col("e.miss").cast("long")).as("_any"))
+      .agg(count(lit(1)).as("n"), sum(col("_any")).as("n_null"))
+      .select(lit("_rows_any_null").as("col_name"), col("n"),
+        col("n_null"))
+    perCol.unionByName(anyNull)
+      .withColumn("null_pm", expr("n_null * 1000 div n"))
+      .orderBy("col_name")
+  }
+
+  val clsNullProfileSql: String =
+    """WITH e AS (
+      |  SELECT o_orderkey,
+      |    unnest(['o_custkey','o_totalprice','o_orderpriority'])
+      |      AS col_name,
+      |    unnest([CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END,
+      |            CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END,
+      |            CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END])
+      |      AS miss
+      |  FROM orders),
+      |pc AS (
+      |  SELECT col_name, COUNT(*) AS n,
+      |    CAST(SUM(miss) AS BIGINT) AS n_null
+      |  FROM e GROUP BY 1),
+      |ar AS (
+      |  SELECT '_rows_any_null' AS col_name, COUNT(*) AS n,
+      |    CAST(SUM(a) AS BIGINT) AS n_null
+      |  FROM (SELECT o_orderkey, MAX(miss) AS a FROM e GROUP BY 1)),
+      |u AS (SELECT * FROM pc UNION ALL SELECT * FROM ar)
+      |SELECT col_name, n, n_null,
+      |  CAST(n_null * 1000 // n AS BIGINT) AS null_pm
+      |FROM u ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_null_profile" -> (clsNullProfile _),
     "cls_histogram_profile" -> (clsHistogramProfile _),
     "cls_dow_seasonality" -> (clsDowSeasonality _),
     "cls_contingency" -> (clsContingency _),
@@ -1287,6 +1347,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_null_profile" -> clsNullProfileSql,
     "cls_histogram_profile" -> clsHistogramProfileSql,
     "cls_dow_seasonality" -> clsDowSeasonalitySql,
     "cls_contingency" -> clsContingencySql,

@@ -1295,6 +1295,60 @@ object Relational extends graft.QueryModule {
       |FROM h JOIN m ON h.l_returnflag = m.l_returnflag AND h.c = m.mc
       |GROUP BY h.l_returnflag ORDER BY h.l_returnflag""".stripMargin
 
+  // ------------------------------------------------ q42_quantile_panel
+  /** The full quantile PANEL per group — p25/p50/p75/p90/p99 in the
+    * SAME two domain-capped passes: this is the payoff of
+    * [[OrderStats.radixRankSelect]]'s named-rank generality (one
+    * shared 1024-bucket histogram locates all five ranks, one pruned
+    * in-bucket pass over the union of rank-holding buckets resolves
+    * them). The classic formulation — five `percentile` windows or
+    * five selection queries — costs five corpus rankings; this costs
+    * two scans regardless of how many quantiles the report asks for,
+    * which is what a 100 TB profiling sweep needs. Ranks are type-1
+    * (smallest value whose cumulative count reaches ⌈q·n⌉), exact in
+    * integer cents. */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    OrderStats.radixRankSelect(v, Seq("l_returnflag"), "cents", Seq(
+        "p25" -> expr("(n + 3) div 4"),
+        "p50" -> expr("(n + 1) div 2"),
+        "p75" -> expr("(3 * n + 3) div 4"),
+        "p90" -> expr("(9 * n + 9) div 10"),
+        "p99" -> expr("(99 * n + 99) div 100")))
+      .select(col("l_returnflag"), col("n"),
+        col("sel").as("quantile"), col("sel_value").as("cents"))
+      .orderBy("l_returnflag", "quantile")
+  }
+
+  val q42Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT l_returnflag, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, cents,
+      |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents) AS hi
+      |  FROM h),
+      |n AS (SELECT l_returnflag, COUNT(*) AS n FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT l_returnflag, n,
+      |    unnest(['p25','p50','p75','p90','p99']) AS quantile,
+      |    unnest([(n+3)//4, (n+1)//2, (3*n+3)//4,
+      |            (9*n+9)//10, (99*n+99)//100]) AS k
+      |  FROM n)
+      |SELECT r.l_returnflag, r.n, r.quantile,
+      |  MIN(c.cents) AS cents
+      |FROM r JOIN cum c
+      |  ON c.l_returnflag = r.l_returnflag AND c.hi >= r.k
+      |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1341,6 +1395,7 @@ object Relational extends graft.QueryModule {
     "q39_weighted_median" -> (q39 _),
     "q40_skyline" -> (q40 _),
     "q41_mode" -> (q41 _),
+    "q42_quantile_panel" -> (q42 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1384,6 +1439,7 @@ object Relational extends graft.QueryModule {
     "q39_weighted_median" -> q39Sql,
     "q40_skyline" -> q40Sql,
     "q41_mode" -> q41Sql,
+    "q42_quantile_panel" -> q42Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

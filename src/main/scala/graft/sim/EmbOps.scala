@@ -1054,6 +1054,60 @@ object EmbOps extends QueryModule {
       |    // (slf.n * slf.n - slf.n) AS BIGINT) AS mean_dot_micro
       |FROM slf, x""".stripMargin
 
+  // -------------------------------------------------- emb_dim_stats
+  /** Per-DIMENSION coordinate statistics — the input whitening /
+    * per-coordinate normalization needs, and the dead-dimension
+    * detector (a dim whose every value quantizes to 0 carries no
+    * information and is a free truncation candidate beside
+    * [[embMatryoshka]]'s energy view): per dim n, Σx, Σx², min, max
+    * and the dead count over MILLI-quantized raw components (the
+    * [[embAnisotropy]] convention — exact integers both engines
+    * replay; float Σ over an unordered corpus is partitioning-
+    * dependent). Variance is shipped as the integer numerator
+    * n·Σx² − (Σx)² — no float division inside the gate. One scan →
+    * one (dim)-keyed hash-agg; output is |dims| rows however many
+    * vectors. (At 10¹² rows the Σx² column wants the DECIMAL(38,0)
+    * widening cls_gini uses; BIGINT holds to ~10¹¹ vectors at milli
+    * scale.) */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("qv"))
+    q.select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sum_milli"),
+        sum(col("v") * col("v")).as("sumsq_milli"),
+        min(col("v")).as("min_milli"),
+        max(col("v")).as("max_milli"),
+        sum((abs(col("v")) < 1).cast("long")).as("n_dead"))
+      .withColumn("var_num",
+        expr("n * sumsq_milli - sum_milli * sum_milli"))
+      .orderBy("dim")
+  }
+
+  val embDimStatsSql: String =
+    """WITH q AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |d AS (SELECT unnest(range(1, len(qv) + 1)) AS i, qv FROM q),
+      |v AS (SELECT i - 1 AS dim, qv[CAST(i AS INTEGER)] AS v FROM d),
+      |g AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS sum_milli,
+      |    CAST(SUM(v * v) AS BIGINT) AS sumsq_milli,
+      |    CAST(MIN(v) AS BIGINT) AS min_milli,
+      |    CAST(MAX(v) AS BIGINT) AS max_milli,
+      |    CAST(SUM(CASE WHEN ABS(v) < 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dead
+      |  FROM v GROUP BY 1)
+      |SELECT CAST(dim AS INTEGER) AS dim, n, sum_milli, sumsq_milli,
+      |  min_milli, max_milli, n_dead,
+      |  CAST(n * sumsq_milli - sum_milli * sum_milli AS BIGINT)
+      |    AS var_num
+      |FROM g ORDER BY dim""".stripMargin
+
   // ---------------------------------------------- knn_recall_binary
   /** Recall audit of the sign-bit Hamming path against the exact
     * baseline — completes the per-method canary set
@@ -1089,6 +1143,7 @@ object EmbOps extends QueryModule {
     "emb_power_iter" -> (embPowerIter _),
     "emb_covariance" -> (embCovariance _),
     "emb_anisotropy" -> (embAnisotropy _),
+    "emb_dim_stats" -> (embDimStats _),
     "knn_kmeans_refine" -> (knnKmeansRefine _),
     "emb_outliers" -> (embOutliers _),
     "emb_hamming_topk" -> (embHammingTopK _),
@@ -1107,6 +1162,7 @@ object EmbOps extends QueryModule {
     "emb_power_iter" -> embPowerIterSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_anisotropy" -> embAnisotropySql,
+    "emb_dim_stats" -> embDimStatsSql,
     "knn_kmeans_refine" -> knnKmeansRefineSql,
     "emb_outliers" -> embOutliersSql,
     "emb_hamming_topk" -> embHammingSql,

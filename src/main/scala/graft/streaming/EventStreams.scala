@@ -920,7 +920,128 @@ object EventStreams extends QueryModule {
       |    AS max_concurrent
       |FROM c ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------ str_interarrival
+  /** Inter-arrival gap quantile panel — the tail-latency/engagement
+    * statistic (p50/p95 of the gap between a user's successive events
+    * of the same type) an SLO dashboard plots per feed. Gaps come from
+    * a lag window partitioned by (user, type) — bounded per key, never
+    * per type alone — and the panel resolves through
+    * [[graft.ops.OrderStats.radixRankSelect]]: both quantiles in the
+    * same two domain-capped passes, no per-type ranking of the gap
+    * stream (the corpus-sized partition a naive `percentile` window
+    * would build). Second-granularity gaps keep the radix domain
+    * bounded by the time range. */
+  def interarrival(events: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("_us"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("_us"))
+      .withColumn("gap_s",
+        expr("(_us - lag(_us) over (partition by user_id, event_type " +
+          "order by _us, event_id)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .select(col("event_type"), col("gap_s"))
+    graft.ops.OrderStats.radixRankSelect(gaps, Seq("event_type"),
+        "gap_s", Seq(
+        "p50" -> expr("(n + 1) div 2"),
+        "p95" -> expr("(19 * n + 19) div 20")))
+      .select(col("event_type"), col("n"),
+        col("sel").as("quantile"), col("sel_value").as("gap_s"))
+      .orderBy("event_type", "quantile")
+  }
+
+  def strInterarrival(spark: SparkSession, dir: String): DataFrame =
+    interarrival(Tables.events(spark, dir))
+
+  val strInterarrivalSql: String =
+    """WITH b AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    (us - LAG(us) OVER (PARTITION BY user_id, event_type
+      |       ORDER BY us, event_id)) // 1000000 AS gap_s
+      |  FROM b),
+      |v AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+      |h AS (
+      |  SELECT event_type, gap_s, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, gap_s,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS hi
+      |  FROM h),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n, unnest(['p50','p95']) AS quantile,
+      |    unnest([(n+1)//2, (19*n+19)//20]) AS k
+      |  FROM n)
+      |SELECT r.event_type, r.n, r.quantile, MIN(c.gap_s) AS gap_s
+      |FROM r JOIN cum c
+      |  ON c.event_type = r.event_type AND c.hi >= r.k
+      |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
+  // ----------------------------------------------- str_change_points
+  /** Level-shift detection (CUSUM) on the daily event-count series —
+    * the regime-change monitor beside [[burstiness]]' dispersion and
+    * [[outageWindows]]' silences: over the zero-filled day spine, the
+    * cumulative sum of (D·cᵢ − T) (each day's count against the mean,
+    * scaled by D = #days so the statistic stays an exact integer —
+    * no float mean), whose extremum marks the most likely change
+    * point. Everything after the day collapse is bounded by the time
+    * range; the |days| frame is localCheckpoint-ed so its two
+    * consumers (extremum probe + report) never re-scan the corpus. */
+  def changePoints(events: DataFrame): DataFrame = {
+    val d = events.select(
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val spine = d.agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("day"))
+    val f = spine.join(d, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val t = f.agg(count(lit(1)).as("_nd"), sum(col("c")).as("_tot"))
+    val w = Window.partitionBy(pmod(col("day"), lit(1))).orderBy("day")
+    val cu = f.crossJoin(broadcast(t))
+      .withColumn("cusum",
+        sum(col("c") * col("_nd") - col("_tot")).over(w))
+      .localCheckpoint()
+    val mx = cu.agg(max(abs(col("cusum"))).as("_m"))
+    cu.crossJoin(broadcast(mx))
+      .select(timestamp_micros(col("day") * 86400000000L)
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("day_start"),
+        col("c"), col("cusum"),
+        (abs(col("cusum")) === col("_m")).as("is_peak"))
+      .orderBy("day_start")
+  }
+
+  def strChangePoints(spark: SparkSession, dir: String): DataFrame =
+    changePoints(Tables.events(spark, dir))
+
+  val strChangePointsSql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1),
+      |sp AS (
+      |  SELECT unnest(range((SELECT MIN(day) FROM d),
+      |                      (SELECT MAX(day) FROM d) + 1)) AS day),
+      |f AS (
+      |  SELECT sp.day, COALESCE(d.c, 0) AS c
+      |  FROM sp LEFT JOIN d ON sp.day = d.day),
+      |t AS (SELECT COUNT(*) AS nd, SUM(c) AS tot FROM f),
+      |cu AS (
+      |  SELECT day, c, SUM(c * t.nd - t.tot) OVER (ORDER BY day)
+      |    AS cusum
+      |  FROM f CROSS JOIN t),
+      |mx AS (SELECT MAX(ABS(cusum)) AS m FROM cu)
+      |SELECT make_timestamp(day * 86400000000) AS day_start,
+      |  CAST(c AS BIGINT) AS c, CAST(cusum AS BIGINT) AS cusum,
+      |  (ABS(cusum) = mx.m) AS is_peak
+      |FROM cu CROSS JOIN mx ORDER BY day_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_interarrival" -> (strInterarrival _),
+    "str_change_points" -> (strChangePoints _),
     "str_concurrency" -> (strConcurrency _),
     "str_outage_windows" -> (strOutageWindows _),
     "str_burstiness" -> (strBurstiness _),
@@ -944,6 +1065,8 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_interarrival" -> strInterarrivalSql,
+    "str_change_points" -> strChangePointsSql,
     "str_concurrency" -> strConcurrencySql,
     "str_outage_windows" -> strOutageWindowsSql,
     "str_burstiness" -> strBurstinessSql,

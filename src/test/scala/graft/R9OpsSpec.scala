@@ -160,4 +160,93 @@ class R9OpsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("docs_n") ==
       Tables.documents(spark, sfDir).count())
   }
+
+  test("q42 quantile panel equals sort-based type-1 selection") {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = cents.groupBy(_._1).flatMap { case (g, vs) =>
+      val s = vs.map(_._2).sorted
+      val n = s.length.toLong
+      def sel(k: Long) = s((k - 1).toInt)
+      Seq(((g, "p25"), sel((n + 3) / 4)), ((g, "p50"), sel((n + 1) / 2)),
+        ((g, "p75"), sel((3 * n + 3) / 4)),
+        ((g, "p90"), sel((9 * n + 9) / 10)),
+        ((g, "p99"), sel((99 * n + 99) / 100)))
+    }.toMap
+    val got = Relational.q42(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[String]("quantile")) ->
+        r.getAs[Long]("cents")).toMap
+    assert(got == expected)
+  }
+
+  test("str_interarrival quantiles equal sort-based gap selection") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._2, e._1)).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._3)).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a._1, (b._4 - a._4) / 1000000L)
+      }
+    }
+    val expected = gaps.groupBy(_._1).flatMap { case (t, gs) =>
+      val s = gs.map(_._2).sorted
+      val n = s.length.toLong
+      Seq(((t, "p50"), s(((n + 1) / 2 - 1).toInt)),
+        ((t, "p95"), s(((19 * n + 19) / 20 - 1).toInt)))
+    }.toMap
+    val got = graft.streaming.EventStreams.strInterarrival(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getAs[String]("quantile")) ->
+        r.getAs[Long]("gap_s")).toMap
+    assert(got == expected)
+  }
+
+  test("str_change_points: cusum telescopes to zero; peak is the argmax") {
+    val rows = graft.streaming.EventStreams.strChangePoints(spark, sfDir)
+      .orderBy("day_start").collect()
+    // Σ(D·cᵢ − T) over the full spine is D·T − D·T = 0 exactly
+    assert(rows.last.getAs[Long]("cusum") == 0L)
+    val mx = rows.map(r => math.abs(r.getAs[Long]("cusum"))).max
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_peak") ==
+        (math.abs(r.getAs[Long]("cusum")) == mx))
+    }
+    assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
+  }
+
+  test("cls_null_profile matches a direct recount of the sparsity masks") {
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val exp = Map(
+      "o_custkey" -> keys.count(_ % 7 == 0).toLong,
+      "o_totalprice" -> keys.count(_ % 13 == 0).toLong,
+      "o_orderpriority" -> keys.count(_ % 5 == 0).toLong,
+      "_rows_any_null" ->
+        keys.count(k => k % 7 == 0 || k % 13 == 0 || k % 5 == 0).toLong)
+    val got = graft.classify.ClassifyQueries.clsNullProfile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_null")).toMap
+    assert(got == exp)
+  }
+
+  test("emb_dim_stats: uniform n, non-negative variance numerator, " +
+      "sums match a direct per-dim fold") {
+    val rows = graft.sim.EmbOps.embDimStats(spark, sfDir).collect()
+    val ns = rows.map(_.getAs[Long]("n")).distinct
+    assert(ns.length == 1, s"ragged dim counts: ${ns.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("var_num") >= 0L,
+      s"Cauchy-Schwarz violated at dim ${r.getAs[Int]("dim")}"))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).map(x => math.floor(x * 1000).toLong))
+    val dims = vecs.head.length
+    val expSum = Array.fill(dims)(0L)
+    vecs.foreach(v => v.indices.foreach(i => expSum(i) += v(i)))
+    val gotSum = rows.sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Long]("sum_milli"))
+    assert(gotSum.toSeq == expSum.toSeq)
+  }
 }
