@@ -1267,27 +1267,28 @@ object ClassifyQueries extends QueryModule {
     * deterministically SPARSIFIED wire view (each column dropped on a
     * portable modulus of the key — the [[clsEntityMatch]] /
     * dedup_template precedent: synthesize the operator's real input
-    * shape when the corpus lacks it). One melt scan → one hash-agg;
-    * the per-row any-null flag rides the same melt via a max over the
-    * row's entries, so "complete rows" costs no second scan. Scale:
-    * output is |columns|+1 rows however large the table. */
+    * shape when the corpus lacks it). One melt scan → one hash-agg
+    * for the per-column panel; the rows-with-any-null figure is a
+    * ROW-LOCAL or over the masks (they are pure key functions), so it
+    * is a second column-pruned scan folding straight into a 1-row
+    * aggregate — never a per-row keyed shuffle. Scale: output is
+    * |columns|+1 rows however large the table. */
   def clsNullProfile(spark: SparkSession, dir: String): DataFrame = {
-    val entries = Tables.orders(spark, dir).select(
-      explode(array(
-        struct(lit("o_custkey").as("col_name"),
-          (col("o_orderkey") % 7 === 0).as("miss")),
-        struct(lit("o_totalprice").as("col_name"),
-          (col("o_orderkey") % 13 === 0).as("miss")),
-        struct(lit("o_orderpriority").as("col_name"),
-          (col("o_orderkey") % 5 === 0).as("miss")))).as("e"),
-      col("o_orderkey"))
-    val perCol = entries
+    val perCol = Tables.orders(spark, dir).select(
+        explode(array(
+          struct(lit("o_custkey").as("col_name"),
+            (col("o_orderkey") % 7 === 0).as("miss")),
+          struct(lit("o_totalprice").as("col_name"),
+            (col("o_orderkey") % 13 === 0).as("miss")),
+          struct(lit("o_orderpriority").as("col_name"),
+            (col("o_orderkey") % 5 === 0).as("miss")))).as("e"))
       .groupBy(col("e.col_name").as("col_name"))
       .agg(count(lit(1)).as("n"),
         sum(col("e.miss").cast("long")).as("n_null"))
-    val anyNull = entries
-      .groupBy("o_orderkey")
-      .agg(max(col("e.miss").cast("long")).as("_any"))
+    val anyNull = Tables.orders(spark, dir)
+      .select(((col("o_orderkey") % 7 === 0) ||
+        (col("o_orderkey") % 13 === 0) ||
+        (col("o_orderkey") % 5 === 0)).cast("long").as("_any"))
       .agg(count(lit(1)).as("n"), sum(col("_any")).as("n_null"))
       .select(lit("_rows_any_null").as("col_name"), col("n"),
         col("n_null"))
@@ -1312,8 +1313,10 @@ object ClassifyQueries extends QueryModule {
       |  FROM e GROUP BY 1),
       |ar AS (
       |  SELECT '_rows_any_null' AS col_name, COUNT(*) AS n,
-      |    CAST(SUM(a) AS BIGINT) AS n_null
-      |  FROM (SELECT o_orderkey, MAX(miss) AS a FROM e GROUP BY 1)),
+      |    CAST(SUM(CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+      |                    OR o_orderkey % 5 = 0
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |  FROM orders),
       |u AS (SELECT * FROM pc UNION ALL SELECT * FROM ar)
       |SELECT col_name, n, n_null,
       |  CAST(n_null * 1000 // n AS BIGINT) AS null_pm

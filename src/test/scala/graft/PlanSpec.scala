@@ -337,4 +337,60 @@ class PlanSpec extends SparkSpec {
         s"$name has an unpartitioned window:\n${bare.mkString("\n")}")
     }
   }
+
+  test("late-r9 ops: scan budgets and partitioned windows hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    def executed(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // q42: five quantiles share radixRankSelect's two passes — the
+    // executed plan holds exactly two column-pruned lineitem scans
+    // however many ranks the panel asks for
+    val q42Plan = executed(Relational.q42(spark, sfDir))
+    val q42Scans = q42Plan.split("\n").filter(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(q42Scans.length <= 2,
+      s"quantile panel must not scan per rank:\n${q42Plan.take(2000)}")
+    assert(q42Scans.forall(_.contains(
+      "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>")),
+      "panel scans must prune to the two used columns")
+    // emb_dim_stats: one embeddings scan, dim-keyed agg only
+    val dimPlan = executed(graft.sim.EmbOps.embDimStats(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(dimPlan).size == 1,
+      s"dim stats is a single-scan profile:\n${dimPlan.take(2000)}")
+    // cls_null_profile: two pruned orders scans (melt panel + row-local
+    // any-null) and NO per-row keyed exchange — the any-null flag must
+    // not group by the key
+    val npPlan = executed(
+      graft.classify.ClassifyQueries.clsNullProfile(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(npPlan).size <= 2,
+      s"null profile must hold to two pruned scans:\n${npPlan.take(2000)}")
+    assert(!npPlan.contains("hashpartitioning(o_orderkey"),
+      s"any-null must stay row-local, never a per-key shuffle")
+    // str_change_points: the checkpointed day frame feeds both
+    // consumers — zero parquet scans in the final executed plan
+    val cpDf = graft.streaming.EventStreams.strChangePoints(spark, sfDir)
+    val cpPlan = executed(cpDf)
+    assert("Scan parquet".r.findAllIn(cpPlan).size == 0,
+      s"change points must reuse the checkpointed day spine:" +
+        s"\n${cpPlan.take(2000)}")
+    // str_interarrival: every window partitioned (lag by (user, type),
+    // radix passes by (type, bucket) / (type, sel))
+    val ia = graft.streaming.EventStreams.strInterarrival(spark, sfDir)
+    ia.collect()
+    val iaBare = allNodes(ia.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(iaBare.isEmpty,
+      s"interarrival has an unpartitioned window:" +
+        s"\n${iaBare.mkString("\n")}")
+  }
 }
