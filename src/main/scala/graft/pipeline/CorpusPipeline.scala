@@ -443,6 +443,61 @@ object CorpusPipeline extends QueryModule {
   def pipeShardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifest(Tables.documents(spark, dir))
 
+  // ------------------------------------------------ pipe_shard_skew
+  /** Shard-balance audit over the manifest — the STRAGGLER predictor
+    * (a training epoch runs at the pace of its heaviest shard, so the
+    * number that matters is max/mean, not the mean): from the
+    * |shards|-row token manifest, the straggler factor in per-mille
+    * of the mean (max·n·1000 div total — exact integers, no float
+    * mean) and how many shards run ≥ 1.5× hot
+    * (2·tokens·n > 3·total, the same ratio cross-multiplied).
+    * The manifest frame is localCheckpoint-ed for its two consumers
+    * (totals + hot count); nothing here ever re-touches the corpus. */
+  def pipeShardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val m = shardManifest(Tables.documents(spark, dir))
+      .select(col("shard"), col("n_tokens")).localCheckpoint()
+    val t = m.agg(count(lit(1)).as("n_shards"),
+      sum(col("n_tokens")).as("tokens_total"),
+      max(col("n_tokens")).as("tokens_max"),
+      min(col("n_tokens")).as("tokens_min"))
+    val hot = m.crossJoin(broadcast(t))
+      .filter(col("n_tokens") * 2 * col("n_shards") >
+        col("tokens_total") * 3)
+      .agg(count(lit(1)).as("n_hot"))
+    t.crossJoin(broadcast(hot))
+      .select(col("n_shards"), col("tokens_total"), col("tokens_max"),
+        col("tokens_min"),
+        expr("tokens_max * n_shards * 1000 div tokens_total")
+          .as("straggler_pm"),
+        col("n_hot"))
+  }
+
+  val pipeShardSkewSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+      |      doc_id) - 1 AS pos,
+      |    len(regexp_split_to_array(text, '\s+')) AS nt
+      |  FROM documents),
+      |s AS (
+      |  SELECT pos // 64 AS shard, CAST(SUM(nt) AS BIGINT) AS nt
+      |  FROM r GROUP BY 1),
+      |t AS (
+      |  SELECT COUNT(*) AS n_shards,
+      |    CAST(SUM(nt) AS BIGINT) AS tokens_total,
+      |    CAST(MAX(nt) AS BIGINT) AS tokens_max,
+      |    CAST(MIN(nt) AS BIGINT) AS tokens_min
+      |  FROM s),
+      |h AS (
+      |  SELECT COUNT(*) AS n_hot FROM s, t
+      |  WHERE s.nt * 2 * t.n_shards > t.tokens_total * 3)
+      |SELECT t.n_shards, t.tokens_total, t.tokens_max, t.tokens_min,
+      |  CAST(t.tokens_max * t.n_shards * 1000 // t.tokens_total
+      |    AS BIGINT) AS straggler_pm,
+      |  CAST(h.n_hot AS BIGINT) AS n_hot
+      |FROM t, h""".stripMargin
+
   val pipeShardManifestSql: String =
     """WITH r AS (
       |  SELECT doc_id,
@@ -1334,6 +1389,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_epoch_plan" -> (pipeEpochPlan _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
+    "pipe_shard_skew" -> (pipeShardSkew _),
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
@@ -1361,5 +1417,6 @@ object CorpusPipeline extends QueryModule {
     "pipe_epoch_plan" -> pipeEpochPlanSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,
+    "pipe_shard_skew" -> pipeShardSkewSql,
     "pipe_mix_weights" -> pipeMixWeightsSql)
 }

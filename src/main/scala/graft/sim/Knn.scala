@@ -310,11 +310,19 @@ object Knn extends QueryModule {
     * `knn_graph` and `knn_graph_clusters` (same session-scoped,
     * layout-fingerprinted memo as the dedup pair sets: the graph is
     * the expensive intermediate, its consumers are cheap). */
-  def mutualEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.memoized(spark, dir, "knnMutualEdges") {
+  /** Memoized DIRECTED top-k edge set (corpus as its own query set,
+    * nProbe=3, k=5) — the expensive candidate pass [[mutualEdges]]'
+    * symmetry filter and [[knnHubness]]' in-degree audit both read. */
+  def directedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnDirectedEdges") {
       VectorExprs.register(spark)
       val emb = Tables.embeddings(spark, dir)
-      val edges = centroidKnn(emb, emb, 5)
+      centroidKnn(emb, emb, 5)
+    }
+
+  def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnMutualEdges") {
+      val edges = directedEdges(spark, dir)
       val rev = edges.select(col("qid").as("_b"), col("nid").as("_a"),
         col("rank").as("rank_ba"))
       edges.filter(col("qid") < col("nid"))
@@ -328,7 +336,11 @@ object Knn extends QueryModule {
 
   /** [[knnCentroidSql]] without the query-subset filter, plus the
     * mutual self-join: both directions must rank within k. */
-  val knnGraphSql: String =
+  /** Directed corpus-as-its-own-query top-k CTE (nProbe=3, k=5),
+    * ending in `k(qid, nid, rank)` — the shared prefix of
+    * [[knnGraphSql]] (which closes it with the mutual self-join) and
+    * [[knnHubnessSql]] (which aggregates its in-degrees). */
+  val knnDirectedCte: String =
     s"""WITH n AS (
        |$normSqlCte),
        |seeds AS (
@@ -359,13 +371,58 @@ object Knn extends QueryModule {
        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY c DESC, nid) AS rank
        |  FROM scored),
-       |k AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5)
+       |k AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5)""".stripMargin
+
+  val knnGraphSql: String =
+    s"""$knnDirectedCte
        |SELECT f.qid AS a, f.nid AS b,
        |  CAST(f.rank AS INTEGER) AS rank_ab,
        |  CAST(r.rank AS INTEGER) AS rank_ba
        |FROM k f JOIN k r ON r.qid = f.nid AND r.nid = f.qid
        |WHERE f.qid < f.nid
        |ORDER BY a, b""".stripMargin
+
+  // ----------------------------------------------------- knn_hubness
+  /** Hubness audit of the directed k-NN relation — the
+    * high-dimensional pathology (Radovanović et al., JMLR 2010) where
+    * a few "hub" vectors appear in everyone's top-k while "orphans"
+    * are never retrieved at all: the in-degree DISTRIBUTION of the
+    * directed top-5 edges, one row per in-degree d with how many
+    * vectors have it, d = 0 (the orphans, invisible to any
+    * retrieval) included via a 1-row total probe. Heavy right tail →
+    * hubs distorting the mutual graph and every retrieval metric;
+    * the |degrees|-row report is what an index operator thresholds.
+    * Scale: one hash-agg over the memoized directed edge set
+    * (≤ k·n skinny rows), then a histogram of the |nodes|-row
+    * in-degree frame — nothing corpus-shaped past the shared
+    * candidate pass. */
+  def knnHubness(spark: SparkSession, dir: String): DataFrame = {
+    val k = directedEdges(spark, dir)
+    val indeg = k.groupBy(col("nid")).agg(count(lit(1)).as("d"))
+    val hist = indeg.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+    val tot = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("_n"))
+    val chosen = indeg.agg(count(lit(1)).as("_c"))
+    val zero = tot.crossJoin(broadcast(chosen))
+      .select(lit(0L).as("d"), (col("_n") - col("_c")).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    hist.unionByName(zero).orderBy("d")
+  }
+
+  val knnHubnessSql: String =
+    s"""$knnDirectedCte,
+       |ind AS (SELECT nid, COUNT(*) AS d FROM k GROUP BY 1),
+       |h AS (
+       |  SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n_nodes
+       |  FROM ind GROUP BY 1),
+       |z AS (
+       |  SELECT CAST(0 AS BIGINT) AS d,
+       |    (SELECT COUNT(*) FROM n) - (SELECT COUNT(*) FROM ind)
+       |      AS n_nodes)
+       |SELECT d, CAST(n_nodes AS BIGINT) AS n_nodes FROM h
+       |UNION ALL
+       |SELECT d, CAST(n_nodes AS BIGINT) FROM z WHERE n_nodes > 0
+       |ORDER BY d""".stripMargin
 
   // ---------------------------------------------------- knn_triangles
   /** Triangle census of the mutual k-NN graph — the local-density
@@ -988,6 +1045,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
+    "knn_hubness" -> (knnHubness _),
     "knn_probe_sweep" -> (knnProbeSweep _),
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
@@ -1007,6 +1065,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
+    "knn_hubness" -> knnHubnessSql,
     "knn_probe_sweep" -> knnProbeSweepSql,
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,

@@ -232,6 +232,32 @@ class R9OpsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("knn_hubness: histogram mass equals edges and vectors exactly") {
+    val rows = graft.sim.Knn.knnHubness(spark, sfDir).collect()
+    val edgeMass = rows.map(r =>
+      r.getAs[Long]("d") * r.getAs[Long]("n_nodes")).sum
+    val nodeMass = rows.map(_.getAs[Long]("n_nodes")).sum
+    assert(edgeMass == graft.sim.Knn.directedEdges(spark, sfDir).count(),
+      "Σ d·n_nodes must equal the directed edge count")
+    assert(nodeMass == Tables.embeddings(spark, sfDir).count(),
+      "Σ n_nodes (orphans included) must equal the vector count")
+  }
+
+  test("pipe_shard_skew agrees with a direct fold of the manifest") {
+    val m = graft.pipeline.CorpusPipeline.pipeShardManifest(spark, sfDir)
+      .collect().map(_.getAs[Long]("n_tokens"))
+    val r = graft.pipeline.CorpusPipeline.pipeShardSkew(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_shards") == m.length.toLong)
+    assert(r.getAs[Long]("tokens_max") == m.max)
+    assert(r.getAs[Long]("straggler_pm") ==
+      m.max * m.length * 1000 / m.sum)
+    assert(r.getAs[Long]("straggler_pm") >= 1000,
+      "max cannot sit below the mean")
+    assert(r.getAs[Long]("n_hot") ==
+      m.count(t => t * 2 * m.length > m.sum * 3).toLong)
+  }
+
   test("emb_dim_stats: uniform n, non-negative variance numerator, " +
       "sums match a direct per-dim fold") {
     val rows = graft.sim.EmbOps.embDimStats(spark, sfDir).collect()
