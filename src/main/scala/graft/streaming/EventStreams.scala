@@ -980,6 +980,77 @@ object EventStreams extends QueryModule {
       |  ON c.event_type = r.event_type AND c.hi >= r.k
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // -------------------------------------------------- str_topk_drift
+  /** Trending-drift gauge — how much of yesterday's top-5 event types
+    * survives in today's (the rank-churn statistic a monitoring page
+    * plots to catch feed-mix shifts that totals hide): per day the
+    * top-5 types by count (deterministic name tie-break), consecutive
+    * days joined on membership → shared count and per-mille overlap
+    * of the union. Everything past the (day, type) collapse is
+    * bounded by |days|·|types|; the top-5 rank window partitions by
+    * day over that collapsed frame, never the corpus. */
+  def topkDrift(events: DataFrame): DataFrame = {
+    val counts = events.select(
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    val top = counts
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("day").orderBy(desc("c"), col("event_type"))))
+      .filter(col("_r") <= 5)
+      .select(col("day"), col("event_type"))
+    val prev = top.select((col("day") + 1).as("day"),
+      col("event_type").as("_pt"))
+    val shared = top.join(prev,
+        top("day") === prev("day") && col("event_type") === col("_pt"))
+      .groupBy(top("day")).agg(count(lit(1)).as("n_shared"))
+    val sizes = top.groupBy("day").agg(count(lit(1)).as("n_top"))
+    val prevSizes = sizes.select((col("day") + 1).as("day"),
+      col("n_top").as("_np"))
+    sizes.join(prevSizes, "day")
+      .join(shared, Seq("day"), "left")
+      .select(timestamp_micros(col("day") * 86400000000L)
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("day_start"),
+        col("n_top"), col("_np").as("n_prev"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("""coalesce(n_shared, 0) * 1000
+                div (n_top + _np - coalesce(n_shared, 0))""")
+          .as("overlap_pm"))
+      .orderBy("day_start")
+  }
+
+  def strTopkDrift(spark: SparkSession, dir: String): DataFrame =
+    topkDrift(Tables.events(spark, dir))
+
+  val strTopkDriftSql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT day, event_type FROM (
+      |    SELECT day, event_type, ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY c DESC, event_type) AS r
+      |    FROM c)
+      |  WHERE r <= 5),
+      |sh AS (
+      |  SELECT a.day, COUNT(*) AS n_shared
+      |  FROM t a JOIN t p
+      |    ON p.day = a.day - 1 AND p.event_type = a.event_type
+      |  GROUP BY 1),
+      |sz AS (SELECT day, COUNT(*) AS n_top FROM t GROUP BY 1)
+      |SELECT make_timestamp(s.day * 86400000000) AS day_start,
+      |  s.n_top, p.n_top AS n_prev,
+      |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(COALESCE(sh.n_shared, 0) * 1000
+      |    // (s.n_top + p.n_top - COALESCE(sh.n_shared, 0)) AS BIGINT)
+      |    AS overlap_pm
+      |FROM sz s JOIN sz p ON p.day = s.day - 1
+      |LEFT JOIN sh ON sh.day = s.day
+      |ORDER BY day_start""".stripMargin
+
   // ----------------------------------------------- str_change_points
   /** Level-shift detection (CUSUM) on the daily event-count series —
     * the regime-change monitor beside [[burstiness]]' dispersion and
@@ -1042,6 +1113,7 @@ object EventStreams extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_interarrival" -> (strInterarrival _),
     "str_change_points" -> (strChangePoints _),
+    "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
     "str_outage_windows" -> (strOutageWindows _),
     "str_burstiness" -> (strBurstiness _),
@@ -1067,6 +1139,7 @@ object EventStreams extends QueryModule {
   val oracles: Map[String, String] = Map(
     "str_interarrival" -> strInterarrivalSql,
     "str_change_points" -> strChangePointsSql,
+    "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,
     "str_outage_windows" -> strOutageWindowsSql,
     "str_burstiness" -> strBurstinessSql,

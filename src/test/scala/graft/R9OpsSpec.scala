@@ -218,6 +218,19 @@ class R9OpsSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
   }
 
+  test("str_topk_drift: overlap bounded by the top-k set algebra") {
+    val rows = graft.streaming.EventStreams.strTopkDrift(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, np, sh) = (r.getAs[Long]("n_top"), r.getAs[Long]("n_prev"),
+        r.getAs[Long]("n_shared"))
+      assert(nt <= 5 && np <= 5 && sh <= math.min(nt, np))
+      assert(r.getAs[Long]("overlap_pm") ==
+        sh * 1000 / (nt + np - sh))
+    }
+  }
+
   test("cls_null_profile matches a direct recount of the sparsity masks") {
     val keys = Tables.orders(spark, sfDir).select("o_orderkey")
       .collect().map(_.getLong(0))
