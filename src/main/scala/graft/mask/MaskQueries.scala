@@ -732,6 +732,57 @@ object MaskQueries extends QueryModule {
     * stays so consumers can distinguish "suppressed" from "zero".
     * One hash-agg; the threshold test is post-aggregation, so nothing
     * row-level crosses the shuffle beyond the partial aggregates. */
+  // -------------------------------------------- mask_retention_sweep
+  /** Retention-policy sweep — the GDPR/records-management deletion
+    * PLANNER that runs before any masking rule: per category, how
+    * many records have outlived their retention class (urgent orders
+    * keep 200 days, high 400, the rest 800) and must be deleted,
+    * pseudonymized, or archived. The reference's governance surface
+    * stops at masking the values; a deployment also needs the sweep
+    * that says WHICH rows the policy touches. Deterministic anchor:
+    * ages are measured from the corpus's own max date (never the
+    * wall clock — oracle-replayable and reproducible), so the report
+    * is a pure function of the data. Two pruned scans (1-row anchor
+    * probe broadcast back — the cls_psi_drift pattern) → |categories|
+    * rows. */
+  def maskRetentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+    val anchor = o.agg(max(col("d")).as("_mx"))
+    o.crossJoin(broadcast(anchor))
+      .withColumn("_ret",
+        when(col("o_orderpriority") === "1-URGENT", 200)
+          .when(col("o_orderpriority") === "2-HIGH", 400)
+          .otherwise(800))
+      .withColumn("_exp",
+        (datediff(col("_mx"), col("d")) > col("_ret")).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("_exp")).as("n_expired"),
+        min(col("d")).as("oldest"), max(col("d")).as("newest"))
+      .withColumn("expired_pm", expr("n_expired * 1000 div n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val maskRetentionSweepSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d
+      |  FROM orders),
+      |a AS (SELECT MAX(d) AS mx FROM o),
+      |e AS (
+      |  SELECT p, d, a.mx,
+      |    CASE WHEN p = '1-URGENT' THEN 200
+      |         WHEN p = '2-HIGH' THEN 400 ELSE 800 END AS ret
+      |  FROM o CROSS JOIN a),
+      |g AS (
+      |  SELECT p, COUNT(*) AS n,
+      |    SUM(CASE WHEN date_diff('day', d, mx) > ret
+      |        THEN 1 ELSE 0 END) AS x,
+      |    MIN(d) AS oldest, MAX(d) AS newest
+      |  FROM e GROUP BY 1)
+      |SELECT p AS o_orderpriority, n, CAST(x AS BIGINT) AS n_expired,
+      |  oldest, newest, CAST(x * 1000 // n AS BIGINT) AS expired_pm
+      |FROM g ORDER BY 1""".stripMargin
+
   def maskCellSuppress(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     Tables.customer(spark, dir)
@@ -834,6 +885,7 @@ object MaskQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_shuffle" -> (maskShuffle _),
     "mask_cell_suppress" -> (maskCellSuppress _),
+    "mask_retention_sweep" -> (maskRetentionSweep _),
     "mask_rand_response" -> (maskRandResponse _),
     "mask_rare_suppress" -> (maskRareSuppress _),
     "mask_encrypt" -> (maskEncrypt _),
@@ -861,6 +913,7 @@ object MaskQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "mask_shuffle" -> maskShuffleSql,
     "mask_cell_suppress" -> maskCellSuppressSql,
+    "mask_retention_sweep" -> maskRetentionSweepSql,
     "mask_rand_response" -> maskRandResponseSql,
     "mask_rare_suppress" -> maskRareSuppressSql,
     "mask_encrypt" -> maskEncryptSql,

@@ -382,6 +382,55 @@ object Knn extends QueryModule {
        |WHERE f.qid < f.nid
        |ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------- knn_cell_balance
+  /** IVF cell-balance audit — the index-operator's capacity view of
+    * the same assignment every probe rides: oversized cells make
+    * every probe that touches them scan-heavy (probe cost is the sum
+    * of probed members), starved cells waste recall. One row: cell
+    * count, member min/max, the straggler factor in per-mille of the
+    * mean (max·cells·1000 div vectors — the [[graft.pipeline
+    * .CorpusPipeline.pipeShardSkew]] statistic applied to the index),
+    * and Σm² (the expected members touched by a size-proportional
+    * probe, scaled by n — the quantity cell rebalancing minimizes).
+    * One assignment pass → |cells| rows → 1-row fold. */
+  def knnCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val n = normalizedWithLabel(Tables.embeddings(spark, dir))
+    val sizes = rankedSeedCells(n, seedCells(n))
+      .filter(col("_rk") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("m"))
+    sizes.agg(count(lit(1)).as("n_cells"), sum(col("m")).as("n_vectors"),
+        max(col("m")).as("max_cell"), min(col("m")).as("min_cell"),
+        sum(col("m") * col("m")).as("sum_sq"))
+      .withColumn("balance_pm",
+        expr("max_cell * n_cells * 1000 div n_vectors"))
+  }
+
+  val knnCellBalanceSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |seeds AS (
+       |  SELECT label AS cell, e AS ce FROM (
+       |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY vec_id) AS r
+       |    FROM n)
+       |  WHERE r = 1),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT nn.vec_id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |s AS (SELECT cell, COUNT(*) AS m FROM assigned GROUP BY 1)
+       |SELECT COUNT(*) AS n_cells, CAST(SUM(m) AS BIGINT) AS n_vectors,
+       |  CAST(MAX(m) AS BIGINT) AS max_cell,
+       |  CAST(MIN(m) AS BIGINT) AS min_cell,
+       |  CAST(SUM(m * m) AS BIGINT) AS sum_sq,
+       |  CAST(MAX(m) * COUNT(*) * 1000 // SUM(m) AS BIGINT)
+       |    AS balance_pm
+       |FROM s""".stripMargin
+
   // ----------------------------------------------------- knn_hubness
   /** Hubness audit of the directed k-NN relation — the
     * high-dimensional pathology (Radovanović et al., JMLR 2010) where
@@ -1046,6 +1095,7 @@ object Knn extends QueryModule {
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
     "knn_hubness" -> (knnHubness _),
+    "knn_cell_balance" -> (knnCellBalance _),
     "knn_probe_sweep" -> (knnProbeSweep _),
     "knn_bruteforce" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
@@ -1066,6 +1116,7 @@ object Knn extends QueryModule {
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
     "knn_hubness" -> knnHubnessSql,
+    "knn_cell_balance" -> knnCellBalanceSql,
     "knn_probe_sweep" -> knnProbeSweepSql,
     "knn_bruteforce" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,

@@ -218,6 +218,35 @@ class R9OpsSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
   }
 
+  test("knn_cell_balance: mass identities and the Cauchy-Schwarz floor") {
+    val r = graft.sim.Knn.knnCellBalance(spark, sfDir).collect().head
+    val (cells, vecs) = (r.getAs[Long]("n_cells"), r.getAs[Long]("n_vectors"))
+    assert(vecs == Tables.embeddings(spark, sfDir).count())
+    assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
+    assert(r.getAs[Long]("balance_pm") >= 1000,
+      "max cell cannot sit below the mean")
+    // Σm² ≥ (Σm)²/cells, equality iff perfectly balanced
+    assert(r.getAs[Long]("sum_sq") * cells >= vecs * vecs)
+  }
+
+  test("mask_retention_sweep matches a direct recount of the policy") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date](1)))
+    val anchor = rows.map(_._2.toLocalDate).max(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    def ret(p: String) =
+      if (p == "1-URGENT") 200L else if (p == "2-HIGH") 400L else 800L
+    val exp = rows.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.count(r => anchor.toEpochDay - r._2.toLocalDate.toEpochDay
+        > ret(p)).toLong
+    }
+    val got = graft.mask.MaskQueries.maskRetentionSweep(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_expired"))
+      .toMap
+    assert(got == exp)
+  }
+
   test("str_topk_drift: overlap bounded by the top-k set algebra") {
     val rows = graft.streaming.EventStreams.strTopkDrift(spark, sfDir)
       .collect()
