@@ -1349,6 +1349,52 @@ object Relational extends graft.QueryModule {
       |  ON c.l_returnflag = r.l_returnflag AND c.hi >= r.k
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // --------------------------------------------- q43_join_cardinality
+  /** Join-cardinality estimation WITHOUT executing the join — the
+    * capacity-planning / optimizer-statistics operator: |A ⋈ B| on a
+    * key is EXACTLY Σ_k cA(k)·cB(k), so two per-key count histograms
+    * and a |keys|-sized histogram join answer "how big would this
+    * join be" while the joined rows themselves never materialize —
+    * at 100 TB that is the difference between a statistics pass and
+    * the join you were trying to avoid running blind. Also reports
+    * the skew signal sizing decisions hang on: the hottest key's
+    * share of the estimated output in per-mille (a high value says
+    * salt that key before running the real join). */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val b = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val prod = a.join(b, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("p"))
+    val na = a.agg(count(lit(1)).as("n_keys_left"))
+    val nb = b.agg(count(lit(1)).as("n_keys_right"))
+    prod.agg(count(lit(1)).as("n_common_keys"),
+        sum(col("p")).as("est_rows"), max(col("p")).as("max_key_rows"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_keys_left"), col("n_keys_right"),
+        col("n_common_keys"), col("est_rows"), col("max_key_rows"),
+        expr("max_key_rows * 1000 div est_rows").as("top_key_pm"))
+  }
+
+  val q43Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+      |  GROUP BY 1),
+      |p AS (SELECT a.k, a.ca * b.cb AS p FROM a JOIN b ON a.k = b.k),
+      |s AS (
+      |  SELECT COUNT(*) AS n_common_keys,
+      |    CAST(SUM(p) AS BIGINT) AS est_rows,
+      |    CAST(MAX(p) AS BIGINT) AS max_key_rows
+      |  FROM p)
+      |SELECT (SELECT COUNT(*) FROM a) AS n_keys_left,
+      |  (SELECT COUNT(*) FROM b) AS n_keys_right,
+      |  n_common_keys, est_rows, max_key_rows,
+      |  CAST(max_key_rows * 1000 // est_rows AS BIGINT) AS top_key_pm
+      |FROM s""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1396,6 +1442,7 @@ object Relational extends graft.QueryModule {
     "q40_skyline" -> (q40 _),
     "q41_mode" -> (q41 _),
     "q42_quantile_panel" -> (q42 _),
+    "q43_join_cardinality" -> (q43 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1440,6 +1487,7 @@ object Relational extends graft.QueryModule {
     "q40_skyline" -> q40Sql,
     "q41_mode" -> q41Sql,
     "q42_quantile_panel" -> q42Sql,
+    "q43_join_cardinality" -> q43Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

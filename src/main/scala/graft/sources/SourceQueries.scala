@@ -1047,9 +1047,73 @@ object SourceQueries extends QueryModule {
       |    + (doc_id + k) % 50) AS BIGINT) AS total_bytes
       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ src_zorder_layout
+  /** Z-order (Morton) layout audit — the lakehouse data-layout
+    * primitive behind Delta's Z-ORDER / Iceberg's sort-order: both
+    * dimensions scale to a 16-bit grid, their bits INTERLEAVE into
+    * one sort key (a static 32-term codegen expression — exact
+    * integer shifts, no UDF), and rows bucket on the z-key's top 8
+    * bits. The audit is the point: per bucket, the bounding box of
+    * BOTH dimensions — z-bucketing keeps every bucket's box tiny
+    * (~1/256 of the plane instead of a full-width stripe), which is
+    * exactly what makes file-level min/max statistics prune
+    * multi-dimensional predicates. One scan + a 1-row bounds probe
+    * broadcast back; output is ≤ 256 rows at any corpus size. */
+  private val zTerms: String = (0 until 16).map { i =>
+    s"(shiftright(x16, $i) & 1) * ${1L << (2 * i)}L + " +
+      s"(shiftright(y16, $i) & 1) * ${1L << (2 * i + 1)}L"
+  }.mkString(" + ")
+
+  def srcZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val bounds = li.agg(min(col("x")).as("_xmn"), max(col("x")).as("_xmx"),
+      min(col("y")).as("_ymn"), max(col("y")).as("_ymx"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("x16",
+        expr("(x - _xmn) * 65535 div greatest(_xmx - _xmn, 1)"))
+      .withColumn("y16",
+        expr("(y - _ymn) * 65535 div greatest(_ymx - _ymn, 1)"))
+      .withColumn("z", expr(zTerms))
+      .withColumn("bucket", expr("z div 16777216"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("x16")).as("x_min"), max(col("x16")).as("x_max"),
+        min(col("y16")).as("y_min"), max(col("y16")).as("y_max"))
+      .withColumn("bbox_area",
+        expr("(x_max - x_min + 1) * (y_max - y_min + 1)"))
+      .orderBy("bucket")
+  }
+
+  private val zTermsSql: String = (0 until 16).map { i =>
+    s"((x16 >> $i) & 1) * CAST(${1L << (2 * i)} AS BIGINT) + " +
+      s"((y16 >> $i) & 1) * CAST(${1L << (2 * i + 1)} AS BIGINT)"
+  }.mkString(" + ")
+
+  val srcZorderLayoutSql: String =
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS xmn, MAX(l_partkey) AS xmx,
+       |    MIN(l_suppkey) AS ymn, MAX(l_suppkey) AS ymx
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT
+       |    (l_partkey - xmn) * 65535 // GREATEST(xmx - xmn, 1) AS x16,
+       |    (l_suppkey - ymn) * 65535 // GREATEST(ymx - ymn, 1) AS y16
+       |  FROM lineitem CROSS JOIN b),
+       |z AS (SELECT x16, y16, $zTermsSql AS z FROM s)
+       |SELECT z // 16777216 AS bucket, COUNT(*) AS n,
+       |  CAST(MIN(x16) AS BIGINT) AS x_min,
+       |  CAST(MAX(x16) AS BIGINT) AS x_max,
+       |  CAST(MIN(y16) AS BIGINT) AS y_min,
+       |  CAST(MAX(y16) AS BIGINT) AS y_max,
+       |  CAST((MAX(x16) - MIN(x16) + 1) * (MAX(y16) - MIN(y16) + 1)
+       |    AS BIGINT) AS bbox_area
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_zip_archive" -> (srcZipArchive _),
     "src_header_reorder" -> (srcHeaderReorder _),
+    "src_zorder_layout" -> (srcZorderLayout _),
     "src_dialect_sniff" -> (srcDialectSniff _),
     "src_json_flatten" -> (srcJsonFlatten _),
     "src_malformed_audit" -> (malformedAudit _),
@@ -1082,6 +1146,7 @@ object SourceQueries extends QueryModule {
     "src_gzip_text" -> gzipTextRoundtripSql,
     "src_zip_archive" -> srcZipArchiveSql,
     "src_header_reorder" -> srcHeaderReorderSql,
+    "src_zorder_layout" -> srcZorderLayoutSql,
     "src_dialect_sniff" -> srcDialectSniffSql,
     "src_fixedwidth_roundtrip" -> fixedWidthRoundtripSql,
     "src_jsonl_changelog" -> jsonlChangelogSql,

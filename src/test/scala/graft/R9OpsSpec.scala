@@ -218,6 +218,30 @@ class R9OpsSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
   }
 
+  test("q43 histogram-product estimate IS the exact equi-join size") {
+    val r = Relational.q43(spark, sfDir).collect().head
+    val actual = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(r.getAs[Long]("est_rows") == actual,
+      "Σ cA(k)·cB(k) must equal the executed join's row count")
+    assert(r.getAs[Long]("n_common_keys") <=
+      math.min(r.getAs[Long]("n_keys_left"), r.getAs[Long]("n_keys_right")))
+  }
+
+  test("src_zorder_layout: buckets partition the corpus into tight boxes") {
+    val rows = graft.sources.SourceQueries.srcZorderLayout(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+    // the z-key's top 8 bits fix the top 4 bits of EACH dimension, so
+    // no bucket's bounding box can exceed a 4096x4096 cell
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bbox_area") <= 4096L * 4096L,
+        s"bucket ${r.getAs[Long]("bucket")} leaks past its z-cell")
+    }
+  }
+
   test("knn_cell_balance: mass identities and the Cauchy-Schwarz floor") {
     val r = graft.sim.Knn.knnCellBalance(spark, sfDir).collect().head
     val (cells, vecs) = (r.getAs[Long]("n_cells"), r.getAs[Long]("n_vectors"))
