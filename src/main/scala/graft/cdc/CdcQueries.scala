@@ -993,7 +993,64 @@ object CdcQueries extends QueryModule {
       |  COUNT(c_status) AS n_status_patches
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ cdc_before_chain
+  /** BEFORE-IMAGE CHAIN audit — the replication-integrity invariant
+    * Debezium consumers rely on: every update's `before` image must
+    * equal the PREVIOUS event's `after` image for the same key
+    * (reference op semantics: Main.java:171-177's `u` rows carry
+    * both sides). The changelog's before images are synthesized with
+    * a deterministic corruption (every 97th event carries a STALE
+    * before — the value from two steps back, the classic
+    * double-delivery symptom), and the audit recovers exactly the
+    * genuinely inconsistent ones by comparing each provided before
+    * against the per-key lag-1 reconstruction. One shuffle (the
+    * per-user_id window, bounded per key); the per-day rollup is a
+    * map-side-combining hash-agg over the window output. Null-safe
+    * equality (`IS DISTINCT FROM`) so a missing before where history
+    * exists counts as a break too. */
+  def beforeChain(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("event_id"))
+    val vm = expr("cast(floor(value * 1000) as long)")
+    val l = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), opCol.as("op"),
+        tsMicros.as("_us"), vm.as("vm"))
+      .withColumn("expected", lag(col("vm"), 1).over(w))
+      .withColumn("provided",
+        when(col("event_id") % 97 === 0, lag(col("vm"), 2).over(w))
+          .otherwise(lag(col("vm"), 1).over(w)))
+      .filter(col("op") === "u" && col("expected").isNotNull)
+    l.groupBy(expr("_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(!(col("provided") <=> col("expected")), 1L)
+          .otherwise(0L)).as("n_breaks"))
+      .withColumn("break_pm", expr("n_breaks * 1000 div n_checked"))
+      .orderBy("day")
+  }
+
+  val beforeChainSql: String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, $opSql AS op, epoch_us(ts) AS us,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+       |  FROM events),
+       |l AS (
+       |  SELECT event_id, us, op,
+       |    LAG(vm, 1) OVER w AS expected,
+       |    CASE WHEN event_id % 97 = 0 THEN LAG(vm, 2) OVER w
+       |         ELSE LAG(vm, 1) OVER w END AS provided
+       |  FROM b
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT us // 86400000000 AS day, COUNT(*) AS n_checked,
+       |  CAST(SUM(CASE WHEN provided IS DISTINCT FROM expected
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks,
+       |  CAST(SUM(CASE WHEN provided IS DISTINCT FROM expected
+       |           THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+       |    AS break_pm
+       |FROM l WHERE op = 'u' AND expected IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_before_chain" -> (beforeChain _),
     "cdc_sparse_patch" -> (sparsePatch _),
     "cdc_e2e_replicate" -> (cdcE2eReplicate _),
     "cdc_replay_idempotence" -> (replayIdempotence _),
@@ -1018,6 +1075,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_before_chain" -> beforeChainSql,
     "cdc_sparse_patch" -> sparsePatchSql,
     "cdc_e2e_replicate" -> cdcE2eReplicateSql,
     "cdc_replay_idempotence" -> replayIdempotenceSql,

@@ -1322,7 +1322,72 @@ object ClassifyQueries extends QueryModule {
       |  CAST(n_null * 1000 // n AS BIGINT) AS null_pm
       |FROM u ORDER BY col_name""".stripMargin
 
+  // ------------------------------------------------- cls_cramers_v
+  /** CRAMÉR'S V — the normalized association strength between two
+    * categorical columns ([0,1], comparable ACROSS column pairs,
+    * which raw chi-square is not): the profiler's answer to "which
+    * columns are redundant proxies for each other". Built on the same
+    * |cells|-bounded contingency frame as [[clsContingency]] — one
+    * orders scan → (status × priority) hash-agg, marginals broadcast
+    * back — with ALL ratio arithmetic kept in scaled integers so the
+    * oracle compares exactly: per-cell χ² contribution as
+    * `(obs·S div rowTot)·obs div colTot` (S = 10¹², two floor
+    * divisions both engines replay bit-for-bit), χ² in micro-units
+    * via the algebraic identity χ² = n·(Σ obs²/(r·c) − 1), and
+    * V² = χ²/(n·min(r−1,c−1)) in ppm — no float, no sqrt, no libm
+    * portability risk. BIGINT headroom: n·Σcontrib ≤ n·S·min(r,c),
+    * fine to ~10⁶ rows per... to n ≈ 9·10⁵·10⁶; beyond that the
+    * documented DECIMAL(38) seam (same plan) applies. */
+  def clsCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val s = 1000000000000L // 1e12 contribution scale
+    val cells = Tables.orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy("o_orderstatus")
+      .agg(sum(col("obs")).as("rt"), count(lit(1)).as("_rc"))
+    val colTot = cells.groupBy("o_orderpriority")
+      .agg(sum(col("obs")).as("ct"))
+    val dims = rowTot.agg(count(lit(1)).as("r_levels"))
+      .crossJoin(colTot.agg(count(lit(1)).as("c_levels")))
+    cells.join(broadcast(rowTot.drop("_rc")), "o_orderstatus")
+      .join(broadcast(colTot), "o_orderpriority")
+      .select(expr(s"((obs * ${s}L div rt) * obs) div ct").as("contrib"),
+        col("obs"))
+      .agg(sum(col("contrib")).as("sc"), sum(col("obs")).as("n"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        expr(s"n * (sc - ${s}L) div 1000000").as("chi2_micro"))
+      .withColumn("dof", expr("least(r_levels - 1, c_levels - 1)"))
+      .withColumn("v2_ppm", expr("chi2_micro div (n * dof)"))
+  }
+
+  val clsCramersVSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT o_orderstatus, SUM(obs) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT o_orderpriority, SUM(obs) AS ct FROM cells
+      |      GROUP BY 1),
+      |d AS (SELECT (SELECT COUNT(*) FROM r) AS r_levels,
+      |             (SELECT COUNT(*) FROM c) AS c_levels),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM((((obs * 1000000000000) // rt) * obs) // ct)
+      |      AS BIGINT) AS sc,
+      |    CAST(SUM(obs) AS BIGINT) AS n
+      |  FROM cells JOIN r USING (o_orderstatus)
+      |    JOIN c USING (o_orderpriority))
+      |SELECT n, r_levels, c_levels,
+      |  CAST(n * (sc - 1000000000000) // 1000000 AS BIGINT)
+      |    AS chi2_micro,
+      |  CAST(LEAST(r_levels - 1, c_levels - 1) AS BIGINT) AS dof,
+      |  CAST(CAST(n * (sc - 1000000000000) // 1000000 AS BIGINT)
+      |    // (n * LEAST(r_levels - 1, c_levels - 1)) AS BIGINT)
+      |    AS v2_ppm
+      |FROM s CROSS JOIN d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_cramers_v" -> (clsCramersV _),
     "cls_null_profile" -> (clsNullProfile _),
     "cls_histogram_profile" -> (clsHistogramProfile _),
     "cls_dow_seasonality" -> (clsDowSeasonality _),
@@ -1353,6 +1418,7 @@ object ClassifyQueries extends QueryModule {
     "cls_null_profile" -> clsNullProfileSql,
     "cls_histogram_profile" -> clsHistogramProfileSql,
     "cls_dow_seasonality" -> clsDowSeasonalitySql,
+    "cls_cramers_v" -> clsCramersVSql,
     "cls_contingency" -> clsContingencySql,
     "cls_ks_drift" -> clsKsDriftSql,
     "cls_datatype_infer" -> clsDatatypeInferSql,

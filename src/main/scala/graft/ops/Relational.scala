@@ -1395,6 +1395,115 @@ object Relational extends graft.QueryModule {
       |  CAST(max_key_rows * 1000 // est_rows AS BIGINT) AS top_key_pm
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------- q44_eager_agg
+  /** EAGER AGGREGATION (the groupjoin rewrite) — the fact side
+    * collapses to the join-key domain BEFORE the join instead of
+    * after it: per-segment order totals computed by pre-aggregating
+    * orders on `o_custkey` (150k rows → ≤|customers| partials, a
+    * map-side-combining hash-agg), then joining the |customers|-sized
+    * partial frame to customer and re-aggregating the partials by
+    * segment. The naive plan shuffles every order row through the
+    * join; this plan's join input is bounded by the DIMENSION key
+    * domain — at 100 TB that is the difference between shuffling the
+    * fact table and shuffling a per-key summary. Catalyst does not
+    * perform this rewrite itself (no eager-aggregation rule), so the
+    * operator states it declaratively. */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("no"), sum(col("cents")).as("cc"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("no")).as("n_orders"),
+        sum(col("cc")).as("total_cents"),
+        count(lit(1)).as("n_active_custs"))
+      .withColumn("avg_order_cents", expr("total_cents div n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q44Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, COUNT(*) AS no,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cc
+      |  FROM orders GROUP BY 1)
+      |SELECT c_mktsegment, CAST(SUM(no) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cc) AS BIGINT) AS total_cents,
+      |  COUNT(*) AS n_active_custs,
+      |  CAST(SUM(cc) // SUM(no) AS BIGINT) AS avg_order_cents
+      |FROM customer JOIN o ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------- q45_countmin
+  /** COUNT-MIN SKETCH — the fixed-memory frequency summary (Cormode &
+    * Muthukrishnan 2005) that answers "how often does key k appear"
+    * from d·w counters instead of a |keys|-sized histogram: every row
+    * increments one cell per hash row (d=4 portable-md5 hashes onto
+    * w=512 columns — stated as ONE scan through a 4-way Expand with
+    * map-side combine, so each task forwards ≤2048 cells no matter
+    * how many rows it read: the sketch is mergeable by cell-wise sum,
+    * exactly what a 1000-executor ingest needs), and a point query
+    * reads min over the d cells (pure overestimate). The audit probes
+    * the 10 true-heaviest part keys against the sketch and reports
+    * the overestimation in per-mille — deterministic hashes make the
+    * whole sketch bit-reproducible, so the oracle rebuilds it and the
+    * estimates compare EXACTLY. */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 512
+    def cells(key: Column): Column = explode(array((0 until d).map { r =>
+      struct(lit(r.toString).as("hr"),
+        pmod(graft.mask.MaskFunctions.portableHash(
+          concat(lit(s"$r:"), key.cast("string"))), lit(w.toLong)).as("cell"))
+    }: _*))
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val sketch = li.select(cells(col("l_partkey")).as("e"))
+      .groupBy(col("e.hr").as("hr"), col("e.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val probes = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("l_partkey")).limit(10)
+    probes.select(col("l_partkey"), col("true_count"),
+        cells(col("l_partkey")).as("e"))
+      .select(col("l_partkey"), col("true_count"),
+        col("e.hr").as("hr"), col("e.cell").as("cell"))
+      .join(broadcast(sketch), Seq("hr", "cell"))
+      .groupBy("l_partkey", "true_count")
+      .agg(min(col("c")).as("est_count"))
+      .withColumn("over_pm",
+        expr("(est_count - true_count) * 1000 div true_count"))
+      .orderBy(col("true_count").desc, col("l_partkey"))
+  }
+
+  val q45Sql: String =
+    """WITH ds AS (SELECT unnest(['0','1','2','3']) AS hr),
+      |e AS (
+      |  SELECT ds.hr,
+      |    ('0x'||substr(md5(ds.hr || ':' ||
+      |      CAST(l_partkey AS VARCHAR)),1,8))::BIGINT % 512 AS cell
+      |  FROM lineitem, ds),
+      |sk AS (SELECT hr, cell, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT l_partkey, COUNT(*) AS true_count FROM lineitem
+      |  GROUP BY 1 ORDER BY true_count DESC, l_partkey LIMIT 10),
+      |p AS (
+      |  SELECT t.l_partkey, t.true_count, ds.hr,
+      |    ('0x'||substr(md5(ds.hr || ':' ||
+      |      CAST(t.l_partkey AS VARCHAR)),1,8))::BIGINT % 512 AS cell
+      |  FROM t, ds)
+      |SELECT p.l_partkey, CAST(p.true_count AS BIGINT) AS true_count,
+      |  CAST(MIN(sk.c) AS BIGINT) AS est_count,
+      |  (CAST(MIN(sk.c) AS BIGINT) - p.true_count) * 1000
+      |    // p.true_count AS over_pm
+      |FROM p JOIN sk ON p.hr = sk.hr AND p.cell = sk.cell
+      |GROUP BY p.l_partkey, p.true_count
+      |ORDER BY p.true_count DESC, p.l_partkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1443,6 +1552,8 @@ object Relational extends graft.QueryModule {
     "q41_mode" -> (q41 _),
     "q42_quantile_panel" -> (q42 _),
     "q43_join_cardinality" -> (q43 _),
+    "q44_eager_agg" -> (q44 _),
+    "q45_countmin" -> (q45 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1488,6 +1599,8 @@ object Relational extends graft.QueryModule {
     "q41_mode" -> q41Sql,
     "q42_quantile_panel" -> q42Sql,
     "q43_join_cardinality" -> q43Sql,
+    "q44_eager_agg" -> q44Sql,
+    "q45_countmin" -> q45Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

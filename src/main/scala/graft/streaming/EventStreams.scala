@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -980,6 +980,81 @@ object EventStreams extends QueryModule {
       |  ON c.event_type = r.event_type AND c.hi >= r.k
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // -------------------------------------------------- str_ewma_smooth
+  /** EWMA smoothing with DYADIC decay (α = 1/2) — the exponential
+    * moving average every monitoring stack runs over a metric stream,
+    * stated so the oracle compares EXACTLY: weights are powers of two
+    * (2³¹ for the newest point down to 2⁰ at lag 31, a 32-step
+    * truncation whose dropped tail is < 2⁻³² of the mass), values are
+    * integer milli-units, so each smoothed point is one exact BIGINT
+    * dot product — no float accumulation order, no libm pow. The 32
+    * lags all ride ONE window per user (bounded per key, one shuffle
+    * on user_id); at 100 TB the same shape runs as a
+    * mapGroupsWithState fold keeping a single running sum instead of
+    * 32 lags. Reported per event type: points smoothed, the summed
+    * and the max smoothed value (milli-units, weight-normalized by
+    * integer division over the weights actually present at the
+    * stream head). Value headroom: |vm|·2³² must stay inside BIGINT —
+    * milli-scaled metrics up to ~2·10⁹ are safe; bigger metrics drop
+    * the scale factor (documented seam). */
+  def ewmaSmooth(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("event_id"))
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("_us"),
+      expr("cast(floor(value * 1000) as long)").as("vm"))
+    def term(j: Int): Column = {
+      val wt = 1L << (31 - j)
+      if (j == 0) col("vm") * wt
+      else coalesce(lag(col("vm"), j).over(w) * wt, lit(0L))
+    }
+    def wterm(j: Int): Column = {
+      val wt = 1L << (31 - j)
+      if (j == 0) lit(wt)
+      else when(lag(col("vm"), j).over(w).isNotNull, wt).otherwise(0L)
+    }
+    base
+      .withColumn("s", (0 until 32).map(term).reduce(_ + _))
+      .withColumn("wt", (0 until 32).map(wterm).reduce(_ + _))
+      .withColumn("ewma_milli", expr("s div wt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ewma_milli")).as("ewma_milli_sum"),
+        max(col("ewma_milli")).as("ewma_milli_max"))
+      .orderBy("event_type")
+  }
+
+  def strEwmaSmooth(spark: SparkSession, dir: String): DataFrame =
+    ewmaSmooth(Tables.events(spark, dir))
+
+  val strEwmaSmoothSql: String = {
+    val terms = (0 until 32).map { j =>
+      val wt = 1L << (31 - j)
+      if (j == 0) s"vm * $wt"
+      else s"COALESCE(LAG(vm, $j) OVER w * $wt, 0)"
+    }.mkString(" + ")
+    val wterms = (0 until 32).map { j =>
+      val wt = 1L << (31 - j)
+      if (j == 0) s"$wt"
+      else s"CASE WHEN LAG(vm, $j) OVER w IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+       |  FROM events),
+       |e AS (
+       |  SELECT event_type,
+       |    ($terms) AS s,
+       |    ($wterms) AS wt
+       |  FROM b
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(s // wt) AS BIGINT) AS ewma_milli_sum,
+       |  CAST(MAX(s // wt) AS BIGINT) AS ewma_milli_max
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // -------------------------------------------------- str_topk_drift
   /** Trending-drift gauge — how much of yesterday's top-5 event types
     * survives in today's (the rank-churn statistic a monitoring page
@@ -1112,6 +1187,7 @@ object EventStreams extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_interarrival" -> (strInterarrival _),
+    "str_ewma_smooth" -> (strEwmaSmooth _),
     "str_change_points" -> (strChangePoints _),
     "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
@@ -1138,6 +1214,7 @@ object EventStreams extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "str_interarrival" -> strInterarrivalSql,
+    "str_ewma_smooth" -> strEwmaSmoothSql,
     "str_change_points" -> strChangePointsSql,
     "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,

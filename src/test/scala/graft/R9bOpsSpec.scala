@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force agreement + property pins for the late-round-9
+  * operators: the rewritten/sketched forms must equal their naive
+  * formulations on data small enough to compute directly. */
+class R9bOpsSpec extends SparkSpec {
+
+  test("q44 eager aggregation equals the naive join-then-aggregate") {
+    val naive = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val eager = ops.Relational.q44(spark, sfDir).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("total_cents"))).toMap
+    assert(eager == naive)
+  }
+
+  test("q45 count-min estimates dominate truth and match the " +
+      "hand-built sketch") {
+    def cell(r: Int, k: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$k".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 512L).toInt
+    }
+    val keys = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").collect().map(_.getLong(0))
+    val sketch = Array.fill(4, 512)(0L)
+    keys.foreach(k => (0 until 4).foreach(r => sketch(r)(cell(r, k)) += 1))
+    val truth = keys.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val got = ops.Relational.q45(spark, sfDir).collect()
+    assert(got.length == 10)
+    got.foreach { row =>
+      val k = row.getAs[Long]("l_partkey")
+      val t = row.getAs[Long]("true_count")
+      val e = row.getAs[Long]("est_count")
+      assert(t == truth(k))
+      assert(e >= t, s"count-min must overestimate: key=$k est=$e true=$t")
+      val expected = (0 until 4).map(r => sketch(r)(cell(r, k))).min
+      assert(e == expected, s"sketch min mismatch for key=$k")
+    }
+  }
+
+  test("cls_cramers_v scaled-integer chi2 tracks the float chi2") {
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum.toDouble
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val chi2 = cells.map { case (r, c, o) =>
+      val exp = rt(r) * ct(c) / n
+      (o - exp) * (o - exp) / exp
+    }.sum
+    val row = classify.ClassifyQueries.clsCramersV(spark, sfDir)
+      .collect().head
+    val chi2Micro = row.getAs[Long]("chi2_micro")
+    assert(math.abs(chi2Micro / 1e6 - chi2) <= math.max(1e-3, chi2 * 1e-3),
+      s"chi2_micro=$chi2Micro float=$chi2")
+    val dof = row.getAs[Long]("dof")
+    assert(dof == math.min(rt.size, ct.size) - 1)
+    val v2 = row.getAs[Long]("v2_ppm")
+    assert(v2 >= 0 && v2 <= 1000000L)
+  }
+
+  test("cdc_before_chain finds exactly the corrupted-before updates") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        expr("cast(floor(value * 1000) as long)").as("vm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    var checked = 0L
+    var breaks = 0L
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._4, r._1))
+      seq.indices.drop(1).foreach { i =>
+        val (id, _, typ, _, _) = seq(i)
+        val op = typ match {
+          case "signup" => "c"; case "error" => "d"; case _ => "u" }
+        if (op == "u") {
+          checked += 1
+          val expected = seq(i - 1)._5
+          val provided: Option[Long] =
+            if (id % 97 == 0) (if (i >= 2) Some(seq(i - 2)._5) else None)
+            else Some(expected)
+          if (!provided.contains(expected)) breaks += 1
+        }
+      }
+    }
+    val got = cdc.CdcQueries.beforeChain(spark, sfDir)
+      .agg(sum("n_checked"), sum("n_breaks")).collect().head
+    assert(got.getLong(0) == checked)
+    assert(got.getLong(1) == breaks)
+  }
+
+  test("str_ewma_smooth equals the sequential dyadic fold") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        expr("cast(floor(value * 1000) as long)").as("vm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val acc = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._4, r._1))
+      seq.indices.foreach { i =>
+        val window = (0 until 32).flatMap { j =>
+          if (i - j >= 0) Some((seq(i - j)._5, 1L << (31 - j))) else None
+        }
+        val s = window.map { case (v, w) => v * w }.sum
+        val wt = window.map(_._2).sum
+        val e = s / wt
+        val typ = seq(i)._3
+        val (n0, s0, m0) = acc.getOrElse(typ, (0L, 0L, Long.MinValue))
+        acc(typ) = (n0 + 1, s0 + e, math.max(m0, e))
+      }
+    }
+    val got = streaming.EventStreams.strEwmaSmooth(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("ewma_milli_sum"),
+          r.getAs[Long]("ewma_milli_max"))).toMap
+    assert(got == acc.toMap)
+  }
+}
