@@ -1414,7 +1414,155 @@ object TextAnalysis extends QueryModule {
       |  CAST(score AS BIGINT) AS score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --------------------------------------------------- txt_winnowing
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS local-fingerprinting algorithm): hash every char 8-gram of
+    * the normalized text, slide a window of w=4 consecutive hashes,
+    * and keep each window's MINIMUM hash with the rightmost-position
+    * tie-break — the selection is LOCAL (any match of ≥ w+k−1 chars
+    * shares a fingerprint, the guarantee threshold) yet keeps only
+    * ~2/(w+1) of positions. The min-with-rightmost-tie rule packs
+    * into ONE integer window-min: key = hash·2²⁰ + (2²⁰−1−pos), so
+    * lexicographic min ⇔ (min hash, max pos) — no argmin gymnastics,
+    * portable to the oracle bit-for-bit. All windows are doc-bounded
+    * (partitioned by doc_id); the gram explode is the linear scan a
+    * 100 TB fingerprint pass performs anyway. Positions are capped by
+    * the 2²⁰ packing (1M chars/doc — bigger docs shift the split).
+    * Per doc: windows seen, fingerprints kept, distinct hashes, and
+    * the kept-density in per-mille (theory: ~400‰ at w=4). */
+  def txtWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val w = 4
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(norm) - ${k - 1})")).as("pos"),
+        col("norm"))
+      .select(col("doc_id"), col("pos"),
+        graft.mask.MaskFunctions.portableHash(
+          expr(s"substring(norm, pos, $k)")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("h") * 1048576L + (lit(1048575L) - col("pos"))).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("sel", min(col("key")).over(win))
+      .filter(col("pos") >= w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("sel")).as("n_fps"),
+        countDistinct(expr("sel div 1048576")).as("n_hashes"))
+      .withColumn("density_pm", expr("n_fps * 1000 div n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val txtWinnowingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, norm,
+      |    unnest(generate_series(1, length(norm) - 7)) AS pos
+      |  FROM d WHERE length(norm) >= 11),
+      |g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    ('0x'||substr(md5(substr(norm, CAST(pos AS INT), 8)),
+      |      1, 8))::BIGINT * 1048576
+      |      + (1048575 - CAST(pos AS BIGINT)) AS key
+      |  FROM e),
+      |s AS (
+      |  SELECT doc_id, pos,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      |  FROM g)
+      |SELECT doc_id, COUNT(*) AS n_windows,
+      |  COUNT(DISTINCT sel) AS n_fps,
+      |  COUNT(DISTINCT sel // 1048576) AS n_hashes,
+      |  COUNT(DISTINCT sel) * 1000 // COUNT(*) AS density_pm
+      |FROM s WHERE pos >= 4
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- txt_code_ratio
+  /** Code-vs-prose detector — the corpus-mix gauge an LLM data
+    * pipeline runs before deciding tokenizer and mix weights: per doc
+    * the density of code punctuation (`{}()[];=<>`) in per-mille of
+    * chars and the fraction of lines that start indented, both via
+    * the subtract-after-strip counting trick (`len − len(strip)` —
+    * one codegen regexp per signal, no explode, no UDF); a doc is
+    * flagged code-like when either signal clears its threshold
+    * (≥30‰ code chars or ≥400‰ indented lines). Rolled up per source:
+    * doc counts, code-flagged counts and per-mille, and the average
+    * signal levels. Map-only until the |sources|-sized hash-agg. */
+  def txtCodeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val codeChars = length(col("text")) -
+      length(regexp_replace(col("text"), "[{}()\\[\\];=<>]", ""))
+    val nLines = length(col("text")) -
+      length(regexp_replace(col("text"), "\n", "")) + 1
+    val indented = (length(col("text")) -
+      length(regexp_replace(col("text"), "\n[ \t]", "\n"))) +
+      when(col("text").rlike("^[ \t]"), 1).otherwise(0)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        codeChars.cast("long").as("cc"),
+        length(col("text")).cast("long").as("len"),
+        nLines.cast("long").as("nl"),
+        indented.cast("long").as("ind"))
+      .select(col("source"),
+        expr("cc * 1000 div len").as("code_pm"),
+        expr("ind * 1000 div nl").as("indent_pm"))
+      .withColumn("is_code",
+        (col("code_pm") >= 30) || (col("indent_pm") >= 400))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code_docs"),
+        sum(col("code_pm")).as("_cs"),
+        sum(col("indent_pm")).as("_is"))
+      .select(col("source"), col("n_docs"), col("n_code_docs"),
+        expr("n_code_docs * 1000 div n_docs").as("code_doc_pm"),
+        expr("_cs div n_docs").as("avg_code_pm"),
+        expr("_is div n_docs").as("avg_indent_pm"))
+      .orderBy("source")
+  }
+
+  val txtCodeRatioSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g'))
+      |      AS BIGINT) AS cc,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    CAST(length(text) - length(replace(text, chr(10), '')) + 1
+      |      AS BIGINT) AS nl,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, chr(10) || '[ \t]', chr(10),
+      |          'g'))
+      |      + CASE WHEN regexp_matches(text, '^[ \t]') THEN 1 ELSE 0
+      |        END AS BIGINT) AS ind
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT source, cc * 1000 // len AS code_pm,
+      |    ind * 1000 // nl AS indent_pm
+      |  FROM s),
+      |f AS (
+      |  SELECT source, code_pm, indent_pm,
+      |    CASE WHEN code_pm >= 30 OR indent_pm >= 400 THEN 1 ELSE 0
+      |    END AS is_code
+      |  FROM p)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(is_code) AS BIGINT) AS n_code_docs,
+      |  CAST(SUM(is_code) * 1000 // COUNT(*) AS BIGINT) AS code_doc_pm,
+      |  CAST(SUM(code_pm) // COUNT(*) AS BIGINT) AS avg_code_pm,
+      |  CAST(SUM(indent_pm) // COUNT(*) AS BIGINT) AS avg_indent_pm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_winnowing" -> (txtWinnowing _),
+    "txt_code_ratio" -> (txtCodeRatio _),
     "txt_heaps" -> (txtHeaps _),
     "txt_lang_confusion" -> (txtLangConfusion _),
     "txt_doc_keywords" -> (txtDocKeywords _),
@@ -1445,6 +1593,8 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_winnowing" -> txtWinnowingSql,
+    "txt_code_ratio" -> txtCodeRatioSql,
     "txt_heaps" -> txtHeapsSql,
     "txt_lang_confusion" -> txtLangConfusionSql,
     "txt_doc_keywords" -> txtDocKeywordsSql,

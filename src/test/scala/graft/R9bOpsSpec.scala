@@ -106,6 +106,60 @@ class R9bOpsSpec extends SparkSpec {
     assert(got.getLong(1) == breaks)
   }
 
+  test("txt_winnowing equals the brute-force MOSS selection") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, norm) =>
+      if (norm.length < 11) None
+      else {
+        // 1-based positions, 8-grams, windows of 4, min hash with
+        // rightmost tie-break
+        val hashes = (1 to norm.length - 7).map(p =>
+          p -> h32(norm.substring(p - 1, p + 7)))
+        val sels = (4 to hashes.length).map { end =>
+          val win = hashes.slice(end - 4, end)
+          win.minBy { case (p, h) => (h, -p) }
+        }.distinct
+        Some(id -> (hashes.length - 3L, sels.length.toLong,
+          sels.map(_._2).distinct.length.toLong))
+      }
+    }.toMap
+    val got = text.TextAnalysis.txtWinnowing(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_fps"),
+          r.getAs[Long]("n_hashes"))).toMap
+    assert(got == expected)
+  }
+
+  test("txt_code_ratio flags match the per-doc recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val codeSet = "{}()[];=<>".toSet
+    val bysrc = docs.groupBy(_._1).map { case (src, ds) =>
+      val flags = ds.map { case (_, t) =>
+        val codePm = t.count(codeSet) * 1000L / t.length
+        val lines = t.split("\n", -1)
+        val indPm = lines.count(l => l.startsWith(" ") ||
+          l.startsWith("\t")) * 1000L / lines.length
+        codePm >= 30 || indPm >= 400
+      }
+      src -> (ds.length.toLong, flags.count(identity).toLong)
+    }
+    val got = text.TextAnalysis.txtCodeRatio(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_code_docs"))).toMap
+    assert(got == bysrc)
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
