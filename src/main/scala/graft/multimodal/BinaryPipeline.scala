@@ -906,7 +906,76 @@ object BinaryPipeline extends QueryModule {
       |FROM ch JOIN posting p ON ch.fp = p.fp
       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  // ------------------------------------------- mm_image_histogram
+  /** Luminance HISTOGRAM over REAL decoded pixels — the
+    * exposure/contrast profile an image-quality filter thresholds
+    * before letting a picture into a training mix: every distinct
+    * payload decodes ONCE through the actual PNG codec
+    * (content-addressed, ≤256 distinct gradient payloads — the same
+    * dedupe-before-decode move a 100 TB media pass must make), its
+    * 16-bucket gray histogram is a ≤(256·16)-row frame BROADCAST back
+    * onto the corpus, and the rollup per source is a map-side
+    * combining hash-agg. No pixel ever crosses a shuffle. The oracle
+    * replays the known gradient arithmetic (gray = (seed+x+y) mod
+    * 256 over w×h) — the decode path itself is pinned by the spec
+    * that diffs codec output against the formula. */
+  def mmImageHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSeed = Tables.documents(spark, dir)
+      .select((col("doc_id") % 256).as("seed")).distinct().as[Long]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodeGradientPng(m)))
+          val counts = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              counts((img.getRGB(x, y) & 0xff) / 16) += 1
+              x += 1
+            }
+            y += 1
+          }
+          counts.zipWithIndex.collect {
+            case (c, b) if c > 0 => (m, b, c) }
+        }
+      }
+      .toDF("seed", "bucket", "n_px")
+    Tables.documents(spark, dir)
+      .select(col("source"), (col("doc_id") % 256).as("seed"))
+      .join(broadcast(perSeed), "seed")
+      .groupBy("source", "bucket")
+      .agg(sum(col("n_px")).as("n_px"))
+      .orderBy("source", "bucket")
+  }
+
+  val mmImageHistogramSql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id % 256 AS seed FROM documents),
+      |dim AS (
+      |  SELECT DISTINCT seed, 8 + seed % 32 AS w,
+      |    8 + (seed * 7) % 32 AS h
+      |  FROM s),
+      |px AS (
+      |  SELECT seed, h,
+      |    unnest(generate_series(0, CAST(w AS INT) - 1)) AS x
+      |  FROM dim),
+      |py AS (
+      |  SELECT seed, x,
+      |    unnest(generate_series(0, CAST(h AS INT) - 1)) AS y
+      |  FROM px),
+      |g AS (
+      |  SELECT seed,
+      |    CAST(((seed + x + y) % 256) // 16 AS INTEGER) AS bucket,
+      |    COUNT(*) AS n
+      |  FROM py GROUP BY 1, 2)
+      |SELECT s.source, g.bucket, CAST(SUM(g.n) AS BIGINT) AS n_px
+      |FROM s JOIN g USING (seed)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_histogram" -> (mmImageHistogram _),
     "mm_chunk_dedup" -> (mmChunkDedup _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_image_decode" -> (mmImageDecode _),
@@ -921,6 +990,7 @@ object BinaryPipeline extends QueryModule {
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_image_histogram" -> mmImageHistogramSql,
     "mm_chunk_dedup" -> mmChunkDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_image_decode" -> mmImageDecodeSql,

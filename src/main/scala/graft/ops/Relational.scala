@@ -1504,6 +1504,62 @@ object Relational extends graft.QueryModule {
       |GROUP BY p.l_partkey, p.true_count
       |ORDER BY p.true_count DESC, p.l_partkey""".stripMargin
 
+  // ------------------------------------------ q46_cumulative_distinct
+  /** RUNNING COUNT-DISTINCT — "distinct customers seen through day d",
+    * the growth-curve query that is quadratic if stated naively (a
+    * per-day `COUNT(DISTINCT)` over an expanding window re-scans every
+    * prior day): the FIRST-OCCURRENCE rewrite makes it linear — each
+    * customer contributes exactly at min(day), so one (custkey →
+    * min day) hash-agg + a per-day count + a prefix sum over the
+    * |days|-bounded daily frame answer every day at once. The prefix
+    * runs as the repo's two-level shard decomposition (local running
+    * sum inside 128-day shards + exclusive shard-offset prefix), so
+    * no window task sees more than a shard even if the calendar spans
+    * decades. */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000").as("day"))
+    val firstDay = days.groupBy("o_custkey")
+      .agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val orderCounts = days.groupBy("day").agg(count(lit(1)).as("n_orders"))
+    val daily = orderCounts.join(firstDay, Seq("day"), "left")
+      .select(col("day"), col("n_orders"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("_sh", expr("day div 128"))
+    val pre = Window.partitionBy(pmod(col("_m"), lit(1))).orderBy("_sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = daily.groupBy("_sh").agg(sum(col("n_new")).as("_m"))
+      .withColumn("_off", sum(col("_m")).over(pre))
+      .select(col("_sh"), coalesce(col("_off"), lit(0L)).as("_off"))
+    val local = Window.partitionBy("_sh").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("_lc", sum(col("n_new")).over(local))
+      .join(broadcast(offsets), Seq("_sh"))
+      .select(col("day"), col("n_orders"), col("n_new"),
+        (col("_lc") + col("_off")).as("cum_distinct"))
+      .orderBy("day")
+  }
+
+  val q46Sql: String =
+    """WITH d AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders),
+      |fo AS (
+      |  SELECT MIN(day) AS day FROM d GROUP BY o_custkey),
+      |nn AS (SELECT day, COUNT(*) AS n_new FROM fo GROUP BY day),
+      |oc AS (SELECT day, COUNT(*) AS n_orders FROM d GROUP BY day)
+      |SELECT oc.day, oc.n_orders,
+      |  CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(SUM(COALESCE(nn.n_new, 0)) OVER (ORDER BY oc.day)
+      |    AS BIGINT) AS cum_distinct
+      |FROM oc LEFT JOIN nn ON oc.day = nn.day
+      |ORDER BY oc.day""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1554,6 +1610,7 @@ object Relational extends graft.QueryModule {
     "q43_join_cardinality" -> (q43 _),
     "q44_eager_agg" -> (q44 _),
     "q45_countmin" -> (q45 _),
+    "q46_cumulative_distinct" -> (q46 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1601,6 +1658,7 @@ object Relational extends graft.QueryModule {
     "q43_join_cardinality" -> q43Sql,
     "q44_eager_agg" -> q44Sql,
     "q45_countmin" -> q45Sql,
+    "q46_cumulative_distinct" -> q46Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

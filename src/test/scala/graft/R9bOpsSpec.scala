@@ -160,6 +160,41 @@ class R9bOpsSpec extends SparkSpec {
     assert(got == bysrc)
   }
 
+  test("mm_image_histogram: real codec output equals the gradient " +
+      "formula for every seed") {
+    (0L until 256L).foreach { m =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          multimodal.BinaryPipeline.encodeGradientPng(m)))
+      val w = 8 + (m % 32).toInt
+      val h = 8 + ((m * 7) % 32).toInt
+      assert(img.getWidth == w && img.getHeight == h)
+      val decoded = new Array[Long](16)
+      val formula = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        decoded((img.getRGB(x, y) & 0xff) / 16) += 1
+        formula(((m + x + y) % 256).toInt / 16) += 1
+      }
+      assert(decoded.toSeq == formula.toSeq, s"seed=$m")
+    }
+  }
+
+  test("q46 cumulative distinct equals the naive expanding recount") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = rows.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      d -> rows.filter(_._2 <= d).map(_._1).distinct.length.toLong
+    }.toMap
+    val got = ops.Relational.q46(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("cum_distinct"))
+      .toMap
+    assert(got == expected)
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
