@@ -1572,7 +1572,89 @@ object Dedup extends QueryModule {
       |WHERE levenshtein(a.c64, b.c64) BETWEEN 1 AND 8
       |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------ dedup_winnow_pairs
+  /** Winnowing-based near-dup PAIR generation — the MOSS pipeline's
+    * second half: docs sharing ≥ 3 winnowed fingerprints are
+    * near-dup candidates, found by a hash-equality JOIN on the
+    * fingerprint (the blocking key), never pairwise text. Two scale
+    * guards make the join linear: fingerprints carried by a single
+    * doc can't form a pair (dropped), and fingerprints shared by
+    * > 50 docs are STOP-fingerprints (boilerplate — each would emit
+    * O(n²) candidate rows; dropping them is the standard posting-cap
+    * that bounds every band/blocking join in this module). Reported:
+    * the top-50 pairs by shared-fingerprint count with a
+    * containment-style per-mille over the smaller doc's fingerprint
+    * set. Fingerprints come from [[graft.text.TextAnalysis]]'s
+    * winnowing (k=8 char-grams, window 4, rightmost-min) — the
+    * locality guarantee means any ≥ 11-char common substring shares
+    * a fingerprint, so true near-dups cannot be missed by sampling. */
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.text.TextAnalysis.winnowedHashes(
+      Tables.documents(spark, dir))
+    val posting = fps.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 50)
+      .select("h")
+    val kept = fps.join(posting, "h")
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val pairs = kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("nf").as("_fa")),
+        "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("nf").as("_fb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("n_shared * 1000 div least(_fa, _fb)").as("containment_pm"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  val dedupWinnowPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, norm,
+      |    unnest(generate_series(1, length(norm) - 7)) AS pos
+      |  FROM d WHERE length(norm) >= 11),
+      |g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    ('0x'||substr(md5(substr(norm, CAST(pos AS INT), 8)),
+      |      1, 8))::BIGINT * 1048576
+      |      + (1048575 - CAST(pos AS BIGINT)) AS key
+      |  FROM e),
+      |s AS (
+      |  SELECT doc_id, pos,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      |  FROM g),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, sel // 1048576 AS h
+      |  FROM s WHERE pos >= 4),
+      |keep AS (
+      |  SELECT h FROM fp GROUP BY h
+      |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+      |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+      |pd AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b
+      |    ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+      |  pr.n_shared * 1000 // LEAST(fa.nf, fb.nf) AS containment_pm
+      |FROM pr JOIN pd fa ON pr.doc_a = fa.doc_id
+      |  JOIN pd fb ON pr.doc_b = fb.doc_id
+      |ORDER BY pr.n_shared DESC, pr.doc_a, pr.doc_b
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_lines" -> (dedupLines _),
@@ -1600,6 +1682,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_bloom" -> dedupBloomSql,
     "dedup_lines" -> dedupLinesSql,

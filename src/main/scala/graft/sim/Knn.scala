@@ -1085,7 +1085,60 @@ object Knn extends QueryModule {
        |FROM m3 m JOIN deg d ON d.v = m.v ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------- knn_mrr
+  /** MEAN RECIPROCAL RANK of the approximate retrievers — the metric
+    * that grades WHERE the true nearest neighbor lands in the
+    * approximate list, which recall@k (a set-overlap count) cannot
+    * see: an index that returns the true NN at rank 5 every time has
+    * perfect recall@5 and terrible MRR. Composes the oracle-verified
+    * exact top-1 against the LSH and IVF results; reciprocal ranks
+    * stay EXACT integers by the lcm trick (60/rank ∈ {60,30,20,15,12}
+    * for k=5, 0 when the true NN is missed), so the mean is a pure
+    * integer ratio in per-mille. The audit join is ≤ q·k rows — a
+    * production canary beside [[knnRecall]] and [[knnProbeSweep]]. */
+  def knnMrr(spark: SparkSession, dir: String): DataFrame = {
+    val top1 = knnBrute(spark, dir).filter(col("rank") === 1)
+      .select("qid", "nid")
+    def audit(method: String, approx: DataFrame): DataFrame =
+      top1.join(
+          approx.select(col("qid"), col("nid"),
+            col("rank").cast("long").as("arank")),
+          Seq("qid", "nid"), "left")
+        .select(col("qid"),
+          coalesce(expr("60 div arank"), lit(0L)).as("rr60"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rr60") > 0, 1L).otherwise(0L)).as("n_found"),
+          sum(col("rr60")).as("rr60_sum"))
+        .select(lit(method).as("method"), col("n_queries"),
+          col("n_found"), col("rr60_sum"),
+          expr("rr60_sum * 1000 div (60 * n_queries)").as("mrr_pm"))
+    audit("centroid", knnCentroid(spark, dir))
+      .unionByName(audit("lsh", knnLsh(spark, dir)))
+      .orderBy("method")
+  }
+
+  val knnMrrSql: String =
+    s"""WITH brute AS ($knnBruteSql),
+       |l AS ($knnLshSql),
+       |c AS ($knnCentroidSql),
+       |t1 AS (SELECT qid, nid FROM brute WHERE rank = 1),
+       |m AS (
+       |  SELECT 'centroid' AS method, t1.qid,
+       |    COALESCE(60 // CAST(x.rank AS BIGINT), 0) AS rr60
+       |  FROM t1 LEFT JOIN c x ON t1.qid = x.qid AND t1.nid = x.nid
+       |  UNION ALL
+       |  SELECT 'lsh', t1.qid,
+       |    COALESCE(60 // CAST(y.rank AS BIGINT), 0)
+       |  FROM t1 LEFT JOIN l y ON t1.qid = y.qid AND t1.nid = y.nid)
+       |SELECT method, COUNT(*) AS n_queries,
+       |  CAST(SUM(CASE WHEN rr60 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_found,
+       |  CAST(SUM(rr60) AS BIGINT) AS rr60_sum,
+       |  CAST(SUM(rr60) * 1000 // (60 * COUNT(*)) AS BIGINT) AS mrr_pm
+       |FROM m GROUP BY method ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_mrr" -> (knnMrr _),
     "knn_dbscan" -> (knnDbscan _),
     "knn_centrality" -> (knnCentrality _),
     "knn_graph_clusters" -> (knnGraphClusters _),
@@ -1122,5 +1175,6 @@ object Knn extends QueryModule {
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,
     "knn_recall_audit" -> knnRecallSql,
+    "knn_mrr" -> knnMrrSql,
     "knn_centroid" -> knnCentroidSql)
 }

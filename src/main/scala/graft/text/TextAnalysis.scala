@@ -1430,6 +1430,36 @@ object TextAnalysis extends QueryModule {
     * the 2²⁰ packing (1M chars/doc — bigger docs shift the split).
     * Per doc: windows seen, fingerprints kept, distinct hashes, and
     * the kept-density in per-mille (theory: ~400‰ at w=4). */
+  /** Distinct winnowed fingerprint HASHES per doc — the (doc_id, h)
+    * frame [[txtWinnowing]]'s per-doc audit summarizes and the
+    * winnowing-based near-dup pair generator
+    * ([[graft.dedup.Dedup]]'s `dedup_winnow_pairs`) joins on. Same
+    * k=8 / w=4 / packed-min construction. */
+  private[graft] def winnowedHashes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val w = 4
+    val normC = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val grams = docs
+      .select(col("doc_id"), normC.as("norm"))
+      .filter(length(col("norm")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(norm) - ${k - 1})")).as("pos"),
+        col("norm"))
+      .select(col("doc_id"), col("pos"),
+        graft.mask.MaskFunctions.portableHash(
+          expr(s"substring(norm, pos, $k)")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("h") * 1048576L + (lit(1048575L) - col("pos"))).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("sel", min(col("key")).over(win))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), expr("sel div 1048576").as("h"))
+      .distinct()
+  }
+
   def txtWinnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8

@@ -106,30 +106,34 @@ class R9bOpsSpec extends SparkSpec {
     assert(got.getLong(1) == breaks)
   }
 
-  test("txt_winnowing equals the brute-force MOSS selection") {
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** Brute winnowing selection: distinct (pos, hash) fingerprints of
+    * the normalized text (k=8, w=4, rightmost-min tie-break). */
+  private def bruteWinnow(norm: String): Seq[(Int, Long)] =
+    if (norm.length < 11) Seq.empty
+    else {
+      val hashes = (1 to norm.length - 7).map(p =>
+        p -> h32(norm.substring(p - 1, p + 7)))
+      (4 to hashes.length).map { end =>
+        hashes.slice(end - 4, end).minBy { case (p, h) => (h, -p) }
+      }.distinct
     }
+
+  test("txt_winnowing equals the brute-force MOSS selection") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val expected = docs.flatMap { case (id, norm) =>
-      if (norm.length < 11) None
-      else {
-        // 1-based positions, 8-grams, windows of 4, min hash with
-        // rightmost tie-break
-        val hashes = (1 to norm.length - 7).map(p =>
-          p -> h32(norm.substring(p - 1, p + 7)))
-        val sels = (4 to hashes.length).map { end =>
-          val win = hashes.slice(end - 4, end)
-          win.minBy { case (p, h) => (h, -p) }
-        }.distinct
-        Some(id -> (hashes.length - 3L, sels.length.toLong,
-          sels.map(_._2).distinct.length.toLong))
-      }
+      val sels = bruteWinnow(norm)
+      if (sels.isEmpty) None
+      else Some(id -> (norm.length - 10L, sels.length.toLong,
+        sels.map(_._2).distinct.length.toLong))
     }.toMap
     val got = text.TextAnalysis.txtWinnowing(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -158,6 +162,65 @@ class R9bOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_code_docs"))).toMap
     assert(got == bysrc)
+  }
+
+  test("dedup_winnow_pairs equals the brute-force shared-fp count " +
+      "under the posting cap") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.map { case (id, norm) =>
+      id -> bruteWinnow(norm).map(_._2).distinct.toSet }.toMap
+    val posting = fps.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).filter { case (_, ds) =>
+        ds.size >= 2 && ds.size <= 50 }
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+    posting.values.foreach { ds =>
+      val ids = ds.map(_._2).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        counts(ids(i) -> ids(j)) = counts.getOrElse(ids(i) -> ids(j), 0L) + 1
+    }
+    val qualifying = counts.filter(_._2 >= 3)
+    val expected = qualifying.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(50)
+      .map { case ((a, b), n) =>
+        (a, b, n, n * 1000 / math.min(fps(a).size, fps(b).size)) }
+    val got = dedup.Dedup.dedupWinnowPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("containment_pm")))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("knn_mrr equals the hand-computed reciprocal-rank sum and is " +
+      "bounded by recall") {
+    val brute = sim.Knn.knnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nid")))
+    val top1 = brute.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    def mrrOf(rows: Array[(Long, Int, Long)]): (Long, Long) = {
+      val rr = top1.toSeq.map { case (q, n) =>
+        rows.find(r => r._1 == q && r._3 == n)
+          .map(r => 60L / r._2).getOrElse(0L)
+      }
+      (rr.count(_ > 0).toLong, rr.sum)
+    }
+    val cen = sim.Knn.knnCentroid(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nid")))
+    val lsh = sim.Knn.knnLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nid")))
+    val expected = Map("centroid" -> mrrOf(cen), "lsh" -> mrrOf(lsh))
+    val got = sim.Knn.knnMrr(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_found"), r.getAs[Long]("rr60_sum"))).toMap
+    assert(got == expected)
+    sim.Knn.knnMrr(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("mrr_pm") <= 1000L)
+      assert(r.getAs[Long]("rr60_sum") <= 60L * r.getAs[Long]("n_queries"))
+    }
   }
 
   test("mm_image_histogram: real codec output equals the gradient " +
