@@ -882,7 +882,83 @@ object MaskQueries extends QueryModule {
       |FROM rr JOIN vr ON rr.c_nationkey = vr.c_nationkey AND rr.r = vr.r
       |ORDER BY rr.c_custkey""".stripMargin
 
+  // ------------------------------------------------- mask_winsorize
+  /** WINSORIZATION (top/bottom coding) — the disclosure-control move
+    * for numeric outliers (a lone extreme balance re-identifies its
+    * holder even after the name is masked): per nation, cap account
+    * balances at the exact p05/p95 order statistics and report how
+    * many values each tail clipped plus the sum shift the capping
+    * cost. The quantiles come from
+    * [[graft.ops.OrderStats.radixRankSelect]] — both tails of all 25
+    * groups in the same two domain-capped passes, never a per-group
+    * sort — and the |groups|-row cap frame broadcasts back over the
+    * corpus for a map-only clip. Works on negative cents unchanged
+    * (arithmetic shiftright keeps bucket order monotone). */
+  def maskWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vals = Tables.customer(spark, dir).select(col("c_nationkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val qs = graft.ops.OrderStats.radixRankSelect(vals,
+      Seq("c_nationkey"), "cents", Seq(
+        "p05" -> expr("(n + 19) div 20"),
+        "p95" -> expr("(19 * n + 19) div 20")))
+    val caps = qs.groupBy("c_nationkey")
+      .agg(max(when(col("sel") === "p05", col("sel_value"))).as("lo"),
+        max(when(col("sel") === "p95", col("sel_value"))).as("hi"))
+    vals.join(broadcast(caps), "c_nationkey")
+      .select(col("c_nationkey"), col("cents"),
+        greatest(least(col("cents"), col("hi")), col("lo")).as("capped"),
+        col("lo"), col("hi"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(col("cents")).as("sum_before"),
+        sum(col("capped")).as("sum_after"))
+      .orderBy("c_nationkey")
+  }
+
+  val maskWinsorizeSql: String =
+    """WITH v AS (
+      |  SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM customer),
+      |h AS (SELECT c_nationkey, cents, COUNT(*) AS c FROM v
+      |      GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT c_nationkey, cents,
+      |    SUM(c) OVER (PARTITION BY c_nationkey ORDER BY cents) AS hi
+      |  FROM h),
+      |n AS (SELECT c_nationkey, COUNT(*) AS n FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT c_nationkey, unnest(['p05','p95']) AS q,
+      |    unnest([(n+19)//20, (19*n+19)//20]) AS k
+      |  FROM n),
+      |sel AS (
+      |  SELECT r.c_nationkey, r.q, MIN(c.cents) AS v
+      |  FROM r JOIN cum c
+      |    ON c.c_nationkey = r.c_nationkey AND c.hi >= r.k
+      |  GROUP BY 1, 2),
+      |caps AS (
+      |  SELECT c_nationkey,
+      |    MAX(CASE WHEN q = 'p05' THEN v END) AS lo,
+      |    MAX(CASE WHEN q = 'p95' THEN v END) AS hi
+      |  FROM sel GROUP BY 1)
+      |SELECT v.c_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_before,
+      |  CAST(SUM(GREATEST(LEAST(cents, hi), lo)) AS BIGINT)
+      |    AS sum_after
+      |FROM v JOIN caps USING (c_nationkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_winsorize" -> (maskWinsorize _),
     "mask_shuffle" -> (maskShuffle _),
     "mask_cell_suppress" -> (maskCellSuppress _),
     "mask_retention_sweep" -> (maskRetentionSweep _),
@@ -911,6 +987,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_winsorize" -> maskWinsorizeSql,
     "mask_shuffle" -> maskShuffleSql,
     "mask_cell_suppress" -> maskCellSuppressSql,
     "mask_retention_sweep" -> maskRetentionSweepSql,

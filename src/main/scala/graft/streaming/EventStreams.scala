@@ -980,6 +980,75 @@ object EventStreams extends QueryModule {
       |  ON c.event_type = r.event_type AND c.hi >= r.k
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // ----------------------------------------------- str_conversion_lag
+  /** TIME-TO-CONVERT cohort panel — the growth metric behind every
+    * activation dashboard: for each user, the gap between their FIRST
+    * signup and the first purchase strictly after it, rolled up by
+    * signup-day cohort with p50/p90 through
+    * [[graft.ops.OrderStats.radixRankSelect]] (both quantiles of all
+    * cohorts in the same two domain-capped passes — never a per-cohort
+    * sort). The user-level reduction is two min-aggregates and one
+    * join keyed on user_id (bounded per key); everything after is
+    * |converted users| sized. Unconverted users simply drop out —
+    * the panel is over realized conversions, the censoring-aware
+    * variant would carry an open-interval row. */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("_us"))
+    val signup = base.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("_us")).as("s_us"))
+    val firstBuy = base.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("_us") > col("s_us"))
+      .groupBy("user_id").agg(min(col("_us")).as("p_us"),
+        max(col("s_us")).as("s_us"))
+    val gaps = firstBuy.select(
+      expr("s_us div 86400000000").as("cohort_day"),
+      expr("(p_us - s_us) div 1000000").as("gap_s"))
+    graft.ops.OrderStats.radixRankSelect(gaps, Seq("cohort_day"),
+        "gap_s", Seq(
+        "p50" -> expr("(n + 1) div 2"),
+        "p90" -> expr("(9 * n + 9) div 10")))
+      .select(col("cohort_day"), col("n").as("n_converted"),
+        col("sel").as("quantile"), col("sel_value").as("gap_s"))
+      .orderBy("cohort_day", "quantile")
+  }
+
+  def strConversionLag(spark: SparkSession, dir: String): DataFrame =
+    conversionLag(Tables.events(spark, dir))
+
+  val strConversionLagSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s AS (
+      |  SELECT user_id, MIN(us) AS s_us FROM b
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (
+      |  SELECT b.user_id, MIN(b.us) AS p_us, MAX(s.s_us) AS s_us
+      |  FROM b JOIN s ON b.user_id = s.user_id
+      |  WHERE b.event_type = 'purchase' AND b.us > s.s_us
+      |  GROUP BY 1),
+      |g AS (
+      |  SELECT s_us // 86400000000 AS cohort_day,
+      |    (p_us - s_us) // 1000000 AS gap_s
+      |  FROM p),
+      |h AS (SELECT cohort_day, gap_s, COUNT(*) AS c FROM g
+      |      GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_day, gap_s,
+      |    SUM(c) OVER (PARTITION BY cohort_day ORDER BY gap_s) AS hi
+      |  FROM h),
+      |n AS (SELECT cohort_day, COUNT(*) AS n FROM g GROUP BY 1),
+      |r AS (
+      |  SELECT cohort_day, n, unnest(['p50','p90']) AS quantile,
+      |    unnest([(n+1)//2, (9*n+9)//10]) AS k
+      |  FROM n)
+      |SELECT r.cohort_day, r.n AS n_converted, r.quantile,
+      |  MIN(c.gap_s) AS gap_s
+      |FROM r JOIN cum c
+      |  ON c.cohort_day = r.cohort_day AND c.hi >= r.k
+      |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
   // -------------------------------------------------- str_ewma_smooth
   /** EWMA smoothing with DYADIC decay (α = 1/2) — the exponential
     * moving average every monitoring stack runs over a metric stream,
@@ -1188,6 +1257,7 @@ object EventStreams extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_interarrival" -> (strInterarrival _),
     "str_ewma_smooth" -> (strEwmaSmooth _),
+    "str_conversion_lag" -> (strConversionLag _),
     "str_change_points" -> (strChangePoints _),
     "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
@@ -1215,6 +1285,7 @@ object EventStreams extends QueryModule {
   val oracles: Map[String, String] = Map(
     "str_interarrival" -> strInterarrivalSql,
     "str_ewma_smooth" -> strEwmaSmoothSql,
+    "str_conversion_lag" -> strConversionLagSql,
     "str_change_points" -> strChangePointsSql,
     "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,

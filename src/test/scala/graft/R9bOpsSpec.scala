@@ -258,6 +258,57 @@ class R9bOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mask_winsorize caps at the exact type-1 order statistics") {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (nk, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      val lo = sorted((n + 19) / 20 - 1)
+      val hi = sorted((19 * n + 19) / 20 - 1)
+      nk -> (n.toLong, sorted.count(_ < lo).toLong,
+        sorted.count(_ > hi).toLong,
+        sorted.map(v => math.max(math.min(v, hi), lo)).sum)
+    }
+    val got = graft.mask.MaskQueries.maskWinsorize(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("c_nationkey").longValue() ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_low"),
+          r.getAs[Long]("n_high"), r.getAs[Long]("sum_after"))).toMap
+    assert(got == expected)
+  }
+
+  test("str_conversion_lag equals the brute per-user first-pair scan") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val signups = rows.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None
+      else {
+        val s = signups.min
+        val buys = rows.filter(r => r._2 == "purchase" && r._3 > s)
+          .map(_._3)
+        if (buys.isEmpty) None
+        else Some((s / 86400000000L, (buys.min - s) / 1000000L))
+      }
+    }
+    val expected = gaps.groupBy(_._1).flatMap { case (day, gs) =>
+      val sorted = gs.map(_._2).sorted
+      val n = sorted.length
+      Seq((day, "p50", sorted((n + 1) / 2 - 1)),
+        (day, "p90", sorted((9 * n + 9) / 10 - 1)))
+    }.toSet
+    val got = streaming.EventStreams.strConversionLag(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("cohort_day"),
+        r.getAs[String]("quantile"), r.getAs[Long]("gap_s"))).toSet
+    assert(got == expected)
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
