@@ -1364,7 +1364,58 @@ object CorpusPipeline extends QueryModule {
       |  CAST(w AS BIGINT) AS w
       |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  // -------------------------------------------- pipe_mix_temperature
+  /** TEMPERATURE-SMOOTHED source mixing — the exponent trick every
+    * multilingual/multi-source training mix uses (sample ∝ tokensᵅ,
+    * α < 1) so head sources stop drowning the tail without the tail
+    * being oversampled into memorization. α = 1/2 keeps the whole
+    * computation PORTABLE: sqrt is correctly rounded under IEEE-754
+    * (unlike pow/exp, which differ across libm builds), so
+    * floor(√tokens · 1000) is the same BIGINT in both engines and the
+    * shares stay exact-integer per-mille. Reports, per source: raw
+    * token share, smoothed share, and the boost the smoothing grants
+    * (positive for tail sources, negative for head ones — Σ boost
+    * ≈ 0). One scan → |sources| hash-agg; everything after is
+    * |sources|-sized. */
+  def pipeMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val nt = size(split(col("text"), "\\s+")).cast("long")
+    val weights = Tables.documents(spark, dir)
+      .select(col("source"), nt.as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .withColumn("_w",
+        expr("cast(floor(sqrt(cast(tokens as double)) * 1000) as long)"))
+    val tot = weights.agg(sum(col("tokens")).as("_tt"),
+      sum(col("_w")).as("_tw"))
+    weights.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("tokens * 1000 div _tt").as("raw_pm"),
+        expr("_w * 1000 div _tw").as("smoothed_pm"))
+      .withColumn("boost_pm", col("smoothed_pm") - col("raw_pm"))
+      .orderBy("source")
+  }
+
+  val pipeMixTemperatureSql: String =
+    """WITH w AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY 1),
+      |s AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000) AS BIGINT)
+      |      AS wq
+      |  FROM w),
+      |t AS (SELECT SUM(tokens) AS tt, SUM(wq) AS tw FROM s)
+      |SELECT source, n_docs, tokens,
+      |  CAST(tokens * 1000 // tt AS BIGINT) AS raw_pm,
+      |  CAST(wq * 1000 // tw AS BIGINT) AS smoothed_pm,
+      |  CAST(wq * 1000 // tw - tokens * 1000 // tt AS BIGINT)
+      |    AS boost_pm
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
     "pipe_pad_waste" -> (pipePadWaste _),
     "pipe_sample_fixed" -> (pipeSampleFixed _),
@@ -1393,6 +1444,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_sample_weighted" -> pipeSampleWeightedSql,
     "pipe_pad_waste" -> pipePadWasteSql,
     "pipe_sample_fixed" -> pipeSampleFixedSql,

@@ -309,6 +309,36 @@ class R9bOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pipe_mix_temperature flattens toward uniform without " +
+      "reordering sources") {
+    val rows = pipeline.CorpusPipeline.pipeMixTemperature(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("raw_pm"), r.getAs[Long]("smoothed_pm"),
+        r.getAs[Long]("boost_pm")))
+    // shares are per-mille distributions (floor rounding loses <1 per
+    // source); smoothing preserves the token ordering
+    assert(math.abs(rows.map(_._3).sum - 1000L) <= rows.length)
+    assert(math.abs(rows.map(_._4).sum - 1000L) <= rows.length)
+    assert(rows.forall(r => r._5 == r._4 - r._3))
+    val byTokens = rows.sortBy(_._2)
+    assert(byTokens.map(_._4).sorted.sameElements(byTokens.map(_._4)),
+      "smoothed shares must be monotone in tokens")
+    // sqrt smoothing boosts the smallest source and shrinks the
+    // largest (strictly, unless already uniform)
+    if (byTokens.head._2 < byTokens.last._2) {
+      assert(byTokens.head._5 >= 0)
+      assert(byTokens.last._5 <= 0)
+    }
+    // exact-integer weight recomputation
+    val tw = rows.map(r => math.floor(math.sqrt(r._2.toDouble) * 1000)
+      .toLong).sum
+    rows.foreach { r =>
+      val w = math.floor(math.sqrt(r._2.toDouble) * 1000).toLong
+      assert(r._4 == w * 1000 / tw)
+    }
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
