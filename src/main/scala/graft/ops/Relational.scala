@@ -1560,6 +1560,83 @@ object Relational extends graft.QueryModule {
       |FROM oc LEFT JOIN nn ON oc.day = nn.day
       |ORDER BY oc.day""".stripMargin
 
+  // ---------------------------------------------------- q47_gains_table
+  /** GAINS / LORENZ TABLE — "what share of revenue lives in each
+    * value decile", the concentration report behind every whale-curve
+    * and model-lift analysis: decile BOUNDARIES come from ONE
+    * [[OrderStats.radixRankSelect]] pass (all nine type-1 order
+    * statistics in the same two domain-capped scans — the naive
+    * `ntile(10)` is a single-partition corpus sort, the classic
+    * scale-killer), collapse to a single 9-element array broadcast to
+    * every row, and each order buckets itself with a codegen
+    * `aggregate` fold — no shuffle between boundary and bucket. The
+    * per-decile rollup is a 10-group hash-agg; cumulative shares run
+    * on the 10-row frame. Ties sit in the lowest decile whose
+    * boundary admits them (both engines replay the same strict-less
+    * count). */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // non-foldable all-rows group: a literal would constant-fold and
+    // strip the window partition (the unpartitioned-window trap the
+    // plan pins forbid); cents mod 1 is 0 everywhere but stays an
+    // expression over the column
+    val vals = Tables.orders(spark, dir).select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("_g", pmod(col("cents"), lit(1L)))
+    val ranks = (1 to 9).map(i =>
+      s"p$i" -> expr(s"($i * n + 9) div 10"))
+    val bnds = OrderStats.radixRankSelect(vals, Seq("_g"), "cents", ranks)
+      .agg(sort_array(collect_list(col("sel_value"))).as("bnds"))
+    val byDecile = vals.crossJoin(broadcast(bnds))
+      .select(col("cents"),
+        (expr("aggregate(bnds, 0, (acc, b) -> acc + " +
+          "if(cents > b, 1, 0))") + 1).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+    val tot = byDecile.agg(sum(col("revenue_cents")).as("_tot"))
+    val cum = Window.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile.crossJoin(broadcast(tot))
+      .withColumn("_cum", sum(col("revenue_cents")).over(cum))
+      .select(col("decile").cast("long").as("decile"), col("n_orders"),
+        col("revenue_cents"),
+        expr("revenue_cents * 1000 div _tot").as("rev_share_pm"),
+        expr("_cum * 1000 div _tot").as("cum_share_pm"))
+      .orderBy("decile")
+  }
+
+  val q47Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS cents
+      |  FROM orders),
+      |h AS (SELECT cents, COUNT(*) AS c FROM v GROUP BY 1),
+      |cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS hi FROM h),
+      |n AS (SELECT COUNT(*) AS n FROM v),
+      |r AS (
+      |  SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i, n FROM n),
+      |b AS (
+      |  SELECT r.i, MIN(c.cents) AS bnd
+      |  FROM r JOIN cum c ON c.hi >= (r.i * r.n + 9) // 10
+      |  GROUP BY r.i),
+      |a AS (
+      |  SELECT cents,
+      |    1 + (SELECT COUNT(*) FROM b WHERE b.bnd < v.cents) AS decile
+      |  FROM v),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |  FROM a GROUP BY 1),
+      |t AS (SELECT SUM(revenue_cents) AS tot FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_orders, revenue_cents,
+      |  CAST(revenue_cents * 1000 // tot AS BIGINT) AS rev_share_pm,
+      |  CAST(CAST(SUM(revenue_cents) OVER (ORDER BY decile) AS BIGINT)
+      |    * 1000 // tot AS BIGINT) AS cum_share_pm
+      |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1611,6 +1688,7 @@ object Relational extends graft.QueryModule {
     "q44_eager_agg" -> (q44 _),
     "q45_countmin" -> (q45 _),
     "q46_cumulative_distinct" -> (q46 _),
+    "q47_gains_table" -> (q47 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1659,6 +1737,7 @@ object Relational extends graft.QueryModule {
     "q44_eager_agg" -> q44Sql,
     "q45_countmin" -> q45Sql,
     "q46_cumulative_distinct" -> q46Sql,
+    "q47_gains_table" -> q47Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

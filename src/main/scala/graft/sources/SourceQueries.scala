@@ -1110,7 +1110,66 @@ object SourceQueries extends QueryModule {
        |    AS BIGINT) AS bbox_area
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------- src_sidecar_checksum
+  /** TRANSFER-VALIDATION manifest — the distcp/hand-off audit every
+    * file-based exchange needs: before writing, compute a per-shard
+    * sidecar (row count + order-insensitive sum of per-line portable
+    * hashes) from the TABLE; stage the shards as partitioned text
+    * (one directory per priority — the multi-file layout a 100 TB
+    * extract ships as); read the FILES back cold and recompute the
+    * manifest from bytes actually on disk; join and flag. A flipped
+    * byte, dropped line, or duplicated shard shows as a checksum or
+    * count mismatch on exactly the damaged shard. The hash-sum is
+    * commutative so shard-internal ordering (which a parallel write
+    * does not preserve) cannot false-alarm. Oracle replays the
+    * manifest arithmetic from the table — both sides of the join
+    * derive from the same rows, so every flag must come back 1. */
+  def srcSidecarChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lines = Tables.orders(spark, dir).select(
+      col("o_orderpriority"),
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("value"))
+    val expected = lines.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_expected"),
+        sum(graft.mask.MaskFunctions.portableHash(col("value")))
+          .as("sum_expected"))
+    val tmp = stagingDir(spark, "graft-sidecar")
+    lines.write.partitionBy("o_orderpriority").mode("overwrite").text(tmp)
+    val readBack = spark.read.text(tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_read"),
+        sum(graft.mask.MaskFunctions.portableHash(col("value")))
+          .as("sum_read"))
+    expected.join(readBack, Seq("o_orderpriority"), "full")
+      .select(col("o_orderpriority"), col("n_expected"), col("n_read"),
+        col("sum_expected"),
+        when(col("n_expected") <=> col("n_read"), 1L).otherwise(0L)
+          .as("count_ok"),
+        when(col("sum_expected") <=> col("sum_read"), 1L).otherwise(0L)
+          .as("checksum_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  val srcSidecarChecksumSql: String =
+    """WITH l AS (
+      |  SELECT o_orderpriority,
+      |    CAST(o_orderkey AS VARCHAR) || '|' ||
+      |      CAST(o_custkey AS VARCHAR) || '|' ||
+      |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |        AS BIGINT) AS VARCHAR) AS value
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_expected,
+      |  COUNT(*) AS n_read,
+      |  CAST(SUM(('0x'||substr(md5(value),1,8))::BIGINT) AS BIGINT)
+      |    AS sum_expected,
+      |  CAST(1 AS BIGINT) AS count_ok,
+      |  CAST(1 AS BIGINT) AS checksum_ok
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_sidecar_checksum" -> (srcSidecarChecksum _),
     "src_zip_archive" -> (srcZipArchive _),
     "src_header_reorder" -> (srcHeaderReorder _),
     "src_zorder_layout" -> (srcZorderLayout _),
@@ -1139,6 +1198,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_sidecar_checksum" -> srcSidecarChecksumSql,
     "src_json_flatten" -> srcJsonFlattenSql,
     "src_malformed_audit" -> malformedAuditSql,
     "src_delimited_roundtrip" -> delimitedRoundtripSql,

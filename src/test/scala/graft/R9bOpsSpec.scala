@@ -339,6 +339,43 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q47 gains table equals the sort-based decile recount") {
+    val cents = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))
+      .collect().map(_.getLong(0))
+    val sorted = cents.sorted
+    val n = sorted.length
+    val bnds = (1 to 9).map(i => sorted((i * n + 9) / 10 - 1))
+    val deciles = cents.groupBy(c => 1 + bnds.count(_ < c))
+    val tot = cents.sum
+    val expected = deciles.map { case (d, vs) =>
+      d.toLong -> (vs.length.toLong, vs.sum) }
+    val got = ops.Relational.q47(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents")))
+      .toMap
+    assert(got == expected)
+    // cumulative share is monotone and ends at ~1000 per-mille
+    val cums = ops.Relational.q47(spark, sfDir).collect()
+      .map(_.getAs[Long]("cum_share_pm"))
+    assert(cums.sorted.sameElements(cums))
+    assert(math.abs(cums.last - 1000L) <= 1, s"tot=$tot")
+  }
+
+  test("src_sidecar_checksum: every staged shard validates") {
+    val rows = sources.SourceQueries.srcSidecarChecksum(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("count_ok") == 1L,
+        s"count mismatch on ${r.getAs[String]("o_orderpriority")}")
+      assert(r.getAs[Long]("checksum_ok") == 1L,
+        s"checksum mismatch on ${r.getAs[String]("o_orderpriority")}")
+      assert(r.getAs[Long]("n_expected") == r.getAs[Long]("n_read"))
+    }
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
