@@ -1386,7 +1386,70 @@ object ClassifyQueries extends QueryModule {
       |    AS v2_ppm
       |FROM s CROSS JOIN d""".stripMargin
 
+  // ---------------------------------------------- cls_key_discovery
+  /** CANDIDATE-KEY discovery — the profiler step that tells a CDC
+    * pipeline WHICH columns can key a table (the reference discovers
+    * keys before replication; its streaming form is the test-only
+    * key-discovery component): for a candidate set of single columns
+    * and composite pairs, the distinct-tuple count vs the row count,
+    * a uniqueness ratio in per-mille, and the is-key verdict. All six
+    * candidates ride ONE aggregate (Catalyst expands the multiple
+    * DISTINCTs into a single Expand scan — six separate
+    * `SELECT COUNT(DISTINCT …)` passes would scan six times). A
+    * column pair whose ratio is ~1000 but not exactly is the classic
+    * "almost key" that breaks an upsert sink — the gap, not just the
+    * verdict, is the audit. */
+  def clsKeyDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("c1"),
+      countDistinct(col("o_custkey")).as("c2"),
+      countDistinct(col("o_orderdate")).as("c3"),
+      countDistinct(col("o_custkey"), col("o_orderdate")).as("c4"),
+      countDistinct(col("o_custkey"), col("o_totalprice")).as("c5"),
+      countDistinct(col("o_orderdate"), col("o_orderpriority")).as("c6"))
+    val named = Seq(
+      "o_orderkey" -> "c1", "o_custkey" -> "c2", "o_orderdate" -> "c3",
+      "o_custkey,o_orderdate" -> "c4", "o_custkey,o_totalprice" -> "c5",
+      "o_orderdate,o_orderpriority" -> "c6")
+    wide.select(col("n_rows"), explode(array(named.map { case (nm, c) =>
+        struct(lit(nm).as("candidate"), col(c).as("n_distinct"))
+      }: _*)).as("e"))
+      .select(col("e.candidate").as("candidate"),
+        col("e.n_distinct").as("n_distinct"), col("n_rows"))
+      .withColumn("uniqueness_pm", expr("n_distinct * 1000 div n_rows"))
+      .withColumn("is_key",
+        when(col("n_distinct") === col("n_rows"), 1L).otherwise(0L))
+      .orderBy("candidate")
+  }
+
+  val clsKeyDiscoverySql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+      |c AS (
+      |  SELECT 'o_orderkey' AS candidate,
+      |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct
+      |  UNION ALL SELECT 'o_custkey',
+      |    (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+      |  UNION ALL SELECT 'o_orderdate',
+      |    (SELECT COUNT(DISTINCT o_orderdate) FROM orders)
+      |  UNION ALL SELECT 'o_custkey,o_orderdate',
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT o_custkey, o_orderdate FROM orders))
+      |  UNION ALL SELECT 'o_custkey,o_totalprice',
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT o_custkey, o_totalprice FROM orders))
+      |  UNION ALL SELECT 'o_orderdate,o_orderpriority',
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT o_orderdate, o_orderpriority FROM orders)))
+      |SELECT candidate, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  n_rows,
+      |  CAST(n_distinct * 1000 // n_rows AS BIGINT) AS uniqueness_pm,
+      |  CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_key
+      |FROM c CROSS JOIN n ORDER BY candidate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_key_discovery" -> (clsKeyDiscovery _),
     "cls_cramers_v" -> (clsCramersV _),
     "cls_null_profile" -> (clsNullProfile _),
     "cls_histogram_profile" -> (clsHistogramProfile _),
@@ -1418,6 +1481,7 @@ object ClassifyQueries extends QueryModule {
     "cls_null_profile" -> clsNullProfileSql,
     "cls_histogram_profile" -> clsHistogramProfileSql,
     "cls_dow_seasonality" -> clsDowSeasonalitySql,
+    "cls_key_discovery" -> clsKeyDiscoverySql,
     "cls_cramers_v" -> clsCramersVSql,
     "cls_contingency" -> clsContingencySql,
     "cls_ks_drift" -> clsKsDriftSql,

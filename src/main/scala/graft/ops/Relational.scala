@@ -1637,6 +1637,60 @@ object Relational extends graft.QueryModule {
       |    * 1000 // tot AS BIGINT) AS cum_share_pm
       |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------- q48_semi_additive
+  /** SEMI-ADDITIVE aggregation — the balance/inventory pattern where
+    * summing over time is WRONG (a month's "total balance" is the sum
+    * of each account's LAST balance, not of every snapshot): per
+    * (customer, month) the closing order value via ONE struct-max —
+    * `max(struct(day, orderkey, cents))` picks the latest row with a
+    * deterministic orderkey tie-break, map-side combinable, no window
+    * and no self-join — then the monthly roll-up sums closings across
+    * customers. The classic formulations (ROW_NUMBER per key-month,
+    * or a MAX-date self-join) cost a corpus window or a second scan;
+    * the argmax-by-struct is a single hash-agg, the shape that
+    * survives 100 TB. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp))" +
+        " div 86400000000").as("day"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+      .withColumn("month", expr("day div 30"))
+    val closing = o.groupBy("o_custkey", "month")
+      .agg(max(struct(col("day"), col("o_orderkey"), col("cents")))
+        .as("_last"))
+      .select(col("month"), col("_last.cents").as("closing_cents"))
+    closing.groupBy("month")
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(col("closing_cents")).as("closing_total_cents"),
+        max(col("closing_cents")).as("max_closing_cents"))
+      .orderBy("month")
+  }
+
+  val q48Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day,
+      |    o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |m AS (SELECT o_custkey, day // 30 AS month, day, o_orderkey,
+      |        cents FROM o),
+      |r AS (
+      |  SELECT o_custkey, month, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey, month
+      |      ORDER BY day DESC, o_orderkey DESC) AS rn
+      |  FROM m),
+      |c AS (SELECT month, cents AS closing_cents FROM r WHERE rn = 1)
+      |SELECT month, COUNT(*) AS n_accounts,
+      |  CAST(SUM(closing_cents) AS BIGINT) AS closing_total_cents,
+      |  CAST(MAX(closing_cents) AS BIGINT) AS max_closing_cents
+      |FROM c GROUP BY month ORDER BY month""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1689,6 +1743,7 @@ object Relational extends graft.QueryModule {
     "q45_countmin" -> (q45 _),
     "q46_cumulative_distinct" -> (q46 _),
     "q47_gains_table" -> (q47 _),
+    "q48_semi_additive" -> (q48 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1738,6 +1793,7 @@ object Relational extends graft.QueryModule {
     "q45_countmin" -> q45Sql,
     "q46_cumulative_distinct" -> q46Sql,
     "q47_gains_table" -> q47Sql,
+    "q48_semi_additive" -> q48Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -376,6 +376,46 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q48 semi-additive closing equals the sort-based last-per-" +
+      "key-month") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000").as("day"),
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(r => (r._1, r._2 / 30)).toSeq
+      .map { case ((_, month), vs) =>
+        month -> vs.maxBy(v => (v._2, v._3))._4 }
+      .groupBy(_._1).map { case (m, cs) =>
+        m -> (cs.size.toLong, cs.map(_._2).sum, cs.map(_._2).max) }
+    val got = ops.Relational.q48(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("month") ->
+        (r.getAs[Long]("n_accounts"), r.getAs[Long]("closing_total_cents"),
+          r.getAs[Long]("max_closing_cents"))).toMap
+    assert(got == expected)
+  }
+
+  test("cls_key_discovery: orderkey is the only key; ratios recompute") {
+    val got = classify.ClassifyQueries.clsKeyDiscovery(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("candidate") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("is_key"))).toMap
+    assert(got("o_orderkey")._3 == 1L, "primary key must be discovered")
+    assert(got("o_custkey")._3 == 0L)
+    got.foreach { case (cand, (nd, nr, isKey)) =>
+      assert(nd <= nr, cand)
+      assert((isKey == 1L) == (nd == nr), cand)
+    }
+    // composite dominates its parts
+    assert(got("o_custkey,o_orderdate")._1 >= got("o_custkey")._1)
+    assert(got("o_custkey,o_orderdate")._1 >= got("o_orderdate")._1)
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
