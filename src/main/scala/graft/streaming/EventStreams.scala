@@ -980,6 +980,95 @@ object EventStreams extends QueryModule {
       |  ON c.event_type = r.event_type AND c.hi >= r.k
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // ----------------------------------------------- str_active_users
+  /** DAU / WAU / MAU — exact rolling-distinct actives, the engagement
+    * triple every product dashboard leads with, and the textbook
+    * trap at scale: a naive trailing `COUNT(DISTINCT)` re-scans a
+    * w-day window PER DAY (w× the corpus, and not incrementally
+    * maintainable). The COVERAGE-INTERVAL rewrite is linear: a user
+    * active on day a contributes to the w-day count on days
+    * [a, a+w−1]; union those per-user intervals (islands via the
+    * per-user lag — two intervals merge iff the next active day is
+    * ≤ w after the previous), emit ±1 sweep deltas at island
+    * endpoints, and ONE prefix sum over the |days| spine reads off
+    * every day's exact count. One shuffle on user_id carries all
+    * three window widths (1/7/30 share the sorted per-user days);
+    * everything after is |days|-sized. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val spine = ud.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(expr("sequence(_d0, _d1)")).as("day"))
+    def deltas(w: Int, name: String): DataFrame = {
+      val islands = ud
+        .withColumn("_new",
+          when(col("day") - lag(col("day"), 1).over(byUser) <= w, 0)
+            .otherwise(1))
+        .withColumn("_isl", sum(col("_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("_isl"))
+        .agg(min(col("day")).as("s"), (max(col("day")) + (w - 1)).as("e"))
+      islands.select(col("s").as("day"), lit(1L).as("d"))
+        .unionByName(islands.select((col("e") + 1).as("day"),
+          lit(-1L).as("d")))
+        .groupBy("day").agg(sum(col("d")).as("delta"))
+        .withColumn("_m", lit(name))
+    }
+    val all = deltas(1, "dau").unionByName(deltas(7, "wau"))
+      .unionByName(deltas(30, "mau"))
+    val cum = Window.partitionBy(col("_m"), pmod(col("day"), lit(1L)))
+      .orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val counts = all
+      .withColumn("c", sum(col("delta")).over(cum))
+      .select(col("_m"), col("day"), col("c"))
+    def onSpine(name: String): DataFrame = {
+      // forward-fill the sweep value onto spine days with no delta:
+      // the count at day d is the last sweep value at or before d
+      val sweep = counts.filter(col("_m") === name)
+        .select(col("day").as("_sd"), col("c"))
+      spine.join(sweep, col("_sd") === col("day"), "left")
+        .select(col("day"),
+          coalesce(col("c"),
+            last(col("c"), ignoreNulls = true).over(
+              Window.partitionBy(pmod(col("day"), lit(1L)))
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .as(name))
+    }
+    onSpine("dau")
+      .join(onSpine("wau"), "day")
+      .join(onSpine("mau"), "day")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .orderBy("day")
+  }
+
+  def strActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsers(Tables.events(spark, dir))
+
+  val strActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |sp AS (
+      |  SELECT unnest(generate_series(
+      |    (SELECT MIN(day) FROM ud), (SELECT MAX(day) FROM ud))) AS day)
+      |SELECT sp.day,
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM ud
+      |        WHERE ud.day = sp.day) AS BIGINT) AS dau,
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM ud
+      |        WHERE ud.day BETWEEN sp.day - 6 AND sp.day) AS BIGINT)
+      |    AS wau,
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM ud
+      |        WHERE ud.day BETWEEN sp.day - 29 AND sp.day) AS BIGINT)
+      |    AS mau
+      |FROM sp ORDER BY sp.day""".stripMargin
+
   // ----------------------------------------------- str_conversion_lag
   /** TIME-TO-CONVERT cohort panel — the growth metric behind every
     * activation dashboard: for each user, the gap between their FIRST
@@ -1258,6 +1347,7 @@ object EventStreams extends QueryModule {
     "str_interarrival" -> (strInterarrival _),
     "str_ewma_smooth" -> (strEwmaSmooth _),
     "str_conversion_lag" -> (strConversionLag _),
+    "str_active_users" -> (strActiveUsers _),
     "str_change_points" -> (strChangePoints _),
     "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
@@ -1286,6 +1376,7 @@ object EventStreams extends QueryModule {
     "str_interarrival" -> strInterarrivalSql,
     "str_ewma_smooth" -> strEwmaSmoothSql,
     "str_conversion_lag" -> strConversionLagSql,
+    "str_active_users" -> strActiveUsersSql,
     "str_change_points" -> strChangePointsSql,
     "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,

@@ -416,6 +416,31 @@ class R9bOpsSpec extends SparkSpec {
     assert(got("o_custkey,o_orderdate")._1 >= got("o_orderdate")._1)
   }
 
+  test("str_active_users sweep equals the naive trailing distinct") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = ud.map(_._2)
+    val expected = (days.min to days.max).map { d =>
+      d -> (
+        ud.filter(_._2 == d).map(_._1).distinct.length.toLong,
+        ud.filter(u => u._2 >= d - 6 && u._2 <= d)
+          .map(_._1).distinct.length.toLong,
+        ud.filter(u => u._2 >= d - 29 && u._2 <= d)
+          .map(_._1).distinct.length.toLong)
+    }.toMap
+    val got = streaming.EventStreams.strActiveUsers(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Long]("mau"))).toMap
+    assert(got == expected)
+    got.values.foreach { case (d, w, m) =>
+      assert(d <= w && w <= m, "windows must nest")
+    }
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
