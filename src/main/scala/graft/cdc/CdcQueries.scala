@@ -1049,7 +1049,52 @@ object CdcQueries extends QueryModule {
        |FROM l WHERE op = 'u' AND expected IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ cdc_resurrection
+  /** KEY-RESURRECTION audit — deletes followed by a later create on
+    * the SAME key (the Debezium tombstone + re-insert pattern): a
+    * consumer that compacted the tombstone away will silently merge
+    * two distinct entity lifetimes, so replication monitoring counts
+    * them. Detected per key with one lag window (was the previous op
+    * for this user a delete when a create arrives?), rolled up per
+    * day with the delete/create volumes for rate context. Same
+    * single-shuffle shape as [[beforeChain]] — the per-key window is
+    * bounded per key, the day roll-up is a map-side-combining
+    * hash-agg. */
+  def resurrection(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("event_id"))
+    val l = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), opCol.as("op"),
+        tsMicros.as("_us"))
+      .withColumn("_prev", lag(col("op"), 1).over(w))
+    l.groupBy(expr("_us div 86400000000").as("day"))
+      .agg(
+        sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_creates"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("op") === "c" && col("_prev") === "d", 1L)
+          .otherwise(0L)).as("n_resurrections"))
+      .orderBy("day")
+  }
+
+  val resurrectionSql: String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, $opSql AS op, epoch_us(ts) AS us
+       |  FROM events),
+       |l AS (
+       |  SELECT us, op, LAG(op, 1) OVER w AS prev
+       |  FROM b
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT us // 86400000000 AS day,
+       |  CAST(SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_creates,
+       |  CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deletes,
+       |  CAST(SUM(CASE WHEN op = 'c' AND prev = 'd' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_resurrections
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_resurrection" -> (resurrection _),
     "cdc_before_chain" -> (beforeChain _),
     "cdc_sparse_patch" -> (sparsePatch _),
     "cdc_e2e_replicate" -> (cdcE2eReplicate _),
@@ -1075,6 +1120,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_resurrection" -> resurrectionSql,
     "cdc_before_chain" -> beforeChainSql,
     "cdc_sparse_patch" -> sparsePatchSql,
     "cdc_e2e_replicate" -> cdcE2eReplicateSql,

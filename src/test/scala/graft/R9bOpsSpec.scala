@@ -441,6 +441,27 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_resurrection counts exactly the delete-then-create " +
+      "adjacencies") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def op(t: String) =
+      t match { case "signup" => "c"; case "error" => "d"; case _ => "u" }
+    var res = 0L
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ops = rows.sortBy(r => (r._4, r._1)).map(r => op(r._3))
+      res += ops.sliding(2).count(p =>
+        p.length == 2 && p(0) == "d" && p(1) == "c")
+    }
+    val got = cdc.CdcQueries.resurrection(spark, sfDir)
+      .agg(sum("n_resurrections"), sum("n_creates")).collect().head
+    assert(got.getLong(0) == res)
+    assert(got.getLong(1) == ev.count(r => op(r._3) == "c"))
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
