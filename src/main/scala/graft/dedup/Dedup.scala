@@ -1589,8 +1589,12 @@ object Dedup extends QueryModule {
     * locality guarantee means any ≥ 11-char common substring shares
     * a fingerprint, so true near-dups cannot be missed by sampling. */
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (posting cap, pair join ×2 sides, per-doc
+    // totals) would each re-run the gram-explode winnowing scan —
+    // localCheckpoint guarantees the corpus is fingerprinted ONCE
+    // (ReuseExchange does not dedupe across the rename boundaries)
     val fps = graft.text.TextAnalysis.winnowedHashes(
-      Tables.documents(spark, dir))
+      Tables.documents(spark, dir)).localCheckpoint()
     val posting = fps.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= 50)
       .select("h")
