@@ -1691,6 +1691,66 @@ object Relational extends graft.QueryModule {
       |  CAST(MAX(closing_cents) AS BIGINT) AS max_closing_cents
       |FROM c GROUP BY month ORDER BY month""".stripMargin
 
+  // ------------------------------------------------ q49_bloom_prune_join
+  /** BLOOM-PRUNED JOIN — the runtime-filter technique (Spark's own
+    * bloom runtime filters, Impala/Trino broadcast runtime filters)
+    * stated explicitly and proved RESULT-IDENTICAL to the plain join:
+    * the selective dim side (parts with size ≥ 48, ~6%) collapses to
+    * an m=8192-bit / k=3 portable bloom filter — built distributed
+    * (one bit_or hash-agg), then collected as 256 BIGINT words (the
+    * collect is bounded by m/32, NEVER by the key count) and shipped
+    * as an array literal, so the fact-side probe is three codegen
+    * array lookups per row, map-only, pruning inside the scan stage
+    * BEFORE any exchange. False positives only widen the candidate
+    * set; the exact join behind the probe removes them — so the
+    * oracle is simply the plain join, and the spec pins both the
+    * identity and that the filter genuinely prunes. At 100 TB this
+    * is the difference between shuffling the whole fact table and
+    * shuffling the ~6% that can possibly match. */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val m = 8192L
+    val dim = Tables.part(spark, dir).filter(col("p_size") >= 48)
+      .select(col("p_partkey"), col("p_brand"))
+    def pos(key: Column, i: Int): Column = pmod(
+      conv(substring(md5(key.cast("string")), 1 + 8 * i, 8), 16, 10)
+        .cast("long"), lit(m))
+    val words = dim
+      .select(explode(array(pos(col("p_partkey"), 0),
+        pos(col("p_partkey"), 1), pos(col("p_partkey"), 2))).as("p"))
+      .select(expr("CAST(p div 32 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      .collect().foldLeft(Array.fill(256)(0L)) { (a, r) =>
+        a(r.getAs[Int]("word")) = r.getAs[Long]("bits"); a
+      }
+    val bits = typedLit(words.toSeq)
+    def probe(i: Int): Column = expr(
+      s"shiftright(element_at(_bits, cast(_p$i div 32 as int) + 1), " +
+        s"cast(_p$i % 32 as int)) % 2 = 1")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("_bits", bits)
+      .withColumn("_p0", pos(col("l_partkey"), 0))
+      .withColumn("_p1", pos(col("l_partkey"), 1))
+      .withColumn("_p2", pos(col("l_partkey"), 2))
+      .filter(probe(0) && probe(1) && probe(2))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
+  val q49Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size >= 48
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1744,6 +1804,7 @@ object Relational extends graft.QueryModule {
     "q46_cumulative_distinct" -> (q46 _),
     "q47_gains_table" -> (q47 _),
     "q48_semi_additive" -> (q48 _),
+    "q49_bloom_prune_join" -> (q49 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1794,6 +1855,7 @@ object Relational extends graft.QueryModule {
     "q46_cumulative_distinct" -> q46Sql,
     "q47_gains_table" -> q47Sql,
     "q48_semi_additive" -> q48Sql,
+    "q49_bloom_prune_join" -> q49Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -1590,7 +1590,74 @@ object TextAnalysis extends QueryModule {
       |  CAST(SUM(indent_pm) // COUNT(*) AS BIGINT) AS avg_indent_pm
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------- txt_surprisal
+  /** Integer unigram SURPRISAL — the perplexity-proxy quality gate
+    * (filter docs whose average token surprisal says "not like the
+    * corpus") made oracle-portable by measuring information in WHOLE
+    * BITS: floor(log₂ x) = len(bin(x)) − 1 is pure string length on
+    * the binary rendering both engines produce identically, so
+    * s(token) = len(bin(N)) − len(bin(count)) needs no libm log at
+    * all. A doc of corpus-typical tokens scores low; rare-token-heavy
+    * docs (the gibberish/boilerplate tails an LM filter drops) score
+    * high. One token explode → token-count hash-agg → count join back
+    * on the token key (the only shuffle pair) → per-doc sum →
+    * per-source report with the ≥ 9-bits/token outlier count. Whole-
+    * bit granularity is deliberate: it is the resolution at which
+    * the measurement stays exact at any scale. */
+  def txtSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(words(regexp_replace(trim(lower(col("text"))),
+          "\\s+", " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_n"))
+    val scored = toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"),
+        (length(expr("bin(_n)")) - length(expr("bin(cnt)")))
+          .cast("long").as("s"))
+    scored.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nt"), sum(col("s")).as("ts"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("ts")).as("surprisal_bits"),
+        sum(when(expr("ts * 1000 div nt") >= 9000L, 1L).otherwise(0L))
+          .as("n_high_docs"))
+      .withColumn("mean_surprisal_milli",
+        expr("surprisal_bits * 1000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  val txtSurprisalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_split_to_array(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+      |      AS tok
+      |  FROM documents),
+      |tk AS (SELECT * FROM t WHERE length(tok) > 0),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+      |s AS (
+      |  SELECT tk.doc_id, tk.source,
+      |    CAST(length(bin(n.n)) - length(bin(c.cnt)) AS BIGINT) AS s
+      |  FROM tk JOIN c USING (tok) CROSS JOIN n),
+      |d AS (
+      |  SELECT doc_id, source, COUNT(*) AS nt,
+      |    CAST(SUM(s) AS BIGINT) AS ts
+      |  FROM s GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(ts) AS BIGINT) AS surprisal_bits,
+      |  CAST(SUM(CASE WHEN ts * 1000 // nt >= 9000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high_docs,
+      |  CAST(SUM(ts) * 1000 // SUM(nt) AS BIGINT)
+      |    AS mean_surprisal_milli
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_surprisal" -> (txtSurprisal _),
     "txt_winnowing" -> (txtWinnowing _),
     "txt_code_ratio" -> (txtCodeRatio _),
     "txt_heaps" -> (txtHeaps _),
@@ -1623,6 +1690,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_surprisal" -> txtSurprisalSql,
     "txt_winnowing" -> txtWinnowingSql,
     "txt_code_ratio" -> txtCodeRatioSql,
     "txt_heaps" -> txtHeapsSql,

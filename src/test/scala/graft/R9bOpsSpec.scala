@@ -462,6 +462,82 @@ class R9bOpsSpec extends SparkSpec {
     assert(got.getLong(1) == ev.count(r => op(r._3) == "c"))
   }
 
+  test("q49 bloom-pruned join is lossless and the filter genuinely " +
+      "prunes") {
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_size") >= 48),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("revenue_cents"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val got = ops.Relational.q49(spark, sfDir).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("revenue_cents"))).toMap
+    assert(got == plain, "bloom pruning must not change the join result")
+    // rebuild the filter and show it rejects most non-matching keys
+    def h32(s: String, off: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.slice(off * 4, off * 4 + 4).map("%02x".format(_)).mkString, 16)
+    }
+    val dimKeys = Tables.part(spark, sfDir).filter(col("p_size") >= 48)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val bits = new Array[Long](256)
+    dimKeys.foreach { k =>
+      (0 until 3).foreach { i =>
+        val p = (h32(k.toString, i) % 8192L).toInt
+        bits(p / 32) |= (1L << (p % 32))
+      }
+    }
+    def pass(k: Long): Boolean = (0 until 3).forall { i =>
+      val p = (h32(k.toString, i) % 8192L).toInt
+      ((bits(p / 32) >> (p % 32)) & 1L) == 1L
+    }
+    val factKeys = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").collect().map(_.getLong(0))
+    val passed = factKeys.count(pass)
+    assert(factKeys.forall(k => !dimKeys.contains(k) || pass(k)),
+      "no false negatives")
+    assert(passed < factKeys.length / 2,
+      s"filter must prune: $passed of ${factKeys.length} passed")
+  }
+
+  test("txt_surprisal equals the whole-bit recomputation; bit bounds " +
+      "hold") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, src, norm) =>
+      norm.split(" ").filter(_.nonEmpty).map(t => (id, src, t)) }
+    val cnt = toks.groupBy(_._3).map { case (t, v) => t -> v.length.toLong }
+    val n = cnt.values.sum
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length
+    val perDoc = toks.groupBy(d => (d._1, d._2)).map { case ((_, src), v) =>
+      (src, v.length.toLong, v.map(t => (bl(n) - bl(cnt(t._3))).toLong).sum)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.map(_._2).sum, ds.map(_._3).sum,
+        ds.count(d => d._3 * 1000 / d._2 >= 9000).toLong)
+    }
+    val got = text.TextAnalysis.txtSurprisal(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("surprisal_bits"), r.getAs[Long]("n_high_docs")))
+      .toMap
+    assert(got == expected)
+    // surprisal bounds: 0 for a token that is the whole corpus,
+    // len(bin(n))-1 for a singleton
+    cnt.values.foreach { c =>
+      val s = bl(n) - bl(c)
+      assert(s >= 0 && s <= bl(n) - 1)
+    }
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
