@@ -1047,6 +1047,101 @@ object SourceQueries extends QueryModule {
       |    + (doc_id + k) % 50) AS BIGINT) AS total_bytes
       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- src_tar_archive
+  /** TAR (POSIX ustar) container round-trip — the OTHER archive
+    * format batch drops arrive in, and unlike [[srcZipArchive]] the
+    * JDK has no reader for it, so the 512-byte block framing is
+    * implemented against the spec: writer emits real ustar headers
+    * (octal size/mtime fields, the space-seeded header CHECKSUM,
+    * `ustar` magic, zero-padded payload blocks, two terminator
+    * blocks); the reader walks blocks back, REFUSES any header whose
+    * recomputed checksum or magic disagrees, parses the octal size
+    * and consumes exactly ceil(size/512) blocks. Entry sizes
+    * deliberately straddle the 512 boundary so both 1- and 2-block
+    * payloads are exercised. The oracle re-derives entry count,
+    * payload bytes, and the FULL archive size (header + padded
+    * payload + terminator arithmetic) — a hash match proves the
+    * framing math and the parse agree to the byte. Map-only;
+    * archives never cross a shuffle. */
+  def srcTarArchive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (2 + id % 3).toInt
+        def body(k: Int): Array[Byte] =
+          (s"doc-$id-entry-$k:" + "y" * (300 + ((id + k) % 400)).toInt)
+            .getBytes("UTF-8")
+        def header(name: String, size: Long): Array[Byte] = {
+          val h = new Array[Byte](512)
+          def put(off: Int, s: String): Unit = {
+            val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
+          }
+          put(0, name)
+          put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+          put(124, f"$size%011o"); put(136, f"${0L}%011o")
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          h(156) = '0'
+          put(257, "ustar"); put(263, "00")
+          val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+          put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '
+          h
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until n).foreach { k =>
+          val b = body(k)
+          out.write(header(s"entry-$k.txt", b.length.toLong))
+          out.write(b)
+          val pad = (512 - b.length % 512) % 512
+          out.write(new Array[Byte](pad))
+        }
+        out.write(new Array[Byte](1024))
+        val bytes = out.toByteArray
+        // hand-rolled reader with checksum/magic validation
+        var off = 0
+        var entries = 0L
+        var payload = 0L
+        var done = false
+        while (!done && off + 512 <= bytes.length) {
+          val blk = java.util.Arrays.copyOfRange(bytes, off, off + 512)
+          if (blk.forall(_ == 0)) done = true
+          else {
+            require(new String(blk, 257, 5, "UTF-8") == "ustar",
+              s"bad magic at block $off")
+            val stored = java.lang.Long.parseLong(
+              new String(blk, 148, 6, "UTF-8"), 8)
+            val spaced = blk.clone()
+            java.util.Arrays.fill(spaced, 148, 156, ' '.toByte)
+            val recomputed = spaced.foldLeft(0L)((a, b) => a + (b & 0xff))
+            require(stored == recomputed, s"checksum mismatch at $off")
+            val sz = java.lang.Long.parseLong(
+              new String(blk, 124, 11, "UTF-8"), 8)
+            payload += sz
+            entries += 1
+            off += 512 + (((sz + 511) / 512) * 512).toInt
+          }
+        }
+        (id, entries, payload, bytes.length.toLong)
+      })
+      .toDF("doc_id", "n_entries", "payload_bytes", "archive_bytes")
+      .orderBy("doc_id")
+  }
+
+  val srcTarArchiveSql: String =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id, n, unnest(range(n)) AS k FROM d),
+      |s AS (
+      |  SELECT doc_id, n, k,
+      |    CAST(12 + length(CAST(doc_id AS VARCHAR))
+      |      + length(CAST(k AS VARCHAR))
+      |      + 300 + (doc_id + k) % 400 AS BIGINT) AS sz
+      |  FROM e)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_entries,
+      |  CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(512 + ((sz + 511) // 512) * 512) + 1024 AS BIGINT)
+      |    AS archive_bytes
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ src_zorder_layout
   /** Z-order (Morton) layout audit — the lakehouse data-layout
     * primitive behind Delta's Z-ORDER / Iceberg's sort-order: both
@@ -1170,6 +1265,7 @@ object SourceQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_sidecar_checksum" -> (srcSidecarChecksum _),
+    "src_tar_archive" -> (srcTarArchive _),
     "src_zip_archive" -> (srcZipArchive _),
     "src_header_reorder" -> (srcHeaderReorder _),
     "src_zorder_layout" -> (srcZorderLayout _),
@@ -1199,6 +1295,7 @@ object SourceQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "src_sidecar_checksum" -> srcSidecarChecksumSql,
+    "src_tar_archive" -> srcTarArchiveSql,
     "src_json_flatten" -> srcJsonFlattenSql,
     "src_malformed_audit" -> malformedAuditSql,
     "src_delimited_roundtrip" -> delimitedRoundtripSql,

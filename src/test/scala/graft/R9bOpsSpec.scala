@@ -538,6 +538,22 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("src_tar_archive: ustar block arithmetic holds for every " +
+      "archive") {
+    val rows = sources.SourceQueries.srcTarArchive(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_entries"),
+        r.getAs[Long]("payload_bytes"), r.getAs[Long]("archive_bytes")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, payload, archive) =>
+      assert(n == 2 + id % 3)
+      assert(archive % 512 == 0, "tar archives are block-aligned")
+      // headers + terminator + padded payload reconstruct the size
+      assert(archive >= 512 * n + 1024 + payload)
+      assert(archive < 512 * n + 1024 + payload + 512 * n)
+    }
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
