@@ -223,6 +223,82 @@ object EmbOps extends QueryModule {
       |  MIN(pm) AS min_pm
       |FROM p GROUP BY prefix_dims ORDER BY prefix_dims""".stripMargin
 
+  // ------------------------------------------ emb_matryoshka_recall
+  /** MATRYOSHKA RECALL — the deployment dial [[embMatryoshka]]'s
+    * energy view only hints at: when vectors are truncated to their
+    * first d dims (the MRL serving trick — shorter vectors, same
+    * index machinery), how much of the FULL-dimension top-5 survives?
+    * For d ∈ {8, 16, 32}, brute-force retrieval over the truncated,
+    * re-normalized prefixes is audited against the full-width
+    * baseline — recall@5 totals and the worst query's overlap, the
+    * same integer audit frame as `knn_recall_audit`. Degenerate
+    * prefixes (zero norm) are excluded on BOTH sides so no NaN
+    * cosine ever crosses the oracle boundary. Energy retained
+    * (pm16 ≈ 250‰ for isotropic vectors) vs recall retained is the
+    * curve that decides the serving width. */
+  def embMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val full = Knn.bruteForce(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("qid", "nid")
+    def audit(d: Int): DataFrame = {
+      val sliced = slice(col("embedding"), 1, d)
+      val ss = call_function(graft.expr.VectorExprs.dotName,
+        sliced.cast("array<double>"), sliced.cast("array<double>"))
+      val t = emb.filter(ss > 0)
+        .select(col("vec_id"), sliced.as("embedding"))
+      val approx = Knn.bruteForce(t, t.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      full.join(approx, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"),
+          min(col("hits")).as("min_hits"))
+        .select(lit(d).as("trunc_dims"), col("n_queries"),
+          col("n_hits"), col("min_hits"))
+    }
+    audit(8).unionByName(audit(16)).unionByName(audit(32))
+      .orderBy("trunc_dims")
+  }
+
+  val embMatryoshkaRecallSql: String = {
+    def trunc(d: Int): String =
+      s"""t$d AS (
+         |  SELECT vec_id,
+         |    list_transform(x, v -> v / sqrt(list_dot_product(x, x)))
+         |      AS e
+         |  FROM (SELECT vec_id,
+         |          CAST(embedding AS DOUBLE[])[1:$d] AS x
+         |        FROM embeddings) s
+         |  WHERE list_dot_product(x, x) > 0),
+         |r$d AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.e, c.e) DESC, c.vec_id)
+         |        AS rank
+         |    FROM t$d q JOIN t$d c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5),
+         |a$d AS (
+         |  SELECT $d AS trunc_dims, f.qid,
+         |    SUM(CASE WHEN x.nid IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM fb f LEFT JOIN r$d x
+         |    ON f.qid = x.qid AND f.nid = x.nid
+         |  GROUP BY f.qid)""".stripMargin
+    s"""WITH fullq AS (${Knn.knnBruteSql.replace("ORDER BY qid, rank", "")}),
+       |fb AS (SELECT qid, nid FROM fullq),
+       |${trunc(8)},
+       |${trunc(16)},
+       |${trunc(32)},
+       |u AS (SELECT * FROM a8 UNION ALL SELECT * FROM a16
+       |      UNION ALL SELECT * FROM a32)
+       |SELECT CAST(trunc_dims AS INT) AS trunc_dims,
+       |  COUNT(*) AS n_queries, CAST(SUM(hits) AS BIGINT) AS n_hits,
+       |  CAST(MIN(hits) AS BIGINT) AS min_hits
+       |FROM u GROUP BY trunc_dims ORDER BY trunc_dims""".stripMargin
+  }
+
   // ---------------------------------------------------------- emb_pq
   /** Product quantization — the trillion-vector storage codec (IVF-PQ
     * is the standard ANN index layout): the 64-dim vector splits into
@@ -1152,6 +1228,7 @@ object EmbOps extends QueryModule {
     "emb_norm_audit" -> (embNormAudit _),
     "emb_quantize" -> (embQuantize _),
     "emb_matryoshka" -> (embMatryoshka _),
+    "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
     "emb_pq" -> (embPq _),
     "knn_pq_adc" -> (knnPqAdc _),
     "sql_surface" -> (sqlSurface _))
@@ -1170,6 +1247,7 @@ object EmbOps extends QueryModule {
     "emb_norm_audit" -> embNormAuditSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
+    "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
     "emb_pq" -> embPqSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivf_pq" -> knnIvfPqSql,

@@ -554,6 +554,24 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_matryoshka_recall: recall grows with prefix width and is " +
+      "bounded by k") {
+    val rows = sim.EmbOps.embMatryoshkaRecall(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("trunc_dims"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("min_hits")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(8, 16, 32)))
+    rows.foreach { case (_, nq, hits, minh) =>
+      assert(hits <= 5 * nq)
+      assert(minh >= 0 && minh <= 5)
+    }
+    // wider prefixes can only see more of the full-width structure
+    // (not strictly monotone in theory, but 8 -> 32 must not collapse)
+    val byDim = rows.map(r => r._1 -> r._3).toMap
+    assert(byDim(32) >= byDim(8),
+      s"recall collapsed: 8-dim ${byDim(8)} vs 32-dim ${byDim(32)}")
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
