@@ -1069,6 +1069,84 @@ object EventStreams extends QueryModule {
       |    AS mau
       |FROM sp ORDER BY sp.day""".stripMargin
 
+  // ------------------------------------------------- str_attribution
+  /** TOUCH ATTRIBUTION — which click gets credit for a purchase, the
+    * marketing-analytics question with two canonical answers
+    * (last-touch: the click immediately before; first-touch: the
+    * earliest click in the attribution window): both computed in ONE
+    * per-user pass with two conditional window aggregates — last
+    * touch is `max(CASE click THEN ts END)` over the preceding-rows
+    * frame, first touch is `min(CASE click THEN ts END)` over a 7-day
+    * RANGE frame — no self-join of purchases against clicks, no
+    * per-purchase re-scan. Per day: purchases, attributed purchases
+    * (any click within 7 d), and how often the two models agree
+    * (first == last ⇔ exactly one candidate touch) — the
+    * model-sensitivity gauge. Windows are user-bounded; the day
+    * roll-up is a map-side-combining hash-agg. */
+  def attribution(events: DataFrame): DataFrame = {
+    val week = 7L * 86400000000L
+    val byRows = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byRange = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+      .rangeBetween(-week, 0)
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("_us"))
+    val clickUs = when(col("event_type") === "click", col("_us"))
+    base
+      .withColumn("last_click", max(clickUs).over(byRows))
+      .withColumn("first_click_7d", min(clickUs).over(byRange))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click").isNotNull &&
+          col("last_click") >= col("_us") - week)
+      .groupBy(expr("_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attributed") &&
+          (col("first_click_7d") <=> col("last_click")), 1L)
+          .otherwise(0L)).as("n_models_agree"))
+      .withColumn("attributed_pm",
+        expr("n_attributed * 1000 div n_purchases"))
+      .orderBy("day")
+  }
+
+  def strAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir))
+
+  val strAttributionSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click,
+      |    MIN(CASE WHEN event_type = 'click' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |      AS first_click_7d
+      |  FROM b),
+      |p AS (
+      |  SELECT us // 86400000000 AS day,
+      |    CASE WHEN last_click IS NOT NULL
+      |           AND last_click >= us - 604800000000
+      |         THEN 1 ELSE 0 END AS attributed,
+      |    CASE WHEN last_click IS NOT NULL
+      |           AND last_click >= us - 604800000000
+      |           AND first_click_7d IS NOT DISTINCT FROM last_click
+      |         THEN 1 ELSE 0 END AS agree
+      |  FROM w WHERE event_type = 'purchase')
+      |SELECT day, COUNT(*) AS n_purchases,
+      |  CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+      |  CAST(SUM(agree) AS BIGINT) AS n_models_agree,
+      |  CAST(SUM(attributed) * 1000 // COUNT(*) AS BIGINT)
+      |    AS attributed_pm
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------- str_conversion_lag
   /** TIME-TO-CONVERT cohort panel — the growth metric behind every
     * activation dashboard: for each user, the gap between their FIRST
@@ -1348,6 +1426,7 @@ object EventStreams extends QueryModule {
     "str_ewma_smooth" -> (strEwmaSmooth _),
     "str_conversion_lag" -> (strConversionLag _),
     "str_active_users" -> (strActiveUsers _),
+    "str_attribution" -> (strAttribution _),
     "str_change_points" -> (strChangePoints _),
     "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
@@ -1377,6 +1456,7 @@ object EventStreams extends QueryModule {
     "str_ewma_smooth" -> strEwmaSmoothSql,
     "str_conversion_lag" -> strConversionLagSql,
     "str_active_users" -> strActiveUsersSql,
+    "str_attribution" -> strAttributionSql,
     "str_change_points" -> strChangePointsSql,
     "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,

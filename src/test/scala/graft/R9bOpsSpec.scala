@@ -572,6 +572,44 @@ class R9bOpsSpec extends SparkSpec {
       s"recall collapsed: 8-dim ${byDim(8)} vs 32-dim ${byDim(32)}")
   }
 
+  test("str_attribution equals the per-purchase scan of candidate " +
+      "clicks") {
+    val week = 7L * 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    var purchases = 0L
+    var attributed = 0L
+    var agree = 0L
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._4, r._2))
+      seq.indices.foreach { i =>
+        val (_, _, typ, pus) = seq(i)
+        if (typ == "purchase") {
+          purchases += 1
+          val lastClick = seq.take(i).reverse
+            .find(_._3 == "click").map(_._4)
+          // range frame: clicks at the same timestamp also qualify
+          val firstIn7d = seq.filter(r => r._3 == "click" &&
+            r._4 >= pus - week && r._4 <= pus).map(_._4).minOption
+          val attr = lastClick.exists(_ >= pus - week)
+          if (attr) {
+            attributed += 1
+            if (firstIn7d == lastClick) agree += 1
+          }
+        }
+      }
+    }
+    val got = streaming.EventStreams.strAttribution(spark, sfDir)
+      .agg(sum("n_purchases"), sum("n_attributed"), sum("n_models_agree"))
+      .collect().head
+    assert(got.getLong(0) == purchases)
+    assert(got.getLong(1) == attributed)
+    assert(got.getLong(2) == agree)
+  }
+
   test("str_ewma_smooth equals the sequential dyadic fold") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
