@@ -725,6 +725,86 @@ object ClassifyQueries extends QueryModule {
       |  CAST(SUM(x * y) AS BIGINT) AS sxy
       |FROM m GROUP BY pair ORDER BY pair""".stripMargin
 
+  // ------------------------------------------------- cls_spearman
+  /** SPEARMAN rank correlation — the monotone-dependence profiler
+    * that catches relationships Pearson misses (any monotone but
+    * non-linear link) and survives the outliers that wreck raw
+    * moments. Like [[clsCorr]], what crosses the engine boundary are
+    * EXACT integer sufficient statistics — here over DOUBLED average
+    * ranks (×2 keeps tie-averaged ranks integral: for value v,
+    * 2·rank = 2·|{<v}| + |{=v}| + 1), plus the classic Σd² term. The
+    * rank transform is fully distributed: ONE corpus scan
+    * (checkpointed 3-column projection), a per-variable value
+    * histogram through [[graft.ops.OrderStats.cumulativeHistogramSharded]]
+    * (two-level cum — no unpartitioned window anywhere), and a
+    * value-keyed shuffle join of the corpus back to each compact rank
+    * map — the standard scale-out rank transform, vs. the textbook
+    * `RANK() OVER (ORDER BY v)` whose single global sort dies first.
+    * int64 bound: Σ(2R)² ≤ 4n³ holds to n ≈ 1.3e6 per column; beyond
+    * that the six sums widen to DECIMAL(38,0) unchanged in shape. */
+  def clsSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val proj = Tables.lineitem(spark, dir).select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100).cast("long").as("p"),
+        floor(col("l_discount") * 1000).cast("long").as("d"))
+      .localCheckpoint()
+    def ranks(v: String): DataFrame = {
+      // non-foldable all-rows group: keeps every window partitioned
+      val vals = proj.select(col(v).as("v"))
+        .withColumn("_g", pmod(col("v"), lit(1L)))
+      OrderStats.cumulativeHistogramSharded(vals, Seq("_g"), "v")
+        .select(col("v").as(v),
+          (lit(2L) * col("hi") - col("c") + 1L).as(s"r_$v"))
+    }
+    val ranked = proj
+      .join(ranks("q"), Seq("q"))
+      .join(ranks("p"), Seq("p"))
+      .join(ranks("d"), Seq("d"))
+    ranked.select(explode(array(
+        struct(lit("quantity~price_cents").as("pair"),
+          col("r_q").as("x"), col("r_p").as("y")),
+        struct(lit("quantity~discount_milli").as("pair"),
+          col("r_q").as("x"), col("r_d").as("y")))).as("m"))
+      .select(col("m.pair").as("pair"), col("m.x").as("x"),
+        col("m.y").as("y"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum((col("x") - col("y")) * (col("x") - col("y"))).as("sd2"))
+      .orderBy("pair")
+  }
+
+  val clsSpearmanSql: String =
+    """WITH v AS (
+      |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p,
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT) AS d
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT
+      |    2 * RANK() OVER (ORDER BY q)
+      |      + COUNT(*) OVER (PARTITION BY q) - 1 AS rq,
+      |    2 * RANK() OVER (ORDER BY p)
+      |      + COUNT(*) OVER (PARTITION BY p) - 1 AS rp,
+      |    2 * RANK() OVER (ORDER BY d)
+      |      + COUNT(*) OVER (PARTITION BY d) - 1 AS rd
+      |  FROM v),
+      |m AS (
+      |  SELECT 'quantity~price_cents' AS pair, rq AS x, rp AS y FROM r
+      |  UNION ALL
+      |  SELECT 'quantity~discount_milli', rq, rd FROM r)
+      |SELECT pair, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |  CAST(SUM(y * y) AS BIGINT) AS syy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |  CAST(SUM((x - y) * (x - y)) AS BIGINT) AS sd2
+      |FROM m GROUP BY pair ORDER BY pair""".stripMargin
+
   // -------------------------------------------------- cls_autocorr
   /** Seasonality / serial-dependence profiling of an event timeline —
     * the profiler check that tells a sampler or forecaster whether
@@ -1458,6 +1538,7 @@ object ClassifyQueries extends QueryModule {
     "cls_ks_drift" -> (clsKsDrift _),
     "cls_datatype_infer" -> (clsDatatypeInfer _),
     "cls_corr" -> (clsCorr _),
+    "cls_spearman" -> (clsSpearman _),
     "cls_autocorr" -> (clsAutocorr _),
     "cls_skewness" -> (clsSkewness _),
     "cls_entity_match" -> (clsEntityMatch _),
@@ -1487,6 +1568,7 @@ object ClassifyQueries extends QueryModule {
     "cls_ks_drift" -> clsKsDriftSql,
     "cls_datatype_infer" -> clsDatatypeInferSql,
     "cls_corr" -> clsCorrSql,
+    "cls_spearman" -> clsSpearmanSql,
     "cls_autocorr" -> clsAutocorrSql,
     "cls_skewness" -> clsSkewnessSql,
     "cls_entity_match" -> clsEntityMatchSql,

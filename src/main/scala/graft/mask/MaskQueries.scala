@@ -957,8 +957,81 @@ object MaskQueries extends QueryModule {
       |FROM v JOIN caps USING (c_nationkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- mask_microagg
+  /** MICROAGGREGATION — the numeric-column SDC workhorse (the k-member
+    * cluster-and-replace that gives k-anonymity to a CONTINUOUS
+    * attribute, where generalization bins would destroy utility): per
+    * nation, account balances sort into consecutive k=5-member
+    * microclusters (deterministic (cents, custkey) order; the
+    * remainder folds into the last full cluster, so every cluster
+    * holds k..2k−1 members — the size invariant the spec pins) and
+    * each cluster publishes its floor-mean as the masked value. The
+    * codebook this emits (cluster → size, mean, span) IS the
+    * microaggregated release. Exactness: means are computed on
+    * +offset-shifted cents so the integer division runs on
+    * non-negative operands, where Spark's truncating `div` and
+    * DuckDB's flooring `//` agree, then the identity
+    * floor((s+kn)/n)−k = floor(s/n) shifts back — no float mean ever
+    * exists. One per-nation window (same cost class as the
+    * mask_kanonymity sort; a per-group total order is inherent to
+    * microaggregation — at larger groups the rank rides the
+    * two-level shard machinery mask_shuffle already uses) + one
+    * hash-agg. */
+  def maskMicroagg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val k = 5
+    val off = 100000L // c_acctbal ≥ −999.99 ⇒ cents+off ≥ 1
+    val c = Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nation"), col("c_custkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val order = Window.partitionBy("nation")
+      .orderBy(col("cents"), col("c_custkey"))
+    val whole = Window.partitionBy("nation")
+    c.withColumn("rn", row_number().over(order))
+      .withColumn("ng", count(lit(1)).over(whole))
+      .withColumn("cluster", // greatest(…,0): a <k-member group degenerates to one undersized cluster
+        greatest(least(expr(s"(rn - 1) div $k"),
+          expr(s"ng div $k - 1")), lit(0)))
+      .groupBy("nation", "cluster")
+      .agg(count(lit(1)).as("size"),
+        sum(col("cents") + lit(off)).as("_soff"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .select(col("nation"), col("cluster"), col("size"),
+        (expr("_soff div size") - off).as("mean_cents"),
+        col("lo_cents"), col("hi_cents"))
+      .orderBy("nation", "cluster")
+  }
+
+  val maskMicroaggSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nation, c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM customer),
+      |r AS (
+      |  SELECT nation, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY nation
+      |      ORDER BY cents, c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY nation) AS ng
+      |  FROM c),
+      |cl AS (
+      |  SELECT nation, cents,
+      |    GREATEST(LEAST((rn - 1) // 5, ng // 5 - 1), 0) AS cluster
+      |  FROM r)
+      |SELECT nation, CAST(cluster AS BIGINT) AS cluster,
+      |  COUNT(*) AS size,
+      |  CAST(SUM(cents + 100000) // COUNT(*) - 100000 AS BIGINT)
+      |    AS mean_cents,
+      |  CAST(MIN(cents) AS BIGINT) AS lo_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS hi_cents
+      |FROM cl GROUP BY 1, 2 ORDER BY nation, cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_winsorize" -> (maskWinsorize _),
+    "mask_microagg" -> (maskMicroagg _),
     "mask_shuffle" -> (maskShuffle _),
     "mask_cell_suppress" -> (maskCellSuppress _),
     "mask_retention_sweep" -> (maskRetentionSweep _),
@@ -988,6 +1061,7 @@ object MaskQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "mask_winsorize" -> maskWinsorizeSql,
+    "mask_microagg" -> maskMicroaggSql,
     "mask_shuffle" -> maskShuffleSql,
     "mask_cell_suppress" -> maskCellSuppressSql,
     "mask_retention_sweep" -> maskRetentionSweepSql,

@@ -1751,6 +1751,66 @@ object Relational extends graft.QueryModule {
       |WHERE p_size >= 48
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // -------------------------------------------------- q50_exists_chain
+  /** DOUBLE EXISTS / NOT-EXISTS CHAIN — the TPC-H Q21 "suppliers who
+    * kept orders waiting" shape (reference routing predicates compose
+    * the same way: per-key "some sibling matches AND no sibling
+    * violates", Main.java:446-498 chooses targets per column-set the
+    * same membership way): a line item blocks an order when it shipped
+    * >90 days after the order date, the order has ≥2 distinct
+    * suppliers, and NO OTHER supplier on that order was late. The
+    * textbook plan is a triple self-join (l1 × EXISTS l2 × NOT EXISTS
+    * l3) — three corpus scans and two correlated subqueries. Here both
+    * correlated predicates DECORRELATE into ONE per-order hash-agg:
+    * `n_supp` (distinct suppliers), `n_late` (distinct late
+    * suppliers), and `min(late supplier)` — when `n_late = 1` that min
+    * IS the unique blocker, so the filter `n_supp ≥ 2 AND n_late = 1`
+    * reconstructs the whole chain from the aggregate alone. ONE
+    * lineitem scan, one orders join, one agg; the supplier-name join
+    * runs on the tiny waiting-order frame. The spec pins equivalence
+    * against the literal self-join formulation. At 100 TB the agg
+    * form shuffles each row once on its order key; the EXISTS form
+    * shuffles the corpus three times. */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+    val flagged = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("sdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+        (datediff(col("sdate"), col("odate")) > 90).as("late"))
+    val perOrder = flagged.groupBy("okey").agg(
+      countDistinct(col("skey")).as("n_supp"),
+      countDistinct(when(col("late"), col("skey"))).as("n_late"),
+      min(when(col("late"), col("skey"))).as("blocker"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy("blocker").agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name")),
+        col("blocker") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(10)
+  }
+
+  val q50Sql: String =
+    """WITH l AS (
+      |  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+      |    date_diff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) > 90 AS late
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |w AS (
+      |  SELECT DISTINCT l1.okey, l1.skey
+      |  FROM l l1
+      |  WHERE l1.late
+      |    AND EXISTS (SELECT 1 FROM l l2
+      |      WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+      |    AND NOT EXISTS (SELECT 1 FROM l l3
+      |      WHERE l3.okey = l1.okey AND l3.skey <> l1.skey AND l3.late))
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM w JOIN supplier s ON s.s_suppkey = w.skey
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1805,6 +1865,7 @@ object Relational extends graft.QueryModule {
     "q47_gains_table" -> (q47 _),
     "q48_semi_additive" -> (q48 _),
     "q49_bloom_prune_join" -> (q49 _),
+    "q50_exists_chain" -> (q50 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1856,6 +1917,7 @@ object Relational extends graft.QueryModule {
     "q47_gains_table" -> q47Sql,
     "q48_semi_additive" -> q48Sql,
     "q49_bloom_prune_join" -> q49Sql,
+    "q50_exists_chain" -> q50Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force agreement + invariant pins for the round-9 closing
+  * operators: each rewritten form must equal its naive/textbook
+  * formulation computed directly on the small fixture. */
+class R9cOpsSpec extends SparkSpec {
+
+  test("q50 decorrelated agg equals the literal EXISTS/NOT-EXISTS " +
+      "self-join chain") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("sdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+        (datediff(col("sdate"), col("odate")) > 90).as("late"))
+      .localCheckpoint()
+    val a = l.filter(col("late"))
+      .select(col("okey").as("a_okey"), col("skey").as("a_skey"))
+    val waiting = a
+      .join(l.select(col("okey").as("b_okey"), col("skey").as("b_skey")),
+        col("a_okey") === col("b_okey") && col("a_skey") =!= col("b_skey"),
+        "left_semi")
+      .join(l.filter(col("late"))
+          .select(col("okey").as("c_okey"), col("skey").as("c_skey")),
+        col("a_okey") === col("c_okey") && col("a_skey") =!= col("c_skey"),
+        "left_anti")
+      .distinct()
+    val naive = waiting.groupBy("a_skey").agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_name")),
+        col("a_skey") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = ops.Relational.q50(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("cls_spearman matches driver-side tie-averaged ranks") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_quantity")).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"),
+        floor(col("l_discount") * 1000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doubled tie-averaged rank: 2·|{<v}| + |{=v}| + 1
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = byV.keys.toSeq.sorted
+      var less = 0L
+      sorted.map { v =>
+        val r = v -> (2 * less + byV(v) + 1); less += byV(v); r
+      }.toMap
+    }
+    val rq = rank2(rows.map(_._1))
+    val rp = rank2(rows.map(_._2))
+    val rd = rank2(rows.map(_._3))
+    def stats(xy: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long, Long) =
+      (xy.size.toLong, xy.map(_._1).sum, xy.map(_._2).sum,
+        xy.map(p => p._1 * p._1).sum, xy.map(p => p._2 * p._2).sum,
+        xy.map(p => p._1 * p._2).sum,
+        xy.map(p => (p._1 - p._2) * (p._1 - p._2)).sum)
+    val expected = Map(
+      "quantity~price_cents" ->
+        stats(rows.map(r => (rq(r._1), rp(r._2)))),
+      "quantity~discount_milli" ->
+        stats(rows.map(r => (rq(r._1), rd(r._3)))))
+    val got = classify.ClassifyQueries.clsSpearman(spark, sfDir)
+      .collect().map(r => r.getAs[String]("pair") -> ((
+        r.getAs[Long]("n"), r.getAs[Long]("sx"), r.getAs[Long]("sy"),
+        r.getAs[Long]("sxx"), r.getAs[Long]("syy"), r.getAs[Long]("sxy"),
+        r.getAs[Long]("sd2")))).toMap
+    assert(got == expected)
+    // tie-averaged ranks preserve the rank total: Σ(2R) = n(n+1)
+    val n = rows.length.toLong
+    got.values.foreach { case (_, sx, sy, _, _, _, _) =>
+      assert(sx == n * (n + 1) && sy == n * (n + 1))
+    }
+  }
+
+  test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
+      "and carry exact floor-means") {
+    val k = 5
+    val got = graft.mask.MaskQueries.maskMicroagg(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("nation"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("size"), r.getAs[Long]("mean_cents"),
+        r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents")))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byNation = cust.groupBy(_._1)
+    // coverage: cluster sizes sum to the nation's row count
+    got.groupBy(_._1).foreach { case (nation, rows) =>
+      assert(rows.map(_._3).sum == byNation(nation).length)
+    }
+    // size invariant: k..2k-1, except a <k-member nation degenerates
+    // to ONE undersized cluster (documented in the operator doc)
+    got.foreach { case (nation, _, size, _, _, _) =>
+      if (byNation(nation).length >= k)
+        assert(size >= k && size <= 2 * k - 1, s"cluster size $size")
+      else
+        assert(size == byNation(nation).length, s"degenerate size $size")
+    }
+    // brute force: same deterministic order, same clusters, floor-means
+    val expected = byNation.flatMap { case (nation, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val ng = sorted.length
+      val nClusters = math.max(ng / k, 1)
+      sorted.zipWithIndex
+        .groupBy { case (_, i) => math.min(i / k, nClusters - 1) }
+        .map { case (cl, vs) =>
+          val cents = vs.map(_._1)
+          (nation, cl.toLong, cents.length.toLong,
+            Math.floorDiv(cents.sum, cents.length.toLong),
+            cents.min, cents.max)
+        }
+    }.toSet
+    assert(got.toSet == expected)
+  }
+}
