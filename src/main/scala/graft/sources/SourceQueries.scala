@@ -1263,7 +1263,55 @@ object SourceQueries extends QueryModule {
       |  CAST(1 AS BIGINT) AS checksum_ok
       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ src_bitmap_index
+  /** BITMAP INDEX — the OLAP indexing structure for low-cardinality
+    * dimensions (Oracle bitmap indexes, Druid/Pinot segment bitmaps,
+    * roaring bitmaps in ClickHouse): each market segment's customer
+    * set compresses to one 64-bit word per 64-key block
+    * (`bit_or(1 << (key mod 64))` — a combiner-friendly hash-agg, the
+    * natural distributed bitmap build), and queries then run as
+    * BITWISE algebra: cardinality = Σ bit_count(word), and the
+    * conjunctive "segment ∧ high-balance" count = Σ bit_count(seg &
+    * high) over a word-keyed join of the two indexes — never touching
+    * a row. The oracle computes the same numbers DIRECTLY from rows
+    * (COUNT + COUNT FILTER), so the green hash IS the proof the
+    * bitmap algebra is lossless. Index size: |keyspace|/64 words per
+    * distinct dimension value — at 100 TB the whole index for a
+    * 25-value dimension over 10¹⁰ keys is ~31 GB, shardable by word
+    * range, and the AND/count runs map-side on co-partitioned words. */
+  def srcBitmapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("segment"),
+      expr("c_custkey div 64").as("word"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(c_custkey % 64 AS INT))")
+        .as("bit"),
+      ((col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long") > 500000L).as("high"))
+    val segIdx = c.groupBy("segment", "word")
+      .agg(expr("bit_or(bit)").as("bits"))
+    val highIdx = c.filter(col("high")).groupBy("word")
+      .agg(expr("bit_or(bit)").as("hbits"))
+    segIdx.join(highIdx, Seq("word"), "left")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).as("card"),
+        sum(expr("bit_count(bits & coalesce(hbits, CAST(0 AS BIGINT)))"))
+          .as("card_high"))
+      .orderBy("segment")
+  }
+
+  val srcBitmapIndexSql: String =
+    """SELECT c_mktsegment AS segment,
+      |  COUNT(DISTINCT c_custkey // 64) AS n_words,
+      |  COUNT(*) AS card,
+      |  CAST(COUNT(*) FILTER (
+      |    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      > 500000) AS BIGINT) AS card_high
+      |FROM customer
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_bitmap_index" -> (srcBitmapIndex _),
     "src_sidecar_checksum" -> (srcSidecarChecksum _),
     "src_tar_archive" -> (srcTarArchive _),
     "src_zip_archive" -> (srcZipArchive _),
@@ -1294,6 +1342,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_bitmap_index" -> srcBitmapIndexSql,
     "src_sidecar_checksum" -> srcSidecarChecksumSql,
     "src_tar_archive" -> srcTarArchiveSql,
     "src_json_flatten" -> srcJsonFlattenSql,

@@ -1421,7 +1421,168 @@ object EventStreams extends QueryModule {
       |  (ABS(cusum) = mx.m) AS is_peak
       |FROM cu CROSS JOIN mx ORDER BY day_start""".stripMargin
 
+  // -------------------------------------------- str_seasonal_error
+  /** SEASONAL-NAIVE FORECAST ERROR (the MASE decomposition) — the
+    * "is this series actually predictable, and does weekly
+    * seasonality help" gauge every capacity/forecast pipeline runs
+    * before fitting anything: per event type, the lag-7
+    * seasonal-naive forecast's absolute error is summed against the
+    * lag-1 naive error on a GAP-FREE daily spine (missing days count
+    * 0 — skipping them would silently compare non-adjacent days).
+    * `mase_e6` = 1e6 · Σ|err₇| / Σ|err₁| stays exact-integer
+    * (non-negative operands, so Spark `div` ≡ DuckDB `//`): below
+    * 1e6 the weekly pattern beats persistence. Shape: one events
+    * scan → (type, day) hash-agg; the spine and lags live on the
+    * tiny per-type day frame — windows all type-partitioned. */
+  def strSeasonalError(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir).select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val spine = d.groupBy("event_type")
+      .agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+      .select(col("event_type"),
+        explode(sequence(col("_lo"), col("_hi"))).as("day"))
+    val f = spine.join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    f.withColumn("l7", lag(col("c"), 7).over(w))
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .filter(col("l7").isNotNull && col("l1").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c") - col("l7"))).as("abs_err7"),
+        sum(abs(col("c") - col("l1"))).as("abs_err1"))
+      .withColumn("mase_e6", when(col("abs_err1") > 0,
+        expr("abs_err7 * 1000000 div abs_err1")))
+      .orderBy("event_type")
+  }
+
+  val strSeasonalErrorSql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      |      FROM d GROUP BY 1),
+      |sp AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+      |       FROM b),
+      |f AS (
+      |  SELECT sp.event_type, sp.day, COALESCE(d.c, 0) AS c
+      |  FROM sp LEFT JOIN d
+      |    ON sp.event_type = d.event_type AND sp.day = d.day),
+      |l AS (
+      |  SELECT event_type, c,
+      |    LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+      |    LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+      |  FROM f)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(SUM(ABS(c - l7)) AS BIGINT) AS abs_err7,
+      |  CAST(SUM(ABS(c - l1)) AS BIGINT) AS abs_err1,
+      |  CASE WHEN SUM(ABS(c - l1)) > 0
+      |    THEN CAST(SUM(ABS(c - l7)) * 1000000 // SUM(ABS(c - l1))
+      |      AS BIGINT) END AS mase_e6
+      |FROM l WHERE l7 IS NOT NULL AND l1 IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------- str_interpolate
+  /** LINEAR-INTERPOLATION RECONSTRUCTION AUDIT — gap repair with a
+    * built-in quality measurement: every 5th day of each type's
+    * daily revenue series is deterministically HELD OUT
+    * ((7·day + len(type)) mod 5 = 2 — replayable in any engine, and
+    * never two adjacent days), the held days are re-estimated by
+    * linear interpolation between their nearest VISIBLE neighbors,
+    * and the audit reports the exact reconstruction error — the
+    * number a pipeline needs before trusting interpolation to fill
+    * real telemetry gaps. Exact integers throughout: the
+    * interpolated milli-value is (v_prev·(d_next−d) +
+    * v_next·(d−d_prev))·1000 div (d_next−d_prev) — every operand
+    * non-negative (revenues are sums of positive cents), so
+    * truncating and flooring division agree. The neighbor lookup is
+    * the forward-fill pattern run both directions
+    * (last/first IGNORE NULLS over the type-partitioned spine). */
+  def strInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir).select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("v"))
+    val spine = d.groupBy("event_type")
+      .agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+      .select(col("event_type"),
+        explode(sequence(col("_lo"), col("_hi"))).as("day"))
+    val f = spine.join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("held",
+        pmod(col("day") * 7 + length(col("event_type")), lit(5)) === 2)
+      .withColumn("vis_v", when(!col("held"), col("v")))
+      .withColumn("vis_d", when(!col("held"), col("day")))
+    val before = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(1, Window.unboundedFollowing)
+    f.withColumn("vp", last(col("vis_v"), ignoreNulls = true).over(before))
+      .withColumn("dp", last(col("vis_d"), ignoreNulls = true).over(before))
+      .withColumn("vn", first(col("vis_v"), ignoreNulls = true).over(after))
+      .withColumn("dn", first(col("vis_d"), ignoreNulls = true).over(after))
+      .filter(col("held") && col("vp").isNotNull && col("vn").isNotNull)
+      .withColumn("interp_milli", expr(
+        "(vp * (dn - day) + vn * (day - dp)) * 1000 div (dn - dp)"))
+      .withColumn("err_milli", abs(col("v") * 1000 - col("interp_milli")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("v") * 1000).as("true_milli"),
+        sum(col("err_milli")).as("abs_err_milli"),
+        max(col("err_milli")).as("max_err_milli"))
+      .orderBy("event_type")
+  }
+
+  val strInterpolateSql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      |      FROM d GROUP BY 1),
+      |sp AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+      |       FROM b),
+      |f AS (
+      |  SELECT sp.event_type, sp.day, COALESCE(d.v, 0) AS v,
+      |    (sp.day * 7 + LENGTH(sp.event_type)) % 5 = 2 AS held
+      |  FROM sp LEFT JOIN d
+      |    ON sp.event_type = d.event_type AND sp.day = d.day),
+      |n AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN NOT held THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+      |    LAST_VALUE(CASE WHEN NOT held THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dp,
+      |    FIRST_VALUE(CASE WHEN NOT held THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn,
+      |    FIRST_VALUE(CASE WHEN NOT held THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS dn
+      |  FROM f),
+      |e AS (
+      |  SELECT event_type, v,
+      |    ABS(v * 1000 - (vp * (dn - day) + vn * (day - dp)) * 1000
+      |      // (dn - dp)) AS err_milli
+      |  FROM n
+      |  WHERE held AND vp IS NOT NULL AND vn IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_held,
+      |  CAST(SUM(v * 1000) AS BIGINT) AS true_milli,
+      |  CAST(SUM(err_milli) AS BIGINT) AS abs_err_milli,
+      |  CAST(MAX(err_milli) AS BIGINT) AS max_err_milli
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_seasonal_error" -> (strSeasonalError _),
+    "str_interpolate" -> (strInterpolate _),
     "str_interarrival" -> (strInterarrival _),
     "str_ewma_smooth" -> (strEwmaSmooth _),
     "str_conversion_lag" -> (strConversionLag _),
@@ -1452,6 +1613,8 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_seasonal_error" -> strSeasonalErrorSql,
+    "str_interpolate" -> strInterpolateSql,
     "str_interarrival" -> strInterarrivalSql,
     "str_ewma_smooth" -> strEwmaSmoothSql,
     "str_conversion_lag" -> strConversionLagSql,

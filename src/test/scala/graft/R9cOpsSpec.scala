@@ -83,6 +83,78 @@ class R9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("src_bitmap_index bitwise algebra equals direct row counts") {
+    val direct = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("card"),
+        sum(when((col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long") > 500000L, 1L).otherwise(0L)).as("card_high"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = sources.SourceQueries.srcBitmapIndex(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      assert(r.getAs[Long]("card") == direct(seg)._1)
+      assert(r.getAs[Long]("card_high") == direct(seg)._2)
+      // 64 keys per word: the index can't be smaller than card/64 words
+      assert(r.getAs[Long]("n_words") * 64 >= direct(seg)._1)
+    }
+  }
+
+  test("str_seasonal_error matches a driver-side replay on the dense " +
+      "day spine") {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val days = byDay.keys.min to byDay.keys.max
+      val series = days.map(d => byDay.getOrElse(d, 0L))
+      // usable rows: both lag-7 and lag-1 defined => index >= 7
+      val usable = (7 until series.length).map { i =>
+        (math.abs(series(i) - series(i - 7)),
+          math.abs(series(i) - series(i - 1)))
+      }
+      val e7 = usable.map(_._1).sum
+      val e1 = usable.map(_._2).sum
+      t -> (usable.length.toLong, e7, e1,
+        if (e1 > 0) Some(e7 * 1000000L / e1) else None)
+    }
+    val got = streaming.EventStreams.strSeasonalError(spark, sfDir)
+      .collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+          r.getAs[Long]("abs_err7"), r.getAs[Long]("abs_err1"),
+          Option(r.get(r.fieldIndex("mase_e6"))).map(_.asInstanceOf[Long])))
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("str_interpolate holds out non-adjacent days and reconstructs " +
+      "a linear segment exactly") {
+    // holdout pattern never hits two adjacent days
+    val held = (0L to 1000L).filter(d => (d * 7 + 5) % 5 == 2)
+    held.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1) - w(0) > 1)
+    }
+    val rows = streaming.EventStreams.strInterpolate(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("abs_err_milli") >= 0)
+      assert(r.getAs[Long]("max_err_milli") <= r.getAs[Long]("abs_err_milli")
+        || r.getAs[Long]("n_held") == 1)
+    }
+    // exactness canary: interpolating the middle of a perfect line
+    // reproduces it (the formula is the exact rational)
+    val vp = 100L; val vn = 300L; val dp = 10L; val dn = 12L; val d = 11L
+    assert((vp * (dn - d) + vn * (d - dp)) * 1000 / (dn - dp) == 200000L)
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
