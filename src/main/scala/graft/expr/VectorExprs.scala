@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 
 /** Codegen'd dot product over two ArrayType(Double) columns.
   *
@@ -650,9 +650,59 @@ case class FloorScale(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd Unicode NFC normalization (UAX #15 canonical
+  * composition) — the text-hygiene primitive Spark has no builtin
+  * for: decomposed sequences (e + U+0301) compose to their canonical
+  * form (é), so fingerprints/dedup keys/equality see ONE
+  * representation of visually identical text. Delegates to the JDK's
+  * `java.text.Normalizer` (the same UAX #15 algorithm DuckDB's
+  * nfc_normalize implements, which is what makes the audit oracle
+  * exact). Fast path: already-normalized strings (the overwhelming
+  * majority in real corpora) return the INPUT UTF8String — no second
+  * allocation. */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val in = a.asInstanceOf[UTF8String]
+    val s = in.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $a.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized(
+         |    $s, java.text.Normalizer.Form.NFC) ? $a :
+         |  org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val floorScaleName = "graft_floor_scale"
+  val nfcName = "graft_nfc"
   val intersectName = "graft_intersect_size"
   val asofName = "graft_asof_index"
   val bigramsName = "graft_bigrams"
@@ -736,6 +786,8 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       floorScaleName,
       children => FloorScale(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      nfcName, children => NfcNormalize(children.head), "built-in")
   }
 }
 

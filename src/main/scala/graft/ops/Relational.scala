@@ -1811,6 +1811,104 @@ object Relational extends graft.QueryModule {
       |FROM w JOIN supplier s ON s.s_suppkey = w.skey
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  // --------------------------------------------------- q51_kmv_setops
+  /** KMV SET OPERATIONS — the mergeable-sketch algebra behind
+    * planet-scale audience overlap ("how many customers have BOTH an
+    * open and a filled order") without ever joining the raw sets:
+    * each side keeps only its k=256 smallest portable hashes, the
+    * UNION sketch is the k smallest of the merged sketches
+    * (TakeOrderedAndProject — never a global sort), and the
+    * intersection estimate is the Jaccard-scaled union:
+    * est∩ = |topk(A∪B) ∩ A ∩ B| · est∪ / k. The membership test is
+    * sound on the TRUNCATED sketches alone: h ≤ hk(A∪B) ≤ hk(A), so
+    * any union-sketch hash from A is inside A's own sketch — the
+    * property that makes KMV sketches mergeable state (a streaming
+    * shard can ship 256 longs, not its key set). Exact counts ride
+    * along, so the output self-reports its per-mille error; when a
+    * sketch is exhaustive (n < k) the estimate collapses to exact.
+    * All integer arithmetic — estimator math included. */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val m = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("s"), col("o_custkey").as("key"))
+      .distinct()
+      .localCheckpoint() // sketch + exact passes share one scan
+    val h = m.select(col("s"),
+      graft.mask.MaskFunctions.portableHash(col("key")).as("h")).distinct()
+    val w = Window.partitionBy("s").orderBy("h")
+    val sk = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("s", "h")
+    val merged = h.select("h").distinct().orderBy("h").limit(k)
+    val st = merged.join(sk, Seq("h"))
+      .groupBy("h")
+      .agg(max(when(col("s") === "O", 1).otherwise(0)).as("a"),
+        max(when(col("s") === "F", 1).otherwise(0)).as("b"))
+      .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"),
+        sum(expr("a * b")).as("n_both"))
+    val ex = m.groupBy("key").agg(countDistinct(col("s")).as("ns"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    st.crossJoin(broadcast(ex))
+      .withColumn("est_union", when(col("nk") < k, col("nk"))
+        .otherwise(expr(s"(${k - 1} * 4294967296) div hk")))
+      .withColumn("est_inter", when(col("nk") < k, col("n_both"))
+        .otherwise(expr(s"n_both * est_union div $k")))
+      .select(lit(k).cast("long").as("k"),
+        col("est_union"), col("exact_union"),
+        col("est_inter"), col("exact_inter"),
+        expr("abs(est_union - exact_union) * 1000 div exact_union")
+          .as("union_err_pm"),
+        when(col("exact_inter") > 0,
+          expr("abs(est_inter - exact_inter) * 1000 div exact_inter"))
+          .as("inter_err_pm"))
+  }
+
+  val q51Sql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT o_orderstatus AS s, o_custkey AS key
+      |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+      |h AS (
+      |  SELECT DISTINCT s,
+      |    ('0x'||substr(md5(CAST(key AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM m),
+      |r AS (SELECT s, h,
+      |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn FROM h),
+      |sk AS (SELECT s, h FROM r WHERE rn <= 256),
+      |mg AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 256),
+      |fl AS (
+      |  SELECT mg.h,
+      |    MAX(CASE WHEN sk.s = 'O' THEN 1 ELSE 0 END) AS a,
+      |    MAX(CASE WHEN sk.s = 'F' THEN 1 ELSE 0 END) AS b
+      |  FROM mg JOIN sk ON mg.h = sk.h GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS nk, MAX(h) AS hk,
+      |    SUM(a * b) AS n_both FROM fl),
+      |ex AS (
+      |  SELECT COUNT(*) AS exact_union,
+      |    SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS exact_inter
+      |  FROM (SELECT key, COUNT(DISTINCT s) AS ns FROM m GROUP BY 1)),
+      |est AS (
+      |  SELECT nk, n_both, exact_union, exact_inter,
+      |    CASE WHEN nk < 256 THEN nk
+      |         ELSE (255 * 4294967296) // hk END AS est_union
+      |  FROM st CROSS JOIN ex),
+      |e2 AS (
+      |  SELECT *, CASE WHEN nk < 256 THEN n_both
+      |       ELSE n_both * est_union // 256 END AS est_inter
+      |  FROM est)
+      |SELECT CAST(256 AS BIGINT) AS k,
+      |  CAST(est_union AS BIGINT) AS est_union,
+      |  exact_union,
+      |  CAST(est_inter AS BIGINT) AS est_inter,
+      |  CAST(exact_inter AS BIGINT) AS exact_inter,
+      |  CAST(ABS(est_union - exact_union) * 1000 // exact_union
+      |    AS BIGINT) AS union_err_pm,
+      |  CASE WHEN exact_inter > 0
+      |    THEN CAST(ABS(est_inter - exact_inter) * 1000 // exact_inter
+      |      AS BIGINT) END AS inter_err_pm
+      |FROM e2""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1866,6 +1964,7 @@ object Relational extends graft.QueryModule {
     "q48_semi_additive" -> (q48 _),
     "q49_bloom_prune_join" -> (q49 _),
     "q50_exists_chain" -> (q50 _),
+    "q51_kmv_setops" -> (q51 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -1918,6 +2017,7 @@ object Relational extends graft.QueryModule {
     "q48_semi_additive" -> q48Sql,
     "q49_bloom_prune_join" -> q49Sql,
     "q50_exists_chain" -> q50Sql,
+    "q51_kmv_setops" -> q51Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -1656,7 +1656,61 @@ object TextAnalysis extends QueryModule {
       |    AS mean_surprisal_milli
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------- txt_nfc_audit
+  /** UNICODE NFC NORMALIZATION AUDIT — the canonicalization step
+    * upstream of every fingerprint/dedup/equality operator: visually
+    * identical text with decomposed combining marks (e + U+0301 vs é)
+    * hashes differently, splits dedup clusters, and double-counts
+    * vocabulary. The corpus is deterministically "dirtied" with
+    * decomposed prefixes (doc_id mod 7 → e+◌́, doc_id mod 11 → A+◌̊ —
+    * replayable in any engine), normalized through the codegen
+    * [[graft.expr.NfcNormalize]] expression (JDK UAX #15, the same
+    * algorithm as DuckDB's nfc_normalize), and audited per language:
+    * docs changed, exact codepoint counts before/after (composition
+    * strictly shortens these inputs), and a 32-bit-md5-prefix content
+    * checksum over the NORMALIZED text — the green hash proves both
+    * engines produce byte-identical canonical forms, not just equal
+    * counts. Map-only: one scan, one hash-agg; the fast path returns
+    * already-normalized strings unallocated. */
+  def txtNfcAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val wire = Tables.documents(spark, dir).select(col("lang"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("Cafe\u0301 "), col("text")))
+        .when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit("A\u030A "), col("text")))
+        .otherwise(col("text")).as("wire"))
+    wire.withColumn("nfc", expr("graft_nfc(wire)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("wire"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(length(col("wire"))).as("chars_before"),
+        sum(length(col("nfc"))).as("chars_after"),
+        sum(expr("CAST(conv(substring(md5(nfc), 1, 8), 16, 10) AS BIGINT)"))
+          .as("fp_sum"))
+      .orderBy("lang")
+  }
+
+  val txtNfcAuditSql: String =
+    """WITH w AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'Cafe' || chr(769) || ' ' || text
+      |         WHEN doc_id % 11 = 0 THEN 'A' || chr(778) || ' ' || text
+      |         ELSE text END AS wire
+      |  FROM documents),
+      |n AS (SELECT lang, wire, nfc_normalize(wire) AS nfc FROM w)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN nfc <> wire THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(LENGTH(wire)) AS BIGINT) AS chars_before,
+      |  CAST(SUM(LENGTH(nfc)) AS BIGINT) AS chars_after,
+      |  CAST(SUM(('0x'||substr(md5(nfc),1,8))::BIGINT) AS BIGINT)
+      |    AS fp_sum
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_nfc_audit" -> (txtNfcAudit _),
     "txt_surprisal" -> (txtSurprisal _),
     "txt_winnowing" -> (txtWinnowing _),
     "txt_code_ratio" -> (txtCodeRatio _),
@@ -1690,6 +1744,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_nfc_audit" -> txtNfcAuditSql,
     "txt_surprisal" -> txtSurprisalSql,
     "txt_winnowing" -> txtWinnowingSql,
     "txt_code_ratio" -> txtCodeRatioSql,

@@ -155,6 +155,80 @@ class R9cOpsSpec extends SparkSpec {
     assert((vp * (dn - d) + vn * (d - dp)) * 1000 / (dn - dp) == 200000L)
   }
 
+  test("q51 union sketch built from truncated sketches equals the " +
+      "sketch of the full union (mergeability)") {
+    val k = 256
+    val m = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("s"), col("o_custkey").as("key"))
+      .distinct()
+    val h = m.select(col("s"),
+        graft.mask.MaskFunctions.portableHash(col("key")).as("h"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = h.filter(_._1 == "O").map(_._2).sorted
+    val b = h.filter(_._1 == "F").map(_._2).sorted
+    val full = (a ++ b).distinct.sorted.take(k)
+    val fromSketches = (a.take(k) ++ b.take(k)).distinct.sorted.take(k)
+    assert(full.toSeq == fromSketches.toSeq)
+    // the driver key's estimates agree with a direct replay
+    val row = ops.Relational.q51(spark, sfDir).collect().head
+    val exactUnion = (a ++ b).distinct.length.toLong
+    val exactInter = a.toSet.intersect(b.toSet).size.toLong
+    assert(row.getAs[Long]("exact_union") == exactUnion)
+    assert(row.getAs[Long]("exact_inter") == exactInter)
+    val nk = full.length
+    val estU =
+      if (nk < k) nk.toLong else (k - 1).toLong * 4294967296L / full.last
+    assert(row.getAs[Long]("est_union") == estU)
+    val nBoth = full.count(x => a.contains(x) && b.contains(x)).toLong
+    val estI = if (nk < k) nBoth else nBoth * estU / k
+    assert(row.getAs[Long]("est_inter") == estI)
+  }
+
+  test("graft_nfc composes decomposed marks, is idempotent, and " +
+      "fast-paths normalized text") {
+    import spark.implicits._
+    graft.expr.VectorExprs.register(spark)
+    val rows = Seq("Cafe\u0301", "Caf\u00e9", "plain ascii", "A\u030A b",
+      "mixed Cafe\u0301 and \u00c5").toDF("s")
+      .selectExpr("s", "graft_nfc(s) AS n", "graft_nfc(graft_nfc(s)) AS nn")
+      .collect()
+    rows.foreach { r =>
+      val expected = java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == expected)
+      assert(r.getString(2) == r.getString(1), "idempotence")
+    }
+    // decomposed input composes to the shorter canonical form
+    assert(rows(0).getString(1) == "Caf\u00e9")
+    // null propagates
+    val nullRow = Seq[Option[String]](None).toDF("s")
+      .selectExpr("graft_nfc(s) AS n").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("txt_nfc_audit changed-doc count matches a driver-side " +
+      "Normalizer replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).view.mapValues { rows =>
+      rows.count { case (id, _, t) =>
+        val wire =
+          if (id % 7 == 0) "Cafe\u0301 " + t
+          else if (id % 11 == 0) "A\u030A " + t
+          else t
+        java.text.Normalizer.normalize(
+          wire, java.text.Normalizer.Form.NFC) != wire
+      }.toLong
+    }.toMap
+    val got = text.TextAnalysis.txtNfcAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_changed")).toMap
+    assert(got == expected)
+    assert(got.values.sum > 0, "the dirtying must actually dirty")
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
