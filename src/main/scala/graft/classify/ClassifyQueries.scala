@@ -805,6 +805,85 @@ object ClassifyQueries extends QueryModule {
       |  CAST(SUM((x - y) * (x - y)) AS BIGINT) AS sd2
       |FROM m GROUP BY pair ORDER BY pair""".stripMargin
 
+  // --------------------------------------------- cls_golden_record
+  /** GOLDEN-RECORD SURVIVORSHIP — the step AFTER entity matching
+    * ([[clsEntityMatch]] finds the duplicates; something must then
+    * decide which field values survive the merge): a deterministic
+    * second source is synthesized for every custkey ≡ 3 (mod 10)
+    * (upper-cased name, +1.00 balance, segment lost — the classic
+    * dirty-CRM shape), and per entity each column survives by its own
+    * rule, all expressed as ONE struct-max hash-agg (map-side
+    * combinable, no windows, no self-joins — the q48 argmax-by-struct
+    * shape): name by (longest, then lexicographically last), balance
+    * by source preference (web beats crm), segment by
+    * highest-preference NON-NULL (a −1 rank sentinel keeps all-null
+    * entities null). The per-nation report carries an md5-prefix
+    * checksum of the golden names, so the gate proves byte-identical
+    * survivorship — not just matching counts. */
+  def clsGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"), col("c_nationkey").as("nation"),
+      col("c_name").as("name"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"),
+      col("c_mktsegment").as("segment"), lit(1).as("src_rank"))
+    val dup = base.filter(pmod(col("key"), lit(10)) === 3).select(
+      col("key"), col("nation"), upper(col("name")).as("name"),
+      (col("cents") + 100L).as("cents"),
+      lit(null).cast("string").as("segment"), lit(2).as("src_rank"))
+    val golden = base.unionByName(dup)
+      .groupBy("key", "nation")
+      .agg(count(lit(1)).as("n_records"),
+        max(struct(length(col("name")).as("l"), col("name").as("v")))
+          .getField("v").as("g_name"),
+        max(struct(col("src_rank").as("r"), col("cents").as("v")))
+          .getField("v").as("g_cents"),
+        max(struct(when(col("segment").isNotNull, col("src_rank"))
+            .otherwise(-1).as("r"), col("segment").as("v")))
+          .getField("v").as("g_segment"))
+    golden.groupBy("nation")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(when(col("n_records") > 1, 1L).otherwise(0L)).as("n_merged"),
+        sum(col("g_cents")).as("golden_cents"),
+        sum(when(col("g_segment").isNotNull, 1L).otherwise(0L))
+          .as("n_with_segment"),
+        sum(expr(
+          "CAST(conv(substring(md5(g_name), 1, 8), 16, 10) AS BIGINT)"))
+          .as("name_fp_sum"))
+      .orderBy("nation")
+  }
+
+  val clsGoldenRecordSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_nationkey AS nation,
+      |    c_name AS name,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    c_mktsegment AS segment, 1 AS src_rank
+      |  FROM customer),
+      |dup AS (
+      |  SELECT key, nation, UPPER(name) AS name, cents + 100 AS cents,
+      |    CAST(NULL AS VARCHAR) AS segment, 2 AS src_rank
+      |  FROM base WHERE key % 10 = 3),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+      |g AS (
+      |  SELECT key, nation, COUNT(*) AS n_records,
+      |    (MAX({'l': LENGTH(name), 'v': name})).v AS g_name,
+      |    (MAX({'r': src_rank, 'v': cents})).v AS g_cents,
+      |    (MAX({'r': CASE WHEN segment IS NOT NULL THEN src_rank
+      |                    ELSE -1 END, 'v': segment})).v AS g_segment
+      |  FROM u GROUP BY 1, 2)
+      |SELECT nation, COUNT(*) AS n_entities,
+      |  CAST(SUM(CASE WHEN n_records > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_merged,
+      |  CAST(SUM(g_cents) AS BIGINT) AS golden_cents,
+      |  CAST(SUM(CASE WHEN g_segment IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_with_segment,
+      |  CAST(SUM(('0x'||substr(md5(g_name),1,8))::BIGINT) AS BIGINT)
+      |    AS name_fp_sum
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------- cls_autocorr
   /** Seasonality / serial-dependence profiling of an event timeline —
     * the profiler check that tells a sampler or forecaster whether
@@ -1539,6 +1618,7 @@ object ClassifyQueries extends QueryModule {
     "cls_datatype_infer" -> (clsDatatypeInfer _),
     "cls_corr" -> (clsCorr _),
     "cls_spearman" -> (clsSpearman _),
+    "cls_golden_record" -> (clsGoldenRecord _),
     "cls_autocorr" -> (clsAutocorr _),
     "cls_skewness" -> (clsSkewness _),
     "cls_entity_match" -> (clsEntityMatch _),
@@ -1569,6 +1649,7 @@ object ClassifyQueries extends QueryModule {
     "cls_datatype_infer" -> clsDatatypeInferSql,
     "cls_corr" -> clsCorrSql,
     "cls_spearman" -> clsSpearmanSql,
+    "cls_golden_record" -> clsGoldenRecordSql,
     "cls_autocorr" -> clsAutocorrSql,
     "cls_skewness" -> clsSkewnessSql,
     "cls_entity_match" -> clsEntityMatchSql,

@@ -1213,7 +1213,70 @@ object EmbOps extends QueryModule {
        |FROM b LEFT JOIN h ON h.qid = b.qid AND h.nid = b.nid
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
+  // ------------------------------------------------ emb_cosine_hist
+  /** PAIRWISE-COSINE DISTRIBUTION — the histogram behind the
+    * anisotropy scalar ([[embAnisotropy]] gives the MEAN; collapse
+    * diagnosis needs the SHAPE — a bimodal pile-up near 1.0 is
+    * cluster duplication, a tight spike anywhere is representation
+    * collapse): cosines of a deterministic disjoint pair sample
+    * (vec v pairs with v+1 on even ids — ONE co-partitioned
+    * equi-join; at scale the same shape runs on any hash-bucket
+    * pairing, never all-pairs), binned into 0.1-wide buckets.
+    * Vectors are L2-normalized then milli-quantized (the
+    * [[embAnisotropy]] convention) so each pair's dot is EXACT
+    * integer micro-cosine, and the bucket index shifts by +2e6
+    * before dividing so truncating (Spark) and flooring (DuckDB)
+    * division agree on the negative half of the range. */
+  def embCosineHist(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = graft.dedup.Dedup.fastDot(dbl, dbl)
+    val q = Tables.embeddings(spark, dir)
+      .filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(col("vec_id"),
+        call_function(graft.expr.VectorExprs.floorScaleName,
+          call_function(graft.expr.VectorExprs.normName, col("embedding")),
+          lit(1000.0)).as("qv"))
+    val a = q.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + 1).as("pid"), col("qv").as("qa"))
+    val b = q.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("pid"), col("qv").as("qb"))
+    a.join(b, Seq("pid"))
+      .select(graft.dedup.Dedup.fastDot(col("qa"), col("qb"))
+        .cast("long").as("dot_micro"))
+      .select(col("dot_micro"),
+        (expr("(dot_micro + 2000000) div 100000") - 20).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("dot_micro")).as("lo_micro"),
+        max(col("dot_micro")).as("hi_micro"))
+      .orderBy("bucket")
+  }
+
+  val embCosineHistSql: String =
+    """WITH f AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |q AS (
+      |  SELECT vec_id, list_transform(e0, x -> FLOOR(
+      |    x / sqrt(list_dot_product(e0, e0)) * 1000)) AS qv
+      |  FROM f),
+      |p AS (
+      |  SELECT CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_micro
+      |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 2 = 0)
+      |SELECT (dot_micro + 2000000) // 100000 - 20 AS bucket,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(MIN(dot_micro) AS BIGINT) AS lo_micro,
+      |  CAST(MAX(dot_micro) AS BIGINT) AS hi_micro
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_hist" -> (embCosineHist _),
     "knn_recall_binary" -> (knnRecallBinary _),
     "emb_rq_sketch" -> (embRqSketch _),
     "emb_power_iter" -> (embPowerIter _),
@@ -1234,6 +1297,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_cosine_hist" -> embCosineHistSql,
     "knn_recall_binary" -> knnRecallBinarySql,
     "emb_rq_sketch" -> embRqSketchSql,
     "emb_power_iter" -> embPowerIterSql,

@@ -229,6 +229,63 @@ class R9cOpsSpec extends SparkSpec {
     assert(got.values.sum > 0, "the dirtying must actually dirty")
   }
 
+  test("emb_cosine_hist buckets are consistent and cover every " +
+      "sampled pair") {
+    val got = sim.EmbOps.embCosineHist(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro")))
+    assert(got.nonEmpty)
+    got.foreach { case (b, n, lo, hi) =>
+      assert(n > 0 && lo <= hi)
+      // both endpoints really belong to the bucket
+      assert((lo + 2000000) / 100000 - 20 == b)
+      assert((hi + 2000000) / 100000 - 20 == b)
+      // milli-quantized unit vectors: |dot| ≤ (1000+ε)²
+      assert(math.abs(lo) <= 1200000 && math.abs(hi) <= 1200000)
+    }
+    // pair coverage: every even id whose successor survived pairs once
+    val ids = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expectedPairs =
+      ids.count(i => i % 2 == 0 && ids.contains(i + 1)).toLong
+    assert(got.map(_._2).sum == expectedPairs)
+  }
+
+  test("cls_golden_record survivorship matches a driver-side replay") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"),
+        col("c_mktsegment"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+          r.getString(4)))
+    case class Rec(name: String, cents: Long, seg: Option[String], rank: Int)
+    val expected = cust.groupBy(_._2).view.mapValues { rows =>
+      val goldens = rows.map { case (key, _, name, cents, seg) =>
+        val recs = Seq(Rec(name, cents, Option(seg), 1)) ++
+          (if (key % 10 == 3)
+            Seq(Rec(name.toUpperCase, cents + 100, None, 2))
+          else Nil)
+        val gName = recs.map(r => (r.name.length, r.name)).max._2
+        val gCents = recs.maxBy(_.rank).cents
+        val gSeg = recs.map(r => (r.seg.map(_ => r.rank).getOrElse(-1),
+          r.seg)).maxBy(_._1)._2
+        (recs.length, gName, gCents, gSeg)
+      }
+      (goldens.length.toLong,
+        goldens.count(_._1 > 1).toLong,
+        goldens.map(_._3).sum,
+        goldens.count(_._4.isDefined).toLong)
+    }.toMap
+    val got = classify.ClassifyQueries.clsGoldenRecord(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("nation") -> ((
+        r.getAs[Long]("n_entities"), r.getAs[Long]("n_merged"),
+        r.getAs[Long]("golden_cents"),
+        r.getAs[Long]("n_with_segment")))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).sum > 0, "merges must actually occur")
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
