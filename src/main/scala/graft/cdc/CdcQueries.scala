@@ -410,6 +410,123 @@ object CdcQueries extends QueryModule {
       |FROM events WHERE event_type = 'error'
       |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
 
+  // ----------------------------------------------- cdc_compat_audit
+  /** SCHEMA-REGISTRY COMPATIBILITY AUDIT — the classification a
+    * registry performs before admitting a new schema version
+    * (BACKWARD / FORWARD / FULL / NONE), run over the OBSERVED field
+    * inventory of the wire rather than declared schemas: the stream
+    * splits into four time epochs (the drifting-producer model of
+    * [[driftDispatch]], extended), each epoch's payload carries a
+    * different field set (user_id dropped late; event_type absent →
+    * sometimes-present → always-present), and a field counts as
+    * REQUIRED in an epoch iff it appears in EVERY record (optional if
+    * in some — presence inferred from `json_object_keys` over the
+    * actual JSON bytes, so the audit also exercises the serializer's
+    * null-omission path). Transition classes then follow the registry
+    * rules: backward-compatible (a new-schema reader replays old
+    * data) iff every new-REQUIRED field was old-REQUIRED;
+    * forward-compatible iff the mirror holds. The three transitions
+    * come out FULL (optional add), FORWARD (optional→required
+    * tightening), BACKWARD (required drop) — all four field events
+    * exercised. Shape: one wire scan → (epoch, field) hash-agg on a
+    * ≤4·|fields| frame; everything downstream is dimension-sized.
+    * Reference: Main.java:293-309 captures the DDL stream this audit
+    * would gate. */
+  def compatAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val bounds = ev.agg(min(col("ts_us")).as("tmin"),
+      max(col("ts_us")).as("tmax"))
+    val eps = ev.crossJoin(broadcast(bounds))
+      .withColumn("ep", least(lit(3L),
+        expr("(ts_us - tmin) * 4 div (tmax - tmin + 1)")))
+    // per-epoch payload shape (nulls vanish through to_json):
+    //   e0 {id, user, value}  e1 + event_type on purchases only
+    //   e2 event_type always  e3 drops user_id
+    val after = struct(
+      col("event_id"),
+      when(col("ep") <= 2, col("user_id")).as("user_id"),
+      col("value"),
+      when(col("ep") === 1 && col("event_type") === "purchase",
+        col("event_type"))
+        .when(col("ep") >= 2, col("event_type")).as("event_type"))
+    val wire = eps.select(col("ep"), to_json(after).as("payload"))
+    val pres = wire.select(col("ep"),
+        explode(expr("json_object_keys(payload)")).as("field"))
+      .groupBy("ep", "field").agg(count(lit(1)).as("pres"))
+    val totals = eps.groupBy("ep").agg(count(lit(1)).as("n"))
+    val inv = pres.join(broadcast(totals), Seq("ep"))
+      .select(col("ep"), col("field"), (col("pres") === col("n")).as("req"))
+    val old = inv.select(col("ep").as("from_ep"), col("field"),
+      col("req").as("req_old"))
+    val neu = inv.select((col("ep") - 1).as("from_ep"), col("field"),
+      col("req").as("req_new"))
+    old.join(neu, Seq("from_ep", "field"), "full_outer")
+      .filter(col("from_ep").between(0, 2))
+      .groupBy("from_ep")
+      .agg(
+        sum(when(col("req_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("req_new").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(coalesce(col("req_new"), lit(false)) &&
+          !coalesce(col("req_old"), lit(false)), 1L).otherwise(0L))
+          .as("back_breaks"),
+        sum(when(coalesce(col("req_old"), lit(false)) &&
+          !coalesce(col("req_new"), lit(false)), 1L).otherwise(0L))
+          .as("fwd_breaks"))
+      .select(col("from_ep"), (col("from_ep") + 1).as("to_ep"),
+        col("n_added"), col("n_dropped"),
+        col("back_breaks"), col("fwd_breaks"),
+        when(col("back_breaks") === 0 && col("fwd_breaks") === 0, "FULL")
+          .when(col("back_breaks") === 0, "BACKWARD")
+          .when(col("fwd_breaks") === 0, "FORWARD")
+          .otherwise("NONE").as("compat"))
+      .orderBy("from_ep")
+  }
+
+  val compatAuditSql: String =
+    """WITH b AS (
+      |  SELECT MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      |  FROM events),
+      |e AS (
+      |  SELECT LEAST(3, (epoch_us(ts) - tmin) * 4 // (tmax - tmin + 1))
+      |    AS ep, event_type
+      |  FROM events CROSS JOIN b),
+      |t AS (SELECT ep, COUNT(*) AS n FROM e GROUP BY 1),
+      |inv AS (
+      |  SELECT ep, 'event_id' AS field, COUNT(*) AS pres FROM e GROUP BY ep
+      |  UNION ALL SELECT ep, 'value', COUNT(*) FROM e GROUP BY ep
+      |  UNION ALL SELECT ep, 'user_id', COUNT(*) FROM e
+      |    WHERE ep <= 2 GROUP BY ep
+      |  UNION ALL SELECT ep, 'event_type', COUNT(*) FROM e
+      |    WHERE (ep = 1 AND event_type = 'purchase') OR ep >= 2
+      |    GROUP BY ep),
+      |r AS (SELECT inv.ep, field, pres = t.n AS req
+      |      FROM inv JOIN t ON inv.ep = t.ep),
+      |j AS (
+      |  SELECT COALESCE(o.ep, nn.ep - 1) AS from_ep,
+      |    o.req AS req_old, nn.req AS req_new
+      |  FROM r o FULL JOIN r nn
+      |    ON nn.ep = o.ep + 1 AND nn.field = o.field),
+      |g AS (
+      |  SELECT from_ep,
+      |    CAST(SUM(CASE WHEN req_old IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_added,
+      |    CAST(SUM(CASE WHEN req_new IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dropped,
+      |    CAST(SUM(CASE WHEN COALESCE(req_new, false)
+      |      AND NOT COALESCE(req_old, false) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS back_breaks,
+      |    CAST(SUM(CASE WHEN COALESCE(req_old, false)
+      |      AND NOT COALESCE(req_new, false) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fwd_breaks
+      |  FROM j WHERE from_ep BETWEEN 0 AND 2 GROUP BY 1)
+      |SELECT from_ep, from_ep + 1 AS to_ep, n_added, n_dropped,
+      |  back_breaks, fwd_breaks,
+      |  CASE WHEN back_breaks = 0 AND fwd_breaks = 0 THEN 'FULL'
+      |       WHEN back_breaks = 0 THEN 'BACKWARD'
+      |       WHEN fwd_breaks = 0 THEN 'FORWARD'
+      |       ELSE 'NONE' END AS compat
+      |FROM g ORDER BY from_ep""".stripMargin
+
   // ---------------------------------------------- cdc_drift_dispatch
   /** Schema-version dispatch after a mid-stream DDL — the batch form
     * of [[graft.streaming.CdcStream.dispatchByVersion]] (the streaming
@@ -1117,6 +1234,7 @@ object CdcQueries extends QueryModule {
     "cdc_route_tables" -> (routeTables _),
     "cdc_schema_drift" -> (schemaDrift _),
     "cdc_drift_dispatch" -> (driftDispatch _),
+    "cdc_compat_audit" -> (compatAudit _),
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
@@ -1143,5 +1261,6 @@ object CdcQueries extends QueryModule {
     "cdc_route_tables" -> routeTablesSql,
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_drift_dispatch" -> driftDispatchSql,
+    "cdc_compat_audit" -> compatAuditSql,
     "cdc_log_compact" -> logCompactSql)
 }

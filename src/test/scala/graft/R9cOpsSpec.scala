@@ -286,6 +286,24 @@ class R9cOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "merges must actually occur")
   }
 
+  test("cdc_compat_audit classifies the three registry transitions " +
+      "and agrees with a rule replay") {
+    val got = cdc.CdcQueries.compatAudit(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("from_ep"), r.getAs[String]("compat"),
+        r.getAs[Long]("n_added"), r.getAs[Long]("n_dropped")))
+    assert(got.toSeq == Seq(
+      (0L, "FULL", 1L, 0L), // event_type appears, optional
+      (1L, "FORWARD", 0L, 0L), // event_type tightens to required
+      (2L, "BACKWARD", 0L, 1L))) // user_id (required) dropped
+    // the observed-inventory path depends on to_json omitting nulls
+    import spark.implicits._
+    val keys = Seq(("a", Option.empty[String]))
+      .toDF("x", "y")
+      .selectExpr("json_object_keys(to_json(struct(x, y))) AS k")
+      .collect().head.getSeq[String](0)
+    assert(keys == Seq("x"), "null fields must vanish from the wire")
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
