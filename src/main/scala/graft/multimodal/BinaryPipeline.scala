@@ -974,7 +974,78 @@ object BinaryPipeline extends QueryModule {
       |FROM s JOIN g USING (seed)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- mm_audio_resample
+  /** DECIMATE-BY-2 RESAMPLING over REAL decoded PCM — the sample-rate
+    * normalization every audio ingest runs before feature extraction
+    * (a 16 kHz model can't eat 44.1 kHz audio): each output sample is
+    * the 2-tap boxcar floor-mean of an input pair, computed on the
+    * +2¹⁶-shifted (hence non-negative) sum — where every engine's
+    * integer division agrees (DuckDB's `//` truncates toward zero on
+    * INTEGER operands, so a signed floor-mean drifts by one on
+    * negative odd sums) — then shifted back:
+    * ((a + b + 2¹⁶) >> 1) − 2¹⁵, exact on signed PCM. The decode is the same real RIFF/WAV parse as
+    * [[mmAudioWaveform]] (header walk + PCM16 extraction), so the
+    * audit covers container → samples → DSP → stats end-to-end.
+    * Row-local mapPartitions (no shuffle until the final orderBy);
+    * the trailing odd sample drops, the standard decimator edge. */
+  def mmAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = decodeWavSamples(encodeWav(id))
+        val m = s.length / 2
+        var sumIn = 0L; var i = 0
+        while (i < 2 * m) { sumIn += math.abs(s(i)); i += 1 }
+        var sumOut = 0L; var mx = 0; var k = 0
+        while (k < m) {
+          val v = ((s(2 * k) + s(2 * k + 1) + 65536) >> 1) - 32768
+          val a = math.abs(v); sumOut += a; if (a > mx) mx = a
+          k += 1
+        }
+        val retention =
+          if (sumIn > 0) sumOut * 1000 / sumIn else 1000L
+        (id, m, sumOut, mx, retention)
+      })
+      .toDF("doc_id", "n_out", "sum_abs_out", "max_abs_out",
+        "retention_pm")
+      .orderBy("doc_id")
+  }
+
+  /** Replays [[mmAudioWaveform]]'s sample formula, then the 2-tap
+    * floor-mean decimator on the shifted non-negative sum:
+    * out_k = (s_{2k} + s_{2k+1} + 65536) // 2 - 32768. */
+  val mmAudioResampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k,
+      |    ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256 AS u
+      |  FROM (SELECT doc_id, ns, unnest(range(0, ns)) AS k FROM d) t),
+      |v AS (SELECT doc_id, k,
+      |  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id, (a.smp + b.smp + 65536) // 2 - 32768 AS o,
+      |    ABS(a.smp) + ABS(b.smp) AS abs_in
+      |  FROM v a JOIN v b
+      |    ON b.doc_id = a.doc_id AND b.k = a.k + 1
+      |  WHERE a.k % 2 = 0),
+      |g AS (
+      |  SELECT doc_id, COUNT(*) AS n_out,
+      |    SUM(ABS(o)) AS sum_abs_out, MAX(ABS(o)) AS max_abs_out,
+      |    SUM(abs_in) AS sum_abs_in
+      |  FROM pairs GROUP BY 1)
+      |SELECT doc_id, CAST(n_out AS INTEGER) AS n_out,
+      |  CAST(sum_abs_out AS BIGINT) AS sum_abs_out,
+      |  CAST(max_abs_out AS INTEGER) AS max_abs_out,
+      |  CAST(CASE WHEN sum_abs_in > 0
+      |    THEN sum_abs_out * 1000 // sum_abs_in ELSE 1000 END AS BIGINT)
+      |    AS retention_pm
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_histogram" -> (mmImageHistogram _),
     "mm_chunk_dedup" -> (mmChunkDedup _),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -990,6 +1061,7 @@ object BinaryPipeline extends QueryModule {
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_resample" -> mmAudioResampleSql,
     "mm_image_histogram" -> mmImageHistogramSql,
     "mm_chunk_dedup" -> mmChunkDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,

@@ -304,6 +304,28 @@ class R9cOpsSpec extends SparkSpec {
     assert(keys == Seq("x"), "null fields must vanish from the wire")
   }
 
+  test("mm_audio_resample decimator matches a sample-level replay " +
+      "and halves the stream") {
+    import graft.multimodal.BinaryPipeline._
+    val got = mmAudioResample(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_out"), r.getAs[Long]("sum_abs_out"),
+          r.getAs[Int]("max_abs_out"), r.getAs[Long]("retention_pm"))))
+      .toMap
+    assert(got.nonEmpty)
+    got.keys.take(10).foreach { id =>
+      val s = decodeWavSamples(encodeWav(id))
+      val outs = s.grouped(2).filter(_.length == 2)
+        .map(p => ((p(0) + p(1) + 65536) >> 1) - 32768).toArray
+      assert(got(id)._1 == outs.length)
+      assert(got(id)._1 * 2 == s.length - s.length % 2)
+      assert(got(id)._2 == outs.map(v => math.abs(v).toLong).sum)
+      assert(got(id)._3 == outs.map(math.abs).max)
+      // a boxcar mean can only smooth: retention stays ≤ 1000 pm
+      assert(got(id)._4 <= 1000L)
+    }
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
