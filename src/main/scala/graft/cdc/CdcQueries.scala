@@ -410,6 +410,113 @@ object CdcQueries extends QueryModule {
       |FROM events WHERE event_type = 'error'
       |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
 
+  // ------------------------------------------------- cdc_ivm_merge
+  /** INCREMENTAL VIEW MAINTENANCE — the aggregate-materialized-view
+    * delta merge that lets a replication target keep `SELECT dim,
+    * COUNT(*), SUM(x)` current WITHOUT rescanning history (the
+    * technique behind every warehouse MV refresh; the reference's
+    * /APPEND / /UPDATE / /DELETE routing, Main.java:477-498, is the
+    * row-level form — this is its aggregate-level composition): the
+    * order stream splits at its midpoint date into a BASE epoch and a
+    * CDC tail (inserts = the tail; deletes = base keys ≡ 3 (mod 10);
+    * updates = base keys ≡ 7 (mod 10), +1.00 on the price), every op
+    * melts to its (Δcount, Δrevenue) contribution — insert (+1, +v),
+    * delete (−1, −v_old), update (0, v_new − v_old) — and the merge
+    * is one dimension-sized hash-agg + outer join against the base
+    * MV. The oracle computes the FINAL state by full recompute, so
+    * the green hash IS the IVM-equals-recompute theorem for this
+    * view class. One corpus scan feeds base MV and delta melt (the
+    * checkpointed 4-column projection); everything after is
+    * |dim|-sized. */
+  def ivmMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+        col("o_orderpriority").as("prio"), col("o_orderkey").as("key"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("t"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    val bounds = o.agg((min(col("t")) + max(col("t"))).as("mid2"))
+    val tagged = o.crossJoin(broadcast(bounds))
+      .withColumn("tail", col("t") * 2 > col("mid2"))
+    val base = tagged.filter(!col("tail"))
+    val baseMv = base.groupBy("prio")
+      .agg(count(lit(1)).as("n_base"), sum(col("cents")).as("rev_base"))
+    // op melt: one row per delta with its (dn, drev) contribution
+    val inserts = tagged.filter(col("tail"))
+      .select(col("prio"), lit("c").as("op"), lit(1L).as("dn"),
+        col("cents").as("drev"))
+    val deletes = base.filter(pmod(col("key"), lit(10)) === 3)
+      .select(col("prio"), lit("d").as("op"), lit(-1L).as("dn"),
+        (-col("cents")).as("drev"))
+    val updates = base.filter(pmod(col("key"), lit(10)) === 7)
+      .select(col("prio"), lit("u").as("op"), lit(0L).as("dn"),
+        lit(100L).as("drev"))
+    val delta = inserts.unionByName(deletes).unionByName(updates)
+      .groupBy("prio")
+      .agg(sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_upd"),
+        sum(col("dn")).as("dn"), sum(col("drev")).as("drev"))
+    baseMv.join(delta, Seq("prio"), "full_outer")
+      .select(col("prio"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_ins"), lit(0L)).as("n_ins"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"),
+        coalesce(col("n_upd"), lit(0L)).as("n_upd"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_final"),
+        (coalesce(col("rev_base"), lit(0L)) +
+          coalesce(col("drev"), lit(0L))).as("rev_final_cents"))
+      .orderBy("prio")
+  }
+
+  /** Full-recompute oracle: applies deletes/updates to the base set,
+    * unions the tail, and aggregates the FINAL state directly — what
+    * the IVM merge must equal. */
+  val ivmMergeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio, o_orderkey AS key,
+      |    epoch_us(o_orderdate) AS t,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |b AS (SELECT MIN(t) + MAX(t) AS mid2 FROM o),
+      |base AS (SELECT * FROM o, b WHERE t * 2 <= mid2),
+      |tail AS (SELECT * FROM o, b WHERE t * 2 > mid2),
+      |final AS (
+      |  SELECT prio, CASE WHEN key % 10 = 7 THEN cents + 100
+      |                    ELSE cents END AS cents
+      |  FROM base WHERE key % 10 <> 3
+      |  UNION ALL SELECT prio, cents FROM tail),
+      |fagg AS (
+      |  SELECT prio, COUNT(*) AS n_final,
+      |    CAST(SUM(cents) AS BIGINT) AS rev_final_cents
+      |  FROM final GROUP BY 1),
+      |bagg AS (SELECT prio, COUNT(*) AS n_base FROM base GROUP BY 1),
+      |ops AS (
+      |  SELECT prio,
+      |    CAST(SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ins,
+      |    CAST(SUM(CASE WHEN src = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_del,
+      |    CAST(SUM(CASE WHEN src = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_upd
+      |  FROM (
+      |    SELECT prio, 'c' AS src FROM tail
+      |    UNION ALL SELECT prio, 'd' FROM base WHERE key % 10 = 3
+      |    UNION ALL SELECT prio, 'u' FROM base WHERE key % 10 = 7)
+      |  GROUP BY 1)
+      |SELECT f.prio,
+      |  COALESCE(bagg.n_base, 0) AS n_base,
+      |  COALESCE(ops.n_ins, 0) AS n_ins,
+      |  COALESCE(ops.n_del, 0) AS n_del,
+      |  COALESCE(ops.n_upd, 0) AS n_upd,
+      |  f.n_final, f.rev_final_cents
+      |FROM fagg f
+      |LEFT JOIN bagg ON bagg.prio = f.prio
+      |LEFT JOIN ops ON ops.prio = f.prio
+      |ORDER BY f.prio""".stripMargin
+
   // ----------------------------------------------- cdc_compat_audit
   /** SCHEMA-REGISTRY COMPATIBILITY AUDIT — the classification a
     * registry performs before admitting a new schema version
@@ -1235,6 +1342,7 @@ object CdcQueries extends QueryModule {
     "cdc_schema_drift" -> (schemaDrift _),
     "cdc_drift_dispatch" -> (driftDispatch _),
     "cdc_compat_audit" -> (compatAudit _),
+    "cdc_ivm_merge" -> (ivmMerge _),
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
@@ -1262,5 +1370,6 @@ object CdcQueries extends QueryModule {
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_drift_dispatch" -> driftDispatchSql,
     "cdc_compat_audit" -> compatAuditSql,
+    "cdc_ivm_merge" -> ivmMergeSql,
     "cdc_log_compact" -> logCompactSql)
 }

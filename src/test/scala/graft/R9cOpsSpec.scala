@@ -326,6 +326,39 @@ class R9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_ivm_merge equals a full recompute of the final state") {
+    val got = cdc.CdcQueries.ivmMerge(spark, sfDir).collect()
+      .map(r => r.getAs[String]("prio") -> ((r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_ins"), r.getAs[Long]("n_del"),
+        r.getAs[Long]("n_upd"), r.getAs[Long]("n_final"),
+        r.getAs[Long]("rev_final_cents")))).toMap
+    // count algebra holds per group
+    got.values.foreach { case (nb, ni, nd, _, nf, _) =>
+      assert(nf == nb + ni - nd)
+    }
+    // full recompute in Spark agrees with the merged MV
+    val o = Tables.orders(spark, sfDir).select(
+        col("o_orderpriority").as("prio"), col("o_orderkey").as("key"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mid2 = o.map(_._3).min + o.map(_._3).max
+    val base = o.filter(_._3 * 2 <= mid2)
+    val tail = o.filter(_._3 * 2 > mid2)
+    val finalRows =
+      base.filter(_._2 % 10 != 3)
+        .map(r => (r._1, if (r._2 % 10 == 7) r._4 + 100 else r._4)) ++
+      tail.map(r => (r._1, r._4))
+    val expected = finalRows.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.map(_._2).sum)).toMap
+    got.foreach { case (p, (_, _, _, _, nf, rev)) =>
+      assert((nf, rev) == expected(p))
+    }
+    assert(got.keySet == expected.keySet)
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
