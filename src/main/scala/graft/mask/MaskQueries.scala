@@ -1029,8 +1029,57 @@ object MaskQueries extends QueryModule {
       |  CAST(MAX(cents) AS BIGINT) AS hi_cents
       |FROM cl GROUP BY 1, 2 ORDER BY nation, cluster""".stripMargin
 
+  // --------------------------------------------------- mask_noise
+  /** ADDITIVE NOISE MASKING — the third classical numeric-SDC family
+    * next to top-coding ([[maskWinsorize]]) and microaggregation
+    * ([[maskMicroagg]]): every balance shifts by a bounded
+    * pseudo-random amount so no published value is exact, while
+    * group aggregates survive because the noise is near-zero-mean.
+    * The noise is keyed, salted, and PORTABLE — (md5-hash(salt‖key)
+    * mod 2001) − 1000 cents, the [[MaskFunctions.portableHash]]
+    * construction — so replicas mask identically (the reference's
+    * replica-consistent rule model) and any engine audits the same
+    * release. The audit publishes per-nation bias (Σnoise — bounded,
+    * near zero) and the max perturbation (exactly ≤ 10.00), the two
+    * numbers a disclosure-control review asks for. Map-only + one
+    * hash-agg. NOT differential privacy: deterministic keyed noise
+    * protects against casual disclosure, not an adversary with the
+    * salt — [[maskRandResponse]] is the estimator-grade mechanism. */
+  def maskNoise(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val noise = pmod(MaskFunctions.portableHash(
+      concat(lit("noise:"), col("c_custkey").cast("string"))),
+      lit(2001L)) - 1000L
+    Tables.customer(spark, dir).select(col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"), noise.as("noise"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_before"),
+        sum(col("cents") + col("noise")).as("sum_after"),
+        sum(col("noise")).as("bias_cents"),
+        max(abs(col("noise"))).as("max_abs_noise"))
+      .orderBy("c_nationkey")
+  }
+
+  val maskNoiseSql: String =
+    """WITH v AS (
+      |  SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    ('0x'||substr(md5('noise:'||CAST(c_custkey AS VARCHAR)),1,8))
+      |      ::BIGINT % 2001 - 1000 AS noise
+      |  FROM customer)
+      |SELECT c_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_before,
+      |  CAST(SUM(cents + noise) AS BIGINT) AS sum_after,
+      |  CAST(SUM(noise) AS BIGINT) AS bias_cents,
+      |  CAST(MAX(ABS(noise)) AS BIGINT) AS max_abs_noise
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_winsorize" -> (maskWinsorize _),
+    "mask_noise" -> (maskNoise _),
     "mask_microagg" -> (maskMicroagg _),
     "mask_shuffle" -> (maskShuffle _),
     "mask_cell_suppress" -> (maskCellSuppress _),
@@ -1062,6 +1111,7 @@ object MaskQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "mask_winsorize" -> maskWinsorizeSql,
     "mask_microagg" -> maskMicroaggSql,
+    "mask_noise" -> maskNoiseSql,
     "mask_shuffle" -> maskShuffleSql,
     "mask_cell_suppress" -> maskCellSuppressSql,
     "mask_retention_sweep" -> maskRetentionSweepSql,

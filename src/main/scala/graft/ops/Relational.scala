@@ -1909,6 +1909,87 @@ object Relational extends graft.QueryModule {
       |      AS BIGINT) END AS inter_err_pm
       |FROM e2""".stripMargin
 
+  // ---------------------------------------------- q52_percentile_cont
+  /** PERCENTILE_CONT — ANSI SQL's INTERPOLATED quantile (every prior
+    * quantile operator here is type-1/discrete; the CONT definition —
+    * value at fractional rank 1 + p·(n−1), linearly interpolated
+    * between its bracketing order statistics — is what BI tools and
+    * the SQL standard mean by "median"). Exact with NO division:
+    * the fractional part of p·(n−1)/100 has denominator 100, so
+    * value·1000 = lo·1000 + (hi−lo)·10·((p·(n−1)) mod 100) is pure
+    * integer arithmetic. Both bracketing ranks for both percentiles
+    * across all groups come from ONE [[OrderStats.radixRankSelect]]
+    * (the same two domain-capped passes — never a per-group sort),
+    * the 4-selection frame pivots to one row per group, and the
+    * interpolation is row-local. */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    def kLo(p: Int) = expr(s"1 + ($p * (n - 1)) div 100")
+    def kHi(p: Int) = expr(
+      s"1 + ($p * (n - 1)) div 100 + " +
+        s"(CASE WHEN ($p * (n - 1)) % 100 > 0 THEN 1 ELSE 0 END)")
+    val sel = OrderStats.radixRankSelect(vals, Seq("prio"), "cents", Seq(
+      "p50_lo" -> kLo(50), "p50_hi" -> kHi(50),
+      "p90_lo" -> kLo(90), "p90_hi" -> kHi(90)))
+    def pick(nm: String) =
+      max(when(col("sel") === nm, col("sel_value")))
+    val wide = sel.groupBy("prio")
+      .agg(max(col("n")).as("n"),
+        pick("p50_lo").as("lo50"), pick("p50_hi").as("hi50"),
+        pick("p90_lo").as("lo90"), pick("p90_hi").as("hi90"))
+    wide.select(col("prio"), explode(array(
+        struct(lit(50L).as("p"), col("n"), col("lo50").as("lo_cents"),
+          col("hi50").as("hi_cents"),
+          (col("lo50") * 1000 + (col("hi50") - col("lo50")) * 10 *
+            expr("(50 * (n - 1)) % 100")).as("value_milli")),
+        struct(lit(90L).as("p"), col("n"), col("lo90").as("lo_cents"),
+          col("hi90").as("hi_cents"),
+          (col("lo90") * 1000 + (col("hi90") - col("lo90")) * 10 *
+            expr("(90 * (n - 1)) % 100")).as("value_milli")))).as("m"))
+      .select(col("prio"), col("m.p").as("p"), col("m.n").as("n"),
+        col("m.lo_cents").as("lo_cents"), col("m.hi_cents").as("hi_cents"),
+        col("m.value_milli").as("value_milli"))
+      .orderBy("prio", "p")
+  }
+
+  val q52Sql: String =
+    """WITH v AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |h AS (SELECT prio, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT prio, cents,
+      |    SUM(c) OVER (PARTITION BY prio ORDER BY cents) AS hi
+      |  FROM h),
+      |nn AS (SELECT prio, COUNT(*) AS n FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT prio, n, unnest([50, 90]) AS p FROM nn),
+      |k AS (
+      |  SELECT prio, n, p,
+      |    1 + (p * (n - 1)) // 100 AS k_lo,
+      |    1 + (p * (n - 1)) // 100 +
+      |      (CASE WHEN (p * (n - 1)) % 100 > 0 THEN 1 ELSE 0 END)
+      |      AS k_hi,
+      |    (p * (n - 1)) % 100 AS num
+      |  FROM r),
+      |pick AS (
+      |  SELECT k.prio, k.p, k.n, k.num,
+      |    (SELECT MIN(c.cents) FROM cum c
+      |     WHERE c.prio = k.prio AND c.hi >= k.k_lo) AS lo_cents,
+      |    (SELECT MIN(c.cents) FROM cum c
+      |     WHERE c.prio = k.prio AND c.hi >= k.k_hi) AS hi_cents
+      |  FROM k)
+      |SELECT prio, CAST(p AS BIGINT) AS p, n,
+      |  lo_cents, hi_cents,
+      |  CAST(lo_cents * 1000 + (hi_cents - lo_cents) * 10 * num
+      |    AS BIGINT) AS value_milli
+      |FROM pick ORDER BY prio, p""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -1965,6 +2046,7 @@ object Relational extends graft.QueryModule {
     "q49_bloom_prune_join" -> (q49 _),
     "q50_exists_chain" -> (q50 _),
     "q51_kmv_setops" -> (q51 _),
+    "q52_percentile_cont" -> (q52 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
     "q33_recursive_cte" -> (q33 _),
@@ -2018,6 +2100,7 @@ object Relational extends graft.QueryModule {
     "q49_bloom_prune_join" -> q49Sql,
     "q50_exists_chain" -> q50Sql,
     "q51_kmv_setops" -> q51Sql,
+    "q52_percentile_cont" -> q52Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
     "q33_recursive_cte" -> q33Sql,

@@ -359,6 +359,59 @@ class R9cOpsSpec extends SparkSpec {
     assert(got.keySet == expected.keySet)
   }
 
+  test("q52 percentile_cont matches a driver-side sorted " +
+      "interpolation") {
+    val byPrio = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = byPrio.flatMap { case (prio, s) =>
+      Seq(50, 90).map { p =>
+        val n = s.length.toLong
+        val kLo = (p * (n - 1)) / 100 // 0-indexed floor rank
+        val num = (p * (n - 1)) % 100
+        val lo = s(kLo.toInt)
+        val hi = if (num > 0) s(kLo.toInt + 1) else lo
+        (prio, p.toLong) -> (n, lo, hi, lo * 1000 + (hi - lo) * 10 * num)
+      }
+    }
+    val got = ops.Relational.q52(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("prio"), r.getAs[Long]("p")) -> ((
+        r.getAs[Long]("n"), r.getAs[Long]("lo_cents"),
+        r.getAs[Long]("hi_cents"), r.getAs[Long]("value_milli")))).toMap
+    assert(got == expected)
+  }
+
+  test("mask_noise is bounded, keyed-deterministic, and internally " +
+      "consistent") {
+    val got = graft.mask.MaskQueries.maskNoise(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val bias = r.getAs[Long]("bias_cents")
+      assert(r.getAs[Long]("sum_after") - r.getAs[Long]("sum_before")
+        == bias)
+      assert(r.getAs[Long]("max_abs_noise") <= 1000L)
+      assert(math.abs(bias) <= 1000L * n)
+    }
+    // the noise replays from md5 alone (portable across engines)
+    def replay(key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"noise:$key".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    import spark.implicits._
+    val engine = Seq(1L, 2L, 42L).toDF("c_custkey")
+      .select(col("c_custkey"),
+        (pmod(graft.mask.MaskFunctions.portableHash(
+          concat(lit("noise:"), col("c_custkey").cast("string"))),
+          lit(2001L)) - 1000L).as("noise"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 42L).foreach(k => assert(engine(k) == replay(k)))
+  }
+
   test("mask_microagg clusters hold k..2k-1 members, cover every row, " +
       "and carry exact floor-means") {
     val k = 5
