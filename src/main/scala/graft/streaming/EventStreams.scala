@@ -1434,8 +1434,8 @@ object EventStreams extends QueryModule {
     * 1e6 the weekly pattern beats persistence. Shape: one events
     * scan → (type, day) hash-agg; the spine and lags live on the
     * tiny per-type day frame — windows all type-partitioned. */
-  def strSeasonalError(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.events(spark, dir).select(col("event_type"),
+  def seasonalError(events: DataFrame): DataFrame = {
+    val d = events.select(col("event_type"),
         expr("unix_micros(cast(ts as timestamp)) div 86400000000")
           .as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
@@ -1458,6 +1458,9 @@ object EventStreams extends QueryModule {
         expr("abs_err7 * 1000000 div abs_err1")))
       .orderBy("event_type")
   }
+
+  def strSeasonalError(spark: SparkSession, dir: String): DataFrame =
+    seasonalError(Tables.events(spark, dir))
 
   val strSeasonalErrorSql: String =
     """WITH d AS (

@@ -923,6 +923,61 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.values.max > 1L)
   }
 
+  test("seasonal-error day counts merge additively across " +
+      "micro-batches") {
+    implicit val sql = spark.sqlContext
+    // state = per-(type, day) count — the canonical streaming agg:
+    // batches only ADD, so the fold is plain addition and the MASE
+    // panel is a pure function of the merged state.
+    val events = (0 until 400).map { i =>
+      val day = (i * 13) % 20 // gappy: some days never hit per type
+      (9000L + i, ts(f"2024-01-${day + 1}%02d 06:00:00"),
+        i.toLong % 9, Seq("view", "click", "error")(i % 3), 1.0)
+    }
+    val state = scala.collection.concurrent.TrieMap[(String, Long), Long]()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.groupBy(col("event_type"),
+              expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                .as("day"))
+            .count().collect().foreach { r =>
+              val k = (r.getString(0), r.getLong(1))
+              state.put(k, state.getOrElse(k, 0L) + r.getLong(2))
+            }
+          ()
+      }.start()
+    try {
+      events.grouped(90).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // panel from the merged state
+    val expected = state.toSeq.groupBy(_._1._1).map { case (t, rows) =>
+      val byDay = rows.map { case ((_, d), c) => d -> c }.toMap
+      val days = byDay.keys.min to byDay.keys.max
+      val series = days.map(d => byDay.getOrElse(d, 0L))
+      val usable = (7 until series.length).map { i =>
+        (math.abs(series(i) - series(i - 7)),
+          math.abs(series(i) - series(i - 1)))
+      }
+      val e7 = usable.map(_._1).sum
+      val e1 = usable.map(_._2).sum
+      t -> (usable.length.toLong, e7, e1)
+    }
+    val batchOut = EventStreams.seasonalError(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("abs_err7"),
+          r.getAs[Long]("abs_err1")))).toMap
+    assert(expected == batchOut)
+    assert(batchOut.values.exists(_._2 > 0))
+  }
+
   test("CEP negation pattern folds per-user state across micro-batches") {
     implicit val sql = spark.sqlContext
     // the incremental form of cepPattern: per-user event lists are the
