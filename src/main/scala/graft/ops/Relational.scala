@@ -1990,6 +1990,106 @@ object Relational extends graft.QueryModule {
       |    AS BIGINT) AS value_milli
       |FROM pick ORDER BY prio, p""".stripMargin
 
+  // ----------------------------------------------- q53_null_semantics
+  /** NOT IN vs NOT EXISTS three-valued-logic AUDIT — the classic
+    * silent-data-loss trap in replication/delete routing: `key NOT IN
+    * (subquery)` returns ZERO rows the moment the subquery yields one
+    * NULL, while the anti-join (NOT EXISTS) form keeps behaving. A
+    * probe set of order custkeys is deterministically poisoned
+    * (o_orderkey % 97 = 0 → NULL key, replayable in any engine) and
+    * the same "customers with no orders" question is asked four ways:
+    * NOT EXISTS on the poisoned set, NOT IN on the poisoned set (the
+    * trap: 0 rows), and both on the null-repaired set (equal again).
+    * One row per region so the audit localizes the loss. Spark plans
+    * the NOT IN as a null-aware anti join (broadcast-only physical
+    * strategy — the reason big-data dialects tell you to write NOT
+    * EXISTS); the probe aggregate is dimension-sized, so the broadcast
+    * is safe here and flagged as the thing that would NOT survive an
+    * unbounded subquery at 100 TB. */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_regionkey").as("rk"))
+    // "customers with no RECENT order" — the cutoff guarantees a
+    // non-empty anti set at every SF, so the audit discriminates
+    val probe = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+      .select(when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("k"))
+    val repaired = probe.filter(col("k").isNotNull)
+    def cnt(base: DataFrame, nm: String) =
+      base.groupBy("rk").agg(count(lit(1)).as(nm))
+    val notExistsPoisoned = cnt(cust.join(probe.distinct(),
+      col("c_custkey") === col("k"), "left_anti"), "cnt_not_exists")
+    val notExistsRepaired = cnt(cust.join(repaired.distinct(),
+      col("c_custkey") === col("k"), "left_anti"), "cnt_repaired")
+    // NOT IN via the real null-aware predicate (planned as
+    // BroadcastNestedLoop/NullAware anti): keep it a true IN-subquery
+    cust.createOrReplaceTempView("q53_cust")
+    probe.createOrReplaceTempView("q53_probe")
+    val notInPoisoned = spark.sql(
+      """SELECT rk, COUNT(*) AS cnt_not_in FROM q53_cust
+        |WHERE c_custkey NOT IN (SELECT k FROM q53_probe)
+        |GROUP BY rk""".stripMargin)
+    val base = cust.groupBy("rk").agg(count(lit(1)).as("n_customers"))
+    val stats = probe.agg(count(lit(1)).as("n_probe"),
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_probe_null"))
+    base
+      .join(notExistsPoisoned, Seq("rk"), "left")
+      .join(notInPoisoned, Seq("rk"), "left")
+      .join(notExistsRepaired, Seq("rk"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("rk").as("regionkey"), col("n_customers"),
+        coalesce(col("cnt_not_exists"), lit(0L)).as("cnt_not_exists"),
+        coalesce(col("cnt_not_in"), lit(0L)).as("cnt_not_in"),
+        coalesce(col("cnt_repaired"), lit(0L)).as("cnt_repaired"),
+        col("n_probe_null"),
+        (coalesce(col("cnt_not_in"), lit(0L)) =!=
+          coalesce(col("cnt_not_exists"), lit(0L))).cast("long")
+          .as("poisoned"))
+      .orderBy("regionkey")
+  }
+
+  val q53Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, n_regionkey AS rk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |probe AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |         ELSE o_custkey END AS k
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'),
+      |ne AS (
+      |  SELECT rk, COUNT(*) AS cnt_not_exists FROM cust c
+      |  WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+      |  GROUP BY rk),
+      |ni AS (
+      |  SELECT rk, COUNT(*) AS cnt_not_in FROM cust
+      |  WHERE c_custkey NOT IN (SELECT k FROM probe)
+      |  GROUP BY rk),
+      |nr AS (
+      |  SELECT rk, COUNT(*) AS cnt_repaired FROM cust
+      |  WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+      |  GROUP BY rk),
+      |base AS (SELECT rk, COUNT(*) AS n_customers FROM cust GROUP BY rk),
+      |st AS (
+      |  SELECT COUNT(*) AS n_probe,
+      |    CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_probe_null
+      |  FROM probe)
+      |SELECT base.rk AS regionkey, base.n_customers,
+      |  COALESCE(ne.cnt_not_exists, 0) AS cnt_not_exists,
+      |  COALESCE(ni.cnt_not_in, 0) AS cnt_not_in,
+      |  COALESCE(nr.cnt_repaired, 0) AS cnt_repaired,
+      |  st.n_probe_null,
+      |  CAST(COALESCE(ni.cnt_not_in, 0) <> COALESCE(ne.cnt_not_exists, 0)
+      |    AS BIGINT) AS poisoned
+      |FROM base
+      |LEFT JOIN ne USING (rk) LEFT JOIN ni USING (rk)
+      |LEFT JOIN nr USING (rk) CROSS JOIN st
+      |ORDER BY regionkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -2046,6 +2146,7 @@ object Relational extends graft.QueryModule {
     "q49_bloom_prune_join" -> (q49 _),
     "q50_exists_chain" -> (q50 _),
     "q51_kmv_setops" -> (q51 _),
+    "q53_null_semantics" -> (q53 _),
     "q52_percentile_cont" -> (q52 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
@@ -2100,6 +2201,7 @@ object Relational extends graft.QueryModule {
     "q49_bloom_prune_join" -> q49Sql,
     "q50_exists_chain" -> q50Sql,
     "q51_kmv_setops" -> q51Sql,
+    "q53_null_semantics" -> q53Sql,
     "q52_percentile_cont" -> q52Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,

@@ -1414,7 +1414,99 @@ object CorpusPipeline extends QueryModule {
       |    AS boost_pm
       |FROM s CROSS JOIN t ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ pipe_gopher_rules
+  /** GOPHER-STYLE RULE BATTERY — the published pretraining quality
+    * gates (Rae et al. 2021 §A1.1, reused by FineWeb/Dolma) as one
+    * per-document pass with a per-language ATTRITION PANEL: for each
+    * rule, how many docs it alone rejects, plus the docs surviving the
+    * whole battery — the report a data curator reads before committing
+    * a filter config. Rules kept exact-integer so the oracle replays
+    * bit-for-bit (a mean-word-length bound 3 ≤ Σlen/n ≤ 5 is evaluated
+    * as 3n ≤ Σlen ≤ 5n — no float division):
+    *   R1 word count within [30, 120];
+    *   R2 mean word length within [3, 5];
+    *   R3 contains a stopword ('the'/'a' — the Gopher "has ≥2 of 8
+    *      common English words" gate scaled to the fixture corpus);
+    *   R4 distinct-token ratio ≥ 1/2 (templated word-salad gate);
+    *   R5 top-token fraction ≤ 1/5 (single-token spam gate).
+    * Shape: one token explode → (doc, tok) hash-agg → per-doc agg →
+    * per-lang agg; the explode is the only wide stage and combines
+    * map-side. At 100 TB each doc contributes one row per DISTINCT
+    * token to the first agg — strictly smaller than the corpus. */
+  def pipeGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val perDoc = toks.groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * length(col("tok"))).as("sum_len"),
+        max(when(col("tok").isin("the", "a"), 1L).otherwise(0L))
+          .as("has_stop"))
+    val flagged = perDoc.select(col("lang"),
+      (col("n") >= 30 && col("n") <= 120).as("r1"),
+      (col("sum_len") >= col("n") * 3 &&
+        col("sum_len") <= col("n") * 5).as("r2"),
+      (col("has_stop") === 1L).as("r3"),
+      (col("n_distinct") * 2 >= col("n")).as("r4"),
+      (col("max_c") * 5 <= col("n")).as("r5"))
+    def fails(r: Column) = sum(when(r, 0L).otherwise(1L))
+    flagged.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        fails(col("r1")).as("fail_wordcount"),
+        fails(col("r2")).as("fail_wordlen"),
+        fails(col("r3")).as("fail_stopword"),
+        fails(col("r4")).as("fail_distinct"),
+        fails(col("r5")).as("fail_toptoken"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") &&
+          col("r5"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("lang")
+  }
+
+  val pipeGopherRulesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, lang, tok, COUNT(*) AS c
+      |  FROM t WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+      |d AS (
+      |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+      |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_c,
+      |    CAST(SUM(c * length(tok)) AS BIGINT) AS sum_len,
+      |    MAX(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+      |      AS has_stop
+      |  FROM tc GROUP BY 1, 2),
+      |f AS (
+      |  SELECT lang,
+      |    (n BETWEEN 30 AND 120) AS r1,
+      |    (sum_len BETWEEN n * 3 AND n * 5) AS r2,
+      |    (has_stop = 1) AS r3,
+      |    (n_distinct * 2 >= n) AS r4,
+      |    (max_c * 5 <= n) AS r5
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS fail_wordcount,
+      |  CAST(SUM(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS fail_wordlen,
+      |  CAST(SUM(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS fail_stopword,
+      |  CAST(SUM(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS fail_distinct,
+      |  CAST(SUM(CASE WHEN r5 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS fail_toptoken,
+      |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_gopher_rules" -> (pipeGopherRules _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
     "pipe_pad_waste" -> (pipePadWaste _),
@@ -1444,6 +1536,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_gopher_rules" -> pipeGopherRulesSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_sample_weighted" -> pipeSampleWeightedSql,
     "pipe_pad_waste" -> pipePadWasteSql,

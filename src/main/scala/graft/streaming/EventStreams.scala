@@ -1583,7 +1583,54 @@ object EventStreams extends QueryModule {
       |  CAST(MAX(err_milli) AS BIGINT) AS max_err_milli
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------- str_rate_limit
+  /** SLIDING-WINDOW RATE-LIMIT AUDIT — replay a token-bucket-style
+    * policy ("≤ 5 events per user per trailing 24 h") over the event
+    * log and report, per event type, how often and how hard it would
+    * have fired: the capacity-planning / abuse-detection readout that
+    * decides a production limit before it is enforced. The trailing
+    * count is ONE event-time RANGE frame per user (partition key =
+    * user_id, the high-cardinality axis — state per task is bounded by
+    * one user's 24 h of events, never the stream); violations and the
+    * distinct-offender count are plain hash-aggs on top. RANGE (not
+    * ROWS) makes simultaneous events peers in both engines, so the
+    * audit is deterministic under timestamp ties. */
+  def strRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val limit = 5L
+    val b = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-86399999999L, Window.currentRow)
+    val counted = b.withColumn("c", count(lit(1)).over(w))
+    counted.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("c") > limit, 1L).otherwise(0L)).as("n_violations"),
+        max(col("c")).as("max_window_count"),
+        countDistinct(when(col("c") > limit, col("user_id")))
+          .as("n_offending_users"))
+      .orderBy("event_type")
+  }
+
+  val strRateLimitSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |w AS (
+      |  SELECT user_id, event_type,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS c
+      |  FROM b)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN c > 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations,
+      |  CAST(MAX(c) AS BIGINT) AS max_window_count,
+      |  COUNT(DISTINCT CASE WHEN c > 5 THEN user_id END)
+      |    AS n_offending_users
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_rate_limit" -> (strRateLimit _),
     "str_seasonal_error" -> (strSeasonalError _),
     "str_interpolate" -> (strInterpolate _),
     "str_interarrival" -> (strInterarrival _),
@@ -1616,6 +1663,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_rate_limit" -> strRateLimitSql,
     "str_seasonal_error" -> strSeasonalErrorSql,
     "str_interpolate" -> strInterpolateSql,
     "str_interarrival" -> strInterarrivalSql,

@@ -1656,6 +1656,91 @@ object TextAnalysis extends QueryModule {
       |    AS mean_surprisal_milli
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- txt_bigram_surprisal
+  /** Integer BIGRAM (conditional) surprisal — the second-order LM
+    * quality gate. [[txtSurprisal]] scores a token against the corpus
+    * unigram table; here each transition w1→w2 is scored against how
+    * predictable w2 is GIVEN w1: s = ⌊log₂ c(w1)⌋ − ⌊log₂ c(w1,w2)⌋
+    * in whole bits (len(bin(x)) − 1 cancels), so a doc full of
+    * corpus-typical collocations scores near zero while shuffled /
+    * templated word salad (every transition rare) scores high — the
+    * signal a KenLM-style perplexity filter uses, with no libm log.
+    * Shape: per-doc bigram counts (one (doc,bigram) hash-agg from the
+    * codegen neighbor-concat), corpus bigram counts REGROUPED from the
+    * per-doc partial (map-side combine, never a second explode),
+    * unigram counts from one token explode; two key joins on the
+    * count tables (both dimension-sized vs the corpus at scale — the
+    * vocab and bigram-vocab grow sub-linearly per Heaps' law). */
+  def txtBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(norm).as("w"))
+    val db = base
+      .select(col("doc_id"), col("source"),
+        explode(call_function(graft.expr.VectorExprs.bigramsName,
+          col("w"))).as("bigram"))
+      .groupBy("doc_id", "source", "bigram")
+      .agg(count(lit(1)).as("nb"))
+    val cb = db.groupBy("bigram").agg(sum(col("nb")).as("cb"))
+    val c1 = base.select(explode(col("w")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val scored = db
+      .withColumn("tok", substring_index(col("bigram"), " ", 1))
+      .join(cb, "bigram").join(c1, "tok")
+      .select(col("doc_id"), col("source"), col("nb"),
+        (col("nb") * (length(expr("bin(c1)")) - length(expr("bin(cb)")))
+          .cast("long")).as("s"))
+    scored.groupBy("doc_id", "source")
+      .agg(sum(col("nb")).as("nt"), sum(col("s")).as("ts"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_bigrams"),
+        sum(col("ts")).as("surprisal_bits"),
+        sum(when(expr("ts * 1000 div nt") >= 3000L, 1L).otherwise(0L))
+          .as("n_high_docs"))
+      .withColumn("mean_surprisal_milli",
+        expr("surprisal_bits * 1000 div n_bigrams"))
+      .orderBy("source")
+  }
+
+  val txtBigramSurprisalSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |db AS (
+      |  SELECT doc_id, source, bigram, COUNT(*) AS nb
+      |  FROM (SELECT doc_id, source,
+      |          unnest(list_transform(range(1, len(w)),
+      |            i -> w[i] || ' ' || w[i+1])) AS bigram
+      |        FROM base) t
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT bigram, CAST(SUM(nb) AS BIGINT) AS cb
+      |       FROM db GROUP BY 1),
+      |c1 AS (SELECT tok, COUNT(*) AS c1
+      |       FROM (SELECT unnest(w) AS tok FROM base) t
+      |       WHERE length(tok) > 0 GROUP BY 1),
+      |s AS (
+      |  SELECT db.doc_id, db.source, db.nb,
+      |    db.nb * CAST(length(bin(c1.c1)) - length(bin(cb.cb)) AS BIGINT)
+      |      AS s
+      |  FROM db JOIN cb USING (bigram)
+      |  JOIN c1 ON split_part(db.bigram, ' ', 1) = c1.tok),
+      |d AS (
+      |  SELECT doc_id, source, CAST(SUM(nb) AS BIGINT) AS nt,
+      |    CAST(SUM(s) AS BIGINT) AS ts
+      |  FROM s GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(ts) AS BIGINT) AS surprisal_bits,
+      |  CAST(SUM(CASE WHEN ts * 1000 // nt >= 3000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high_docs,
+      |  CAST(SUM(ts) * 1000 // SUM(nt) AS BIGINT)
+      |    AS mean_surprisal_milli
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- txt_nfc_audit
   /** UNICODE NFC NORMALIZATION AUDIT — the canonicalization step
     * upstream of every fingerprint/dedup/equality operator: visually
@@ -1711,6 +1796,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_nfc_audit" -> (txtNfcAudit _),
+    "txt_bigram_surprisal" -> (txtBigramSurprisal _),
     "txt_surprisal" -> (txtSurprisal _),
     "txt_winnowing" -> (txtWinnowing _),
     "txt_code_ratio" -> (txtCodeRatio _),
@@ -1745,6 +1831,7 @@ object TextAnalysis extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "txt_nfc_audit" -> txtNfcAuditSql,
+    "txt_bigram_surprisal" -> txtBigramSurprisalSql,
     "txt_surprisal" -> txtSurprisalSql,
     "txt_winnowing" -> txtWinnowingSql,
     "txt_code_ratio" -> txtCodeRatioSql,
