@@ -1317,7 +1317,50 @@ object CdcQueries extends QueryModule {
        |    AS BIGINT) AS n_resurrections
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ cdc_shard_router
+  /** CONSISTENT-HASH SHARD ROUTER — the parallel-replication step up
+    * from per-table routing: change events fan out across 16 target
+    * shards keyed by md5(user_id), so one key's entire history lands
+    * on ONE shard (per-key ordering survives the fan-out — the
+    * property that lets each shard apply its slice independently).
+    * The audit reports, per shard, the event and distinct-key load
+    * plus its deviation from the ideal 1/16 in per-mille — the
+    * balance check that decides whether the hash needs salting before
+    * a backfill. The hash is the portable md5 prefix (identical
+    * BIGINT in any engine), so shard assignment itself is
+    * hash-verified, not just the counts. One hash-agg; the distinct
+    * per shard rides the same shuffle. */
+  def shardRouter(spark: SparkSession, dir: String): DataFrame = {
+    val n = 16L
+    val routed = Tables.events(spark, dir)
+      .withColumn("shard",
+        pmod(MaskFunctions.portableHash(col("user_id")), lit(n)))
+    val per = routed.groupBy("shard")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_keys"))
+    val tot = per.agg(sum(col("n_events")).as("_t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_events"), col("n_keys"),
+        expr("n_events * 16000 div _t").as("load_pm"))
+      .orderBy("shard")
+  }
+
+  val shardRouterSql: String =
+    """WITH routed AS (
+      |  SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+      |      % 16 AS shard, user_id
+      |  FROM events),
+      |per AS (
+      |  SELECT shard, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS n_keys
+      |  FROM routed GROUP BY shard),
+      |t AS (SELECT SUM(n_events) AS tt FROM per)
+      |SELECT shard, n_events, n_keys,
+      |  CAST(n_events * 16000 // tt AS BIGINT) AS load_pm
+      |FROM per CROSS JOIN t ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_shard_router" -> (shardRouter _),
     "cdc_resurrection" -> (resurrection _),
     "cdc_before_chain" -> (beforeChain _),
     "cdc_sparse_patch" -> (sparsePatch _),
@@ -1346,6 +1389,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_shard_router" -> shardRouterSql,
     "cdc_resurrection" -> resurrectionSql,
     "cdc_before_chain" -> beforeChainSql,
     "cdc_sparse_patch" -> sparsePatchSql,

@@ -1657,7 +1657,212 @@ object Dedup extends QueryModule {
       |ORDER BY pr.n_shared DESC, pr.doc_a, pr.doc_b
       |LIMIT 50""".stripMargin
 
+  // -------------------------------------------------- dedup_lsh_sweep
+  /** LSH BANDING PARAMETER SWEEP — the S-curve tuning table behind
+    * [[minhashLsh]]'s fixed (4 bands × 8 rows) choice: the SAME 32
+    * permutation minima are re-banded at (2×16, 4×8, 8×4, 16×2) and,
+    * per configuration, the operator reports how many candidate pairs
+    * the banding emits (the verify-join COST) and how many of them the
+    * signature agreement rate calls near-duplicates (the YIELD,
+    * block-match ≥ 13/16 ≈ Jaccard² 0.81 per r=2 block, the 0.9-ish
+    * operating point) — more, smaller bands slide the S-curve left:
+    * more candidates, diminishing extra yield. The minima come from
+    * ONE MinHashBands pass at bands=32 (a 1-row band signature is an
+    * affine bijection of its min, inverted by subtracting the seed
+    * constant); all four configs reshape that one array —
+    * tokenization and hashing are never recomputed. Pairs are
+    * COUNTED, never materialized downstream, and the min/max-size
+    * necessary condition prunes the candidate join exactly as the
+    * production operator does. */
+  def dedupLshSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    // sig = seed*31 + min  (MinHashBands with rows-per-band = 1): an
+    // affine bijection of the min, inverted here so the raw minima
+    // feed every banding below
+    val C = 1125899906842597L * 31L
+    val sets = tokens(Tables.documents(spark, dir)).groupBy("doc_id")
+      .agg(sort_array(collect_set(tokHash(col("w")))).as("hs"))
+      .withColumn("n", size(col("hs")))
+    // Each permutation minimum is provably < 2³² (xor of two 32-bit
+    // values), so an r=2 block packs EXACTLY into one long:
+    // bs[j] = m[2j] << 32 | m[2j+1] — a bijection, not a hash, so
+    // block-signature equality IS block equality and stays exact
+    // across the oracle boundary. Rows carry 16 longs, join keys are
+    // one long, and every downstream decision is bit arithmetic on a
+    // 16-bit block-match mask.
+    val minima = sets.select(col("doc_id"), col("n"),
+        transform(call_function(graft.expr.VectorExprs.minhashName,
+          col("hs"), lit(32), lit(32)), s => s - C).as("m"))
+      .select(col("doc_id"), col("n"),
+        expr("transform(sequence(0, 15), j -> " +
+          "shiftleft(m[j * 2], 32) + m[j * 2 + 1])").as("bs"))
+      .localCheckpoint()
+    // PROFILE DEDUP before the pair join: a self-similar corpus packs
+    // hundreds of docs onto ONE identical signature vector, and those
+    // mega-groups are exactly the skewed buckets that make a naive
+    // banded self-join quadratic in one task. Group docs by (blocks,
+    // size) into profiles with multiplicity w: within-profile pairs
+    // (w·(w−1)/2 — all 16 blocks match, every config hits) are pure
+    // arithmetic with NO join; the banded self-join runs over DISTINCT
+    // profiles only (7× fewer pairs, no mega-buckets), each cross pair
+    // weighted w1·w2. One join at the finest banding (16 bands × 2
+    // rows) suffices: a coarse band matches iff ALL its r=2 sub-blocks
+    // match, so every coarser config's membership is derived from the
+    // per-pair block-match mask, never re-joined. First-matching-band
+    // emission (mask has no set bit before `band`) yields each profile
+    // pair exactly once with no distinct pass. The mask itself is ONE
+    // codegen MatchMask call per pair evaluation — an earlier HOF /
+    // generated-comparison-forest formulation fell out of whole-stage
+    // codegen and ran 5× slower on the same 21M raw pair evaluations.
+    val prof = minima.groupBy("bs", "n")
+      .agg(count(lit(1)).as("w"), min(col("doc_id")).as("pid"))
+      .localCheckpoint()
+    val within = prof.filter(col("w") >= 2)
+      .agg(sum(expr("w * (w - 1) div 2")).as("pairs"))
+      .select(explode(array(Seq(2L, 4L, 8L, 16L).map(lit): _*))
+          .as("bands"),
+        coalesce(col("pairs"), lit(0L)).as("n_cand"),
+        coalesce(col("pairs"), lit(0L)).as("n_est"))
+    // SIZE-BANDED bucket keys (the PPJoin-style length filter, done
+    // as a co-grouping key instead of a post-join predicate): a
+    // qualifying pair has min/max ≥ 0.9, and the integer size band
+    // g = 4·⌊log₂ n⌋ + top-2-sub-octave-bits has multiplicative width
+    // ≥ 8/7 > 10/9, so qualifying sizes land in the same or adjacent
+    // band — one side probes (g, g+1), the other builds at g, and
+    // ratio-hopeless pairs never meet at all (the mega signature
+    // buckets that dominated the join split by size). Pure bit
+    // arithmetic: no libm log whose ulp could disagree across
+    // executors at a band boundary. The (g₁<g₂) ∨ (g₁=g₂ ∧ p₁<p₂)
+    // order keeps emission exactly-once across the dual probe.
+    val gExpr = expr("(length(bin(n)) - 1) * 4 + " +
+      "cast(shiftright(n, greatest(0, length(bin(n)) - 3)) & 3 as int)")
+    val buckets = prof
+      .withColumn("g", gExpr)
+      .select(col("pid"), col("n"), col("w"), col("bs"), col("g"),
+        posexplode(col("bs")).as(Seq("band", "s")))
+    val x = buckets
+      .withColumn("gk", explode(array(col("g"), col("g") + 1)))
+      .select(col("band"), col("s"), col("gk"),
+        col("pid").as("p1"), col("n").as("n1"), col("w").as("w1"),
+        col("bs").as("b1"), col("g").as("g1"))
+    val y = buckets.select(col("band").as("band2"), col("s").as("t"),
+      col("g").as("gk2"), col("pid").as("p2"), col("n").as("n2"),
+      col("w").as("w2"), col("bs").as("b2"), col("g").as("g2"))
+    // mask bit j = block j matches; config b groups 16/b consecutive
+    // blocks, so hit_b = some aligned run of 16/b set bits
+    def consec(k: Int): Column = {
+      val anded = (1 until k).foldLeft("mask")((e, s) =>
+        s"($e & (mask >> $s))")
+      val keep = (0 until 16 by k).map(j => 1L << j).sum
+      expr(s"($anded & $keep) != 0")
+    }
+    val pairs = x.join(y,
+        col("band") === col("band2") && col("s") === col("t") &&
+          col("gk") === col("gk2") &&
+          (col("g1") < col("g2") ||
+            (col("g1") === col("g2") && col("p1") < col("p2"))) &&
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")).cast("double") * 0.9 &&
+          expr("(graft_match_mask(b1, b2) & " +
+            "(shiftleft(1L, band) - 1L)) = 0L"))
+      .select((col("w1") * col("w2")).as("w"),
+        expr("graft_match_mask(b1, b2)").as("mask"))
+      .select(col("w"),
+        expr("bit_count(mask)").cast("long").as("matches"),
+        consec(8).as("hit2"), consec(4).as("hit4"),
+        consec(2).as("hit8"), (col("mask") =!= 0L).as("hit16"))
+    val cross = pairs.select(col("w"), col("matches"), explode(array(
+        struct(lit(2L).as("bands"), col("hit2").as("hit")),
+        struct(lit(4L).as("bands"), col("hit4").as("hit")),
+        struct(lit(8L).as("bands"), col("hit8").as("hit")),
+        struct(lit(16L).as("bands"), col("hit16").as("hit")))).as("c"))
+      .filter(col("c.hit"))
+      .groupBy(col("c.bands").as("bands"))
+      .agg(sum(col("w")).as("n_cand"),
+        sum(when(col("matches") >= 13, col("w")).otherwise(0L))
+          .as("n_est"))
+    cross.unionByName(within)
+      .groupBy("bands")
+      .agg(sum(col("n_cand")).as("n_candidates"),
+        sum(col("n_est")).as("n_est_dup"))
+      .select(col("bands"), expr("32 div bands").as("rows_per_band"),
+        col("n_candidates"), col("n_est_dup"),
+        expr("n_est_dup * 1000 div n_candidates").as("yield_pm"))
+      .orderBy("bands")
+  }
+
+  val dedupLshSweepSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+      |        FROM documents)),
+      |ths AS (SELECT DISTINCT doc_id, h FROM tok),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ths GROUP BY doc_id),
+      |perms AS (
+      |  SELECT doc_id, i,
+      |    MIN(xor((h * (2*i+1)) & 4294967295, h >> (i % 16))) AS mh
+      |  FROM ths CROSS JOIN range(32) t(i)
+      |  GROUP BY doc_id, i),
+      |mins AS (
+      |  SELECT doc_id, list(mh ORDER BY i) AS m FROM perms GROUP BY 1),
+      |bl AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, 16),
+      |      j -> m[2*j + 1] * 4294967296 + m[2*j + 2]) AS bs
+      |  FROM mins JOIN sizes USING (doc_id)),
+      |bk AS (
+      |  SELECT doc_id, n, band, bs[band + 1] AS s, bs
+      |  FROM (SELECT doc_id, n, bs, unnest(range(0, 16)) AS band
+      |        FROM bl)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bk x JOIN bk y
+      |    ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id
+      |  WHERE CAST(LEAST(x.n, y.n) AS DOUBLE) >=
+      |        CAST(GREATEST(x.n, y.n) AS DOUBLE) * 0.9),
+      |v AS (
+      |  SELECT c.d1, c.d2,
+      |    list_transform(range(1, 17),
+      |      i -> a.bs[i] = z.bs[i]) AS e16
+      |  FROM cand c
+      |  JOIN bl a ON a.doc_id = c.d1
+      |  JOIN bl z ON z.doc_id = c.d2),
+      |v2 AS (
+      |  SELECT
+      |    CAST(list_sum(list_transform(e16,
+      |      x -> CASE WHEN x THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
+      |    e16,
+      |    list_transform(range(1, 9),
+      |      j -> e16[2*j - 1] AND e16[2*j]) AS e8
+      |  FROM v),
+      |v3 AS (
+      |  SELECT matches, e16, e8,
+      |    list_transform(range(1, 5),
+      |      j -> e8[2*j - 1] AND e8[2*j]) AS e4
+      |  FROM v2),
+      |v4 AS (
+      |  SELECT matches, e16, e8, e4,
+      |    list_transform(range(1, 3),
+      |      j -> e4[2*j - 1] AND e4[2*j]) AS e2
+      |  FROM v3),
+      |m AS (
+      |  SELECT matches, unnest([2, 4, 8, 16]) AS bands,
+      |    unnest([list_contains(e2, true), list_contains(e4, true),
+      |            list_contains(e8, true), list_contains(e16, true)])
+      |      AS hit
+      |  FROM v4)
+      |SELECT CAST(bands AS BIGINT) AS bands,
+      |  CAST(32 // bands AS BIGINT) AS rows_per_band,
+      |  COUNT(*) AS n_candidates,
+      |  CAST(SUM(CASE WHEN matches >= 13 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_est_dup,
+      |  CAST(SUM(CASE WHEN matches >= 13 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS yield_pm
+      |FROM m WHERE hit GROUP BY bands ORDER BY bands""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_bloom" -> (dedupBloom _),
@@ -1686,6 +1891,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_lsh_sweep" -> dedupLshSweepSql,
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_bloom" -> dedupBloomSql,

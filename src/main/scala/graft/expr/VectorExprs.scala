@@ -103,6 +103,51 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd POSITIONAL MATCH MASK over two ArrayType(Long) columns:
+  * bit i of the result is set iff left(i) == right(i) (up to 64
+  * positions; the shorter length bounds the loop). One tight compiled
+  * loop replaces dozens of per-element comparison expressions in the
+  * hot path of signature-sweep joins — bit_count and block tests over
+  * the mask are then pure integer ops.
+  */
+case class MatchMask(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_match_mask"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(64, math.min(x.numElements(), y.numElements()))
+    var i = 0; var m = 0L
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) m |= (1L << i)
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min(64,
+         |  java.lang.Math.min($a.numElements(), $b.numElements()));
+         |long $m = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m |= (1L << $i);
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd as-of lookup: index of the LAST element <= the probe value
   * in a sorted ArrayType(Long) column (binary search, 0-based; -1 when
   * every element is greater). The probe primitive behind the
@@ -710,6 +755,7 @@ object VectorExprs {
   val minhashName = "graft_minhash_bands"
   val jaccardName = "graft_jaccard"
   val ngramsName = "graft_ngrams"
+  val matchMaskName = "graft_match_mask"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -788,6 +834,9 @@ object VectorExprs {
       children => FloorScale(children.head, children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       nfcName, children => NfcNormalize(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      matchMaskName,
+      children => MatchMask(children.head, children(1)), "built-in")
   }
 }
 

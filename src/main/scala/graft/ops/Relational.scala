@@ -2090,6 +2090,45 @@ object Relational extends graft.QueryModule {
       |LEFT JOIN nr USING (rk) CROSS JOIN st
       |ORDER BY regionkey""".stripMargin
 
+  // ---------------------------------------------------- q54_listagg
+  /** DELIMITED GROUP REPORT (listagg) — the string-aggregation step of
+    * a formatted report sink: per nation, the top-10 suppliers by
+    * account balance collapse to ONE pipe-delimited line. Two
+    * determinism rules make this oracle-safe where naive listagg is
+    * not: membership is fixed by a total order (balance DESC, then
+    * name — never a bare LIMIT inside a group), and the emitted list
+    * is re-sorted alphabetically so the line is a SET rendering, not
+    * an order-of-arrival artifact. Scale: the rank filter bounds every
+    * group to 10 rows BEFORE any list materializes (WindowGroupLimit
+    * pushes the top-k into the shuffle), so per-group state is O(k)
+    * however large a nation's supplier roster grows. */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_nationkey")
+      .orderBy(desc("s_acctbal"), col("s_name"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_listed"),
+        array_join(array_sort(collect_list(col("s_name"))), "|")
+          .as("names_csv"))
+      .orderBy("n_name")
+  }
+
+  val q54Sql: String =
+    """WITH ranked AS (
+      |  SELECT n_name, s_name,
+      |    ROW_NUMBER() OVER (PARTITION BY n_nationkey
+      |      ORDER BY s_acctbal DESC, s_name) AS rk
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, COUNT(*) AS n_listed,
+      |  string_agg(s_name, '|' ORDER BY s_name) AS names_csv
+      |FROM ranked WHERE rk <= 10
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -2147,6 +2186,7 @@ object Relational extends graft.QueryModule {
     "q50_exists_chain" -> (q50 _),
     "q51_kmv_setops" -> (q51 _),
     "q53_null_semantics" -> (q53 _),
+    "q54_listagg" -> (q54 _),
     "q52_percentile_cont" -> (q52 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
@@ -2202,6 +2242,7 @@ object Relational extends graft.QueryModule {
     "q50_exists_chain" -> q50Sql,
     "q51_kmv_setops" -> q51Sql,
     "q53_null_semantics" -> q53Sql,
+    "q54_listagg" -> q54Sql,
     "q52_percentile_cont" -> q52Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,

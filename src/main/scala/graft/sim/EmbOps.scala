@@ -377,7 +377,14 @@ object EmbOps extends QueryModule {
     * vector: the bandwidth win IS the operator. Everything
     * (codebook, codes, ADC sums, ranks) is deterministic, so the
     * oracle reproduces the entire approximate index bit-for-bit. */
-  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame =
+    knnPqAdcFor(spark, dir, col("vec_id") % 50 === 0)
+
+  /** [[knnPqAdc]] with a caller-chosen query set (same index, same
+    * ADC math) — lets composites (e.g. RRF fusion) rank the SAME
+    * queries as the other retrievers they fuse with. */
+  def knnPqAdcFor(spark: SparkSession, dir: String,
+      qFilter: Column): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     val e = col("embedding").cast("array<double>")
     def ss(c: Column): Column =
@@ -400,7 +407,7 @@ object EmbOps extends QueryModule {
       .agg(min(struct(col("d"), col("k"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.k").as("code"))
     // query → per-(subspace, centroid) distance lookup table
-    val qdist = emb.filter(col("vec_id") % 50 === 0)
+    val qdist = emb.filter(qFilter)
       .select(col("vec_id").as("qid"), col("e").as("q"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("k"),
@@ -430,8 +437,12 @@ object EmbOps extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  val knnPqAdcSql: String =
-    """WITH emb AS (
+  val knnPqAdcSql: String = knnPqAdcSqlFor("q.vec_id % 50 = 0")
+
+  /** Oracle mirror of [[knnPqAdcFor]]: same SQL with a caller-chosen
+    * query predicate over the aliased query scan `q`. */
+  def knnPqAdcSqlFor(pred: String): String =
+    s"""WITH emb AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
       |                                  CAST(embedding AS DOUBLE[])))
@@ -462,7 +473,7 @@ object EmbOps extends QueryModule {
       |                       cents.c[mm.m*16+1 : mm.m*16+16]) AS qd
       |  FROM emb q CROSS JOIN cents
       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm
-      |  WHERE q.vec_id % 50 = 0),
+      |  WHERE $pred),
       |adc AS (
       |  SELECT d.qid, c.vec_id,
       |    ((MAX(CASE WHEN c.m = 0 THEN d.qd END)

@@ -1137,7 +1137,90 @@ object Knn extends QueryModule {
        |  CAST(SUM(rr60) * 1000 // (60 * COUNT(*)) AS BIGINT) AS mrr_pm
        |FROM m GROUP BY method ORDER BY method""".stripMargin
 
+  // -------------------------------------------------- knn_rrf_fusion
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009; how production search fuses two retrieval
+    * lists): each (query, candidate) scores Σ_lists ⌊10⁶/(60+rank)⌋
+    * over the lists that returned it, so a candidate surfacing in
+    * BOTH top-5s outranks either list's idiosyncratic head. The two
+    * retrievers fused here are the QUANTIZED pair with decorrelated
+    * error modes — PQ-ADC (subspace codebook distortion) and binary
+    * sign-Hamming (direction-only distortion) — precisely the case
+    * RRF exists for; fusing a strong list with a weak one would only
+    * dilute it (measured: centroid@3-probe alone is exact on this
+    * fixture). Scores stay exact integers (the floor makes the fusion
+    * oracle-replayable with no float ordering hazard); ties break on
+    * nid. The panel reports recall@5 of the true nearest neighbor for
+    * each source list AND the fused list — the fused row beating both
+    * sources is the serving argument for hybrid retrieval. Cost: the
+    * fused table is ≤ q·k·2 rows — one hash-agg + one per-query
+    * window, nothing rescans the corpus. */
+  def knnRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pq = EmbOps.knnPqAdcFor(spark, dir, col("vec_id") < 10)
+      .select("qid", "nid", "rank")
+    val hm = EmbOps.embHammingTopK(spark, dir).select("qid", "nid", "rank")
+    val lists = pq.unionByName(hm)
+      .select(col("qid"), col("nid"),
+        expr("1000000 div (60 + cast(rank as bigint))").as("pts"))
+    val fused = lists.groupBy("qid", "nid")
+      .agg(sum(col("pts")).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("score"), col("nid"))))
+      .filter(col("rank") <= 5)
+    val t1 = knnBrute(spark, dir).filter(col("rank") === 1)
+      .select(col("qid"), col("nid").as("true_nid"))
+    def panel(method: String, list: DataFrame) =
+      t1.join(list.select(col("qid").as("lqid"), col("nid").as("lnid")),
+          col("qid") === col("lqid") && col("true_nid") === col("lnid"),
+          "left_semi")
+        .agg(count(lit(1)).as("recall5_hits"))
+        .crossJoin(broadcast(t1.agg(count(lit(1)).as("n_queries"))))
+        .select(lit(method).as("method"), col("n_queries"),
+          col("recall5_hits"),
+          expr("recall5_hits * 1000 div n_queries").as("hits_pm"))
+    panel("fused", fused)
+      .unionByName(panel("hamming", hm))
+      .unionByName(panel("pq_adc", pq))
+      .orderBy("method")
+  }
+
+  val knnRrfFusionSql: String =
+    s"""WITH brute AS ($knnBruteSql),
+       |pq AS (${EmbOps.knnPqAdcSqlFor("q.vec_id < 10")}),
+       |hm AS (${EmbOps.embHammingSql}),
+       |pts AS (
+       |  SELECT qid, nid, 1000000 // (60 + CAST(rank AS BIGINT)) AS pts
+       |  FROM pq
+       |  UNION ALL
+       |  SELECT qid, nid, 1000000 // (60 + CAST(rank AS BIGINT)) FROM hm),
+       |fused AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY SUM(pts) DESC, nid) AS frank
+       |    FROM pts GROUP BY qid, nid) f
+       |  WHERE frank <= 5),
+       |t1 AS (SELECT qid, nid AS true_nid FROM brute WHERE rank = 1),
+       |nq AS (SELECT COUNT(*) AS n_queries FROM t1),
+       |m AS (
+       |  SELECT 'fused' AS method, COUNT(*) AS recall5_hits
+       |  FROM t1 WHERE EXISTS (SELECT 1 FROM fused f
+       |    WHERE f.qid = t1.qid AND f.nid = t1.true_nid)
+       |  UNION ALL
+       |  SELECT 'hamming', COUNT(*) FROM t1
+       |  WHERE EXISTS (SELECT 1 FROM hm h
+       |    WHERE h.qid = t1.qid AND h.nid = t1.true_nid)
+       |  UNION ALL
+       |  SELECT 'pq_adc', COUNT(*) FROM t1
+       |  WHERE EXISTS (SELECT 1 FROM pq p
+       |    WHERE p.qid = t1.qid AND p.nid = t1.true_nid))
+       |SELECT method, n_queries,
+       |  CAST(recall5_hits AS BIGINT) AS recall5_hits,
+       |  CAST(recall5_hits * 1000 // n_queries AS BIGINT) AS hits_pm
+       |FROM m CROSS JOIN nq ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_rrf_fusion" -> (knnRrfFusion _),
     "knn_mrr" -> (knnMrr _),
     "knn_dbscan" -> (knnDbscan _),
     "knn_centrality" -> (knnCentrality _),
@@ -1175,6 +1258,7 @@ object Knn extends QueryModule {
     "knn_lsh" -> knnLshSql,
     "knn_range" -> knnRangeSql,
     "knn_recall_audit" -> knnRecallSql,
+    "knn_rrf_fusion" -> knnRrfFusionSql,
     "knn_mrr" -> knnMrrSql,
     "knn_centroid" -> knnCentroidSql)
 }

@@ -107,6 +107,109 @@ class R9dOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  private def md5Hash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("dedup_lsh_sweep: S-curve monotonicity + b=16 brute replay") {
+    val got = dedup.Dedup.dedupLshSweep(spark, sfDir)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue)).toSeq
+    assert(got.map(_._1) == Seq(2L, 4L, 8L, 16L))
+    // more, smaller bands monotonically admit more candidates and at
+    // least as much yield (a pair colliding at r=16 collides at r=2)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    got.foreach { case (_, _, cand, est) => assert(est <= cand) }
+    // driver replay of the finest config (16 bands × 2 rows)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("\\s+").distinct.map(md5Hash).distinct))
+    val blocks = docs.map { case (id, hs) =>
+      val m = (0 until 32).map(i => hs.map(h =>
+        ((h * (2L * i + 1)) & 4294967295L) ^ (h >> (i % 16))).min)
+      id -> (0 until 16).map(j => (m(2 * j) << 32) | m(2 * j + 1))
+    }.toMap
+    val sizes = docs.map { case (id, hs) => id -> hs.length }.toMap
+    val ids = docs.map(_._1).sorted
+    var cand16 = 0L; var est16 = 0L
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if math.min(sizes(a), sizes(b)).toDouble >=
+        math.max(sizes(a), sizes(b)).toDouble * 0.9
+      if (0 until 16).exists(bd => blocks(a)(bd) == blocks(b)(bd))
+    } {
+      cand16 += 1
+      if ((0 until 16).count(k => blocks(a)(k) == blocks(b)(k)) >= 13)
+        est16 += 1
+    }
+    assert(got.last._3 == cand16)
+    assert(got.last._4 == est16)
+  }
+
+  test("knn_rrf_fusion: fused recall@5 beats both quantized sources") {
+    val rows = sim.Knn.knnRrfFusion(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows.keySet == Set("fused", "hamming", "pq_adc"))
+    assert(rows("fused") >= rows("hamming"))
+    assert(rows("fused") >= rows("pq_adc"))
+    // driver-side RRF replay from the two source lists
+    def list(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).intValue)).toSeq
+    val pq = list(sim.EmbOps.knnPqAdcFor(spark, sfDir,
+      col("vec_id") < 10))
+    val hm = list(sim.EmbOps.embHammingTopK(spark, sfDir))
+    val t1 = sim.Knn.knnBrute(spark, sfDir)
+      .filter(col("rank") === 1).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fusedHits = (pq ++ hm).groupBy(x => (x._1, x._2))
+      .view.mapValues(_.map(x => 1000000L / (60 + x._3)).sum).toSeq
+      .groupBy(_._1._1).map { case (qid, cands) =>
+        val top5 = cands.sortBy { case ((_, nid), s) => (-s, nid) }
+          .take(5).map(_._1._2).toSet
+        if (top5.contains(t1(qid))) 1L else 0L
+      }.sum
+    assert(rows("fused") == fusedHits)
+  }
+
+  test("q54_listagg: bounded groups, sorted set rendering, top-k " +
+      "pushed into the shuffle") {
+    val df = ops.Relational.q54(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val names = r.getString(2).split("\\|").toSeq
+      assert(n <= 10 && names.size.toLong == n)
+      assert(names == names.sorted)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("cdc_shard_router: conservation, affinity, portable hash") {
+    val rows = cdc.CdcQueries.shardRouter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val evs = Tables.events(spark, sfDir).select("user_id")
+      .collect().map(_.getLong(0))
+    assert(rows.map(_._2).sum == evs.length.toLong)
+    // every key routes to exactly one shard → per-shard distinct
+    // counts partition the global key set
+    assert(rows.map(_._3).sum == evs.distinct.length.toLong)
+    val expected = evs.groupBy(u => md5Hash(u.toString) % 16)
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (shard, n, _) =>
+      assert(expected.getOrElse(shard, 0L) == n)
+    }
+  }
+
   test("q53 null-semantics: NOT IN poisons, anti-join does not") {
     val rows = ops.Relational.q53(spark, sfDir).collect()
     assert(rows.nonEmpty)
