@@ -1044,7 +1044,100 @@ object BinaryPipeline extends QueryModule {
       |    AS retention_pm
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- mm_image_edges
+  /** SOBEL EDGE PASS over the REAL PNG decode — the canonical
+    * feature-extraction step (edge density gates blurry/blank images
+    * out of a vision corpus) run end-to-end on actual bytes: encode →
+    * ImageIO decode → 3×3 Sobel over the interior → per-source edge
+    * stats. On the deterministic gradient fixtures the only strong
+    * responses are the 255→0 wrap lines, so the expected output is
+    * analytically known and the oracle recomputes every pixel from
+    * the closed form p(x,y) = (seed + x + y) mod 256 — the decode
+    * path is verified against pure arithmetic. Integer magnitudes
+    * (|Gx|+|Gy|, the L1 Sobel norm) keep it exact; decodes are
+    * content-addressed per seed (≤ 256) and broadcast back to the
+    * corpus — the image work never rescales with the table. */
+  def mmImageEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSeed = Tables.documents(spark, dir)
+      .select((col("doc_id") % 256).as("seed")).distinct().as[Long]
+      .mapPartitions { it =>
+        it.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodeGradientPng(m)))
+          def p(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+          var interior = 0L; var edges = 0L; var magSum = 0L
+          var y = 1
+          while (y < img.getHeight - 1) {
+            var x = 1
+            while (x < img.getWidth - 1) {
+              val gx = (p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1)) -
+                (p(x - 1, y - 1) + 2 * p(x - 1, y) + p(x - 1, y + 1))
+              val gy = (p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1)) -
+                (p(x - 1, y - 1) + 2 * p(x, y - 1) + p(x + 1, y - 1))
+              val mag = math.abs(gx) + math.abs(gy)
+              interior += 1
+              magSum += mag
+              if (mag >= 256) edges += 1
+              x += 1
+            }
+            y += 1
+          }
+          (m, interior, edges, magSum)
+        }
+      }
+      .toDF("seed", "n_interior", "n_edge_px", "mag_sum")
+    Tables.documents(spark, dir)
+      .select(col("source"), (col("doc_id") % 256).as("seed"))
+      .join(broadcast(perSeed), "seed")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_interior")).as("n_interior"),
+        sum(col("n_edge_px")).as("n_edge_px"),
+        sum(col("mag_sum")).as("mag_sum"))
+      .orderBy("source")
+  }
+
+  val mmImageEdgesSql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id % 256 AS seed FROM documents),
+      |dim AS (
+      |  SELECT DISTINCT seed, 8 + seed % 32 AS w, 8 + (seed * 7) % 32 AS h
+      |  FROM s),
+      |px AS (
+      |  SELECT seed, w, h,
+      |    unnest(generate_series(1, CAST(w AS INT) - 2)) AS x
+      |  FROM dim),
+      |py AS (
+      |  SELECT seed, w, h, x,
+      |    unnest(generate_series(1, CAST(h AS INT) - 2)) AS y
+      |  FROM px),
+      |g AS (
+      |  SELECT seed,
+      |    ((seed + x+1 + y-1) % 256 + 2*((seed + x+1 + y) % 256)
+      |      + (seed + x+1 + y+1) % 256)
+      |    - ((seed + x-1 + y-1) % 256 + 2*((seed + x-1 + y) % 256)
+      |      + (seed + x-1 + y+1) % 256) AS gx,
+      |    ((seed + x-1 + y+1) % 256 + 2*((seed + x + y+1) % 256)
+      |      + (seed + x+1 + y+1) % 256)
+      |    - ((seed + x-1 + y-1) % 256 + 2*((seed + x + y-1) % 256)
+      |      + (seed + x+1 + y-1) % 256) AS gy
+      |  FROM py),
+      |agg AS (
+      |  SELECT seed, COUNT(*) AS n_interior,
+      |    SUM(CASE WHEN ABS(gx) + ABS(gy) >= 256 THEN 1 ELSE 0 END)
+      |      AS n_edge_px,
+      |    SUM(ABS(gx) + ABS(gy)) AS mag_sum
+      |  FROM g GROUP BY seed)
+      |SELECT s.source, COUNT(*) AS n_images,
+      |  CAST(SUM(a.n_interior) AS BIGINT) AS n_interior,
+      |  CAST(SUM(a.n_edge_px) AS BIGINT) AS n_edge_px,
+      |  CAST(SUM(a.mag_sum) AS BIGINT) AS mag_sum
+      |FROM s JOIN agg a USING (seed)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_edges" -> (mmImageEdges _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_histogram" -> (mmImageHistogram _),
     "mm_chunk_dedup" -> (mmChunkDedup _),
@@ -1061,6 +1154,7 @@ object BinaryPipeline extends QueryModule {
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_image_edges" -> mmImageEdgesSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_image_histogram" -> mmImageHistogramSql,
     "mm_chunk_dedup" -> mmChunkDedupSql,

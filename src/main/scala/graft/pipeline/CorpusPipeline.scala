@@ -1414,6 +1414,96 @@ object CorpusPipeline extends QueryModule {
       |    AS boost_pm
       |FROM s CROSS JOIN t ORDER BY source""".stripMargin
 
+  // --------------------------------------------- pipe_dedup_survival
+  /** STAGE-ATTRITION FUNNEL — the dataset-card table that says where
+    * the corpus went: raw → quality gate → exact dedup → near-dup
+    * dedup, with doc and token counts and the per-mille of the raw
+    * corpus surviving each stage. This is the report that justifies a
+    * pipeline config to a review board (and catches the classic bug
+    * where a mis-tuned stage silently deletes 90% of a language).
+    * Stage order matters and is the cheap-to-expensive production
+    * order: the quality gate is a row-local scan, exact dedup is one
+    * hash-agg on md5(text) (never a shuffle on the raw text bytes),
+    * and the blocked-Jaccard near-dup pass — the expensive one — only
+    * ever sees what survived both. Every stage reuses the verified
+    * operators ([[TextAnalysis.qualityScore]], [[Dedup.ngramJaccard]],
+    * [[Dedup.applyPairs]]); the funnel is their composition, counted.
+    */
+  def pipeDedupSurvival(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    val s2 = docs
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+    val keepers = s2.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("_keep"))
+    val s3 = s2.join(keepers, col("doc_id") === col("_keep"),
+      "left_semi")
+    val s4 = Dedup.applyPairs(s3, Dedup.ngramJaccard(s3, 0.9))
+    def stat(df: DataFrame, stage: Long, name: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("name"),
+          col("n_docs"), col("n_tokens"))
+    val raw = docs.agg(count(lit(1)).as("_raw"))
+    stat(docs, 1L, "raw")
+      .unionByName(stat(s2, 2L, "quality"))
+      .unionByName(stat(s3, 3L, "exact"))
+      .unionByName(stat(s4, 4L, "neardup"))
+      .crossJoin(broadcast(raw))
+      .select(col("stage"), col("name"), col("n_docs"),
+        col("n_tokens"), expr("n_docs * 1000 div _raw").as("keep_pm"))
+      .orderBy("stage")
+  }
+
+  val pipeDedupSurvivalSql: String = {
+    val score = TextAnalysis.qualityScoreSql("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+       |      AS toks
+       |  FROM documents),
+       |s2 AS (SELECT * FROM d WHERE $score >= 0.5),
+       |keepers AS (
+       |  SELECT md5(text) AS k, MIN(doc_id) AS keep
+       |  FROM s2 GROUP BY 1),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id IN
+       |  (SELECT keep FROM keepers)),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS w
+       |  FROM s3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM tok a JOIN tok b
+       |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes z ON z.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + z.n - i AS DOUBLE) >= 0.9),
+       |s4 AS (SELECT * FROM s3
+       |  WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)),
+       |raw AS (SELECT COUNT(*) AS r FROM d),
+       |f AS (
+       |  SELECT 1 AS stage, 'raw' AS name, COUNT(*) AS n_docs,
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_tokens FROM d
+       |  UNION ALL
+       |  SELECT 2, 'quality', COUNT(*),
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM s2
+       |  UNION ALL
+       |  SELECT 3, 'exact', COUNT(*),
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM s3
+       |  UNION ALL
+       |  SELECT 4, 'neardup', COUNT(*),
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM s4)
+       |SELECT CAST(stage AS BIGINT) AS stage, name, n_docs, n_tokens,
+       |  CAST(n_docs * 1000 // r AS BIGINT) AS keep_pm
+       |FROM f CROSS JOIN raw ORDER BY stage""".stripMargin
+  }
+
   // ------------------------------------------------ pipe_gopher_rules
   /** GOPHER-STYLE RULE BATTERY — the published pretraining quality
     * gates (Rae et al. 2021 §A1.1, reused by FineWeb/Dolma) as one
@@ -1506,6 +1596,7 @@ object CorpusPipeline extends QueryModule {
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_survival" -> (pipeDedupSurvival _),
     "pipe_gopher_rules" -> (pipeGopherRules _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
@@ -1536,6 +1627,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_dedup_survival" -> pipeDedupSurvivalSql,
     "pipe_gopher_rules" -> pipeGopherRulesSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_sample_weighted" -> pipeSampleWeightedSql,

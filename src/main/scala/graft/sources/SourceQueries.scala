@@ -1310,7 +1310,92 @@ object SourceQueries extends QueryModule {
       |FROM customer
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ src_rle_roundtrip
+  /** RUN-LENGTH ENCODING round-trip — the storage-layout primitive
+    * behind parquet's RLE/dictionary pages, done shard-local the way
+    * a columnar writer actually does it (runs never span a row
+    * group): orders split into 4096-key shards, the status column
+    * encodes to (shard, run_start, value, run_len) via one
+    * gaps-and-islands window PER SHARD (bounded state — no global
+    * sort anywhere), decodes back by exploding each run, and the
+    * decoded stream joins the original on (shard, position) to prove
+    * value-exact reconstruction. The report is the compression
+    * panel a layout tuner reads: rows vs runs (the compression
+    * ratio), the longest run, and a mismatch count the round-trip
+    * pins to zero. */
+  def srcRleRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus").as("v"),
+        expr("o_orderkey div 4096").as("shard"))
+    val w = Window.partitionBy("shard").orderBy("o_orderkey")
+    val marked = base
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("chg",
+        when(lag(col("v"), 1).over(w).isNull ||
+          lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy("shard", "run_id", "v")
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("len"))
+    val decoded = runs.select(col("shard"), col("v").as("dv"),
+      explode(expr("sequence(start, start + len - 1)")).as("pos"))
+    val checked = marked.select(col("shard"), col("pos"), col("v"))
+      .join(decoded, Seq("shard", "pos"), "left")
+    val perRun = runs.groupBy("v")
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run"))
+    checked.groupBy("v")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("dv").isNull || col("dv") =!= col("v"), 1L)
+          .otherwise(0L)).as("n_mismatch"))
+      .join(perRun, "v")
+      .select(col("v").as("status"), col("n_rows"), col("n_runs"),
+        col("max_run"),
+        expr("n_runs * 1000 div n_rows").as("runs_pm"),
+        col("n_mismatch"))
+      .orderBy("status")
+  }
+
+  val srcRleRoundtripSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS v,
+      |    o_orderkey // 4096 AS shard
+      |  FROM orders),
+      |marked AS (
+      |  SELECT shard, v,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY o_orderkey)
+      |      AS pos,
+      |    CASE WHEN LAG(v) OVER (PARTITION BY shard
+      |        ORDER BY o_orderkey) IS DISTINCT FROM v
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM base),
+      |runsrc AS (
+      |  SELECT shard, v, pos,
+      |    SUM(chg) OVER (PARTITION BY shard ORDER BY pos) AS run_id
+      |  FROM marked),
+      |runs AS (
+      |  SELECT shard, run_id, v, MIN(pos) AS start, COUNT(*) AS len
+      |  FROM runsrc GROUP BY 1, 2, 3),
+      |decoded AS (
+      |  SELECT shard, v AS dv,
+      |    unnest(generate_series(start, start + len - 1)) AS pos
+      |  FROM runs),
+      |checked AS (
+      |  SELECT m.v, d.dv FROM runsrc m
+      |  LEFT JOIN decoded d ON m.shard = d.shard AND m.pos = d.pos),
+      |perrun AS (
+      |  SELECT v, COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT)
+      |    AS max_run
+      |  FROM runs GROUP BY v)
+      |SELECT c.v AS status, COUNT(*) AS n_rows, p.n_runs, p.max_run,
+      |  CAST(p.n_runs * 1000 // COUNT(*) AS BIGINT) AS runs_pm,
+      |  CAST(SUM(CASE WHEN c.dv IS NULL OR c.dv <> c.v
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+      |FROM checked c JOIN perrun p ON c.v = p.v
+      |GROUP BY c.v, p.n_runs, p.max_run ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_rle_roundtrip" -> (srcRleRoundtrip _),
     "src_bitmap_index" -> (srcBitmapIndex _),
     "src_sidecar_checksum" -> (srcSidecarChecksum _),
     "src_tar_archive" -> (srcTarArchive _),
@@ -1342,6 +1427,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_rle_roundtrip" -> srcRleRoundtripSql,
     "src_bitmap_index" -> srcBitmapIndexSql,
     "src_sidecar_checksum" -> srcSidecarChecksumSql,
     "src_tar_archive" -> srcTarArchiveSql,

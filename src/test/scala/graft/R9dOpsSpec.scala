@@ -210,6 +210,81 @@ class R9dOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe_dedup_survival: monotone funnel, exact stage replay") {
+    val rows = pipeline.CorpusPipeline.pipeDedupSurvival(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // attrition can only shrink the corpus
+    assert(rows.map(_._3) == rows.map(_._3).sorted.reverse)
+    assert(rows.map(_._4) == rows.map(_._4).sorted.reverse)
+    assert(rows.head._5 == 1000L)
+    assert(rows.last._3 > 0)
+    // stage 1 is the raw table; stage 3 removes exact text dups
+    // among the quality survivors — replay both on the driver
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.head._3 == docs.length.toLong)
+    val kept = Tables.documents(spark, sfDir)
+      .filter(text.TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .select("text").collect().map(_.getString(0))
+    assert(rows(1)._3 == kept.length.toLong)
+    assert(rows(2)._3 == kept.distinct.length.toLong)
+  }
+
+  test("mm_image_edges: real decode equals the closed-form Sobel") {
+    val got = multimodal.BinaryPipeline.mmImageEdges(spark, sfDir)
+      .agg(sum("n_interior"), sum("n_edge_px"), sum("mag_sum"))
+      .collect().head
+    val seeds = Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 256).as("s")).collect()
+      .map(_.getLong(0))
+    def p(seed: Long, x: Int, y: Int): Int =
+      ((seed + x + y) % 256).toInt
+    val per = seeds.distinct.map { m =>
+      val w = 8 + (m % 32).toInt; val h = 8 + ((m * 7) % 32).toInt
+      var interior = 0L; var edges = 0L; var mag = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = (p(m, x + 1, y - 1) + 2 * p(m, x + 1, y) + p(m, x + 1, y + 1)) -
+          (p(m, x - 1, y - 1) + 2 * p(m, x - 1, y) + p(m, x - 1, y + 1))
+        val gy = (p(m, x - 1, y + 1) + 2 * p(m, x, y + 1) + p(m, x + 1, y + 1)) -
+          (p(m, x - 1, y - 1) + 2 * p(m, x, y - 1) + p(m, x + 1, y - 1))
+        val v = math.abs(gx) + math.abs(gy)
+        interior += 1; mag += v; if (v >= 256) edges += 1
+      }
+      m -> (interior, edges, mag)
+    }.toMap
+    val expected = seeds.map(per).foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == expected)
+    // the fixture really has edges (the 255→0 wrap lines)
+    assert(expected._2 > 0)
+  }
+
+  test("src_rle_roundtrip: lossless decode, runs compress") {
+    val rows = sources.SourceQueries.srcRleRoundtrip(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, runs, maxRun, mismatch) =>
+      assert(mismatch == 0L)
+      assert(runs <= n && maxRun <= n)
+    }
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total)
+    // driver replay of the shard-local run count
+    val vals = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expRuns = vals.groupBy(_._1 / 4096).values.map { shard =>
+      val s = shard.sortBy(_._1).map(_._2)
+      s.zip("" +: s.init).count { case (a, b) => a != b }
+    }.sum
+    assert(rows.map(_._3).sum == expRuns.toLong)
+  }
+
   test("q53 null-semantics: NOT IN poisons, anti-join does not") {
     val rows = ops.Relational.q53(spark, sfDir).collect()
     assert(rows.nonEmpty)
