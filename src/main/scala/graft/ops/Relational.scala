@@ -2129,6 +2129,96 @@ object Relational extends graft.QueryModule {
       |FROM ranked WHERE rk <= 10
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------- q55_equidepth_hist
+  /** EQUI-DEPTH HISTOGRAM — the optimizer statistic behind every
+    * cost-based planner (ANALYZE TABLE's column stats): 8 buckets per
+    * group whose boundaries are the exact i·n/8-th order statistics
+    * of the price column, plus the EXACT row count landing in each
+    * bucket (ties break low: a value equal to a boundary belongs to
+    * the bucket that boundary closes — so counts are deterministic
+    * however heavy the ties). Boundaries come from ONE radix-select
+    * pass ([[OrderStats.radixRankSelect]] — two pruned scans, no
+    * global sort, the q36/q52 machinery); bucket counts are a second
+    * scan against the broadcast 8-value boundary row per group.
+    * Depths are NOT exactly n/8 when ties straddle a boundary — that
+    * skew is precisely what a planner reads off this table. */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val ranks = (1 to 8).map(i =>
+      s"b$i" -> expr(s"greatest(1L, ($i * n) div 8)"))
+    val sel = OrderStats.radixRankSelect(vals, Seq("grp"), "cents", ranks)
+    def pick(nm: String) =
+      max(when(col("sel") === nm, col("sel_value")))
+    val boundAggs = max(col("n")).as("n") +:
+      (1 to 8).map(i => pick(s"b$i").as(s"b$i"))
+    val bounds = sel.groupBy("grp")
+      .agg(boundAggs.head, boundAggs.tail: _*)
+    val selCols = Seq(col("grp"), col("cents"),
+      (2 to 8).map(i => when(col(s"b${i - 1}") < col("cents"), 1L)
+        .otherwise(0L)).reduce(_ + _).as("bucket")) ++
+      (1 to 8).map(i => col(s"b$i"))
+    val bucketed = vals.join(broadcast(bounds), "grp")
+      .select(selCols: _*)
+      .withColumn("hi_cents",
+        (1 to 8).map(i => when(col("bucket") === (i - 1), col(s"b$i")))
+          .reduceRight(_ otherwise _))
+    bucketed.groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n_rows"), max(col("hi_cents")).as("hi_cents"))
+      .orderBy("grp", "bucket")
+  }
+
+  val q55Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |h AS (SELECT grp, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, cents,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY cents) AS hi
+      |  FROM h),
+      |nn AS (SELECT grp, COUNT(*) AS n FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT grp, n, i, GREATEST(1, (i * n) // 8) AS k
+      |  FROM nn CROSS JOIN (SELECT unnest(range(1, 9)) AS i) t),
+      |bounds AS (
+      |  SELECT r.grp, r.i,
+      |    (SELECT MIN(c.cents) FROM cum c
+      |     WHERE c.grp = r.grp AND c.hi >= r.k) AS b
+      |  FROM r),
+      |bw AS (
+      |  SELECT grp,
+      |    MAX(CASE WHEN i = 1 THEN b END) AS b1,
+      |    MAX(CASE WHEN i = 2 THEN b END) AS b2,
+      |    MAX(CASE WHEN i = 3 THEN b END) AS b3,
+      |    MAX(CASE WHEN i = 4 THEN b END) AS b4,
+      |    MAX(CASE WHEN i = 5 THEN b END) AS b5,
+      |    MAX(CASE WHEN i = 6 THEN b END) AS b6,
+      |    MAX(CASE WHEN i = 7 THEN b END) AS b7,
+      |    MAX(CASE WHEN i = 8 THEN b END) AS b8
+      |  FROM bounds GROUP BY grp),
+      |bk AS (
+      |  SELECT v.grp, v.cents,
+      |    (CASE WHEN b1 < cents THEN 1 ELSE 0 END
+      |     + CASE WHEN b2 < cents THEN 1 ELSE 0 END
+      |     + CASE WHEN b3 < cents THEN 1 ELSE 0 END
+      |     + CASE WHEN b4 < cents THEN 1 ELSE 0 END
+      |     + CASE WHEN b5 < cents THEN 1 ELSE 0 END
+      |     + CASE WHEN b6 < cents THEN 1 ELSE 0 END
+      |     + CASE WHEN b7 < cents THEN 1 ELSE 0 END) AS bucket,
+      |    b1, b2, b3, b4, b5, b6, b7, b8
+      |  FROM v JOIN bw USING (grp))
+      |SELECT grp, CAST(bucket AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  CAST(MAX(CASE bucket WHEN 0 THEN b1 WHEN 1 THEN b2
+      |    WHEN 2 THEN b3 WHEN 3 THEN b4 WHEN 4 THEN b5 WHEN 5 THEN b6
+      |    WHEN 6 THEN b7 ELSE b8 END) AS BIGINT) AS hi_cents
+      |FROM bk GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------ q37_unpivot
   /** Wide→long reshape as a first-class relational operator (the
@@ -2187,6 +2277,7 @@ object Relational extends graft.QueryModule {
     "q51_kmv_setops" -> (q51 _),
     "q53_null_semantics" -> (q53 _),
     "q54_listagg" -> (q54 _),
+    "q55_equidepth_hist" -> (q55 _),
     "q52_percentile_cont" -> (q52 _),
     "q31_kmv_distinct" -> (q31 _),
     "q32_window_suite" -> (q32 _),
@@ -2243,6 +2334,7 @@ object Relational extends graft.QueryModule {
     "q51_kmv_setops" -> q51Sql,
     "q53_null_semantics" -> q53Sql,
     "q54_listagg" -> q54Sql,
+    "q55_equidepth_hist" -> q55Sql,
     "q52_percentile_cont" -> q52Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,

@@ -1595,10 +1595,13 @@ object EventStreams extends QueryModule {
     * distinct-offender count are plain hash-aggs on top. RANGE (not
     * ROWS) makes simultaneous events peers in both engines, so the
     * audit is deterministic under timestamp ties. */
-  def strRateLimit(spark: SparkSession, dir: String): DataFrame = {
+  def strRateLimit(spark: SparkSession, dir: String): DataFrame =
+    rateLimit(Tables.events(spark, dir))
+
+  def rateLimit(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val limit = 5L
-    val b = Tables.events(spark, dir).select(col("user_id"),
+    val b = events.select(col("user_id"),
       col("event_type"),
       expr("unix_micros(cast(ts as timestamp))").as("us"))
     val w = Window.partitionBy("user_id").orderBy("us")

@@ -201,6 +201,40 @@ object Stateful {
     * suppress), so the facts equal the batch pair set whenever
     * per-user arrival respects event-time order across batches
     * (within a batch the (ts, event_id) sort restores it). */
+  final case class RateCount(user_id: Long, event_type: String, c: Long)
+  final case class RateState(times: List[Long])
+
+  /** Streaming form of the trailing-window rate-limit audit: per-user
+    * state holds only the timestamps inside the newest event's
+    * trailing window (pruned every batch — bounded by one user's 24 h
+    * of traffic, the same bound the batch RANGE frame has per task).
+    * Simultaneous events are RANGE-frame PEERS: each member of a
+    * same-timestamp group counts the whole group, so the streamed
+    * counts equal the batch window exactly under timestamp ties. */
+  def rateLimitUpdates(events: Dataset[EventRow],
+      winUs: Long = 86399999999L): Dataset[RateCount] = {
+    implicit val stateEnc = Encoders.product[RateState]
+    implicit val outEnc = Encoders.product[RateCount]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[RateState]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val out = Seq.newBuilder[RateCount]
+          ordered.groupBy(e => e.ts.getTime * 1000L).toSeq.sortBy(_._1)
+            .foreach { case (us, peers) =>
+              times = times.filter(_ >= us - winUs)
+              val c = times.size.toLong + peers.size
+              peers.foreach(e => out += RateCount(uid, e.event_type, c))
+              times = List.fill(peers.size)(us) ::: times
+            }
+          state.update(RateState(times))
+          out.result().iterator
+      }
+  }
+
   def cepMatchUpdates(events: Dataset[EventRow],
       winUs: Long = 7L * 24 * 3600 * 1000000L): Dataset[CepMatch] = {
     implicit val stateEnc = Encoders.product[CepState]

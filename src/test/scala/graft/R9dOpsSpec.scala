@@ -285,6 +285,32 @@ class R9dOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == expRuns.toLong)
   }
 
+  test("q55 equi-depth histogram equals the sorted-order replay") {
+    val got = ops.Relational.q55(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = vals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      val bounds = (1 to 8).map(i =>
+        sorted((math.max(1L, i * n / 8) - 1).toInt))
+      rows.map(_._2).groupBy(v => bounds.take(7).count(_ < v))
+        .map { case (b, vs) =>
+          (g, b.toLong, vs.size.toLong, bounds(b)) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    // depths partition each group exactly
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._3).sum == vals.count(_._1 == g).toLong)
+    }
+  }
+
   test("q53 null-semantics: NOT IN poisons, anti-join does not") {
     val rows = ops.Relational.q53(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -923,6 +923,55 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.values.max > 1L)
   }
 
+  test("rate-limit trailing counts equal the batch RANGE frame " +
+      "across micro-batches and timestamp ties") {
+    implicit val sql = spark.sqlContext
+    // user 1: 7 events inside one 24 h window (violations at c>5),
+    // two of them simultaneous (RANGE peers — both must count 4);
+    // user 2: events 25 h apart (window expiry between batches)
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "click", 1.0),
+      (20L, ts("2024-01-01 00:00:00"), 2L, "view", 1.0))
+    val b2 = Seq(
+      (4L, ts("2024-01-01 03:00:00"), 1L, "click", 1.0),
+      (5L, ts("2024-01-01 03:00:00"), 1L, "view", 1.0),
+      (6L, ts("2024-01-01 04:00:00"), 1L, "click", 1.0),
+      (21L, ts("2024-01-02 01:30:00"), 2L, "view", 1.0))
+    val b3 = Seq(
+      (7L, ts("2024-01-01 05:00:00"), 1L, "click", 1.0),
+      (8L, ts("2024-01-02 02:30:00"), 1L, "click", 1.0),
+      (22L, ts("2024-01-03 03:00:00"), 2L, "view", 1.0))
+    val all = b1 ++ b2 ++ b3
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.rateLimitUpdates(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("rate_counts")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("rate_counts")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("c") > 5, 1L).otherwise(0L)).as("n_violations"),
+        max(col("c")).as("max_window_count"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = graft.streaming.EventStreams.rateLimit(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // the tie pair must both have counted the whole peer group, and
+    // user 1's burst must actually violate
+    assert(batch("click")._2 >= 1L)
+  }
+
   test("seasonal-error day counts merge additively across " +
       "micro-batches") {
     implicit val sql = spark.sqlContext
