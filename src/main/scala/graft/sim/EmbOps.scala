@@ -1286,7 +1286,92 @@ object EmbOps extends QueryModule {
       |  CAST(MAX(dot_micro) AS BIGINT) AS hi_micro
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ emb_fps_coreset
+  /** FARTHEST-POINT SAMPLING — the k-means++-style seeding / coreset
+    * selector (pick the point farthest from everything chosen so
+    * far): 8 rounds of { argmax of the running min-distance, then one
+    * map-only relax dmin := min(dmin, d(·, new seed)) }. This is the
+    * principled alternative to [[knnIvfPq]]'s first-8-ids codebook
+    * seeds, and doubles as the diversity-coreset step of a data
+    * pipeline (select maximally-spread exemplars). Per round the
+    * driver receives exactly ONE row (the argmax — a bounded collect,
+    * same class as the dim probe) whose vector becomes a literal in
+    * the next round's relax, so the corpus is only ever scanned
+    * map-side; no shuffle beyond the top-1. Distances are the
+    * fixed-order ‖v‖² − 2⟨v,s⟩ + ‖s‖² with ‖s‖² carried as the
+    * collected graft_dot value, so the oracle replays every double
+    * bit-for-bit; ties break on vec_id. dist_micro is the selection
+    * radius when picked — the non-increasing curve a capacity planner
+    * reads for "how many centroids do I need". */
+  def embFpsCoreset(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    import spark.implicits._
+    val e = col("embedding").cast("array<double>")
+    def ss(c: Column): Column =
+      call_function(graft.expr.VectorExprs.dotName, c, c)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(ss(e) > 0 && ss(e) < lit(Double.PositiveInfinity))
+      .select(col("vec_id"), e.as("e"), ss(e).as("ss"))
+      .localCheckpoint()
+    val first = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("e"), col("ss")).collect().head
+    def dTo(vec: Array[Double], ssSeed: Double) =
+      col("ss") - lit(2.0) * call_function(graft.expr.VectorExprs.dotName,
+        col("e"), typedLit(vec.toSeq)) + lit(ssSeed)
+    var cur = emb.withColumn("dmin",
+      dTo(first.getSeq[Double](1).toArray, first.getDouble(2)))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (0L, first.getLong(0), 0L))
+    (1 to 7).foreach { i =>
+      val top = cur.orderBy(desc("dmin"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("e"), col("ss"), col("dmin"))
+        .collect().head
+      picks += ((i.toLong, top.getLong(0),
+        math.floor(top.getDouble(3) * 1e6).toLong))
+      cur = cur.withColumn("dmin", least(col("dmin"),
+        dTo(top.getSeq[Double](1).toArray, top.getDouble(2))))
+    }
+    picks.toSeq.toDF("rank", "vec_id", "dist_micro").orderBy("rank")
+  }
+
+  val embFpsCoresetSql: String = {
+    val relax = (1 to 7).map { i =>
+      s"""p$i AS (
+         |  SELECT vec_id AS pid, e AS pe, dmin AS pd
+         |  FROM d${i - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+         |d$i AS (
+         |  SELECT v.vec_id, v.e,
+         |    LEAST(v.dmin, list_dot_product(v.e, v.e)
+         |      - 2 * list_dot_product(v.e, p.pe)
+         |      + list_dot_product(p.pe, p.pe)) AS dmin
+         |  FROM d${i - 1} v CROSS JOIN p$i p)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 7).map(i =>
+      s"SELECT $i AS rank, pid AS vec_id, " +
+        s"CAST(FLOOR(pd * 1000000) AS BIGINT) AS dist_micro FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])))
+       |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[])) > 0),
+       |s0 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1),
+       |d0 AS (
+       |  SELECT v.vec_id, v.e,
+       |    list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, s.e)
+       |      + list_dot_product(s.e, s.e) AS dmin
+       |  FROM emb v CROSS JOIN s0 s),
+       |$relax
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist_micro FROM (
+       |  SELECT 0 AS rank, vec_id, CAST(0 AS BIGINT) AS dist_micro
+       |  FROM s0
+       |  UNION ALL $rows) t
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_fps_coreset" -> (embFpsCoreset _),
     "emb_cosine_hist" -> (embCosineHist _),
     "knn_recall_binary" -> (knnRecallBinary _),
     "emb_rq_sketch" -> (embRqSketch _),
@@ -1308,6 +1393,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_fps_coreset" -> embFpsCoresetSql,
     "emb_cosine_hist" -> embCosineHistSql,
     "knn_recall_binary" -> knnRecallBinarySql,
     "emb_rq_sketch" -> embRqSketchSql,

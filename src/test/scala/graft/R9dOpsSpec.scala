@@ -311,6 +311,41 @@ class R9dOpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_fps_coreset equals the driver farthest-point replay") {
+    val got = sim.EmbOps.embFpsCoreset(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got.map(_._1) == (0L to 7L))
+    assert(got.map(_._2).distinct.size == 8)
+    // the selection radius can only shrink as the coreset grows
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (_, v) =>
+        val ss = v.map(x => x * x).sum
+        ss > 0 && !ss.isInfinity && !ss.isNaN
+      }.sortBy(_._1)
+    def d(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var ab = 0.0; var i = 0
+      while (i < a.length) {
+        da += a(i) * a(i); db += b(i) * b(i); ab += a(i) * b(i); i += 1
+      }
+      da - 2 * ab + db
+    }
+    var chosen = List(vecs.head)
+    var dmin = vecs.map(v => v._1 -> d(v._2, vecs.head._2)).toMap
+    (1 to 7).foreach { _ =>
+      val pick = vecs.maxBy(v => (dmin(v._1), -v._1))
+      chosen = chosen :+ pick
+      dmin = vecs.map(v =>
+        v._1 -> math.min(dmin(v._1), d(v._2, pick._2))).toMap
+    }
+    assert(got.map(_._2) == chosen.map(_._1))
+  }
+
   test("q53 null-semantics: NOT IN poisons, anti-join does not") {
     val rows = ops.Relational.q53(spark, sfDir).collect()
     assert(rows.nonEmpty)
