@@ -1807,9 +1807,15 @@ object Dedup extends QueryModule {
       |mins AS (
       |  SELECT doc_id, list(mh ORDER BY i) AS m FROM perms GROUP BY 1),
       |bl AS (
+      |  -- two's-complement wrap of (hi << 32) | lo: a 32-bit minimum
+      |  -- >= 2^31 shifts into the sign bit, which Spark's long <<
+      |  -- wraps silently and DuckDB's checked INT64 multiply rejects,
+      |  -- so the wrap is made explicit (the pack stays injective)
       |  SELECT doc_id, n,
       |    list_transform(range(0, 16),
-      |      j -> m[2*j + 1] * 4294967296 + m[2*j + 2]) AS bs
+      |      j -> (CASE WHEN m[2*j + 1] >= 2147483648
+      |            THEN m[2*j + 1] - 4294967296
+      |            ELSE m[2*j + 1] END) * 4294967296 + m[2*j + 2]) AS bs
       |  FROM mins JOIN sizes USING (doc_id)),
       |bk AS (
       |  SELECT doc_id, n, band, bs[band + 1] AS s, bs
