@@ -346,6 +346,40 @@ class R9dOpsSpec extends SparkSpec {
     assert(got.map(_._2) == chosen.map(_._1))
   }
 
+  test("dedup_lsh_sweep executed plan: one equi-join, codegen mask, " +
+      "no distinct or HOF in the pair path") {
+    val df = dedup.Dedup.dedupLshSweep(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the candidate contact is ONE equi-join on (band, block-sig,
+    // size-band); first-band emission replaced the distinct pass
+    val equiJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(equiJoins == 1, s"expected exactly one pair join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("graft_match_mask"),
+      "the match vector must be the codegen MatchMask, not a HOF")
+    assert(!plan.toLowerCase.contains("zip_with"))
+    // profile dedup + checkpoint sever the corpus: the pair join reads
+    // the checkpointed profiles, never a parquet rescan
+    assert(!plan.contains("Scan parquet"),
+      s"pair path must run on checkpointed profiles:\n$plan")
+  }
+
+  test("pipe_dedup_survival executed plan: exact stage groups on " +
+      "md5, near-dup join blocked on tokens") {
+    val df = pipeline.CorpusPipeline.pipeDedupSurvival(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exact dedup must key on the md5 digest, never shuffle raw text
+    assert(plan.contains("md5"))
+    assert(!plan.contains("hashpartitioning(text"),
+      s"never shuffle on the raw text bytes:\n$plan")
+  }
+
   test("q53 null-semantics: NOT IN poisons, anti-join does not") {
     val rows = ops.Relational.q53(spark, sfDir).collect()
     assert(rows.nonEmpty)
