@@ -1318,9 +1318,12 @@ object CdcQueries extends QueryModule {
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ cdc_shard_router
-  /** CONSISTENT-HASH SHARD ROUTER — the parallel-replication step up
+  /** HASH-MOD SHARD ROUTER — the parallel-replication step up
     * from per-table routing: change events fan out across 16 target
-    * shards keyed by md5(user_id), so one key's entire history lands
+    * shards keyed by md5(user_id) mod 16 (NOT consistent hashing:
+    * changing the shard count remaps nearly every key — elastic
+    * resharding needs a ring or jump-hash), so one key's entire
+    * history lands
     * on ONE shard (per-key ordering survives the fan-out — the
     * property that lets each shard apply its slice independently).
     * The audit reports, per shard, the event and distinct-key load

@@ -1785,6 +1785,10 @@ object Dedup extends QueryModule {
       .groupBy("bands")
       .agg(sum(col("n_cand")).as("n_candidates"),
         sum(col("n_est")).as("n_est_dup"))
+      // a duplicate-free corpus yields 0 candidates at some config:
+      // drop those rows (the oracle emits none, and yield_pm would be
+      // a non-ANSI div-by-zero null) instead of publishing 0/null
+      .filter(col("n_candidates") > 0)
       .select(col("bands"), expr("32 div bands").as("rows_per_band"),
         col("n_candidates"), col("n_est_dup"),
         expr("n_est_dup * 1000 div n_candidates").as("yield_pm"))

@@ -2011,10 +2011,16 @@ object Relational extends graft.QueryModule {
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_regionkey").as("rk"))
-    // "customers with no RECENT order" — the cutoff guarantees a
-    // non-empty anti set at every SF, so the audit discriminates
+    // "customers with no RECENT order" — the cutoff is DERIVED from
+    // the data (550 days below max(o_orderdate)), so the anti set
+    // stays non-empty at every SF and under a regenerated date range
+    // (a fixed literal would silently empty the probe if the
+    // generator's horizon moved)
+    val maxd = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("maxd"))
     val probe = Tables.orders(spark, dir)
-      .filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+      .crossJoin(broadcast(maxd))
+      .filter(to_date(col("o_orderdate")) >= date_sub(col("maxd"), 550))
       .select(when(col("o_orderkey") % 97 === 0, lit(null))
         .otherwise(col("o_custkey")).as("k"))
     val repaired = probe.filter(col("k").isNotNull)
@@ -2025,13 +2031,21 @@ object Relational extends graft.QueryModule {
     val notExistsRepaired = cnt(cust.join(repaired.distinct(),
       col("c_custkey") === col("k"), "left_anti"), "cnt_repaired")
     // NOT IN via the real null-aware predicate (planned as
-    // BroadcastNestedLoop/NullAware anti): keep it a true IN-subquery
-    cust.createOrReplaceTempView("q53_cust")
-    probe.createOrReplaceTempView("q53_probe")
+    // BroadcastNestedLoop/NullAware anti): keep it a true IN-subquery.
+    // Views are uniquely suffixed and dropped right after analysis —
+    // the resolved plan no longer needs them, and session-global
+    // names would shadow/be shadowed across keys in a shared session.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val custView = s"q53_cust_$tag"
+    val probeView = s"q53_probe_$tag"
+    cust.createOrReplaceTempView(custView)
+    probe.createOrReplaceTempView(probeView)
     val notInPoisoned = spark.sql(
-      """SELECT rk, COUNT(*) AS cnt_not_in FROM q53_cust
-        |WHERE c_custkey NOT IN (SELECT k FROM q53_probe)
-        |GROUP BY rk""".stripMargin)
+      s"""SELECT rk, COUNT(*) AS cnt_not_in FROM $custView
+         |WHERE c_custkey NOT IN (SELECT k FROM $probeView)
+         |GROUP BY rk""".stripMargin)
+    spark.catalog.dropTempView(custView)
+    spark.catalog.dropTempView(probeView)
     val base = cust.groupBy("rk").agg(count(lit(1)).as("n_customers"))
     val stats = probe.agg(count(lit(1)).as("n_probe"),
       sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_probe_null"))
@@ -2059,7 +2073,9 @@ object Relational extends graft.QueryModule {
       |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
       |         ELSE o_custkey END AS k
       |  FROM orders
-      |  WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'),
+      |  WHERE CAST(o_orderdate AS DATE) >=
+      |    (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+      |      - INTERVAL 550 DAY),
       |ne AS (
       |  SELECT rk, COUNT(*) AS cnt_not_exists FROM cust c
       |  WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)

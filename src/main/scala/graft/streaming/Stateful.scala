@@ -16,6 +16,13 @@ object Stateful {
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 
+  /** Event-time micros matching `unix_micros(ts)` exactly —
+    * `getTime` alone truncates sub-millisecond precision, so window
+    * membership near a boundary would diverge from the batch RANGE
+    * frame for events carrying non-zero micro components. */
+  @inline def eventMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Running per-user event count + value total, updated each
@@ -167,13 +174,13 @@ object Stateful {
       .flatMapGroupsWithState[LastEvent, TransitionFact](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[LastEvent]) =>
-          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val ordered = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[TransitionFact]
           ordered.foreach { e =>
             last.foreach(l => out += TransitionFact(uid, l.tpe, e.event_type))
             last = Some(LastEvent(e.event_type,
-              e.ts.getTime * 1000L, e.event_id))
+              eventMicros(e.ts), e.event_id))
           }
           last.foreach(state.update)
           out.result().iterator
@@ -220,10 +227,10 @@ object Stateful {
       .flatMapGroupsWithState[RateState, RateCount](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[RateState]) =>
-          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val ordered = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
           var times = state.getOption.map(_.times).getOrElse(Nil)
           val out = Seq.newBuilder[RateCount]
-          ordered.groupBy(e => e.ts.getTime * 1000L).toSeq.sortBy(_._1)
+          ordered.groupBy(e => eventMicros(e.ts)).toSeq.sortBy(_._1)
             .foreach { case (us, peers) =>
               times = times.filter(_ >= us - winUs)
               val c = times.size.toLong + peers.size
@@ -244,11 +251,11 @@ object Stateful {
       .flatMapGroupsWithState[CepState, CepMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[CepState]) =>
-          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val ordered = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
           var open = state.getOption.map(_.signups).getOrElse(Nil)
           val out = Seq.newBuilder[CepMatch]
           ordered.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = eventMicros(e.ts)
             open = open.filter(_.sUs + winUs >= us) // prune expired
             e.event_type match {
               case "signup" => open = OpenSignup(us, Long.MaxValue) :: open
