@@ -1090,13 +1090,15 @@ object Dedup extends QueryModule {
     * that extends to opaque binary columns, where no tokenizer
     * exists).
     *
-    * Scale shape, linear in corpus characters: the boundary test is a
-    * positioned substring+md5 scan (a codegen Generate — rows never
-    * leave the stage), cut lists are per-doc windows over ~len/64
-    * cut rows (doc-bounded partitions), chunk fingerprints are
-    * 60-bit hashes, and the posting join mirrors spanFraction: the
-    * count is precomputed, so a million-doc boilerplate chunk adds
-    * no fan-out. */
+    * THIS IS THE SLOW VERIFICATION MODE — a full md5 at every byte
+    * position, kept because the boundary rule is trivially replayable
+    * in any engine and because [[gearChunkDedup]]'s re-sync behavior
+    * is spec-pinned against it. Production cut points come from the
+    * [[graft.expr.GearCuts]] rolling hash (O(1) ALU work per byte,
+    * ~100× cheaper), which the driver keys `dedup_chunks` /
+    * `mm_chunk_dedup` now run. Same cut-point interface: interior
+    * positions + implicit cut at 1, chunks fingerprinted between
+    * consecutive cuts. */
   def chunkDedup(docs: DataFrame, window: Int, mask: Int): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
@@ -1128,38 +1130,104 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  def dedupChunks(spark: SparkSession, dir: String): DataFrame =
-    chunkDedup(Tables.documents(spark, dir), 8, 64)
+  /** PRODUCTION content-defined chunking — same report as
+    * [[chunkDedup]] but cut points come from the
+    * [[graft.expr.GearCuts]] rolling hash: ONE primitive pass per
+    * blob (table lookup + shift + add per byte) instead of an md5
+    * digest at every byte position (~100× constant-factor cut — at
+    * 100 TB of binary that is hours vs weeks), and NO per-position
+    * row explosion and NO per-doc window shuffle: the cut array is
+    * computed in place, zipped with its own tail via a bounded
+    * `transform`, and exploded into ~len/64 chunk rows directly —
+    * map-only until the posting join. Because the gear modulus is
+    * 2⁶, the cut decision depends only on the trailing 6 bytes, so
+    * the cut set is positionally replayable (the DuckDB oracle
+    * computes the identical closed form) and a blob split across
+    * tasks with 6-byte overlap chunks identically. Chunks address the
+    * blob through its HEX image (the canonical form both engines
+    * render identically); fingerprints are md5 per CHUNK (~len/64
+    * digests, not len). Input contract: (doc_id, bin BINARY). */
+  def gearChunkDedup(base0: DataFrame): DataFrame = {
+    graft.expr.VectorExprs.register(base0.sparkSession)
+    val base = base0.select(col("doc_id"), hex(col("bin")).as("h"),
+      length(col("bin")).as("len"),
+      call_function(graft.expr.VectorExprs.gearCutsName, col("bin"))
+        .as("cs"))
+    val chunks = base
+      .withColumn("cs2", concat(array(lit(1)), col("cs")))
+      .select(col("doc_id"), col("h"),
+        explode(expr("transform(cs2, (c, i) -> named_struct(" +
+          "'cut', c, " +
+          "'nxt', if(i = size(cs2) - 1, len + 1, element_at(cs2, i + 2))))"))
+          .as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(expr(
+            "substring(h, g.cut * 2 - 1, (g.nxt - g.cut) * 2)")), 1, 15),
+          16, 10).cast("long").as("fp"))
+    val posting = chunks.select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("_docs"))
+    chunks.join(posting, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_pm", expr("n_dup_chunks * 1000 div n_chunks"))
+      .orderBy("doc_id")
+  }
 
-  val dedupChunksSql: String =
-    """WITH base AS (
-      |  SELECT doc_id, text, length(text) AS len FROM documents),
-      |cuts AS (
-      |  SELECT doc_id, CAST(i AS INTEGER) AS cut FROM (
-      |    SELECT doc_id, text, unnest(range(2, GREATEST(len - 6, 2))) AS i
-      |    FROM base) z
-      |  WHERE ('0x'||substr(md5(substr(text, CAST(i AS INTEGER), 8)),1,8))
-      |          ::BIGINT % 64 = 0
-      |  UNION ALL SELECT doc_id, 1 FROM base),
-      |m AS (
-      |  SELECT c.doc_id, c.cut, b.text, b.len,
-      |    COALESCE(LEAD(c.cut) OVER (PARTITION BY c.doc_id ORDER BY c.cut),
-      |      b.len + 1) AS nxt
-      |  FROM cuts c JOIN base b USING (doc_id)),
-      |ch AS (
-      |  SELECT doc_id,
-      |    ('0x'||substr(md5(substr(text, cut, nxt - cut)),1,15))::BIGINT
-      |      AS fp
-      |  FROM m),
-      |posting AS (
-      |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
-      |SELECT c.doc_id, COUNT(*) AS n_chunks,
-      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_dup_chunks,
-      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
-      |    // COUNT(*) AS BIGINT) AS dup_pm
-      |FROM ch c JOIN posting p ON c.fp = p.fp
-      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+  /** DuckDB replay of [[gearChunkDedup]] over a caller-supplied base
+    * CTE body producing (doc_id, h HEX-image, len byte-length): the
+    * gear table is re-derived from md5 (G[b] = first byte of
+    * md5(CAST(b AS VARCHAR))), and the cut rule's closed form — the
+    * masked gear state after byte i−1 is Σ_{j=1..6} G[b_{i−j}]·2^{j−1}
+    * mod 64 because older bytes have shifted out of the 6-bit state —
+    * is evaluated positionally. */
+  def gearChunkSql(baseCte: String): String = {
+    val byteAt = (off: Int) =>
+      s"gs[('0x'||substr(h, CAST((i-$off)*2-1 AS INTEGER), 2))::BIGINT + 1]"
+    s"""WITH gear AS (
+       |  SELECT b, ('0x'||substr(md5(CAST(b AS VARCHAR)),1,2))::BIGINT AS g
+       |  FROM range(256) t(b)),
+       |gl AS (SELECT list(g ORDER BY b) AS gs FROM gear),
+       |base AS ($baseCte),
+       |cuts AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS cut FROM (
+       |    SELECT doc_id, h, unnest(range(7, len + 1)) AS i
+       |    FROM base) z, gl
+       |  WHERE (${byteAt(1)}
+       |       + ${byteAt(2)} * 2
+       |       + ${byteAt(3)} * 4
+       |       + ${byteAt(4)} * 8
+       |       + ${byteAt(5)} * 16
+       |       + ${byteAt(6)} * 32) % 64 = 0
+       |  UNION ALL SELECT doc_id, 1 FROM base),
+       |m AS (
+       |  SELECT c.doc_id, c.cut, b.h,
+       |    COALESCE(LEAD(c.cut) OVER (PARTITION BY c.doc_id ORDER BY c.cut),
+       |      b.len + 1) AS nxt
+       |  FROM cuts c JOIN base b USING (doc_id)),
+       |ch AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(substr(h, cut * 2 - 1, (nxt - cut) * 2)),
+       |      1,15))::BIGINT AS fp
+       |  FROM m),
+       |posting AS (
+       |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+       |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS dup_pm
+       |FROM ch JOIN posting p ON ch.fp = p.fp
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+  }
+
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame =
+    gearChunkDedup(Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")))
+
+  val dedupChunksSql: String = gearChunkSql(
+    """SELECT doc_id, hex(encode(text)) AS h,
+      |    octet_length(encode(text)) AS len FROM documents""".stripMargin)
 
   // ----------------------------------------------- dedup_cluster_stats
   /** The dedup run's summary artifact — cluster-size histogram over

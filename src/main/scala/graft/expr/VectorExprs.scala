@@ -744,6 +744,105 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Gear-hash content-defined-chunking cut points over a BINARY column
+  * — the production rolling hash behind `dedup_chunks` /
+  * `mm_chunk_dedup` (the md5-per-byte-position form stays as the slow
+  * verification mode): one primitive pass per blob, a table lookup +
+  * shift + add per byte, returning the 1-based byte positions where a
+  * new chunk starts (interior cuts only; callers prepend position 1).
+  *
+  * Cut rule: gear state h = ((h << 1) + G[b]) & 63 over the byte
+  * stream; a cut opens at position p+1 whenever h == 0 after
+  * consuming byte p (1-based p ≥ 6, cut ≤ len). Expected chunk length
+  * = 64 bytes (P[h=0] = 1/64), the same operating point as the md5
+  * form.
+  *
+  * Two properties make this the 100 TB shape:
+  *  - O(1) ALU work per byte — no digest per position (the md5 form
+  *    pays a full md5 at every offset, a ~100× constant factor).
+  *  - Because the modulus is 2⁶, bytes older than 6 positions have
+  *    shifted out of the masked state, so the cut decision at p
+  *    depends ONLY on bytes p−5..p: the cut set is positionally
+  *    computable — a blob split across tasks with a 6-byte overlap
+  *    chunks identically (no sequential scan dependency), and a SQL
+  *    oracle replays it as a closed form over the last 6 bytes.
+  *
+  * The gear table is content-derived and engine-portable:
+  * G[b] = first byte of md5 of the decimal string of b — DuckDB
+  * replays it as ('0x'||substr(md5(CAST(b AS VARCHAR)),1,2))::INT. */
+case class GearCuts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_gear_cuts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    val out = new java.util.ArrayList[Object](math.max(8, n / 48))
+    val g = GearCuts.table
+    var h = 0
+    var p = 0
+    while (p < n) {
+      h = ((h << 1) + g(bytes(p) & 0xff)) & 63
+      if (p >= 5 && h == 0 && p < n - 1)
+        out.add(Integer.valueOf(p + 2))
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      val out = ctx.freshName("out")
+      val gRef = ctx.addReferenceObj("gearTable", GearCuts.table,
+        "int[]")
+      s"""
+         |int $n = $a.length;
+         |java.util.ArrayList<Object> $out =
+         |  new java.util.ArrayList<Object>(java.lang.Math.max(8, $n / 48));
+         |int $h = 0;
+         |for (int $p = 0; $p < $n; $p++) {
+         |  $h = (($h << 1) + $gRef[$a[$p] & 0xff]) & 63;
+         |  if ($p >= 5 && $h == 0 && $p < $n - 1) {
+         |    $out.add(java.lang.Integer.valueOf($p + 2));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GearCuts {
+  /** G[b] = first byte of md5(decimal string of b) — 256 one-time
+    * digests at class init, uniform low bits, portable to any engine
+    * with md5. */
+  val table: Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256) { b =>
+      md.reset()
+      md.digest(b.toString.getBytes("US-ASCII"))(0) & 0xff
+    }
+  }
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val floorScaleName = "graft_floor_scale"
@@ -756,6 +855,7 @@ object VectorExprs {
   val jaccardName = "graft_jaccard"
   val ngramsName = "graft_ngrams"
   val matchMaskName = "graft_match_mask"
+  val gearCutsName = "graft_gear_cuts"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -837,6 +937,8 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       matchMaskName,
       children => MatchMask(children.head, children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      gearCutsName, children => GearCuts(children.head), "built-in")
   }
 }
 

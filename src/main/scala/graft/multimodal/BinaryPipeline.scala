@@ -828,83 +828,29 @@ object BinaryPipeline extends QueryModule {
     * byte-level rsync primitive [[graft.dedup.Dedup.chunkDedup]]
     * applies to tokenized text, verified here on actual bytes (no
     * tokenizer exists for media payloads): cut the blob wherever the
-    * rolling 8-BYTE window's hash ≡ 0 (mod 64), fingerprint the
-    * variable-size byte chunks, and report per blob how many chunks
-    * are shared with another blob — the near-dup detector for media
-    * that survives container-level prepends/edits, because every
-    * boundary after the edit re-synchronizes on content.
+    * gear rolling hash's 6-bit state hits 0 (expected chunk = 64
+    * bytes), fingerprint the variable-size byte chunks, and report
+    * per blob how many chunks are shared with another blob — the
+    * near-dup detector for media that survives container-level
+    * prepends/edits, because every boundary after the edit
+    * re-synchronizes on content.
     *
-    * Byte positions address the blob through its HEX image (2 chars
-    * per byte — the canonical form both engines render identically),
-    * so the oracle replays the identical rolling hash over
-    * `hex(blob)`. Same linear scale shape as the text variant:
-    * positioned-substring boundary scan inside a codegen Generate,
-    * per-blob cut windows (doc-bounded partitions), precomputed
-    * posting counts. */
-  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = withBlob(Tables.documents(spark, dir))
-      .select(col("doc_id"), hex(col("blob")).as("h"),
-        length(col("blob")).as("len"))
-    val cuts = base
-      .filter(col("len") >= 9)
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(2), col("len") - 7)).as("b"))
-      .filter(conv(substring(md5(
-          expr("substring(h, b * 2 - 1, 16)")), 1, 8), 16, 10)
-        .cast("long") % 64 === 0)
-      .select(col("doc_id"), col("b").as("cut"))
-      .union(base.select(col("doc_id"), lit(1).cast("int").as("cut")))
-    val chunks = cuts.join(base, "doc_id")
-      .withColumn("_next", coalesce(
-        lead(col("cut"), 1).over(
-          Window.partitionBy("doc_id").orderBy("cut")),
-        col("len") + 1))
-      .select(col("doc_id"),
-        conv(substring(md5(
-            expr("substring(h, cut * 2 - 1, (_next - cut) * 2)")), 1, 15),
-          16, 10).cast("long").as("fp"))
-    val posting = chunks.select(col("doc_id"), col("fp")).distinct()
-      .groupBy("fp").agg(count(lit(1)).as("_docs"))
-    chunks.join(posting, "fp")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
-      .withColumn("dup_pm", expr("n_dup_chunks * 1000 div n_chunks"))
-      .orderBy("doc_id")
-  }
+    * Cut points come from the [[graft.expr.GearCuts]] production
+    * rolling hash (one O(1)-per-byte pass per blob, no per-position
+    * digest, no row explosion, no per-blob window shuffle — see
+    * [[graft.dedup.Dedup.gearChunkDedup]] for the full scale story);
+    * the md5-per-position form survives as
+    * [[graft.dedup.Dedup.chunkDedup]], the verification mode the
+    * re-sync spec pins against. */
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.gearChunkDedup(
+      withBlob(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("blob").as("bin")))
 
-  val mmChunkDedupSql: String =
-    """WITH base AS (
-      |  SELECT doc_id, hex(encode('IMG0' || text)) AS h,
+  val mmChunkDedupSql: String = graft.dedup.Dedup.gearChunkSql(
+    """SELECT doc_id, hex(encode('IMG0' || text)) AS h,
       |    octet_length(encode('IMG0' || text)) AS len
-      |  FROM documents),
-      |cuts AS (
-      |  SELECT doc_id, CAST(b AS INTEGER) AS cut FROM (
-      |    SELECT doc_id, h, unnest(range(2, GREATEST(len - 6, 2))) AS b
-      |    FROM base) z
-      |  WHERE ('0x'||substr(md5(substr(h,
-      |          CAST(b * 2 - 1 AS INTEGER), 16)),1,8))::BIGINT % 64 = 0
-      |  UNION ALL SELECT doc_id, 1 FROM base),
-      |m AS (
-      |  SELECT c.doc_id, c.cut, b.h, b.len,
-      |    COALESCE(LEAD(c.cut) OVER (PARTITION BY c.doc_id ORDER BY c.cut),
-      |      b.len + 1) AS nxt
-      |  FROM cuts c JOIN base b USING (doc_id)),
-      |ch AS (
-      |  SELECT doc_id,
-      |    ('0x'||substr(md5(substr(h, cut * 2 - 1, (nxt - cut) * 2)),
-      |      1,15))::BIGINT AS fp
-      |  FROM m),
-      |posting AS (
-      |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
-      |SELECT ch.doc_id, COUNT(*) AS n_chunks,
-      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_dup_chunks,
-      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
-      |    // COUNT(*) AS BIGINT) AS dup_pm
-      |FROM ch JOIN posting p ON ch.fp = p.fp
-      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+      |  FROM documents""".stripMargin)
 
   // ------------------------------------------- mm_image_histogram
   /** Luminance HISTOGRAM over REAL decoded pixels — the

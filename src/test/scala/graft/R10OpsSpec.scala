@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 pins: the Gear production rolling hash behind
+  * content-defined chunking (expression vs a driver-side reference,
+  * boundary re-sync under insertion on BOTH hash modes, and md5/gear
+  * parity on the cut-point interface contract). */
+class R10OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.dedup.Dedup
+
+  /** Driver-side reference gear scan — independent of the codegen
+    * path: same table, same 6-bit masked state, same cut domain. */
+  private def refCuts(bytes: Array[Byte]): Seq[Int] = {
+    val g = graft.expr.GearCuts.table
+    var h = 0
+    val out = Seq.newBuilder[Int]
+    for (p <- bytes.indices) {
+      h = ((h << 1) + g(bytes(p) & 0xff)) & 63
+      if (p >= 5 && h == 0 && p < bytes.length - 1) out += (p + 2)
+    }
+    out.result()
+  }
+
+  test("gear table is the md5-derived permutation both engines replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (b <- 0 until 256) {
+      md.reset()
+      val expect = md.digest(b.toString.getBytes("US-ASCII"))(0) & 0xff
+      assert(graft.expr.GearCuts.table(b) == expect)
+    }
+    // enough low-bit diversity that P[state=0] ~ 1/64 holds
+    assert(graft.expr.GearCuts.table.map(_ & 63).distinct.length > 32)
+  }
+
+  test("graft_gear_cuts equals the driver-side reference scan") {
+    graft.expr.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val blobs = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(800)
+      val b = new Array[Byte](n); rnd.nextBytes(b); (i, b)
+    }
+    val got = blobs.toDF("doc_id", "bin")
+      .select(col("doc_id"),
+        call_function(graft.expr.VectorExprs.gearCutsName, col("bin"))
+          .as("cs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, bytes) <- blobs)
+      assert(got(id) == refCuts(bytes), s"blob $id cut mismatch")
+    // degenerate inputs: empty and sub-window blobs have no cuts
+    assert(refCuts(Array.emptyByteArray).isEmpty)
+    assert(got.values.forall(cs => cs == cs.sorted && cs.forall(_ >= 7)))
+  }
+
+  test("gear chunks re-synchronize after an insertion (production mode)") {
+    // identical scenario to the md5-mode ScaleSpec pin: doc 2 = doc 1
+    // with 7 chars injected at the front; content-chosen boundaries
+    // must re-align downstream of the edit.
+    val rnd = new scala.util.Random(42)
+    val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val t = (1 to 2000).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, s), (2L, "zqwerty" + s), (3L, t))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+    val out = Dedup.gearChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (id <- Seq(1L, 2L)) {
+      val (n, dup) = out(id)
+      assert(n >= 10, s"doc $id: expected ~len/64 chunks, got $n")
+      assert(dup * 2 >= n,
+        s"doc $id: gear boundaries failed to re-sync ($dup of $n shared)")
+    }
+    assert(out(3L)._2 == 0L, "unrelated doc must share no chunks")
+  }
+
+  test("gear and md5 modes agree on the cut-point interface contract") {
+    // both modes: chunk count = interior cuts + 1, chunks partition
+    // the document, per-doc rows sum to the corpus
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 12L).map { i =>
+      (i, (1 to 300 + rnd.nextInt(800))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val gear = Dedup.gearChunkDedup(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md5m = Dedup.chunkDedup(docs, 8, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gear.keySet == md5m.keySet)
+    // same operating point (mask 64): chunk counts within 3x of each
+    // other per doc — a structural guard, not value equality (the
+    // hashes differ by design)
+    for ((id, n) <- gear) {
+      val m = md5m(id)
+      assert(n >= 1 && m >= 1)
+      assert(n <= 3 * m + 8 && m <= 3 * n + 8,
+        s"doc $id: gear=$n vs md5=$m chunks diverge structurally")
+    }
+  }
+}
