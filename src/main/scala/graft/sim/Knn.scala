@@ -310,15 +310,48 @@ object Knn extends QueryModule {
     * `knn_graph` and `knn_graph_clusters` (same session-scoped,
     * layout-fingerprinted memo as the dedup pair sets: the graph is
     * the expensive intermediate, its consumers are cheap). */
-  /** Memoized DIRECTED top-k edge set (corpus as its own query set,
-    * nProbe=3, k=5) — the expensive candidate pass [[mutualEdges]]'
-    * symmetry filter and [[knnHubness]]' in-degree audit both read. */
-  def directedEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.memoized(spark, dir, "knnDirectedEdges") {
-      VectorExprs.register(spark)
-      val emb = Tables.embeddings(spark, dir)
-      centroidKnn(emb, emb, 5)
+  /** DIRECTED top-k edge set (corpus as its own query set, nProbe=3,
+    * k=5) — the expensive candidate pass [[mutualEdges]]' symmetry
+    * filter, [[knnHubness]]' in-degree audit, and the centrality /
+    * triangle keys all read. PERSISTED as a write-once bucketed
+    * external table (the q26 layout precedent: the candidate pass is
+    * a capital cost, not a per-query cost): the first consumer per
+    * source layout pays the centroid probe pass ONCE and writes the
+    * ≤ k·n skinny edge rows bucketed+sorted on qid; every later
+    * consumer — in this session or ANY later JVM on the same machine
+    * — re-attaches the finished layout by DDL (`_SUCCESS` probe) and
+    * pays a bucketed SCAN, no candidate join, with qid-keyed
+    * consumers (per-query folds, the mutual self-join's build side)
+    * riding the bucket layout without an exchange. The layout tag
+    * fingerprints the source parquet content, so a regenerated
+    * identical corpus re-attaches while changed data rebuilds. At
+    * 100 TB this is the difference between every graph query paying
+    * the IVF probe pass and the pass being a once-per-corpus
+    * artifact. */
+  def directedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val tag = Tables.layoutTag(dir)
+    val name = s"knn_edges_$tag"
+    val table = s"graft_buckets.$name"
+    val dbLoc = s"/tmp/graft_buckets_$tag"
+    if (!spark.catalog.databaseExists("graft_buckets"))
+      spark.sql(
+        s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$dbLoc'")
+    if (!spark.catalog.tableExists(table)) {
+      if (new java.io.File(s"$dbLoc/$name/_SUCCESS").exists())
+        spark.sql(
+          s"""CREATE TABLE $table (qid BIGINT, rank INT, nid BIGINT)
+             |USING parquet CLUSTERED BY (qid) SORTED BY (qid)
+             |INTO 8 BUCKETS LOCATION '$dbLoc/$name'""".stripMargin)
+      else {
+        VectorExprs.register(spark)
+        val emb = Tables.embeddings(spark, dir)
+        centroidKnn(emb, emb, 5).write.mode("overwrite")
+          .bucketBy(8, "qid").sortBy("qid")
+          .option("path", s"$dbLoc/$name").saveAsTable(table)
+      }
     }
+    spark.table(table)
+  }
 
   def mutualEdges(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.memoized(spark, dir, "knnMutualEdges") {

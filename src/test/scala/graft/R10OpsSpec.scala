@@ -76,6 +76,30 @@ class R10OpsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L, "unrelated doc must share no chunks")
   }
 
+  test("knn directed edges persist as a layout: warm path is a scan") {
+    import graft.sim.Knn
+    // first call builds (or re-attaches) the bucketed table
+    val first = Knn.directedEdges(spark, sfDir)
+    assert(first.count() > 0)
+    // second call must be a catalog re-attach: plan reads the bucketed
+    // layout, with NO centroid probe pass (no dot-product, no seeds
+    // cross join) anywhere in it
+    val warm = Knn.directedEdges(spark, sfDir)
+    val plan = warm.queryExecution.executedPlan.toString
+    assert(plan.contains("knn_edges_"),
+      s"warm path must scan the persisted edge layout:\n$plan")
+    assert(!plan.contains("graft_dot") && !plan.toLowerCase.contains("cross"),
+      s"warm path must not recompute the candidate pass:\n$plan")
+    // schema contract survives the DDL re-attach form
+    assert(warm.columns.toSeq == Seq("qid", "rank", "nid"))
+    // bucketed scan: qid-keyed aggregation needs no exchange
+    val agg = warm.groupBy("qid").count()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!aggPlan.contains("Exchange hashpartitioning(qid"),
+      s"qid-keyed consumers must ride the bucket layout:\n$aggPlan")
+  }
+
   test("gear and md5 modes agree on the cut-point interface contract") {
     // both modes: chunk count = interior cuts + 1, chunks partition
     // the document, per-doc rows sum to the corpus
