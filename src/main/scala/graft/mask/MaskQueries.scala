@@ -506,27 +506,49 @@ object MaskQueries extends QueryModule {
     * `aes_encrypt`/`aes_decrypt` (AES-128-ECB + PKCS, deterministic —
     * equal plaintexts mask equally, the property a joinable encrypted
     * key column needs; use GCM + per-row IVs when determinism is NOT
-    * wanted). The oracle cannot run AES, so the driver key emits what
-    * it CAN pin bit-for-bit: the decrypted round-trip (proving
-    * encrypt∘decrypt = id over the real cipher) and the exact PKCS
-    * ciphertext length; R8cOpsSpec additionally pins the FIPS-197
-    * AES-128 known-answer vector through the same builtin. Row-local
-    * codegen; no UDF. */
-  def maskEncrypt(spark: SparkSession, dir: String): DataFrame =
+    * wanted).
+    *
+    * The AES-128 key is DERIVED PER COLUMN:
+    * key = unhex(md5(master ‖ '|' ‖ column-name)). Deterministic ECB
+    * leaks equality patterns, so the leak must stop at the column
+    * boundary: two tables encrypting the SAME logical column still
+    * join (same derived key → equal plaintext → equal ciphertext),
+    * but equal values in DIFFERENT columns/tables no longer produce
+    * equal ciphertext — the audit column proves it on the real cipher
+    * (the same c_name under the c_address-derived key). The
+    * derivation is a constant-folded expression (md5 of a literal),
+    * zero per-row cost.
+    *
+    * The oracle cannot run AES, so the driver key emits what it CAN
+    * pin bit-for-bit: the decrypted round-trip (proving
+    * encrypt∘decrypt = id over the real cipher), the exact PKCS
+    * ciphertext length, and the cross-column inequality witness;
+    * R8cOpsSpec additionally pins the FIPS-197 AES-128 known-answer
+    * vector through the same builtin. Row-local codegen; no UDF. */
+  def columnKeySql(column: String, master: String = "graft-master"): String =
+    s"unhex(md5(cast('$master|$column' as binary)))"
+
+  def maskEncrypt(spark: SparkSession, dir: String): DataFrame = {
+    val kName = columnKeySql("customer.c_name")
+    val kAddr = columnKeySql("customer.c_address")
     Tables.customer(spark, dir)
       .select(col("c_custkey"),
-        expr("aes_encrypt(cast(c_name as binary), " +
-          "cast('0123456789abcdef' as binary), 'ECB', 'PKCS')")
-          .as("_ct"))
+        expr(s"aes_encrypt(cast(c_name as binary), $kName, 'ECB', 'PKCS')")
+          .as("_ct"),
+        expr(s"aes_encrypt(cast(c_name as binary), $kAddr, 'ECB', 'PKCS')")
+          .as("_ct_other"))
       .select(col("c_custkey"),
-        expr("cast(aes_decrypt(_ct, cast('0123456789abcdef' as binary), " +
-          "'ECB', 'PKCS') as string)").as("dec"),
-        length(col("_ct")).cast("long").as("cipher_len"))
+        expr(s"cast(aes_decrypt(_ct, $kName, 'ECB', 'PKCS') as string)")
+          .as("dec"),
+        length(col("_ct")).cast("long").as("cipher_len"),
+        (col("_ct") =!= col("_ct_other")).as("cross_key_differs"))
       .orderBy("c_custkey")
+  }
 
   val maskEncryptSql: String =
     """SELECT c_custkey, c_name AS dec,
-      |  CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+      |  CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS cipher_len,
+      |  TRUE AS cross_key_differs
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // --------------------------------------------- mask_rare_suppress

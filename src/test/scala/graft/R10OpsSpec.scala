@@ -100,6 +100,30 @@ class R10OpsSpec extends SparkSpec {
       s"qid-keyed consumers must ride the bucket layout:\n$aggPlan")
   }
 
+  test("mask_encrypt per-column keys: same-column joins survive, " +
+      "cross-column equality is gone") {
+    import graft.mask.MaskQueries.columnKeySql
+    val k1 = columnKeySql("customer.c_name")
+    val k2 = columnKeySql("customer.c_address")
+    val df = Seq(("alice", "alice"), ("bob", "bob")).toDF("a", "b")
+      .select(
+        expr(s"aes_encrypt(cast(a as binary), $k1, 'ECB', 'PKCS')").as("ct_a"),
+        expr(s"aes_encrypt(cast(b as binary), $k1, 'ECB', 'PKCS')").as("ct_a2"),
+        expr(s"aes_encrypt(cast(b as binary), $k2, 'ECB', 'PKCS')").as("ct_b"))
+      .collect()
+    df.foreach { r =>
+      val (ca, ca2, cb) = (r.getAs[Array[Byte]](0),
+        r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))
+      // same derived key, same plaintext → joinable ciphertext
+      assert(ca.sameElements(ca2))
+      // different column key → equality leak stops at the column
+      assert(!ca.sameElements(cb))
+    }
+    // the driver key's audit column is true on every row
+    val rows = graft.mask.MaskQueries.maskEncrypt(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
+  }
+
   test("gear and md5 modes agree on the cut-point interface contract") {
     // both modes: chunk count = interior cuts + 1, chunks partition
     // the document, per-doc rows sum to the corpus
