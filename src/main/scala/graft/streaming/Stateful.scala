@@ -274,6 +274,90 @@ object Stateful {
       }
   }
 
+  // ---------------------------------- streaming DAU/WAU/MAU deltas
+  /** One sweep-delta change: the w-day active count at `day` moves by
+    * `delta` (±1). Folding all emitted deltas per (w, day) and
+    * prefix-summing over the day spine reproduces the exact batch
+    * coverage counts. */
+  final case class CoverageDelta(w: Int, day: Long, delta: Long)
+  /** One per-user coverage island for window w: active days whose
+    * consecutive gaps are ≤ w cover [cs, ce] contiguously. */
+  final case class Island(cs: Long, ce: Long)
+  final case class CoverageState(w1: List[Island], w7: List[Island],
+      w30: List[Island])
+
+  /** INCREMENTAL exact DAU/WAU/MAU — the streaming form of
+    * [[EventStreams.activeUsers]]' coverage-interval rewrite: per-user
+    * state is the coverage-island set per window width; a newly active
+    * day inserts the interval [a, a+w−1], and only when coverage
+    * actually CHANGES (the day isn't already covered end-to-end) does
+    * the operator emit sweep-delta changes — retractions for absorbed
+    * islands, an addition for the merged one. Downstream, the w-day
+    * active count is an additive fold of deltas (a keyed streaming
+    * sum), never a trailing re-scan: the incrementally-maintained
+    * dashboard counter. A re-seen active day is a NO-OP (zero
+    * emissions), so replays are idempotent on the folded counts.
+    * State is bounded by islands per user (≤ active bursts, pruned in
+    * production by finalizing islands older than the watermark minus
+    * the widest window). */
+  def activeUserDeltas(events: Dataset[EventRow]): Dataset[CoverageDelta] = {
+    implicit val stateEnc = Encoders.product[CoverageState]
+    implicit val outEnc = Encoders.product[CoverageDelta]
+    implicit val keyEnc = Encoders.scalaLong
+    def insert(islands: List[Island], a: Long, w: Int,
+        out: scala.collection.mutable.Builder[CoverageDelta, _])
+        : List[Island] = {
+      val ns = a
+      val ne = a + w - 1
+      val (overlap, rest) =
+        islands.partition(i => ns <= i.ce + 1 && ne >= i.cs - 1)
+      val covered = overlap.exists(i => i.cs <= ns && ne <= i.ce)
+      if (covered) islands
+      else {
+        val cs = (ns :: overlap.map(_.cs)).min
+        val ce = (ne :: overlap.map(_.ce)).max
+        overlap.foreach { i =>
+          out += CoverageDelta(w, i.cs, -1L)
+          out += CoverageDelta(w, i.ce + 1, 1L)
+        }
+        out += CoverageDelta(w, cs, 1L)
+        out += CoverageDelta(w, ce + 1, -1L)
+        Island(cs, ce) :: rest
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CoverageState, CoverageDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[EventRow], state: GroupState[CoverageState]) =>
+          var st = state.getOption.getOrElse(CoverageState(Nil, Nil, Nil))
+          val out = Seq.newBuilder[CoverageDelta]
+          rows.map(e => Math.floorDiv(eventMicros(e.ts), 86400000000L))
+            .toSeq.distinct.sorted
+            .foreach { a =>
+              st = CoverageState(
+                insert(st.w1, a, 1, out),
+                insert(st.w7, a, 7, out),
+                insert(st.w30, a, 30, out))
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming per-day event counts — the only corpus-sized pass
+    * behind [[EventStreams.changePoints]]' CUSUM panel, maintained
+    * incrementally (update-mode keyed sum; state is bounded by the
+    * series' day range, not the corpus). The |days|-sized CUSUM —
+    * whose every value depends on the GLOBAL mean — is a pure
+    * function of this frame, recomputed per trigger downstream; the
+    * spec folds the final streamed counts into the exact batch
+    * panel. */
+  def dayCounts(events: Dataset[EventRow]): org.apache.spark.sql.DataFrame =
+    events.toDF()
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .count()
+
   /** The same running totals on Spark 4's `transformWithState` API —
     * the successor to flatMapGroupsWithState: typed per-key state
     * variables (Value/List/Map), per-state TTLs, and timers, backed

@@ -1101,6 +1101,124 @@ class StreamingSpec extends SparkSpec {
       !batchOut.contains(u.toLong)))
   }
 
+  test("active-user coverage deltas fold to the exact batch " +
+      "DAU/WAU/MAU across micro-batches") {
+    implicit val sql = spark.sqlContext
+    // user 1's day-2 activity arrives in a LATER batch than days 1
+    // and 3 — a middle insertion that must merge two standing islands
+    // (the retraction path); user 2 has a gap wider than every
+    // window; duplicates are re-sent to prove delta idempotence.
+    def at(day: Int) = ts(f"2024-01-${day}%02d 10:00:00")
+    val b1 = Seq(
+      (1L, at(1), 1L, "click", 1.0),
+      (2L, at(3), 1L, "click", 1.0),
+      (3L, at(1), 2L, "view", 1.0))
+    val b2 = Seq(
+      (4L, at(2), 1L, "click", 1.0),  // bridges days 1 and 3 for w=1
+      (5L, at(28), 2L, "view", 1.0),  // far gap: separate island (w<=7)
+      (6L, at(3), 1L, "click", 1.0))  // duplicate day: must emit nothing
+    val b3 = Seq(
+      (7L, at(15), 1L, "click", 1.0),
+      (8L, at(28), 2L, "view", 1.0))  // duplicate again
+    val all = b1 ++ b2 ++ b3
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.activeUserDeltas(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("coverage_deltas")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val deltas = spark.table("coverage_deltas")
+      .groupBy("w", "day").agg(sum(col("delta")).as("d"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .filter(_._2 != 0L).toMap
+    val batch = EventStreams.activeUsers(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def folded(w: Int, day: Long): Long =
+      deltas.collect { case ((`w`, d), v) if d <= day => v }.sum
+    batch.foreach { case (day, (dau, wau, mau)) =>
+      assert(folded(1, day) == dau, s"day $day dau")
+      assert(folded(7, day) == wau, s"day $day wau")
+      assert(folded(30, day) == mau, s"day $day mau")
+    }
+    // the merge actually happened: w=1 has exactly one +1 on user 1's
+    // bridged [1..3] run start and none inside it
+    val w1 = deltas.collect { case ((1, d), v) => d -> v }
+    val day1 = all.map(_ => 0) // anchor: 2024-01-01's epoch day
+    val d0 = batch.map(_._1).min
+    assert(w1.toMap.get(d0 + 1).forall(_ <= 0L) &&
+      w1.toMap.get(d0 + 2).forall(_ <= 0L),
+      s"bridged island must not keep interior starts: $w1")
+  }
+
+  test("streamed day counts fold to the exact batch CUSUM " +
+      "change-point panel") {
+    implicit val sql = spark.sqlContext
+    // regime change: ~3 events/day for 10 days, then ~9/day — the
+    // CUSUM extremum must land at the shift whichever micro-batch
+    // carried the rows. The streamed state is ONLY the per-day count
+    // (bounded by the day range); the |days|-sized panel is a pure
+    // function of it.
+    val events = (0 until 20).flatMap { day =>
+      val n = if (day < 10) 2 else 7
+      (0 until n).map { j =>
+        (7000L + day * 10 + j, ts(f"2024-02-${day + 1}%02d 0$j:00:00"),
+          j.toLong, "view", 1.0)
+      }
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.dayCounts(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("day_counts")
+      .outputMode("update").start()
+    try {
+      events.grouped(35).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update mode appends every revision; the count is monotone, so
+    // the final state per day is the max
+    val streamed = spark.table("day_counts")
+      .groupBy("day").agg(max(col("count")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fold the streamed frame into the panel
+    val lo = streamed.keys.min
+    val hi = streamed.keys.max
+    val series = (lo to hi).map(d => d -> streamed.getOrElse(d, 0L))
+    val nd = series.length.toLong
+    val tot = series.map(_._2).sum
+    var run = 0L
+    val cusum = series.map { case (d, c) =>
+      run += c * nd - tot; (d, c, run)
+    }
+    val m = cusum.map(t => math.abs(t._3)).max
+    val expected = cusum.map { case (d, c, cu) =>
+      d -> ((c, cu, math.abs(cu) == m))
+    }.toMap
+    val batchOut = EventStreams.changePoints(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map { r =>
+        val day = r.getAs[java.time.LocalDateTime]("day_start")
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 86400
+        day -> ((r.getAs[Long]("c"), r.getAs[Long]("cusum"),
+          r.getAs[Boolean]("is_peak")))
+      }.toMap
+    assert(expected == batchOut,
+      s"folded panel $expected != batch $batchOut")
+    // the peak lands at the regime shift, not an endpoint
+    val peakDay = batchOut.collect { case (d, (_, _, true)) => d }.min
+    assert(peakDay > lo && peakDay < hi)
+  }
+
   test("checkpointed state survives a query restart (file source)") {
     // the recovery contract a production CDC pipeline leans on: stop
     // the query, restart from the same checkpoint, and the stateful
