@@ -1362,7 +1362,94 @@ object CdcQueries extends QueryModule {
       |  CAST(n_events * 16000 // tt AS BIGINT) AS load_pm
       |FROM per CROSS JOIN t ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------- cdc_pk_change
+  /** PRIMARY-KEY CHANGE handling — the replication edge case a naive
+    * upsert target silently corrupts: when a row's key itself changes,
+    * the wire carries it as an atomic (delete @ old key, create @ new
+    * key) pair (Debezium's `__debezium.newkey` protocol), and the
+    * applier must keep the pair ORDERED (delete first) or a replay
+    * resurrects the old identity. Every event_id ≡ 0 (mod 101) is
+    * deterministically designated a key migration (old = user_id,
+    * new = user_id + 10,000,000); the operator expands the atomic
+    * pair with an intra-event sub-sequence tie-break, applies the
+    * expanded log (latest per key, tombstones drop), and audits: how
+    * many migrations, how many migrated identities are live, and how
+    * many OLD identities survive anyway because a later ordinary
+    * change re-created them — the out-of-order hazard the audit
+    * exists to expose. Shape: map-only expansion (union of two
+    * projections), one per-key window — the snapshotApply cost. */
+  def pkChange(spark: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(spark, dir).withColumn("ts_us", tsMicros)
+    val off = 10000000L
+    val isPk = col("event_id") % 101 === 0
+    val normal = log.filter(!isPk)
+      .select(col("user_id").as("key"), col("op"), col("ts_us"),
+        col("event_id"), lit(0).as("sub"))
+    val pkDel = log.filter(isPk)
+      .select(col("user_id").as("key"), lit("d").as("op"), col("ts_us"),
+        col("event_id"), lit(0).as("sub"))
+    val pkNew = log.filter(isPk)
+      .select((col("user_id") + off).as("key"), lit("c").as("op"),
+        col("ts_us"), col("event_id"), lit(1).as("sub"))
+    val expanded = normal.unionByName(pkDel).unionByName(pkNew)
+    val w = Window.partitionBy("key")
+      .orderBy(desc("ts_us"), desc("event_id"), desc("sub"))
+    val live = expanded
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "d")
+      .select(col("key"))
+    val migrated = log.filter(isPk).select(col("user_id").as("old_key"))
+      .distinct()
+    live
+      .crossJoin(broadcast(
+        log.filter(isPk).agg(count(lit(1)).as("n_pk_changes"))))
+      .join(migrated, col("key") === col("old_key"), "left")
+      .agg(max(col("n_pk_changes")).as("n_pk_changes"),
+        count(lit(1)).as("n_live_total"),
+        sum(when(col("key") >= off, 1L).otherwise(0L))
+          .as("n_live_migrated"),
+        sum(when(col("old_key").isNotNull, 1L).otherwise(0L))
+          .as("n_old_keys_resurrected"))
+  }
+
+  val pkChangeSql: String =
+    s"""WITH log AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       |    $opSql AS op
+       |  FROM events),
+       |expanded AS (
+       |  SELECT user_id AS key, op, ts_us, event_id, 0 AS sub
+       |  FROM log WHERE event_id % 101 <> 0
+       |  UNION ALL
+       |  SELECT user_id, 'd', ts_us, event_id, 0
+       |  FROM log WHERE event_id % 101 = 0
+       |  UNION ALL
+       |  SELECT user_id + 10000000, 'c', ts_us, event_id, 1
+       |  FROM log WHERE event_id % 101 = 0),
+       |live AS (
+       |  SELECT key FROM (
+       |    SELECT key, op, ROW_NUMBER() OVER (PARTITION BY key
+       |      ORDER BY ts_us DESC, event_id DESC, sub DESC) AS rn
+       |    FROM expanded) z
+       |  WHERE rn = 1 AND op <> 'd'),
+       |mig AS (
+       |  SELECT DISTINCT user_id AS old_key FROM log
+       |  WHERE event_id % 101 = 0),
+       |npk AS (
+       |  SELECT COUNT(*) AS n_pk_changes FROM log
+       |  WHERE event_id % 101 = 0)
+       |SELECT CAST(npk.n_pk_changes AS BIGINT) AS n_pk_changes,
+       |  COUNT(*) AS n_live_total,
+       |  CAST(SUM(CASE WHEN key >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_live_migrated,
+       |  CAST(SUM(CASE WHEN mig.old_key IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_old_keys_resurrected
+       |FROM live CROSS JOIN npk
+       |LEFT JOIN mig ON live.key = mig.old_key
+       |GROUP BY npk.n_pk_changes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_pk_change" -> (pkChange _),
     "cdc_shard_router" -> (shardRouter _),
     "cdc_resurrection" -> (resurrection _),
     "cdc_before_chain" -> (beforeChain _),
@@ -1392,6 +1479,7 @@ object CdcQueries extends QueryModule {
     "cdc_log_compact" -> (logCompact _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_pk_change" -> pkChangeSql,
     "cdc_shard_router" -> shardRouterSql,
     "cdc_resurrection" -> resurrectionSql,
     "cdc_before_chain" -> beforeChainSql,

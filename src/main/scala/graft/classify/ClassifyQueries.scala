@@ -1607,7 +1607,130 @@ object ClassifyQueries extends QueryModule {
       |    AS is_key
       |FROM c CROSS JOIN n ORDER BY candidate""".stripMargin
 
+  // --------------------------------------------------- cls_approx_fd
+  /** APPROXIMATE functional dependency strength — the profiling
+    * complement to [[clsFunctionalDep]]'s boolean: real data almost
+    * never satisfies an FD exactly, so what a discovery pass ranks is
+    * the g₃ error (TANE's measure): the minimum fraction of rows that
+    * must be removed for A→B to hold = 1 − Σ_groups mode(B|A) / n.
+    * Per candidate pair: one (pair, dv, pv) hash-agg, one per-group
+    * max (the mode), one fold — all combiner-friendly, one melted
+    * scan for every pair (never a scan per candidate). Reported as
+    * keep-strength per-mille: 1000 = exact FD. */
+  def clsApproxFd(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      "o_custkey" -> "o_orderstatus",
+      "o_orderstatus" -> "o_orderpriority",
+      "o_orderkey" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderstatus")
+    val melted = Tables.orders(spark, dir).select(explode(array(
+      pairs.map { case (a, b) => struct(
+        lit(a).as("det"), lit(b).as("dep"),
+        col(a).cast("string").as("dv"), col(b).cast("string").as("pv"))
+      }: _*)).as("x")).select("x.*")
+    melted.groupBy("det", "dep", "dv", "pv")
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("det", "dep", "dv")
+      .agg(max(col("_c")).as("_mode"), sum(col("_c")).as("_n"))
+      .groupBy("det", "dep")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_mode")).as("n_keep"),
+        sum(col("_n")).as("n_rows"))
+      .select(col("det").as("determinant"), col("dep").as("dependent"),
+        col("n_groups"),
+        expr("n_keep * 1000 div n_rows").as("strength_pm"),
+        (col("n_keep") === col("n_rows")).as("exact"))
+      .orderBy("determinant", "dependent")
+  }
+
+  val clsApproxFdSql: String =
+    """WITH m AS (
+      |  SELECT 'o_custkey' AS det, 'o_orderstatus' AS dep,
+      |    CAST(o_custkey AS VARCHAR) AS dv, o_orderstatus AS pv
+      |  FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', 'o_orderpriority',
+      |    o_orderstatus, o_orderpriority FROM orders
+      |  UNION ALL SELECT 'o_orderkey', 'o_orderstatus',
+      |    CAST(o_orderkey AS VARCHAR), o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus',
+      |    o_orderpriority, o_orderstatus FROM orders),
+      |c AS (SELECT det, dep, dv, pv, COUNT(*) AS c
+      |      FROM m GROUP BY 1, 2, 3, 4),
+      |g AS (SELECT det, dep, dv, MAX(c) AS mode_c, SUM(c) AS n
+      |      FROM c GROUP BY 1, 2, 3)
+      |SELECT det AS determinant, dep AS dependent,
+      |  COUNT(*) AS n_groups,
+      |  CAST(SUM(mode_c) * 1000 // SUM(n) AS BIGINT) AS strength_pm,
+      |  SUM(mode_c) = SUM(n) AS exact
+      |FROM g GROUP BY 1, 2 ORDER BY determinant, dependent""".stripMargin
+
+  // --------------------------------------------- cls_decimal_profile
+  /** Numeric PRECISION/SCALE profiling — the storage-typing question
+    * behind every "this double is really money" migration: per
+    * numeric column, the minimal DECIMAL scale s such that every
+    * value·10^s is integral (probed through exact DECIMAL(18,6)
+    * widening, never float modulo), the precision the widest value
+    * then needs, and the range — the suggested DECIMAL(p,s) a
+    * profiler emits. One melted scan, one hash-agg; the per-value
+    * scale probe is pure decimal arithmetic, bit-identical in any
+    * engine. */
+  def clsDecimalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val melted = Tables.lineitem(spark, dir).select(explode(array(
+      cols.map { c => struct(lit(c).as("col"),
+        col(c).cast(DecimalType(18, 6)).as("v")) }: _*)).as("x"))
+      .select("x.*")
+    val scaled = melted.withColumn("s",
+      when(expr("v % 1") === lit(0).cast(DecimalType(18, 6)), 0)
+        .when(expr("(v * 10) % 1") === lit(0).cast(DecimalType(18, 6)), 1)
+        .when(expr("(v * 100) % 1") === lit(0).cast(DecimalType(18, 6)), 2)
+        .when(expr("(v * 1000) % 1") === lit(0).cast(DecimalType(18, 6)), 3)
+        .otherwise(6))
+    scaled.groupBy("col")
+      .agg(count(lit(1)).as("n"),
+        max(col("s")).as("scale"),
+        max((abs(col("v")) * 1000000).cast("long")).as("_maxabs_micro"))
+      .select(col("col"), col("n"), col("scale").cast("long").as("scale"),
+        // integer divisor via CASE (a float pow could truncate wrong)
+        (length(expr(
+          "cast(_maxabs_micro div (case cast(scale as int) " +
+            "when 0 then 1000000L when 1 then 100000L " +
+            "when 2 then 10000L when 3 then 1000L else 1L end) " +
+            "as string)")).cast("long") + col("scale")).as("precision"))
+      .orderBy("col")
+  }
+
+  val clsDecimalProfileSql: String =
+    """WITH m AS (
+      |  SELECT 'l_quantity' AS col, CAST(l_quantity AS DECIMAL(18,6)) AS v
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice',
+      |    CAST(l_extendedprice AS DECIMAL(18,6)) FROM lineitem
+      |  UNION ALL SELECT 'l_discount',
+      |    CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
+      |  UNION ALL SELECT 'l_tax',
+      |    CAST(l_tax AS DECIMAL(18,6)) FROM lineitem),
+      |s AS (
+      |  SELECT col, v,
+      |    CASE WHEN v % 1 = 0 THEN 0
+      |         WHEN (v * 10) % 1 = 0 THEN 1
+      |         WHEN (v * 100) % 1 = 0 THEN 2
+      |         WHEN (v * 1000) % 1 = 0 THEN 3
+      |         ELSE 6 END AS sc
+      |  FROM m)
+      |SELECT col, COUNT(*) AS n,
+      |  CAST(MAX(sc) AS BIGINT) AS scale,
+      |  CAST(length(CAST(CAST(MAX(ABS(v) * 1000000) AS BIGINT) //
+      |      (CASE MAX(sc) WHEN 0 THEN 1000000 WHEN 1 THEN 100000
+      |        WHEN 2 THEN 10000 WHEN 3 THEN 1000 ELSE 1 END)
+      |      AS VARCHAR))
+      |    + MAX(sc) AS BIGINT) AS precision
+      |FROM s GROUP BY col ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_approx_fd" -> (clsApproxFd _),
+    "cls_decimal_profile" -> (clsDecimalProfile _),
     "cls_key_discovery" -> (clsKeyDiscovery _),
     "cls_cramers_v" -> (clsCramersV _),
     "cls_null_profile" -> (clsNullProfile _),
@@ -1639,6 +1762,8 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_approx_fd" -> clsApproxFdSql,
+    "cls_decimal_profile" -> clsDecimalProfileSql,
     "cls_null_profile" -> clsNullProfileSql,
     "cls_histogram_profile" -> clsHistogramProfileSql,
     "cls_dow_seasonality" -> clsDowSeasonalitySql,

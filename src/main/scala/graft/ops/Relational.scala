@@ -2274,7 +2274,187 @@ object Relational extends graft.QueryModule {
       |  CAST(MAX(value) AS BIGINT) AS vmax
       |FROM m GROUP BY measure ORDER BY measure""".stripMargin
 
+  // ------------------------------------------------ q56_top_n_per_group
+  /** TOP-N PER GROUP — the report-page staple (top 3 suppliers by
+    * revenue per nation) done in the only shape that survives scale:
+    * AGGREGATE FIRST (one map-side-combining hash-agg collapses the
+    * fact table to |nation × supplier| rows), THEN rank inside the
+    * dimension-sized frame — the window sort runs over supplier
+    * counts, never corpus rows (a window straight over lineitem would
+    * sort a nation's entire order history in one task). Deterministic
+    * tie-break on suppkey keeps the cut oracle-exact. */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"),
+        col("l_suppkey").as("suppkey"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+        .as("rev_cents"))
+    rev.withColumn("rk", row_number().over(
+        Window.partitionBy("nationkey")
+          .orderBy(desc("rev_cents"), col("suppkey"))))
+      .filter(col("rk") <= 3)
+      .select(col("nationkey"), col("rk").cast("long").as("rk"),
+        col("suppkey"), col("rev_cents"))
+      .orderBy("nationkey", "rk")
+  }
+
+  val q56Sql: String =
+    """WITH rev AS (
+      |  SELECT s_nationkey AS nationkey, l_suppkey AS suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT nationkey, suppkey, rev_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY nationkey
+      |      ORDER BY rev_cents DESC, suppkey) AS rk
+      |  FROM rev)
+      |SELECT nationkey, CAST(rk AS BIGINT) AS rk, suppkey, rev_cents
+      |FROM r WHERE rk <= 3 ORDER BY nationkey, rk""".stripMargin
+
+  // ------------------------------------------------ q57_share_of_total
+  /** RATIO-TO-REPORT — each nation's share of its region's order
+    * revenue in exact per-mille: the corpus collapses to |nations|
+    * rows in one hash-agg (orders join the customer→nation dimension
+    * path as broadcasts), and the share window runs over that
+    * dimension frame — the denominator never re-scans the facts.
+    * Integer share (rev·1000 div region total) keeps the division
+    * engine-exact. */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("nationkey"),
+        col("n_regionkey").as("regionkey"))
+    val rev = Tables.orders(spark, dir)
+      .join(nat, col("o_custkey") === col("c_custkey"))
+      .groupBy("regionkey", "nationkey")
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+        .as("rev_cents"))
+    rev.withColumn("share_pm",
+        expr("rev_cents * 1000 div sum(rev_cents) over " +
+          "(partition by regionkey)"))
+      .orderBy("regionkey", "nationkey")
+  }
+
+  val q57Sql: String =
+    """WITH rev AS (
+      |  SELECT n_regionkey AS regionkey, n_nationkey AS nationkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT regionkey, nationkey, rev_cents,
+      |  CAST(rev_cents * 1000 // SUM(rev_cents) OVER
+      |    (PARTITION BY regionkey) AS BIGINT) AS share_pm
+      |FROM rev ORDER BY regionkey, nationkey""".stripMargin
+
+  // ------------------------------------------------- q58_order_streaks
+  /** GAPS-AND-ISLANDS on the order calendar — per customer, maximal
+    * runs of CONSECUTIVE order months (the classic streak/retention
+    * question every warehouse asks): distinct (customer, month)
+    * first (one hash-agg — the islands never see raw orders), then
+    * the lag-based island id inside per-customer windows bounded by a
+    * customer's own months, then a segment-level rollup: longest
+    * streak and how many customers sustain ≥ 3 consecutive months.
+    * Month index = 12·year + month keeps "consecutive" integer-exact
+    * across year boundaries. */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cm = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("m"))
+      .distinct()
+    val byC = Window.partitionBy("ck").orderBy("m")
+    val streaks = cm
+      .withColumn("_new",
+        when(col("m") - lag(col("m"), 1).over(byC) === 1, 0).otherwise(1))
+      .withColumn("_isl", sum(col("_new")).over(
+        byC.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("seg", "ck", "_isl")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("seg")
+      .agg(max(col("len")).as("max_streak"),
+        countDistinct(when(col("len") >= 3, col("ck"))).as("loyal_3mo"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("seg")
+  }
+
+  val q58Sql: String =
+    """WITH cm AS (
+      |  SELECT DISTINCT c_custkey AS ck, c_mktsegment AS seg,
+      |    YEAR(CAST(o_orderdate AS DATE)) * 12 +
+      |      MONTH(CAST(o_orderdate AS DATE)) AS m
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |lg AS (
+      |  SELECT seg, ck, m,
+      |    CASE WHEN m - LAG(m) OVER (PARTITION BY ck ORDER BY m) = 1
+      |         THEN 0 ELSE 1 END AS nw
+      |  FROM cm),
+      |i AS (
+      |  SELECT seg, ck, m,
+      |    SUM(nw) OVER (PARTITION BY ck ORDER BY m) AS isl
+      |  FROM lg),
+      |s AS (
+      |  SELECT seg, ck, isl, COUNT(*) AS len
+      |  FROM i GROUP BY seg, ck, isl)
+      |SELECT seg, CAST(MAX(len) AS BIGINT) AS max_streak,
+      |  CAST(COUNT(DISTINCT CASE WHEN len >= 3 THEN ck END) AS BIGINT)
+      |    AS loyal_3mo,
+      |  COUNT(*) AS n_streaks
+      |FROM s GROUP BY seg ORDER BY seg""".stripMargin
+
+  // -------------------------------------------------- q59_grouping_id
+  /** GROUPING SETS with the GROUPING_ID bitmask — the multi-grain
+    * report cube's row-labeling contract: one pass emits the
+    * (returnflag × linestatus), per-returnflag, and grand-total
+    * grains, and grouping_id() tells every consumer which grain a row
+    * belongs to (coalesced 'ALL' labels are ambiguous the moment a
+    * real value collides). SQL surface — Dataset rollup trips the
+    * ambiguous-self-join check; one corpus scan feeds all grains via
+    * partial aggregation. */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"q59_li_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.lineitem(spark, dir).createOrReplaceTempView(v)
+    val out = spark.sql(
+      s"""SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+         |  coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), ())
+         |ORDER BY gid, returnflag, linestatus""".stripMargin)
+    spark.catalog.dropTempView(v)
+    out
+  }
+
+  val q59Sql: String =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_top_n_per_group" -> (q56 _),
+    "q57_share_of_total" -> (q57 _),
+    "q58_order_streaks" -> (q58 _),
+    "q59_grouping_id" -> (q59 _),
     "q36_mad" -> (q36 _),
     "q37_unpivot" -> (q37 _),
     "q38_band_join" -> (q38 _),
@@ -2351,6 +2531,10 @@ object Relational extends graft.QueryModule {
     "q53_null_semantics" -> q53Sql,
     "q54_listagg" -> q54Sql,
     "q55_equidepth_hist" -> q55Sql,
+    "q56_top_n_per_group" -> q56Sql,
+    "q57_share_of_total" -> q57Sql,
+    "q58_order_streaks" -> q58Sql,
+    "q59_grouping_id" -> q59Sql,
     "q52_percentile_cont" -> q52Sql,
     "q31_kmv_distinct" -> q31Sql,
     "q32_window_suite" -> q32Sql,
