@@ -1632,7 +1632,115 @@ object EventStreams extends QueryModule {
       |    AS n_offending_users
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------- str_window_p95
+  /** Exact per-window tail latency (p95) — the SLO gauge every
+    * monitoring pipeline publishes, in the only shape that scales:
+    * values widen to exact integer cents, ONE (window, value)
+    * hash-agg collapses the stream to its per-window value histogram
+    * (map-side combining — the corpus-sized pass), and the rank
+    * selection (smallest value whose cumulative count reaches
+    * ⌈0.95·n⌉) runs inside windows over the DISTINCT-value frame —
+    * never a per-row sort. In streaming deployment the histogram is
+    * the watermark-bounded state and the selection is the per-trigger
+    * fold; here the batch form pins the exact answer. */
+  def windowP95(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      (expr("unix_micros(cast(ts as timestamp)) div 21600000000") *
+        21600000000L).as("w_us"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val h = ev.groupBy("w_us", "cents").agg(count(lit(1)).as("c"))
+    val byW = Window.partitionBy("w_us").orderBy("cents")
+    h.withColumn("cum", sum(col("c")).over(
+        byW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("w_us")))
+      .filter(col("cum") >= expr("(n * 95 + 99) div 100"))
+      .groupBy("w_us", "n")
+      .agg(min(col("cents")).as("p95_cents"))
+      .select(col("w_us"), col("n"), col("p95_cents"))
+      .orderBy("w_us")
+  }
+
+  def strWindowP95(spark: SparkSession, dir: String): DataFrame =
+    windowP95(Tables.events(spark, dir))
+
+  val strWindowP95Sql: String =
+    """WITH h AS (
+      |  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS w_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT w_us, cents, c,
+      |    SUM(c) OVER (PARTITION BY w_us ORDER BY cents) AS cum,
+      |    SUM(c) OVER (PARTITION BY w_us) AS n
+      |  FROM h)
+      |SELECT w_us, CAST(n AS BIGINT) AS n,
+      |  CAST(MIN(cents) AS BIGINT) AS p95_cents
+      |FROM r WHERE cum >= (n * 95 + 99) // 100
+      |GROUP BY w_us, n ORDER BY w_us""".stripMargin
+
+  // --------------------------------------------------- str_debounce
+  /** ALERT DEBOUNCE — the flapping filter between a state-change
+    * detector and a pager: a per-user state transition only COUNTS if
+    * the new state persists ≥ 30 min (the next change comes later, or
+    * never) — rapid A→B→A flaps collapse instead of paging twice.
+    * Two user-bounded window passes (lag to find changes, lead over
+    * the changes-only frame to test persistence); the per-state
+    * rollup reports the flap rate that tells an operator whether the
+    * threshold is right. Deterministic (ts, event_id) ordering makes
+    * the change sequence oracle-exact. */
+  def debounce(events: DataFrame, holdUs: Long = 1800000000L): DataFrame = {
+    val byU = Window.partitionBy("user_id")
+      .orderBy("us", "event_id")
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val changes = base
+      .withColumn("_prev", lag(col("event_type"), 1).over(byU))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+    val persisted = changes
+      .withColumn("_nxt", lead(col("us"), 1).over(byU))
+      .withColumn("_hold",
+        col("_nxt").isNull || col("_nxt") - col("us") > holdUs)
+    persisted.groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("n_changes"),
+        sum(when(col("_hold"), 1L).otherwise(0L)).as("n_persisted"))
+      .withColumn("flap_pm",
+        expr("(n_changes - n_persisted) * 1000 div n_changes"))
+      .orderBy("state")
+  }
+
+  def strDebounce(spark: SparkSession, dir: String): DataFrame =
+    debounce(Tables.events(spark, dir))
+
+  val strDebounceSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |lg AS (
+      |  SELECT *, LAG(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |  FROM b),
+      |ch AS (
+      |  SELECT user_id, event_id, event_type, us FROM lg
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |p AS (
+      |  SELECT event_type,
+      |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS nxt, us
+      |  FROM ch)
+      |SELECT event_type AS state, COUNT(*) AS n_changes,
+      |  CAST(SUM(CASE WHEN nxt IS NULL OR nxt - us > 1800000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_persisted,
+      |  CAST((COUNT(*) - SUM(CASE WHEN nxt IS NULL OR nxt - us >
+      |    1800000000 THEN 1 ELSE 0 END)) * 1000 // COUNT(*) AS BIGINT)
+      |    AS flap_pm
+      |FROM p GROUP BY 1 ORDER BY state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_window_p95" -> (strWindowP95 _),
+    "str_debounce" -> (strDebounce _),
     "str_rate_limit" -> (strRateLimit _),
     "str_seasonal_error" -> (strSeasonalError _),
     "str_interpolate" -> (strInterpolate _),
@@ -1666,6 +1774,8 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_window_p95" -> strWindowP95Sql,
+    "str_debounce" -> strDebounceSql,
     "str_rate_limit" -> strRateLimitSql,
     "str_seasonal_error" -> strSeasonalErrorSql,
     "str_interpolate" -> strInterpolateSql,

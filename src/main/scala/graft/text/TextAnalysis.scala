@@ -1794,7 +1794,152 @@ object TextAnalysis extends QueryModule {
       |    AS fp_sum
       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------- txt_compression_proxy
+  /** COMPRESSIBILITY PROXY — distinct-to-total character-4-gram ratio
+    * per document: highly repetitive text (boilerplate, keyword spam,
+    * generated filler) has few distinct shingles relative to length,
+    * the same signal a gzip-ratio quality filter thresholds, computed
+    * exactly with no codec. Shape: entirely MAP-ONLY — the 4-gram set
+    * is built per doc by the codegen [[graft.expr.NGrams]] over the
+    * character array and deduped in place; no gram ever crosses a
+    * shuffle (the naive explode→distinct→count pays a corpus-chars
+    * exchange for the same number). */
+  def txtCompressionProxy(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function(graft.expr.VectorExprs.ngramsName,
+          split(col("text"), ""), lit(4)).as("_g"))
+      .select(col("doc_id"),
+        size(col("_g")).cast("long").as("n_grams"),
+        size(array_distinct(col("_g"))).cast("long").as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .withColumn("comp_pm", expr("n_distinct * 1000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val txtCompressionProxySql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, GREATEST(length(text) - 3, 0)),
+      |      i -> substr(text, CAST(i + 1 AS INTEGER), 4)) AS gs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(gs)) * 1000 // len(gs) AS BIGINT)
+      |    AS comp_pm
+      |FROM g WHERE len(gs) > 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- txt_sentence_stats
+  /** Sentence segmentation stats — the readability/quality companion
+    * to word counts: split on terminal punctuation runs ([.!?]+),
+    * keep non-empty trimmed sentences, and report per doc the count,
+    * exact mean words per sentence (milli), and the longest sentence
+    * — run-on text and fragment spam sit at the two tails. All
+    * per-doc array ops, map-only; the corpus never shuffles. */
+  def txtSentenceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("""filter(transform(split(text, '[.!?]+'), s -> trim(s)),
+                s -> s != '')""").as("_s"))
+      .select(col("doc_id"),
+        expr("transform(_s, s -> size(split(s, '\\\\s+')))").as("_w"))
+      .filter(size(col("_w")) > 0)
+      .select(col("doc_id"),
+        size(col("_w")).cast("long").as("n_sentences"),
+        expr("aggregate(_w, 0L, (a, x) -> a + x)").as("_tw"),
+        array_max(col("_w")).cast("long").as("max_words"))
+      .withColumn("mean_words_milli",
+        expr("_tw * 1000 div n_sentences"))
+      .drop("_tw")
+      .orderBy("doc_id")
+
+  val txtSentenceStatsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(
+      |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |      x -> x <> '') AS ss
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_transform(ss,
+      |      x -> len(regexp_split_to_array(x, '\s+'))) AS ws
+      |  FROM s WHERE len(ss) > 0)
+      |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_sentences,
+      |  CAST(list_max(ws) AS BIGINT) AS max_words,
+      |  CAST(list_sum(ws) * 1000 // len(ws) AS BIGINT)
+      |    AS mean_words_milli
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ txt_mattr
+  /** MOVING-AVERAGE TYPE-TOKEN RATIO (MATTR, window 20) — the
+    * length-robust lexical-diversity measure (raw TTR collapses as
+    * documents grow; a fixed window makes scores comparable across
+    * lengths). The textbook form materializes every window and
+    * re-counts distinct types — O(L·w) per doc. This is the LINEAR
+    * rewrite: token position p with previous occurrence q contributes
+    * +1 to exactly the window starts in [max(1, p−w+1, q+1),
+    * min(p, L−w+1)] (the starts whose window sees p as the FIRST
+    * occurrence of its type), so Σ over starts of
+    * distinct-types-in-window = Σ_p of that interval's length — one
+    * per-(doc, token) lag window (doc-bounded) and pure row
+    * arithmetic, no window ever materialized. mattr_pm = that sum
+    * ·1000 div (n_starts·w). */
+  def txtMattr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 20
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text")))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val byTok = Window.partitionBy("doc_id", "tok").orderBy("p")
+    val withL = toks
+      .withColumn("q", coalesce(lag(col("p"), 1).over(byTok), lit(0)))
+      .join(toks.groupBy("doc_id").agg(max(col("p")).as("L")), "doc_id")
+      .filter(col("L") >= w)
+    withL
+      .select(col("doc_id"), col("L"),
+        greatest(lit(1), col("p") - (w - 1), col("q") + 1).as("a"),
+        least(col("p"), col("L") - (w - 1)).as("b"))
+      .select(col("doc_id"), col("L"),
+        when(col("b") >= col("a"), col("b") - col("a") + 1)
+          .otherwise(0L).cast("long").as("contrib"))
+      .groupBy("doc_id", "L")
+      .agg(sum(col("contrib")).as("_sum"))
+      .select(col("doc_id"),
+        (col("L") - (w - 1)).cast("long").as("n_windows"),
+        expr(s"_sum * 1000 div ((L - ${w - 1}) * $w)").as("mattr_pm"))
+      .orderBy("doc_id")
+  }
+
+  val txtMattrSql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p, ws[CAST(i AS INTEGER)]
+      |    AS tok, len(ws) AS L
+      |  FROM t0, unnest(range(1, len(ws) + 1)) u(i)),
+      |lg AS (
+      |  SELECT doc_id, p, L,
+      |    COALESCE(LAG(p) OVER (PARTITION BY doc_id, tok ORDER BY p), 0)
+      |      AS q
+      |  FROM toks WHERE L >= 20),
+      |c AS (
+      |  SELECT doc_id, L,
+      |    GREATEST(1, p - 19, q + 1) AS a,
+      |    LEAST(p, L - 19) AS b
+      |  FROM lg)
+      |SELECT doc_id, CAST(L - 19 AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN b >= a THEN b - a + 1 ELSE 0 END) * 1000 //
+      |    ((L - 19) * 20) AS BIGINT) AS mattr_pm
+      |FROM c GROUP BY doc_id, L ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_compression_proxy" -> (txtCompressionProxy _),
+    "txt_sentence_stats" -> (txtSentenceStats _),
+    "txt_mattr" -> (txtMattr _),
     "txt_nfc_audit" -> (txtNfcAudit _),
     "txt_bigram_surprisal" -> (txtBigramSurprisal _),
     "txt_surprisal" -> (txtSurprisal _),
@@ -1830,6 +1975,9 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_compression_proxy" -> txtCompressionProxySql,
+    "txt_sentence_stats" -> txtSentenceStatsSql,
+    "txt_mattr" -> txtMattrSql,
     "txt_nfc_audit" -> txtNfcAuditSql,
     "txt_bigram_surprisal" -> txtBigramSurprisalSql,
     "txt_surprisal" -> txtSurprisalSql,
