@@ -1939,7 +1939,126 @@ object Dedup extends QueryModule {
       |    // COUNT(*) AS BIGINT) AS yield_pm
       |FROM m WHERE hit GROUP BY bands ORDER BY bands""".stripMargin
 
+  // ------------------------------------------------ dedup_char_jaccard
+  /** CHARACTER-4-GRAM Jaccard near-dup pairs — the tokenizer-free
+    * robustness layer under [[ngramJaccard]]'s word sets: spacing,
+    * punctuation, and scriptio-continua languages all defeat a
+    * whitespace tokenizer, while character shingles see through them
+    * (the form cross-lingual corpus dedup actually runs). Same 100 TB
+    * shape as the word variant: the shingle SET is built map-only
+    * (codegen n-grams over the char array, hashed to primitive longs,
+    * deduped in place — no gram ever shuffles), candidates meet on a
+    * (lang, log-size-bucket) blocking key that is provably lossless
+    * at t = 0.8, and each candidate is verified by the codegen
+    * merge-intersection. Integer per-mille similarity; the i·5 ≥
+    * (n₁+n₂−i)·4 gate is the exact j ≥ 0.8 test with no float. */
+  def charJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    graft.expr.VectorExprs.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(expr(
+          "transform(graft_ngrams(split(text, ''), 4), x -> xxhash64(x))")))
+          .as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+    def bucket(n: Column): Column =
+      floor(log(n.cast("double")) / math.log(1.0 / threshold))
+    val a = sets.select(col("doc_id").as("d1"), col("lang"),
+        col("hs").as("hs1"), col("n").as("n1"))
+      .withColumn("bk", bucket(col("n1")))
+    val b = sets.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+        col("hs").as("hs2"), col("n").as("n2"))
+      .withColumn("bk2", explode(array(
+        bucket(col("n2")) - 1, bucket(col("n2")), bucket(col("n2")) + 1)))
+    a.join(probeSide(b),
+        col("lang") === col("lang2") && col("bk") === col("bk2") &&
+          col("d1") < col("d2") &&
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")).cast("double") * threshold)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        call_function(graft.expr.VectorExprs.intersectName,
+          col("hs1"), col("hs2")).as("i"))
+      .filter(col("i") * 5 >= (col("n1") + col("n2") - col("i")) * 4)
+      .select(col("d1"), col("d2"),
+        expr("i * 1000 div (n1 + n2 - i)").as("j_pm"))
+      .orderBy("d1", "d2")
+  }
+
+  def dedupCharJaccard(spark: SparkSession, dir: String): DataFrame =
+    charJaccard(Tables.documents(spark, dir))
+
+  val dedupCharJaccardSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    substr(text, CAST(i + 1 AS INTEGER), 4) AS g
+      |  FROM documents,
+      |    unnest(range(0, GREATEST(length(text) - 3, 0))) u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM g a JOIN g b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  CAST(i * 1000 // (s1.n + s2.n - i) AS BIGINT) AS j_pm
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE i * 5 >= (s1.n + s2.n - i) * 4
+      |ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------- dedup_cluster_medoid
+  /** STRUCTURAL REPRESENTATIVE per near-dup cluster — the medoid a
+    * dedup pass keeps when there is no quality score to break ties
+    * ([[dedupKeepBest]] picks by quality; this picks the doc most
+    * connected INSIDE its cluster, the copy most central to the
+    * duplicate family and hence least likely to be a truncated or
+    * corrupted variant). Rides the memoized pair set and component
+    * labels ([[pairs09]]/[[labels09]]) — zero new corpus passes: one
+    * |edges| degree agg, one |docs| join, one per-component top-1
+    * (window over cluster-sized partitions). Integer degree with
+    * doc_id tie-break keeps the pick oracle-exact. */
+  def dedupClusterMedoid(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairs09(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val deg = edges.groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("d"))
+    val scored = labels09(spark, dir)
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("lbl").as("component"), col("doc_id"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val sz = scored.groupBy("component").agg(count(lit(1)).as("n_docs"))
+    scored.join(sz, "component")
+      .filter(col("n_docs") >= 2)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("component").orderBy(desc("d"), col("doc_id"))))
+      .filter(col("_rk") === 1)
+      .select(col("component"), col("n_docs"),
+        col("doc_id").as("medoid"), col("d").cast("long").as("degree"))
+      .orderBy("component")
+  }
+
+  val dedupClusterMedoidSql: String =
+    s"""$componentLabelsCte,
+       |deg AS (SELECT d1 AS doc_id, COUNT(*) AS d FROM edges GROUP BY d1),
+       |scored AS (
+       |  SELECT l.lbl AS component, l.id AS doc_id,
+       |    COALESCE(deg.d, 0) AS d
+       |  FROM labels l LEFT JOIN deg ON deg.doc_id = l.id),
+       |sz AS (SELECT component, COUNT(*) AS n_docs
+       |       FROM scored GROUP BY component)
+       |SELECT s.component, sz.n_docs, s.doc_id AS medoid,
+       |  CAST(s.d AS BIGINT) AS degree
+       |FROM scored s JOIN sz USING (component)
+       |WHERE sz.n_docs >= 2
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY s.component
+       |  ORDER BY s.d DESC, s.doc_id) = 1
+       |ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_char_jaccard" -> (dedupCharJaccard _),
+    "dedup_cluster_medoid" -> (dedupClusterMedoid _),
     "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "dedup_edit_distance" -> (dedupEditDistance _),
@@ -1969,6 +2088,8 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_char_jaccard" -> dedupCharJaccardSql,
+    "dedup_cluster_medoid" -> dedupClusterMedoidSql,
     "dedup_lsh_sweep" -> dedupLshSweepSql,
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,

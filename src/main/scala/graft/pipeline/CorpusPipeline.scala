@@ -1595,7 +1595,99 @@ object CorpusPipeline extends QueryModule {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- pipe_stratified_split
+  /** STRATIFIED EVAL HOLDOUT — the split a benchmark pipeline needs
+    * when a plain random cut would starve small (lang, source) cells:
+    * within every stratum, exactly ⌊n/10⌋ documents are held out,
+    * chosen by PORTABLE HASH RANK (md5 of doc_id — deterministic,
+    * engine-replayable, and independent of ingestion order, which a
+    * "first n/10 rows" split is not). The audit row per stratum
+    * carries the eval-id checksum, so the gate verifies the exact
+    * SELECTION, not just the counts. One hash-rank window per stratum
+    * (stratum-bounded partitions), one rollup. */
+  def pipeStratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byS = Window.partitionBy("lang", "source")
+      .orderBy(graft.mask.MaskFunctions.portableHash(col("doc_id")),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("_rk", row_number().over(byS))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy("lang", "source")))
+      .withColumn("_eval", col("_rk") <= expr("_n div 10"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_eval"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("_eval"), col("doc_id")).otherwise(0L))
+          .as("eval_ids_sum"))
+      .withColumn("eval_pm", expr("n_eval * 1000 div n_docs"))
+      .orderBy("lang", "source")
+  }
+
+  val pipeStratifiedSplitSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+      |        ::BIGINT, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang, source) AS n
+      |  FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= n // 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_eval,
+      |  CAST(SUM(CASE WHEN rk <= n // 10 THEN doc_id ELSE 0 END)
+      |    AS BIGINT) AS eval_ids_sum,
+      |  CAST(SUM(CASE WHEN rk <= n // 10 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS eval_pm
+      |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------- pipe_freshness_decay
+  /** RECENCY-DECAYED MIX WEIGHTS — the freshness half-life every
+    * crawl-refresh pipeline applies before mixing snapshots: a
+    * document's sampling weight halves every 90 days of age, so stale
+    * copies of a source stop dominating the mix while never being
+    * hard-dropped. Age is the deterministic per-doc stand-in
+    * doc_id mod 365 (the fixture carries no crawl timestamp; the
+    * derivation is the documented seam where a real corpus plugs its
+    * snapshot date). Weights are exact integers — w_pm = 1000 >>
+    * (age div 90) — so the weighted token mass and the resulting
+    * per-source shares survive the oracle boundary with no float.
+    * One scan, one hash-agg; the share window runs on the |sources|
+    * frame. */
+  def pipeFreshnessDecay(spark: SparkSession, dir: String): DataFrame = {
+    val nt = size(split(col("text"), "\\s+")).cast("long")
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), nt.as("_nt"),
+        (col("doc_id") % 365).as("_age"))
+      .withColumn("_wpm", expr("shiftright(1000, cast(_age div 90 as int))"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("tokens_raw"),
+        sum(col("_nt") * col("_wpm")).as("tokens_weighted_milli"))
+    per.withColumn("share_pm",
+        expr("tokens_weighted_milli * 1000 div " +
+          "sum(tokens_weighted_milli) over ()"))
+      .orderBy("source")
+  }
+
+  val pipeFreshnessDecaySql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+      |      AS tokens_raw,
+      |    CAST(SUM(len(regexp_split_to_array(text, '\s+')) *
+      |      (1000 >> CAST((doc_id % 365) // 90 AS INTEGER))) AS BIGINT)
+      |      AS tokens_weighted_milli
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, tokens_raw, tokens_weighted_milli,
+      |  CAST(tokens_weighted_milli * 1000 //
+      |    SUM(tokens_weighted_milli) OVER () AS BIGINT) AS share_pm
+      |FROM per ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_stratified_split" -> (pipeStratifiedSplit _),
+    "pipe_freshness_decay" -> (pipeFreshnessDecay _),
     "pipe_dedup_survival" -> (pipeDedupSurvival _),
     "pipe_gopher_rules" -> (pipeGopherRules _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
@@ -1627,6 +1719,8 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_stratified_split" -> pipeStratifiedSplitSql,
+    "pipe_freshness_decay" -> pipeFreshnessDecaySql,
     "pipe_dedup_survival" -> pipeDedupSurvivalSql,
     "pipe_gopher_rules" -> pipeGopherRulesSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,

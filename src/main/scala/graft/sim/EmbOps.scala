@@ -1286,6 +1286,85 @@ object EmbOps extends QueryModule {
       |  CAST(MAX(dot_micro) AS BIGINT) AS hi_micro
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- emb_hamming_calib
+  /** SIGN-HAMMING vs COSINE CALIBRATION — the table that justifies
+    * (or vetoes) the 32× binary-quantization memory cut before a
+    * fleet adopts it: over the same deterministic disjoint pair
+    * sample as [[embCosineHist]], each pair contributes its 64-bit
+    * sign-Hamming distance AND its exact integer micro-cosine; the
+    * per-Hamming-bucket mean cosine is the empirical curve behind the
+    * SimHash identity cos(πh/64) — where the curve stays tight,
+    * binary shortlisting is safe at that radius. All-integer: sign
+    * packs are two non-negative words, cosines are milli-quantized
+    * dots, the mean is an integer division. One co-partitioned
+    * equi-join; ≤ 65 output rows at any corpus size. */
+  def embHammingCalib(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val width = Knn.embWidth(emb)
+    val dbl = col("embedding").cast("array<double>")
+    val nrm2 = graft.dedup.Dedup.fastDot(dbl, dbl)
+    val q = emb
+      .filter(nrm2 > lit(0.0) && nrm2 < lit(Double.PositiveInfinity))
+      .select(col("vec_id"),
+        call_function(graft.expr.VectorExprs.floorScaleName,
+          call_function(graft.expr.VectorExprs.normName, col("embedding")),
+          lit(1000.0)).as("qv"),
+        packSigns(col("embedding"), 0, 32, width).as("lo"),
+        packSigns(col("embedding"), 32, 64, width).as("hi"))
+    val a = q.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + 1).as("pid"), col("qv").as("qa"),
+        col("lo").as("la"), col("hi").as("ha"))
+    val b = q.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("pid"), col("qv").as("qb"),
+        col("lo").as("lb"), col("hi").as("hb"))
+    a.join(b, Seq("pid"))
+      .select(
+        (bit_count(expr("la ^ lb")) + bit_count(expr("ha ^ hb")))
+          .cast("long").as("hamming"),
+        graft.dedup.Dedup.fastDot(col("qa"), col("qb"))
+          .cast("long").as("dot_micro"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dot_micro")).as("_s"))
+      // mean micro-cosine, shifted before the floor-div so the
+      // truncating/flooring split never disagrees on negative means
+      .select(col("hamming"), col("n_pairs"),
+        (expr("(_s + 2000000 * n_pairs) div n_pairs") - 2000000)
+          .as("mean_cos_micro"))
+      .orderBy("hamming")
+  }
+
+  val embHammingCalibSql: String =
+    """WITH f AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0
+      |  FROM embeddings
+      |  WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e0, x -> FLOOR(
+      |      x / sqrt(list_dot_product(e0, e0)) * 1000)) AS qv,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN e0[i] > 0
+      |           THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN e0[i] > 0
+      |           THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM f),
+      |p AS (
+      |  SELECT CAST(bit_count(xor(a.lo, b.lo)) +
+      |              bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+      |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_micro
+      |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 2 = 0)
+      |SELECT hamming, COUNT(*) AS n_pairs,
+      |  CAST((SUM(dot_micro) + 2000000 * COUNT(*)) // COUNT(*)
+      |    - 2000000 AS BIGINT) AS mean_cos_micro
+      |FROM p GROUP BY hamming ORDER BY hamming""".stripMargin
+
   // ------------------------------------------------ emb_fps_coreset
   /** FARTHEST-POINT SAMPLING — the k-means++-style seeding / coreset
     * selector (pick the point farthest from everything chosen so
@@ -1371,6 +1450,7 @@ object EmbOps extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hamming_calib" -> (embHammingCalib _),
     "emb_fps_coreset" -> (embFpsCoreset _),
     "emb_cosine_hist" -> (embCosineHist _),
     "knn_recall_binary" -> (knnRecallBinary _),
@@ -1393,6 +1473,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_hamming_calib" -> embHammingCalibSql,
     "emb_fps_coreset" -> embFpsCoresetSql,
     "emb_cosine_hist" -> embCosineHistSql,
     "knn_recall_binary" -> knnRecallBinarySql,

@@ -1252,7 +1252,75 @@ object Knn extends QueryModule {
        |  CAST(recall5_hits * 1000 // n_queries AS BIGINT) AS hits_pm
        |FROM m CROSS JOIN nq ORDER BY method""".stripMargin
 
+  // ------------------------------------------------ knn_edge_overlap
+  /** EDGE EMBEDDEDNESS — per mutual-kNN edge, the Jaccard overlap of
+    * the two endpoints' neighborhoods (common neighbors / union,
+    * endpoints excluded): the graph-denoising signal SemDeDup-style
+    * cluster pipelines threshold before trusting an edge (a bridge
+    * between unrelated clusters has near-zero embeddedness; an edge
+    * inside a dense duplicate blob is near 1000). Rides the
+    * PERSISTED directed-edge layout ([[directedEdges]]) and the
+    * memoized mutual set: neighbor lists are ≤ k long by mutual-kNN
+    * construction, so the per-edge set intersection is the codegen
+    * merge-scan over two tiny sorted arrays — never a wedge join.
+    * Output is the ≤ 11-row decile histogram. */
+  def knnEdgeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val e = mutualEdges(spark, dir).select(col("a"), col("b"))
+    val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("u"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"),
+        count(lit(1)).as("d"))
+    e.join(adj.select(col("u"), col("nbrs").as("na"), col("d").as("da")),
+        col("a") === col("u")).drop("u")
+      .join(adj.select(col("u"), col("nbrs").as("nb"), col("d").as("db")),
+        col("b") === col("u")).drop("u")
+      .select(col("a"), col("b"), col("da"), col("db"),
+        call_function(VectorExprs.intersectName,
+          array_remove(col("na"), col("b")),
+          array_remove(col("nb"), col("a"))).as("common"))
+      .select(
+        expr("case when da + db - 2 - common <= 0 then 1000 " +
+          "else common * 1000 div (da + db - 2 - common) end")
+          .as("overlap_pm"))
+      .groupBy(expr("overlap_pm div 100").as("decile"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("overlap_pm")).as("lo_pm"),
+        max(col("overlap_pm")).as("hi_pm"))
+      .orderBy("decile")
+  }
+
+  val knnEdgeOverlapSql: String =
+    s"""$knnDirectedCte,
+       |mut AS (
+       |  SELECT f.qid AS a, f.nid AS b
+       |  FROM k f JOIN k r ON r.qid = f.nid AND r.nid = f.qid
+       |  WHERE f.qid < f.nid),
+       |adj AS (
+       |  SELECT a AS u, b AS v FROM mut
+       |  UNION ALL SELECT b, a FROM mut),
+       |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+       |ov AS (
+       |  SELECT m.a, m.b, da.d AS dd1, db.d AS dd2,
+       |    (SELECT COUNT(*) FROM adj x1 JOIN adj x2 ON x1.v = x2.v
+       |     WHERE x1.u = m.a AND x2.u = m.b
+       |       AND x1.v <> m.a AND x1.v <> m.b) AS common
+       |  FROM mut m
+       |  JOIN deg da ON da.u = m.a
+       |  JOIN deg db ON db.u = m.b),
+       |pm AS (
+       |  SELECT CASE WHEN dd1 + dd2 - 2 - common <= 0 THEN 1000
+       |    ELSE common * 1000 // (dd1 + dd2 - 2 - common) END
+       |    AS overlap_pm
+       |  FROM ov)
+       |SELECT CAST(overlap_pm // 100 AS BIGINT) AS decile,
+       |  COUNT(*) AS n_edges,
+       |  CAST(MIN(overlap_pm) AS BIGINT) AS lo_pm,
+       |  CAST(MAX(overlap_pm) AS BIGINT) AS hi_pm
+       |FROM pm GROUP BY 1 ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_edge_overlap" -> (knnEdgeOverlap _),
     "knn_rrf_fusion" -> (knnRrfFusion _),
     "knn_mrr" -> (knnMrr _),
     "knn_dbscan" -> (knnDbscan _),
@@ -1276,6 +1344,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_edge_overlap" -> knnEdgeOverlapSql,
     "knn_dbscan" -> knnDbscanSql,
     "knn_centrality" -> knnCentralitySql,
     "knn_graph_clusters" -> knnGraphClustersSql,
