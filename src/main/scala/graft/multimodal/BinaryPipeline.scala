@@ -1082,7 +1082,131 @@ object BinaryPipeline extends QueryModule {
       |FROM s JOIN agg a USING (seed)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ mm_stride_dedup
+  /** FIXED-STRIDE block dedup — the backup-industry baseline under
+    * [[mmChunkDedup]]'s content-defined cuts: the blob splits at
+    * fixed 64-byte offsets, blocks are fingerprinted, and sharing is
+    * counted exactly as in the CDC form. Kept as a first-class
+    * operator because it is the RIGHT tool for aligned data
+    * (fixed-record media, tensors) and the instructive FOIL for
+    * everything else — one prepended byte shifts every later block,
+    * so stride sharing collapses where the gear cuts re-synchronize
+    * (R10OpsSpec pins that contrast). Fully map-only until the
+    * posting join: cut positions are an arithmetic sequence, no scan
+    * of any kind. */
+  def mmStrideDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = withBlob(Tables.documents(spark, dir))
+      .select(col("doc_id"), hex(col("blob")).as("h"),
+        length(col("blob")).as("len"))
+    val chunks = base
+      .select(col("doc_id"), col("h"),
+        explode(expr("transform(sequence(1, len, 64), c -> " +
+          "named_struct('cut', c, 'nxt', least(c + 64, len + 1)))"))
+          .as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(expr(
+            "substring(h, g.cut * 2 - 1, (g.nxt - g.cut) * 2)")), 1, 15),
+          16, 10).cast("long").as("fp"))
+    val posting = chunks.select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("_docs"))
+    chunks.join(posting, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_pm", expr("n_dup_chunks * 1000 div n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  val mmStrideDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, hex(encode('IMG0' || text)) AS h,
+      |    octet_length(encode('IMG0' || text)) AS len
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, h, CAST(c AS INTEGER) AS cut,
+      |    CAST(LEAST(c + 64, len + 1) AS INTEGER) AS nxt
+      |  FROM (SELECT doc_id, h, len, unnest(range(1, len + 1, 64)) AS c
+      |        FROM base) z),
+      |ch AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(substr(h, cut * 2 - 1, (nxt - cut) * 2)),
+      |      1,15))::BIGINT AS fp
+      |  FROM m),
+      |posting AS (
+      |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+      |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS dup_pm
+      |FROM ch JOIN posting p ON ch.fp = p.fp
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
+  // -------------------------------------------------- mm_audio_clip
+  /** CLIPPING DETECTION over real decoded PCM — the audio-quality
+    * gate a speech corpus runs before transcription (clipped runs ≡
+    * saturated ADC ≡ distorted phonemes): samples stream through the
+    * actual JDK WAV codec, a sample clips at |s| ≥ 30000, and the
+    * audit reports the clipped count and the LONGEST CONSECUTIVE
+    * clipped run (one saturated syllable matters more than scattered
+    * peaks). Map-only per-blob loop (same shape as the other codec
+    * passes — no sample ever shuffles); the oracle replays the known
+    * PCM formula with a gaps-and-islands run computation. */
+  def mmAudioClip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = decodeWavSamples(encodeWav(id))
+        var clipped = 0L; var run = 0L; var maxRun = 0L
+        var i = 0
+        while (i < s.length) {
+          if (math.abs(s(i)) >= 30000) {
+            clipped += 1; run += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+          i += 1
+        }
+        (id, s.length.toLong, clipped, maxRun,
+          if (s.length > 0) clipped * 1000 / s.length else 0L)
+      })
+      .toDF("doc_id", "n_samples", "n_clipped", "max_run", "clip_pm")
+      .orderBy("doc_id")
+  }
+
+  val mmAudioClipSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ns, k,
+      |    ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256 AS u
+      |  FROM (SELECT doc_id, ns, unnest(range(0, ns)) AS k FROM d) t),
+      |v AS (SELECT doc_id, ns, k,
+      |  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp FROM s),
+      |cl AS (SELECT doc_id, ns, k FROM v WHERE ABS(smp) >= 30000),
+      |grp AS (
+      |  SELECT doc_id, ns,
+      |    k - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS g
+      |  FROM cl),
+      |runs AS (
+      |  SELECT doc_id, COUNT(*) AS run FROM grp GROUP BY doc_id, g),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_clipped FROM cl GROUP BY doc_id),
+      |mx AS (
+      |  SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(d.ns AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(agg.n_clipped, 0) AS BIGINT) AS n_clipped,
+      |  CAST(COALESCE(mx.max_run, 0) AS BIGINT) AS max_run,
+      |  CAST(COALESCE(agg.n_clipped, 0) * 1000 // d.ns AS BIGINT)
+      |    AS clip_pm
+      |FROM d
+      |LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |LEFT JOIN mx ON mx.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_stride_dedup" -> (mmStrideDedup _),
+    "mm_audio_clip" -> (mmAudioClip _),
     "mm_image_edges" -> (mmImageEdges _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_image_histogram" -> (mmImageHistogram _),
@@ -1100,6 +1224,8 @@ object BinaryPipeline extends QueryModule {
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_stride_dedup" -> mmStrideDedupSql,
+    "mm_audio_clip" -> mmAudioClipSql,
     "mm_image_edges" -> mmImageEdgesSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_image_histogram" -> mmImageHistogramSql,

@@ -1394,7 +1394,121 @@ object SourceQueries extends QueryModule {
       |FROM checked c JOIN perrun p ON c.v = p.v
       |GROUP BY c.v, p.n_runs, p.max_run ORDER BY status""".stripMargin
 
+  // ------------------------------------------------ src_parquet_footer
+  /** PARQUET FOOTER AUDIT — reads the real row-group metadata (counts
+    * and column min/max statistics) straight from the footers with
+    * the parquet-hadoop reader, the machinery zone-map pruning and
+    * table-stats collection stand on. The layout is made
+    * deterministic first (partitionBy on l_orderkey mod 4 → exactly
+    * four single-row-group files at test SFs), then the audit proves
+    * footer-metadata ≡ data: Σ row-group rows = COUNT(*), footer
+    * min/max of l_orderkey = the table's true min/max — the oracle
+    * recomputes all of it from the rows alone, so a hash match means
+    * the footers genuinely describe the data. Footer reads are
+    * metadata-only (no row pages touched) and fan out one file per
+    * task — the 100 TB shape for stats collection over a lake. */
+  def srcParquetFooter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = stagingDir(spark, "graft-footer")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .withColumn("part", pmod(col("l_orderkey"), lit(4)))
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    val files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(tmp)).map(_.getAbsolutePath)
+    }
+    val per = spark.createDataset(files).mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      it.map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          var rows = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          blocks.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == "l_orderkey")
+              .foreach { c =>
+                val st = c.getStatistics
+                mn = math.min(mn,
+                  st.genericGetMin.asInstanceOf[java.lang.Long])
+                mx = math.max(mx,
+                  st.genericGetMax.asInstanceOf[java.lang.Long])
+              }
+          }
+          (blocks.size.toLong, rows, mn, mx)
+        } finally r.close()
+      }
+    }.toDF("rgs", "rows", "mn", "mx")
+    per.agg(count(lit(1)).as("n_files"),
+      sum(col("rgs")).as("n_rowgroups"),
+      sum(col("rows")).as("rows_total"),
+      min(col("mn")).as("stats_min_orderkey"),
+      max(col("mx")).as("stats_max_orderkey"))
+  }
+
+  val srcParquetFooterSql: String =
+    """SELECT COUNT(DISTINCT l_orderkey % 4) AS n_files,
+      |  COUNT(DISTINCT l_orderkey % 4) AS n_rowgroups,
+      |  COUNT(*) AS rows_total,
+      |  MIN(l_orderkey) AS stats_min_orderkey,
+      |  MAX(l_orderkey) AS stats_max_orderkey
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------- src_commit_log_snapshot
+  /** TRANSACTION-LOG SNAPSHOT REPLAY — the lakehouse-table primitive
+    * (Delta/Iceberg-style): table state is not a directory listing
+    * but the REPLAY of an ordered action log (add-file / remove-file
+    * per version), so readers get atomic versioned snapshots and
+    * compaction is just remove+add in one version. Six "files" derive
+    * from orders (o_orderkey mod 6, row counts real), the log round-
+    * trips through an actual JSON file (versions 1..3, file 1
+    * compacted away at v2), and the snapshot is latest-action-wins
+    * per file keeping only adds — the oracle recomputes the live
+    * manifest from the raw rows. Replay is one per-file window over
+    * the |actions| frame; at 100 TB the log is checkpointed but the
+    * replay shape is identical. */
+  def srcCommitLogSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.orders(spark, dir)
+      .groupBy((col("o_orderkey") % 6).as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val adds = files.select(col("file_id"), col("n_rows"),
+      expr("file_id div 2 + 1").as("version"), lit("add").as("action"))
+    val removes = files.filter(col("file_id") === 1)
+      .select(col("file_id"), col("n_rows"), lit(2L).as("version"),
+        lit("remove").as("action"))
+    val tmp = stagingDir(spark, "graft-commitlog")
+    adds.unionByName(removes).write.mode("overwrite").json(tmp)
+    val log = spark.read
+      .schema("file_id LONG, n_rows LONG, version LONG, action STRING")
+      .json(tmp)
+    val w = Window.partitionBy("file_id").orderBy(desc("version"))
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("action") === "add")
+      .select(col("file_id"), col("version").as("added_version"),
+        col("n_rows"))
+      .orderBy("file_id")
+  }
+
+  val srcCommitLogSnapshotSql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey % 6 AS file_id, COUNT(*) AS n_rows
+      |  FROM orders GROUP BY 1)
+      |SELECT file_id, CAST(file_id // 2 + 1 AS BIGINT) AS added_version,
+      |  n_rows
+      |FROM f WHERE file_id <> 1 ORDER BY file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_parquet_footer" -> (srcParquetFooter _),
+    "src_commit_log_snapshot" -> (srcCommitLogSnapshot _),
     "src_rle_roundtrip" -> (srcRleRoundtrip _),
     "src_bitmap_index" -> (srcBitmapIndex _),
     "src_sidecar_checksum" -> (srcSidecarChecksum _),
@@ -1427,6 +1541,8 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_parquet_footer" -> srcParquetFooterSql,
+    "src_commit_log_snapshot" -> srcCommitLogSnapshotSql,
     "src_rle_roundtrip" -> srcRleRoundtripSql,
     "src_bitmap_index" -> srcBitmapIndexSql,
     "src_sidecar_checksum" -> srcSidecarChecksumSql,

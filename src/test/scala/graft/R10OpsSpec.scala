@@ -124,6 +124,30 @@ class R10OpsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
   }
 
+  test("one prepended byte kills stride sharing but not gear sharing") {
+    // the reason content-defined chunking exists: doc 2 = doc 1 with
+    // one byte prepended. Fixed 64-byte blocks all shift (zero shared
+    // blocks); gear cuts re-synchronize (most chunks shared).
+    val rnd = new scala.util.Random(99)
+    val s = (1 to 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val d1 = s.getBytes("UTF-8")
+    val d2 = ("z" + s).getBytes("UTF-8")
+    def strideBlocks(b: Array[Byte]): Set[String] =
+      b.grouped(64).map(g => java.util.Arrays.hashCode(g).toString +
+        ":" + g.length).toSet
+    val sharedStride = strideBlocks(d1).intersect(strideBlocks(d2)).size
+    assert(sharedStride <= 1, // at most the short tail block
+      s"stride blocks should all shift under a prepend: $sharedStride")
+    val gear = Dedup.gearChunkDedup(
+        Seq((1L, s), (2L, "z" + s)).toDF("doc_id", "text")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for ((id, (n, dup)) <- gear)
+      assert(dup * 2 >= n,
+        s"doc $id: gear must re-sync under a prepend ($dup of $n)")
+  }
+
   test("gear and md5 modes agree on the cut-point interface contract") {
     // both modes: chunk count = interior cuts + 1, chunks partition
     // the document, per-doc rows sum to the corpus
