@@ -551,6 +551,58 @@ object MaskQueries extends QueryModule {
       |  TRUE AS cross_key_differs
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------- mask_vgh_generalize
+  /** VALUE-GENERALIZATION HIERARCHY — the Mondrian/Datafly move k-
+    * anonymization actually performs on location-like columns: walk
+    * each value UP its hierarchy (nation → region → ALL) just far
+    * enough that the group reaches k = 50 members, so precision is
+    * lost only where re-identification risk demands it (a blanket
+    * region-level mask would destroy the 60%+ of rows whose nation is
+    * already safe). Two dimension-sized count frames broadcast back
+    * against the corpus — the corpus itself never shuffles; level
+    * choice is a row-local CASE. The residual ALL bucket is reported
+    * as-is (that is the suppression the audit exists to expose). */
+  def maskVghGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50L
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val nc = c.groupBy("n_name").agg(count(lit(1)).as("_cn"))
+    val rc = c.groupBy("r_name").agg(count(lit(1)).as("_cr"))
+    c.join(broadcast(nc), "n_name")
+      .join(broadcast(rc), "r_name")
+      .select(
+        when(col("_cn") >= k, lit(0L)).when(col("_cr") >= k, lit(1L))
+          .otherwise(lit(2L)).as("level"),
+        when(col("_cn") >= k, col("n_name"))
+          .when(col("_cr") >= k, col("r_name"))
+          .otherwise(lit("ALL")).as("label"))
+      .groupBy("level", "label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("level", "label")
+  }
+
+  val maskVghGeneralizeSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, n_name, r_name
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |nc AS (SELECT n_name, COUNT(*) AS cn FROM c GROUP BY n_name),
+      |rc AS (SELECT r_name, COUNT(*) AS cr FROM c GROUP BY r_name)
+      |SELECT
+      |  CAST(CASE WHEN cn >= 50 THEN 0 WHEN cr >= 50 THEN 1
+      |       ELSE 2 END AS BIGINT) AS level,
+      |  CASE WHEN cn >= 50 THEN c.n_name WHEN cr >= 50 THEN c.r_name
+      |       ELSE 'ALL' END AS label,
+      |  COUNT(*) AS n
+      |FROM c JOIN nc ON nc.n_name = c.n_name
+      |JOIN rc ON rc.r_name = c.r_name
+      |GROUP BY 1, 2 ORDER BY level, label""".stripMargin
+
   // --------------------------------------------- mask_rare_suppress
   /** Rare-category suppression — the categorical companion to value
     * banding: any category with fewer than k = 3 members is replaced
@@ -1100,6 +1152,7 @@ object MaskQueries extends QueryModule {
       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_vgh_generalize" -> (maskVghGeneralize _),
     "mask_winsorize" -> (maskWinsorize _),
     "mask_noise" -> (maskNoise _),
     "mask_microagg" -> (maskMicroagg _),
@@ -1131,6 +1184,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_vgh_generalize" -> maskVghGeneralizeSql,
     "mask_winsorize" -> maskWinsorizeSql,
     "mask_microagg" -> maskMicroaggSql,
     "mask_noise" -> maskNoiseSql,

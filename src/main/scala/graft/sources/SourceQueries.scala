@@ -1462,6 +1462,54 @@ object SourceQueries extends QueryModule {
       |  MAX(l_orderkey) AS stats_max_orderkey
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------- src_csv_quotes
+  /** CSV QUOTING TORTURE round-trip — the escaping edge cases that
+    * silently corrupt exports: every row carries embedded double
+    * quotes, field separators, newlines, AND backslashes in one
+    * value. Written RFC-4180 style (quote-all, quotes doubled via
+    * escape='"'), read back with multiLine — and the proof of
+    * losslessness is that the aggregate over the ROUND-TRIPPED frame
+    * hash-matches an oracle that never saw the file: row count,
+    * total value length, distinct values, and the quote/newline
+    * counts inside the recovered values. */
+  def srcCsvQuotes(spark: SparkSession, dir: String): DataFrame = {
+    val tricky = concat(lit("a\"b,"), col("o_orderpriority"),
+      lit("\nx\\y\""), col("o_orderstatus"))
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), tricky.as("v"))
+    val tmp = stagingDir(spark, "graft-csvq")
+    src.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(tmp)
+    spark.read
+      .schema("o_orderkey LONG, v STRING")
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("v"))).cast("long").as("total_len"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(size(split(col("v"), "\"", -1)) - 1).cast("long")
+          .as("n_quotes"),
+        sum(size(split(col("v"), "\n", -1)) - 1).cast("long")
+          .as("n_newlines"))
+  }
+
+  val srcCsvQuotesSql: String =
+    """WITH s AS (
+      |  SELECT 'a"b,' || o_orderpriority || chr(10) || 'x\y"' ||
+      |    o_orderstatus AS v
+      |  FROM orders)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(length(v)) AS BIGINT) AS total_len,
+      |  COUNT(DISTINCT v) AS n_distinct,
+      |  CAST(SUM(length(v) - length(replace(v, '"', ''))) AS BIGINT)
+      |    AS n_quotes,
+      |  CAST(SUM(length(v) - length(replace(v, chr(10), ''))) AS BIGINT)
+      |    AS n_newlines
+      |FROM s""".stripMargin
+
   // ------------------------------------------- src_commit_log_snapshot
   /** TRANSACTION-LOG SNAPSHOT REPLAY — the lakehouse-table primitive
     * (Delta/Iceberg-style): table state is not a directory listing
@@ -1508,6 +1556,7 @@ object SourceQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet_footer" -> (srcParquetFooter _),
+    "src_csv_quotes" -> (srcCsvQuotes _),
     "src_commit_log_snapshot" -> (srcCommitLogSnapshot _),
     "src_rle_roundtrip" -> (srcRleRoundtrip _),
     "src_bitmap_index" -> (srcBitmapIndex _),
@@ -1542,6 +1591,7 @@ object SourceQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "src_parquet_footer" -> srcParquetFooterSql,
+    "src_csv_quotes" -> srcCsvQuotesSql,
     "src_commit_log_snapshot" -> srcCommitLogSnapshotSql,
     "src_rle_roundtrip" -> srcRleRoundtripSql,
     "src_bitmap_index" -> srcBitmapIndexSql,
