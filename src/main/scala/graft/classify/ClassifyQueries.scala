@@ -740,8 +740,16 @@ object ClassifyQueries extends QueryModule {
     * value-keyed shuffle join of the corpus back to each compact rank
     * map — the standard scale-out rank transform, vs. the textbook
     * `RANK() OVER (ORDER BY v)` whose single global sort dies first.
-    * int64 bound: Σ(2R)² ≤ 4n³ holds to n ≈ 1.3e6 per column; beyond
-    * that the six sums widen to DECIMAL(38,0) unchanged in shape. */
+    *
+    * int64 safety (r10 — found by the sf1 scaling spot-bench, where
+    * raw doubled ranks overflowed: Σ(2R)² ≤ 4n³ dies at n ≈ 1.3e6):
+    * ranks are PERCENTILE-QUANTIZED to integer per-mille (u =
+    * 2R·500 div 2n ∈ [1, 1000]) before the moment sums, so
+    * Σu² ≤ 10⁶·n stays inside int64 to n ≈ 9e12 rows — any
+    * realistic corpus — while the statistic keeps 1e-3 rank
+    * resolution (a profiler's ρ needs two decimal places). The
+    * quantization is integer division replayed exactly by the
+    * oracle. */
   def clsSpearman(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.OrderStats
     val proj = Tables.lineitem(spark, dir).select(
@@ -757,15 +765,20 @@ object ClassifyQueries extends QueryModule {
         .select(col("v").as(v),
           (lit(2L) * col("hi") - col("c") + 1L).as(s"r_$v"))
     }
+    val nt = proj.agg(count(lit(1)).as("_nt"))
     val ranked = proj
       .join(ranks("q"), Seq("q"))
       .join(ranks("p"), Seq("p"))
       .join(ranks("d"), Seq("d"))
+      .crossJoin(broadcast(nt))
+      .select(expr("r_q * 500 div _nt").as("u_q"),
+        expr("r_p * 500 div _nt").as("u_p"),
+        expr("r_d * 500 div _nt").as("u_d"))
     ranked.select(explode(array(
         struct(lit("quantity~price_cents").as("pair"),
-          col("r_q").as("x"), col("r_p").as("y")),
+          col("u_q").as("x"), col("u_p").as("y")),
         struct(lit("quantity~discount_milli").as("pair"),
-          col("r_q").as("x"), col("r_d").as("y")))).as("m"))
+          col("u_q").as("x"), col("u_d").as("y")))).as("m"))
       .select(col("m.pair").as("pair"), col("m.x").as("x"),
         col("m.y").as("y"))
       .groupBy("pair")
@@ -791,12 +804,17 @@ object ClassifyQueries extends QueryModule {
       |    2 * RANK() OVER (ORDER BY p)
       |      + COUNT(*) OVER (PARTITION BY p) - 1 AS rp,
       |    2 * RANK() OVER (ORDER BY d)
-      |      + COUNT(*) OVER (PARTITION BY d) - 1 AS rd
+      |      + COUNT(*) OVER (PARTITION BY d) - 1 AS rd,
+      |    COUNT(*) OVER () AS nt
       |  FROM v),
+      |u AS (
+      |  SELECT rq * 500 // nt AS uq, rp * 500 // nt AS up,
+      |    rd * 500 // nt AS ud
+      |  FROM r),
       |m AS (
-      |  SELECT 'quantity~price_cents' AS pair, rq AS x, rp AS y FROM r
+      |  SELECT 'quantity~price_cents' AS pair, uq AS x, up AS y FROM u
       |  UNION ALL
-      |  SELECT 'quantity~discount_milli', rq, rd FROM r)
+      |  SELECT 'quantity~discount_milli', uq, ud FROM u)
       |SELECT pair, COUNT(*) AS n,
       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
       |  CAST(SUM(x * x) AS BIGINT) AS sxx,

@@ -57,9 +57,12 @@ class R9cOpsSpec extends SparkSpec {
         val r = v -> (2 * less + byV(v) + 1); less += byV(v); r
       }.toMap
     }
-    val rq = rank2(rows.map(_._1))
-    val rp = rank2(rows.map(_._2))
-    val rd = rank2(rows.map(_._3))
+    val n0 = rows.length.toLong
+    // r10: percentile-quantized ranks (u = 2R·500 div n) keep the
+    // moment sums inside int64 at any corpus size
+    val rq = rank2(rows.map(_._1)).view.mapValues(_ * 500 / n0).toMap
+    val rp = rank2(rows.map(_._2)).view.mapValues(_ * 500 / n0).toMap
+    val rd = rank2(rows.map(_._3)).view.mapValues(_ * 500 / n0).toMap
     def stats(xy: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long, Long) =
       (xy.size.toLong, xy.map(_._1).sum, xy.map(_._2).sum,
         xy.map(p => p._1 * p._1).sum, xy.map(p => p._2 * p._2).sum,
@@ -76,10 +79,11 @@ class R9cOpsSpec extends SparkSpec {
         r.getAs[Long]("sxx"), r.getAs[Long]("syy"), r.getAs[Long]("sxy"),
         r.getAs[Long]("sd2")))).toMap
     assert(got == expected)
-    // tie-averaged ranks preserve the rank total: Σ(2R) = n(n+1)
-    val n = rows.length.toLong
-    got.values.foreach { case (_, sx, sy, _, _, _, _) =>
-      assert(sx == n * (n + 1) && sy == n * (n + 1))
+    // quantized ranks stay inside [1, 1000]: moment sums are bounded
+    // by 1e6·n however large the corpus (the int64 safety contract)
+    got.values.foreach { case (n, sx, sy, sxx, syy, _, _) =>
+      assert(sx <= 1000L * n && sy <= 1000L * n)
+      assert(sxx <= 1000000L * n && syy <= 1000000L * n)
     }
   }
 
