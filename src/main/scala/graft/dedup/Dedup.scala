@@ -1944,16 +1944,29 @@ object Dedup extends QueryModule {
     * robustness layer under [[ngramJaccard]]'s word sets: spacing,
     * punctuation, and scriptio-continua languages all defeat a
     * whitespace tokenizer, while character shingles see through them
-    * (the form cross-lingual corpus dedup actually runs). Same 100 TB
-    * shape as the word variant: the shingle SET is built map-only
-    * (codegen n-grams over the char array, hashed to primitive longs,
-    * deduped in place — no gram ever shuffles), candidates meet on a
-    * (lang, log-size-bucket) blocking key that is provably lossless
-    * at t = 0.8, and each candidate is verified by the codegen
-    * merge-intersection. Integer per-mille similarity; the i·5 ≥
-    * (n₁+n₂−i)·4 gate is the exact j ≥ 0.8 test with no float. */
+    * (the form cross-lingual corpus dedup actually runs).
+    *
+    * 100 TB shape — the exact PPJoin PREFIX FILTER, not size blocking
+    * (char-gram set sizes cluster tightly, so a log-size bucket puts
+    * most of a language in ONE bucket and the verify join goes
+    * quadratic — the r10 bench caught exactly that at 34 s/sf0.1):
+    * a qualifying pair at j ≥ t MUST share an element inside each
+    * side's (n − ⌈t·n⌉ + 1)-element prefix under ONE global element
+    * order (Xiao et al., PPJoin) — and the order that makes the
+    * filter BITE is ascending DOCUMENT FREQUENCY (rarest first): a
+    * hash-ordered prefix still carries the corpus-common shingles and
+    * their postings go quadratic (the r10 probe measured it), while a
+    * df-ordered prefix holds each doc's RAREST shingles, whose
+    * postings are short by definition. So: one corpus-linear
+    * (doc, gram) explode → df hash-agg → per-doc windows (doc-bounded)
+    * rank grams by (df, hash) → candidates from the equi-join on
+    * exploded prefix postings. No false negatives: any total order
+    * satisfies the prefix lemma, the codegen merge-intersection
+    * verifies every candidate, and the i·5 ≥ (n₁+n₂−i)·4 gate is the
+    * exact j ≥ 0.8 test with no float. */
   def charJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     graft.expr.VectorExprs.register(docs.sparkSession)
+    require(threshold == 0.8, "prefix arithmetic below is t=0.8 exact")
     val sets = docs
       .select(col("doc_id"), col("lang"),
         sort_array(array_distinct(expr(
@@ -1961,20 +1974,32 @@ object Dedup extends QueryModule {
           .as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
-    def bucket(n: Column): Column =
-      floor(log(n.cast("double")) / math.log(1.0 / threshold))
-    val a = sets.select(col("doc_id").as("d1"), col("lang"),
-        col("hs").as("hs1"), col("n").as("n1"))
-      .withColumn("bk", bucket(col("n1")))
-    val b = sets.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-        col("hs").as("hs2"), col("n").as("n2"))
-      .withColumn("bk2", explode(array(
-        bucket(col("n2")) - 1, bucket(col("n2")), bucket(col("n2")) + 1)))
-    a.join(probeSide(b),
-        col("lang") === col("lang2") && col("bk") === col("bk2") &&
+      .localCheckpoint()
+    val grams = sets.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("hs")).as("gh"))
+    val df = grams.groupBy("gh").agg(count(lit(1)).as("_df"))
+    // prefix length n − ⌈0.8n⌉ + 1, with ⌈0.8n⌉ = (4n+4) div 5 exact;
+    // rank grams inside each doc by the global (df, hash) order
+    val prefix = grams.join(df, "gh")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("_df", "gh")))
+      .filter(col("_rk") <= expr("n - ((n * 4 + 4) div 5) + 1"))
+      .select(col("doc_id"), col("lang"), col("n"), col("gh").as("ph"))
+    val a = prefix.select(col("doc_id").as("d1"), col("lang"),
+      col("n").as("n1"), col("ph"))
+    val b = prefix.select(col("doc_id").as("d2"),
+      col("lang").as("lang2"), col("n").as("n2"), col("ph").as("ph2"))
+    val cand = a.join(probeSide(b),
+        col("ph") === col("ph2") && col("lang") === col("lang2") &&
           col("d1") < col("d2") &&
-          least(col("n1"), col("n2")).cast("double") >=
-            greatest(col("n1"), col("n2")).cast("double") * threshold)
+          least(col("n1"), col("n2")) * 5 >=
+            greatest(col("n1"), col("n2")) * 4)
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"), col("n1"), col("n2"),
         call_function(graft.expr.VectorExprs.intersectName,
           col("hs1"), col("hs2")).as("i"))
