@@ -1695,20 +1695,25 @@ object ClassifyQueries extends QueryModule {
   def clsDecimalProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // widen ONCE through exact decimal to integer micros; the scale
+    // probe is then pure long modulo in codegen (the decimal-%-chain
+    // form cost 7 s at sf0.1 — all of it interpreted decimal ops)
     val melted = Tables.lineitem(spark, dir).select(explode(array(
       cols.map { c => struct(lit(c).as("col"),
-        col(c).cast(DecimalType(18, 6)).as("v")) }: _*)).as("x"))
+        (col(c).cast(DecimalType(18, 6)) * 1000000).cast("long")
+          .as("vm")) }: _*)).as("x"))
       .select("x.*")
-    val scaled = melted.withColumn("s",
-      when(expr("v % 1") === lit(0).cast(DecimalType(18, 6)), 0)
-        .when(expr("(v * 10) % 1") === lit(0).cast(DecimalType(18, 6)), 1)
-        .when(expr("(v * 100) % 1") === lit(0).cast(DecimalType(18, 6)), 2)
-        .when(expr("(v * 1000) % 1") === lit(0).cast(DecimalType(18, 6)), 3)
-        .otherwise(6))
+    val scaled = melted
+      .withColumn("s",
+        when(col("vm") % 1000000L === 0L, 0)
+          .when(col("vm") % 100000L === 0L, 1)
+          .when(col("vm") % 10000L === 0L, 2)
+          .when(col("vm") % 1000L === 0L, 3)
+          .otherwise(6))
     scaled.groupBy("col")
       .agg(count(lit(1)).as("n"),
         max(col("s")).as("scale"),
-        max((abs(col("v")) * 1000000).cast("long")).as("_maxabs_micro"))
+        max(abs(col("vm"))).as("_maxabs_micro"))
       .select(col("col"), col("n"), col("scale").cast("long").as("scale"),
         // integer divisor via CASE (a float pow could truncate wrong)
         (length(expr(
