@@ -24,6 +24,41 @@ class R10OpsSpec extends SparkSpec {
     out.result()
   }
 
+  test("r10 executed-plan pins: rank pushdown, map-only grams, " +
+      "windowless gear chunking, no cartesian pair joins") {
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // q56: the top-3 cut must push into the shuffle as a partial
+    // WindowGroupLimit — the window never sorts more than k rows per
+    // group per task
+    val p56 = plan(ops.Relational.q56(spark, sfDir))
+    assert(p56.contains("WindowGroupLimit") && p56.contains("Partial"),
+      s"q56 must push the rank limit into the shuffle:\n$p56")
+    // txt_compression_proxy: the gram sets are built and deduped in
+    // place — no hash exchange anywhere (the only exchange is the
+    // final presentation sort)
+    val pcp = plan(text.TextAnalysis.txtCompressionProxy(spark, sfDir))
+    assert(pcp.contains("graft_ngrams"))
+    assert(!pcp.contains("Exchange hashpartitioning"),
+      s"gram sets must never shuffle:\n$pcp")
+    // gear chunking: cut points from the codegen expression, and the
+    // old per-doc cut window is structurally gone
+    val pgc = plan(multimodal.BinaryPipeline.mmChunkDedup(spark, sfDir))
+    assert(pgc.contains("graft_gear_cuts"))
+    assert(!pgc.contains("Window ["),
+      s"gear chunking must not need a per-doc window:\n$pgc")
+    // char-shingle dedup: candidates come from the prefix-posting
+    // equi-join — no cartesian/nested-loop pair join survives
+    val pcj = plan(dedup.Dedup.dedupCharJaccard(spark, sfDir))
+    assert(pcj.contains("graft_intersect_size"))
+    assert(!pcj.contains("CartesianProduct") &&
+      !pcj.contains("BroadcastNestedLoop"),
+      s"char dedup must never go all-pairs:\n$pcj")
+  }
+
   test("gear table is the md5-derived permutation both engines replay") {
     val md = java.security.MessageDigest.getInstance("MD5")
     for (b <- 0 until 256) {
