@@ -1685,7 +1685,75 @@ object CorpusPipeline extends QueryModule {
       |    SUM(tokens_weighted_milli) OVER () AS BIGINT) AS share_pm
       |FROM per ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- pipe_datasheet
+  /** DATASET DATASHEET — the release artifact every published corpus
+    * ships (Datasheets for Datasets, Gebru et al.): per language, the
+    * document and token mass, source diversity, the exact-duplicate
+    * rate, and the token-length distribution's p50/p90. Everything is
+    * one corpus scan + dimension-sized frames: counts/dup-rate are a
+    * hash-agg over (lang) with md5 fingerprints, and BOTH quantiles
+    * come from ONE [[graft.ops.OrderStats.radixRankSelect]] pass
+    * (domain-capped histogram exchanges — never a per-lang sort of
+    * the corpus). Exact integers end to end. */
+  def pipeDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        md5(col("text")).as("fp"))
+      .localCheckpoint()
+    val qs = OrderStats.radixRankSelect(
+        base.select(col("lang"), col("nt")), Seq("lang"), "nt",
+        Seq("p50" -> expr("(n + 1) div 2"),
+          "p90" -> expr("(9 * n + 9) div 10")), shift = 4)
+      .groupBy("lang")
+      .agg(max(when(col("sel") === "p50", col("sel_value")))
+          .as("tokens_p50"),
+        max(when(col("sel") === "p90", col("sel_value")))
+          .as("tokens_p90"))
+    base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_unique"))
+      .join(qs, "lang")
+      .withColumn("dup_pm",
+        expr("(n_docs - n_unique) * 1000 div n_docs"))
+      .orderBy("lang")
+  }
+
+  val pipeDatasheetSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nt,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |h AS (SELECT lang, nt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, nt,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY nt) AS hi,
+      |    SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM h),
+      |q AS (
+      |  SELECT lang,
+      |    CAST(MIN(CASE WHEN hi >= (n + 1) // 2 THEN nt END) AS BIGINT)
+      |      AS tokens_p50,
+      |    CAST(MIN(CASE WHEN hi >= (9 * n + 9) // 10 THEN nt END)
+      |      AS BIGINT) AS tokens_p90
+      |  FROM cum GROUP BY lang),
+      |a AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT fp) AS n_unique
+      |  FROM b GROUP BY lang)
+      |SELECT a.lang, n_docs, n_tokens, n_sources, n_unique,
+      |  tokens_p50, tokens_p90,
+      |  CAST((n_docs - n_unique) * 1000 // n_docs AS BIGINT) AS dup_pm
+      |FROM a JOIN q USING (lang) ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_datasheet" -> (pipeDatasheet _),
     "pipe_stratified_split" -> (pipeStratifiedSplit _),
     "pipe_freshness_decay" -> (pipeFreshnessDecay _),
     "pipe_dedup_survival" -> (pipeDedupSurvival _),
@@ -1719,6 +1787,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_datasheet" -> pipeDatasheetSql,
     "pipe_stratified_split" -> pipeStratifiedSplitSql,
     "pipe_freshness_decay" -> pipeFreshnessDecaySql,
     "pipe_dedup_survival" -> pipeDedupSurvivalSql,

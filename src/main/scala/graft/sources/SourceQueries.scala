@@ -1462,6 +1462,69 @@ object SourceQueries extends QueryModule {
       |  MAX(l_orderkey) AS stats_max_orderkey
       |FROM lineitem""".stripMargin
 
+  // ------------------------------------------------ src_line_index
+  /** SEEKABLE LINE-OFFSET INDEX over a text shard — the random-access
+    * primitive a data-serving layer builds once per shard so a
+    * trainer can fetch record k without scanning k−1 predecessors:
+    * offsets are the exclusive prefix sum of (line length + 1), and
+    * the audit PROVES the index by actually SEEKING — a deterministic
+    * probe set re-reads its lines through RandomAccessFile at the
+    * indexed offsets and byte-compares against the source rows. The
+    * prefix-sum window is per-SHARD by construction (one output file
+    * here; a fleet indexes each shard independently), and probing is
+    * one file handle per task. The oracle never sees the file: a
+    * hash match means offset arithmetic ≡ physical bytes. */
+  def srcLineIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val lines = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        concat(col("o_orderkey"), lit("|"), col("o_orderstatus"),
+          lit("|"), col("o_orderpriority")).as("line"))
+      .coalesce(1).sortWithinPartitions("o_orderkey")
+      .localCheckpoint()
+    val tmp = stagingDir(spark, "graft-lineidx")
+    lines.select("line").write.mode("overwrite").text(tmp)
+    val file = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+    val idx = lines
+      .withColumn("len", length(col("line")).cast("long"))
+      .withColumn("off", coalesce(
+        sum(col("len") + 1).over(Window.orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val probeOk = idx
+      .filter(pmod(col("o_orderkey"), lit(150L)) === 0)
+      .select(col("off"), col("len"), col("line"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val raf = new java.io.RandomAccessFile(file, "r")
+        val out = try it.map { case (off, len, line) =>
+          raf.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          raf.readFully(buf)
+          if (new String(buf, "UTF-8") == line) 1L else 0L
+        }.toList finally raf.close()
+        out.iterator
+      }.toDF("ok")
+    idx.agg(count(lit(1)).as("n_lines"),
+        sum(col("len") + 1).as("total_bytes"))
+      .crossJoin(probeOk.agg(count(lit(1)).as("n_probed"),
+        sum(col("ok")).as("n_probe_ok")))
+  }
+
+  val srcLineIndexSql: String =
+    """WITH l AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus ||
+      |    '|' || o_orderpriority AS line, o_orderkey
+      |  FROM orders)
+      |SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(length(line) + 1) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(CASE WHEN o_orderkey % 150 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_probed,
+      |  CAST(SUM(CASE WHEN o_orderkey % 150 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_probe_ok
+      |FROM l""".stripMargin
+
   // ---------------------------------------------- src_csv_quotes
   /** CSV QUOTING TORTURE round-trip — the escaping edge cases that
     * silently corrupt exports: every row carries embedded double
@@ -1557,6 +1620,7 @@ object SourceQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet_footer" -> (srcParquetFooter _),
     "src_csv_quotes" -> (srcCsvQuotes _),
+    "src_line_index" -> (srcLineIndex _),
     "src_commit_log_snapshot" -> (srcCommitLogSnapshot _),
     "src_rle_roundtrip" -> (srcRleRoundtrip _),
     "src_bitmap_index" -> (srcBitmapIndex _),
@@ -1592,6 +1656,7 @@ object SourceQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "src_parquet_footer" -> srcParquetFooterSql,
     "src_csv_quotes" -> srcCsvQuotesSql,
+    "src_line_index" -> srcLineIndexSql,
     "src_commit_log_snapshot" -> srcCommitLogSnapshotSql,
     "src_rle_roundtrip" -> srcRleRoundtripSql,
     "src_bitmap_index" -> srcBitmapIndexSql,

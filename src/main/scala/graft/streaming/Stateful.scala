@@ -358,6 +358,25 @@ object Stateful {
         "unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
       .count()
 
+  /** Streaming (window, value-cents) histogram — the watermark-bounded
+    * state behind [[EventStreams.windowP95]]'s exact tail-latency
+    * panel: an update-mode keyed sum whose state is bounded by
+    * |windows in horizon| × |distinct cents|, never the event count.
+    * The rank selection (smallest value whose cumulative count reaches
+    * ⌈0.95·n⌉) is a pure per-trigger fold of this frame; the spec
+    * folds the final streamed histogram into the exact batch panel. */
+  def windowCentsCounts(events: Dataset[EventRow])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .groupBy(
+        (expr("unix_micros(cast(ts as timestamp)) div 21600000000") *
+          21600000000L).as("w_us"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as long)")
+          .as("cents"))
+      .count()
+  }
+
   /** The same running totals on Spark 4's `transformWithState` API —
     * the successor to flatMapGroupsWithState: typed per-key state
     * variables (Value/List/Map), per-state TTLs, and timers, backed

@@ -1219,6 +1219,51 @@ class StreamingSpec extends SparkSpec {
     assert(peakDay > lo && peakDay < hi)
   }
 
+  test("streamed value histogram folds to the exact batch p95 panel") {
+    implicit val sql = spark.sqlContext
+    // heavy-tailed values across two 6h windows, tie-heavy on purpose
+    // (rank selection must pick the same value both ways)
+    val events = (0 until 300).map { i =>
+      val h = if (i % 2 == 0) 1 else 8 // two 6h buckets
+      val v = Seq(1.00, 1.00, 2.50, 2.50, 9.99, 50.0)(i % 6)
+      (8000L + i, ts(f"2024-03-01 0$h:%02d:00".format(i % 60)),
+        i.toLong % 5, "view", v)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.windowCentsCounts(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("cents_hist")
+      .outputMode("update").start()
+    try {
+      events.grouped(70).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // counts are monotone; the final state per cell is the max update
+    val hist = spark.table("cents_hist")
+      .groupBy("w_us", "cents").agg(max(col("count")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val folded = hist.groupBy(_._1._1).map { case (w, cells) =>
+      val sorted = cells.toSeq.map { case ((_, c), n) => (c, n) }
+        .sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      val k = (n * 95 + 99) / 100
+      var cum = 0L
+      val p95 = sorted.collectFirst {
+        case (c, cnt) if { cum += cnt; cum >= k } => c
+      }.get
+      w -> ((n, p95))
+    }
+    val batch = EventStreams.windowP95(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(folded == batch, s"folded $folded != batch $batch")
+    assert(batch.size == 2 && batch.values.exists(_._2 == 5000L))
+  }
+
   test("checkpointed state survives a query restart (file source)") {
     // the recovery contract a production CDC pipeline leans on: stop
     // the query, restart from the same checkpoint, and the stateful
