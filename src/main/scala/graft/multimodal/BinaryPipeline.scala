@@ -1082,6 +1082,95 @@ object BinaryPipeline extends QueryModule {
       |FROM s JOIN agg a USING (seed)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------- mm_image_entropy
+  /** LUMINANCE ENTROPY over REAL decoded pixels — the blank/flat-image
+    * gate beside [[mmImageHistogram]]'s exposure profile: an image
+    * whose gray mass piles into one bucket is a blank page, a solid
+    * color card, or a corrupted render, and it leaves a vision corpus
+    * before any GPU sees it. Entropy is the WHOLE-BIT surprisal
+    * H_bits = Σ_b n_b·(⌊log₂N⌋+1 − (⌊log₂n_b⌋+1)) = Σ n_b·(len(bin N)
+    * − len(bin n_b)) — pure integer string-length arithmetic, no libm
+    * (the [[graft.text.TextAnalysis]] surprisal identity on pixel
+    * buckets). Decode is content-addressed exactly like the histogram
+    * key (≤ 256 real PNG decodes, broadcast back; no pixel ever
+    * shuffles); the per-seed entropy frame is ≤ 256 rows. The oracle
+    * replays the gradient arithmetic, so a hash match pins codec
+    * output = formula AND the integer entropy fold. */
+  def mmImageEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSeed = Tables.documents(spark, dir)
+      .select((col("doc_id") % 256).as("seed")).distinct().as[Long]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodeGradientPng(m)))
+          val counts = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              counts((img.getRGB(x, y) & 0xff) / 16) += 1
+              x += 1
+            }
+            y += 1
+          }
+          counts.zipWithIndex.collect {
+            case (c, b) if c > 0 => (m, b, c) }
+        }
+      }
+      .toDF("seed", "bucket", "n")
+    val tot = perSeed.groupBy("seed").agg(sum(col("n")).as("npx"))
+    val ent = perSeed.join(tot, "seed")
+      .select(col("seed"), col("npx"),
+        (col("n") * (length(expr("bin(npx)")) -
+          length(expr("bin(n)")))).as("_bits"))
+      .groupBy("seed", "npx")
+      .agg(sum(col("_bits")).as("bits"))
+    Tables.documents(spark, dir)
+      .select(col("source"), (col("doc_id") % 256).as("seed"))
+      .join(broadcast(ent), "seed")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("npx")).as("n_px"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("ent_milli_bits_per_px",
+        expr("total_bits * 1000 div n_px"))
+      .orderBy("source")
+  }
+
+  val mmImageEntropySql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id % 256 AS seed FROM documents),
+      |dim AS (
+      |  SELECT DISTINCT seed, 8 + seed % 32 AS w,
+      |    8 + (seed * 7) % 32 AS h
+      |  FROM s),
+      |px AS (
+      |  SELECT seed, h,
+      |    unnest(generate_series(0, CAST(w AS INT) - 1)) AS x
+      |  FROM dim),
+      |py AS (
+      |  SELECT seed, x,
+      |    unnest(generate_series(0, CAST(h AS INT) - 1)) AS y
+      |  FROM px),
+      |g AS (
+      |  SELECT seed,
+      |    CAST(((seed + x + y) % 256) // 16 AS INTEGER) AS bucket,
+      |    COUNT(*) AS n
+      |  FROM py GROUP BY 1, 2),
+      |tot AS (SELECT seed, SUM(n) AS npx FROM g GROUP BY seed),
+      |ent AS (
+      |  SELECT g.seed, tot.npx,
+      |    SUM(g.n * (length(bin(tot.npx)) - length(bin(g.n)))) AS bits
+      |  FROM g JOIN tot USING (seed) GROUP BY 1, 2)
+      |SELECT s.source, COUNT(*) AS n_images,
+      |  CAST(SUM(ent.npx) AS BIGINT) AS n_px,
+      |  CAST(SUM(ent.bits) AS BIGINT) AS total_bits,
+      |  CAST(SUM(ent.bits) * 1000 // SUM(ent.npx) AS BIGINT)
+      |    AS ent_milli_bits_per_px
+      |FROM s JOIN ent USING (seed)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ mm_stride_dedup
   /** FIXED-STRIDE block dedup — the backup-industry baseline under
     * [[mmChunkDedup]]'s content-defined cuts: the blob splits at
@@ -1206,6 +1295,7 @@ object BinaryPipeline extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stride_dedup" -> (mmStrideDedup _),
+    "mm_image_entropy" -> (mmImageEntropy _),
     "mm_audio_clip" -> (mmAudioClip _),
     "mm_image_edges" -> (mmImageEdges _),
     "mm_audio_resample" -> (mmAudioResample _),
@@ -1225,6 +1315,7 @@ object BinaryPipeline extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "mm_stride_dedup" -> mmStrideDedupSql,
+    "mm_image_entropy" -> mmImageEntropySql,
     "mm_audio_clip" -> mmAudioClipSql,
     "mm_image_edges" -> mmImageEdgesSql,
     "mm_audio_resample" -> mmAudioResampleSql,

@@ -2450,7 +2450,57 @@ object Relational extends graft.QueryModule {
       |  (l_returnflag), ())
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  // ------------------------------------------------- q60_mom_change
+  /** MONTH-OVER-MONTH growth per segment — the KPI-report staple done
+    * the exact-integer way: one hash-agg collapses orders to the
+    * |segment × month| frame, the lag window runs on THAT frame (never
+    * the facts), and growth is rev·1000 div prev — per-mille integer,
+    * no float ratio to reconcile. First month per segment (no prior)
+    * is excluded rather than null-coalesced to a fake 0%. */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("m"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+        .as("rev_cents"))
+    m.withColumn("_prev",
+        lag(col("rev_cents"), 1).over(
+          Window.partitionBy("seg").orderBy("m")))
+      .filter(col("_prev").isNotNull)
+      .select(col("seg"), col("m").cast("long").as("month_idx"),
+        col("rev_cents"),
+        // +1e7·prev shift before the div: truncating (Spark) and
+        // flooring (DuckDB) integer division agree on negative growth
+        expr("((rev_cents - _prev) * 1000 + _prev * 10000000L) " +
+          "div _prev - 10000000L").as("mom_pm"))
+      .orderBy("seg", "month_idx")
+  }
+
+  val q60Sql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS seg,
+      |    YEAR(CAST(o_orderdate AS DATE)) * 12 +
+      |      MONTH(CAST(o_orderdate AS DATE)) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT seg, m, rev_cents,
+      |    LAG(rev_cents) OVER (PARTITION BY seg ORDER BY m) AS prev
+      |  FROM m)
+      |SELECT seg, CAST(m AS BIGINT) AS month_idx, rev_cents,
+      |  CAST(((rev_cents - prev) * 1000 + prev * 10000000) // prev
+      |    - 10000000 AS BIGINT) AS mom_pm
+      |FROM lg WHERE prev IS NOT NULL
+      |ORDER BY seg, month_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_mom_change" -> (q60 _),
     "q56_top_n_per_group" -> (q56 _),
     "q57_share_of_total" -> (q57 _),
     "q58_order_streaks" -> (q58 _),
@@ -2531,6 +2581,7 @@ object Relational extends graft.QueryModule {
     "q53_null_semantics" -> q53Sql,
     "q54_listagg" -> q54Sql,
     "q55_equidepth_hist" -> q55Sql,
+    "q60_mom_change" -> q60Sql,
     "q56_top_n_per_group" -> q56Sql,
     "q57_share_of_total" -> q57Sql,
     "q58_order_streaks" -> q58Sql,
