@@ -1751,7 +1751,53 @@ object ClassifyQueries extends QueryModule {
       |    + MAX(sc) AS BIGINT) AS precision
       |FROM s GROUP BY col ORDER BY col""".stripMargin
 
+  // -------------------------------------------------- cls_mutual_info
+  /** WHOLE-BIT MUTUAL INFORMATION between two categorical columns —
+    * the information-theoretic dependence profiler beside
+    * [[clsCramersV]]'s χ²-based one (MI sees any dependence, χ²
+    * weights by deviation): pointwise MI per cell in WHOLE BITS via
+    * the surprisal identity ⌊log₂⌋(c_xy·N / (c_x·c_y)) ≈
+    * len(bin(c_xy·N)) − len(bin(c_x·c_y)) — pure integer string
+    * arithmetic, no libm, the [[graft.text.TextAnalysis]] trick on a
+    * contingency table. One (x, y) hash-agg + two marginal rollups of
+    * the |cells| frame; everything after the first agg is
+    * dimension-sized. int64 bound: c·N and c_x·c_y stay in-bounds to
+    * ~3e9 rows (past that the products widen to DECIMAL unchanged). */
+  def clsMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("x"),
+        col("o_orderpriority").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mx = joint.groupBy("x").agg(sum(col("c")).as("cx"))
+    val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
+    val n = joint.agg(sum(col("c")).as("n"))
+    joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c"),
+        (length(expr("bin(c * n)")) - length(expr("bin(cx * cy)")))
+          .cast("long").as("pmi_bits"))
+      .withColumn("mi_contrib", col("c") * col("pmi_bits"))
+      .orderBy("x", "y")
+  }
+
+  val clsMutualInfoSql: String =
+    """WITH j AS (
+      |  SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |mx AS (SELECT x, SUM(c) AS cx FROM j GROUP BY x),
+      |my AS (SELECT y, SUM(c) AS cy FROM j GROUP BY y),
+      |n AS (SELECT SUM(c) AS n FROM j)
+      |SELECT j.x, j.y, j.c,
+      |  CAST(length(bin(j.c * n.n)) - length(bin(mx.cx * my.cy))
+      |    AS BIGINT) AS pmi_bits,
+      |  CAST(j.c * (length(bin(j.c * n.n)) - length(bin(mx.cx * my.cy)))
+      |    AS BIGINT) AS mi_contrib
+      |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+      |ORDER BY x, y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_mutual_info" -> (clsMutualInfo _),
     "cls_approx_fd" -> (clsApproxFd _),
     "cls_decimal_profile" -> (clsDecimalProfile _),
     "cls_key_discovery" -> (clsKeyDiscovery _),
@@ -1786,6 +1832,7 @@ object ClassifyQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "cls_approx_fd" -> clsApproxFdSql,
+    "cls_mutual_info" -> clsMutualInfoSql,
     "cls_decimal_profile" -> clsDecimalProfileSql,
     "cls_null_profile" -> clsNullProfileSql,
     "cls_histogram_profile" -> clsHistogramProfileSql,
