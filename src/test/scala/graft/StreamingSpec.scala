@@ -1226,7 +1226,7 @@ class StreamingSpec extends SparkSpec {
     val events = (0 until 300).map { i =>
       val h = if (i % 2 == 0) 1 else 8 // two 6h buckets
       val v = Seq(1.00, 1.00, 2.50, 2.50, 9.99, 50.0)(i % 6)
-      (8000L + i, ts(f"2024-03-01 0$h:%02d:00".format(i % 60)),
+      (8000L + i, ts(f"2024-03-01 0$h:${i % 60}%02d:00"),
         i.toLong % 5, "view", v)
     }
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
