@@ -2499,7 +2499,72 @@ object Relational extends graft.QueryModule {
       |FROM lg WHERE prev IS NOT NULL
       |ORDER BY seg, month_idx""".stripMargin
 
+  // ---------------------------------------------- q61_max_drawdown
+  /** MAX DRAWDOWN over the cumulative revenue series per segment —
+    * the risk-analytics classic (largest peak-to-trough drop) applied
+    * to the revenue run-rate: one hash-agg collapses orders to the
+    * |segment × month| frame; the cumulative series, its running
+    * peak, and the drawdown are three window passes over THAT frame.
+    * Exact integer cents end to end; the report row per segment
+    * carries the worst drawdown, when it bottomed, and the peak it
+    * fell from. */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("m"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long") -
+        (dec(col("o_totalprice")) * 100).cast("long") * 2 *
+        (col("o_orderkey") % 2)).as("flow_cents"))
+    val byS = Window.partitionBy("seg").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = m
+      .withColumn("cum", sum(col("flow_cents")).over(byS))
+      .withColumn("peak", max(col("cum")).over(byS))
+      .withColumn("draw", col("peak") - col("cum"))
+    dd.groupBy("seg")
+      .agg(max(col("draw")).as("max_drawdown_cents"),
+        max(struct(col("draw"), col("m").cast("long").as("m"),
+          col("peak"))).as("_at"))
+      .select(col("seg"), col("max_drawdown_cents"),
+        col("_at.m").as("trough_month_idx"),
+        col("_at.peak").as("peak_cents"))
+      .orderBy("seg")
+  }
+
+  val q61Sql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS seg,
+      |    YEAR(CAST(o_orderdate AS DATE)) * 12 +
+      |      MONTH(CAST(o_orderdate AS DATE)) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |        AS BIGINT) * (1 - 2 * (o_orderkey % 2)))
+      |      AS BIGINT) AS flow_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT seg, m, flow_cents,
+      |    SUM(flow_cents) OVER (PARTITION BY seg ORDER BY m) AS cum
+      |  FROM m),
+      |p AS (
+      |  SELECT seg, m, cum,
+      |    MAX(cum) OVER (PARTITION BY seg ORDER BY m) AS peak
+      |  FROM c),
+      |r AS (
+      |  SELECT seg, peak - cum AS draw, m, peak,
+      |    ROW_NUMBER() OVER (PARTITION BY seg
+      |      ORDER BY peak - cum DESC, m DESC, peak DESC) AS rn
+      |  FROM p)
+      |SELECT seg, CAST(draw AS BIGINT) AS max_drawdown_cents,
+      |  CAST(m AS BIGINT) AS trough_month_idx,
+      |  CAST(peak AS BIGINT) AS peak_cents
+      |FROM r WHERE rn = 1 ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_max_drawdown" -> (q61 _),
     "q60_mom_change" -> (q60 _),
     "q56_top_n_per_group" -> (q56 _),
     "q57_share_of_total" -> (q57 _),
@@ -2582,6 +2647,7 @@ object Relational extends graft.QueryModule {
     "q54_listagg" -> q54Sql,
     "q55_equidepth_hist" -> q55Sql,
     "q60_mom_change" -> q60Sql,
+    "q61_max_drawdown" -> q61Sql,
     "q56_top_n_per_group" -> q56Sql,
     "q57_share_of_total" -> q57Sql,
     "q58_order_streaks" -> q58Sql,

@@ -1050,6 +1050,52 @@ object EventStreams extends QueryModule {
   def strActiveUsers(spark: SparkSession, dir: String): DataFrame =
     activeUsers(Tables.events(spark, dir))
 
+  // ----------------------------------------------- str_stickiness
+  /** DAU/MAU STICKINESS — the engagement-quality ratio product teams
+    * track above raw actives (how much of the monthly audience shows
+    * up daily): exact per-mille dau·1000 div mau on every day of the
+    * spine, plus the running 7-day peak stickiness (the
+    * dashboard's "best recent day" readout). Entirely derived from
+    * [[activeUsers]]' coverage-interval counts — the corpus-linear
+    * pass is shared; this adds only |days|-frame arithmetic and a
+    * 7-row window on the spine. */
+  def strStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val au = activeUsers(Tables.events(spark, dir))
+    au.select(col("day"), col("dau"), col("mau"),
+        when(col("mau") > 0, expr("dau * 1000 div mau")).otherwise(0L)
+          .as("stickiness_pm"))
+      .withColumn("peak7_pm", max(col("stickiness_pm")).over(
+        Window.partitionBy(pmod(col("day"), lit(1L))).orderBy("day")
+          .rowsBetween(-6, 0)))
+      .orderBy("day")
+  }
+
+  val strStickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |sp AS (
+      |  SELECT unnest(generate_series(
+      |    (SELECT MIN(day) FROM ud), (SELECT MAX(day) FROM ud))) AS day),
+      |c AS (
+      |  SELECT sp.day,
+      |    (SELECT COUNT(DISTINCT user_id) FROM ud
+      |     WHERE ud.day = sp.day) AS dau,
+      |    (SELECT COUNT(DISTINCT user_id) FROM ud
+      |     WHERE ud.day BETWEEN sp.day - 29 AND sp.day) AS mau
+      |  FROM sp),
+      |s AS (
+      |  SELECT day, CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+      |    CAST(CASE WHEN mau > 0 THEN dau * 1000 // mau ELSE 0 END
+      |      AS BIGINT) AS stickiness_pm
+      |  FROM c)
+      |SELECT day, dau, mau, stickiness_pm,
+      |  CAST(MAX(stickiness_pm) OVER (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS peak7_pm
+      |FROM s ORDER BY day""".stripMargin
+
   val strActiveUsersSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id,
@@ -1740,6 +1786,7 @@ object EventStreams extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_window_p95" -> (strWindowP95 _),
+    "str_stickiness" -> (strStickiness _),
     "str_debounce" -> (strDebounce _),
     "str_rate_limit" -> (strRateLimit _),
     "str_seasonal_error" -> (strSeasonalError _),
@@ -1775,6 +1822,7 @@ object EventStreams extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "str_window_p95" -> strWindowP95Sql,
+    "str_stickiness" -> strStickinessSql,
     "str_debounce" -> strDebounceSql,
     "str_rate_limit" -> strRateLimitSql,
     "str_seasonal_error" -> strSeasonalErrorSql,
