@@ -468,4 +468,83 @@ object Stateful {
       .transformWithState(new IdleSessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append)
   }
+
+  // ------------------------------------------- streaming debounce
+  /** A persisted (debounced) state change: user entered `state` at
+    * event-time micros `us` and stayed ≥ the hold. */
+  final case class DebouncedChange(user_id: Long, state: String, us: Long)
+  /** Debounce state: the change awaiting its hold (sentinel us = −1 →
+    * none) plus the current raw state for change detection. */
+  final case class PendingChange(state: String, us: Long, cur: String)
+
+  /** Streaming form of [[EventStreams.debounce]] — the alert-pager
+    * gate as an EVENT-TIME-TIMER processor: a state change arms a
+    * timer at (change time + hold); a counter-change inside the hold
+    * REPLACES the pending change (the flap collapses, nothing pages);
+    * the pending change is emitted as PERSISTED either by a later
+    * change arriving past the hold (emitted inline — robust even when
+    * that change and the watermark advance share a batch) or by the
+    * timer firing once the watermark passes (the no-more-events
+    * case). State is O(1) per key and idle keys self-evict through
+    * their timer — the same bounding contract as
+    * [[IdleSessionProcessor]]. Per-user event-time order across
+    * batches is the usual horizon contract; within a batch rows are
+    * sorted. */
+  final class DebounceProcessor(holdUs: Long)
+      extends StatefulProcessor[Long, EventRow, DebouncedChange] {
+    @transient private var pend: ValueState[PendingChange] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pend = getHandle.getValueState[PendingChange]("pending",
+        Encoders.product[PendingChange], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[DebouncedChange] = {
+      val out = Seq.newBuilder[DebouncedChange]
+      var st = if (pend.exists()) pend.get()
+        else PendingChange("", -1L, "")
+      rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+        val us = eventMicros(e.ts)
+        if (st.cur != e.event_type) {
+          if (st.us >= 0L) {
+            if (us - st.us > holdUs)
+              out += DebouncedChange(key, st.state, st.us) // persisted
+            // else: flap — the pending change is silently replaced
+          }
+          st = PendingChange(e.event_type, us, e.event_type)
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          // timers are millisecond-domain; round the hold expiry UP so
+          // the timer never fires before the hold has truly elapsed
+          val fireMs = (st.us + holdUs) / 1000L + 1L
+          getHandle.registerTimer(fireMs)
+          armed.update(fireMs)
+        }
+      }
+      pend.update(st)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DebouncedChange] = {
+      val st = if (pend.exists()) pend.get() else PendingChange("", -1L, "")
+      armed.clear()
+      if (st.us >= 0L) {
+        pend.update(PendingChange("", -1L, st.cur))
+        Iterator(DebouncedChange(key, st.state, st.us))
+      } else Iterator.empty
+    }
+  }
+
+  def debounceUpdates(events: Dataset[EventRow],
+      holdUs: Long = 1800000000L): Dataset[DebouncedChange] = {
+    implicit val outEnc = Encoders.product[DebouncedChange]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new DebounceProcessor(holdUs),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
 }

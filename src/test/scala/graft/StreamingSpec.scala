@@ -1219,6 +1219,77 @@ class StreamingSpec extends SparkSpec {
     assert(peakDay > lo && peakDay < hi)
   }
 
+  test("event-time-timer debounce emits exactly the batch-persisted " +
+      "transitions") {
+    import graft.streaming.Stateful
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u1: click flaps to view in 10 s, view persists (next change
+      // 45 min later), error persists via timer; u2: one state, one
+      // repeat — persists via timer; u3: flap ACROSS batches, then
+      // the replacement persists via timer
+      val b1 = Seq(
+        (1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 09:00:10"), 1L, "view", 1.0),
+        (4L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0),
+        (6L, ts("2024-01-01 09:00:00"), 3L, "click", 1.0))
+      val b2 = Seq(
+        (3L, ts("2024-01-01 09:45:00"), 1L, "error", 1.0),
+        (5L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+        (7L, ts("2024-01-01 09:05:00"), 3L, "view", 1.0))
+      // watermark pushes so the standing timers fire
+      val b3 = Seq((90L, ts("2024-01-01 14:00:00"), 9L, "click", 0.0))
+      val b4 = Seq((91L, ts("2024-01-01 18:00:00"), 9L, "click", 0.0))
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val q = Stateful.debounceUpdates(
+          mem.toDF()
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .withWatermark("ts", "10 seconds")
+            .as[Stateful.EventRow])
+        .writeStream.format("memory").queryName("debounced")
+        .outputMode("append").start()
+      try {
+        Seq(b1, b2, b3, b4).foreach { b =>
+          mem.addData(b: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("debounced")
+        .filter(col("user_id") < 9)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // driver replay of the batch rule: a change persists iff the
+      // next CHANGE is more than the hold later (or never comes)
+      val hold = 1800000000L
+      val all = (b1 ++ b2).filter(_._3 < 9)
+      val expected = all.groupBy(_._3).flatMap { case (u, evs) =>
+        val ordered = evs.sortBy(e => (e._2.getTime, e._1))
+        val changes = ordered.foldLeft(List.empty[(String, Long)]) {
+          case (acc, (_, t, _, tpe, _)) =>
+            val us = t.getTime * 1000L
+            if (acc.headOption.forall(_._1 != tpe)) (tpe, us) :: acc
+            else acc
+        }.reverse
+        changes.zipAll(changes.drop(1).map(Some(_)), null, None).collect {
+          case ((st, us), nxt: Option[(String, Long)] @unchecked)
+            if nxt.forall(_._2 - us > hold) => (u, st, us)
+        }
+      }.toSet
+      assert(streamed == expected,
+        s"streamed $streamed != batch-persisted $expected")
+      // both flap arms exercised: a within-batch flap and a
+      // cross-batch flap were suppressed
+      assert(!streamed.exists(c => c._1 == 1L && c._2 == "click"))
+      assert(!streamed.exists(c => c._1 == 3L && c._2 == "click"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streamed value histogram folds to the exact batch p95 panel") {
     implicit val sql = spark.sqlContext
     // heavy-tailed values across two 6h windows, tie-heavy on purpose
