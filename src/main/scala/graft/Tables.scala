@@ -88,4 +88,52 @@ object Tables {
     }
     md.digest().map("%02x".format(_)).mkString.take(8)
   }
+
+  /** WRITE-ONCE BUCKETED LAYOUT publish-or-attach (the q26/kNN-edge
+    * precedent, shared): the first consumer per (content, params,
+    * algo-version) tag pays `build` ONCE and publishes the rows as a
+    * bucketed external table; every later consumer — this session or
+    * any later JVM on the same machine — re-attaches the finished
+    * layout by DDL and pays a bucketed SCAN, with `bucketCol`-keyed
+    * consumers riding the layout without an exchange. Publication is
+    * ATOMIC: the build lands in a JVM-private staging dir and renames
+    * into place, so a concurrent JVM either sees a finished `_SUCCESS`
+    * (attaches) or loses the rename race (its staging copy is
+    * discarded, the winner's files attach) — no reader can observe a
+    * half-written layout. Callers must fold every content/parameter/
+    * version dependency into `tag`; a stale-keyed tag silently serves
+    * stale rows. */
+  def attachBucketed(spark: SparkSession, tag: String, name: String,
+      cols: String, bucketCol: String, nBuckets: Int)
+      (build: => DataFrame): DataFrame = {
+    val table = s"graft_buckets.$name"
+    val dbLoc = s"/tmp/graft_buckets_$tag"
+    if (!spark.catalog.databaseExists("graft_buckets"))
+      spark.sql(
+        s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$dbLoc'")
+    if (!spark.catalog.tableExists(table)) {
+      val finalDir = new java.io.File(s"$dbLoc/$name")
+      if (!new java.io.File(finalDir, "_SUCCESS").exists()) {
+        val stageName = s"${name}_stage_${ProcessHandle.current.pid}"
+        val stageTable = s"graft_buckets.$stageName"
+        spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+        build.write.mode("overwrite")
+          .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+          .option("path", s"$dbLoc/$stageName").saveAsTable(stageTable)
+        spark.sql(s"DROP TABLE $stageTable") // external: files remain
+        val stageDir = new java.io.File(s"$dbLoc/$stageName")
+        if (!stageDir.renameTo(finalDir)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+          }
+          rm(stageDir)
+        }
+      }
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $table ($cols)
+           |USING parquet CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+           |INTO $nBuckets BUCKETS LOCATION '$dbLoc/$name'""".stripMargin)
+    }
+    spark.table(table)
+  }
 }

@@ -1657,12 +1657,11 @@ object Dedup extends QueryModule {
     * locality guarantee means any ≥ 11-char common substring shares
     * a fingerprint, so true near-dups cannot be missed by sampling. */
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    // three consumers (posting cap, pair join ×2 sides, per-doc
-    // totals) would each re-run the gram-explode winnowing scan —
-    // localCheckpoint guarantees the corpus is fingerprinted ONCE
-    // (ReuseExchange does not dedupe across the rename boundaries)
-    val fps = graft.text.TextAnalysis.winnowedHashes(
-      Tables.documents(spark, dir)).localCheckpoint()
+    // the fingerprint postings are the persisted h-bucketed layout
+    // (TextAnalysis.winnowLayouts): the gram-explode winnowing scan is
+    // paid once per corpus ever, and the posting cap + pair self-join
+    // below ride the h-buckets without an exchange
+    val fps = graft.text.TextAnalysis.winnowedHashes(spark, dir)
     val posting = fps.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= 50)
       .select("h")
@@ -1742,13 +1741,36 @@ object Dedup extends QueryModule {
     * COUNTED, never materialized downstream, and the min/max-size
     * necessary condition prunes the candidate join exactly as the
     * production operator does. */
-  def dedupLshSweep(spark: SparkSession, dir: String): DataFrame = {
+  def dedupLshSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupLshSweep(spark, dir, sampleGate = 1)
+
+  /** `sampleGate` is the EXECUTABLE sample mode a production sweep
+    * runs with: k > 1 hash-gates the corpus to ~1/k of DOCS (one
+    * deterministic xxhash64 test per doc, applied BEFORE tokenization
+    * or signature build, so the whole pipeline — not just the join —
+    * costs the sample, not the corpus). Sampling docs thins candidate
+    * and near-dup PAIRS by the same ~1/k² factor, so the per-config
+    * YIELD ratio — the number the tuning decision reads — is
+    * sampling-invariant (ScaleSpec pins full-vs-sampled yields at
+    * sf0.1); absolute counts are NOT invariant, which is exactly why
+    * the full mode stays the driver-verified default. At a growing
+    * corpus, grow the gate proportionally and the sweep's cost stays
+    * CONSTANT — the S-curve is a property of the duplicate structure,
+    * not of the corpus size. */
+  def dedupLshSweep(spark: SparkSession, dir: String, sampleGate: Int)
+      : DataFrame = {
     graft.expr.VectorExprs.register(spark)
+    require(sampleGate >= 1, "sampleGate k keeps ~1/k of docs; k >= 1")
+    val corpus = {
+      val d = Tables.documents(spark, dir)
+      if (sampleGate == 1) d
+      else d.filter(pmod(xxhash64(col("doc_id")), lit(sampleGate)) === 0)
+    }
     // sig = seed*31 + min  (MinHashBands with rows-per-band = 1): an
     // affine bijection of the min, inverted here so the raw minima
     // feed every banding below
     val C = 1125899906842597L * 31L
-    val sets = tokens(Tables.documents(spark, dir)).groupBy("doc_id")
+    val sets = tokens(corpus).groupBy("doc_id")
       .agg(sort_array(collect_set(tokHash(col("w")))).as("hs"))
       .withColumn("n", size(col("hs")))
     // Each permutation minimum is provably < 2³² (xor of two 32-bit
@@ -1962,15 +1984,24 @@ object Dedup extends QueryModule {
     * rank grams by (df, hash) → candidates from the equi-join on
     * exploded prefix postings. No false negatives: any total order
     * satisfies the prefix lemma, the codegen merge-intersection
-    * verifies every candidate, and the i·5 ≥ (n₁+n₂−i)·4 gate is the
-    * exact j ≥ 0.8 test with no float. */
-  def charJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * verifies every candidate, and the i·den ≥ (n₁+n₂−i)·num gate is
+    * the exact j ≥ num/den test with no float — the threshold is a
+    * RATIONAL so every size/prefix/verify bound stays integer-exact
+    * at any setting, not just the 0.8 default.
+    *
+    * Shingling is by Unicode CODE POINT (`(?s).` matches one code
+    * point, surrogate pairs never split), matching the oracle's
+    * code-point `substr` — emoji / supplementary-plane CJK shingle
+    * identically on both engines. */
+  def charJaccard(docs: DataFrame, tNum: Int = 4, tDen: Int = 5)
+      : DataFrame = {
     graft.expr.VectorExprs.register(docs.sparkSession)
-    require(threshold == 0.8, "prefix arithmetic below is t=0.8 exact")
+    require(tNum > 0 && tNum < tDen, "threshold num/den must be in (0,1)")
     val sets = docs
       .select(col("doc_id"), col("lang"),
         sort_array(array_distinct(expr(
-          "transform(graft_ngrams(split(text, ''), 4), x -> xxhash64(x))")))
+          "transform(graft_ngrams(regexp_extract_all(text, '(?s).', 0), 4)," +
+            " x -> xxhash64(x))")))
           .as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
@@ -1978,12 +2009,14 @@ object Dedup extends QueryModule {
     val grams = sets.select(col("doc_id"), col("lang"), col("n"),
       explode(col("hs")).as("gh"))
     val df = grams.groupBy("gh").agg(count(lit(1)).as("_df"))
-    // prefix length n − ⌈0.8n⌉ + 1, with ⌈0.8n⌉ = (4n+4) div 5 exact;
-    // rank grams inside each doc by the global (df, hash) order
+    // prefix length n − ⌈t·n⌉ + 1, with ⌈t·n⌉ = (num·n + den − 1) div den
+    // exact for any rational t; rank grams inside each doc by the
+    // global (df, hash) order
     val prefix = grams.join(df, "gh")
       .withColumn("_rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("_df", "gh")))
-      .filter(col("_rk") <= expr("n - ((n * 4 + 4) div 5) + 1"))
+      .filter(col("_rk") <=
+        expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
       .select(col("doc_id"), col("lang"), col("n"), col("gh").as("ph"))
     val a = prefix.select(col("doc_id").as("d1"), col("lang"),
       col("n").as("n1"), col("ph"))
@@ -1992,8 +2025,8 @@ object Dedup extends QueryModule {
     val cand = a.join(probeSide(b),
         col("ph") === col("ph2") && col("lang") === col("lang2") &&
           col("d1") < col("d2") &&
-          least(col("n1"), col("n2")) * 5 >=
-            greatest(col("n1"), col("n2")) * 4)
+          least(col("n1"), col("n2")) * tDen >=
+            greatest(col("n1"), col("n2")) * tNum)
       .select(col("d1"), col("d2")).distinct()
     cand
       .join(sets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
@@ -2003,7 +2036,7 @@ object Dedup extends QueryModule {
       .select(col("d1"), col("d2"), col("n1"), col("n2"),
         call_function(graft.expr.VectorExprs.intersectName,
           col("hs1"), col("hs2")).as("i"))
-      .filter(col("i") * 5 >= (col("n1") + col("n2") - col("i")) * 4)
+      .filter(col("i") * tDen >= (col("n1") + col("n2") - col("i")) * tNum)
       .select(col("d1"), col("d2"),
         expr("i * 1000 div (n1 + n2 - i)").as("j_pm"))
       .orderBy("d1", "d2")
@@ -2084,7 +2117,8 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_char_jaccard" -> (dedupCharJaccard _),
     "dedup_cluster_medoid" -> (dedupClusterMedoid _),
-    "dedup_lsh_sweep" -> (dedupLshSweep _),
+    "dedup_lsh_sweep" ->
+      ((s: SparkSession, d: String) => dedupLshSweep(s, d)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_bloom" -> (dedupBloom _),

@@ -328,29 +328,27 @@ object Knn extends QueryModule {
     * 100 TB this is the difference between every graph query paying
     * the IVF probe pass and the pass being a once-per-corpus
     * artifact. */
+  /** Algorithm version folded into the layout tag: bump whenever the
+    * candidate-generation semantics of [[centroidKnn]] (or the edge
+    * schema) change, so a cross-JVM artifact built by OLDER code can
+    * never silently re-attach under newer semantics. */
+  private val edgeAlgoVersion = "a1"
+  private val edgeK = 5
+  private val edgeNProbe = 3
+
   def directedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val tag = Tables.layoutTag(dir)
-    val name = s"knn_edges_$tag"
-    val table = s"graft_buckets.$name"
-    val dbLoc = s"/tmp/graft_buckets_$tag"
-    if (!spark.catalog.databaseExists("graft_buckets"))
-      spark.sql(
-        s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$dbLoc'")
-    if (!spark.catalog.tableExists(table)) {
-      if (new java.io.File(s"$dbLoc/$name/_SUCCESS").exists())
-        spark.sql(
-          s"""CREATE TABLE $table (qid BIGINT, rank INT, nid BIGINT)
-             |USING parquet CLUSTERED BY (qid) SORTED BY (qid)
-             |INTO 8 BUCKETS LOCATION '$dbLoc/$name'""".stripMargin)
-      else {
-        VectorExprs.register(spark)
-        val emb = Tables.embeddings(spark, dir)
-        centroidKnn(emb, emb, 5).write.mode("overwrite")
-          .bucketBy(8, "qid").sortBy("qid")
-          .option("path", s"$dbLoc/$name").saveAsTable(table)
-      }
+    // The layout key must pin EVERYTHING the artifact's content depends
+    // on: source bytes (layoutTag) + operator parameters + algorithm
+    // version. A key missing any of these re-attaches a stale artifact
+    // after a parameter/code change — corrupting every graph consumer.
+    val tag =
+      s"${Tables.layoutTag(dir)}_k${edgeK}p${edgeNProbe}_$edgeAlgoVersion"
+    Tables.attachBucketed(spark, tag, s"knn_edges_$tag",
+        "qid BIGINT, rank INT, nid BIGINT", "qid", 8) {
+      VectorExprs.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      centroidKnn(emb, emb, edgeK, edgeNProbe)
     }
-    spark.table(table)
   }
 
   def mutualEdges(spark: SparkSession, dir: String): DataFrame =

@@ -1410,8 +1410,13 @@ object SourceQueries extends QueryModule {
   def srcParquetFooter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = stagingDir(spark, "graft-footer")
+    // repartition ON the partition value first: one file per part value
+    // regardless of how many tasks the upstream scan used — without it
+    // the writer emits (upstream tasks × part values) files and the
+    // n_files pin breaks on any parallelism/SF change.
     Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
       .withColumn("part", pmod(col("l_orderkey"), lit(4)))
+      .repartition(4, col("part"))
       .write.mode("overwrite").partitionBy("part").parquet(tmp)
     val files = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -1463,47 +1468,71 @@ object SourceQueries extends QueryModule {
       |FROM lineitem""".stripMargin
 
   // ------------------------------------------------ src_line_index
-  /** SEEKABLE LINE-OFFSET INDEX over a text shard — the random-access
-    * primitive a data-serving layer builds once per shard so a
-    * trainer can fetch record k without scanning k−1 predecessors:
-    * offsets are the exclusive prefix sum of (line length + 1), and
-    * the audit PROVES the index by actually SEEKING — a deterministic
-    * probe set re-reads its lines through RandomAccessFile at the
-    * indexed offsets and byte-compares against the source rows. The
-    * prefix-sum window is per-SHARD by construction (one output file
-    * here; a fleet indexes each shard independently), and probing is
-    * one file handle per task. The oracle never sees the file: a
-    * hash match means offset arithmetic ≡ physical bytes. */
+  /** SEEKABLE LINE-OFFSET INDEX over a MULTI-SHARD text corpus — the
+    * random-access primitive a data-serving layer builds once per
+    * shard so a trainer can fetch record k without scanning k−1
+    * predecessors. The corpus is staged with its natural multi-file
+    * partitioning (4 shards here; any number at scale), each shard
+    * internally sorted — a plain `.text` write after
+    * `repartition + sortWithinPartitions`, which no writer-side
+    * re-sort can disturb. The index is then built FROM the staged
+    * files themselves: `input_file_name()` supplies the shard
+    * identity, and offsets are the exclusive prefix sum of
+    * (line octet length + 1) in a window PARTITIONED BY FILE — every
+    * shard's prefix sum is an independent partition, so the plan has
+    * no unpartitioned window and no single-task stage at any shard
+    * count. The audit PROVES the index by actually SEEKING: a
+    * deterministic probe set re-reads its lines through a per-(task,
+    * file) RandomAccessFile cache at the indexed offsets and
+    * byte-compares. Offsets are OCTET lengths (byte seeks); the
+    * line content is ASCII by construction, which is what makes the
+    * char-counting DuckDB oracle equivalent — non-ASCII corpora are
+    * covered because the Spark side already counts bytes. The oracle
+    * never sees the files: a hash match means offset arithmetic ≡
+    * physical bytes. */
   def srcLineIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val lines = Tables.orders(spark, dir)
+    val nShards = 4
+    val tmp = stagingDir(spark, "graft-lineidx")
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"),
         concat(col("o_orderkey"), lit("|"), col("o_orderstatus"),
           lit("|"), col("o_orderpriority")).as("line"))
-      .coalesce(1).sortWithinPartitions("o_orderkey")
-      .localCheckpoint()
-    val tmp = stagingDir(spark, "graft-lineidx")
-    lines.select("line").write.mode("overwrite").text(tmp)
-    val file = new java.io.File(tmp).listFiles()
-      .filter(_.getName.startsWith("part-")).head.getAbsolutePath
-    val idx = lines
-      .withColumn("len", length(col("line")).cast("long"))
-      .withColumn("off", coalesce(
-        sum(col("len") + 1).over(Window.orderBy("o_orderkey")
+      .repartition(nShards, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .select("line")
+      .write.mode("overwrite").text(tmp)
+    // rebuild the index from the staged corpus: shard = physical file,
+    // in-file order recovered from the key each line carries (shards
+    // were written key-sorted, so orderBy(key) ≡ physical line order)
+    val staged = spark.read.text(tmp)
+      .select(input_file_name().as("shard"), col("value").as("line"))
+      .withColumn("o_orderkey",
+        split(col("line"), "\\|").getItem(0).cast("long"))
+      .withColumn("len", octet_length(col("line")).cast("long"))
+    val idx = staged.withColumn("off", coalesce(
+      sum(col("len") + 1).over(
+        Window.partitionBy("shard").orderBy("o_orderkey")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val probeOk = idx
       .filter(pmod(col("o_orderkey"), lit(150L)) === 0)
-      .select(col("off"), col("len"), col("line"))
-      .as[(Long, Long, String)]
+      .select(col("shard"), col("off"), col("len"), col("line"))
+      .as[(String, Long, Long, String)]
       .mapPartitions { it =>
-        val raf = new java.io.RandomAccessFile(file, "r")
-        val out = try it.map { case (off, len, line) =>
+        // one handle per file per task, opened lazily: a task may probe
+        // several shards, a shard is never opened twice in a task
+        val handles =
+          scala.collection.mutable.Map.empty[String, java.io.RandomAccessFile]
+        val out = try it.map { case (shard, off, len, line) =>
+          val path = new java.net.URI(shard).getPath
+          val raf = handles.getOrElseUpdate(path,
+            new java.io.RandomAccessFile(path, "r"))
           raf.seek(off)
           val buf = new Array[Byte](len.toInt)
           raf.readFully(buf)
           if (new String(buf, "UTF-8") == line) 1L else 0L
-        }.toList finally raf.close()
+        }.toList finally handles.values.foreach(_.close())
         out.iterator
       }.toDF("ok")
     idx.agg(count(lit(1)).as("n_lines"),

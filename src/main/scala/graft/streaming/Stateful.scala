@@ -78,7 +78,10 @@ object Stateful {
       .flatMapGroupsWithState[Scd2Open, Scd2Closed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[ChangeRow], state: GroupState[Scd2Open]) =>
-          val ordered = rows.toSeq.sortBy(c => (c.ts.getTime, c.event_id))
+          // order by TRUE event time (micros) — ms-truncated getTime
+          // would tie same-millisecond events and fall back to
+          // event_id, diverging from the batch frame's micros order
+          val ordered = rows.toSeq.sortBy(c => (eventMicros(c.ts), c.event_id))
           var open = state.getOption.filter(_.stillOpen)
           val out = Seq.newBuilder[Scd2Closed]
           ordered.foreach { c =>
@@ -439,15 +442,21 @@ object Stateful {
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
         timerValues: TimerValues): Iterator[ClosedSession] = {
       var n = if (count.exists()) count.get() else 0L
+      // track TRUE event time (micros): ms-truncated getTime would let
+      // a same-millisecond pair pick its "last" event arbitrarily
       var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
       rows.foreach { e =>
         n += 1
-        if (e.ts.getTime > last) last = e.ts.getTime
+        val us = eventMicros(e.ts)
+        if (us > last) last = us
       }
-      // one live timer per key: disarm the stale one before re-arming
+      // one live timer per key: disarm the stale one before re-arming;
+      // timers are ms-domain, so round the micros expiry UP — the gap
+      // must have TRULY elapsed before the session closes
       if (armed.exists()) getHandle.deleteTimer(armed.get())
-      getHandle.registerTimer(last + gapMs)
-      armed.update(last + gapMs)
+      val fireMs = last / 1000L + gapMs + 1L
+      getHandle.registerTimer(fireMs)
+      armed.update(fireMs)
       count.update(n)
       lastTs.update(last)
       Iterator.empty
@@ -455,7 +464,7 @@ object Stateful {
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      val out = ClosedSession(key, count.get(), lastTs.get())
+      val out = ClosedSession(key, count.get(), lastTs.get() / 1000L)
       count.clear(); lastTs.clear(); armed.clear()
       Iterator(out)
     }
@@ -530,12 +539,18 @@ object Stateful {
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[DebouncedChange] = {
+      // SELF-EVICTION: with TTLConfig.NONE the timer is the ONLY bound
+      // on idle-key state, so expiry must clear EVERYTHING — a key
+      // whose hold elapsed holds zero bytes until it speaks again. The
+      // next event for an evicted key is then a fresh first change
+      // (batch lag-NULL semantics: a first observed state has no
+      // predecessor and is itself a pending change) — the horizon
+      // caveat is that an evicted key re-entering with the SAME state
+      // re-announces it, which a full-history batch replay would not.
       val st = if (pend.exists()) pend.get() else PendingChange("", -1L, "")
-      armed.clear()
-      if (st.us >= 0L) {
-        pend.update(PendingChange("", -1L, st.cur))
-        Iterator(DebouncedChange(key, st.state, st.us))
-      } else Iterator.empty
+      pend.clear(); armed.clear()
+      if (st.us >= 0L) Iterator(DebouncedChange(key, st.state, st.us))
+      else Iterator.empty
     }
   }
 

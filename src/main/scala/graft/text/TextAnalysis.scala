@@ -1430,12 +1430,10 @@ object TextAnalysis extends QueryModule {
     * the 2²⁰ packing (1M chars/doc — bigger docs shift the split).
     * Per doc: windows seen, fingerprints kept, distinct hashes, and
     * the kept-density in per-mille (theory: ~400‰ at w=4). */
-  /** Distinct winnowed fingerprint HASHES per doc — the (doc_id, h)
-    * frame [[txtWinnowing]]'s per-doc audit summarizes and the
-    * winnowing-based near-dup pair generator
-    * ([[graft.dedup.Dedup]]'s `dedup_winnow_pairs`) joins on. Same
-    * k=8 / w=4 / packed-min construction. */
-  private[graft] def winnowedHashes(docs: DataFrame): DataFrame = {
+  /** Per-window winnowing SELECTIONS (doc_id, sel) for pos ≥ w — the
+    * one corpus gram pass (explode → portable hash → packed window
+    * min) both winnowing consumers derive from. */
+  private def winnowSelections(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8
     val w = 4
@@ -1456,38 +1454,58 @@ object TextAnalysis extends QueryModule {
     grams
       .withColumn("sel", min(col("key")).over(win))
       .filter(col("pos") >= w)
-      .select(col("doc_id"), expr("sel div 1048576").as("h"))
-      .distinct()
+      .select(col("doc_id"), col("sel"))
   }
 
-  def txtWinnowing(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = 8
-    val w = 4
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), norm.as("norm"))
-      .filter(length(col("norm")) >= k + w - 1)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(1, length(norm) - ${k - 1})")).as("pos"),
-        col("norm"))
-      .select(col("doc_id"), col("pos"),
-        graft.mask.MaskFunctions.portableHash(
-          expr(s"substring(norm, pos, $k)")).as("h"))
-      .select(col("doc_id"), col("pos"),
-        (col("h") * 1048576L + (lit(1048575L) - col("pos"))).as("key"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(w - 1), 0)
-    grams
-      .withColumn("sel", min(col("key")).over(win))
-      .filter(col("pos") >= w)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        countDistinct(col("sel")).as("n_fps"),
-        countDistinct(expr("sel div 1048576")).as("n_hashes"))
+  /** Bump when the winnowing construction (k, w, hash, packing)
+    * changes — stale cross-JVM layouts must never re-attach. */
+  private val winnowAlgoVersion = "a1"
+
+  /** WRITE-ONCE WINNOWING LAYOUTS (the kNN-edge precedent): the corpus
+    * fingerprint pass is a capital cost, not a per-query cost — the
+    * first consumer per source layout pays ONE gram pass
+    * (localCheckpoint-shared across both products) and publishes
+    *  (a) `winnow_fps`   (doc_id, h) distinct postings, bucketed on h
+    *      — [[graft.dedup.Dedup]]'s pair join and posting cap ride the
+    *      h-buckets with no exchange;
+    *  (b) `winnow_stats` per-doc (n_windows, n_fps, n_hashes), bucketed
+    *      on doc_id — [[txtWinnowing]]'s whole answer.
+    * Later consumers (any JVM, same machine) re-attach by DDL and pay
+    * a bucketed scan. Returns (fps, stats). */
+  private[graft] def winnowLayouts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val tag = s"${Tables.layoutTag(dir)}_k8w4_$winnowAlgoVersion"
+    // lazy: computed (and checkpointed) only if at least one table
+    // actually needs building — and then shared by both builds
+    lazy val sel =
+      winnowSelections(Tables.documents(spark, dir)).localCheckpoint()
+    val fps = Tables.attachBucketed(spark, tag, s"winnow_fps_$tag",
+        "doc_id BIGINT, h BIGINT", "h", 8) {
+      sel.select(col("doc_id"), expr("sel div 1048576").as("h")).distinct()
+    }
+    val stats = Tables.attachBucketed(spark, tag, s"winnow_stats_$tag",
+        "doc_id BIGINT, n_windows BIGINT, n_fps BIGINT, n_hashes BIGINT",
+        "doc_id", 8) {
+      sel.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("sel")).as("n_fps"),
+          countDistinct(expr("sel div 1048576")).as("n_hashes"))
+    }
+    (fps, stats)
+  }
+
+  /** Distinct winnowed fingerprint HASHES per doc — the (doc_id, h)
+    * postings [[txtWinnowing]]'s per-doc audit summarizes and the
+    * winnowing-based near-dup pair generator
+    * ([[graft.dedup.Dedup]]'s `dedup_winnow_pairs`) joins on. Served
+    * from the persisted bucketed layout. */
+  private[graft] def winnowedHashes(spark: SparkSession, dir: String)
+      : DataFrame = winnowLayouts(spark, dir)._1
+
+  def txtWinnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowLayouts(spark, dir)._2
       .withColumn("density_pm", expr("n_fps * 1000 div n_windows"))
       .orderBy("doc_id")
-  }
 
   val txtWinnowingSql: String =
     """WITH d AS (

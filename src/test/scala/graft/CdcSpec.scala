@@ -65,6 +65,37 @@ class CdcSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming SCD2 orders same-millisecond events by true micros, " +
+      "not event_id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.ChangeRow
+    implicit val sqlCtx = spark.sqlContext
+    // two updates in the SAME millisecond whose micros order is the
+    // REVERSE of event_id order: event 2 happens first (at .000250),
+    // event 1 second (at .000750). An id-tiebreak after ms truncation
+    // would close them backwards.
+    def microTs(ms: Long, us: Int): Timestamp = {
+      val t = new Timestamp(ms); t.setNanos(us * 1000); t
+    }
+    val base = Timestamp.valueOf("2024-01-01 09:00:00").getTime
+    val rows = Seq(
+      ChangeRow(10L, new Timestamp(base), 7L, 1.0, "c"),
+      ChangeRow(2L, microTs(base + 1000, 250), 7L, 2.0, "u"),
+      ChangeRow(1L, microTs(base + 1000, 750), 7L, 3.0, "u"))
+    val mem = MemoryStream[ChangeRow]
+    val q = Stateful.scd2Closed(mem.toDS()).writeStream
+      .format("memory").queryName("scd2micros").outputMode("append").start()
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val closed = spark.table("scd2micros")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // true time order: 10 closed by 2, 2 closed by 1; 1 stays open —
+    // so the CLOSED set is {10, 2}, never {10, 1}
+    assert(closed == Set((10L, 1.0), (2L, 2.0)),
+      s"same-ms events closed in id order, not micros order: $closed")
+  }
+
   test("envelope round-trip preserves op, source, and row payload") {
     val df = Seq((1L, "alice", "c"), (2L, "bob", "u"), (3L, "eve", "d"))
       .toDF("id", "name", "op")

@@ -393,4 +393,69 @@ class PlanSpec extends SparkSpec {
       s"interarrival has an unpartitioned window:" +
         s"\n${iaBare.mkString("\n")}")
   }
+
+  test("src_line_index is multi-shard: partitioned prefix-sum over >=4 " +
+      "staged files, no single-task stage") {
+    import org.apache.spark.sql.execution.{CoalesceExec, FileSourceScanExec,
+      SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val df = graft.sources.SourceQueries.srcLineIndex(spark, sfDir)
+    val row = df.collect().head
+    // every probe's byte-compare must succeed
+    assert(row.getAs[Long]("n_probed") > 0 &&
+      row.getAs[Long]("n_probe_ok") == row.getAs[Long]("n_probed"))
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // the offset prefix sum must be per-shard — never a corpus window
+    val bare = nodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty,
+      s"line index has an unpartitioned window:\n${bare.mkString("\n")}")
+    // no single-task funnel anywhere in the read path
+    val funnel = nodes.collect {
+      case c: CoalesceExec if c.numPartitions == 1 => c
+    }
+    assert(funnel.isEmpty, "line index coalesces to one task")
+    // the staged corpus is genuinely multi-file (>=4 shards)
+    val staged = nodes.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.inputFiles.exists(
+            _.contains("graft-lineidx")) =>
+        s.relation.location.inputFiles.length
+    }
+    assert(staged.nonEmpty && staged.forall(_ >= 4),
+      s"expected >=4 staged shard files, saw $staged")
+  }
+
+  test("winnowing consumers ride the persisted bucketed layout: warm " +
+      "path is a catalog scan, never the corpus gram pass") {
+    // first consumer builds (or attaches) the layout
+    graft.text.TextAnalysis.txtWinnowing(spark, sfDir).collect()
+    // warm consumer: the whole fingerprint machinery must be absent
+    val warm = graft.dedup.Dedup.dedupWinnowPairs(spark, sfDir)
+    warm.collect()
+    val plan = warm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("winnow_fps"),
+      s"warm pairs plan does not read the postings layout:\n" +
+        plan.take(2000))
+    assert(!plan.contains("documents") && !plan.contains("explode"),
+      s"warm pairs plan still runs the corpus gram pass:\n" +
+        plan.take(2000))
+    // and txt_winnowing's whole answer is the per-doc stats layout
+    val tw = graft.text.TextAnalysis.txtWinnowing(spark, sfDir)
+    tw.collect()
+    val twPlan = tw.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(twPlan.contains("winnow_stats") &&
+      !twPlan.contains("documents"),
+      s"txt_winnowing must be a stats-layout scan:\n${twPlan.take(2000)}")
+  }
 }

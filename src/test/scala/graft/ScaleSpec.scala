@@ -246,4 +246,31 @@ class ScaleSpec extends SparkSpec {
       f"weighted draw not biased to heavy docs: " +
         f"sample mean $meanSample%.1f vs corpus $meanCorpus%.1f")
   }
+
+  test("LSH sweep sample mode: the S-curve is sampling-invariant " +
+      "(sf0.1, gate=2)") {
+    // the production contract behind `sampleGate`: the tuning table's
+    // YIELD column — the number the banding decision reads — must
+    // survive hash-sampling the corpus, while the candidate COUNT
+    // (the cost column) genuinely shrinks ~k²-fold. Run both modes on
+    // the big fixture: same configs, close yields, far fewer pairs.
+    val dir = "/root/testdata/sf0.1"
+    def sweep(gate: Int): Map[Long, (Long, Long, Long)] =
+      graft.dedup.Dedup.dedupLshSweep(spark, dir, gate).collect()
+        .map(r => r.getAs[Long]("bands") ->
+          ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_est_dup"),
+            r.getAs[Long]("yield_pm")))).toMap
+    val full = sweep(1)
+    val sampled = sweep(2)
+    assert(sampled.keySet == full.keySet,
+      s"sampled sweep lost configs: ${full.keySet} vs ${sampled.keySet}")
+    full.foreach { case (bands, (cand, _, y)) =>
+      val (sc, _, sy) = sampled(bands)
+      assert(sc * 2 < cand,
+        s"bands=$bands: sampling did not thin the join ($sc vs $cand)")
+      assert(math.abs(sy - y) <= 120,
+        s"bands=$bands: S-curve moved under sampling — " +
+          s"yield ${y}‰ full vs ${sy}‰ sampled")
+    }
+  }
 }
