@@ -1059,8 +1059,8 @@ object EventStreams extends QueryModule {
     * [[activeUsers]]' coverage-interval counts — the corpus-linear
     * pass is shared; this adds only |days|-frame arithmetic and a
     * 7-row window on the spine. */
-  def strStickiness(spark: SparkSession, dir: String): DataFrame = {
-    val au = activeUsers(Tables.events(spark, dir))
+  def stickiness(events: DataFrame): DataFrame = {
+    val au = activeUsers(events)
     au.select(col("day"), col("dau"), col("mau"),
         when(col("mau") > 0, expr("dau * 1000 div mau")).otherwise(0L)
           .as("stickiness_pm"))
@@ -1069,6 +1069,9 @@ object EventStreams extends QueryModule {
           .rowsBetween(-6, 0)))
       .orderBy("day")
   }
+
+  def strStickiness(spark: SparkSession, dir: String): DataFrame =
+    stickiness(Tables.events(spark, dir))
 
   val strStickinessSql: String =
     """WITH ud AS (

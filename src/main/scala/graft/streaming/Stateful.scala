@@ -347,6 +347,47 @@ object Stateful {
       }
   }
 
+  /** STICKINESS panel as a PURE function of [[activeUserDeltas]]'
+    * emitted deltas — the streaming form of
+    * [[EventStreams.stickiness]]: the stream maintains only the
+    * additive (w, day) coverage-delta state; per trigger this
+    * |days|-sized fold (two prefix sums over the day spine, exact
+    * per-mille ratio, a 7-row peak window) reproduces the exact batch
+    * panel. The spine is recovered from the w=1 deltas themselves
+    * (min start day .. max end-marker − 1 ≡ the active-day range), so
+    * no second corpus pass exists anywhere. */
+  def stickinessFromDeltas(deltas: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val byDay = deltas.filter(col("w").isin(1, 30))
+      .groupBy("w", "day").agg(sum(col("delta")).as("d"))
+      .localCheckpoint() // tiny (|days|-bounded); read by three frames
+    val spine = byDay.filter(col("w") === 1)
+      .agg(min(col("day")).as("_d0"), (max(col("day")) - 1).as("_d1"))
+      .select(explode(expr("sequence(_d0, _d1)")).as("day"))
+    // bounded prefix sums: the non-foldable constant key keeps the
+    // window partitioned (the repo-wide convention for |days| frames)
+    def counts(w: Int, name: String) = {
+      val sweep = byDay.filter(col("w") === w)
+        .select(col("day").as("_sd"), col("d"))
+      spine.join(sweep, col("_sd") === col("day"), "left")
+        .select(col("day"), coalesce(col("d"), lit(0L)).as("_dd"))
+        .withColumn(name, sum(col("_dd")).over(
+          Window.partitionBy(pmod(col("day"), lit(1L))).orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day"), col(name))
+    }
+    counts(1, "dau").join(counts(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("mau"),
+        when(col("mau") > 0, expr("dau * 1000 div mau")).otherwise(0L)
+          .as("stickiness_pm"))
+      .withColumn("peak7_pm", max(col("stickiness_pm")).over(
+        Window.partitionBy(pmod(col("day"), lit(1L))).orderBy("day")
+          .rowsBetween(-6, 0)))
+      .orderBy("day")
+  }
+
   /** Streaming per-day event counts — the only corpus-sized pass
     * behind [[EventStreams.changePoints]]' CUSUM panel, maintained
     * incrementally (update-mode keyed sum; state is bounded by the

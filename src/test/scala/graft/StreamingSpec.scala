@@ -1159,6 +1159,47 @@ class StreamingSpec extends SparkSpec {
       s"bridged island must not keep interior starts: $w1")
   }
 
+  test("streamed coverage deltas fold to the exact batch stickiness " +
+      "per-mille panel") {
+    implicit val sql = spark.sqlContext
+    // activity shaped so dau/mau actually varies: a burst, a quiet
+    // stretch inside the 30-day window, and a second cohort joining
+    // late — split across three micro-batches with a duplicate resend
+    def at(day: Int) = ts(f"2024-02-${day}%02d 11:00:00")
+    val b1 = (1 to 5).map(d => (d.toLong, at(d), 1L, "click", 1.0)) ++
+      Seq((10L, at(1), 2L, "view", 1.0))
+    val b2 = Seq((11L, at(12), 2L, "view", 1.0),
+      (12L, at(3), 1L, "click", 1.0), // duplicate day: no-op
+      (13L, at(20), 3L, "click", 1.0))
+    val b3 = Seq((14L, at(21), 3L, "click", 1.0),
+      (15L, at(25), 1L, "click", 1.0))
+    val all = b1 ++ b2 ++ b3
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.activeUserDeltas(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("stick_deltas")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = graft.streaming.Stateful.stickinessFromDeltas(
+        spark.table("stick_deltas"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = EventStreams.stickiness(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == batch,
+      s"folded stickiness panel\n$streamed\n!= batch\n$batch")
+    // the fixture is non-degenerate: the ratio moves and mau > dau
+    assert(batch.map(_._4).distinct.size > 2)
+    assert(batch.exists(r => r._3 > r._2))
+  }
+
   test("streamed day counts fold to the exact batch CUSUM " +
       "change-point panel") {
     implicit val sql = spark.sqlContext
