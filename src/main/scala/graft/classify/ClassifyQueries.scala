@@ -1796,7 +1796,121 @@ object ClassifyQueries extends QueryModule {
       |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
       |ORDER BY x, y""".stripMargin
 
+  // -------------------------------------------------- cls_jsd_drift
+  /** WHOLE-BIT JENSEN–SHANNON drift panel between the two halves of
+    * the shipment timeline — the bounded, symmetric companion to
+    * [[clsPsiDrift]] (PSI blows up on empty reference buckets; JSD's
+    * mixture denominator never does): quantity is bucketed on the
+    * FIXED 5-unit grid, the timeline splits at its own midpoint, and
+    * each bucket reports the pointwise ⌊log₂⌋ ratios against the
+    * mixture via the [[clsMutualInfo]] bin-length identity —
+    * p/m = 2aC/(aC+bR) and q/m = 2bR/(aC+bR) are ratios of PURE
+    * INTEGER products, so both engines compute identical whole-bit
+    * values with no libm. One corpus scan → |buckets| hash-agg; the
+    * totals reaggregate the bucket frame (AQE reuses its exchange).
+    * int64 bound: a·C ≤ n² caps at n ≈ 3·10⁹ rows; past that the
+    * products widen to DECIMAL(38,0) on both engines unchanged. */
+  def clsJsdDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("_d",
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01")))
+    val bounds = li.agg(min(col("_d")).as("dmin"), max(col("_d")).as("dmax"))
+    val cells = li.crossJoin(broadcast(bounds))
+      .withColumn("_cur", col("_d") * 2 > col("dmin") + col("dmax"))
+      .groupBy(floor((col("l_quantity") - 1) / 5).cast("long")
+        .as("bucket"))
+      .agg(sum(when(col("_cur"), 0L).otherwise(1L)).as("a"),
+        sum(when(col("_cur"), 1L).otherwise(0L)).as("b"))
+    val totals = cells.agg(sum(col("a")).as("r"), sum(col("b")).as("c"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("a").as("n_ref"), col("b").as("n_cur"),
+        when(col("a") > 0,
+          length(expr("bin(2 * a * c)")) -
+            length(expr("bin(a * c + b * r)")))
+          .otherwise(0L).cast("long").as("ref_bits"),
+        when(col("b") > 0,
+          length(expr("bin(2 * b * r)")) -
+            length(expr("bin(a * c + b * r)")))
+          .otherwise(0L).cast("long").as("cur_bits"))
+      .withColumn("jsd_contrib",
+        col("n_ref") * col("ref_bits") + col("n_cur") * col("cur_bits"))
+      .orderBy("bucket")
+  }
+
+  val clsJsdDriftSql: String =
+    """WITH li AS (
+      |  SELECT CAST(FLOOR((l_quantity - 1) / 5) AS BIGINT) AS bucket,
+      |    DATEDIFF('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS d
+      |  FROM lineitem),
+      |bn AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM li),
+      |cells AS (
+      |  SELECT bucket,
+      |    SUM(CASE WHEN d * 2 > dmin + dmax THEN 0 ELSE 1 END) AS a,
+      |    SUM(CASE WHEN d * 2 > dmin + dmax THEN 1 ELSE 0 END) AS b
+      |  FROM li, bn GROUP BY bucket),
+      |t AS (SELECT SUM(a) AS r, SUM(b) AS c FROM cells)
+      |SELECT bucket, CAST(a AS BIGINT) AS n_ref, CAST(b AS BIGINT) AS n_cur,
+      |  CAST(CASE WHEN a > 0 THEN length(bin(2 * a * c)) -
+      |    length(bin(a * c + b * r)) ELSE 0 END AS BIGINT) AS ref_bits,
+      |  CAST(CASE WHEN b > 0 THEN length(bin(2 * b * r)) -
+      |    length(bin(a * c + b * r)) ELSE 0 END AS BIGINT) AS cur_bits,
+      |  CAST(a * (CASE WHEN a > 0 THEN length(bin(2 * a * c)) -
+      |      length(bin(a * c + b * r)) ELSE 0 END) +
+      |    b * (CASE WHEN b > 0 THEN length(bin(2 * b * r)) -
+      |      length(bin(a * c + b * r)) ELSE 0 END) AS BIGINT)
+      |    AS jsd_contrib
+      |FROM cells, t ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------- cls_hhi_concentration
+  /** HERFINDAHL–HIRSCHMAN concentration per categorical column — the
+    * imbalance profiler beside [[clsGini]] (HHI is the market-
+    * concentration form: Σ share², 1/HHI = effective number of
+    * categories — the signal that decides whether a column is a
+    * usable partition/stratification key or one hot value dominates):
+    * per column exact n, k distinct, Σc² as integers, HHI in
+    * per-mille by integer division, and the effective-category count
+    * in milli-units (1000·n²/Σc²). One hash-agg per (col, value) —
+    * map-side combining bounds the shuffle by the value domain —
+    * then a |values|-frame rollup. int64 bound: Σc²·1000 ≤ 1000·n²
+    * caps at n ≈ 3·10⁶ rows per column (sf1-proven); past that the
+    * scaled products widen to DECIMAL(38,0) on both engines. */
+  def clsHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val melted =
+      ord.select(lit("o_orderstatus").as("col"),
+          col("o_orderstatus").as("v"))
+        .unionAll(ord.select(lit("o_orderpriority").as("col"),
+          col("o_orderpriority").as("v")))
+        .unionAll(cust.select(lit("c_mktsegment").as("col"),
+          col("c_mktsegment").as("v")))
+    melted.groupBy("col", "v").agg(count(lit(1)).as("c"))
+      .groupBy("col")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("col"), col("n"), col("k"), col("sum_c2"),
+        expr("sum_c2 * 1000 div (n * n)").as("hhi_pm"),
+        expr("n * n * 1000 div sum_c2").as("eff_categories_milli"))
+      .orderBy("col")
+  }
+
+  val clsHhiConcentrationSql: String =
+    """WITH m AS (
+      |  SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer),
+      |g AS (SELECT col, v, COUNT(*) AS c FROM m GROUP BY col, v)
+      |SELECT col, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k,
+      |  CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+      |  CAST(SUM(c * c) * 1000 // (SUM(c) * SUM(c)) AS BIGINT) AS hhi_pm,
+      |  CAST(SUM(c) * SUM(c) * 1000 // SUM(c * c) AS BIGINT)
+      |    AS eff_categories_milli
+      |FROM g GROUP BY col ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_jsd_drift" -> (clsJsdDrift _),
+    "cls_hhi_concentration" -> (clsHhiConcentration _),
     "cls_mutual_info" -> (clsMutualInfo _),
     "cls_approx_fd" -> (clsApproxFd _),
     "cls_decimal_profile" -> (clsDecimalProfile _),
@@ -1833,6 +1947,8 @@ object ClassifyQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "cls_approx_fd" -> clsApproxFdSql,
     "cls_mutual_info" -> clsMutualInfoSql,
+    "cls_jsd_drift" -> clsJsdDriftSql,
+    "cls_hhi_concentration" -> clsHhiConcentrationSql,
     "cls_decimal_profile" -> clsDecimalProfileSql,
     "cls_null_profile" -> clsNullProfileSql,
     "cls_histogram_profile" -> clsHistogramProfileSql,

@@ -603,6 +603,112 @@ object MaskQueries extends QueryModule {
       |JOIN rc ON rc.r_name = c.r_name
       |GROUP BY 1, 2 ORDER BY level, label""".stripMargin
 
+  // --------------------------------------------- mask_t_closeness
+  /** T-CLOSENESS audit (Li et al. 2007) — the third rung of the
+    * release-gate ladder after k-anonymity (group size) and
+    * l-diversity (sensitive-value count): a group can be large AND
+    * diverse yet still leak if its sensitive-value DISTRIBUTION
+    * differs from the table's (e.g. one segment skews poor). Per
+    * quasi-id class (segment × nation) the variational distance
+    * between the class's balance-bucket distribution and the global
+    * one, exact per-mille: tvd = 500·Σ_b |n_gb·N − n_b·n_g| / (n_g·N)
+    * — all integer products (n_gb·N ≤ N², in-bounds to n ≈ 3·10⁹).
+    * Shape: one (class, bucket) hash-agg, global bucket frame
+    * broadcast back, |classes|-row report. Fixed 2000-unit value
+    * grid, same contract as [[graft.classify.ClassifyQueries]] drift
+    * panels. */
+  def maskTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("seg"), col("c_nationkey").as("nation"),
+      floor(((col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long") + 100000L) / 200000L).cast("long").as("bucket"))
+    val gb = c.groupBy("seg", "nation", "bucket")
+      .agg(count(lit(1)).as("n_gb"))
+    val glob = gb.groupBy("bucket").agg(sum(col("n_gb")).as("n_b"))
+    val tot = gb.agg(sum(col("n_gb")).as("nn"))
+    val ng = gb.groupBy("seg", "nation").agg(sum(col("n_gb")).as("n_g"))
+    gb.join(broadcast(glob), "bucket")
+      .join(broadcast(ng), Seq("seg", "nation"))
+      .crossJoin(broadcast(tot))
+      .groupBy("seg", "nation")
+      .agg(max(col("n_g")).as("n_g"),
+        sum(abs(col("n_gb") * col("nn") - col("n_b") * col("n_g")))
+          .as("_num"),
+        max(col("nn")).as("_nn"))
+      .select(col("seg"), col("nation"), col("n_g"),
+        expr("_num * 500 div (n_g * _nn)").as("tvd_pm"))
+      .withColumn("t_close_ok", col("tvd_pm") <= 200)
+      .orderBy("seg", "nation")
+  }
+
+  val maskTClosenessSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nation,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) // 200000 AS bucket
+      |  FROM customer),
+      |gb AS (SELECT seg, nation, bucket, COUNT(*) AS n_gb
+      |       FROM c GROUP BY 1, 2, 3),
+      |gl AS (SELECT bucket, SUM(n_gb) AS n_b FROM gb GROUP BY bucket),
+      |ng AS (SELECT seg, nation, SUM(n_gb) AS n_g
+      |       FROM gb GROUP BY 1, 2),
+      |t AS (SELECT SUM(n_gb) AS nn FROM gb)
+      |SELECT gb.seg, gb.nation, CAST(MAX(ng.n_g) AS BIGINT) AS n_g,
+      |  CAST(SUM(ABS(gb.n_gb * t.nn - gl.n_b * ng.n_g)) * 500 //
+      |    (MAX(ng.n_g) * MAX(t.nn)) AS BIGINT) AS tvd_pm,
+      |  SUM(ABS(gb.n_gb * t.nn - gl.n_b * ng.n_g)) * 500 //
+      |    (MAX(ng.n_g) * MAX(t.nn)) <= 200 AS t_close_ok
+      |FROM gb JOIN gl USING (bucket)
+      |JOIN ng ON gb.seg = ng.seg AND gb.nation = ng.nation
+      |CROSS JOIN t
+      |GROUP BY gb.seg, gb.nation ORDER BY gb.seg, gb.nation""".stripMargin
+
+  // ---------------------------------------------- mask_info_loss
+  /** GENERALIZATION INFORMATION-LOSS audit — the utility side of the
+    * privacy ledger (every release gate above answers "safe enough?";
+    * this one answers "what did the mask cost?"): over the
+    * [[maskVghGeneralize]] output, per hierarchy level the row count,
+    * class count, the DISCERNIBILITY metric Σ|class|² (Bayardo &
+    * Agrawal's cost — rows in coarse classes are pairwise
+    * indistinguishable, so cost grows quadratically with class size),
+    * and the generalization-precision loss in per-mille of the
+    * hierarchy height (level/2 for the 3-level nation→region→ALL
+    * tree). Input is the |classes|-sized generalized frame — the
+    * audit itself never rescans the corpus. */
+  def maskInfoLoss(spark: SparkSession, dir: String): DataFrame =
+    maskVghGeneralize(spark, dir)
+      .groupBy("level")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(col("n") * col("n")).as("discernibility"),
+        max(expr("level * 1000 div 2")).as("loss_pm"))
+      .orderBy("level")
+
+  val maskInfoLossSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, n_name, r_name
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |nc AS (SELECT n_name, COUNT(*) AS cn FROM c GROUP BY n_name),
+      |rc AS (SELECT r_name, COUNT(*) AS cr FROM c GROUP BY r_name),
+      |g AS (
+      |  SELECT
+      |    CAST(CASE WHEN cn >= 50 THEN 0 WHEN cr >= 50 THEN 1
+      |         ELSE 2 END AS BIGINT) AS level,
+      |    CASE WHEN cn >= 50 THEN c.n_name WHEN cr >= 50 THEN c.r_name
+      |         ELSE 'ALL' END AS label,
+      |    COUNT(*) AS n
+      |  FROM c JOIN nc ON nc.n_name = c.n_name
+      |  JOIN rc ON rc.r_name = c.r_name
+      |  GROUP BY 1, 2)
+      |SELECT level, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_classes,
+      |  CAST(SUM(n * n) AS BIGINT) AS discernibility,
+      |  CAST(MAX(level * 1000 // 2) AS BIGINT) AS loss_pm
+      |FROM g GROUP BY level ORDER BY level""".stripMargin
+
   // --------------------------------------------- mask_rare_suppress
   /** Rare-category suppression — the categorical companion to value
     * banding: any category with fewer than k = 3 members is replaced
@@ -1153,6 +1259,8 @@ object MaskQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_vgh_generalize" -> (maskVghGeneralize _),
+    "mask_t_closeness" -> (maskTCloseness _),
+    "mask_info_loss" -> (maskInfoLoss _),
     "mask_winsorize" -> (maskWinsorize _),
     "mask_noise" -> (maskNoise _),
     "mask_microagg" -> (maskMicroagg _),
@@ -1185,6 +1293,8 @@ object MaskQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "mask_vgh_generalize" -> maskVghGeneralizeSql,
+    "mask_t_closeness" -> maskTClosenessSql,
+    "mask_info_loss" -> maskInfoLossSql,
     "mask_winsorize" -> maskWinsorizeSql,
     "mask_microagg" -> maskMicroaggSql,
     "mask_noise" -> maskNoiseSql,

@@ -2563,7 +2563,167 @@ object Relational extends graft.QueryModule {
       |  CAST(peak AS BIGINT) AS peak_cents
       |FROM r WHERE rn = 1 ORDER BY seg""".stripMargin
 
+  // ---------------------------------------------- q62_abc_pareto
+  /** ABC/PARETO inventory classification (the 80/15/5 revenue rule):
+    * parts ranked by revenue, class A = parts whose cumulative share
+    * stays within 800‰, B within 950‰, C the tail. One map-side-
+    * combining hash-agg collapses the fact table to the |part| frame
+    * FIRST; the cumulative-share window orders only that dimension
+    * frame (parts are dimension-scale — bounded — so the single-
+    * partition window is a dim sort, never a corpus sort; the same
+    * contract as `q56`'s dimension-frame rank). Exact integer cents;
+    * shares in per-mille by integer division, total via a broadcast
+    * 1-row reaggregation of the part frame (AQE reuses the part-agg
+    * exchange — lineitem is scanned once). */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+        .as("rev_cents"))
+    val total = perPart.agg(sum(col("rev_cents")).as("tot"))
+    val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+    perPart
+      .withColumn("cum", sum(col("rev_cents"))
+        .over(byRev.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(expr("cum * 1000 div tot") <= 800, "A")
+          .when(expr("cum * 1000 div tot") <= 950, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_cents")).as("rev_cents"),
+        max(expr("rev_cents * 1000 div tot")).as("max_part_share_pm"),
+        max(col("tot")).as("_tot"))
+      .select(col("abc_class"), col("n_parts"), col("rev_cents"),
+        expr("rev_cents * 1000 div _tot").as("class_share_pm"),
+        col("max_part_share_pm"))
+      .orderBy("abc_class")
+  }
+
+  val q62Sql: String =
+    """WITH p AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, rev_cents,
+      |    SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey) AS cum,
+      |    SUM(rev_cents) OVER () AS tot
+      |  FROM p),
+      |k AS (
+      |  SELECT rev_cents, tot,
+      |    CASE WHEN cum * 1000 // tot <= 800 THEN 'A'
+      |         WHEN cum * 1000 // tot <= 950 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM c)
+      |SELECT abc_class, COUNT(*) AS n_parts,
+      |  CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(rev_cents) * 1000 // MAX(tot) AS BIGINT)
+      |    AS class_share_pm,
+      |  CAST(MAX(rev_cents * 1000 // tot) AS BIGINT)
+      |    AS max_part_share_pm
+      |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
+  // ---------------------------------------------- q63_rfm_segments
+  /** RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
+    * quintiles — the classic CRM cohorting): one hash-agg collapses
+    * orders to the |customer| frame (last order day, order count,
+    * lifetime cents); three `ntile(5)` windows score THAT dimension
+    * frame with a deterministic custkey tie-break; the report groups
+    * the 3-digit segment code. The windows order the customer
+    * dimension, never the fact table — at 100 TB customers stay
+    * dimension-scale while orders grow, so the plan's only corpus
+    * pass is the first hash-agg. */
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+          .as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    perCust
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("last_day").desc, col("o_custkey"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("n_orders").desc, col("o_custkey"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))))
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m"))
+        .cast("long").as("rfm_segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("cents"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy("rfm_segment")
+  }
+
+  val q63Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    MAX(DATEDIFF('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE))) AS last_day,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT cents, n_orders,
+      |    NTILE(5) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+      |    NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+      |    NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+      |  FROM c)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+      |  COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+      |FROM s GROUP BY 1 ORDER BY rfm_segment""".stripMargin
+
+  // ---------------------------------------------- q64_hist2d
+  /** 2-D EQUI-WIDTH HISTOGRAM (the heatmap binning behind every
+    * quantity×discount pricing matrix): fixed value grids on both
+    * axes — quantity in 5-unit bins, discount in 20-milli bins — so
+    * cells stay comparable across runs (the same fixed-grid contract
+    * as `cls_psi_drift`). ONE corpus scan → |cells| hash-agg (≤ ~66
+    * cells); the per-mille share column reaggregates the CELL frame
+    * against its own broadcast total, so the second exchange is
+    * cell-sized, never corpus-sized. */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(
+        floor((col("l_quantity") - 1) / 5).cast("long").as("qty_bin"),
+        floor(col("l_discount") * 1000 / 20).cast("long").as("disc_bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((dec(col("l_extendedprice")) * 100).cast("long"))
+          .as("rev_cents"))
+    val total = cells.agg(sum(col("n_rows")).as("tot"))
+    cells
+      .crossJoin(broadcast(total))
+      .select(col("qty_bin"), col("disc_bin"), col("n_rows"),
+        col("rev_cents"),
+        expr("n_rows * 1000 div tot").as("row_share_pm"))
+      .orderBy("qty_bin", "disc_bin")
+  }
+
+  val q64Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR((l_quantity - 1) / 5) AS BIGINT) AS qty_bin,
+      |    CAST(FLOOR(l_discount * 1000 / 20) AS BIGINT) AS disc_bin,
+      |    COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT qty_bin, disc_bin, n_rows, rev_cents,
+      |  CAST(n_rows * 1000 // SUM(n_rows) OVER () AS BIGINT)
+      |    AS row_share_pm
+      |FROM c ORDER BY qty_bin, disc_bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_abc_pareto" -> (q62 _),
+    "q63_rfm_segments" -> (q63 _),
+    "q64_hist2d" -> (q64 _),
     "q61_max_drawdown" -> (q61 _),
     "q60_mom_change" -> (q60 _),
     "q56_top_n_per_group" -> (q56 _),
@@ -2648,6 +2808,9 @@ object Relational extends graft.QueryModule {
     "q55_equidepth_hist" -> q55Sql,
     "q60_mom_change" -> q60Sql,
     "q61_max_drawdown" -> q61Sql,
+    "q62_abc_pareto" -> q62Sql,
+    "q63_rfm_segments" -> q63Sql,
+    "q64_hist2d" -> q64Sql,
     "q56_top_n_per_group" -> q56Sql,
     "q57_share_of_total" -> q57Sql,
     "q58_order_streaks" -> q58Sql,
