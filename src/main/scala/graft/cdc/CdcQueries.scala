@@ -1362,6 +1362,131 @@ object CdcQueries extends QueryModule {
       |  CAST(n_events * 16000 // tt AS BIGINT) AS load_pm
       |FROM per CROSS JOIN t ORDER BY shard""".stripMargin
 
+  // --------------------------------------------- cdc_soft_delete
+  /** SOFT-DELETE REWRITE — Debezium's `ExtractNewRecordState` SMT
+    * with `delete.handling.mode=rewrite`: instead of dropping deleted
+    * keys (as [[snapshotApply]] does) or keeping raw tombstones (as
+    * [[logCompact]] does), every key stays in the target with a
+    * `__deleted` flag, and a deleted row carries its BEFORE-IMAGE
+    * value — the last non-delete value the key held — so the
+    * warehouse can audit what was removed. The before-image is an
+    * `ignoreNulls` last() over the key's history (exactly the
+    * envelope `before` field the wire would carry,
+    * reference: Main.java:171-177 op switch); one shuffle on the key,
+    * both windows share its partitioning. */
+  def softDelete(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val log = changeLog(spark, dir)
+      .withColumn("_before",
+        last(when(col("op") =!= "d", col("value")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    latestPerKey(log)
+      .select(col("user_id"),
+        when(col("op") === "d", col("_before")).otherwise(col("value"))
+          .as("value"),
+        (col("op") === "d").as("__deleted"),
+        col("event_id").as("last_event_id"))
+      .orderBy("user_id")
+  }
+
+  val softDeleteSql: String =
+    s"""WITH log AS (
+       |  SELECT event_id, ts, user_id, value, $opSql AS op FROM events),
+       |b AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN op <> 'd' THEN value END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS before_val,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log)
+       |SELECT user_id,
+       |  CASE WHEN op = 'd' THEN before_val ELSE value END AS value,
+       |  op = 'd' AS __deleted, event_id AS last_event_id
+       |FROM b WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- cdc_heartbeat
+  /** CONNECTOR-LIVENESS audit — the `heartbeat.interval.ms` question
+    * asked of the data instead of the wire (a silent shard is either
+    * a dead connector or a genuinely idle source; the lag-to-head
+    * separates them): per key-hash shard, event count, lag of the
+    * shard's last event behind the stream head, and the longest
+    * SILENT-HOUR run on the shard's hour spine (gaps-and-islands over
+    * the |shards × hours| frame — the corpus collapses to that frame
+    * in one hash-agg, so the runs analysis is bounded by the time
+    * range at any corpus size). Stalled = silent for > 6 h at head.
+    * Complements [[graft.streaming.EventStreams.outageWindows]],
+    * which audits GLOBAL minute-level silences — this one is per
+    * replication shard, the unit a CDC operator restarts. */
+  def heartbeat(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8L
+    val ev = Tables.events(spark, dir)
+      .select(pmod(MaskFunctions.portableHash(col("user_id")), lit(n))
+        .as("shard"), (tsMicros.cast("long")).as("us"))
+    val perHour = ev
+      .groupBy(col("shard"), expr("us div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"), max(col("us")).as("_mx"))
+    val head = perHour.agg(max(col("_mx")).as("head_us"),
+      min(expr("_mx div 3600000000")).as("_h0"),
+      max(expr("_mx div 3600000000")).as("_h1"))
+    // silent hours per shard = spine anti-join, runs by the island trick
+    val spine = head.select(explode(sequence(col("_h0"), col("_h1")))
+      .as("h")).crossJoin(
+        perHour.select(col("shard")).distinct())
+    val silent = spine.join(perHour, Seq("shard", "h"), "left_anti")
+    val wSh = Window.partitionBy("shard").orderBy("h")
+    val runs = silent
+      .withColumn("k", col("h") - row_number().over(wSh))
+      .groupBy("shard", "k").agg(count(lit(1)).as("run_h"))
+      .groupBy("shard").agg(max(col("run_h")).as("max_silent_h"))
+    val per = perHour.groupBy("shard")
+      .agg(sum(col("c")).as("n_events"), max(col("_mx")).as("last_us"))
+    per.join(runs, Seq("shard"), "left").crossJoin(broadcast(head))
+      .select(col("shard"), col("n_events"),
+        (col("head_us") - col("last_us")).as("lag_us"),
+        coalesce(col("max_silent_h"), lit(0L)).as("max_silent_h"),
+        (col("head_us") - col("last_us") > 6L * 3600000000L)
+          .as("stalled"))
+      .orderBy("shard")
+  }
+
+  val heartbeatSql: String =
+    """WITH ev AS (
+      |  SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+      |      % 8 AS shard,
+      |    epoch_us(ts) AS us
+      |  FROM events),
+      |ph AS (SELECT shard, us // 3600000000 AS h, COUNT(*) AS c,
+      |         MAX(us) AS mx
+      |       FROM ev GROUP BY 1, 2),
+      |hd AS (SELECT MAX(mx) AS head_us,
+      |         MIN(mx // 3600000000) AS h0,
+      |         MAX(mx // 3600000000) AS h1 FROM ph),
+      |spine AS (
+      |  SELECT s.shard, r.h
+      |  FROM (SELECT DISTINCT shard FROM ph) s,
+      |       (SELECT UNNEST(range(h0, h1 + 1)) AS h FROM hd) r),
+      |silent AS (
+      |  SELECT spine.shard, spine.h FROM spine
+      |  LEFT JOIN ph ON ph.shard = spine.shard AND ph.h = spine.h
+      |  WHERE ph.h IS NULL),
+      |runs AS (
+      |  SELECT shard,
+      |    h - ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS k
+      |  FROM silent),
+      |mr AS (SELECT shard, MAX(cnt) AS max_silent_h FROM (
+      |         SELECT shard, k, COUNT(*) AS cnt FROM runs
+      |         GROUP BY shard, k) GROUP BY shard),
+      |per AS (SELECT shard, SUM(c) AS n_events, MAX(mx) AS last_us
+      |        FROM ph GROUP BY shard)
+      |SELECT per.shard, CAST(per.n_events AS BIGINT) AS n_events,
+      |  CAST(hd.head_us - per.last_us AS BIGINT) AS lag_us,
+      |  CAST(COALESCE(mr.max_silent_h, 0) AS BIGINT) AS max_silent_h,
+      |  hd.head_us - per.last_us > 6 * 3600000000 AS stalled
+      |FROM per LEFT JOIN mr ON mr.shard = per.shard CROSS JOIN hd
+      |ORDER BY per.shard""".stripMargin
+
   // ------------------------------------------------- cdc_pk_change
   /** PRIMARY-KEY CHANGE handling — the replication edge case a naive
     * upsert target silently corrupts: when a row's key itself changes,
@@ -1450,6 +1575,8 @@ object CdcQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_pk_change" -> (pkChange _),
+    "cdc_soft_delete" -> (softDelete _),
+    "cdc_heartbeat" -> (heartbeat _),
     "cdc_shard_router" -> (shardRouter _),
     "cdc_resurrection" -> (resurrection _),
     "cdc_before_chain" -> (beforeChain _),
@@ -1480,6 +1607,8 @@ object CdcQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "cdc_pk_change" -> pkChangeSql,
+    "cdc_soft_delete" -> softDeleteSql,
+    "cdc_heartbeat" -> heartbeatSql,
     "cdc_shard_router" -> shardRouterSql,
     "cdc_resurrection" -> resurrectionSql,
     "cdc_before_chain" -> beforeChainSql,

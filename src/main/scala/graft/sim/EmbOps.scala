@@ -799,6 +799,91 @@ object EmbOps extends QueryModule {
     * combiner-friendly hash-aggs; further rounds repeat the same
     * plan with the (cell, dim, sum, n) frame as the new quantized
     * centroid table. */
+  // ---------------------------------------------- emb_silhouette
+  /** SILHOUETTE panel per label cluster — the cluster-quality gate
+    * run after any partitioned ANN build (are the label cells
+    * actually separated, or is the IVF routing table built on mush?):
+    * per point, a = squared distance to its OWN label centroid, b =
+    * min squared distance to any OTHER centroid, s = (b−a)·1000 /
+    * max(a,b) in exact per-mille. Coordinates are milli-quantized
+    * integers (the [[knnKmeansRefine]] convention) and centroids are
+    * integer-division means — a DEFINED quantization both engines
+    * replay exactly, same contract as `cls_spearman`'s per-mille
+    * ranks. Shape: one melt scan → |cells × dims| centroid frame
+    * (broadcast) → per-(point, cell) distance agg → |points| argmin —
+    * distances ride the small centroid broadcast, the corpus never
+    * self-joins. The per-label report: n, mean/min silhouette,
+    * and how many points sit closer to a foreign centroid (s < 0 —
+    * the misrouted mass an IVF probe sweep would have to absorb). */
+  def embSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v") * 1000).cast("long").as("m"))
+    // +1000n shift before the div: m ≥ −1000, so the numerator is
+    // non-negative and truncating (Spark) and flooring (DuckDB)
+    // integer division agree — the q60_mom_change idiom
+    val cen = x.groupBy(col("label").as("cell"), col("dim"))
+      .agg(expr("(sum(m) + 1000 * count(1)) div count(1) - 1000")
+        .as("cv"))
+    val d2 = x.join(broadcast(cen), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("cell"))
+      .agg(sum(expr("(m - cv) * (m - cv)")).as("d2"))
+    val ab = d2.groupBy("vec_id", "label")
+      .agg(max(when(col("cell") === col("label"), col("d2"))).as("a"),
+        min(when(col("cell") =!= col("label"), col("d2"))).as("b"))
+      .select(col("vec_id"), col("label"),
+        // same shift: (b−a)·1000 ≥ −g·1000, numerator stays ≥ 0
+        expr("((b - a) * 1000 + greatest(a, b, 1L) * 1000) " +
+          "div greatest(a, b, 1L) - 1000").as("s_pm"))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_pm")).as("sum_s_pm"),
+        min(col("s_pm")).as("min_s_pm"),
+        sum(when(col("s_pm") < 0, 1L).otherwise(0L)).as("n_misrouted"))
+      .select(col("label"), col("n"),
+        expr("(sum_s_pm + 1000 * n) div n - 1000").as("mean_s_pm"),
+        col("min_s_pm"), col("n_misrouted"))
+      .orderBy("label")
+  }
+
+  val embSilhouetteSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, d.dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(d.dim AS INTEGER) + 1]
+      |      AS DOUBLE) * 1000) AS BIGINT) AS m
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT UNNEST(range(256)) AS dim) d
+      |  WHERE len(embedding) > d.dim),
+      |cen AS (
+      |  SELECT label AS cell, dim,
+      |    (SUM(m) + 1000 * COUNT(*)) // COUNT(*) - 1000 AS cv
+      |  FROM x GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT x.vec_id, x.label, cen.cell,
+      |    SUM((x.m - cen.cv) * (x.m - cen.cv)) AS d2
+      |  FROM x JOIN cen ON x.dim = cen.dim GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT vec_id, label,
+      |    MAX(CASE WHEN cell = label THEN d2 END) AS a,
+      |    MIN(CASE WHEN cell <> label THEN d2 END) AS b
+      |  FROM d2 GROUP BY 1, 2),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    ((b - a) * 1000 + GREATEST(a, b, 1) * 1000)
+      |      // GREATEST(a, b, 1) - 1000 AS s_pm
+      |  FROM g)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST((SUM(s_pm) + 1000 * COUNT(*)) // COUNT(*) - 1000
+      |    AS BIGINT) AS mean_s_pm,
+      |  CAST(MIN(s_pm) AS BIGINT) AS min_s_pm,
+      |  CAST(SUM(CASE WHEN s_pm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_misrouted
+      |FROM ab GROUP BY label ORDER BY label""".stripMargin
+
   def knnKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
@@ -1451,6 +1536,7 @@ object EmbOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_hamming_calib" -> (embHammingCalib _),
+    "emb_silhouette" -> (embSilhouette _),
     "emb_fps_coreset" -> (embFpsCoreset _),
     "emb_cosine_hist" -> (embCosineHist _),
     "knn_recall_binary" -> (knnRecallBinary _),
@@ -1474,6 +1560,7 @@ object EmbOps extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "emb_hamming_calib" -> embHammingCalibSql,
+    "emb_silhouette" -> embSilhouetteSql,
     "emb_fps_coreset" -> embFpsCoresetSql,
     "emb_cosine_hist" -> embCosineHistSql,
     "knn_recall_binary" -> knnRecallBinarySql,

@@ -1446,6 +1446,79 @@ object EventStreams extends QueryModule {
       .orderBy("day_start")
   }
 
+  // ----------------------------------------------- str_mann_kendall
+  /** MANN–KENDALL monotonic-trend test per event type — the
+    * distribution-free companion to [[changePoints]] (CUSUM finds a
+    * level SHIFT; Mann–Kendall asks whether the whole series drifts
+    * monotonically): S = Σ_{i<j} sign(cⱼ − cᵢ) over the daily count
+    * series, exact integers, with the concordant/discordant/tie
+    * census the variance formula needs. The corpus collapses to the
+    * |types × days| frame in ONE hash-agg; the pair join is a self-
+    * join of THAT frame (bounded by the time range squared — ~130 k
+    * pairs per type at a year of days — never by corpus size).
+    * Verdict: rising / falling / flat by sign(S) with a |S| >
+    * n(n−1)/10 materiality gate (a tenth of the maximum attainable
+    * S). */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val d = events.select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val pairs = d.as("a").join(d.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.c") - col("a.c")).cast("long").as("sgn"))
+    pairs.groupBy("event_type")
+      .agg(sum(col("sgn")).as("s_stat"),
+        sum(when(col("sgn") > 0, 1L).otherwise(0L)).as("n_concordant"),
+        sum(when(col("sgn") < 0, 1L).otherwise(0L)).as("n_discordant"),
+        sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("n_tie"))
+      .join(d.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("n_concordant"), col("n_discordant"), col("n_tie"),
+        when(col("s_stat") * 10 > col("n_days") * (col("n_days") - 1),
+          "rising")
+          .when(col("s_stat") * -10 > col("n_days") * (col("n_days") - 1),
+            "falling")
+          .otherwise("flat").as("trend"))
+      .orderBy("event_type")
+  }
+
+  def strMannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendall(Tables.events(spark, dir))
+
+  val strMannKendallSql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(SIGN(b.c - a.c) AS BIGINT) AS sgn
+      |  FROM d a JOIN d b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |s AS (
+      |  SELECT event_type, SUM(sgn) AS s_stat,
+      |    SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS n_concordant,
+      |    SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS n_discordant,
+      |    SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS n_tie
+      |  FROM p GROUP BY event_type),
+      |nd AS (SELECT event_type, COUNT(*) AS n_days FROM d GROUP BY 1)
+      |SELECT s.event_type, nd.n_days,
+      |  CAST(s.s_stat AS BIGINT) AS s_stat,
+      |  CAST(s.n_concordant AS BIGINT) AS n_concordant,
+      |  CAST(s.n_discordant AS BIGINT) AS n_discordant,
+      |  CAST(s.n_tie AS BIGINT) AS n_tie,
+      |  CASE WHEN s.s_stat * 10 > nd.n_days * (nd.n_days - 1)
+      |       THEN 'rising'
+      |       WHEN s.s_stat * -10 > nd.n_days * (nd.n_days - 1)
+      |       THEN 'falling' ELSE 'flat' END AS trend
+      |FROM s JOIN nd USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   def strChangePoints(spark: SparkSession, dir: String): DataFrame =
     changePoints(Tables.events(spark, dir))
 
@@ -1800,6 +1873,7 @@ object EventStreams extends QueryModule {
     "str_active_users" -> (strActiveUsers _),
     "str_attribution" -> (strAttribution _),
     "str_change_points" -> (strChangePoints _),
+    "str_mann_kendall" -> (strMannKendall _),
     "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
     "str_outage_windows" -> (strOutageWindows _),
@@ -1836,6 +1910,7 @@ object EventStreams extends QueryModule {
     "str_active_users" -> strActiveUsersSql,
     "str_attribution" -> strAttributionSql,
     "str_change_points" -> strChangePointsSql,
+    "str_mann_kendall" -> strMannKendallSql,
     "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,
     "str_outage_windows" -> strOutageWindowsSql,
