@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: conservation/bound laws for the new operators —
+  * each law is engine-independent (it must hold on ANY input), so a
+  * fixture change can't silently hollow the test out. */
+class R11OpsSpec extends SparkSpec {
+
+  test("q62_abc_pareto: classes partition the part dimension and " +
+      "revenue shares reconcile") {
+    val abc = ops.Relational.q62(spark, sfDir).collect()
+    val nParts = ops.Relational.q62(spark, sfDir)
+      .agg(sum("n_parts")).head.getLong(0)
+    val distinctParts = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(nParts === distinctParts, "every part lands in exactly one class")
+    val sharePm = abc.map(_.getAs[Long]("class_share_pm")).sum
+    assert(sharePm >= 997 && sharePm <= 1000,
+      s"per-mille class shares must reconcile to ~1000, got $sharePm")
+    // A-class cumulative contract: A alone never exceeds 800‰ + one
+    // part's share (the part that crosses the boundary belongs to A)
+    val a = abc.find(_.getString(0) == "A").get
+    assert(a.getAs[Long]("class_share_pm") <= 800 + a.getAs[Long]("max_part_share_pm"))
+  }
+
+  test("q63_rfm_segments: quintile scores partition customers with " +
+      "near-equal ntile heights") {
+    val seg = ops.Relational.q63(spark, sfDir)
+    val total = seg.agg(sum("n_customers")).head.getLong(0)
+    val nCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(total === nCust)
+    // each R quintile (first digit) holds n/5 ± 1 customers
+    val byR = seg.groupBy(expr("rfm_segment div 100").as("r"))
+      .agg(sum("n_customers").as("n")).collect()
+    assert(byR.length === 5)
+    byR.foreach { row =>
+      val n = row.getAs[Long]("n")
+      assert(math.abs(n - nCust / 5) <= 1, s"ntile height off: $n")
+    }
+  }
+
+  test("q64_hist2d: cells are disjoint, exhaustive, and shares are " +
+      "floor-consistent") {
+    val h = ops.Relational.q64(spark, sfDir)
+    val total = h.agg(sum("n_rows")).head.getLong(0)
+    assert(total === Tables.lineitem(spark, sfDir).count())
+    val bad = h.filter(col("row_share_pm") < 0 || col("row_share_pm") > 1000)
+    assert(bad.count() === 0)
+  }
+
+  test("cls_jsd_drift: halves partition the corpus and whole-bit " +
+      "ratios are bounded by the mixture law") {
+    val j = classify.ClassifyQueries.clsJsdDrift(spark, sfDir)
+    val tot = j.agg((sum("n_ref") + sum("n_cur")).as("t")).head.getLong(0)
+    assert(tot === Tables.lineitem(spark, sfDir).count())
+    // p/m ≤ 2 and q/m ≤ 2 ⇒ whole-bit value ≤ 1; JSD ≥ 0 per side is
+    // not a whole-bit law, but the +1 upper bound is
+    val bad = j.filter(col("ref_bits") > 1 || col("cur_bits") > 1)
+    assert(bad.count() === 0, "pointwise log2 ratio vs mixture can't exceed 1 bit")
+  }
+
+  test("cls_hhi_concentration: HHI bounds — 1000/k ≤ hhi_pm ≤ 1000, " +
+      "effective categories ≤ k") {
+    classify.ClassifyQueries.clsHhiConcentration(spark, sfDir).collect()
+      .foreach { r =>
+        val k = r.getAs[Long]("k")
+        val hhi = r.getAs[Long]("hhi_pm")
+        assert(hhi <= 1000 && hhi >= 1000 / k - 1,
+          s"HHI out of [1000/k, 1000]: $hhi (k=$k)")
+        assert(r.getAs[Long]("eff_categories_milli") <= k * 1000 + 1000)
+      }
+  }
+
+  test("mask_t_closeness: TVD is a per-mille distance — bounded, and " +
+      "zero iff the class matches the global distribution") {
+    val t = graft.mask.MaskQueries.maskTCloseness(spark, sfDir)
+    assert(t.filter(col("tvd_pm") < 0 || col("tvd_pm") > 1000).count() === 0)
+    val nG = t.agg(sum("n_g")).head.getLong(0)
+    assert(nG === Tables.customer(spark, sfDir).count())
+  }
+
+  test("mask_info_loss: discernibility and rows reconcile with the " +
+      "VGH frame") {
+    val loss = graft.mask.MaskQueries.maskInfoLoss(spark, sfDir).collect()
+    val vgh = graft.mask.MaskQueries.maskVghGeneralize(spark, sfDir).collect()
+    assert(loss.map(_.getAs[Long]("n_rows")).sum ===
+      vgh.map(_.getAs[Long]("n")).sum)
+    // discernibility per level ≥ n_rows (equality iff all classes are
+    // singletons) and ≤ n_rows² (one class)
+    loss.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val d = r.getAs[Long]("discernibility")
+      assert(d >= n && d <= n * n)
+    }
+  }
+
+  test("cdc_soft_delete: every key survives with a flag; non-deleted " +
+      "rows equal snapshot apply") {
+    val sd = cdc.CdcQueries.softDelete(spark, sfDir)
+    val keys = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(sd.count() === keys, "rewrite keeps every key")
+    val live = sd.filter(!col("__deleted"))
+      .select("user_id", "value", "last_event_id")
+    val snap = cdc.CdcQueries.snapshotApply(spark, sfDir)
+    assert(live.exceptAll(snap).count() === 0 &&
+      snap.exceptAll(live).count() === 0,
+      "non-deleted rows must equal snapshot-apply")
+  }
+
+  test("cdc_heartbeat: head shard has zero lag and silent runs fit " +
+      "the spine") {
+    val hb = cdc.CdcQueries.heartbeat(spark, sfDir).collect()
+    assert(hb.exists(_.getAs[Long]("lag_us") == 0L),
+      "some shard carries the stream head")
+    hb.foreach { r => assert(r.getAs[Long]("lag_us") >= 0L) }
+  }
+
+  test("str_mann_kendall: the pair census is exhaustive and S is the " +
+      "concordant-discordant difference") {
+    streaming.EventStreams.strMannKendall(spark, sfDir).collect()
+      .foreach { r =>
+        val n = r.getAs[Long]("n_days")
+        val pairs = r.getAs[Long]("n_concordant") +
+          r.getAs[Long]("n_discordant") + r.getAs[Long]("n_tie")
+        assert(pairs === n * (n - 1) / 2, "every (i<j) day pair counted once")
+        assert(r.getAs[Long]("s_stat") ===
+          r.getAs[Long]("n_concordant") - r.getAs[Long]("n_discordant"))
+      }
+  }
+
+  test("emb_silhouette: scores are per-mille bounded and the panel " +
+      "covers every vector") {
+    val s = sim.EmbOps.embSilhouette(spark, sfDir)
+    val n = s.agg(sum("n")).head.getLong(0)
+    assert(n === Tables.embeddings(spark, sfDir).count())
+    s.collect().foreach { r =>
+      assert(r.getAs[Long]("mean_s_pm") >= -1000 &&
+        r.getAs[Long]("mean_s_pm") <= 1000)
+      assert(r.getAs[Long]("min_s_pm") >= -1000)
+      assert(r.getAs[Long]("n_misrouted") <= r.getAs[Long]("n"))
+    }
+  }
+}
