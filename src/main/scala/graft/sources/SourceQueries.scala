@@ -1467,6 +1467,91 @@ object SourceQueries extends QueryModule {
       |  MAX(l_orderkey) AS stats_max_orderkey
       |FROM lineitem""".stripMargin
 
+  // ------------------------------------------- src_rowgroup_prune
+  /** STATS-BASED SCAN-PRUNING audit — how much I/O the parquet footer
+    * min/max statistics save for a point-in-range predicate (the
+    * question every table-format optimizer answers before issuing
+    * reads; [[srcParquetFooter]] proves the stats are THERE, this one
+    * proves they PRUNE): lineitem is laid out in 4 files by a
+    * VALUE-DERIVED orderkey bucket (bucket = key·4 / (max+1) — unlike
+    * `repartitionByRange`'s sampled boundaries, the layout is a pure
+    * function of the data, so the oracle replays it exactly), each
+    * file's REAL footer stats are read back via ParquetFileReader,
+    * and the audit reports per bucket the stats envelope plus whether
+    * the fixed mid-range predicate (keys in the 3rd quarter of the
+    * domain) can skip the file without opening it. Per-bucket rows
+    * aggregate across row groups, so the report shape is independent
+    * of the writer's row-group split at any SF. */
+  def srcRowgroupPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = stagingDir(spark, "graft-rgprune")
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(max(col("l_orderkey")).as("mx")).head.getLong(0)
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .withColumn("bucket",
+        expr(s"l_orderkey * 4 div (${bounds} + 1)"))
+      .repartition(4, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(tmp))
+        .map(f => (f.getAbsolutePath,
+          f.getParentFile.getName.stripPrefix("bucket=").toLong))
+    }
+    val per = spark.createDataset(files).mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      it.map { case (p, bucket) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          var rows = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          blocks.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == "l_orderkey")
+              .foreach { c =>
+                val st = c.getStatistics
+                mn = math.min(mn,
+                  st.genericGetMin.asInstanceOf[java.lang.Long])
+                mx = math.max(mx,
+                  st.genericGetMax.asInstanceOf[java.lang.Long])
+              }
+          }
+          (bucket, rows, mn, mx)
+        } finally r.close()
+      }
+    }.toDF("bucket", "rows", "stats_min", "stats_max")
+    // fixed predicate: the 3rd quarter of the key domain
+    val lo = (bounds + 1) / 2
+    val hi = (bounds + 1) * 3 / 4 - 1
+    per.groupBy("bucket")
+      .agg(sum(col("rows")).as("rows"),
+        min(col("stats_min")).as("stats_min"),
+        max(col("stats_max")).as("stats_max"))
+      .withColumn("pruned",
+        col("stats_max") < lit(lo) || col("stats_min") > lit(hi))
+      .orderBy("bucket")
+  }
+
+  val srcRowgroupPruneSql: String =
+    """WITH b AS (SELECT MAX(l_orderkey) AS mx FROM lineitem),
+      |f AS (
+      |  SELECT l_orderkey * 4 // (mx + 1) AS bucket, l_orderkey
+      |  FROM lineitem, b)
+      |SELECT bucket, COUNT(*) AS rows,
+      |  MIN(l_orderkey) AS stats_min, MAX(l_orderkey) AS stats_max,
+      |  MAX(l_orderkey) < (SELECT (mx + 1) // 2 FROM b)
+      |    OR MIN(l_orderkey) > (SELECT (mx + 1) * 3 // 4 - 1 FROM b)
+      |    AS pruned
+      |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------ src_line_index
   /** SEEKABLE LINE-OFFSET INDEX over a MULTI-SHARD text corpus — the
     * random-access primitive a data-serving layer builds once per
@@ -1648,6 +1733,7 @@ object SourceQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet_footer" -> (srcParquetFooter _),
+    "src_rowgroup_prune" -> (srcRowgroupPrune _),
     "src_csv_quotes" -> (srcCsvQuotes _),
     "src_line_index" -> (srcLineIndex _),
     "src_commit_log_snapshot" -> (srcCommitLogSnapshot _),
@@ -1684,6 +1770,7 @@ object SourceQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "src_parquet_footer" -> srcParquetFooterSql,
+    "src_rowgroup_prune" -> srcRowgroupPruneSql,
     "src_csv_quotes" -> srcCsvQuotesSql,
     "src_line_index" -> srcLineIndexSql,
     "src_commit_log_snapshot" -> srcCommitLogSnapshotSql,

@@ -131,6 +131,25 @@ class R11OpsSpec extends SparkSpec {
       }
   }
 
+  test("src_rowgroup_prune: stats envelopes cover the corpus and the " +
+      "mid-range predicate prunes only non-overlapping buckets") {
+    val p = sources.SourceQueries.srcRowgroupPrune(spark, sfDir).collect()
+    val rows = p.map(_.getAs[Long]("rows")).sum
+    assert(rows === Tables.lineitem(spark, sfDir).count())
+    // a bucket whose stats envelope intersects the predicate range is
+    // NEVER pruned (stats pruning must be sound, not just effective)
+    val mx = Tables.lineitem(spark, sfDir)
+      .agg(max("l_orderkey")).head.getLong(0)
+    val (lo, hi) = ((mx + 1) / 2, (mx + 1) * 3 / 4 - 1)
+    p.foreach { r =>
+      val overlaps = r.getAs[Long]("stats_max") >= lo &&
+        r.getAs[Long]("stats_min") <= hi
+      assert(r.getAs[Boolean]("pruned") === !overlaps)
+    }
+    assert(p.exists(_.getAs[Boolean]("pruned")),
+      "the fixed quarter-range predicate must skip at least one bucket")
+  }
+
   test("emb_silhouette: scores are per-mille bounded and the panel " +
       "covers every vector") {
     val s = sim.EmbOps.embSilhouette(spark, sfDir)
