@@ -1821,6 +1821,10 @@ object ClassifyQueries extends QueryModule {
         .as("bucket"))
       .agg(sum(when(col("_cur"), 0L).otherwise(1L)).as("a"),
         sum(when(col("_cur"), 1L).otherwise(0L)).as("b"))
+      // ≤10-row frame with two consumers (report + totals): pin it so
+      // the totals reaggregation never re-scans the corpus — the
+      // clsMutualInfo play
+      .localCheckpoint()
     val totals = cells.agg(sum(col("a")).as("r"), sum(col("b")).as("c"))
     cells.crossJoin(broadcast(totals))
       .select(col("bucket"), col("a").as("n_ref"), col("b").as("n_cur"),
