@@ -1427,6 +1427,10 @@ object CdcQueries extends QueryModule {
     val perHour = ev
       .groupBy(col("shard"), expr("us div 3600000000").as("h"))
       .agg(count(lit(1)).as("c"), max(col("us")).as("_mx"))
+      // |shards × hours| frame with four consumers (head, spine,
+      // silent anti-join, per-shard rollup): pin it — the corpus is
+      // scanned once at any SF
+      .localCheckpoint()
     val head = perHour.agg(max(col("_mx")).as("head_us"),
       min(expr("_mx div 3600000000")).as("_h0"),
       max(expr("_mx div 3600000000")).as("_h1"))

@@ -625,6 +625,9 @@ object MaskQueries extends QueryModule {
         .cast("long") + 100000L) / 200000L).cast("long").as("bucket"))
     val gb = c.groupBy("seg", "nation", "bucket")
       .agg(count(lit(1)).as("n_gb"))
+      // |classes × buckets| frame with four consumers (global buckets,
+      // totals, class sizes, report): pin it — one corpus scan total
+      .localCheckpoint()
     val glob = gb.groupBy("bucket").agg(sum(col("n_gb")).as("n_b"))
     val tot = gb.agg(sum(col("n_gb")).as("nn"))
     val ng = gb.groupBy("seg", "nation").agg(sum(col("n_gb")).as("n_g"))

@@ -2581,6 +2581,9 @@ object Relational extends graft.QueryModule {
       .groupBy(col("l_partkey"))
       .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
         .as("rev_cents"))
+      // |parts| frame, two consumers (total + ranking): pin it so the
+      // total never re-scans the fact table
+      .localCheckpoint()
     val total = perPart.agg(sum(col("rev_cents")).as("tot"))
     val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
     perPart
@@ -2698,6 +2701,8 @@ object Relational extends graft.QueryModule {
       .agg(count(lit(1)).as("n_rows"),
         sum((dec(col("l_extendedprice")) * 100).cast("long"))
           .as("rev_cents"))
+      // ≤66-cell frame, two consumers: pin it (clsMutualInfo play)
+      .localCheckpoint()
     val total = cells.agg(sum(col("n_rows")).as("tot"))
     cells
       .crossJoin(broadcast(total))
