@@ -621,6 +621,65 @@ object Dedup extends QueryModule {
         greatest(col("v1"), col("v2")).as("id2"), col("cos"))
   }
 
+  // --------------------------------------------------- dedup_semdedup
+  /** SemDeDup (Abbas et al. 2023) — CLUSTER-SCOPED semantic dedup:
+    * embeddings are first partitioned into cells (the label cells
+    * here; k-means cells in production, with k ∝ n so the cell size —
+    * and therefore the per-cell pair count — stays CONSTANT as the
+    * corpus grows), pairs are formed only WITHIN a cell, and of any
+    * pair closer than τ the lower-id member survives (the paper keeps
+    * one representative per semantic-duplicate group; keep-first is
+    * its deterministic form). Distances are exact integer squared
+    * euclidean on milli-quantized coordinates (the [[graft.sim]]
+    * convention — no float threshold crossings near the cut), τ =
+    * 1.4·10⁶ milli². Report: per cell n, dropped count, drop
+    * per-mille. Never all-pairs: the join key is the cell. */
+  def dedupSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 1400000L
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(cast(embedding as array<double>), " +
+          "v -> cast(floor(v * 1000) as bigint))").as("m"))
+      .localCheckpoint() // two consumers: both pair sides
+    val d2 = expr("aggregate(zip_with(a.m, b.m, (x, y) -> " +
+      "(x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val dropped = x.as("a").join(x.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(d2 <= tau)
+      .select(col("a.label").as("label"), col("b.vec_id").as("vid"))
+      .distinct()
+      .groupBy("label").agg(count(lit(1)).as("n_dropped"))
+    x.groupBy("label").agg(count(lit(1)).as("n"))
+      .join(dropped, Seq("label"), "left")
+      .select(col("label"), col("n"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        expr("coalesce(n_dropped, 0L) * 1000 div n").as("drop_pm"))
+      .orderBy("label")
+  }
+
+  val dedupSemdedupSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> CAST(FLOOR(v * 1000) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.label, b.vec_id AS vid
+      |  FROM x a JOIN x b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.m, b.m),
+      |      t -> (t[1] - t[2]) * (t[1] - t[2]))) <= 1400000),
+      |d AS (SELECT label, COUNT(DISTINCT vid) AS n_dropped
+      |      FROM p GROUP BY label),
+      |n AS (SELECT label, COUNT(*) AS n FROM x GROUP BY label)
+      |SELECT n.label, n.n,
+      |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(COALESCE(d.n_dropped, 0) * 1000 // n.n AS BIGINT)
+      |    AS drop_pm
+      |FROM n LEFT JOIN d ON n.label = d.label
+      |ORDER BY n.label""".stripMargin
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     // ids only cross the oracle boundary; the cosine stays engine-side
@@ -2141,7 +2200,8 @@ object Dedup extends QueryModule {
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semdedup" -> (dedupSemdedup _))
 
   /** Every dedup operator is oracle-verified: the LSH family hashes
     * with portable md5-prefix mixes the oracle engine reproduces
@@ -2172,5 +2232,6 @@ object Dedup extends QueryModule {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semdedup" -> dedupSemdedupSql)
 }

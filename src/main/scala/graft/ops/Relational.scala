@@ -2563,6 +2563,49 @@ object Relational extends graft.QueryModule {
       |  CAST(peak AS BIGINT) AS peak_cents
       |FROM r WHERE rn = 1 ORDER BY seg""".stripMargin
 
+  // ---------------------------------------------- q65_cohort_revenue
+  /** COHORT REVENUE TRIANGLE — the subscription-analytics classic
+    * (each signup-month cohort's revenue laid out by months-since-
+    * first-order): one hash-agg collapses orders to each customer's
+    * first month; a key-join tags every order with its cohort; the
+    * triangle is a second |cohorts × offsets| hash-agg with an exact
+    * distinct-active count per cell (Catalyst Expand — one extra
+    * corpus pass, bounded output). No window ever touches the fact
+    * table, and the triangle frame is time-range², not corpus-sized.
+    * Exact integer cents. */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val om = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("m"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cohort = om.groupBy("o_custkey").agg(min(col("m")).as("cm"))
+    om.join(cohort, "o_custkey")
+      .groupBy(col("cm").cast("long").as("cohort_month"),
+        (col("m") - col("cm")).cast("long").as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_cents"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val q65Sql: String =
+    """WITH om AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    YEAR(CAST(o_orderdate AS DATE)) * 12 +
+      |      MONTH(CAST(o_orderdate AS DATE)) AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |c AS (SELECT o_custkey, MIN(m) AS cm FROM om GROUP BY 1)
+      |SELECT CAST(cm AS BIGINT) AS cohort_month,
+      |  CAST(m - cm AS BIGINT) AS month_offset,
+      |  COUNT(DISTINCT om.o_custkey) AS n_active,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+      |FROM om JOIN c ON om.o_custkey = c.o_custkey
+      |GROUP BY 1, 2 ORDER BY cohort_month, month_offset""".stripMargin
+
   // ---------------------------------------------- q62_abc_pareto
   /** ABC/PARETO inventory classification (the 80/15/5 revenue rule):
     * parts ranked by revenue, class A = parts whose cumulative share
@@ -2727,6 +2770,7 @@ object Relational extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_abc_pareto" -> (q62 _),
+    "q65_cohort_revenue" -> (q65 _),
     "q63_rfm_segments" -> (q63 _),
     "q64_hist2d" -> (q64 _),
     "q61_max_drawdown" -> (q61 _),
@@ -2816,6 +2860,7 @@ object Relational extends graft.QueryModule {
     "q62_abc_pareto" -> q62Sql,
     "q63_rfm_segments" -> q63Sql,
     "q64_hist2d" -> q64Sql,
+    "q65_cohort_revenue" -> q65Sql,
     "q56_top_n_per_group" -> q56Sql,
     "q57_share_of_total" -> q57Sql,
     "q58_order_streaks" -> q58Sql,

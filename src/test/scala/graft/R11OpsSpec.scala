@@ -131,6 +131,36 @@ class R11OpsSpec extends SparkSpec {
       }
   }
 
+  test("q65_cohort_revenue: offset-0 actives cover every customer and " +
+      "revenue reconciles") {
+    val t = ops.Relational.q65(spark, sfDir)
+    val firstMonthActives = t.filter(col("month_offset") === 0)
+      .agg(sum("n_active")).head.getLong(0)
+    val nCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(firstMonthActives === nCust,
+      "every customer is active in their own cohort month")
+    assert(t.filter(col("month_offset") < 0).count() === 0)
+    val rev = t.agg(sum("rev_cents")).head.getLong(0)
+    val total = Tables.orders(spark, sfDir)
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 " +
+        "as bigint)"))).head.getLong(0)
+    assert(rev === total, "the triangle partitions total revenue")
+  }
+
+  test("dedup_semdedup: at least one survivor per cell and drops are " +
+      "per-mille bounded") {
+    val s = graft.dedup.Dedup.dedupSemdedup(spark, sfDir)
+    val n = s.agg(sum("n")).head.getLong(0)
+    assert(n === Tables.embeddings(spark, sfDir).count())
+    s.collect().foreach { r =>
+      assert(r.getAs[Long]("n_dropped") < r.getAs[Long]("n"),
+        "keep-first always leaves the lowest id standing")
+      val pm = r.getAs[Long]("drop_pm")
+      assert(pm >= 0 && pm <= 1000)
+    }
+  }
+
   test("src_rowgroup_prune: stats envelopes cover the corpus and the " +
       "mid-range predicate prunes only non-overlapping buckets") {
     val p = sources.SourceQueries.srcRowgroupPrune(spark, sfDir).collect()
