@@ -635,14 +635,24 @@ object Dedup extends QueryModule {
     * 1.4·10⁶ milli². Report: per cell n, dropped count, drop
     * per-mille. Never all-pairs: the join key is the cell. */
   def dedupSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
     val tau = 1400000L
+    // per-pair cost is ONE codegen dot: d² = Σx² + Σy² − 2Σxy, with
+    // the milli coords carried as doubles — integer values ≤ 10³ give
+    // products ≤ 10⁶ and 64-dim sums ≤ 6.4·10⁷, far inside the 2⁵³
+    // exact-integer range, so the double dot is bit-exact integer math
+    // (the interpreted zip_with/aggregate lambda form cost 4.3 s at
+    // sf0.1; this is the codegen path)
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(cast(embedding as array<double>), " +
           "v -> cast(floor(v * 1000) as bigint))").as("m"))
+      .select(col("vec_id"), col("label"),
+        expr("cast(m as array<double>)").as("md"),
+        expr("aggregate(m, 0L, (acc, v) -> acc + v * v)").as("s2"))
       .localCheckpoint() // two consumers: both pair sides
-    val d2 = expr("aggregate(zip_with(a.m, b.m, (x, y) -> " +
-      "(x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val d2 = expr(
+      "a.s2 + b.s2 - 2L * cast(graft_dot(a.md, b.md) as long)")
     val dropped = x.as("a").join(x.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
