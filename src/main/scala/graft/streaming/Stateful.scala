@@ -402,6 +402,23 @@ object Stateful {
         "unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
       .count()
 
+  /** Streaming per-(type, day) counts — the additive state behind
+    * [[EventStreams.mannKendall]]'s trend panel: an update-mode keyed
+    * sum bounded by |types × days|, never the corpus. The S statistic
+    * — every pair (i < j) of days — is a pure function of this frame,
+    * recomputed per trigger downstream (|days|²-bounded, the same
+    * contract as the batch operator); the spec folds the final
+    * streamed counts into the exact batch panel. */
+  def typeDayCounts(events: Dataset[EventRow])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .groupBy(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .count()
+  }
+
   /** Streaming (window, value-cents) histogram — the watermark-bounded
     * state behind [[EventStreams.windowP95]]'s exact tail-latency
     * panel: an update-mode keyed sum whose state is bounded by

@@ -1200,6 +1200,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(r => r._3 > r._2))
   }
 
+  test("streamed (type, day) counts fold to the exact batch " +
+      "Mann-Kendall trend panel") {
+    implicit val sql = spark.sqlContext
+    // one rising type (count = day), one falling, one flat with ties —
+    // S must see all three regimes from the folded state alone
+    val events = (0 until 12).flatMap { day =>
+      def mk(t: String, n: Int, base: Long) = (0 until n).map { j =>
+        (base + day * 20 + j, ts(f"2024-03-${day + 1}%02d 0$j:10:00"),
+          j.toLong, t, 1.0)
+      }
+      mk("up", day + 1, 90000L) ++ mk("down", 13 - day, 91000L) ++
+        mk("flat", 3, 92000L)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = graft.streaming.Stateful.typeDayCounts(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Stateful.EventRow])
+      .writeStream.format("memory").queryName("type_day_counts")
+      .outputMode("update").start()
+    try {
+      events.grouped(47).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update mode appends revisions; counts are monotone → final = max
+    val streamed = spark.table("type_day_counts")
+      .groupBy("event_type", "day").agg(max(col("count")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // fold the |types × days| frame into the exact S census
+    val expected = streamed.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+      val days = streamed.collect { case ((`t`, d), c) => (d, c) }
+        .toSeq.sortBy(_._1)
+      val pairs = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield java.lang.Long.signum(days(j)._2 - days(i)._2)
+      (t, days.length.toLong, pairs.map(_.toLong).sum,
+        pairs.count(_ > 0).toLong, pairs.count(_ < 0).toLong,
+        pairs.count(_ == 0).toLong)
+    }
+    val batch = EventStreams.mannKendall(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(expected == batch,
+      s"folded MK census\n$expected\n!= batch\n$batch")
+    // fixture is non-degenerate: all three verdicts appear
+    val verdicts = EventStreams.mannKendall(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getAs[String]("trend")).toSet
+    assert(verdicts == Set("rising", "falling", "flat"))
+  }
+
   test("streamed day counts fold to the exact batch CUSUM " +
       "change-point panel") {
     implicit val sql = spark.sqlContext
