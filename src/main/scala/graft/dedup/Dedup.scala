@@ -1730,12 +1730,15 @@ object Dedup extends QueryModule {
     // (TextAnalysis.winnowLayouts): the gram-explode winnowing scan is
     // paid once per corpus ever, and the posting cap + pair self-join
     // below ride the h-buckets without an exchange
-    val fps = graft.text.TextAnalysis.winnowedHashes(spark, dir)
+    val (fps, stats) = graft.text.TextAnalysis.winnowLayouts(spark, dir)
     val posting = fps.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= 50)
       .select("h")
     val kept = fps.join(posting, "h")
-    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // per-doc fingerprint counts are already IN the stats layout
+    // (n_hashes = distinct h per doc) — a doc_id-bucketed scan, not a
+    // recount of the postings
+    val perDoc = stats.select(col("doc_id"), col("n_hashes").as("nf"))
     val pairs = kept.select(col("h"), col("doc_id").as("doc_a"))
       .join(kept.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))

@@ -843,6 +843,106 @@ object GearCuts {
   }
 }
 
+/** Winnowing selections (Schleimer et al. 2003, k=8 char-grams,
+  * window w=4) emitted DIRECTLY from the normalized string — one
+  * map-only pass replacing the per-position explode + per-doc ordered
+  * window the selection frame otherwise needs (the [[GearCuts]] play
+  * applied to winnowing: at corpus scale the explode/sort was the
+  * whole build cost of the fingerprint layout).
+  *
+  * Semantics are pinned to the DuckDB oracle bit for bit: positions
+  * are 1-based CODE-POINT positions (Spark `substring`/DuckDB
+  * `substr` both count code points — Java's UTF-16 units would split
+  * surrogate pairs, the `dedup_char_jaccard` advice finding), the
+  * per-gram hash is the portable md5 prefix
+  * (`conv(substr(md5(gram),1,8),16,10)` — first 4 digest bytes,
+  * big-endian unsigned), the packed key is h·2²⁰ + (2²⁰−1 − pos)
+  * (rightmost-min tie-break), and one selection is emitted per
+  * window position pos ≥ w (duplicates kept — the per-window
+  * multiset the density audit counts). Strings shorter than
+  * k + w − 1 code points yield an empty array. */
+case class WinnowSelect(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_sel"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    WinnowSelect.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.WinnowSelect.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  private val K = 8
+  private val W = 4
+
+  /** Static helper shared by eval and codegen (the md5 loop is too
+    * stateful to inline; a static call keeps the surrounding plan in
+    * WholeStageCodegen). Works directly on the UTF-8 bytes: gram
+    * digests are md5 over byte SLICES bounded by code-point offsets —
+    * identical bytes to md5(substring) (UTF-8 of a code-point
+    * substring IS the byte slice), with zero per-gram String/copy
+    * allocation — and the result rides an UnsafeArrayData (a ~3.5k-
+    * element boxed array per doc was most of the layout build cost). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // code-point start offsets: positions must match Spark substring/
+    // DuckDB substr (code points), not Java's UTF-16 units
+    val offs = new Array[Int](s.numChars() + 1)
+    var nc = 0
+    var bi = 0
+    while (bi < nb) {
+      offs(nc) = bi
+      bi += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(bi))
+      nc += 1
+    }
+    offs(nc) = nb
+    val p = nc - K + 1 // number of grams
+    if (p < W)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ring = new Array[Long](W)
+    val out = new Array[Long](p - W + 1)
+    var pos = 1
+    while (pos <= p) {
+      md.reset()
+      md.update(bytes, offs(pos - 1), offs(pos - 1 + K) - offs(pos - 1))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      ring((pos - 1) % W) = h * 1048576L + (1048575L - pos)
+      if (pos >= W) {
+        var mn = ring(0)
+        var i = 1
+        while (i < W) { if (ring(i) < mn) mn = ring(i); i += 1 }
+        out(pos - W) = mn
+      }
+      pos += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val floorScaleName = "graft_floor_scale"
@@ -856,6 +956,7 @@ object VectorExprs {
   val ngramsName = "graft_ngrams"
   val matchMaskName = "graft_match_mask"
   val gearCutsName = "graft_gear_cuts"
+  val winnowSelName = "graft_winnow_sel"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -939,6 +1040,8 @@ object VectorExprs {
       children => MatchMask(children.head, children(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       gearCutsName, children => GearCuts(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      winnowSelName, children => WinnowSelect(children.head), "built-in")
   }
 }
 

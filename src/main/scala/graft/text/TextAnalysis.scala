@@ -1433,7 +1433,11 @@ object TextAnalysis extends QueryModule {
   /** Per-window winnowing SELECTIONS (doc_id, sel) for pos ≥ w — the
     * one corpus gram pass (explode → portable hash → packed window
     * min) both winnowing consumers derive from. */
-  private def winnowSelections(docs: DataFrame): DataFrame = {
+  /** Kept as the independent explode+window REFERENCE construction:
+    * the spec pins [[graft.expr.WinnowSelect]]'s map-only selections
+    * against this form, so the codegen path can never drift from the
+    * published definition. Not on any production path. */
+  private[graft] def winnowSelections(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8
     val w = 4
@@ -1474,33 +1478,44 @@ object TextAnalysis extends QueryModule {
     * a bucketed scan. Returns (fps, stats). */
   private[graft] def winnowLayouts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
+    graft.expr.VectorExprs.register(spark)
     val tag = s"${Tables.layoutTag(dir)}_k8w4_$winnowAlgoVersion"
     // lazy: computed (and checkpointed) only if at least one table
-    // actually needs building — and then shared by both builds
-    lazy val sel =
-      winnowSelections(Tables.documents(spark, dir)).localCheckpoint()
+    // actually needs building — and then shared by both builds. The
+    // codegen graft_winnow_sel expression emits each doc's selection
+    // multiset in ONE map pass — no per-position explode, no per-doc
+    // ordered window, and both per-doc distincts happen in-row, so the
+    // build's only shuffles are the two 8-bucket writes (the
+    // explode+window form cost ~3× the whole build at sf0.1)
+    lazy val sel = Tables.documents(spark, dir)
+      // the digest pass is CPU-bound at ~3.5k grams/doc; a small-SF
+      // corpus arrives as ONE parquet split, so spread it across the
+      // cluster before hashing (at 100 TB the source's natural splits
+      // already do this; the ~MB text shuffle is noise vs the digests)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function(graft.expr.VectorExprs.winnowSelName,
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("sels"))
+      .filter(size(col("sels")) > 0)
+      .localCheckpoint()
     val fps = Tables.attachBucketed(spark, tag, s"winnow_fps_$tag",
         "doc_id BIGINT, h BIGINT", "h", 8) {
-      sel.select(col("doc_id"), expr("sel div 1048576").as("h")).distinct()
+      sel.select(col("doc_id"), explode(array_distinct(
+        expr("transform(sels, x -> x div 1048576)"))).as("h"))
     }
     val stats = Tables.attachBucketed(spark, tag, s"winnow_stats_$tag",
         "doc_id BIGINT, n_windows BIGINT, n_fps BIGINT, n_hashes BIGINT",
         "doc_id", 8) {
-      sel.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          countDistinct(col("sel")).as("n_fps"),
-          countDistinct(expr("sel div 1048576")).as("n_hashes"))
+      sel.select(col("doc_id"),
+        size(col("sels")).cast("long").as("n_windows"),
+        size(array_distinct(col("sels"))).cast("long").as("n_fps"),
+        size(array_distinct(expr("transform(sels, x -> x div 1048576)")))
+          .cast("long").as("n_hashes"))
     }
     (fps, stats)
   }
 
-  /** Distinct winnowed fingerprint HASHES per doc — the (doc_id, h)
-    * postings [[txtWinnowing]]'s per-doc audit summarizes and the
-    * winnowing-based near-dup pair generator
-    * ([[graft.dedup.Dedup]]'s `dedup_winnow_pairs`) joins on. Served
-    * from the persisted bucketed layout. */
-  private[graft] def winnowedHashes(spark: SparkSession, dir: String)
-      : DataFrame = winnowLayouts(spark, dir)._1
 
   def txtWinnowing(spark: SparkSession, dir: String): DataFrame =
     winnowLayouts(spark, dir)._2

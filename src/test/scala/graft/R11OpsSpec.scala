@@ -180,6 +180,33 @@ class R11OpsSpec extends SparkSpec {
       "the fixed quarter-range predicate must skip at least one bucket")
   }
 
+  test("graft_winnow_sel equals the explode+window reference " +
+      "construction, selection by selection") {
+    graft.expr.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val viaExpr = docs
+      .select(col("doc_id"),
+        explode(call_function(graft.expr.VectorExprs.winnowSelName,
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+          .as("sel"))
+    val viaWindow = graft.text.TextAnalysis.winnowSelections(docs)
+    // multiset equality both directions (explode keeps duplicates)
+    val l = viaExpr.groupBy("doc_id", "sel").count()
+    val r = viaWindow.groupBy("doc_id", "sel").count()
+    assert(l.exceptAll(r).count() === 0 && r.exceptAll(l).count() === 0,
+      "codegen winnowing must match the published explode+window form")
+    // non-BMP safety: a surrogate-pair doc positions by code points
+    import spark.implicits._
+    val emoji = Seq((1L, "a😀bcdefghij klmnop")).toDF("doc_id", "text")
+    val e = emoji.select(explode(call_function(
+        graft.expr.VectorExprs.winnowSelName,
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("sel"))
+    val w = graft.text.TextAnalysis.winnowSelections(emoji)
+      .select(col("sel"))
+    assert(e.exceptAll(w).count() === 0 && w.exceptAll(e).count() === 0,
+      "surrogate pairs must count as one position on both paths")
+  }
+
   test("emb_silhouette: scores are per-mille bounded and the panel " +
       "covers every vector") {
     val s = sim.EmbOps.embSilhouette(spark, sfDir)
