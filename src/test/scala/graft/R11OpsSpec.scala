@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
   * fixture change can't silently hollow the test out. */
 class R11OpsSpec extends SparkSpec {
 
+  test("r11 executed-plan pins: dimension-frame windows, keyed " +
+      "semantic-dedup join, codegen winnowing") {
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // q63: the ntile windows must sit ABOVE the customer-key hash-agg
+    // (rank the dimension frame, never sort the fact table)
+    val p63 = plan(ops.Relational.q63(spark, sfDir))
+    val wIdx = p63.indexOf("Window")
+    val aIdx = p63.indexOf("HashAggregate(keys=[o_custkey")
+    assert(wIdx >= 0 && aIdx > wIdx,
+      s"q63 windows must consume the per-customer aggregate:\n$p63")
+    // dedup_semdedup: pair join keyed by the cell — no cartesian, and
+    // the distance rides the codegen dot
+    val psd = plan(graft.dedup.Dedup.dedupSemdedup(spark, sfDir))
+    assert(psd.contains("graft_dot"))
+    assert(!psd.contains("CartesianProduct") &&
+      !psd.contains("BroadcastNestedLoop"),
+      s"semdedup must block on the cell:\n$psd")
+    // winnowing: the layout build is map-only up to the bucketed
+    // writes — the per-position explode and per-doc window are gone
+    val ptw = plan(text.TextAnalysis.txtWinnowing(spark, sfDir))
+    assert(!ptw.contains("Window ["),
+      s"winnowing stats must come from the layout, not a window:\n$ptw")
+  }
+
   test("q62_abc_pareto: classes partition the part dimension and " +
       "revenue shares reconcile") {
     val abc = ops.Relational.q62(spark, sfDir).collect()
