@@ -14,6 +14,10 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# optional 3rd arg: comma-separated key filter — lets a wrapper shard
+# the compare across worker processes (heavy oracles at big SF are
+# single-query-bound; the keys are independent)
+ONLY = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -34,12 +38,31 @@ def norm_rows(cols, rows):
 
 def main():
     con = duckdb.connect()
+    # big-SF runs: bound memory/threads/spill so N concurrent compare
+    # workers cannot exhaust RAM or disk (quadratic oracles spill)
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("GRAFT_DUCK_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
+    tmp = os.environ.get("GRAFT_DUCK_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute("SET max_temp_directory_size='20GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
-    for qdir in sorted(glob.glob(f"{OUT}/*/")):
+    alldirs = sorted(glob.glob(f"{OUT}/*/"))
+    if ONLY is not None:
+        # honor the caller's order: a wrapper fronts cheap oracles and
+        # defers the quadratic ones
+        byname = {os.path.basename(d.rstrip("/")): d for d in alldirs}
+        alldirs = [byname[k] for k in ONLY if k in byname]
+    for qdir in alldirs:
         name = os.path.basename(qdir.rstrip("/"))
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
