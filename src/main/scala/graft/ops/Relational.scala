@@ -530,8 +530,13 @@ object Relational extends graft.QueryModule {
     * engine-identical at every row. */
   def q24(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // adding the SUMMED column to the ordering makes the running sum
+    // well-defined — rows tying on (linenumber, quantity) are
+    // interchangeable without changing any prefix sum. (Caught by the
+    // sf1 exactness gate: engines scan ties in different orders.)
     val w = Window.partitionBy("l_orderkey")
-      .orderBy("l_linenumber")
+      .orderBy("l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") < 1000)
@@ -546,7 +551,8 @@ object Relational extends graft.QueryModule {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
       |  COUNT(*) OVER w AS running_n
       |FROM lineitem WHERE l_orderkey < 1000
-      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |             ORDER BY l_linenumber, l_quantity
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
