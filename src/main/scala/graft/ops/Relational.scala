@@ -1790,13 +1790,17 @@ object Relational extends graft.QueryModule {
       countDistinct(col("skey")).as("n_supp"),
       countDistinct(when(col("late"), col("skey"))).as("n_late"),
       min(when(col("late"), col("skey"))).as("blocker"))
+    // group AND order by the supplier KEY: names are not unique (the
+    // sf1 replication gate caught the oracle grouping by name while
+    // this side grouped by key — identical only while names were
+    // unique), and the key makes the top-10 order total
     perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy("blocker").agg(count(lit(1)).as("numwait"))
       .join(Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_name")),
         col("blocker") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name")).limit(10)
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
   }
 
   val q50Sql: String =
@@ -1813,9 +1817,10 @@ object Relational extends graft.QueryModule {
       |      WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
       |    AND NOT EXISTS (SELECT 1 FROM l l3
       |      WHERE l3.okey = l1.okey AND l3.skey <> l1.skey AND l3.late))
-      |SELECT s.s_name, COUNT(*) AS numwait
+      |SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
       |FROM w JOIN supplier s ON s.s_suppkey = w.skey
-      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+      |GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey
+      |LIMIT 10""".stripMargin
 
   // --------------------------------------------------- q51_kmv_setops
   /** KMV SET OPERATIONS — the mergeable-sketch algebra behind
