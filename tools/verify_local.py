@@ -50,7 +50,7 @@ def main():
     if tmp:
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
-        con.execute("SET max_temp_directory_size='20GiB'")
+        con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
