@@ -33,11 +33,13 @@ class R9cOpsSpec extends SparkSpec {
       .join(Tables.supplier(spark, sfDir)
           .select(col("s_suppkey"), col("s_name")),
         col("a_skey") === col("s_suppkey"))
-      .select("s_name", "numwait")
-      .orderBy(col("numwait").desc, col("s_name")).limit(10)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
     val got = ops.Relational.q50(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
     assert(got == naive)
     assert(got.nonEmpty)
   }
