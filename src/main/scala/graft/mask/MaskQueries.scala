@@ -208,6 +208,54 @@ object MaskQueries extends QueryModule {
       |            substr(c_name, length(c_name) - 1, 2) END AS center
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------- mask_token_collision
+  /** TOKEN-WIDTH COLLISION audit — the question every tokenization
+    * deployment answers before committing to a format-constrained
+    * token width (a 4-hex token fits the legacy column but two
+    * customers sharing one token silently merge on every downstream
+    * join): for each candidate width the audit reports distinct
+    * inputs, distinct tokens, inputs living in collided groups, and
+    * the collision rate per-mille — the empirical birthday curve for
+    * THIS corpus, not the asymptotic formula. One |inputs|×|widths|
+    * melt (bounded by the dimension), one (width, token) hash-agg,
+    * |widths|-row report. */
+  def maskTokenCollision(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(2, 3, 4, 6)
+    val names = Tables.customer(spark, dir)
+      .select(col("c_name")).distinct()
+    val melted = names.select(
+      explode(typedLit(widths)).as("w"), col("c_name"))
+      .select(col("w"),
+        expr("substr(sha2(concat(c_name, 'pepper'), 256), 1, w)")
+          .as("token"))
+    melted.groupBy("w", "token").agg(count(lit(1)).as("c"))
+      .groupBy("w")
+      .agg(sum(col("c")).as("n_inputs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_collided"))
+      .select(col("w").cast("long").as("token_width"),
+        col("n_inputs"), col("n_tokens"), col("n_collided"),
+        expr("n_collided * 1000 div n_inputs").as("collision_pm"))
+      .orderBy("token_width")
+  }
+
+  val maskTokenCollisionSql: String =
+    """WITH names AS (SELECT DISTINCT c_name FROM customer),
+      |m AS (
+      |  SELECT w, substr(sha256(c_name || 'pepper'), 1, CAST(w AS INT))
+      |    AS token
+      |  FROM names, (SELECT UNNEST([2, 3, 4, 6]) AS w)),
+      |g AS (SELECT w, token, COUNT(*) AS c FROM m GROUP BY 1, 2)
+      |SELECT CAST(w AS BIGINT) AS token_width,
+      |  CAST(SUM(c) AS BIGINT) AS n_inputs,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_collided,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 // SUM(c)
+      |    AS BIGINT) AS collision_pm
+      |FROM g GROUP BY w ORDER BY token_width""".stripMargin
+
   /** End-to-end reference flow: classify customer by column name with
     * the default library, apply each class's default rule. */
   def maskClassified(spark: SparkSession, dir: String): DataFrame = {
@@ -1263,6 +1311,7 @@ object MaskQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mask_vgh_generalize" -> (maskVghGeneralize _),
     "mask_t_closeness" -> (maskTCloseness _),
+    "mask_token_collision" -> (maskTokenCollision _),
     "mask_info_loss" -> (maskInfoLoss _),
     "mask_winsorize" -> (maskWinsorize _),
     "mask_noise" -> (maskNoise _),
@@ -1297,6 +1346,7 @@ object MaskQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "mask_vgh_generalize" -> maskVghGeneralizeSql,
     "mask_t_closeness" -> maskTClosenessSql,
+    "mask_token_collision" -> maskTokenCollisionSql,
     "mask_info_loss" -> maskInfoLossSql,
     "mask_winsorize" -> maskWinsorizeSql,
     "mask_microagg" -> maskMicroaggSql,

@@ -1446,6 +1446,74 @@ object EventStreams extends QueryModule {
       .orderBy("day_start")
   }
 
+  // ----------------------------------------------- str_burn_rate
+  /** MULTI-WINDOW ERROR-BUDGET BURN RATE — the SRE alerting classic
+    * (fast-burn alerts need BOTH a short and a long window hot, or a
+    * brief spike pages at 3 am while a slow leak never does): the
+    * error share of each 6 h window, expressed as a per-mille BURN
+    * vs the stream's own global error share (self-calibrating — no
+    * configured SLO constant to drift), plus the hottest 1 h burn
+    * inside the window; alert = 6 h burn ≥ 1500‰ AND some 1 h burn ≥
+    * 2000‰. Shape: one corpus scan → |hours| hash-agg; the 6 h
+    * rollup, the global budget, and the alert rule all ride that
+    * pinned bounded frame. Exact integer ppm/per-mille throughout. */
+  def burnRate(events: DataFrame): DataFrame = {
+    val hours = events.select(
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("h"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
+      .localCheckpoint()
+    val glob = hours.agg(sum(col("n")).as("gn"),
+      sum(col("n_err")).as("ge"))
+    // burn vs global share with integer cross-products: burn_pm =
+    // 1000 · (err/n) / (ge/gn) = err·gn·1000 div (n·ge)
+    val perHour = hours.crossJoin(broadcast(glob))
+      .select((col("h") - (col("h") % 6)).as("w6"), col("h"),
+        col("n"), col("n_err"), col("gn"), col("ge"),
+        expr("n_err * gn * 1000 div (n * ge)").as("burn_1h_pm"))
+    perHour.groupBy("w6")
+      .agg(sum(col("n")).as("n"), sum(col("n_err")).as("n_err"),
+        max(col("burn_1h_pm")).as("max_burn_1h_pm"),
+        max(col("gn")).as("_gn"), max(col("ge")).as("_ge"))
+      .select(col("w6").cast("long").as("window6h"),
+        col("n"), col("n_err"),
+        expr("n_err * 1000000 div n").as("err_ppm"),
+        expr("n_err * _gn * 1000 div (n * _ge)").as("burn_6h_pm"),
+        col("max_burn_1h_pm"))
+      .withColumn("alert",
+        col("burn_6h_pm") >= 1500 && col("max_burn_1h_pm") >= 2000)
+      .orderBy("window6h")
+  }
+
+  def strBurnRate(spark: SparkSession, dir: String): DataFrame =
+    burnRate(Tables.events(spark, dir))
+
+  val strBurnRateSql: String =
+    """WITH hrs AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS n_err
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT SUM(n) AS gn, SUM(n_err) AS ge FROM hrs),
+      |ph AS (
+      |  SELECT h - (h % 6) AS w6, n, n_err,
+      |    n_err * gn * 1000 // (n * ge) AS burn_1h_pm
+      |  FROM hrs, g),
+      |w AS (
+      |  SELECT w6, SUM(n) AS n, SUM(n_err) AS n_err,
+      |    MAX(burn_1h_pm) AS max_burn_1h_pm
+      |  FROM ph GROUP BY w6)
+      |SELECT CAST(w6 AS BIGINT) AS window6h,
+      |  CAST(n AS BIGINT) AS n, CAST(n_err AS BIGINT) AS n_err,
+      |  CAST(n_err * 1000000 // n AS BIGINT) AS err_ppm,
+      |  CAST(n_err * gn * 1000 // (n * ge) AS BIGINT) AS burn_6h_pm,
+      |  CAST(max_burn_1h_pm AS BIGINT) AS max_burn_1h_pm,
+      |  n_err * gn * 1000 // (n * ge) >= 1500
+      |    AND max_burn_1h_pm >= 2000 AS alert
+      |FROM w, g ORDER BY window6h""".stripMargin
+
   // ----------------------------------------------- str_mann_kendall
   /** MANN–KENDALL monotonic-trend test per event type — the
     * distribution-free companion to [[changePoints]] (CUSUM finds a
@@ -1874,6 +1942,7 @@ object EventStreams extends QueryModule {
     "str_attribution" -> (strAttribution _),
     "str_change_points" -> (strChangePoints _),
     "str_mann_kendall" -> (strMannKendall _),
+    "str_burn_rate" -> (strBurnRate _),
     "str_topk_drift" -> (strTopkDrift _),
     "str_concurrency" -> (strConcurrency _),
     "str_outage_windows" -> (strOutageWindows _),
@@ -1911,6 +1980,7 @@ object EventStreams extends QueryModule {
     "str_attribution" -> strAttributionSql,
     "str_change_points" -> strChangePointsSql,
     "str_mann_kendall" -> strMannKendallSql,
+    "str_burn_rate" -> strBurnRateSql,
     "str_topk_drift" -> strTopkDriftSql,
     "str_concurrency" -> strConcurrencySql,
     "str_outage_windows" -> strOutageWindowsSql,

@@ -208,6 +208,40 @@ class R11OpsSpec extends SparkSpec {
       "the fixed quarter-range predicate must skip at least one bucket")
   }
 
+  test("str_burn_rate: windows partition the stream, burn is " +
+      "self-calibrated, and the hourly max dominates the window mean") {
+    val b = streaming.EventStreams.strBurnRate(spark, sfDir)
+    val n = b.agg(sum("n")).head.getLong(0)
+    assert(n === Tables.events(spark, sfDir).count())
+    b.collect().foreach { r =>
+      // the window burn is the n-weighted mean of its hourly burns, so
+      // the hourly max dominates it (±1 for integer floors)
+      assert(r.getAs[Long]("max_burn_1h_pm") >=
+        r.getAs[Long]("burn_6h_pm") - 1)
+      assert(r.getAs[Long]("err_ppm") >= 0 &&
+        r.getAs[Long]("err_ppm") <= 1000000)
+    }
+  }
+
+  test("mask_token_collision: inputs are width-invariant and the " +
+      "collision curve is monotone in width") {
+    val t = graft.mask.MaskQueries.maskTokenCollision(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("token_width"))
+    val nIn = t.map(_.getAs[Long]("n_inputs")).distinct
+    assert(nIn.length === 1, "every width sees the same input set")
+    t.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_inputs"))
+      assert(r.getAs[Long]("n_tokens") +
+        r.getAs[Long]("n_collided") >= r.getAs[Long]("n_inputs"),
+        "non-collided inputs have unique tokens")
+    }
+    val pms = t.map(_.getAs[Long]("collision_pm"))
+    assert(pms.zip(pms.tail).forall { case (a, b) => a >= b },
+      s"longer tokens can't collide more: ${pms.toSeq}")
+    assert(pms.head > pms.last,
+      "the fixture must actually show the curve falling")
+  }
+
   test("graft_winnow_sel equals the explode+window reference " +
       "construction, selection by selection") {
     graft.expr.VectorExprs.register(spark)
