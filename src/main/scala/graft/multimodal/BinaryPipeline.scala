@@ -749,6 +749,83 @@ object BinaryPipeline extends QueryModule {
       |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_audio_zcr
+  /** ZERO-CROSSING RATE — the cheapest voiced/unvoiced + noisiness
+    * feature in the classic audio front-end (pairs with
+    * [[mmAudioVad]]'s energy gate: high energy + high ZCR = fricative
+    * or noise, high energy + low ZCR = voiced speech or tone): the
+    * REAL WAV payload is decoded with the JDK codec and each doc
+    * reports its sample count, exact sign-change count, and ZCR in
+    * per-mille of sample transitions; the per-rate rollup is what a
+    * corpus audit actually reads (does the 8 kHz slice skew noisier
+    * than the 15 kHz one?). Map-only to the |rates| hash-agg; the
+    * oracle recomputes every sample from the generator arithmetic,
+    * so a hash match proves the decode and the DSP. Zero-valued
+    * samples are carried OVER (sign compares against the last
+    * non-zero sample — the textbook definition that doesn't count
+    * silence as crossings). */
+  def mmAudioZcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sm = decodeWavSamples(encodeWav(id))
+        var i = 0
+        var last = 0 // sign of last non-zero sample; 0 = none yet
+        var cross = 0L
+        while (i < sm.length) {
+          val s = Integer.signum(sm(i))
+          if (s != 0) {
+            if (last != 0 && s != last) cross += 1
+            last = s
+          }
+          i += 1
+        }
+        (id, (8000L + (id % 8) * 1000L), sm.length.toLong, cross)
+      })
+      .toDF("doc_id", "rate", "n_samples", "n_cross")
+    per.groupBy("rate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("n_cross")).as("n_cross"))
+      .select(col("rate"), col("n_docs"), col("n_samples"),
+        col("n_cross"),
+        expr("n_cross * 1000 div (n_samples - n_docs)").as("zcr_pm"))
+      .orderBy("rate")
+  }
+
+  val mmAudioZcrSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k,
+      |    ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256 AS u
+      |  FROM (SELECT doc_id, unnest(range(0, ns)) AS k FROM d) t),
+      |sg AS (
+      |  SELECT doc_id, k,
+      |    SIGN(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS sg
+      |  FROM s),
+      |nz AS (
+      |  SELECT doc_id, k, sg,
+      |    LAG(sg) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      |  FROM sg WHERE sg <> 0),
+      |cr AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN prev IS NOT NULL AND sg <> prev
+      |        THEN 1 ELSE 0 END) AS n_cross
+      |  FROM nz GROUP BY doc_id),
+      |per AS (
+      |  SELECT d.doc_id, d.rate, d.ns AS n_samples,
+      |    COALESCE(cr.n_cross, 0) AS n_cross
+      |  FROM d LEFT JOIN cr USING (doc_id))
+      |SELECT CAST(rate AS BIGINT) AS rate, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+      |  CAST(SUM(n_cross) AS BIGINT) AS n_cross,
+      |  CAST(SUM(n_cross) * 1000 // (SUM(n_samples) - COUNT(*))
+      |    AS BIGINT) AS zcr_pm
+      |FROM per GROUP BY rate ORDER BY rate""".stripMargin
+
   // ---------------------------------------------- mm_image_patches
   /** ViT-style PATCH extraction — the preprocessing that turns an
     * image into the token sequence a vision transformer trains on:
@@ -1307,6 +1384,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_phash" -> (mmImagePhash _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_audio_vad" -> (mmAudioVad _),
+    "mm_audio_zcr" -> (mmAudioZcr _),
     "mm_image_patches" -> (mmImagePatches _),
     "mm_video_scenes" -> (mmVideoScenes _),
     "mm_audio_decode" -> (mmAudioDecode _),
@@ -1327,6 +1405,7 @@ object BinaryPipeline extends QueryModule {
     "mm_image_phash" -> mmImagePhashSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_audio_vad" -> mmAudioVadSql,
+    "mm_audio_zcr" -> mmAudioZcrSql,
     "mm_image_patches" -> mmImagePatchesSql,
     "mm_video_scenes" -> mmVideoScenesSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
