@@ -2779,7 +2779,169 @@ object Relational extends graft.QueryModule {
       |    AS row_share_pm
       |FROM c ORDER BY qty_bin, disc_bin""".stripMargin
 
+  // ------------------------------------------- q66_interval_coverage
+  /** INTERVAL-UNION COVERAGE (the sweep-line classic: total covered
+    * time per user when each event opens a 5-minute activity window
+    * and windows overlap): the running-max-end window detects island
+    * starts, islands aggregate to contiguous spans, spans aggregate
+    * to the per-user panel. The ONLY window is partitioned by
+    * `user_id` — per-user event history is the bounded axis at
+    * 100 TB (users grow, per-user rows don't), so no corpus-wide
+    * sort exists anywhere in the plan. Exact integer microseconds
+    * end to end; half-open [s, s+300s) intervals, an island breaks
+    * only when a gap is strictly positive. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("s"))
+      .withColumn("e", col("s") + lit(300000000L))
+    val byU = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val prevMax = max(col("e"))
+      .over(byU.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = ev
+      .withColumn("new_isl",
+        when(prevMax.isNull.or(col("s") > prevMax), 1L).otherwise(0L))
+      .withColumn("isl_id", sum(col("new_isl"))
+        .over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "isl_id")
+      .agg(min(col("s")).as("st"), max(col("e")).as("en"),
+        count(lit(1)).as("n_ev"))
+    isl.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("en") - col("st")).as("covered_us"),
+        max(col("en") - col("st")).as("max_island_us"),
+        sum(col("n_ev")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q66Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 300000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM ev),
+      |f AS (
+      |  SELECT user_id, event_id, s, e,
+      |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+      |  FROM m),
+      |i AS (
+      |  SELECT user_id, s, e,
+      |    SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM f),
+      |g AS (
+      |  SELECT user_id, isl, MIN(s) AS st, MAX(e) AS en,
+      |    COUNT(*) AS n_ev
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(SUM(en - st) AS BIGINT) AS covered_us,
+      |  CAST(MAX(en - st) AS BIGINT) AS max_island_us,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------- q67_bitmap_distinct
+  /** BITMAP-WORD DISTINCT COUNT — COUNT(DISTINCT key) rebuilt as an
+    * ASSOCIATIVE aggregate (the roaring-bitmap trick in 64-bit
+    * words): keys bucket into `key div 64` words, `bit_or` folds the
+    * one-hot masks, `bit_count` pops the result. Because bit_or is
+    * associative+commutative, partial aggregation combines map-side
+    * — the shuffle carries |groups × live words| words, never raw
+    * keys, and re-aggregating coarser grains later needs only more
+    * OR-folds (distinct counts themselves never add). The contract a
+    * 100 TB rollup cube wants: one corpus pass, mergeable state. */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        expr("l_partkey div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(l_partkey % 64 as int)))")
+        .as("bits"))
+    words.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_words"),
+        sum(bit_count(col("bits")).cast("long")).as("n_distinct_parts"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q67Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag, l_linestatus, l_partkey // 64 AS w,
+      |    BIT_OR(CASE WHEN l_partkey % 64 = 63
+      |      THEN CAST(-9223372036854775808 AS BIGINT)
+      |      ELSE CAST(1 AS BIGINT) << CAST(l_partkey % 64 AS INT)
+      |      END) AS bits
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_words,
+      |  CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n_distinct_parts
+      |FROM w GROUP BY 1, 2
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------- q68_decay_weighted
+  /** TIME-DECAYED REVENUE (the freshness-weighted KPI): weekly
+    * half-life decay done in EXACT integer arithmetic — weight =
+    * 1024 >> weeks_ago (zero past 10 weeks), so the decayed sum is a
+    * plain integer aggregate with no float drift to reconcile across
+    * engines. The anchor (corpus max order day) is a 1-row broadcast
+    * reaggregation; facts fold in one map-side-combining hash-agg.
+    * Rebuilding "recency-weighted revenue share" this way keeps the
+    * metric additive: shards compute partial decayed sums against
+    * the shared anchor and merge by +. */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val anchor = ord.agg(max(col("day")).as("anchor_day"))
+    ord.crossJoin(broadcast(anchor))
+      .withColumn("weeks",
+        least(expr("(anchor_day - day) div 7"), lit(11L)))
+      .withColumn("wt",
+        expr("shiftright(1024L, cast(weeks as int))"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_cents"),
+        sum(col("cents") * col("wt")).as("decayed_1024"),
+        sum(col("wt")).as("wt_sum"))
+      .select(col("seg"), col("n_orders"), col("rev_cents"),
+        col("decayed_1024"),
+        expr("decayed_1024 * 1000 div (rev_cents * 1024)")
+          .as("freshness_pm"),
+        col("wt_sum"))
+      .orderBy("seg")
+  }
+
+  val q68Sql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    DATEDIFF('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS day,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |a AS (SELECT MAX(day) AS anchor_day FROM o),
+      |w AS (
+      |  SELECT seg, cents,
+      |    CAST(1024 AS BIGINT) >>
+      |      CAST(LEAST((anchor_day - day) // 7, 11) AS INT) AS wt
+      |  FROM o CROSS JOIN a)
+      |SELECT seg, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(cents * wt) AS BIGINT) AS decayed_1024,
+      |  CAST(SUM(cents * wt) * 1000 // (SUM(cents) * 1024) AS BIGINT)
+      |    AS freshness_pm,
+      |  CAST(SUM(wt) AS BIGINT) AS wt_sum
+      |FROM w GROUP BY seg ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_interval_coverage" -> (q66 _),
+    "q67_bitmap_distinct" -> (q67 _),
+    "q68_decay_weighted" -> (q68 _),
     "q62_abc_pareto" -> (q62 _),
     "q65_cohort_revenue" -> (q65 _),
     "q63_rfm_segments" -> (q63 _),
@@ -2847,6 +3009,9 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q66_interval_coverage" -> q66Sql,
+    "q67_bitmap_distinct" -> q67Sql,
+    "q68_decay_weighted" -> q68Sql,
     "q36_mad" -> q36Sql,
     "q37_unpivot" -> q37Sql,
     "q38_band_join" -> q38Sql,
