@@ -1912,7 +1912,147 @@ object ClassifyQueries extends QueryModule {
       |    AS eff_categories_milli
       |FROM g GROUP BY col ORDER BY col""".stripMargin
 
+  // ------------------------------------------------ cls_gamma_assoc
+  /** GOODMAN–KRUSKAL GAMMA — ordinal association for profiled column
+    * pairs, computed the grid way: each pair's values land on their
+    * natural bounded grid (quantity units, discount/tax milli), ONE
+    * corpus pass builds the |cells| contingency frame, and the
+    * concordant/discordant pair counts come from a cell×cell
+    * dominance join that is GRID-bounded (≤5k×5k per pair), never
+    * corpus-bounded — the same contingency-first contract as
+    * [[clsContingency]]/`cls_mutual_info`, which is what makes an
+    * O(n²)-pairs statistic a one-scan operator at 100 TB. Pair
+    * counts are exact BIGINTs (n ≤ 3e9 before the n² headroom needs
+    * the decimal lift); gamma lands in per-mille by integer
+    * division. */
+  def clsGammaAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(explode(array(
+        struct(lit("qty_vs_disc").as("pair"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_discount") * 1000).cast("long").as("y")),
+        struct(lit("qty_vs_tax").as("pair"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_tax") * 1000).cast("long").as("y")),
+        struct(lit("disc_vs_tax").as("pair"),
+          floor(col("l_discount") * 1000).cast("long").as("x"),
+          floor(col("l_tax") * 1000).cast("long").as("y")))).as("m"))
+      .groupBy(col("m.pair").as("pair"), col("m.x").as("x"),
+        col("m.y").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |grid| frame, 2 consumers (a & b sides)
+    val a = cells.select(col("pair"), col("x").as("ax"),
+      col("y").as("ay"), col("n").as("an"))
+    val b = cells.select(col("pair"), col("x").as("bx"),
+      col("y").as("by"), col("n").as("bn"))
+    a.join(broadcast(b), Seq("pair"))
+      .filter(col("bx") > col("ax"))
+      .groupBy("pair")
+      .agg(
+        sum(when(col("by") > col("ay"), col("an") * col("bn"))
+          .otherwise(0L)).as("c_pairs"),
+        sum(when(col("by") < col("ay"), col("an") * col("bn"))
+          .otherwise(0L)).as("d_pairs"))
+      .select(col("pair"), col("c_pairs"), col("d_pairs"),
+        expr("(c_pairs - d_pairs) * 1000 div (c_pairs + d_pairs)")
+          .as("gamma_pm"))
+      .orderBy("pair")
+  }
+
+  val clsGammaAssocSql: String =
+    """WITH m AS (
+      |  SELECT 'qty_vs_disc' AS pair,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT) AS y FROM lineitem
+      |  UNION ALL SELECT 'qty_vs_tax',
+      |    CAST(FLOOR(l_quantity) AS BIGINT),
+      |    CAST(FLOOR(l_tax * 1000) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'disc_vs_tax',
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT),
+      |    CAST(FLOOR(l_tax * 1000) AS BIGINT) FROM lineitem),
+      |cells AS (
+      |  SELECT pair, x, y, COUNT(*) AS n FROM m GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.pair,
+      |    SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS c_pairs,
+      |    SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS d_pairs
+      |  FROM cells a JOIN cells b
+      |    ON a.pair = b.pair AND b.x > a.x
+      |  GROUP BY 1)
+      |SELECT pair, CAST(c_pairs AS BIGINT) AS c_pairs,
+      |  CAST(d_pairs AS BIGINT) AS d_pairs,
+      |  CAST((c_pairs - d_pairs) * 1000 // (c_pairs + d_pairs)
+      |    AS BIGINT) AS gamma_pm
+      |FROM j ORDER BY pair""".stripMargin
+
+  // ----------------------------------------------------- cls_anova
+  /** ONE-WAY ANOVA decomposition (does the quantity distribution
+    * differ across return flags?) in exact integer arithmetic: one
+    * map-side-combining pass folds (n, Σx, Σx²) per group; between/
+    * within sums of squares use ONE documented floor division per
+    * group (s1² div n — truncation bias < k units, identical
+    * truncation in both engines on positive sums), and F/η² land in
+    * milli/per-mille by integer division. The group state is
+    * mergeable (+), so shards combine without a second pass. Σx² of
+    * unit-grid quantities keeps int64 headroom to ~3e9 rows; past
+    * that the s1² term lifts to decimal — the `cls_spearman`
+    * quantize-don't-float contract. */
+  def clsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_quantity")).cast("long").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .localCheckpoint() // |groups| frame, 2 consumers
+    val pooled = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),
+      sum(expr("s1 * s1 div n")).as("bsum"))
+      .select(col("k"), col("nn"),
+        // clamp: per-group truncation can push an all-but-zero SSB a
+        // few units negative, where div (truncate) and // (floor)
+        // would disagree
+        greatest(col("bsum") - expr("t1 * t1 div nn"), lit(0L))
+          .as("ssb"),
+        (col("t2") - col("bsum")).as("ssw"))
+    g.crossJoin(broadcast(pooled))
+      .select(col("grp"), col("n"), col("s1"), col("s2"),
+        expr("s1 * 1000 div n").as("mean_milli"),
+        col("ssb"), col("ssw"),
+        expr("ssb * (nn - k) * 1000 div (ssw * (k - 1))")
+          .as("f_milli"),
+        expr("ssb * 1000 div (ssb + ssw)").as("eta2_pm"))
+      .orderBy("grp")
+  }
+
+  val clsAnovaSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS grp, COUNT(*) AS n,
+      |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS s1,
+      |    SUM(CAST(FLOOR(l_quantity) AS BIGINT) *
+      |        CAST(FLOOR(l_quantity) AS BIGINT)) AS s2
+      |  FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS t1,
+      |    SUM(s2) AS t2, SUM(s1 * s1 // n) AS bsum
+      |  FROM g),
+      |d AS (
+      |  SELECT k, nn, GREATEST(bsum - (t1 * t1 // nn), 0) AS ssb,
+      |    t2 - bsum AS ssw
+      |  FROM p)
+      |SELECT grp, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+      |  CAST(s2 AS BIGINT) AS s2,
+      |  CAST(s1 * 1000 // n AS BIGINT) AS mean_milli,
+      |  CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw,
+      |  CAST(ssb * (nn - k) * 1000 // (ssw * (k - 1)) AS BIGINT)
+      |    AS f_milli,
+      |  CAST(ssb * 1000 // (ssb + ssw) AS BIGINT) AS eta2_pm
+      |FROM g CROSS JOIN d ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_gamma_assoc" -> (clsGammaAssoc _),
+    "cls_anova" -> (clsAnova _),
     "cls_jsd_drift" -> (clsJsdDrift _),
     "cls_hhi_concentration" -> (clsHhiConcentration _),
     "cls_mutual_info" -> (clsMutualInfo _),
@@ -1949,6 +2089,8 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_gamma_assoc" -> clsGammaAssocSql,
+    "cls_anova" -> clsAnovaSql,
     "cls_approx_fd" -> clsApproxFdSql,
     "cls_mutual_info" -> clsMutualInfoSql,
     "cls_jsd_drift" -> clsJsdDriftSql,
