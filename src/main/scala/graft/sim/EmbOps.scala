@@ -1534,7 +1534,100 @@ object EmbOps extends QueryModule {
        |ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------------------ emb_jl_projection
+  /** JOHNSON–LINDENSTRAUSS ±1 PROJECTION AUDIT — the dimensionality
+    * crusher a 100 TB ANN pipeline applies BEFORE bucketing (64 dims
+    * → 8 at 8× less shuffle weight): each output coordinate is a ±1
+    * signed sum of the milli-quantized input dims (sign = md5-parity
+    * of (dim, out) — the portable hash, reproducible in any engine),
+    * and the audit measures what JL promises, that pair distances
+    * survive: for the consecutive-id pair set, ratio = 8·d²proj vs
+    * 64·d²orig... concretely proj_d2·1000 div (8·orig_d2), whose
+    * concentration around 1000 is the quality gauge. Everything is
+    * exact integer arithmetic (signed sums of milli grids), so the
+    * histogram hashes identically across engines. One corpus
+    * explode, |vecs×8| projection state, pair joins on the id — no
+    * all-pairs anywhere. */
+  def embJlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v") * 1000).cast("long").as("m"))
+      .localCheckpoint() // corpus-explode frame, 2 consumers
+    val sign = when(
+      pmod(graft.mask.MaskFunctions.portableHash(
+        concat_ws("_", col("dim"), col("j"))), lit(2L)) === 0, 1L)
+      .otherwise(-1L)
+    val proj = x
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("m") * sign).as("p"))
+    val pa = proj.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + 1).as("pid"), col("j"), col("p").as("qa"))
+    val pb = proj.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("pid"), col("j"), col("p").as("qb"))
+    val projD2 = pa.join(pb, Seq("pid", "j"))
+      .groupBy("pid")
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb")))
+        .as("proj_d2"))
+    val xa = x.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + 1).as("pid"), col("dim"), col("m").as("ma"))
+    val xb = x.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("pid"), col("dim"), col("m").as("mb"))
+    val origD2 = xa.join(xb, Seq("pid", "dim"))
+      .groupBy("pid")
+      .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+        .as("orig_d2"))
+    projD2.join(origD2, Seq("pid"))
+      .filter(col("orig_d2") > 0)
+      .select(expr("proj_d2 * 1000 div (8 * orig_d2)").as("ratio_pm"))
+      .groupBy(expr("ratio_pm div 200").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("ratio_pm")).as("lo_pm"),
+        max(col("ratio_pm")).as("hi_pm"))
+      .orderBy("bucket")
+  }
+
+  val embJlProjectionSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, d.dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(d.dim AS INTEGER) + 1]
+      |      AS DOUBLE) * 1000) AS BIGINT) AS m
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT UNNEST(range(256)) AS dim) d
+      |  WHERE len(embedding) > d.dim),
+      |pr AS (
+      |  SELECT vec_id, j.j,
+      |    SUM(m * (CASE WHEN ('0x'||substr(md5(
+      |      CAST(x.dim AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),
+      |      1,8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) AS p
+      |  FROM x CROSS JOIN (SELECT UNNEST(range(8)) AS j) j
+      |  GROUP BY 1, 2),
+      |pd AS (
+      |  SELECT a.vec_id + 1 AS pid,
+      |    SUM((a.p - b.p) * (a.p - b.p)) AS proj_d2
+      |  FROM pr a JOIN pr b
+      |    ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      |  WHERE a.vec_id % 2 = 0 GROUP BY 1),
+      |od AS (
+      |  SELECT a.vec_id + 1 AS pid,
+      |    SUM((a.m - b.m) * (a.m - b.m)) AS orig_d2
+      |  FROM x a JOIN x b
+      |    ON b.vec_id = a.vec_id + 1 AND b.dim = a.dim
+      |  WHERE a.vec_id % 2 = 0 GROUP BY 1),
+      |r AS (
+      |  SELECT proj_d2 * 1000 // (8 * orig_d2) AS ratio_pm
+      |  FROM pd JOIN od ON pd.pid = od.pid
+      |  WHERE orig_d2 > 0)
+      |SELECT ratio_pm // 200 AS bucket, COUNT(*) AS n_pairs,
+      |  CAST(MIN(ratio_pm) AS BIGINT) AS lo_pm,
+      |  CAST(MAX(ratio_pm) AS BIGINT) AS hi_pm
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_jl_projection" -> (embJlProjection _),
     "emb_hamming_calib" -> (embHammingCalib _),
     "emb_silhouette" -> (embSilhouette _),
     "emb_fps_coreset" -> (embFpsCoreset _),
@@ -1559,6 +1652,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_jl_projection" -> embJlProjectionSql,
     "emb_hamming_calib" -> embHammingCalibSql,
     "emb_silhouette" -> embSilhouetteSql,
     "emb_fps_coreset" -> embFpsCoresetSql,
