@@ -2186,7 +2186,84 @@ object Dedup extends QueryModule {
        |  ORDER BY s.d DESC, s.doc_id) = 1
        |ORDER BY component""".stripMargin
 
+  // ------------------------------------------------ dedup_shard_audit
+  /** SHARD-PLAN AUDIT for exact dedup — the design question a 100 TB
+    * dedup answers FIRST: which sharding makes shard-local dedup
+    * equal global dedup? Four plans over the same fingerprint frame:
+    * `global` (the reference answer), `by_content` (shard =
+    * hash(fingerprint) — all copies co-locate, so shard-local dedup
+    * is LOSSLESS and embarrassingly parallel with zero cross-shard
+    * traffic), `by_source` and `by_round_robin` (operationally
+    * convenient, but cross-shard copies survive). Each plan's row
+    * reports what it removed and what it MISSED vs global, in
+    * per-mille of the global duplicate mass. One corpus fingerprint
+    * pass, then |plans|-way counting — the audit costs one shuffle
+    * regardless of corpus size. */
+  def dedupShardAudit(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(lower(col("text"))).as("fp"))
+    val plans = fp.select(explode(array(
+      struct(lit("1_global").as("plan"), lit("0").as("shard"),
+        col("fp")),
+      struct(lit("2_by_content").as("plan"),
+        pmod(graft.mask.MaskFunctions.portableHash(col("fp")), lit(8L))
+          .cast("string").as("shard"), col("fp")),
+      struct(lit("3_by_source").as("plan"), col("source").as("shard"),
+        col("fp")),
+      struct(lit("4_by_round_robin").as("plan"),
+        pmod(col("doc_id"), lit(8L)).cast("string").as("shard"),
+        col("fp")))).as("m"))
+      .select(col("m.plan").as("plan"), col("m.shard").as("shard"),
+        col("m.fp").as("fp"))
+    val agg = plans.groupBy("plan")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("shard"), col("fp")).as("n_kept"))
+      .withColumn("n_removed", col("n_docs") - col("n_kept"))
+      .localCheckpoint() // 4-row frame, 2 consumers
+    val g = agg.filter(col("plan") === "1_global")
+      .select(col("n_removed").as("g_removed"))
+    agg.crossJoin(broadcast(g))
+      .select(col("plan"), col("n_docs"), col("n_kept"),
+        col("n_removed"),
+        (col("g_removed") - col("n_removed")).as("n_missed"),
+        when(col("g_removed") > 0,
+          expr("(g_removed - n_removed) * 1000 div g_removed"))
+          .otherwise(0L).as("loss_pm"))
+      .orderBy("plan")
+  }
+
+  val dedupShardAuditSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, source, md5(lower(text)) AS fp
+      |  FROM documents),
+      |plans AS (
+      |  SELECT '1_global' AS plan, '0' AS shard, fp FROM fp
+      |  UNION ALL SELECT '2_by_content',
+      |    CAST(('0x'||substr(md5(fp),1,8))::BIGINT % 8 AS VARCHAR), fp
+      |  FROM fp
+      |  UNION ALL SELECT '3_by_source', source, fp FROM fp
+      |  UNION ALL SELECT '4_by_round_robin',
+      |    CAST(doc_id % 8 AS VARCHAR), fp FROM fp),
+      |agg AS (
+      |  SELECT plan, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT shard || '|' || fp) AS n_kept
+      |  FROM plans GROUP BY 1),
+      |a2 AS (
+      |  SELECT plan, n_docs, n_kept, n_docs - n_kept AS n_removed
+      |  FROM agg),
+      |g AS (
+      |  SELECT n_removed AS g_removed FROM a2 WHERE plan = '1_global')
+      |SELECT plan, n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(n_removed AS BIGINT) AS n_removed,
+      |  CAST(g_removed - n_removed AS BIGINT) AS n_missed,
+      |  CAST(CASE WHEN g_removed > 0
+      |    THEN (g_removed - n_removed) * 1000 // g_removed
+      |    ELSE 0 END AS BIGINT) AS loss_pm
+      |FROM a2 CROSS JOIN g ORDER BY plan""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_shard_audit" -> (dedupShardAudit _),
     "dedup_char_jaccard" -> (dedupCharJaccard _),
     "dedup_cluster_medoid" -> (dedupClusterMedoid _),
     "dedup_lsh_sweep" ->
@@ -2220,6 +2297,7 @@ object Dedup extends QueryModule {
     * with portable md5-prefix mixes the oracle engine reproduces
     * bit-for-bit (see tokHash / MinHashBands). */
   val oracles: Map[String, String] = Map(
+    "dedup_shard_audit" -> dedupShardAuditSql,
     "dedup_char_jaccard" -> dedupCharJaccardSql,
     "dedup_cluster_medoid" -> dedupClusterMedoidSql,
     "dedup_lsh_sweep" -> dedupLshSweepSql,

@@ -1928,7 +1928,58 @@ object EventStreams extends QueryModule {
       |    AS flap_pm
       |FROM p GROUP BY 1 ORDER BY state""".stripMargin
 
+  // --------------------------------------------- str_watermark_skew
+  /** PER-SHARD WATERMARK SKEW — the "one slow partition holds the
+    * whole watermark" audit every multi-partition streaming job needs
+    * (Spark's global watermark is the MIN across input partitions, so
+    * a single stalled shard delays every downstream window close):
+    * shards stand in as `user_id % 8`, each (window, shard) reports
+    * its high-water event time, and the window row carries the skew
+    * (fast shard minus slow shard), the effective global watermark,
+    * and WHICH shard held it back (min-encoded as hi·8+shard — one
+    * aggregate, deterministic tie-break to the smallest shard id).
+    * Two mergeable hash-aggs, output at window grain — state at
+    * 100 TB is |windows × shards|, never events. */
+  def watermarkSkew(events: DataFrame): DataFrame = {
+    val e = events.select(
+      window(col("ts"), "6 hours").getField("start").as("window_start"),
+      pmod(col("user_id"), lit(8L)).as("shard"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    e.groupBy("window_start", "shard")
+      .agg(max(col("us")).as("hi"), count(lit(1)).as("n"))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n")).as("n_events"),
+        (max(col("hi")) - min(col("hi"))).as("skew_us"),
+        min(col("hi") * 8 + col("shard")).as("_enc"))
+      .select(col("window_start"), col("n_shards"), col("n_events"),
+        col("skew_us"),
+        expr("_enc div 8").as("wm_us"),
+        expr("_enc % 8").as("laggard_shard"))
+      .orderBy("window_start")
+  }
+
+  def strWatermarkSkew(spark: SparkSession, dir: String): DataFrame =
+    watermarkSkew(Tables.events(spark, dir))
+
+  val strWatermarkSkewSql: String =
+    """WITH e AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 21600000000)
+      |      * 21600000000) AS window_start,
+      |    user_id % 8 AS shard, epoch_us(ts) AS us
+      |  FROM events),
+      |s AS (
+      |  SELECT window_start, shard, MAX(us) AS hi, COUNT(*) AS n
+      |  FROM e GROUP BY 1, 2)
+      |SELECT window_start, COUNT(*) AS n_shards,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(MAX(hi) - MIN(hi) AS BIGINT) AS skew_us,
+      |  CAST(MIN(hi * 8 + shard) // 8 AS BIGINT) AS wm_us,
+      |  CAST(MIN(hi * 8 + shard) % 8 AS BIGINT) AS laggard_shard
+      |FROM s GROUP BY 1 ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_watermark_skew" -> (strWatermarkSkew _),
     "str_window_p95" -> (strWindowP95 _),
     "str_stickiness" -> (strStickiness _),
     "str_debounce" -> (strDebounce _),
@@ -1967,6 +2018,7 @@ object EventStreams extends QueryModule {
     "str_asof_exec" -> (strAsofExec _))
 
   val oracles: Map[String, String] = Map(
+    "str_watermark_skew" -> strWatermarkSkewSql,
     "str_window_p95" -> strWindowP95Sql,
     "str_stickiness" -> strStickinessSql,
     "str_debounce" -> strDebounceSql,
