@@ -1370,7 +1370,80 @@ object BinaryPipeline extends QueryModule {
       |LEFT JOIN mx ON mx.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------- mm_image_letterbox
+  /** ASPECT-RATIO BUCKETING + LETTERBOX PLAN — the batch-shape
+    * planner vision training runs over a 100 TB image corpus (fixed
+    * 32×32 tiles; images scale-to-fit and the rest is padding, and
+    * padding is wasted FLOPs): dimensions come off the REAL PNG
+    * header via the JDK codec, the fit is exact integer milli-scale
+    * arithmetic, and the report groups by aspect class (wide/square/
+    * tall) with the padding-waste per-mille a batching policy would
+    * minimize by bucketing same-aspect images together. Map-only per
+    * blob to a 3-row rollup; the oracle replays the generator's
+    * dimension arithmetic — a hash match proves the decode AND the
+    * plan math. */
+  def mmImageLetterbox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng(id)))
+        val w = img.getWidth.toLong
+        val h = img.getHeight.toLong
+        val scale = math.min(32000L / w, 32000L / h)
+        val sw = w * scale / 1000L
+        val sh = h * scale / 1000L
+        val wastePm = (1024L - sw * sh) * 1000L / 1024L
+        val arPm = w * 1000L / h
+        val bucket =
+          if (arPm >= 1250) "wide"
+          else if (arPm <= 800) "tall"
+          else "square"
+        (id, bucket, wastePm, sw * sh)
+      })
+      .toDF("doc_id", "bucket", "waste_pm", "px")
+    per.groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("waste_pm")).as("_sw"),
+        min(col("waste_pm")).as("min_waste_pm"),
+        max(col("waste_pm")).as("max_waste_pm"),
+        sum(col("px")).as("scaled_px"))
+      .select(col("bucket"), col("n_images"),
+        expr("_sw div n_images").as("avg_waste_pm"),
+        col("min_waste_pm"), col("max_waste_pm"), col("scaled_px"))
+      .orderBy("bucket")
+  }
+
+  val mmImageLetterboxSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 32 AS w,
+      |    8 + (doc_id * 7) % 32 AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |    LEAST(32000 // w, 32000 // h) AS scale
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id,
+      |    (w * scale) // 1000 AS sw, (h * scale) // 1000 AS sh,
+      |    CASE WHEN w * 1000 // h >= 1250 THEN 'wide'
+      |         WHEN w * 1000 // h <= 800 THEN 'tall'
+      |         ELSE 'square' END AS bucket
+      |  FROM p),
+      |r AS (
+      |  SELECT doc_id, bucket,
+      |    (1024 - sw * sh) * 1000 // 1024 AS waste_pm,
+      |    sw * sh AS px
+      |  FROM q)
+      |SELECT bucket, COUNT(*) AS n_images,
+      |  CAST(SUM(waste_pm) // COUNT(*) AS BIGINT) AS avg_waste_pm,
+      |  CAST(MIN(waste_pm) AS BIGINT) AS min_waste_pm,
+      |  CAST(MAX(waste_pm) AS BIGINT) AS max_waste_pm,
+      |  CAST(SUM(px) AS BIGINT) AS scaled_px
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_letterbox" -> (mmImageLetterbox _),
     "mm_stride_dedup" -> (mmStrideDedup _),
     "mm_image_entropy" -> (mmImageEntropy _),
     "mm_audio_clip" -> (mmAudioClip _),
@@ -1392,6 +1465,7 @@ object BinaryPipeline extends QueryModule {
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_image_letterbox" -> mmImageLetterboxSql,
     "mm_stride_dedup" -> mmStrideDedupSql,
     "mm_image_entropy" -> mmImageEntropySql,
     "mm_audio_clip" -> mmAudioClipSql,

@@ -1731,7 +1731,76 @@ object SourceQueries extends QueryModule {
       |  n_rows
       |FROM f WHERE file_id <> 1 ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------------ src_delta_vacuum
+  /** VACUUM CANDIDATE AUDIT over the transaction log — the second
+    * half of the lakehouse-table contract ([[srcCommitLogSnapshot]]
+    * replays state; this decides what's SAFE TO DELETE): a data file
+    * is reclaimable when the log removed it at least the retention
+    * horizon ago (time travel inside the horizon must still resolve
+    * it), or when it sits on disk with NO log reference at all (a
+    * crashed writer's orphan). The log (adds v1..v3, file 1 removed
+    * @v2, file 3 removed @v4) round-trips through a real JSON file;
+    * the disk listing carries one orphan. Replay is a per-file
+    * window over the |actions| frame joined to the listing — at
+    * 100 TB both sides are manifests, never data. Deleting a
+    * recent_remove would break readers pinned to an old snapshot;
+    * the audit proves the horizon logic holds it. */
+  def srcDeltaVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.orders(spark, dir)
+      .groupBy((col("o_orderkey") % 6).as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val adds = files.select(col("file_id"), col("n_rows"),
+      expr("file_id div 2 + 1").as("version"), lit("add").as("action"))
+    val removes = files
+      .filter(col("file_id") === 1 || col("file_id") === 3)
+      .select(col("file_id"), col("n_rows"),
+        when(col("file_id") === 1, 2L).otherwise(4L).as("version"),
+        lit("remove").as("action"))
+    val tmp = stagingDir(spark, "graft-vacuumlog")
+    adds.unionByName(removes).write.mode("overwrite").json(tmp)
+    val log = spark.read
+      .schema("file_id LONG, n_rows LONG, version LONG, action STRING")
+      .json(tmp)
+    val w = Window.partitionBy("file_id").orderBy(desc("version"))
+    val latest = log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("file_id"), col("version").as("last_version"),
+        col("action").as("last_action"))
+    val horizon = log.agg(max(col("version")).as("vmax"))
+    val disk = files.select(col("file_id"), col("n_rows"))
+      .unionByName(spark.range(1)
+        .select(lit(6L).as("file_id"), lit(0L).as("n_rows")))
+    disk.join(latest, Seq("file_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col("file_id"), col("n_rows"),
+        when(col("last_action").isNull, "orphan")
+          .when(col("last_action") === "add", "live")
+          .when(col("last_version") <= col("vmax") - 2,
+            "expired_remove")
+          .otherwise("recent_remove").as("state"))
+      .withColumn("vacuum",
+        col("state").isin("orphan", "expired_remove"))
+      .orderBy("file_id")
+  }
+
+  val srcDeltaVacuumSql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey % 6 AS file_id, COUNT(*) AS n_rows
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT file_id, n_rows FROM f
+      |  UNION ALL SELECT 6, 0)
+      |SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CASE WHEN file_id = 6 THEN 'orphan'
+      |       WHEN file_id = 1 THEN 'expired_remove'
+      |       WHEN file_id = 3 THEN 'recent_remove'
+      |       ELSE 'live' END AS state,
+      |  file_id IN (1, 6) AS vacuum
+      |FROM d ORDER BY file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_delta_vacuum" -> (srcDeltaVacuum _),
     "src_parquet_footer" -> (srcParquetFooter _),
     "src_rowgroup_prune" -> (srcRowgroupPrune _),
     "src_csv_quotes" -> (srcCsvQuotes _),
@@ -1769,6 +1838,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_delta_vacuum" -> srcDeltaVacuumSql,
     "src_parquet_footer" -> srcParquetFooterSql,
     "src_rowgroup_prune" -> srcRowgroupPruneSql,
     "src_csv_quotes" -> srcCsvQuotesSql,

@@ -1969,7 +1969,59 @@ object TextAnalysis extends QueryModule {
       |    ((L - 19) * 20) AS BIGINT) AS mattr_pm
       |FROM c GROUP BY doc_id, L ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ txt_ocr_garbage
+  /** GARBLED-TEXT DETECTOR — the OCR/mojibake pre-filter a web+scan
+    * corpus runs before tokenizer training (garbage tokens poison BPE
+    * merges and inflate vocab): per token, three cheap badness
+    * signals — mixed letter+digit tokens, long consonant runs, and
+    * over-long tokens — counted with higher-order array filters (no
+    * explode: the whole feature pass is map-side codegen, the only
+    * shuffle is the |sources| rollup). Per-source per-mille rates are
+    * exactly what the ingest dashboard plots; the same counters run
+    * per-doc to gate individual documents at 100 TB. */
+  def txtOcrGarbage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = "split(text, '\\\\s+')"
+    def cnt(cond: String) =
+      expr(s"size(filter($toks, t -> $cond))").cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        expr(s"size($toks)").cast("long").as("nt"),
+        cnt("t rlike '[a-z]' and t rlike '[0-9]'").as("mx"),
+        cnt("t rlike '[bcdfghjklmnpqrstvwxz]{3,}'").as("cr"),
+        cnt("length(t) >= 8").as("lg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("mx")).as("n_mixed"), sum(col("cr")).as("n_cons_run"),
+        sum(col("lg")).as("n_long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_mixed * 1000 div n_tokens").as("mixed_pm"),
+        expr("n_cons_run * 1000 div n_tokens").as("cons_run_pm"),
+        expr("n_long * 1000 div n_tokens").as("long_tok_pm"))
+      .orderBy("source")
+  }
+
+  val txtOcrGarbageSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(regexp_split_to_array(text, '\s+')) AS nt,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> regexp_matches(t, '[a-z]')
+      |        AND regexp_matches(t, '[0-9]'))) AS mx,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> regexp_matches(t,
+      |        '[bcdfghjklmnpqrstvwxz]{3,}'))) AS cr,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> length(t) >= 8)) AS lg
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(mx) * 1000 // SUM(nt) AS BIGINT) AS mixed_pm,
+      |  CAST(SUM(cr) * 1000 // SUM(nt) AS BIGINT) AS cons_run_pm,
+      |  CAST(SUM(lg) * 1000 // SUM(nt) AS BIGINT) AS long_tok_pm
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_ocr_garbage" -> (txtOcrGarbage _),
     "txt_compression_proxy" -> (txtCompressionProxy _),
     "txt_sentence_stats" -> (txtSentenceStats _),
     "txt_mattr" -> (txtMattr _),
@@ -2008,6 +2060,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_ocr_garbage" -> txtOcrGarbageSql,
     "txt_compression_proxy" -> txtCompressionProxySql,
     "txt_sentence_stats" -> txtSentenceStatsSql,
     "txt_mattr" -> txtMattrSql,
