@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11b pins: conservation/bound laws for the resumed-session
+  * operators — each law is engine-independent (must hold on ANY
+  * input), so a fixture change can't silently hollow the test out. */
+class R11bOpsSpec extends SparkSpec {
+
+  test("q66_interval_coverage: union length bounded by event mass " +
+      "and island structure") {
+    val cov = ops.Relational.q66(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(cov.map(_.getAs[Long]("n_events")).sum === nEvents,
+      "every event lands in exactly one user panel")
+    cov.foreach { r =>
+      val nEv = r.getAs[Long]("n_events")
+      val covered = r.getAs[Long]("covered_us")
+      val maxIsl = r.getAs[Long]("max_island_us")
+      val nIsl = r.getAs[Long]("n_islands")
+      assert(nIsl >= 1 && nIsl <= nEv)
+      // each event contributes at most its own 300s, at least one
+      // interval is fully covered, and no island beats the union
+      assert(covered <= nEv * 300000000L)
+      assert(covered >= 300000000L && maxIsl >= 300000000L)
+      assert(maxIsl <= covered)
+    }
+  }
+
+  test("q67_bitmap_distinct: popcount equals the exact distinct " +
+      "count per group (bitmap-OR is lossless)") {
+    val bm = ops.Relational.q67(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct_parts")))
+      .toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("d"))
+      .toMap
+    assert(bm.keySet === exact.keySet)
+    bm.foreach { case (k, (words, pops)) =>
+      assert(pops === exact(k), s"bitmap distinct diverged at $k")
+      assert(words <= pops, "a live word holds at least one bit")
+    }
+  }
+
+  test("q68_decay_weighted: weights bounded by the 1024 grid and " +
+      "freshness reconciles") {
+    ops.Relational.q68(spark, sfDir).collect().foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val rev = r.getAs[Long]("rev_cents")
+      val dec = r.getAs[Long]("decayed_1024")
+      val pm = r.getAs[Long]("freshness_pm")
+      val wt = r.getAs[Long]("wt_sum")
+      assert(dec >= 0 && dec <= 1024L * rev)
+      assert(pm >= 0 && pm <= 1000)
+      assert(wt >= 0 && wt <= 1024L * n)
+    }
+  }
+
+  test("cls_gamma_assoc: gamma in [-1000, 1000] and pair counts " +
+      "bounded by n-choose-2") {
+    val n = Tables.lineitem(spark, sfDir).count()
+    val rows = classify.ClassifyQueries.clsGammaAssoc(spark, sfDir)
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c_pairs"); val d = r.getAs[Long]("d_pairs")
+      val g = r.getAs[Long]("gamma_pm")
+      assert(c >= 0 && d >= 0 && c + d <= n * (n - 1) / 2)
+      assert(g >= -1000 && g <= 1000)
+    }
+  }
+
+  test("cls_anova: decomposition covers all rows; F and eta2 " +
+      "non-negative with eta2 <= 1000") {
+    val rows = classify.ClassifyQueries.clsAnova(spark, sfDir).collect()
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ssb") >= 0 && r.getAs[Long]("ssw") >= 0)
+      assert(r.getAs[Long]("f_milli") >= 0)
+      val eta = r.getAs[Long]("eta2_pm")
+      assert(eta >= 0 && eta <= 1000)
+      val mm = r.getAs[Long]("mean_milli")
+      assert(mm >= 1000 && mm <= 50000,
+        "quantity means must sit inside the value grid")
+    }
+  }
+
+  test("emb_jl_projection: histogram buckets are consistent and " +
+      "pair mass matches the consecutive-id pairing") {
+    val rows = sim.EmbOps.embJlProjection(spark, sfDir).collect()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(pairs >= 1 && pairs <= nVec / 2)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = r.getAs[Long]("lo_pm"); val hi = r.getAs[Long]("hi_pm")
+      assert(lo >= b * 200 && hi < (b + 1) * 200 && lo <= hi,
+        "bucket bounds must contain the ratio extrema")
+      assert(b >= 0, "squared-distance ratios are non-negative")
+    }
+  }
+
+  test("str_watermark_skew: the global watermark is the slowest " +
+      "shard and the skew is non-negative") {
+    val rows = streaming.EventStreams.strWatermarkSkew(spark, sfDir)
+      .collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shards") >= 1 &&
+        r.getAs[Long]("n_shards") <= 8)
+      assert(r.getAs[Long]("skew_us") >= 0)
+      val lag = r.getAs[Long]("laggard_shard")
+      assert(lag >= 0 && lag < 8)
+    }
+  }
+
+  test("dedup_shard_audit: content-keyed sharding is lossless, " +
+      "global misses nothing, and no plan beats global") {
+    val rows = dedup.Dedup.dedupShardAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("1_global", "2_by_content",
+      "3_by_source", "4_by_round_robin"))
+    val g = rows("1_global").getAs[Long]("n_removed")
+    assert(rows("1_global").getAs[Long]("n_missed") === 0L)
+    assert(rows("2_by_content").getAs[Long]("loss_pm") === 0L,
+      "hash(fingerprint) sharding co-locates every duplicate")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= g,
+        "shard-local dedup never removes more than global")
+      assert(r.getAs[Long]("n_missed") ===
+        g - r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("txt_ocr_garbage: per-mille rates bounded and doc mass " +
+      "conserved") {
+    val rows = text.TextAnalysis.txtOcrGarbage(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      Seq("mixed_pm", "cons_run_pm", "long_tok_pm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 1000, s"$c out of per-mille range")
+      }
+    }
+  }
+
+  test("src_delta_vacuum: retention holds recent removes, reclaims " +
+      "expired ones, and flags the orphan") {
+    val rows = sources.SourceQueries.srcDeltaVacuum(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("file_id") -> r).toMap
+    assert(rows.keySet === (0L to 6L).toSet)
+    assert(rows(1L).getString(2) === "expired_remove" &&
+      rows(1L).getBoolean(3))
+    assert(rows(3L).getString(2) === "recent_remove" &&
+      !rows(3L).getBoolean(3), "inside-horizon remove must survive")
+    assert(rows(6L).getString(2) === "orphan" && rows(6L).getBoolean(3))
+    Seq(0L, 2L, 4L, 5L).foreach { f =>
+      assert(rows(f).getString(2) === "live" && !rows(f).getBoolean(3))
+    }
+  }
+
+  test("mm_image_letterbox: pad waste bounded, image mass conserved, " +
+      "and scaled pixels never exceed the tile") {
+    val rows = multimodal.BinaryPipeline.mmImageLetterbox(spark, sfDir)
+      .collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum === nDocs)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_images")
+      Seq("avg_waste_pm", "min_waste_pm", "max_waste_pm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 1000, s"$c out of per-mille range")
+      }
+      assert(r.getAs[Long]("min_waste_pm") <=
+        r.getAs[Long]("avg_waste_pm"))
+      assert(r.getAs[Long]("avg_waste_pm") <=
+        r.getAs[Long]("max_waste_pm"))
+      assert(r.getAs[Long]("scaled_px") <= 1024L * n)
+    }
+  }
+
+  test("r11b executed-plan pins: q66's window is user-partitioned " +
+      "and q67 aggregates without Expand") {
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val p66 = plan(ops.Relational.q66(spark, sfDir))
+    assert(p66.contains("partitionspec") ||
+      p66.contains("PartitionSpec") || p66.contains("user_id"),
+      s"q66 window must be keyed by user_id:\n$p66")
+    assert(!p66.matches("(?s).*Window \\[[^\\]]*\\]\\s*,\\s*\\[\\].*"),
+      "q66 must not run an unpartitioned window")
+    val p67 = plan(ops.Relational.q67(spark, sfDir))
+    assert(!p67.contains("Expand"),
+      s"bitmap distinct must not expand rows (that's the point):\n$p67")
+  }
+}
