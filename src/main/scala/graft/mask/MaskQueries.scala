@@ -1308,7 +1308,69 @@ object MaskQueries extends QueryModule {
       |  CAST(MAX(ABS(noise)) AS BIGINT) AS max_abs_noise
       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- mask_rank_swap
+  /** RANK SWAPPING (Moore 1996 — the SDC method between noise and
+    * full shuffle): within each nation, balances are ranked and each
+    * value trades places with its rank-NEIGHBOR (odd r ↔ r+1; an
+    * unpaired last rank keeps its value), so the marginal
+    * distribution is preserved EXACTLY while record linkage breaks,
+    * and — unlike [[maskShuffle]]'s full permutation — rank-local
+    * statistics (quantiles, correlations against other columns)
+    * barely move. Deterministic, no RNG to replay. The rank window
+    * partitions the DIMENSION table by nation (customers are the
+    * bounded axis); the swap is one equi-join on (nation, partner
+    * rank). */
+  def maskRankSwap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    val byNation = Window.partitionBy("c_nationkey")
+    val ranked = c
+      .withColumn("r", row_number().over(
+        byNation.orderBy("cents", "c_custkey")))
+      .withColumn("n", count(lit(1)).over(byNation))
+      .withColumn("partner",
+        when(pmod(col("r"), lit(2)) === 1,
+          least(col("r") + 1, col("n"))).otherwise(col("r") - 1))
+    val vals = ranked.select(col("c_nationkey").as("p_nation"),
+      col("r").as("pr"), col("cents").as("p_cents"))
+    ranked.join(vals,
+        col("c_nationkey") === col("p_nation") &&
+          col("partner") === col("pr"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("p_cents").as("swapped_cents"),
+        abs(col("p_cents") - col("cents")).as("displacement"))
+      .orderBy("c_custkey")
+  }
+
+  val maskRankSwapSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_custkey, c_nationkey, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cents, c_custkey) AS r,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      |  FROM c),
+      |p AS (
+      |  SELECT *, CASE WHEN r % 2 = 1 THEN LEAST(r + 1, n)
+      |    ELSE r - 1 END AS partner
+      |  FROM r)
+      |SELECT a.c_custkey, a.c_nationkey,
+      |  b.cents AS swapped_cents,
+      |  ABS(b.cents - a.cents) AS displacement
+      |FROM p a JOIN p b
+      |  ON a.c_nationkey = b.c_nationkey AND a.partner = b.r
+      |ORDER BY a.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_rank_swap" -> (maskRankSwap _),
     "mask_vgh_generalize" -> (maskVghGeneralize _),
     "mask_t_closeness" -> (maskTCloseness _),
     "mask_token_collision" -> (maskTokenCollision _),
@@ -1344,6 +1406,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_rank_swap" -> maskRankSwapSql,
     "mask_vgh_generalize" -> maskVghGeneralizeSql,
     "mask_t_closeness" -> maskTClosenessSql,
     "mask_token_collision" -> maskTokenCollisionSql,

@@ -1752,7 +1752,88 @@ object CorpusPipeline extends QueryModule {
       |  CAST((n_docs - n_unique) * 1000 // n_docs AS BIGINT) AS dup_pm
       |FROM a JOIN q USING (lang) ORDER BY lang""".stripMargin
 
+  // ------------------------------------- pipe_packing_contamination
+  /** CROSS-DOC ATTENTION CONTAMINATION in packed training bins — the
+    * cost of packing WITHOUT attention-mask resets (every token
+    * attends every earlier token in the bin, including other
+    * documents'): under [[packSequences]]' assignment, a doc starting
+    * at offset o inside its bin contributes len·o contaminated
+    * causal pairs, and the per-language report sets that against the
+    * bin's total causal pairs — the per-mille a masking-aware kernel
+    * (or sequence-boundary reset) would reclaim. Same two-level
+    * prefix decomposition as the packer (no per-language global
+    * window over docs); exact integer pair counts. */
+  def packingContamination(docs: DataFrame, budget: Int,
+      docsPerShard: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("lang"), col("doc_id"),
+        expr("size(split(text, '\\\\s+'))").cast("long").as("_t"))
+      .withColumn("_shard", expr(s"doc_id div $docsPerShard"))
+    val pre = Window.partitionBy("lang").orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "_shard")
+      .agg(sum(col("_t")).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(pre), lit(0L)))
+      .select(col("lang"), col("_shard"), col("_off"))
+    val local = Window.partitionBy("lang", "_shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("_local", coalesce(sum(col("_t")).over(local), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "_shard"))
+      .withColumn("bef", col("_off") + col("_local"))
+      .withColumn("bin", expr(s"bef div $budget"))
+      .withColumn("contam",
+        col("_t") * (col("bef") - col("bin") * budget))
+      .groupBy("lang", "bin")
+      .agg(sum(col("_t")).as("tb"), sum(col("contam")).as("cb"),
+        count(lit(1)).as("nd"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bins"), sum(col("tb")).as("n_tokens"),
+        sum(col("cb")).as("contam_pairs"),
+        sum(expr("tb * (tb - 1) div 2")).as("total_pairs"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_mixed_bins"))
+      .select(col("lang"), col("n_bins"), col("n_tokens"),
+        col("contam_pairs"), col("total_pairs"),
+        expr("contam_pairs * 1000 div total_pairs").as("contam_pm"),
+        col("n_mixed_bins"))
+      .orderBy("lang")
+  }
+
+  def pipePackingContamination(spark: SparkSession, dir: String)
+      : DataFrame =
+    packingContamination(Tables.documents(spark, dir), 2048,
+      docsPerShard = 64)
+
+  val pipePackingContaminationSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, nt,
+      |    COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      |  FROM t),
+      |b AS (
+      |  SELECT lang, bef // 2048 AS bin, nt,
+      |    nt * (bef - (bef // 2048) * 2048) AS contam
+      |  FROM c),
+      |g AS (
+      |  SELECT lang, bin, SUM(nt) AS tb, SUM(contam) AS cb,
+      |    COUNT(*) AS nd
+      |  FROM b GROUP BY 1, 2)
+      |SELECT lang, COUNT(*) AS n_bins,
+      |  CAST(SUM(tb) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(cb) AS BIGINT) AS contam_pairs,
+      |  CAST(SUM(tb * (tb - 1) // 2) AS BIGINT) AS total_pairs,
+      |  CAST(SUM(cb) * 1000 // SUM(tb * (tb - 1) // 2) AS BIGINT)
+      |    AS contam_pm,
+      |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mixed_bins
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_packing_contamination" -> (pipePackingContamination _),
     "pipe_datasheet" -> (pipeDatasheet _),
     "pipe_stratified_split" -> (pipeStratifiedSplit _),
     "pipe_freshness_decay" -> (pipeFreshnessDecay _),
@@ -1787,6 +1868,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_packing_contamination" -> pipePackingContaminationSql,
     "pipe_datasheet" -> pipeDatasheetSql,
     "pipe_stratified_split" -> pipeStratifiedSplitSql,
     "pipe_freshness_decay" -> pipeFreshnessDecaySql,
