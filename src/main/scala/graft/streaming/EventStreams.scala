@@ -1962,6 +1962,37 @@ object EventStreams extends QueryModule {
   def strWatermarkSkew(spark: SparkSession, dir: String): DataFrame =
     watermarkSkew(Tables.events(spark, dir))
 
+  /** Streaming-compatible reshape of [[watermarkSkew]]: the per-shard
+    * maxima land in ONE wide aggregate (8 conditional `max` columns —
+    * Structured Streaming forbids stacked aggregations, so the
+    * two-level batch form can't stream), and skew / global watermark /
+    * laggard derive row-locally with null-skipping greatest/least
+    * (an absent shard contributes nothing, matching the batch
+    * grouping). Same output contract as the batch form; StreamingSpec
+    * pins agreement and folds micro-batch updates to the final
+    * panel. */
+  def watermarkSkewWide(events: DataFrame): DataFrame = {
+    val e = events.select(
+      window(col("ts"), "6 hours").getField("start").as("window_start"),
+      pmod(col("user_id"), lit(8L)).as("shard"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val aggCols = (0 until 8).map(s =>
+      max(when(col("shard") === s, col("us"))).as(s"h$s")) :+
+      count(lit(1)).as("n_events")
+    val wide = e.groupBy("window_start")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val hs = (0 until 8).map(s => col(s"h$s"))
+    val enc = (0 until 8).map(s => col(s"h$s") * 8 + lit(s.toLong))
+    wide.select(col("window_start"),
+      hs.map(h => when(h.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_shards"),
+      col("n_events"),
+      (greatest(hs: _*) - least(hs: _*)).as("skew_us"),
+      // >> 3, not /8: the encoded micros exceed double's 2^53 grid
+      shiftright(least(enc: _*), 3).as("wm_us"),
+      pmod(least(enc: _*), lit(8L)).as("laggard_shard"))
+  }
+
   val strWatermarkSkewSql: String =
     """WITH e AS (
       |  SELECT make_timestamp((epoch_us(ts) // 21600000000)

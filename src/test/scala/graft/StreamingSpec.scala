@@ -1468,4 +1468,57 @@ class StreamingSpec extends SparkSpec {
     assert(state.toMap == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
       s"restart must resume from checkpointed counts, got $state")
   }
+
+  test("streamed per-shard maxima fold to the exact batch watermark-" +
+      "skew panel, and the wide form agrees with the batch form") {
+    implicit val sql = spark.sqlContext
+    // 3 windows; shard = user_id % 8; one shard (user 7) lags hard in
+    // window 2 and is absent from window 3 (n_shards must drop)
+    val events = (0 until 240).map { i =>
+      val h = (i % 3) * 6 + 1
+      val u = if (i % 10 == 9 && i % 3 == 1) 7L else (i % 7).toLong
+      (9000L + i, ts(f"2024-05-01 $h%02d:${i % 50}%02d:${i % 60}%02d"),
+        u, "view", 1.0)
+    }.filterNot { case (_, tsv, u, _, _) =>
+      // shard 7 never speaks in the last window
+      u == 7L && tsv.toLocalDateTime.getHour >= 13
+    }
+    val df = events.toDF("event_id", "ts", "user_id", "event_type",
+      "value")
+    // 1) the streaming-compatible wide form ≡ the two-agg batch form
+    val batch = EventStreams.watermarkSkew(df)
+      .collect().map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Long]("n_shards"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("skew_us"), r.getAs[Long]("wm_us"),
+          r.getAs[Long]("laggard_shard")))).toMap
+    val wide = EventStreams.watermarkSkewWide(df)
+      .collect().map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Long]("n_shards"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("skew_us"), r.getAs[Long]("wm_us"),
+          r.getAs[Long]("laggard_shard")))).toMap
+    assert(wide == batch, s"wide $wide != batch $batch")
+    // 2) streamed in update mode, the final update per window is the
+    // complete panel (n_events is monotone — take its argmax row)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.watermarkSkewWide(mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm_skew")
+      .outputMode("update").start()
+    try {
+      events.grouped(60).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val folded = spark.table("wm_skew").collect()
+      .groupBy(_.getAs[Timestamp]("window_start"))
+      .map { case (w, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("n_events"))
+        w -> ((last.getAs[Long]("n_shards"), last.getAs[Long]("n_events"),
+          last.getAs[Long]("skew_us"), last.getAs[Long]("wm_us"),
+          last.getAs[Long]("laggard_shard")))
+      }
+    assert(folded == batch, s"folded $folded != batch $batch")
+    assert(batch.size == 3 && batch.values.map(_._1).toSet.size >= 2,
+      "fixture must exercise a shard-count drop across windows")
+  }
 }
