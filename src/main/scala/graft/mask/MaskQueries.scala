@@ -1369,7 +1369,70 @@ object MaskQueries extends QueryModule {
       |  ON a.c_nationkey = b.c_nationkey AND a.partner = b.r
       |ORDER BY a.c_custkey""".stripMargin
 
+  // ---------------------------------------------- mask_dp_geometric
+  /** DIFFERENTIALLY-PRIVATE COUNTS via the two-sided GEOMETRIC
+    * (discrete Laplace) mechanism, α = 1/2 (ε = ln 2), in EXACT
+    * integer arithmetic: the mechanism's CDF has denominator 3·2¹⁰,
+    * so inverse-CDF sampling is a threshold walk over integer
+    * boundaries — no `ln`/float whose last bit could differ between
+    * engines. Noise is pseudo-random from the portable hash of the
+    * released cell (deterministic → oracle-replayable; a production
+    * release swaps in a secret salt), truncated at ±10 with the tail
+    * folded into the extremes (adds a negligible δ). Per-cell noise
+    * means the release stays mergeable the DP way: never re-release
+    * finer grains than the noise was drawn at. Both the CASE walk
+    * and its SQL mirror are GENERATED from one threshold table, so
+    * the engines cannot drift. */
+  private val dpTable: Seq[(Long, Long)] = {
+    // (cumulative threshold out of 3072, noise k) for k = -10..10;
+    // mass(0) = 1024, mass(±m) = 2^(10-m), extremes +1 tail fold
+    val masses = (-10 to 10).map { k =>
+      val m = if (k == 0) 1024L else 1L << (10 - math.abs(k))
+      val tail = if (math.abs(k) == 10) 1L else 0L
+      (k.toLong, m + tail)
+    }
+    masses.scanLeft((0L, 0L)) { case ((cum, _), (k, m)) =>
+      (cum + m, k)
+    }.tail
+  }
+
+  def maskDpGeometric(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = pmod(MaskFunctions.portableHash(
+      concat(col("seg"), lit("|dp1"))), lit(3072L))
+    val noise = dpTable.foldRight(
+        lit(10L): org.apache.spark.sql.Column) {
+      case ((thr, k), acc) => when(u < thr, k).otherwise(acc)
+    }
+    cells.withColumn("noise", noise)
+      .select(col("seg"), col("n_true"), col("noise"),
+        (col("n_true") + col("noise")).as("n_released"))
+      .orderBy("seg")
+  }
+
+  val maskDpGeometricSql: String = {
+    val uSql = "('0x'||substr(md5(seg || '|dp1'),1,8))::BIGINT % 3072"
+    val whens = dpTable.map { case (thr, k) =>
+      s"WHEN $uSql < $thr THEN $k"
+    }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT c_mktsegment AS seg, COUNT(*) AS n_true
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1),
+       |n AS (
+       |  SELECT seg, n_true,
+       |    CAST(CASE $whens ELSE 10 END AS BIGINT) AS noise
+       |  FROM c)
+       |SELECT seg, n_true, noise, n_true + noise AS n_released
+       |FROM n ORDER BY seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_dp_geometric" -> (maskDpGeometric _),
     "mask_rank_swap" -> (maskRankSwap _),
     "mask_vgh_generalize" -> (maskVghGeneralize _),
     "mask_t_closeness" -> (maskTCloseness _),
@@ -1406,6 +1469,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_dp_geometric" -> maskDpGeometricSql,
     "mask_rank_swap" -> maskRankSwapSql,
     "mask_vgh_generalize" -> maskVghGeneralizeSql,
     "mask_t_closeness" -> maskTClosenessSql,

@@ -1832,7 +1832,64 @@ object CorpusPipeline extends QueryModule {
       |    AS n_mixed_bins
       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- pipe_shard_rebalance
+  /** MINIMAL-MOVE SHARD REBALANCING PLAN (the defrag a skewed corpus
+    * layout needs before a training run — stragglers are paced by
+    * the fattest shard): shards get exact token targets (total div n,
+    * remainder to the lowest ids), and the LINEAR water-filling plan
+    * is a prefix sum of excesses — `boundary_flow(i)` is exactly the
+    * token mass that must cross the i→i+1 boundary, so Σ|flow| is
+    * the minimal adjacent-move cost and max|flow| the bottleneck
+    * link. Everything after the one corpus hash-agg runs on the
+    * |shards| manifest frame; the plan never touches documents. */
+  def pipeShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = Tables.documents(spark, dir)
+      .groupBy(expr("doc_id div 64").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("size(split(text, '\\\\s+'))").cast("long"))
+          .as("n_tokens"))
+      .localCheckpoint() // |shards| frame, totals + plan consumers
+    val tot = shards.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).as("n"))
+    val byId = Window.orderBy("shard_id") // |shards| frame only
+    shards.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(byId) - 1)
+      .withColumn("target",
+        expr("t div n + if(idx < t % n, 1L, 0L)"))
+      .withColumn("excess", col("n_tokens") - col("target"))
+      .withColumn("boundary_flow", sum(col("excess"))
+        .over(byId.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("target"), col("excess"), col("boundary_flow"))
+      .orderBy("shard_id")
+  }
+
+  val pipeShardRebalanceSql: String =
+    """WITH s AS (
+      |  SELECT doc_id // 64 AS shard_id, COUNT(*) AS n_docs,
+      |    SUM(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+      |      AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS n FROM s),
+      |p AS (
+      |  SELECT shard_id, n_docs, n_tokens, t, n,
+      |    ROW_NUMBER() OVER (ORDER BY shard_id) - 1 AS idx
+      |  FROM s CROSS JOIN t),
+      |q AS (
+      |  SELECT shard_id, n_docs, n_tokens,
+      |    t // n + CASE WHEN idx < t % n THEN 1 ELSE 0 END AS target
+      |  FROM p)
+      |SELECT shard_id, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(target AS BIGINT) AS target,
+      |  CAST(n_tokens - target AS BIGINT) AS excess,
+      |  CAST(SUM(n_tokens - target) OVER (ORDER BY shard_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS boundary_flow
+      |FROM q ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_shard_rebalance" -> (pipeShardRebalance _),
     "pipe_packing_contamination" -> (pipePackingContamination _),
     "pipe_datasheet" -> (pipeDatasheet _),
     "pipe_stratified_split" -> (pipeStratifiedSplit _),
@@ -1868,6 +1925,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_shard_rebalance" -> pipeShardRebalanceSql,
     "pipe_packing_contamination" -> pipePackingContaminationSql,
     "pipe_datasheet" -> pipeDatasheetSql,
     "pipe_stratified_split" -> pipeStratifiedSplitSql,
