@@ -2050,7 +2050,85 @@ object ClassifyQueries extends QueryModule {
       |  CAST(ssb * 1000 // (ssb + ssw) AS BIGINT) AS eta2_pm
       |FROM g CROSS JOIN d ORDER BY grp""".stripMargin
 
+  // ------------------------------------------------ cls_null_pattern
+  /** NULL-PATTERN CENSUS — the MISSINGNESS CO-OCCURRENCE map
+    * ([[clsNullProfile]] reports per-column rates; this reports which
+    * columns go missing TOGETHER, the structure an imputation or
+    * required-field policy actually needs): customers enrich with
+    * three genuinely-nullable LEFT-JOIN aggregates (any order, any
+    * URGENT order, any 2001 order), each row folds its null flags
+    * into a bitmask, and the census counts patterns with a readable
+    * flag label. Nesting law pinned in spec: a customer missing "any
+    * order" must miss the other two. Three key-partitioned
+    * hash-aggs + broadcast joins onto the dimension frame; the
+    * census is ≤ 2³ rows. */
+  def clsNullPattern(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val any = o.groupBy(col("o_custkey").as("ak"))
+      .agg(max(col("o_orderdate")).as("last_od"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("uk"))
+      .agg(count(lit(1)).as("urgent_cnt"))
+    val recent = o
+      .filter(year(to_date(col("o_orderdate"))) >= 2001)
+      .groupBy(col("o_custkey").as("rk"))
+      .agg(count(lit(1)).as("recent_cnt"))
+    val enriched = Tables.customer(spark, dir)
+      .select(col("c_custkey"))
+      .join(broadcast(any), col("c_custkey") === col("ak"), "left")
+      .join(broadcast(urgent), col("c_custkey") === col("uk"), "left")
+      .join(broadcast(recent), col("c_custkey") === col("rk"), "left")
+    val cens = enriched
+      .select((when(col("last_od").isNull, 1L).otherwise(0L) +
+        when(col("urgent_cnt").isNull, 2L).otherwise(0L) +
+        when(col("recent_cnt").isNull, 4L).otherwise(0L)).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_customers"))
+      .localCheckpoint() // ≤8-row census, total + share consumers
+    val tot = cens.agg(sum(col("n_customers")).as("t"))
+    cens.crossJoin(broadcast(tot))
+      .select(col("pattern"),
+        concat(
+          when(expr("pattern % 2 = 1"), "O").otherwise("-"),
+          when(expr("pattern div 2 % 2 = 1"), "U").otherwise("-"),
+          when(expr("pattern div 4 % 2 = 1"), "R").otherwise("-"))
+          .as("missing_flags"),
+        col("n_customers"),
+        expr("n_customers * 1000 div t").as("share_pm"))
+      .orderBy("pattern")
+  }
+
+  val clsNullPatternSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey AS ak, MAX(o_orderdate) AS last_od
+      |  FROM orders GROUP BY 1),
+      |u AS (
+      |  SELECT o_custkey AS uk, COUNT(*) AS urgent_cnt
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey AS rk, COUNT(*) AS recent_cnt
+      |  FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) >= 2001
+      |  GROUP BY 1),
+      |e AS (
+      |  SELECT CASE WHEN last_od IS NULL THEN 1 ELSE 0 END +
+      |    CASE WHEN urgent_cnt IS NULL THEN 2 ELSE 0 END +
+      |    CASE WHEN recent_cnt IS NULL THEN 4 ELSE 0 END AS pattern
+      |  FROM customer
+      |  LEFT JOIN a ON c_custkey = ak
+      |  LEFT JOIN u ON c_custkey = uk
+      |  LEFT JOIN r ON c_custkey = rk),
+      |c AS (SELECT pattern, COUNT(*) AS n_customers FROM e GROUP BY 1)
+      |SELECT CAST(pattern AS BIGINT) AS pattern,
+      |  (CASE WHEN pattern % 2 = 1 THEN 'O' ELSE '-' END) ||
+      |  (CASE WHEN pattern // 2 % 2 = 1 THEN 'U' ELSE '-' END) ||
+      |  (CASE WHEN pattern // 4 % 2 = 1 THEN 'R' ELSE '-' END)
+      |    AS missing_flags,
+      |  n_customers,
+      |  CAST(n_customers * 1000 // SUM(n_customers) OVER () AS BIGINT)
+      |    AS share_pm
+      |FROM c ORDER BY pattern""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_null_pattern" -> (clsNullPattern _),
     "cls_gamma_assoc" -> (clsGammaAssoc _),
     "cls_anova" -> (clsAnova _),
     "cls_jsd_drift" -> (clsJsdDrift _),
@@ -2089,6 +2167,7 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_null_pattern" -> clsNullPatternSql,
     "cls_gamma_assoc" -> clsGammaAssocSql,
     "cls_anova" -> clsAnovaSql,
     "cls_approx_fd" -> clsApproxFdSql,

@@ -1317,7 +1317,64 @@ object Knn extends QueryModule {
        |  CAST(MAX(overlap_pm) AS BIGINT) AS hi_pm
        |FROM pm GROUP BY 1 ORDER BY decile""".stripMargin
 
+  // ------------------------------------------- knn_tombstone_audit
+  /** TOMBSTONE-DEBT AUDIT for the IVF index — what "delete" means to
+    * an inverted-file ANN structure (vectors aren't removed, they're
+    * tombstoned; probes still SCAN them, recall doesn't benefit, and
+    * the per-cell live fraction decides when a cell must compact):
+    * under a deterministic 10% delete set (vec_id % 10), each cell
+    * of the same seed assignment every probe rides reports its
+    * before/deleted/live census and live per-mille, plus the
+    * compact-when-below-800‰ policy verdict. One assignment pass →
+    * |cells| rows; at 100 TB the audit reads the index manifest,
+    * never the vectors. */
+  def knnTombstoneAudit(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val n = normalizedWithLabel(Tables.embeddings(spark, dir))
+    rankedSeedCells(n, seedCells(n))
+      .filter(col("_rk") === 1)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(pmod(col("vec_id"), lit(10L)) === 0, 1L)
+          .otherwise(0L)).as("n_deleted"))
+      .select(col("cell"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_live"),
+        expr("(n_before - n_deleted) * 1000 div n_before")
+          .as("live_pm"))
+      .withColumn("compact", col("live_pm") < 800)
+      .orderBy("cell")
+  }
+
+  val knnTombstoneAuditSql: String =
+    s"""WITH n AS (
+       |$normSqlCte),
+       |seeds AS (
+       |  SELECT label AS cell, e AS ce FROM (
+       |    SELECT label, e, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY vec_id) AS r
+       |    FROM n)
+       |  WHERE r = 1),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT nn.vec_id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY list_dot_product(nn.e, s.ce) DESC, s.cell) AS rk
+       |    FROM n nn CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |c AS (
+       |  SELECT cell, COUNT(*) AS n_before,
+       |    SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+       |      AS n_deleted
+       |  FROM assigned GROUP BY 1)
+       |SELECT cell, n_before, CAST(n_deleted AS BIGINT) AS n_deleted,
+       |  CAST(n_before - n_deleted AS BIGINT) AS n_live,
+       |  CAST((n_before - n_deleted) * 1000 // n_before AS BIGINT)
+       |    AS live_pm,
+       |  (n_before - n_deleted) * 1000 // n_before < 800 AS compact
+       |FROM c ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_tombstone_audit" -> (knnTombstoneAudit _),
     "knn_edge_overlap" -> (knnEdgeOverlap _),
     "knn_rrf_fusion" -> (knnRrfFusion _),
     "knn_mrr" -> (knnMrr _),
@@ -1342,6 +1399,7 @@ object Knn extends QueryModule {
     * float math; lsh's planes derive from the portable md5-prefix hash
     * both engines compute identically. */
   val oracles: Map[String, String] = Map(
+    "knn_tombstone_audit" -> knnTombstoneAuditSql,
     "knn_edge_overlap" -> knnEdgeOverlapSql,
     "knn_dbscan" -> knnDbscanSql,
     "knn_centrality" -> knnCentralitySql,
