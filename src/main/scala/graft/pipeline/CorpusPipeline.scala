@@ -1753,16 +1753,20 @@ object CorpusPipeline extends QueryModule {
       |FROM a JOIN q USING (lang) ORDER BY lang""".stripMargin
 
   // ------------------------------------- pipe_packing_contamination
-  /** CROSS-DOC ATTENTION CONTAMINATION in packed training bins — the
-    * cost of packing WITHOUT attention-mask resets (every token
-    * attends every earlier token in the bin, including other
-    * documents'): under [[packSequences]]' assignment, a doc starting
-    * at offset o inside its bin contributes len·o contaminated
-    * causal pairs, and the per-language report sets that against the
-    * bin's total causal pairs — the per-mille a masking-aware kernel
-    * (or sequence-boundary reset) would reclaim. Same two-level
-    * prefix decomposition as the packer (no per-language global
-    * window over docs); exact integer pair counts. */
+  /** CROSS-DOC ATTENTION CONTAMINATION in packed training windows —
+    * the cost of packing WITHOUT attention-mask resets: the
+    * per-language token stream is chunked into fixed `budget`-token
+    * sequences the way a pretraining loader actually batches
+    * (documents SPLIT at window boundaries), each doc contributes a
+    * contiguous SEGMENT to every window it crosses, and a window
+    * with segments s₁..s_k has exactly (W² − Σsᵢ²)/2 cross-document
+    * causal pairs out of W(W−1)/2 total — the per-mille a
+    * boundary-reset kernel reclaims. Windows are derived from the
+    * same two-level prefix decomposition as [[packSequences]] (no
+    * per-language global window over docs); the per-doc explode
+    * emits ⌈len/budget⌉+1 segments at most, so the segment frame
+    * stays corpus-linear. Exact integer pair counts (the even
+    * difference W²−Σsᵢ² halves exactly). */
   def packingContamination(docs: DataFrame, budget: Int,
       docsPerShard: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1777,20 +1781,23 @@ object CorpusPipeline extends QueryModule {
       .select(col("lang"), col("_shard"), col("_off"))
     val local = Window.partitionBy("lang", "_shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    base
+    val segs = base
       .withColumn("_local", coalesce(sum(col("_t")).over(local), lit(0L)))
       .join(broadcast(offsets), Seq("lang", "_shard"))
       .withColumn("bef", col("_off") + col("_local"))
-      .withColumn("bin", expr(s"bef div $budget"))
-      .withColumn("contam",
-        col("_t") * (col("bef") - col("bin") * budget))
-      .groupBy("lang", "bin")
-      .agg(sum(col("_t")).as("tb"), sum(col("contam")).as("cb"),
+      .withColumn("bin", explode(expr(
+        s"sequence(bef div $budget, (bef + _t - 1) div $budget)")))
+      .withColumn("seg",
+        least(col("bef") + col("_t"), (col("bin") + 1) * budget) -
+          greatest(col("bef"), col("bin") * budget))
+    segs.groupBy("lang", "bin")
+      .agg(sum(col("seg")).as("w"),
+        sum(col("seg") * col("seg")).as("s2"),
         count(lit(1)).as("nd"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_bins"), sum(col("tb")).as("n_tokens"),
-        sum(col("cb")).as("contam_pairs"),
-        sum(expr("tb * (tb - 1) div 2")).as("total_pairs"),
+      .agg(count(lit(1)).as("n_bins"), sum(col("w")).as("n_tokens"),
+        sum(expr("(w * w - s2) div 2")).as("contam_pairs"),
+        sum(expr("w * (w - 1) div 2")).as("total_pairs"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_mixed_bins"))
       .select(col("lang"), col("n_bins"), col("n_tokens"),
         col("contam_pairs"), col("total_pairs"),
@@ -1814,20 +1821,22 @@ object CorpusPipeline extends QueryModule {
       |    COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
       |  FROM t),
-      |b AS (
-      |  SELECT lang, bef // 2048 AS bin, nt,
-      |    nt * (bef - (bef // 2048) * 2048) AS contam
-      |  FROM c),
+      |sp AS (
+      |  SELECT lang, bin,
+      |    LEAST(bef + nt, (bin + 1) * 2048) -
+      |      GREATEST(bef, bin * 2048) AS seg
+      |  FROM c, UNNEST(range(CAST(bef // 2048 AS BIGINT),
+      |    CAST((bef + nt - 1) // 2048 + 1 AS BIGINT))) AS u(bin)),
       |g AS (
-      |  SELECT lang, bin, SUM(nt) AS tb, SUM(contam) AS cb,
+      |  SELECT lang, bin, SUM(seg) AS w, SUM(seg * seg) AS s2,
       |    COUNT(*) AS nd
-      |  FROM b GROUP BY 1, 2)
+      |  FROM sp GROUP BY 1, 2)
       |SELECT lang, COUNT(*) AS n_bins,
-      |  CAST(SUM(tb) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(cb) AS BIGINT) AS contam_pairs,
-      |  CAST(SUM(tb * (tb - 1) // 2) AS BIGINT) AS total_pairs,
-      |  CAST(SUM(cb) * 1000 // SUM(tb * (tb - 1) // 2) AS BIGINT)
-      |    AS contam_pm,
+      |  CAST(SUM(w) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((w * w - s2) // 2) AS BIGINT) AS contam_pairs,
+      |  CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS total_pairs,
+      |  CAST(SUM((w * w - s2) // 2) * 1000 //
+      |    SUM(w * (w - 1) // 2) AS BIGINT) AS contam_pm,
       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_mixed_bins
       |FROM g GROUP BY lang ORDER BY lang""".stripMargin

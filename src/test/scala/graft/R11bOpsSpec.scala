@@ -203,4 +203,102 @@ class R11bOpsSpec extends SparkSpec {
     assert(!p67.contains("Expand"),
       s"bitmap distinct must not expand rows (that's the point):\n$p67")
   }
+
+  test("pipe_packing_contamination: contaminated pairs are a strict " +
+      "subset of each bin's causal pairs and mass is conserved") {
+    val rows = pipeline.CorpusPipeline
+      .pipePackingContamination(spark, sfDir).collect()
+    val tok = pipeline.CorpusPipeline
+      .pipePackSequences(spark, sfDir)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === tok,
+      "token mass must match the packer's")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("contam_pairs")
+      val t = r.getAs[Long]("total_pairs")
+      val pm = r.getAs[Long]("contam_pm")
+      assert(c >= 0 && c <= t)
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getAs[Long]("n_mixed_bins") <= r.getAs[Long]("n_bins"))
+      // a bin with one doc contaminates nothing; mixed bins must
+      // exist at the 2048 budget on this corpus
+      assert(r.getAs[Long]("n_mixed_bins") >= 1)
+    }
+  }
+
+  test("mask_rank_swap: marginal distribution preserved exactly, " +
+      "swap is an involution (sum + multiset conserved)") {
+    val swapped = graft.mask.MaskQueries.maskRankSwap(spark, sfDir)
+    val orig = Tables.customer(spark, sfDir)
+      .select((col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val a = swapped.groupBy("swapped_cents").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = orig.groupBy("cents").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "rank swap must preserve the exact value multiset")
+    val n = orig.count()
+    assert(swapped.count() === n, "every customer keeps exactly one row")
+  }
+
+  test("pipe_shard_rebalance: excesses sum to zero and the flow " +
+      "telescopes back to zero at the last shard") {
+    val rows = pipeline.CorpusPipeline.pipeShardRebalance(spark, sfDir)
+      .orderBy("shard_id").collect()
+    assert(rows.map(_.getAs[Long]("excess")).sum === 0L,
+      "targets must partition the total exactly")
+    assert(rows.last.getAs[Long]("boundary_flow") === 0L,
+      "the prefix flow must telescope to zero")
+    val tgt = rows.map(_.getAs[Long]("target"))
+    assert(tgt.max - tgt.min <= 1, "remainder spread is at most 1 token")
+  }
+
+  test("mask_dp_geometric: noise is bounded by the truncation and " +
+      "drawn from the exact threshold table") {
+    val rows = graft.mask.MaskQueries.maskDpGeometric(spark, sfDir).collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("noise")
+      assert(k >= -10 && k <= 10, "truncated two-sided geometric")
+      assert(r.getAs[Long]("n_released") ===
+        r.getAs[Long]("n_true") + k)
+    }
+    // the mechanism is deterministic per cell: re-running draws the
+    // identical noise (replayable release)
+    val again = graft.mask.MaskQueries.maskDpGeometric(spark, sfDir).collect()
+    assert(rows.map(_.toSeq.toList).toList ===
+      again.map(_.toSeq.toList).toList)
+  }
+
+  test("cls_null_pattern: patterns partition customers and missing " +
+      "flags nest (no orders implies no urgent/recent orders)") {
+    val rows = classify.ClassifyQueries.clsNullPattern(spark, sfDir)
+      .collect()
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("pattern")
+      // nesting law: bit0 (no orders at all) forces bits 1 and 2
+      if ((p & 1L) == 1L) assert(p === 7L,
+        s"a customer with no orders can't have urgent/recent ones: $p")
+      val pm = r.getAs[Long]("share_pm")
+      assert(pm >= 0 && pm <= 1000)
+    }
+  }
+
+  test("knn_tombstone_audit: cell census conserves vectors and the " +
+      "delete set is exactly the vec_id % 10 residue class") {
+    val rows = sim.Knn.knnTombstoneAudit(spark, sfDir).collect()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val nDel = Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(10L)) === 0).count()
+    assert(rows.map(_.getAs[Long]("n_before")).sum === nVec)
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum === nDel)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_live") ===
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_deleted"))
+      val pm = r.getAs[Long]("live_pm")
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getAs[Boolean]("compact") === (pm < 800))
+    }
+  }
 }
