@@ -1626,7 +1626,82 @@ object EmbOps extends QueryModule {
       |  CAST(MAX(ratio_pm) AS BIGINT) AS hi_pm
       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------- emb_clip_calibration
+  /** NORM-CLIP CALIBRATION — the pre-quantization step an embedding
+    * server runs before int8 (one outlier norm stretches the scale
+    * and crushes everyone else's resolution; clip at p99 and the
+    * grid serves the mass): norms land on the milli grid (IEEE sqrt
+    * is correctly rounded, so floor(√d·1000) is engine-exact), the
+    * p99 comes from the cumulative-histogram rank walk (the
+    * `cdc_lag_audit` lo/hi idiom — no corpus sort, the histogram IS
+    * the bounded value grid), and the report prices the clip:
+    * clipped-vector share and energy lost, both per-mille. One
+    * corpus map pass → |distinct milli norms| histogram; everything
+    * after runs on that frame. */
+  def embClipCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.VectorExprs.register(spark)
+    val dbl = col("embedding").cast("array<double>")
+    val h = Tables.embeddings(spark, dir)
+      .select(floor(sqrt(graft.dedup.Dedup.fastDot(dbl, dbl)) * 1000)
+        .cast("long").as("nm"))
+      .groupBy("nm").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |milli-norm grid| frame, 3 consumers
+    val tot = h.agg(sum(col("c")).as("t"))
+    val cum = h.crossJoin(broadcast(tot))
+      .withColumn("hi", sum(col("c")).over(Window.orderBy("nm")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("k", expr("(t * 99 + 99) div 100"))
+    val p99 = cum.agg(max(when(col("lo") <= col("k") &&
+      col("k") <= col("hi"), col("nm"))).as("p99"))
+    h.crossJoin(broadcast(p99))
+      .agg(sum(col("c")).as("n_vectors"),
+        max(col("p99")).as("p99_norm_milli"),
+        sum(when(col("nm") > col("p99"), col("c")).otherwise(0L))
+          .as("n_clipped"),
+        sum(when(col("nm") > col("p99"),
+          col("c") * (col("nm") - col("p99"))).otherwise(0L))
+          .as("_lost"),
+        sum(col("c") * col("nm")).as("_mass"))
+      .select(col("n_vectors"), col("p99_norm_milli"),
+        col("n_clipped"),
+        expr("n_clipped * 1000 div n_vectors").as("clipped_pm"),
+        expr("_lost * 1000 div _mass").as("energy_lost_pm"))
+  }
+
+  val embClipCalibrationSql: String =
+    """WITH h AS (
+      |  SELECT CAST(FLOOR(sqrt(list_dot_product(
+      |      CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) * 1000) AS BIGINT) AS nm,
+      |    COUNT(*) AS c
+      |  FROM embeddings GROUP BY 1),
+      |t AS (SELECT SUM(c) AS t FROM h),
+      |cum AS (
+      |  SELECT nm, c,
+      |    SUM(c) OVER (ORDER BY nm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+      |    SUM(c) OVER (ORDER BY nm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - c + 1 AS lo,
+      |    (t * 99 + 99) // 100 AS k
+      |  FROM h CROSS JOIN t),
+      |p AS (
+      |  SELECT MAX(CASE WHEN lo <= k AND k <= hi THEN nm END) AS p99
+      |  FROM cum)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_vectors,
+      |  CAST(MAX(p99) AS BIGINT) AS p99_norm_milli,
+      |  CAST(SUM(CASE WHEN nm > p99 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(SUM(CASE WHEN nm > p99 THEN c ELSE 0 END) * 1000 //
+      |    SUM(c) AS BIGINT) AS clipped_pm,
+      |  CAST(SUM(CASE WHEN nm > p99 THEN c * (nm - p99) ELSE 0 END)
+      |    * 1000 // SUM(c * nm) AS BIGINT) AS energy_lost_pm
+      |FROM h CROSS JOIN p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_clip_calibration" -> (embClipCalibration _),
     "emb_jl_projection" -> (embJlProjection _),
     "emb_hamming_calib" -> (embHammingCalib _),
     "emb_silhouette" -> (embSilhouette _),
@@ -1652,6 +1727,7 @@ object EmbOps extends QueryModule {
     "sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "emb_clip_calibration" -> embClipCalibrationSql,
     "emb_jl_projection" -> embJlProjectionSql,
     "emb_hamming_calib" -> embHammingCalibSql,
     "emb_silhouette" -> embSilhouetteSql,

@@ -2020,7 +2020,94 @@ object TextAnalysis extends QueryModule {
       |  CAST(SUM(lg) * 1000 // SUM(nt) AS BIGINT) AS long_tok_pm
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ txt_source_jsd
+  /** SOURCE-SIMILARITY MATRIX — pairwise Jensen–Shannon divergence
+    * between source unigram distributions (the input a mixing policy
+    * needs: two near-identical sources shouldn't both get full
+    * weight): vocab hashes onto a FIXED 64-bucket grid (the
+    * distribution sketch stays |sources × 64| no matter the corpus),
+    * the grid densifies so one-sided buckets contribute their full
+    * 1-bit mixture term, and every log rides the
+    * `cls_mutual_info`/`cls_jsd_drift` BIN-LENGTH identity — p/m and
+    * q/m are ratios of pure integer products, so both engines
+    * compute identical whole-bit values with no libm. Per-pair score
+    * in milli-bits/token by integer division; ≤ C(20,2) output rows.
+    * One corpus explode → sketch; everything pairwise runs on the
+    * sketch. */
+  def txtSourceJsd(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy(col("source"),
+        pmod(graft.mask.MaskFunctions.portableHash(col("w")), lit(64L))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val dense = counts.select(col("source")).distinct()
+      .withColumn("bucket", explode(sequence(lit(0L), lit(63L))))
+      .join(counts, Seq("source", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .localCheckpoint() // |sources×64| sketch, 3 consumers
+    val totals = dense.groupBy("source").agg(sum(col("n")).as("t"))
+    val a = dense.join(totals, "source")
+      .select(col("source").as("s1"), col("bucket"),
+        col("n").as("na"), col("t").as("ra"))
+    val b = dense.join(totals, "source")
+      .select(col("source").as("s2"), col("bucket"),
+        col("n").as("nb"), col("t").as("rb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("s1") < col("s2"))
+      .withColumn("bits_a", when(col("na") > 0,
+        length(expr("bin(2 * na * rb)")) -
+          length(expr("bin(na * rb + nb * ra)"))).otherwise(0)
+        .cast("long"))
+      .withColumn("bits_b", when(col("nb") > 0,
+        length(expr("bin(2 * nb * ra)")) -
+          length(expr("bin(na * rb + nb * ra)"))).otherwise(0)
+        .cast("long"))
+      .groupBy("s1", "s2")
+      .agg(sum(col("na") * col("bits_a")).as("wa"),
+        sum(col("nb") * col("bits_b")).as("wb"),
+        max(col("ra")).as("ta"), max(col("rb")).as("tb"))
+      .select(col("s1"), col("s2"),
+        (expr("wa * 500 div ta") + expr("wb * 500 div tb"))
+          .as("jsd_millibits"))
+      .orderBy("s1", "s2")
+  }
+
+  val txtSourceJsdSql: String =
+    """WITH w AS (
+      |  SELECT source,
+      |    ('0x'||substr(md5(unnest(
+      |      regexp_split_to_array(text, '\s+'))),1,8))::BIGINT % 64
+      |      AS bucket
+      |  FROM documents),
+      |c AS (SELECT source, bucket, COUNT(*) AS n FROM w GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, g.bucket, COALESCE(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT source FROM c) s
+      |  CROSS JOIN (SELECT UNNEST(range(64)) AS bucket) g
+      |  LEFT JOIN c ON c.source = s.source AND c.bucket = g.bucket),
+      |t AS (SELECT source, SUM(n) AS t FROM grid GROUP BY 1),
+      |d AS (SELECT grid.source, bucket, n, t
+      |      FROM grid JOIN t USING (source)),
+      |p AS (
+      |  SELECT a.source AS s1, b.source AS s2, a.bucket,
+      |    a.n AS na, a.t AS ra, b.n AS nb, b.t AS rb,
+      |    CASE WHEN a.n > 0 THEN
+      |      length(bin(2 * a.n * b.t)) -
+      |      length(bin(a.n * b.t + b.n * a.t)) ELSE 0 END AS bits_a,
+      |    CASE WHEN b.n > 0 THEN
+      |      length(bin(2 * b.n * a.t)) -
+      |      length(bin(a.n * b.t + b.n * a.t)) ELSE 0 END AS bits_b
+      |  FROM d a JOIN d b ON a.bucket = b.bucket
+      |    AND a.source < b.source)
+      |SELECT s1, s2,
+      |  CAST(SUM(na * bits_a) * 500 // MAX(ra) +
+      |       SUM(nb * bits_b) * 500 // MAX(rb) AS BIGINT)
+      |    AS jsd_millibits
+      |FROM p GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_source_jsd" -> (txtSourceJsd _),
     "txt_ocr_garbage" -> (txtOcrGarbage _),
     "txt_compression_proxy" -> (txtCompressionProxy _),
     "txt_sentence_stats" -> (txtSentenceStats _),
@@ -2060,6 +2147,7 @@ object TextAnalysis extends QueryModule {
     "txt_fingerprint" -> (txtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "txt_source_jsd" -> txtSourceJsdSql,
     "txt_ocr_garbage" -> txtOcrGarbageSql,
     "txt_compression_proxy" -> txtCompressionProxySql,
     "txt_sentence_stats" -> txtSentenceStatsSql,
