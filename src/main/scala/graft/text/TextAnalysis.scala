@@ -2030,8 +2030,12 @@ object TextAnalysis extends QueryModule {
     * 1-bit mixture term, and every log rides the
     * `cls_mutual_info`/`cls_jsd_drift` BIN-LENGTH identity — p/m and
     * q/m are ratios of pure integer products, so both engines
-    * compute identical whole-bit values with no libm. Per-pair score
-    * in milli-bits/token by integer division; ≤ C(20,2) output rows.
+    * compute identical whole-bit values with no libm. The floor
+    * under-estimates each side by < 1 bit, so the per-pair score
+    * (milli-bits/token by integer division) is a DETERMINISTIC
+    * similarity ORDER in [-1000, 1000] — near-identical sources sit
+    * at the slightly-negative bottom, divergent ones climb toward
+    * +1000; ≤ C(20,2) output rows.
     * One corpus explode → sketch; everything pairwise runs on the
     * sketch. */
   def txtSourceJsd(spark: SparkSession, dir: String): DataFrame = {

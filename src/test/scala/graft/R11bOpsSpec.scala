@@ -301,4 +301,41 @@ class R11bOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("compact") === (pm < 800))
     }
   }
+
+  test("txt_source_jsd: scores are non-negative, pairs cover the " +
+      "full upper triangle once, and JSD is bounded by 1 bit/token") {
+    val rows = text.TextAnalysis.txtSourceJsd(spark, sfDir).collect()
+    val nSrc = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length === nSrc * (nSrc - 1) / 2,
+      "exactly one row per unordered source pair")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      val j = r.getAs[Long]("jsd_millibits")
+      // true JSD is within [0, 1] bit/token; the whole-bit floor
+      // under-estimates by at most 1 bit per side, so the integer
+      // score lives in [-1000, 1000] with near-identical sources at
+      // the (slightly negative) bottom
+      assert(j >= -1000 && j <= 1000, s"jsd out of range: $j")
+    }
+  }
+
+  test("emb_clip_calibration: the p99 rank walk clips at most ~1% " +
+      "of vectors and the energy ledger is consistent") {
+    val r = sim.EmbOps.embClipCalibration(spark, sfDir).head()
+    val n = r.getAs[Long]("n_vectors")
+    val clipped = r.getAs[Long]("n_clipped")
+    assert(n === Tables.embeddings(spark, sfDir).count())
+    // strictly-above-p99 mass is bounded by n - ceil(0.99 n) < n/100+1
+    assert(clipped * 100 <= n + 100,
+      s"p99 clip must cut at most ~1%: $clipped of $n")
+    assert(r.getAs[Long]("clipped_pm") >= 0 &&
+      r.getAs[Long]("clipped_pm") <= 1000)
+    assert(r.getAs[Long]("energy_lost_pm") >= 0 &&
+      r.getAs[Long]("energy_lost_pm") <=
+        r.getAs[Long]("clipped_pm"),
+      "per-vector lost energy can't exceed the clipped share " +
+        "(only the above-threshold excess is lost)")
+    assert(r.getAs[Long]("p99_norm_milli") > 0)
+  }
 }
