@@ -1442,7 +1442,98 @@ object BinaryPipeline extends QueryModule {
       |  CAST(SUM(px) AS BIGINT) AS scaled_px
       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ mm_audio_pitch
+  /** AUTOCORRELATION PITCH-LAG ESTIMATE over real decoded PCM — the
+    * classic f0 front-end (speech pitch = the lag maximizing the
+    * signal's self-similarity): samples stream through the JDK WAV
+    * codec, R(τ) = Σ s[i]·s[i+τ] is evaluated at 8 candidate lags
+    * (24..52 step 4 — the telephone-band pitch range at these
+    * rates), and each doc reports its argmax lag with a smallest-lag
+    * tie-break plus the R(best)/R(0) voicing ratio in per-mille.
+    * Map-only per-blob loop → |rates × lags| rollup; exact integer
+    * products (|s| ≤ 2¹⁵, so R caps at ~2³⁰·len — far inside int64).
+    * The oracle replays every sample from the generator arithmetic:
+    * a hash match proves decode + DSP. */
+  def mmAudioPitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lags = Array(24, 28, 32, 36, 40, 44, 48, 52)
+    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = decodeWavSamples(encodeWav(id))
+        var r0 = 0L
+        var i = 0
+        while (i < s.length) { r0 += s(i).toLong * s(i); i += 1 }
+        var bestLag = -1L
+        var bestR = Long.MinValue
+        var j = 0
+        while (j < lags.length) {
+          val t = lags(j)
+          var r = 0L
+          var k = 0
+          while (k + t < s.length) { r += s(k).toLong * s(k + t); k += 1 }
+          if (k > 0 && r > bestR) { bestR = r; bestLag = t.toLong }
+          j += 1
+        }
+        // +1000·r0 shift before the divide (the q60_mom_change
+        // idiom): bestR can be negative on noise-like content, and a
+        // non-negative numerator makes truncating and flooring
+        // division agree across engines
+        val voiced =
+          if (r0 > 0 && bestLag >= 0)
+            (bestR * 1000 + 1000 * r0) / r0 - 1000
+          else 0L
+        (id, 8000L + (id % 8) * 1000L, bestLag, voiced)
+      })
+      .toDF("doc_id", "rate", "best_lag", "voiced_pm")
+    per.groupBy("rate", "best_lag")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("voiced_pm")).as("min_voiced_pm"),
+        max(col("voiced_pm")).as("max_voiced_pm"))
+      .orderBy("rate", "best_lag")
+  }
+
+  val mmAudioPitchSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k,
+      |    CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+      |      AS BIGINT) AS v
+      |  FROM (
+      |    SELECT doc_id, k,
+      |      ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256
+      |        AS u
+      |    FROM (SELECT doc_id, unnest(range(0, ns)) AS k FROM d)
+      |      t0) t),
+      |r0 AS (SELECT doc_id, SUM(v * v) AS r0 FROM s GROUP BY 1),
+      |rl AS (
+      |  SELECT a.doc_id, l.lag, SUM(a.v * b.v) AS r,
+      |    COUNT(*) AS n_terms
+      |  FROM (SELECT UNNEST([24,28,32,36,40,44,48,52]) AS lag) l,
+      |    s a JOIN s b
+      |      ON b.doc_id = a.doc_id AND b.k = a.k + l.lag
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, lag AS best_lag, r,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY r DESC, lag) AS rn
+      |  FROM rl),
+      |per AS (
+      |  SELECT b.doc_id, d.rate, b.best_lag,
+      |    CASE WHEN r0.r0 > 0
+      |      THEN (b.r * 1000 + 1000 * r0.r0) // r0.r0 - 1000
+      |      ELSE 0 END AS voiced_pm
+      |  FROM best b JOIN r0 USING (doc_id) JOIN d USING (doc_id)
+      |  WHERE b.rn = 1)
+      |SELECT rate, best_lag, COUNT(*) AS n_docs,
+      |  CAST(MIN(voiced_pm) AS BIGINT) AS min_voiced_pm,
+      |  CAST(MAX(voiced_pm) AS BIGINT) AS max_voiced_pm
+      |FROM per GROUP BY 1, 2 ORDER BY rate, best_lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_pitch" -> (mmAudioPitch _),
     "mm_image_letterbox" -> (mmImageLetterbox _),
     "mm_stride_dedup" -> (mmStrideDedup _),
     "mm_image_entropy" -> (mmImageEntropy _),
@@ -1465,6 +1556,7 @@ object BinaryPipeline extends QueryModule {
     "mm_video_frames" -> (mmVideoFrames _))
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_pitch" -> mmAudioPitchSql,
     "mm_image_letterbox" -> mmImageLetterboxSql,
     "mm_stride_dedup" -> mmStrideDedupSql,
     "mm_image_entropy" -> mmImageEntropySql,
