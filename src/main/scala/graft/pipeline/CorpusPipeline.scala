@@ -1897,7 +1897,73 @@ object CorpusPipeline extends QueryModule {
       |    AS boundary_flow
       |FROM q ORDER BY shard_id""".stripMargin
 
+  // -------------------------------------------- pipe_dedup_mix_shift
+  /** MIX SHIFT UNDER DEDUP — the curation-bias audit (exact dedup is
+    * not mix-neutral: boilerplate-heavy languages/sources lose more
+    * mass, so the post-dedup mixture silently drifts from the one
+    * the mixing policy was tuned on): per language, docs and tokens
+    * before vs after keep-first exact dedup, each side's share of
+    * its corpus in per-mille, and the share DRIFT the retuning step
+    * needs. One fingerprint hash-agg (keeper = min doc id) + one
+    * key-join back — the same two corpus passes exact dedup already
+    * pays; the drift math runs on the |langs| frame. */
+  def pipeDedupMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, '\\\\s+'))").cast("long").as("_t"),
+        md5(lower(col("text"))).as("fp"))
+    val keepers = docs.groupBy("fp").agg(min(col("doc_id")).as("keep"))
+    val tagged = docs.join(keepers, Seq("fp"))
+      .withColumn("kept", col("doc_id") === col("keep"))
+    val perLang = tagged.groupBy("lang")
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("_t")).as("tokens_before"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_after"),
+        sum(when(col("kept"), col("_t")).otherwise(0L))
+          .as("tokens_after"))
+      .localCheckpoint() // |langs| frame, totals + drift consumers
+    val tot = perLang.agg(sum(col("tokens_before")).as("tb"),
+      sum(col("tokens_after")).as("ta"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after"),
+        expr("tokens_before * 1000 div tb").as("share_before_pm"),
+        expr("tokens_after * 1000 div ta").as("share_after_pm"))
+      // drift is a DIFFERENCE of two already-floored non-negative
+      // shares — no signed division ever happens, so no engine skew
+      .withColumn("drift_pm",
+        col("share_after_pm") - col("share_before_pm"))
+      .orderBy("lang")
+  }
+
+  val pipeDedupMixShiftSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+      |      AS t,
+      |    md5(lower(text)) AS fp
+      |  FROM documents),
+      |k AS (SELECT fp, MIN(doc_id) AS keep FROM d GROUP BY 1),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS docs_before, SUM(t) AS tokens_before,
+      |    SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS docs_after,
+      |    SUM(CASE WHEN doc_id = keep THEN t ELSE 0 END)
+      |      AS tokens_after
+      |  FROM d JOIN k USING (fp) GROUP BY 1),
+      |t AS (SELECT SUM(tokens_before) AS tb, SUM(tokens_after) AS ta
+      |      FROM g)
+      |SELECT lang, docs_before, CAST(docs_after AS BIGINT)
+      |    AS docs_after,
+      |  CAST(tokens_before AS BIGINT) AS tokens_before,
+      |  CAST(tokens_after AS BIGINT) AS tokens_after,
+      |  CAST(tokens_before * 1000 // tb AS BIGINT) AS share_before_pm,
+      |  CAST(tokens_after * 1000 // ta AS BIGINT) AS share_after_pm,
+      |  CAST(tokens_after * 1000 // ta - tokens_before * 1000 // tb
+      |    AS BIGINT) AS drift_pm
+      |FROM g CROSS JOIN t ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_mix_shift" -> (pipeDedupMixShift _),
     "pipe_shard_rebalance" -> (pipeShardRebalance _),
     "pipe_packing_contamination" -> (pipePackingContamination _),
     "pipe_datasheet" -> (pipeDatasheet _),
@@ -1934,6 +2000,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_dedup_mix_shift" -> pipeDedupMixShiftSql,
     "pipe_shard_rebalance" -> pipeShardRebalanceSql,
     "pipe_packing_contamination" -> pipePackingContaminationSql,
     "pipe_datasheet" -> pipeDatasheetSql,
