@@ -338,4 +338,41 @@ class R11bOpsSpec extends SparkSpec {
         "(only the above-threshold excess is lost)")
     assert(r.getAs[Long]("p99_norm_milli") > 0)
   }
+
+  test("mm_audio_pitch: lag census conserves docs, lags stay on the " +
+      "candidate grid, and voicing is a bounded ratio") {
+    val rows = multimodal.BinaryPipeline.mmAudioPitch(spark, sfDir)
+      .collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val grid = Set(24L, 28L, 32L, 36L, 40L, 44L, 48L, 52L)
+    rows.foreach { r =>
+      assert(grid.contains(r.getAs[Long]("best_lag")))
+      val lo = r.getAs[Long]("min_voiced_pm")
+      val hi = r.getAs[Long]("max_voiced_pm")
+      // |R(t)| <= R(0) by Cauchy-Schwarz: the ratio lives in [-1, 1]
+      assert(lo >= -1000 && hi <= 1000 && lo <= hi)
+    }
+  }
+
+  test("pipe_dedup_mix_shift: censuses conserve mass and the drift " +
+      "column telescopes to ~0 across languages") {
+    val rows = pipeline.CorpusPipeline.pipeDedupMixShift(spark, sfDir)
+      .collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("docs_before")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_after") <= r.getAs[Long]("docs_before"))
+      assert(r.getAs[Long]("tokens_after") <=
+        r.getAs[Long]("tokens_before"))
+      assert(r.getAs[Long]("drift_pm") ===
+        r.getAs[Long]("share_after_pm") -
+          r.getAs[Long]("share_before_pm"))
+    }
+    // shares each sum to ~1000 (floor loss < |langs|), so drifts sum
+    // to ~0 — the mix is redistributed, never created
+    val driftSum = rows.map(_.getAs[Long]("drift_pm")).sum
+    assert(math.abs(driftSum) < rows.length,
+      s"drift must telescope to ~0, got $driftSum")
+  }
 }
