@@ -1962,7 +1962,57 @@ object CorpusPipeline extends QueryModule {
       |    AS BIGINT) AS drift_pm
       |FROM g CROSS JOIN t ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- pipe_truncation_waste
+  /** TRUNCATION-WASTE LEDGER across candidate context lengths — the
+    * "which max_seq_len do we train at" table (truncate-at-L throws
+    * away every token past L; too small wastes long-document mass,
+    * too large wastes padding — the [[packSequences]] companion
+    * decision): for L ∈ {128, 256, 512, 1024}, per-source docs
+    * truncated, tokens dropped, and the dropped share in per-mille.
+    * ONE corpus scan feeds all four candidate lengths (the L-grid
+    * explodes the |sources×4| ledger, not the corpus — each doc
+    * emits 4 tiny structs, map-side). Monotone in L by construction
+    * — spec-pinned. */
+  def pipeTruncationWaste(spark: SparkSession, dir: String): DataFrame = {
+    val ls = Seq(128, 256, 512, 1024)
+    val t = expr("size(split(text, '\\\\s+'))").cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), t.as("t"))
+      .select(col("source"), col("t"),
+        explode(array(ls.map(l => struct(lit(l.toLong).as("max_len"),
+          greatest(col("t") - l, lit(0L)).as("dropped"))): _*))
+          .as("m"))
+      .groupBy(col("source"), col("m.max_len").as("max_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(when(col("m.dropped") > 0, 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(col("m.dropped")).as("tokens_dropped"))
+      .select(col("source"), col("max_len"), col("n_docs"),
+        col("n_tokens"), col("docs_truncated"), col("tokens_dropped"),
+        expr("tokens_dropped * 1000 div n_tokens").as("dropped_pm"))
+      .orderBy("source", "max_len")
+  }
+
+  val pipeTruncationWasteSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, l.max_len, t,
+      |    GREATEST(t - l.max_len, 0) AS dropped
+      |  FROM t CROSS JOIN
+      |    (SELECT UNNEST([128, 256, 512, 1024]) AS max_len) l)
+      |SELECT source, CAST(max_len AS BIGINT) AS max_len,
+      |  COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_truncated,
+      |  CAST(SUM(dropped) AS BIGINT) AS tokens_dropped,
+      |  CAST(SUM(dropped) * 1000 // SUM(t) AS BIGINT) AS dropped_pm
+      |FROM g GROUP BY 1, 2 ORDER BY source, max_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_truncation_waste" -> (pipeTruncationWaste _),
     "pipe_dedup_mix_shift" -> (pipeDedupMixShift _),
     "pipe_shard_rebalance" -> (pipeShardRebalance _),
     "pipe_packing_contamination" -> (pipePackingContamination _),
@@ -2000,6 +2050,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_truncation_waste" -> pipeTruncationWasteSql,
     "pipe_dedup_mix_shift" -> pipeDedupMixShiftSql,
     "pipe_shard_rebalance" -> pipeShardRebalanceSql,
     "pipe_packing_contamination" -> pipePackingContaminationSql,
