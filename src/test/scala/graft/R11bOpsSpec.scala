@@ -375,4 +375,27 @@ class R11bOpsSpec extends SparkSpec {
     assert(math.abs(driftSum) < rows.length,
       s"drift must telescope to ~0, got $driftSum")
   }
+
+  test("pipe_truncation_waste: dropped mass is monotone decreasing " +
+      "in the context length and bounded by the corpus") {
+    val rows = pipeline.CorpusPipeline.pipeTruncationWaste(spark, sfDir)
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (_, panel) =>
+      val byL = panel.sortBy(_.getAs[Long]("max_len"))
+      assert(byL.map(_.getAs[Long]("max_len")).toSeq ===
+        Seq(128L, 256L, 512L, 1024L))
+      val drops = byL.map(_.getAs[Long]("tokens_dropped"))
+      assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+        "a longer context never drops more tokens")
+      val truncs = byL.map(_.getAs[Long]("docs_truncated"))
+      assert(truncs.zip(truncs.tail).forall { case (a, b) => a >= b })
+      byL.foreach { r =>
+        assert(r.getAs[Long]("tokens_dropped") <=
+          r.getAs[Long]("n_tokens"))
+        val pm = r.getAs[Long]("dropped_pm")
+        assert(pm >= 0 && pm <= 1000)
+      }
+    }
+  }
 }
