@@ -2938,7 +2938,63 @@ object Relational extends graft.QueryModule {
       |  CAST(SUM(wt) AS BIGINT) AS wt_sum
       |FROM w GROUP BY seg ORDER BY seg""".stripMargin
 
+  // ---------------------------------------------- q69_bitmap_rollup
+  /** BITMAP ROLLUP — the property COUNT(DISTINCT) lacks and
+    * [[q67]]'s words have: distinct counts don't add across grains,
+    * but bitmap words OR-MERGE, so the fine-grain word state answers
+    * EVERY coarser grain without touching the corpus again. One
+    * corpus pass builds (returnflag × linestatus × word) words; the
+    * rollup re-ORs them to per-returnflag and grand-total grains and
+    * pops each — three grains, one scan, and the word frames are the
+    * only shuffles. The 100 TB cube contract: materialize mergeable
+    * state once, serve all grains from it. */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        expr("l_partkey div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(l_partkey % 64 as int)))")
+        .as("bits"))
+      .localCheckpoint() // fine-grain word state, 3 grain consumers
+    val fine = words.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"))
+      .select(lit(0L).as("gid"), col("l_returnflag"),
+        col("l_linestatus"), col("n_distinct"))
+    val mid = words.groupBy(col("l_returnflag"), col("w"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"))
+      .select(lit(1L).as("gid"), col("l_returnflag"),
+        lit("(all)").as("l_linestatus"), col("n_distinct"))
+    val top = words.groupBy(col("w"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"))
+      .select(lit(3L).as("gid"), lit("(all)").as("l_returnflag"),
+        lit("(all)").as("l_linestatus"), col("n_distinct"))
+    fine.unionByName(mid).unionByName(top)
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
+  val q69Sql: String =
+    """WITH f AS (
+      |  SELECT CAST(0 AS BIGINT) AS gid, l_returnflag, l_linestatus,
+      |    COUNT(DISTINCT l_partkey) AS n_distinct
+      |  FROM lineitem GROUP BY 2, 3),
+      |m AS (
+      |  SELECT CAST(1 AS BIGINT) AS gid, l_returnflag,
+      |    '(all)' AS l_linestatus, COUNT(DISTINCT l_partkey)
+      |      AS n_distinct
+      |  FROM lineitem GROUP BY 2),
+      |t AS (
+      |  SELECT CAST(3 AS BIGINT) AS gid, '(all)' AS l_returnflag,
+      |    '(all)' AS l_linestatus, COUNT(DISTINCT l_partkey)
+      |      AS n_distinct
+      |  FROM lineitem)
+      |SELECT * FROM f UNION ALL SELECT * FROM m UNION ALL
+      |SELECT * FROM t
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_bitmap_rollup" -> (q69 _),
     "q66_interval_coverage" -> (q66 _),
     "q67_bitmap_distinct" -> (q67 _),
     "q68_decay_weighted" -> (q68 _),
@@ -3009,6 +3065,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q69_bitmap_rollup" -> q69Sql,
     "q66_interval_coverage" -> q66Sql,
     "q67_bitmap_distinct" -> q67Sql,
     "q68_decay_weighted" -> q68Sql,

@@ -2011,7 +2011,86 @@ object CorpusPipeline extends QueryModule {
       |  CAST(SUM(dropped) * 1000 // SUM(t) AS BIGINT) AS dropped_pm
       |FROM g GROUP BY 1, 2 ORDER BY source, max_len""".stripMargin
 
+  // --------------------------------------- pipe_source_overlap_matrix
+  /** CONTENT-PROVENANCE OVERLAP MATRIX — which source PAIRS carry the
+    * same documents (`txt_source_overlap` compares vocabularies; this
+    * compares exact content — the licensing/provenance question "is
+    * source B just a re-crawl of A?"): fingerprints group to their
+    * source SET, sets of size ≥ 2 explode into unordered source
+    * pairs, and each (s1, s2) cell reports shared fingerprints plus
+    * the per-mille of the smaller side's corpus that the overlap
+    * covers (containment — the re-crawl detector). The pair explode
+    * is bounded by |sources|² per fingerprint worst-case but
+    * fingerprint-linear in practice; output ≤ C(20,2) rows. */
+  def pipeSourceOverlapMatrix(spark: SparkSession, dir: String)
+      : DataFrame = {
+    // two fingerprint grains: exact content, and the HEAD (first 16
+    // tokens) — the re-crawl/template detector that fires on
+    // truncated or tail-edited copies the full hash misses
+    val head = md5(concat_ws(" ",
+      slice(split(lower(col("text")), "\\s+"), 1, 16)))
+    val fp = Tables.documents(spark, dir)
+      .select(explode(array(
+        struct(lit("exact").as("grain"),
+          md5(lower(col("text"))).as("fp")),
+        struct(lit("head16").as("grain"), head.as("fp")))).as("m"),
+        col("source"))
+      .select(col("m.grain").as("grain"), col("m.fp").as("fp"),
+        col("source"))
+      .distinct()
+    val perSrc = fp.groupBy("grain", "source")
+      .agg(count(lit(1)).as("n_fp"))
+    val sets = fp.groupBy("grain", "fp")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val pairs = sets
+      .select(col("grain"), explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1),
+          |    b -> struct(a as s1, b as s2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("grain"), col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("shared_fp"))
+    pairs
+      .join(broadcast(perSrc.withColumnRenamed("source", "s1")
+        .withColumnRenamed("n_fp", "n1")), Seq("grain", "s1"))
+      .join(broadcast(perSrc.withColumnRenamed("source", "s2")
+        .withColumnRenamed("n_fp", "n2")), Seq("grain", "s2"))
+      .select(col("grain"), col("s1"), col("s2"), col("shared_fp"),
+        expr("shared_fp * 1000 div least(n1, n2)")
+          .as("containment_pm"))
+      .orderBy("grain", "s1", "s2")
+  }
+
+  val pipeSourceOverlapMatrixSql: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT 'exact' AS grain, md5(lower(text)) AS fp,
+      |    source
+      |  FROM documents
+      |  UNION
+      |  SELECT DISTINCT 'head16',
+      |    md5(array_to_string(
+      |      regexp_split_to_array(lower(text), '\s+')[1:16], ' ')),
+      |    source
+      |  FROM documents),
+      |ps AS (SELECT grain, source, COUNT(*) AS n_fp
+      |       FROM fp GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.grain, a.source AS s1, b.source AS s2,
+      |    COUNT(*) AS shared_fp
+      |  FROM fp a JOIN fp b
+      |    ON a.grain = b.grain AND a.fp = b.fp
+      |      AND a.source < b.source
+      |  GROUP BY 1, 2, 3)
+      |SELECT pr.grain AS grain, s1, s2, shared_fp,
+      |  CAST(shared_fp * 1000 // LEAST(p1.n_fp, p2.n_fp) AS BIGINT)
+      |    AS containment_pm
+      |FROM pr JOIN ps p1 ON pr.grain = p1.grain AND pr.s1 = p1.source
+      |JOIN ps p2 ON pr.grain = p2.grain AND pr.s2 = p2.source
+      |ORDER BY pr.grain, s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_source_overlap_matrix" -> (pipeSourceOverlapMatrix _),
     "pipe_truncation_waste" -> (pipeTruncationWaste _),
     "pipe_dedup_mix_shift" -> (pipeDedupMixShift _),
     "pipe_shard_rebalance" -> (pipeShardRebalance _),
@@ -2050,6 +2129,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_mix_weights" -> (pipeMixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_source_overlap_matrix" -> pipeSourceOverlapMatrixSql,
     "pipe_truncation_waste" -> pipeTruncationWasteSql,
     "pipe_dedup_mix_shift" -> pipeDedupMixShiftSql,
     "pipe_shard_rebalance" -> pipeShardRebalanceSql,
