@@ -398,4 +398,44 @@ class R11bOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q69_bitmap_rollup: every grain's popcount equals the exact " +
+      "distinct count (OR-merge is lossless across grains)") {
+    val rows = ops.Relational.q69(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+    rows.foreach { r =>
+      val gid = r.getAs[Long]("gid")
+      val exact = gid match {
+        case 0L => li.filter(col("l_returnflag") === r.getString(1) &&
+          col("l_linestatus") === r.getString(2))
+        case 1L => li.filter(col("l_returnflag") === r.getString(1))
+        case _ => li
+      }
+      assert(r.getAs[Long]("n_distinct") ===
+        exact.select("l_partkey").distinct().count(),
+        s"grain $gid diverged from the exact distinct count")
+    }
+    assert(rows.count(_.getAs[Long]("gid") == 3L) === 1)
+  }
+
+  test("pipe_source_overlap_matrix: containment bounded, grains " +
+      "canonical, and every exact overlap surfaces at head grain") {
+    val rows = pipeline.CorpusPipeline
+      .pipeSourceOverlapMatrix(spark, sfDir).collect()
+    val heads = rows.filter(_.getString(0) == "head16")
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    rows.foreach { r =>
+      assert(Set("exact", "head16").contains(r.getString(0)))
+      assert(r.getString(1) < r.getString(2), "canonical pair order")
+      val pm = r.getAs[Long]("containment_pm")
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getAs[Long]("shared_fp") >= 1)
+      if (r.getString(0) == "exact")
+        assert(heads.contains((r.getString(1), r.getString(2))),
+          "an exact copy shares its head — the head grain must see it")
+    }
+    // the head grain must fire on this corpus (degenerate-empty
+    // results were the r10 advice trap)
+    assert(heads.nonEmpty)
+  }
 }
