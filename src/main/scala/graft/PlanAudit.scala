@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   * cartesians. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.PlanAudit <sfDir> <key1,key2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, keyCsv) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -28,7 +32,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.queries
     keyCsv.split(',').foreach { key =>
-      val df = qs(key)(spark, sfDir)
+      val df = qs.getOrElse(key,
+        sys.error(s"unknown key '$key' — not in SparkEntry.queries"))(
+        spark, sfDir)
       val qe = df.queryExecution
       qe.toRdd.count() // execute so AQE finalizes every stage
       val plan = qe.executedPlan.toString.split("== Initial Plan ==").head

@@ -1051,42 +1051,29 @@ object MaskQueries extends QueryModule {
     * both engines derive the identical permutation, unlike RNG-based
     * shuffling no oracle could replay.
     *
-    * Scale shape: NO per-nation global window — both rankings use the
-    * two-level shard-rank + exclusive-prefix-offset decomposition
-    * (row ranks sharded by hash high bits, value ranks by contiguous
-    * cents ranges shifted non-negative), so window partitions are
-    * (nation, shard)-bounded and the offsets windows run over
-    * aggregated shard counts only. The rank↔rank equi-join is an
-    * ordinary shuffle join on (nation, rank). */
+    * Scale shape: NO per-nation global window — both rankings use
+    * [[graft.ops.OrderStats.twoLevelRunningSum]]'s shard-rank +
+    * exclusive-prefix-offset decomposition (row ranks sharded by
+    * hash high bits, value ranks by contiguous cents ranges shifted
+    * non-negative), so window partitions are (nation, shard)-bounded
+    * and the offsets windows run over aggregated shard counts only.
+    * The rank↔rank equi-join is an ordinary shuffle join on
+    * (nation, rank). */
   def maskShuffle(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"),
         (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
       .withColumn("h", MaskFunctions.portableHash(col("c_custkey")))
-    def twoLevelRank(df: DataFrame, shard: org.apache.spark.sql.Column,
-        order: Seq[org.apache.spark.sql.Column],
-        out: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val sh = df.withColumn("_sh", shard)
-      val pre = Window.partitionBy(col("c_nationkey")).orderBy("_sh")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = sh.groupBy("c_nationkey", "_sh")
-        .agg(count(lit(1)).as("_c"))
-        .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
-        .select(col("c_nationkey"), col("_sh"), col("_off"))
-      val local = Window.partitionBy(col("c_nationkey"), col("_sh"))
-        .orderBy(order: _*)
-      sh.withColumn("_lr", row_number().over(local).cast("long"))
-        .join(off, Seq("c_nationkey", "_sh"))
-        .select(col("c_nationkey") +: (col("_off") + col("_lr")).as("r")
-          +: out: _*)
-    }
-    val rowsR = twoLevelRank(c, expr("h div 67108864"),
-      Seq(col("h"), col("c_custkey")), Seq(col("c_custkey")))
-    val valsR = twoLevelRank(c, expr("(cents + 100000) div 1048576"),
-      Seq(col("cents"), col("c_custkey")), Seq(col("cents")))
+    val rowsR = graft.ops.OrderStats.twoLevelRunningSum(c,
+        Seq("c_nationkey"), Seq(expr("h div 67108864")),
+        Seq(col("h"), col("c_custkey")), lit(1L), "r")
+      .select(col("c_nationkey"), col("r"), col("c_custkey"))
+    val valsR = graft.ops.OrderStats.twoLevelRunningSum(c,
+        Seq("c_nationkey"), Seq(expr("(cents + 100000) div 1048576")),
+        Seq(col("cents"), col("c_custkey")), lit(1L), "r")
+      .select(col("c_nationkey"), col("r"), col("cents"))
     rowsR.join(valsR, Seq("c_nationkey", "r"))
       .select(col("c_custkey"), col("c_nationkey"),
         col("cents").as("shuffled_cents"))
@@ -1316,22 +1303,28 @@ object MaskQueries extends QueryModule {
     * distribution is preserved EXACTLY while record linkage breaks,
     * and — unlike [[maskShuffle]]'s full permutation — rank-local
     * statistics (quantiles, correlations against other columns)
-    * barely move. Deterministic, no RNG to replay. The rank window
-    * partitions the DIMENSION table by nation (customers are the
-    * bounded axis); the swap is one equi-join on (nation, partner
-    * rank). */
+    * barely move. Deterministic, no RNG to replay.
+    *
+    * Scale shape: customers are NOT a bounded axis (150k per SF), so
+    * a per-nation `row_number` window would hold |customers|/25 rows
+    * per task at any scale. The rank is [[maskShuffle]]'s exact
+    * value-rank instead — the SAME
+    * [[graft.ops.OrderStats.twoLevelRunningSum]] call with the SAME
+    * contiguous shifted-cents shard width (spec-pinned invariant) —
+    * and the per-nation size `n` is a broadcast |nations|-row join,
+    * not a count window. The swap is one equi-join on
+    * (nation, partner rank). */
   def maskRankSwap(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"),
         (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
-    val byNation = Window.partitionBy("c_nationkey")
-    val ranked = c
-      .withColumn("r", row_number().over(
-        byNation.orderBy("cents", "c_custkey")))
-      .withColumn("n", count(lit(1)).over(byNation))
+    val sizes = c.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    val ranked = graft.ops.OrderStats.twoLevelRunningSum(c,
+        Seq("c_nationkey"), Seq(expr("(cents + 100000) div 1048576")),
+        Seq(col("cents"), col("c_custkey")), lit(1L), "r")
+      .join(broadcast(sizes), "c_nationkey")
       .withColumn("partner",
         when(pmod(col("r"), lit(2)) === 1,
           least(col("r") + 1, col("n"))).otherwise(col("r") - 1))

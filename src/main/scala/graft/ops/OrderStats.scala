@@ -231,6 +231,64 @@ object OrderStats {
         :+ col(valueCol).as("sel_value"): _*)
   }
 
+  /** EXACT global (or per-group) RUNNING SUM — and, with `weight =
+    * 1`, the exact unique-order ROW RANK — without any
+    * corpus-proportional window partition: the two-level shard-rank
+    * + exclusive-prefix-offset decomposition that `pipe_global_
+    * shuffle` proved against a global ROW_NUMBER oracle, extracted
+    * so every caller (mask_shuffle, mask_rank_swap, q62, q63) shares
+    * ONE implementation of the shape.
+    *
+    *   level 1: rows land in contiguous shards (`shardCols` must be
+    *            a MONOTONE COARSENING of `orderCols` — every row of
+    *            an earlier shard precedes every row of a later one;
+    *            e.g. the exact leading order value, or a contiguous
+    *            `value div width` range, optionally sub-bucketed by
+    *            a later tie-break key's range); a running sum of
+    *            `weight` runs within each (group, shard) partition —
+    *            parallel, shard-bounded;
+    *   level 2: shard offsets come from an exclusive prefix sum over
+    *            the AGGREGATED per-shard totals (≤ |groups×shards|
+    *            rows). With no group columns the offsets window uses
+    *            the non-foldable-constant partition key idiom
+    *            (`pmod(_c, 1)`) so the deliberate single partition
+    *            over the tiny aggregated frame doesn't read as an
+    *            unpartitioned corpus window (PlanSpec pins
+    *            partitionSpec non-empty everywhere).
+    *
+    * `orderCols` must be a TOTAL order (include a unique tie-break):
+    * the local running sum uses a ROWS frame, so with a unique order
+    * `weight = lit(1L)` yields exactly `row_number()`. Output: the
+    * input columns plus `out` = the inclusive running sum of
+    * `weight` in global (per-group) `orderCols` order. */
+  def twoLevelRunningSum(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[Column], orderCols: Seq[Column], weight: Column,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shNames = shardCols.indices.map(i => s"_sh$i")
+    val base = shardCols.zip(shNames).foldLeft(
+      df.withColumn("_w", weight)) {
+      case (d, (c, nm)) => d.withColumn(nm, c)
+    }
+    val keyCols = (groupCols ++ shNames).map(col)
+    val counts = base.groupBy(keyCols: _*).agg(sum(col("_w")).as("_c"))
+    val partCols: Seq[Column] =
+      if (groupCols.isEmpty) Seq(pmod(col("_c"), lit(1)))
+      else groupCols.map(col)
+    val pre = Window.partitionBy(partCols: _*)
+      .orderBy(shNames.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(pre), lit(0L)))
+      .select(keyCols :+ col("_off"): _*)
+    val local = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.withColumn("_ls", sum(col("_w")).over(local))
+      .join(offsets, groupCols ++ shNames)
+      .withColumn(out, col("_off") + col("_ls"))
+      .drop(shNames :+ "_w" :+ "_ls" :+ "_off": _*)
+  }
+
   // Spark's `/` is true division even on longs — `div` floors.
   // midRank1 == midRank2 for odd n; for even n they bracket the
   // middle, so avg over the matching row(s) is the textbook median.

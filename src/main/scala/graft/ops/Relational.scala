@@ -2622,15 +2622,19 @@ object Relational extends graft.QueryModule {
     * parts ranked by revenue, class A = parts whose cumulative share
     * stays within 800‰, B within 950‰, C the tail. One map-side-
     * combining hash-agg collapses the fact table to the |part| frame
-    * FIRST; the cumulative-share window orders only that dimension
-    * frame (parts are dimension-scale — bounded — so the single-
-    * partition window is a dim sort, never a corpus sort; the same
-    * contract as `q56`'s dimension-frame rank). Exact integer cents;
+    * FIRST. Parts are NOT bounded — TPC-H grows them with SF (200k
+    * per SF), so a single-partition cumulative window over the part
+    * frame would be a global dimension sort at 100 TB. The running
+    * revenue instead rides [[OrderStats.twoLevelRunningSum]]:
+    * contiguous revenue-range shards (width 2^20 cents, negated so
+    * shard order matches the revenue-desc rank order), a local
+    * running sum per shard, and exclusive prefix offsets over the
+    * aggregated per-shard totals — no corpus- or dimension-
+    * proportional window partition anywhere. Exact integer cents;
     * shares in per-mille by integer division, total via a broadcast
     * 1-row reaggregation of the part frame (AQE reuses the part-agg
     * exchange — lineitem is scanned once). */
   def q62(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
@@ -2639,10 +2643,10 @@ object Relational extends graft.QueryModule {
       // total never re-scans the fact table
       .localCheckpoint()
     val total = perPart.agg(sum(col("rev_cents")).as("tot"))
-    val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-    perPart
-      .withColumn("cum", sum(col("rev_cents"))
-        .over(byRev.rowsBetween(Window.unboundedPreceding, 0)))
+    OrderStats.twoLevelRunningSum(perPart, Nil,
+        Seq(expr("(0 - rev_cents) div 1048576")),
+        Seq(col("rev_cents").desc, col("l_partkey")),
+        col("rev_cents"), "cum")
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
         when(expr("cum * 1000 div tot") <= 800, "A")
@@ -2688,14 +2692,20 @@ object Relational extends graft.QueryModule {
   /** RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
     * quintiles — the classic CRM cohorting): one hash-agg collapses
     * orders to the |customer| frame (last order day, order count,
-    * lifetime cents); three `ntile(5)` windows score THAT dimension
-    * frame with a deterministic custkey tie-break; the report groups
-    * the 3-digit segment code. The windows order the customer
-    * dimension, never the fact table — at 100 TB customers stay
-    * dimension-scale while orders grow, so the plan's only corpus
-    * pass is the first hash-agg. */
+    * lifetime cents). Customers are NOT bounded (TPC-H grows them
+    * 150k per SF), so the three quintile scores do NOT run as
+    * unpartitioned `ntile` windows over the customer frame: each
+    * metric's EXACT (value desc, custkey) rank comes from
+    * [[OrderStats.twoLevelRunningSum]] — recency and frequency shard
+    * on (exact negated value, custkey-range) so even a maximally
+    * tied day/count keeps window partitions ≤ 8192 rows; monetary
+    * shards on contiguous negated-cents ranges (near-unique values,
+    * the mask_shuffle width contract) — and the quintile index is
+    * then PURE ARITHMETIC on (rank, n): NTILE(5)'s exact sizing
+    * (first n%5 tiles hold ⌈n/5⌉) applied to the total-order rank,
+    * with n a broadcast 1-row count. Identical values to the ntile
+    * oracle, zero corpus- or dimension-proportional sorts. */
   def q63(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
@@ -2703,13 +2713,34 @@ object Relational extends graft.QueryModule {
           .as("last_day"),
         count(lit(1)).as("n_orders"),
         sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
-    perCust
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("last_day").desc, col("o_custkey"))))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("n_orders").desc, col("o_custkey"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("cents").desc, col("o_custkey"))))
+      // |customer| frame, two consumers (rank chain + n): pin it so
+      // the count never re-scans the fact table
+      .localCheckpoint()
+    val ckBucket = expr("o_custkey div 8192")
+    def rankOf(df: DataFrame, metric: String, shards: Seq[Column],
+        out: String): DataFrame =
+      OrderStats.twoLevelRunningSum(df, Nil, shards,
+        Seq(col(metric).desc, col("o_custkey")), lit(1L), out)
+    val ranked = rankOf(
+      rankOf(
+        rankOf(perCust, "last_day",
+          Seq(lit(0L) - col("last_day"), ckBucket), "_rr"),
+        "n_orders", Seq(lit(0L) - col("n_orders"), ckBucket), "_fr"),
+      "cents", Seq(expr("(0 - cents) div 1048576")), "_mr")
+    val n = perCust.agg(count(lit(1)).as("n"))
+    // NTILE(k) from the exact 1-based rank: q = n div k tiles of
+    // size q+1 for the first rem = n % k tiles, size q after. The
+    // greatest(q, 1) guard is unreachable arithmetic (rank >
+    // rem*(q+1) implies q ≥ 1) kept so ANSI division can never trip.
+    def tileOf(rk: String): Column = expr(
+      s"CASE WHEN $rk <= (n % 5) * (n div 5 + 1)" +
+        s" THEN ($rk - 1) div (n div 5 + 1) + 1" +
+        s" ELSE n % 5 + ($rk - (n % 5) * (n div 5 + 1) - 1)" +
+        s" div greatest(n div 5, 1) + 1 END")
+    ranked.crossJoin(broadcast(n))
+      .withColumn("r", tileOf("_rr"))
+      .withColumn("f", tileOf("_fr"))
+      .withColumn("m", tileOf("_mr"))
       .groupBy((col("r") * 100 + col("f") * 10 + col("m"))
         .cast("long").as("rfm_segment"))
       .agg(count(lit(1)).as("n_customers"),

@@ -1621,7 +1621,7 @@ object EmbOps extends QueryModule {
       |  SELECT proj_d2 * 1000 // (8 * orig_d2) AS ratio_pm
       |  FROM pd JOIN od ON pd.pid = od.pid
       |  WHERE orig_d2 > 0)
-      |SELECT ratio_pm // 200 AS bucket, COUNT(*) AS n_pairs,
+      |SELECT CAST(ratio_pm // 200 AS BIGINT) AS bucket, COUNT(*) AS n_pairs,
       |  CAST(MIN(ratio_pm) AS BIGINT) AS lo_pm,
       |  CAST(MAX(ratio_pm) AS BIGINT) AS hi_pm
       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin

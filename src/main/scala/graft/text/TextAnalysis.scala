@@ -2072,7 +2072,16 @@ object TextAnalysis extends QueryModule {
         sum(col("nb") * col("bits_b")).as("wb"),
         max(col("ra")).as("ta"), max(col("rb")).as("tb"))
       .select(col("s1"), col("s2"),
-        (expr("wa * 500 div ta") + expr("wb * 500 div tb"))
+        // wa/wb can be slightly NEGATIVE (near-identical sources:
+        // the floor under-estimates each side by <1 bit), and a raw
+        // signed `div` is the repo's pinned hash hazard (DuckDB `//`
+        // truncates in this build where Spark would too — but the
+        // behavior is build-dependent). Non-negative shift on BOTH
+        // sides: bits ∈ [-63, 1] so |w| ≤ 63·t and w·500 + 64000·t
+        // is provably ≥ 0; `(w·500 + K·t) div t − K` is then an
+        // exact floor in every engine.
+        (expr("(wa * 500 + 64000 * ta) div ta - 64000") +
+          expr("(wb * 500 + 64000 * tb) div tb - 64000"))
           .as("jsd_millibits"))
       .orderBy("s1", "s2")
   }
@@ -2105,8 +2114,10 @@ object TextAnalysis extends QueryModule {
       |  FROM d a JOIN d b ON a.bucket = b.bucket
       |    AND a.source < b.source)
       |SELECT s1, s2,
-      |  CAST(SUM(na * bits_a) * 500 // MAX(ra) +
-      |       SUM(nb * bits_b) * 500 // MAX(rb) AS BIGINT)
+      |  CAST((SUM(na * bits_a) * 500 + 64000 * MAX(ra)) // MAX(ra)
+      |       - 64000 +
+      |       (SUM(nb * bits_b) * 500 + 64000 * MAX(rb)) // MAX(rb)
+      |       - 64000 AS BIGINT)
       |    AS jsd_millibits
       |FROM p GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
 

@@ -458,4 +458,31 @@ class PlanSpec extends SparkSpec {
       !twPlan.contains("documents"),
       s"txt_winnowing must be a stats-layout scan:\n${twPlan.take(2000)}")
   }
+
+  test("r12 re-plumbs: q62/q63/mask_rank_swap carry no unpartitioned " +
+      "window (two-level shard-rank everywhere)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    // the r11 verdict's three dimension-sort scale-killers: every
+    // window in the executed plan must keep a partition spec (the
+    // deliberate pmod marker over aggregated shard counts counts),
+    // and no window may order a raw dimension frame in one task
+    for ((name, df) <- Seq(
+        ("q62_abc_pareto", Relational.q62(spark, sfDir)),
+        ("q63_rfm_segments", Relational.q63(spark, sfDir)),
+        ("mask_rank_swap", MaskQueries.maskRankSwap(spark, sfDir)))) {
+      df.collect()
+      val bare = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$name has an unpartitioned window:\n${bare.mkString("\n")}")
+    }
+  }
 }

@@ -196,6 +196,46 @@ class ScaleSpec extends SparkSpec {
       s"substring spans must stay equi-join only:\n$plan")
   }
 
+  test("twoLevelRunningSum: shard-width-invariant and equal to the " +
+      "global window it replaces (rank + weighted forms)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    // oracle: the per-nation global row_number the decomposition kills
+    val want = c.withColumn("r", row_number().over(
+        Window.partitionBy("c_nationkey")
+          .orderBy("cents", "c_custkey")).cast("long"))
+      .select("c_custkey", "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (w <- Seq(1L << 14, 1L << 20, 1L << 62)) {
+      val got = graft.ops.OrderStats.twoLevelRunningSum(c,
+          Seq("c_nationkey"), Seq(expr(s"(cents + 100000) div $w")),
+          Seq(col("cents"), col("c_custkey")), lit(1L), "r")
+        .select("c_custkey", "r").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"rank diverges at shard width $w")
+    }
+    // weighted form (q62's shape): running cents sum in value order,
+    // composite exact-value + key-range shards included
+    val wantSum = c.withColumn("s", sum(col("cents")).over(
+        Window.orderBy(col("cents").desc, col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("c_custkey", "s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (shards <- Seq(
+        Seq(expr("(0 - cents) div 1048576")),
+        Seq(lit(0L) - col("cents"), expr("c_custkey div 64")))) {
+      val got = graft.ops.OrderStats.twoLevelRunningSum(c, Nil, shards,
+          Seq(col("cents").desc, col("c_custkey")), col("cents"), "s")
+        .select("c_custkey", "s").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wantSum, s"running sum diverges for shards $shards")
+    }
+  }
+
   test("KS drift is shard-width-invariant (the decomposition is plumbing)") {
     val orders = Tables.orders(spark, sfDir)
     def run(w: Long) = graft.classify.ClassifyQueries.ksDrift(orders, w)

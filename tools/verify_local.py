@@ -86,11 +86,21 @@ def main():
             print(f"COLS-MISMATCH {name:24s} got={sorted(gcols)} want={sorted(wcols)}")
             n_fail += 1
             continue
+        # STRICT dtype compare (r11 lesson: emb_jl_projection had
+        # value-identical rows but a HUGEINT oracle column — the
+        # driver's typed fetch hash-diverged while this gate only
+        # warned; the gates must not disagree). Any dtype mismatch is
+        # a failure unless GRAFT_LOOSE_TYPES=1 (triage escape hatch).
         gtypes = {d[0]: str(d[1]) for d in got.description}
         wtypes = {d[0]: str(d[1]) for d in want.description}
-        for c in gcols:
-            if gtypes[c] != wtypes[c]:
-                print(f"TYPE-WARN     {name:24s} {c}: spark={gtypes[c]} oracle={wtypes[c]}")
+        tfail = [c for c in gcols if gtypes[c] != wtypes[c]]
+        if tfail and not os.environ.get("GRAFT_LOOSE_TYPES"):
+            for c in tfail:
+                print(f"TYPE-MISMATCH {name:24s} {c}: spark={gtypes[c]} oracle={wtypes[c]}")
+            n_fail += 1
+            continue
+        for c in tfail:
+            print(f"TYPE-WARN     {name:24s} {c}: spark={gtypes[c]} oracle={wtypes[c]}")
         g, w = norm_rows(gcols, grows), norm_rows(wcols, wrows)
         if g != w:
             print(f"ROWS-MISMATCH {name:24s} got={len(g)} want={len(w)}")
