@@ -264,9 +264,10 @@ object Dedup extends QueryModule {
   }
 
   // ------------------------------------------------- shared intermediates
-  /** Session-scoped memo of the expensive intermediates several driver
-    * keys share: the exact blocked-Jaccard pair set at t=0.9, the
-    * component labels over it, and the MinHash-LSH pair set. The
+  /** Session-scoped memo of expensive intermediates several driver
+    * keys share (today: the MinHash-LSH pair set and the mutual kNN
+    * edge join; the t=0.9 pair set and its labels graduated to
+    * write-once bucketed layouts — see [[pairs09]]). The
     * driver's Verify/Bench mains run every key in ONE JVM+session, and
     * the composite audit keys (`dedup_cluster_stats`,
     * `dedup_keep_best`, `dedup_recall_audit`, `dedup_apply`,
@@ -305,18 +306,47 @@ object Dedup extends QueryModule {
       build.localCheckpoint())
   }
 
-  /** Memoized exact blocked-Jaccard pairs over `documents` at t=0.9. */
-  def pairs09(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "ngram09") {
+  /** Algorithm version folded into the pair/label layout tags: bump
+    * whenever [[ngramJaccard]]'s candidate semantics, the t=0.9
+    * threshold, the token hashing, or [[components]]' label contract
+    * change — a cross-JVM artifact built by OLDER code must never
+    * silently re-attach under newer semantics (the kNN-edge layout
+    * lesson). */
+  private val pairAlgoVersion = "a1"
+
+  /** Exact blocked-Jaccard pairs over `documents` at t=0.9 — a
+    * WRITE-ONCE BUCKETED LAYOUT (the winnowing/kNN-edge precedent),
+    * no longer a session memo: seven driver keys re-derive this pair
+    * set (`dedup_ngram`, `dedup_apply`, `dedup_components*`,
+    * `dedup_cluster_*`, `dedup_keep_best`, `pipe_split_by_cluster`…),
+    * and the session memo made every COLD JVM (Verify, then Bench,
+    * then any probe) pay the full candidate-join again. The first
+    * consumer per (source content, params, algo version) builds the
+    * skinny (d1, d2, j) edge set once and publishes it bucketed on
+    * d1; every later consumer — same session or any later JVM on the
+    * machine — re-attaches by DDL and pays a bucketed scan. At 100 TB
+    * the near-dup pair pass is a capital cost per corpus snapshot,
+    * not a per-query cost. */
+  def pairs09(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"${Tables.layoutTag(dir)}_t09_$pairAlgoVersion"
+    Tables.attachBucketed(spark, tag, s"dedup_pairs09_$tag",
+        "d1 BIGINT, d2 BIGINT, j DOUBLE", "d1", 8) {
       graft.expr.VectorExprs.register(spark)
       ngramJaccard(Tables.documents(spark, dir), 0.9)
     }
+  }
 
-  /** Memoized pointer-jumping component labels over [[pairs09]]. */
-  def labels09(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "labels09") {
+  /** Pointer-jumping component labels over [[pairs09]] — same
+    * write-once bucketed layout treatment (the label fixpoint is an
+    * iterative job worth exactly one run per corpus snapshot); keyed
+    * by doc_id so cluster-keyed consumers ride the buckets. */
+  def labels09(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"${Tables.layoutTag(dir)}_t09_$pairAlgoVersion"
+    Tables.attachBucketed(spark, tag, s"dedup_labels09_$tag",
+        "doc_id BIGINT, lbl BIGINT", "doc_id", 8) {
       components(Tables.documents(spark, dir), pairs09(spark, dir))
     }
+  }
 
   /** Memoized MinHash-LSH pairs over `documents` at the defaults. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =

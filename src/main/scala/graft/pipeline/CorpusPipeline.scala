@@ -39,9 +39,29 @@ object CorpusPipeline extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Driver entry at (minScore=0.5, t=0.9): rides the write-once
+    * [[graft.dedup.Dedup.pairs09]] pair LAYOUT instead of re-running
+    * the candidate join on the kept subset — Jaccard is pairwise
+    * (other docs' membership can't change a pair's score), so the
+    * kept-subset pair set is EXACTLY the global t=0.9 pair set
+    * restricted to kept endpoints: two semi-joins against the
+    * kept-id frame, zero new corpus pair passes. The generic
+    * [[corpusFilter]] form stays for arbitrary thresholds. */
   def pipeCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
-    corpusFilter(Tables.documents(spark, dir), 0.5, 0.9)
+    val scored = Tables.documents(spark, dir).withColumn("_score",
+      TextAnalysis.qualityScore(col("text")))
+    val kept = scored.filter(col("_score") >= 0.5)
+    val keptIds = kept.select(col("doc_id"))
+    val pairs = Dedup.pairs09(spark, dir)
+      .join(keptIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(keptIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    Dedup.applyPairs(kept, pairs)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_score")).as("min_score"),
+        max(col("_score")).as("max_score"))
+      .orderBy("lang")
   }
 
   val pipeCorpusFilterSql: String = {

@@ -459,6 +459,38 @@ class PlanSpec extends SparkSpec {
       s"txt_winnowing must be a stats-layout scan:\n${twPlan.take(2000)}")
   }
 
+  test("near-dup pair consumers ride the persisted pairs09/labels09 " +
+      "bucketed layouts: warm path is a catalog scan, never the " +
+      "corpus pair join") {
+    // first consumer builds (or attaches) both layouts
+    graft.dedup.Dedup.labels09(spark, sfDir).collect()
+    // warm pair consumer: plan must read the pair layout, with no
+    // token explode (the corpus candidate join) anywhere
+    val warm = graft.dedup.Dedup.dedupNgram(spark, sfDir)
+    warm.collect()
+    val plan = warm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("dedup_pairs09"),
+      s"warm pair plan does not read the pairs layout:\n${plan.take(2000)}")
+    assert(!plan.contains("documents") && !plan.contains("explode"),
+      s"warm pair plan still runs the corpus pair join:\n${plan.take(2000)}")
+    // pipe_corpus_filter: documents only for the quality score —
+    // the pair set must come from the layout (no gram explode)
+    val cf = graft.pipeline.CorpusPipeline.pipeCorpusFilter(spark, sfDir)
+    cf.collect()
+    val cfPlan = cf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(cfPlan.contains("dedup_pairs09") && !cfPlan.contains("explode"),
+      s"corpus filter must ride the pair layout:\n${cfPlan.take(2000)}")
+    // label consumer: the component fixpoint must not re-run
+    val lbl = graft.dedup.Dedup.dedupComponents(spark, sfDir)
+    lbl.collect()
+    val lblPlan = lbl.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(lblPlan.contains("dedup_labels09"),
+      s"components must be a label-layout scan:\n${lblPlan.take(2000)}")
+  }
+
   test("r12 re-plumbs: q62/q63/mask_rank_swap carry no unpartitioned " +
       "window (two-level shard-rank everywhere)") {
     import org.apache.spark.sql.execution.SparkPlan

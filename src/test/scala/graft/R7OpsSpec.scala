@@ -163,12 +163,20 @@ class R7OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == total))
   }
 
-  test("dedup memo: repeated lookups return the SAME checkpointed frame") {
+  test("dedup pairs09/labels09: every lookup resolves to the SAME " +
+      "persisted write-once layout (r12: memo → bucketed table)") {
+    def readsLayout(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.queryExecution.analyzed.toString.contains(t)
     val a = graft.dedup.Dedup.pairs09(spark, sf001)
     val b = graft.dedup.Dedup.pairs09(spark, sf001)
-    assert(a eq b, "memo must hand every consumer one materialized frame")
-    assert(graft.dedup.Dedup.labels09(spark, sf001) eq
-      graft.dedup.Dedup.labels09(spark, sf001))
+    assert(readsLayout(a, "dedup_pairs09") &&
+      readsLayout(b, "dedup_pairs09"),
+      "every pairs09 lookup must be a catalog read of the layout")
+    // one materialized artifact: repeated reads are value-identical
+    assert(a.collect().map(_.toString).sorted.toSeq ==
+      b.collect().map(_.toString).sorted.toSeq)
+    assert(readsLayout(graft.dedup.Dedup.labels09(spark, sf001),
+      "dedup_labels09"))
   }
 
   test("layoutTag: mtime-independent, content-sensitive") {
