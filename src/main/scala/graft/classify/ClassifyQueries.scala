@@ -1796,6 +1796,75 @@ object ClassifyQueries extends QueryModule {
       |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
       |ORDER BY x, y""".stripMargin
 
+  // -------------------------------------------------- cls_theil_u
+  /** THEIL'S U (uncertainty coefficient) between event type and
+    * hour-of-day — the ASYMMETRIC dependence profiler the symmetric
+    * pair ([[clsMutualInfo]], [[clsCramersV]]) can't express: U(X|Y)
+    * = I(X;Y)/H(X) answers "how much of X does knowing Y remove",
+    * and U(X|Y) ≠ U(Y|X) is exactly what schema-role discovery needs
+    * (a category that predicts the hour is not predicted BY it).
+    * All terms ride the whole-bit bin-length identity on one
+    * |X×Y|-cell contingency frame: H(X) = Σ cx·(len(bin N) −
+    * len(bin cx)), MI = Σ c·(len(bin c·N) − len(bin cx·cy)) — pure
+    * integer string arithmetic. Floor noise can push the whole-bit
+    * MI a few bits NEGATIVE on near-independent columns, so the
+    * ratio clamps at zero on BOTH sides (true MI is ≥ 0) — never a
+    * signed division (the repo's pinned hash hazard). One corpus
+    * hash-agg; everything after is cell-frame-sized. */
+  def clsTheilU(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("x"), hour(col("ts")).as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |types×24| frame, 4 consumers
+    val mx = joint.groupBy("x").agg(sum(col("c")).as("cx"))
+    val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
+    val n = joint.agg(sum(col("c")).as("n"))
+    val mi = joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .agg(sum(col("c") *
+        (length(expr("bin(c * n)")) - length(expr("bin(cx * cy)")))
+          .cast("long")).as("mi_bits"))
+    val hx = mx.crossJoin(broadcast(n))
+      .agg(sum(col("cx") *
+        (length(expr("bin(n)")) - length(expr("bin(cx)"))).cast("long"))
+        .as("hx_bits"))
+    val hy = my.crossJoin(broadcast(n))
+      .agg(sum(col("cy") *
+        (length(expr("bin(n)")) - length(expr("bin(cy)"))).cast("long"))
+        .as("hy_bits"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("mi_bits"), col("hx_bits"), col("hy_bits"),
+        expr("greatest(mi_bits, 0) * 1000 div greatest(hx_bits, 1)")
+          .as("u_x_given_y_milli"),
+        expr("greatest(mi_bits, 0) * 1000 div greatest(hy_bits, 1)")
+          .as("u_y_given_x_milli"))
+  }
+
+  val clsTheilUSql: String =
+    """WITH j AS (
+      |  SELECT event_type AS x, CAST(hour(ts) AS INTEGER) AS y,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |mx AS (SELECT x, SUM(c) AS cx FROM j GROUP BY x),
+      |my AS (SELECT y, SUM(c) AS cy FROM j GROUP BY y),
+      |n AS (SELECT SUM(c) AS n FROM j),
+      |mi AS (
+      |  SELECT CAST(SUM(c * (length(bin(c * n.n)) -
+      |    length(bin(mx.cx * my.cy)))) AS BIGINT) AS mi_bits
+      |  FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n),
+      |hx AS (
+      |  SELECT CAST(SUM(cx * (length(bin(n.n)) - length(bin(cx))))
+      |    AS BIGINT) AS hx_bits FROM mx CROSS JOIN n),
+      |hy AS (
+      |  SELECT CAST(SUM(cy * (length(bin(n.n)) - length(bin(cy))))
+      |    AS BIGINT) AS hy_bits FROM my CROSS JOIN n)
+      |SELECT mi_bits, hx_bits, hy_bits,
+      |  CAST(GREATEST(mi_bits, 0) * 1000 // GREATEST(hx_bits, 1)
+      |    AS BIGINT) AS u_x_given_y_milli,
+      |  CAST(GREATEST(mi_bits, 0) * 1000 // GREATEST(hy_bits, 1)
+      |    AS BIGINT) AS u_y_given_x_milli
+      |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+
   // -------------------------------------------------- cls_jsd_drift
   /** WHOLE-BIT JENSEN–SHANNON drift panel between the two halves of
     * the shipment timeline — the bounded, symmetric companion to
@@ -2134,6 +2203,7 @@ object ClassifyQueries extends QueryModule {
     "cls_jsd_drift" -> (clsJsdDrift _),
     "cls_hhi_concentration" -> (clsHhiConcentration _),
     "cls_mutual_info" -> (clsMutualInfo _),
+    "cls_theil_u" -> (clsTheilU _),
     "cls_approx_fd" -> (clsApproxFd _),
     "cls_decimal_profile" -> (clsDecimalProfile _),
     "cls_key_discovery" -> (clsKeyDiscovery _),
@@ -2172,6 +2242,7 @@ object ClassifyQueries extends QueryModule {
     "cls_anova" -> clsAnovaSql,
     "cls_approx_fd" -> clsApproxFdSql,
     "cls_mutual_info" -> clsMutualInfoSql,
+    "cls_theil_u" -> clsTheilUSql,
     "cls_jsd_drift" -> clsJsdDriftSql,
     "cls_hhi_concentration" -> clsHhiConcentrationSql,
     "cls_decimal_profile" -> clsDecimalProfileSql,

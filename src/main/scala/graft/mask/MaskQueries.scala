@@ -1424,7 +1424,65 @@ object MaskQueries extends QueryModule {
        |FROM n ORDER BY seg""".stripMargin
   }
 
+  // ------------------------------------------------------ mask_pram
+  /** PRAM — Post-RAndomization Method (Gouweleeuw et al. 1998), the
+    * CATEGORICAL member of the numeric-SDC family
+    * ([[maskNoise]]/[[maskWinsorize]]/[[maskMicroagg]] cover the
+    * numeric axes): each record's market segment transitions by a
+    * known probability matrix P = 0.8·I + 0.05·(J − I) — keep with
+    * p=0.8, else uniform over the other four — which is DOUBLY
+    * STOCHASTIC, so expected marginals are invariant (the property
+    * that lets analysts unbias estimates with P⁻¹). Randomness is
+    * the keyed portable hash (mod 1000 threshold walk) — replicas
+    * mask identically and the oracle replays the exact permutation.
+    * The category list is DERIVED (sorted distinct, a 1-row
+    * broadcast array), never hardcoded; "k-th other segment" is pure
+    * index arithmetic that skips the own slot. Map-only + one
+    * |segments²| hash-agg; the published transition matrix (from,
+    * to, n) IS the release audit. */
+  def maskPram(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val segs = c.agg(sort_array(collect_set(col("c_mktsegment")))
+      .as("segs"))
+    c.crossJoin(broadcast(segs))
+      .withColumn("u", pmod(MaskFunctions.portableHash(
+        concat(lit("pram:"), col("c_custkey").cast("string"))),
+        lit(1000L)))
+      .withColumn("own", expr("array_position(segs, c_mktsegment)"))
+      .withColumn("cand", expr("(u - 800) div 50 + 1"))
+      .withColumn("to_idx", expr(
+        "CASE WHEN u < 800 THEN own" +
+          " WHEN cand >= own THEN cand + 1 ELSE cand END"))
+      .withColumn("seg_to",
+        expr("element_at(segs, CAST(to_idx AS INT))"))
+      .groupBy(col("c_mktsegment").as("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("seg_from", "seg_to")
+  }
+
+  val maskPramSql: String =
+    """WITH segs AS (
+      |  SELECT list_sort(list(DISTINCT c_mktsegment)) AS segs
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_mktsegment,
+      |    ('0x'||substr(md5('pram:'||CAST(c_custkey AS VARCHAR)),1,8))
+      |      ::BIGINT % 1000 AS u,
+      |    list_position(segs.segs, c_mktsegment) AS own,
+      |    segs.segs AS segs
+      |  FROM customer CROSS JOIN segs),
+      |t AS (
+      |  SELECT c_mktsegment AS seg_from,
+      |    segs[CAST(CASE WHEN u < 800 THEN own
+      |      WHEN (u - 800) // 50 + 1 >= own THEN (u - 800) // 50 + 2
+      |      ELSE (u - 800) // 50 + 1 END AS INTEGER)] AS seg_to
+      |  FROM r)
+      |SELECT seg_from, seg_to, COUNT(*) AS n
+      |FROM t GROUP BY 1, 2 ORDER BY seg_from, seg_to""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_pram" -> (maskPram _),
     "mask_dp_geometric" -> (maskDpGeometric _),
     "mask_rank_swap" -> (maskRankSwap _),
     "mask_vgh_generalize" -> (maskVghGeneralize _),
@@ -1462,6 +1520,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_pram" -> maskPramSql,
     "mask_dp_geometric" -> maskDpGeometricSql,
     "mask_rank_swap" -> maskRankSwapSql,
     "mask_vgh_generalize" -> maskVghGeneralizeSql,

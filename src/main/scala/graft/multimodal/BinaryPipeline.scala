@@ -826,6 +826,82 @@ object BinaryPipeline extends QueryModule {
       |    AS BIGINT) AS zcr_pm
       |FROM per GROUP BY rate ORDER BY rate""".stripMargin
 
+  // ------------------------------------------------ mm_audio_snr
+  /** SNR PROXY over real JDK-decoded PCM — the transcription-pipeline
+    * gate beside [[mmAudioVad]]'s segmentation (low signal-to-noise
+    * audio wastes ASR compute; corpora drop it before featurizing):
+    * 32-sample frame energies split at the VAD live threshold, and
+    * the active/idle MEAN-energy ratio lands in whole bits via the
+    * bin-length identity on the cross products —
+    * len(bin(Σe_act·n_idle)) − len(bin(Σe_idle·n_act)) — no float
+    * division anywhere. All-active or all-idle docs report NULL-free
+    * sentinel 0 with the side counts telling which. Map-only decode
+    * (same codec pass as VAD) → per-doc row; oracle replays every
+    * sample from the generator arithmetic. */
+  def mmAudioSnr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sm = decodeWavSamples(encodeWav(id))
+        val nf = sm.length / 32
+        var f = 0
+        var nAct = 0L
+        var nIdle = 0L
+        var sumAct = 0L
+        var sumIdle = 0L
+        while (f < nf) {
+          var e = 0L
+          var i = f * 32
+          val end = i + 32
+          while (i < end) { e += math.abs(sm(i)); i += 1 }
+          if (e > 530000L) { nAct += 1; sumAct += e }
+          else { nIdle += 1; sumIdle += e }
+          f += 1
+        }
+        val snr =
+          if (nAct > 0 && nIdle > 0 && sumIdle > 0)
+            (java.lang.Long.toBinaryString(sumAct * nIdle).length -
+              java.lang.Long.toBinaryString(sumIdle * nAct).length).toLong
+          else 0L
+        (id, nAct, nIdle, snr)
+      })
+      .toDF("doc_id", "n_active", "n_idle", "snr_bits")
+      .orderBy("doc_id")
+  }
+
+  val mmAudioSnrSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k,
+      |    ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256 AS u
+      |  FROM (SELECT doc_id, unnest(range(0, ns)) AS k FROM d) t),
+      |v AS (SELECT doc_id, k // 32 AS f,
+      |  ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+      |  FROM s),
+      |fr AS (
+      |  SELECT doc_id, f, SUM(a) AS e FROM v
+      |  GROUP BY doc_id, f HAVING COUNT(*) = 32),
+      |agg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN e > 530000 THEN 1 ELSE 0 END) AS n_active,
+      |    SUM(CASE WHEN e > 530000 THEN 0 ELSE 1 END) AS n_idle,
+      |    SUM(CASE WHEN e > 530000 THEN e ELSE 0 END) AS sum_act,
+      |    SUM(CASE WHEN e > 530000 THEN 0 ELSE e END) AS sum_idle
+      |  FROM fr GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+      |  CAST(COALESCE(n_idle, 0) AS BIGINT) AS n_idle,
+      |  CAST(CASE WHEN COALESCE(n_active, 0) > 0
+      |    AND COALESCE(n_idle, 0) > 0 AND COALESCE(sum_idle, 0) > 0
+      |    THEN length(bin(sum_act * n_idle)) -
+      |         length(bin(sum_idle * n_active))
+      |    ELSE 0 END AS BIGINT) AS snr_bits
+      |FROM d LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------- mm_image_patches
   /** ViT-style PATCH extraction — the preprocessing that turns an
     * image into the token sequence a vision transformer trains on:
@@ -1549,6 +1625,7 @@ object BinaryPipeline extends QueryModule {
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_audio_vad" -> (mmAudioVad _),
     "mm_audio_zcr" -> (mmAudioZcr _),
+    "mm_audio_snr" -> (mmAudioSnr _),
     "mm_image_patches" -> (mmImagePatches _),
     "mm_video_scenes" -> (mmVideoScenes _),
     "mm_audio_decode" -> (mmAudioDecode _),
@@ -1572,6 +1649,7 @@ object BinaryPipeline extends QueryModule {
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
+    "mm_audio_snr" -> mmAudioSnrSql,
     "mm_image_patches" -> mmImagePatchesSql,
     "mm_video_scenes" -> mmVideoScenesSql,
     "mm_audio_decode" -> mmAudioDecodeSql,

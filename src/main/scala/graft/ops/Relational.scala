@@ -3024,7 +3024,72 @@ object Relational extends graft.QueryModule {
       |SELECT * FROM t
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------- q70_basket_lift
+  /** MARKET-BASKET LIFT at brand grain (the co-occurrence affinity
+    * mining behind every "bought together" panel): an order's DISTINCT
+    * brand set pair-explodes WITHIN the order — the per-order fanout
+    * is C(brands-in-order, 2) ≤ C(25, 2), bounded by the brand domain
+    * regardless of corpus size, so the pair join is an equi-join on
+    * l_orderkey with order-bounded multiplicity, never an all-pairs
+    * pass. Lift = observed co-rate over independence:
+    * n_pair·N / (n_b1·n_b2), emitted in exact per-mille via
+    * DECIMAL(38) intermediates (n_pair·N·1000 exceeds 2^63 once
+    * orders pass ~3e9 rows; the decimal product keeps 38-digit
+    * headroom and the final `div` floors on positives in both
+    * engines, CAST to BIGINT — the r12 oracle-typing rule). Output ≤
+    * C(25,2) rows: pin the |orders×brands| frame once (3 consumers:
+    * pairs, marginals, total), everything downstream is
+    * dimension-sized. */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val total = ob.agg(countDistinct(col("o")).as("n_orders"))
+    val marg = ob.groupBy("b").agg(count(lit(1)).as("c"))
+    val pairs = ob.select(col("o"), col("b").as("brand1"))
+      .join(ob.select(col("o"), col("b").as("brand2")), "o")
+      .filter(col("brand1") < col("brand2"))
+      .groupBy("brand1", "brand2")
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(marg.select(col("b").as("brand1"),
+        col("c").as("n_b1"))), "brand1")
+      .join(broadcast(marg.select(col("b").as("brand2"),
+        col("c").as("n_b2"))), "brand2")
+      .crossJoin(broadcast(total))
+      .select(col("brand1"), col("brand2"), col("n_pair"),
+        col("n_b1"), col("n_b2"),
+        expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000)" +
+          " div (CAST(n_b1 AS DECIMAL(38,0)) * n_b2) AS BIGINT)")
+          .as("lift_pm"))
+      .orderBy("brand1", "brand2")
+  }
+
+  val q70Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+      |nb AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY b),
+      |p AS (
+      |  SELECT a.b AS brand1, bb.b AS brand2, COUNT(*) AS n_pair
+      |  FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+      |  GROUP BY 1, 2)
+      |SELECT brand1, brand2, n_pair,
+      |  n1.c AS n_b1, n2.c AS n_b2,
+      |  CAST((CAST(n_pair AS HUGEINT) * n.n_orders * 1000)
+      |    // (CAST(n1.c AS HUGEINT) * n2.c) AS BIGINT) AS lift_pm
+      |FROM p
+      |JOIN nb n1 ON n1.b = brand1
+      |JOIN nb n2 ON n2.b = brand2
+      |CROSS JOIN n
+      |ORDER BY brand1, brand2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_basket_lift" -> (q70 _),
     "q69_bitmap_rollup" -> (q69 _),
     "q66_interval_coverage" -> (q66 _),
     "q67_bitmap_distinct" -> (q67 _),
@@ -3096,6 +3161,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q70_basket_lift" -> q70Sql,
     "q69_bitmap_rollup" -> q69Sql,
     "q66_interval_coverage" -> q66Sql,
     "q67_bitmap_distinct" -> q67Sql,

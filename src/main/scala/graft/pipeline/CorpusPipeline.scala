@@ -1477,6 +1477,64 @@ object CorpusPipeline extends QueryModule {
       .orderBy("stage")
   }
 
+  // -------------------------------------------- pipe_quality_survival
+  /** QUALITY × DEDUP-SURVIVAL matrix — the bias audit a curation
+    * pipeline owes its users: near-dup removal keeps the SMALLEST id
+    * of every pair, which is quality-blind, so if drop rates skew
+    * across quality deciles the dedup stage is silently reshaping
+    * the quality mix (SemDeDup reports exactly this interaction).
+    * Per fixed quality decile (⌊score·10⌋, top bucket folded into 9
+    * so the grid is scale-stable): docs, dropped-as-d2 count, drop
+    * per-mille. Rides the write-once [[graft.dedup.Dedup.pairs09]]
+    * LAYOUT (zero new pair passes — one broadcast-ready distinct-d2
+    * frame) + the map-only quality score; one corpus scan, |10|-row
+    * output. */
+  def pipeQualitySurvival(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExprs.register(spark)
+    val drops = Dedup.pairs09(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("_dropped", lit(1L))
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        least(floor(TextAnalysis.qualityScore(col("text")) * 10),
+          lit(9L)).cast("long"))
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_dropped"), lit(0L))).as("n_dropped"))
+      .withColumn("drop_pm", expr("n_dropped * 1000 div n_docs"))
+      .orderBy("bucket")
+  }
+
+  val pipeQualitySurvivalSql: String = {
+    val score = TextAnalysis.qualityScoreSql("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS w
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM tok a JOIN tok b
+       |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes z ON z.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE)/CAST(s1.n + z.n - i AS DOUBLE) >= 0.9),
+       |b AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(FLOOR(($score) * 10) AS BIGINT), 9) AS bucket
+       |  FROM documents)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS drop_pm
+       |FROM b LEFT JOIN drops USING (doc_id)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val pipeDedupSurvivalSql: String = {
     val score = TextAnalysis.qualityScoreSql("text")
     s"""WITH d AS (
@@ -2119,6 +2177,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_stratified_split" -> (pipeStratifiedSplit _),
     "pipe_freshness_decay" -> (pipeFreshnessDecay _),
     "pipe_dedup_survival" -> (pipeDedupSurvival _),
+    "pipe_quality_survival" -> (pipeQualitySurvival _),
     "pipe_gopher_rules" -> (pipeGopherRules _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
@@ -2158,6 +2217,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_stratified_split" -> pipeStratifiedSplitSql,
     "pipe_freshness_decay" -> pipeFreshnessDecaySql,
     "pipe_dedup_survival" -> pipeDedupSurvivalSql,
+    "pipe_quality_survival" -> pipeQualitySurvivalSql,
     "pipe_gopher_rules" -> pipeGopherRulesSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,
     "pipe_sample_weighted" -> pipeSampleWeightedSql,
