@@ -14,13 +14,15 @@ class R11OpsSpec extends SparkSpec {
       qe.toRdd.count()
       qe.executedPlan.toString.split("== Initial Plan ==").head
     }
-    // q63: the ntile windows must sit ABOVE the customer-key hash-agg
-    // (rank the dimension frame, never sort the fact table)
+    // q63 (r12 re-plumb): zero ntile windows — the quintiles are
+    // arithmetic on the two-level shard rank, and every window in
+    // the plan carries a shard partition spec (the broader
+    // no-unpartitioned-window pin lives in PlanSpec "r12 re-plumbs")
     val p63 = plan(ops.Relational.q63(spark, sfDir))
-    val wIdx = p63.indexOf("Window")
-    val aIdx = p63.indexOf("HashAggregate(keys=[o_custkey")
-    assert(wIdx >= 0 && aIdx > wIdx,
-      s"q63 windows must consume the per-customer aggregate:\n$p63")
+    assert(!p63.contains("ntile"),
+      s"q63 must derive quintiles from the shard rank, not ntile:\n$p63")
+    assert(p63.contains("windowspecdefinition(_sh0"),
+      s"q63 ranks must ride the shard decomposition:\n$p63")
     // dedup_semdedup: pair join keyed by the cell — no cartesian, and
     // the distance rides the codegen dot
     val psd = plan(graft.dedup.Dedup.dedupSemdedup(spark, sfDir))
