@@ -1796,6 +1796,53 @@ object ClassifyQueries extends QueryModule {
       |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
       |ORDER BY x, y""".stripMargin
 
+  // -------------------------------------------------- cls_chi2_gof
+  /** χ² GOODNESS-OF-FIT of the LAST digit of the price against
+    * uniform — [[clsBenford]]'s standard companion (Benford profiles
+    * the FIRST digit, whose skew is natural; last digits of genuine
+    * transaction amounts should be uniform, and a χ² spike there is
+    * the classic fabrication signal auditors actually test): per
+    * digit the exact integer deviation (10·n_d − N)², summed into
+    * χ²·1000 = Σ(10·n_d − N)²·1000 / (10·N) — DECIMAL(38)
+    * intermediates (the square exceeds 2^63 past ~1e9 rows; decimal
+    * keeps 38-digit headroom and positive `div` floors identically
+    * in both engines). One corpus hash-agg → 10-row digit frame +
+    * a 1-row statistic (df = 9: uniform rejected at 1% when
+    * chi2_milli > 21666). */
+  def clsChi2Gof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val digits = Tables.orders(spark, dir)
+      .select(pmod((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long"), lit(10L)).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 10-row frame, 2 consumers
+    val tot = digits.agg(sum(col("n")).as("t"))
+    digits.crossJoin(broadcast(tot))
+      .agg(max(col("t")).as("n_rows"),
+        sum(expr("CAST((10 * n - t) AS DECIMAL(38,0))" +
+          " * CAST((10 * n - t) AS DECIMAL(38,0))")).as("_ss"),
+        max(expr("abs(10 * n - t) * 100 div t")).as("max_dev_pct"))
+      .select(col("n_rows"),
+        expr("CAST(_ss * 1000 div (CAST(10 AS DECIMAL(38,0)) * n_rows)" +
+          " AS BIGINT)").as("chi2_milli"),
+        col("max_dev_pct"))
+  }
+
+  val clsChi2GofSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) % 10 AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT SUM(n) AS t FROM g)
+      |SELECT CAST(MAX(t.t) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(10 * n - t.t AS HUGEINT)
+      |    * CAST(10 * n - t.t AS HUGEINT)) * 1000
+      |    // (10 * CAST(MAX(t.t) AS HUGEINT)) AS BIGINT) AS chi2_milli,
+      |  CAST(MAX(ABS(10 * n - t.t) * 100 // t.t) AS BIGINT)
+      |    AS max_dev_pct
+      |FROM g CROSS JOIN t""".stripMargin
+
   // -------------------------------------------------- cls_theil_u
   /** THEIL'S U (uncertainty coefficient) between event type and
     * hour-of-day — the ASYMMETRIC dependence profiler the symmetric
@@ -2204,6 +2251,7 @@ object ClassifyQueries extends QueryModule {
     "cls_hhi_concentration" -> (clsHhiConcentration _),
     "cls_mutual_info" -> (clsMutualInfo _),
     "cls_theil_u" -> (clsTheilU _),
+    "cls_chi2_gof" -> (clsChi2Gof _),
     "cls_approx_fd" -> (clsApproxFd _),
     "cls_decimal_profile" -> (clsDecimalProfile _),
     "cls_key_discovery" -> (clsKeyDiscovery _),
@@ -2243,6 +2291,7 @@ object ClassifyQueries extends QueryModule {
     "cls_approx_fd" -> clsApproxFdSql,
     "cls_mutual_info" -> clsMutualInfoSql,
     "cls_theil_u" -> clsTheilUSql,
+    "cls_chi2_gof" -> clsChi2GofSql,
     "cls_jsd_drift" -> clsJsdDriftSql,
     "cls_hhi_concentration" -> clsHhiConcentrationSql,
     "cls_decimal_profile" -> clsDecimalProfileSql,

