@@ -2101,6 +2101,114 @@ object ClassifyQueries extends QueryModule {
       |    AS BIGINT) AS gamma_pm
       |FROM j ORDER BY pair""".stripMargin
 
+  // ------------------------------------------------ cls_kendall_tau
+  /** KENDALL'S TAU-B — the tie-corrected rank correlation beside
+    * [[clsGammaAssoc]] (gamma IGNORES ties; tau-b discounts them,
+    * which is what a profiler wants on coarse grids where most pairs
+    * tie): same contingency-first contract — ONE corpus pass to the
+    * bounded (pair, x, y) cell frame, concordant/discordant from the
+    * grid-bounded dominance join, and the tie terms n1 = Σ tx(tx−1)/2,
+    * n2 = Σ ty(ty−1)/2 from two marginal aggs of the SAME cell frame.
+    * tau-b = (C−D)/√((n0−n1)(n0−n2)) needs a square root the integer
+    * discipline must survive: we publish tau_b_pm =
+    * sign(C−D)·⌊√((C−D)²·10⁶ div (n0−n1)(n0−n2))⌋ — the inner ratio
+    * is ≤ 10⁶ with DECIMAL(38) headroom (n0 ~ 1.8e13 at sf1, its
+    * square ~3e26·10⁶ < 10³⁸), and IEEE sqrt of an integer ≤ 10⁶ is
+    * correctly rounded in both engines (the nearest-square gap
+    * ≥ 4.9e-4 dwarfs double error), so the floor is engine-exact. */
+  def clsKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(explode(array(
+        struct(lit("qty_vs_disc").as("pair"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_discount") * 1000).cast("long").as("y")),
+        struct(lit("qty_vs_tax").as("pair"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_tax") * 1000).cast("long").as("y")),
+        struct(lit("disc_vs_tax").as("pair"),
+          floor(col("l_discount") * 1000).cast("long").as("x"),
+          floor(col("l_tax") * 1000).cast("long").as("y")))).as("m"))
+      .groupBy(col("m.pair").as("pair"), col("m.x").as("x"),
+        col("m.y").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |grid| frame, 4 consumers (a, b, tx, ty)
+    val a = cells.select(col("pair"), col("x").as("ax"),
+      col("y").as("ay"), col("n").as("an"))
+    val b = cells.select(col("pair"), col("x").as("bx"),
+      col("y").as("by"), col("n").as("bn"))
+    val cd = a.join(broadcast(b), Seq("pair"))
+      .filter(col("bx") > col("ax"))
+      .groupBy("pair")
+      .agg(
+        sum(when(col("by") > col("ay"), col("an") * col("bn"))
+          .otherwise(0L)).as("c_pairs"),
+        sum(when(col("by") < col("ay"), col("an") * col("bn"))
+          .otherwise(0L)).as("d_pairs"))
+    val tx = cells.groupBy("pair", "x").agg(sum(col("n")).as("nx"))
+      .groupBy("pair").agg(sum(expr("nx * (nx - 1) div 2")).as("tie_x"),
+        sum(col("nx")).as("nn"))
+    val ty = cells.groupBy("pair", "y").agg(sum(col("n")).as("ny"))
+      .groupBy("pair").agg(sum(expr("ny * (ny - 1) div 2")).as("tie_y"))
+    cd.join(broadcast(tx), "pair").join(broadcast(ty), "pair")
+      .withColumn("n0", expr("nn * (nn - 1) div 2"))
+      .select(col("pair"), col("c_pairs"), col("d_pairs"),
+        col("tie_x"), col("tie_y"),
+        (expr("""CASE WHEN c_pairs > d_pairs THEN 1
+                      WHEN c_pairs < d_pairs THEN -1 ELSE 0 END""") *
+          floor(sqrt(expr(
+            """(CAST(c_pairs - d_pairs AS DECIMAL(38,0))
+              |  * (c_pairs - d_pairs) * 1000000)
+              |div (CAST(n0 - tie_x AS DECIMAL(38,0)) * (n0 - tie_y))
+              |""".stripMargin).cast("double"))).cast("long"))
+          .as("tau_b_pm"))
+      .orderBy("pair")
+  }
+
+  val clsKendallTauSql: String =
+    """WITH m AS (
+      |  SELECT 'qty_vs_disc' AS pair,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT) AS y FROM lineitem
+      |  UNION ALL SELECT 'qty_vs_tax',
+      |    CAST(FLOOR(l_quantity) AS BIGINT),
+      |    CAST(FLOOR(l_tax * 1000) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'disc_vs_tax',
+      |    CAST(FLOOR(l_discount * 1000) AS BIGINT),
+      |    CAST(FLOOR(l_tax * 1000) AS BIGINT) FROM lineitem),
+      |cells AS (
+      |  SELECT pair, x, y, COUNT(*) AS n FROM m GROUP BY 1, 2, 3),
+      |cd AS (
+      |  SELECT a.pair,
+      |    SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS c_pairs,
+      |    SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS d_pairs
+      |  FROM cells a JOIN cells b
+      |    ON a.pair = b.pair AND b.x > a.x
+      |  GROUP BY 1),
+      |tx AS (
+      |  SELECT pair, SUM(nx * (nx - 1) // 2) AS tie_x, SUM(nx) AS nn
+      |  FROM (SELECT pair, x, SUM(n) AS nx FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |ty AS (
+      |  SELECT pair, SUM(ny * (ny - 1) // 2) AS tie_y
+      |  FROM (SELECT pair, y, SUM(n) AS ny FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT cd.pair, c_pairs, d_pairs, tie_x, tie_y,
+      |    nn * (nn - 1) // 2 AS n0
+      |  FROM cd JOIN tx ON cd.pair = tx.pair
+      |  JOIN ty ON cd.pair = ty.pair)
+      |SELECT pair, CAST(c_pairs AS BIGINT) AS c_pairs,
+      |  CAST(d_pairs AS BIGINT) AS d_pairs,
+      |  CAST(tie_x AS BIGINT) AS tie_x, CAST(tie_y AS BIGINT) AS tie_y,
+      |  CAST((CASE WHEN c_pairs > d_pairs THEN 1
+      |             WHEN c_pairs < d_pairs THEN -1 ELSE 0 END)
+      |    * FLOOR(SQRT(CAST(
+      |        (CAST(c_pairs - d_pairs AS HUGEINT)
+      |          * (c_pairs - d_pairs) * 1000000)
+      |        // (CAST(n0 - tie_x AS HUGEINT) * (n0 - tie_y))
+      |      AS DOUBLE))) AS BIGINT) AS tau_b_pm
+      |FROM j ORDER BY pair""".stripMargin
+
   // ----------------------------------------------------- cls_anova
   /** ONE-WAY ANOVA decomposition (does the quantity distribution
     * differ across return flags?) in exact integer arithmetic: one
@@ -2246,6 +2354,7 @@ object ClassifyQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cls_null_pattern" -> (clsNullPattern _),
     "cls_gamma_assoc" -> (clsGammaAssoc _),
+    "cls_kendall_tau" -> (clsKendallTau _),
     "cls_anova" -> (clsAnova _),
     "cls_jsd_drift" -> (clsJsdDrift _),
     "cls_hhi_concentration" -> (clsHhiConcentration _),
@@ -2287,6 +2396,7 @@ object ClassifyQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "cls_null_pattern" -> clsNullPatternSql,
     "cls_gamma_assoc" -> clsGammaAssocSql,
+    "cls_kendall_tau" -> clsKendallTauSql,
     "cls_anova" -> clsAnovaSql,
     "cls_approx_fd" -> clsApproxFdSql,
     "cls_mutual_info" -> clsMutualInfoSql,

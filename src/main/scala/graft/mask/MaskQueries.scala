@@ -494,6 +494,83 @@ object MaskQueries extends QueryModule {
       |    AS n_rows_at_risk
       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------- mask_k_map
+  /** K-MAP risk estimate (El Emam's population-based re-identification
+    * model — the audit [[maskKAnonymity]] cannot give you): k-anonymity
+    * measures group sizes INSIDE the release, but an attacker matches
+    * quasi-identifiers against the POPULATION — a record unique in a
+    * 10% release is usually NOT unique in the population, so
+    * sample-side k systematically overstates risk. Here the release is
+    * a deterministic keyed-hash 10% sample of customers (replayable in
+    * both engines), the population is the full table, and each released
+    * row carries BOTH its in-sample k and its population k on the
+    * shared (segment, nation, balance-band) quasi-ID grid. Per
+    * segment: released rows, sample-unique rows, population-unique
+    * rows (the TRUE identity disclosures), rows with population k < 5,
+    * and the false-alarm count (sample-unique but population-safe) —
+    * the gap between naive and population-aware risk. Shape: two
+    * hash-aggs to the domain-bounded QI grid + one row-level join
+    * against the broadcast grid frames; no windows, no pair joins. */
+  def maskKMap(spark: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal").cast("double") / 500.0).cast("long")
+    val qi = Seq("c_mktsegment", "c_nationkey", "band")
+    val all = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"), band.as("band"),
+        col("c_custkey"))
+    val pop = all.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("pop_k"))
+    val samp = all
+      .filter(pmod(MaskFunctions.portableHash(col("c_custkey")),
+        lit(10)) === 0)
+    val sampK = samp.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("samp_k"))
+    samp.join(broadcast(sampK), qi).join(broadcast(pop), qi)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_released"),
+        sum(when(col("samp_k") === 1, 1L).otherwise(0L))
+          .as("n_sample_unique"),
+        sum(when(col("pop_k") === 1, 1L).otherwise(0L))
+          .as("n_pop_unique"),
+        sum(when(col("pop_k") < 5, 1L).otherwise(0L))
+          .as("n_pop_risk"),
+        sum(when(col("samp_k") === 1 && col("pop_k") >= 5, 1L)
+          .otherwise(0L)).as("n_false_alarm"))
+      .orderBy("c_mktsegment")
+  }
+
+  val maskKMapSql: String =
+    """WITH allc AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500.0) AS BIGINT)
+      |      AS band,
+      |    c_custkey
+      |  FROM customer),
+      |pop AS (
+      |  SELECT c_mktsegment, c_nationkey, band, COUNT(*) AS pop_k
+      |  FROM allc GROUP BY 1, 2, 3),
+      |samp AS (
+      |  SELECT * FROM allc
+      |  WHERE ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+      |    % 10 = 0),
+      |sk AS (
+      |  SELECT c_mktsegment, c_nationkey, band, COUNT(*) AS samp_k
+      |  FROM samp GROUP BY 1, 2, 3)
+      |SELECT s.c_mktsegment, COUNT(*) AS n_released,
+      |  CAST(SUM(CASE WHEN samp_k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sample_unique,
+      |  CAST(SUM(CASE WHEN pop_k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pop_unique,
+      |  CAST(SUM(CASE WHEN pop_k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pop_risk,
+      |  CAST(SUM(CASE WHEN samp_k = 1 AND pop_k >= 5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_alarm
+      |FROM samp s
+      |JOIN sk ON s.c_mktsegment = sk.c_mktsegment
+      |  AND s.c_nationkey = sk.c_nationkey AND s.band = sk.band
+      |JOIN pop ON s.c_mktsegment = pop.c_mktsegment
+      |  AND s.c_nationkey = pop.c_nationkey AND s.band = pop.band
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ mask_ldiversity
   /** l-diversity audit — k-anonymity's necessary companion: a
     * quasi-ID group can be large (k high) yet still leak when every
@@ -1502,6 +1579,7 @@ object MaskQueries extends QueryModule {
     "mask_substitute" -> (maskSubstitute _),
     "mask_generalize" -> (maskGeneralize _),
     "mask_kanonymity" -> (maskKAnonymity _),
+    "mask_k_map" -> (maskKMap _),
     "mask_ldiversity" -> (maskLDiversity _),
     "mask_consistent" -> (maskConsistent _),
     "mask_ip" -> (maskIp _),
@@ -1540,6 +1618,7 @@ object MaskQueries extends QueryModule {
     "mask_substitute" -> maskSubstituteSql,
     "mask_generalize" -> maskGeneralizeSql,
     "mask_kanonymity" -> maskKAnonymitySql,
+    "mask_k_map" -> maskKMapSql,
     "mask_ldiversity" -> maskLDiversitySql,
     "mask_consistent" -> maskConsistentSql,
     "mask_ip" -> maskIpSql,

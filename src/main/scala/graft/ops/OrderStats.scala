@@ -289,6 +289,51 @@ object OrderStats {
       .drop(shNames :+ "_w" :+ "_ls" :+ "_off": _*)
   }
 
+  /** EXACT STRICT-PREFIX RUNNING MIN — the min-monoid dual of
+    * [[twoLevelRunningSum]], with an EXCLUSIVE frame: for each row,
+    * `out` = MIN of `value` over all rows STRICTLY preceding it in
+    * (per-group) `orderCols` order, NULL when no row precedes. The
+    * strict frame is what dominance-style consumers (skyline / Pareto
+    * frontier: "is there an earlier-x point with y ≤ mine?") need —
+    * an inclusive min would let a point dominate itself.
+    *
+    * Same two-level decomposition, same monotone-coarsening contract
+    * on `shardCols`: level 1 is a ROWS(unboundedPreceding, -1) min
+    * within each (group, shard) partition; level 2 takes per-shard
+    * min aggregates and an exclusive prefix min over that
+    * |groups×shards|-row frame. `least` merges the two levels
+    * (null-skipping, so shard-first rows inherit the offset alone) —
+    * min is associative/commutative, so the split is exact. No
+    * corpus-proportional window partition anywhere; the no-group
+    * offsets window uses the same pmod constant-key idiom. */
+  def twoLevelStrictPrefixMin(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[Column], orderCols: Seq[Column], value: Column,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shNames = shardCols.indices.map(i => s"_sh$i")
+    val base = shardCols.zip(shNames).foldLeft(
+      df.withColumn("_v", value)) {
+      case (d, (c, nm)) => d.withColumn(nm, c)
+    }
+    val keyCols = (groupCols ++ shNames).map(col)
+    val mins = base.groupBy(keyCols: _*).agg(min(col("_v")).as("_m"))
+    val partCols: Seq[Column] =
+      if (groupCols.isEmpty) Seq(pmod(col("_m"), lit(1)))
+      else groupCols.map(col)
+    val pre = Window.partitionBy(partCols: _*)
+      .orderBy(shNames.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = mins
+      .withColumn("_off", min(col("_m")).over(pre))
+      .select(keyCols :+ col("_off"): _*)
+    val local = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("_ls", min(col("_v")).over(local))
+      .join(offsets, groupCols ++ shNames)
+      .withColumn(out, least(col("_off"), col("_ls")))
+      .drop(shNames :+ "_v" :+ "_ls" :+ "_off": _*)
+  }
+
   // Spark's `/` is true division even on longs — `div` floors.
   // midRank1 == midRank2 for odd n; for even n they bracket the
   // middle, so avg over the matching row(s) is the textbook median.

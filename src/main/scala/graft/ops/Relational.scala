@@ -3088,7 +3088,65 @@ object Relational extends graft.QueryModule {
       |CROSS JOIN n
       |ORDER BY brand1, brand2""".stripMargin
 
+  // ------------------------------------------------- q71_skyline
+  /** SKYLINE / PARETO-FRONTIER query (Börzsönyi 2001's operator, the
+    * "cheapest AND smallest" multi-criteria shortlist): per brand,
+    * the set of (price, size) points no other same-brand part
+    * dominates (≤ on both axes, < on at least one). The corpus never
+    * meets itself: one hash-agg collapses parts to the
+    * (brand, price_cents, size) CELL frame (domain-bounded — TPC-H
+    * prices span ~10k distinct cents × 50 sizes), a second collapses
+    * to per-price min size (`min_by` carries the cell count), and
+    * dominance resolves with ONE strict-prefix running min in price
+    * order via [[OrderStats.twoLevelStrictPrefixMin]] — a frontier
+    * point survives iff no strictly-cheaper price achieved its size
+    * or better. No dominance pair join, no unpartitioned window (the
+    * price-range shards keep every window partition range-bounded
+    * even if the price domain widened with the catalog). Exact
+    * integer cents (the q62 idiom). R12bOpsSpec pins frontier
+    * minimality + the naive NOT-EXISTS equivalence. */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("sz"))
+      .groupBy("brand", "price_cents", "sz")
+      .agg(count(lit(1)).as("n"))
+    val frontier = cells
+      .groupBy("brand", "price_cents")
+      .agg(min(col("sz")).as("min_size"),
+        expr("min_by(n, sz)").as("n_parts"))
+    OrderStats.twoLevelStrictPrefixMin(frontier, Seq("brand"),
+        Seq(expr("price_cents div 1024")), Seq(col("price_cents")),
+        col("min_size"), "_mlt")
+      .filter(col("_mlt").isNull || col("_mlt") > col("min_size"))
+      .select("brand", "price_cents", "min_size", "n_parts")
+      .orderBy("brand", "price_cents")
+  }
+
+  val q71Sql: String =
+    """WITH cell AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CAST(p_size AS BIGINT) AS sz, COUNT(*) AS n
+      |  FROM part GROUP BY 1, 2, 3),
+      |f AS (
+      |  SELECT brand, price_cents, MIN(sz) AS min_size,
+      |    MIN_BY(n, sz) AS n_parts
+      |  FROM cell GROUP BY 1, 2),
+      |w AS (
+      |  SELECT brand, price_cents, min_size, n_parts,
+      |    MIN(min_size) OVER (PARTITION BY brand ORDER BY price_cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+      |  FROM f)
+      |SELECT brand, price_cents, min_size,
+      |  CAST(n_parts AS BIGINT) AS n_parts
+      |FROM w WHERE mlt IS NULL OR mlt > min_size
+      |ORDER BY brand, price_cents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_skyline" -> (q71 _),
     "q70_basket_lift" -> (q70 _),
     "q69_bitmap_rollup" -> (q69 _),
     "q66_interval_coverage" -> (q66 _),
@@ -3161,6 +3219,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q71_skyline" -> q71Sql,
     "q70_basket_lift" -> q70Sql,
     "q69_bitmap_rollup" -> q69Sql,
     "q66_interval_coverage" -> q66Sql,

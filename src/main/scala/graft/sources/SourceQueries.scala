@@ -215,6 +215,63 @@ object SourceQueries extends QueryModule {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  // --------------------------------------------- src_mbox_ingest
+  /** MBOX (mboxrd) sink → source round-trip — the mail-archive
+    * container format every large text-corpus pipeline eventually
+    * ingests (mailing-list dumps are a classic pretraining source).
+    * Write: each document becomes one message — a `From ` envelope
+    * line, `Message-ID`/`Content-Language` headers, a blank line,
+    * then the body with REAL mboxrd From-munging (`^(>*From )` →
+    * `>$1`), the quirk that makes mbox non-trivial: body lines that
+    * start with `From ` must be quoted or they'd be read as message
+    * boundaries. Every record carries an injected `From `-leading
+    * probe first line so the munge/unmunge pair executes on every
+    * message, not just pathological data. Read: the text source
+    * splits records on the `"\nFrom "` envelope separator (files
+    * stay splittable — Hadoop's line reader handles multi-byte
+    * delimiters), headers parse with codegen multiline regexes, the
+    * body un-munges (`^>(>*From )` → `$1`), drops the probe line and
+    * the writer's final trailing newline (document bodies are
+    * newline-free — asserted by the oracle equality itself). The
+    * oracle never sees a file: per-language message count, id sum,
+    * and recovered body length must equal the source table. */
+  def mboxIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = stagingDir(spark, "graft-mbox")
+    val body = regexp_replace(
+      concat(lit("From mbox-munge-probe\n"), col("text")),
+      "(?m)^(>*From )", ">$1")
+    Tables.documents(spark, dir)
+      .select(concat(
+        lit("From graft@local Thu Jan  1 00:00:00 1970\n"),
+        lit("Message-ID: <"), col("doc_id"), lit("@graft>\n"),
+        lit("Content-Language: "), col("lang"), lit("\n\n"),
+        body).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read.option("lineSep", "\nFrom ").text(tmp)
+      .select(regexp_replace(col("value"), "^From ", "").as("v"))
+      .select(
+        regexp_extract(col("v"), "(?m)^Message-ID: <(\\d+)@graft>$", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("v"), "(?m)^Content-Language: (\\S+)$", 1)
+          .as("lang"),
+        regexp_replace(regexp_replace(regexp_replace(
+          regexp_extract(col("v"), "(?s)\n\n(.*)$", 1),
+          "(?m)^>(>*From )", "$1"),
+          "^From mbox-munge-probe\n", ""),
+          "\n$", "").as("body"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("body"))).as("sum_body_chars"))
+      .orderBy("lang")
+  }
+
+  val mboxIngestSql: String =
+    """SELECT lang, COUNT(*) AS n_msgs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_body_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------- src_xml_roundtrip
   /** XML sink → source round-trip on Spark 4's BUILT-IN xml data
     * source (rowTag framing) — the reference's `type="XML"` data-info
@@ -1825,6 +1882,7 @@ object SourceQueries extends QueryModule {
     "src_partitioned_prune" -> (partitionedPrune _),
     "src_sheet_range" -> (sheetRange _),
     "src_ldif_roundtrip" -> (ldifRoundtrip _),
+    "src_mbox_ingest" -> (mboxIngest _),
     "src_xml_roundtrip" -> (xmlRoundtrip _),
     "src_avro_roundtrip" -> (avroRoundtrip _),
     "src_avro_changelog" -> (avroChangelog _),
@@ -1863,6 +1921,7 @@ object SourceQueries extends QueryModule {
     "src_partitioned_prune" -> partitionedPruneSql,
     "src_sheet_range" -> sheetRangeSql,
     "src_ldif_roundtrip" -> ldifRoundtripSql,
+    "src_mbox_ingest" -> mboxIngestSql,
     "src_xml_roundtrip" -> xmlRoundtripSql,
     "src_avro_roundtrip" -> avroRoundtripSql,
     "src_avro_changelog" -> avroChangelogSql,
