@@ -2351,7 +2351,184 @@ object ClassifyQueries extends QueryModule {
       |    AS share_pm
       |FROM c ORDER BY pattern""".stripMargin
 
+  // ------------------------------------------- cls_kruskal_wallis
+  /** KRUSKAL–WALLIS rank test (does the event-value DISTRIBUTION
+    * differ across event types?) — the rank twin of [[clsAnova]]:
+    * where ANOVA compares means and dies on heavy tails, KW compares
+    * the whole distribution through mid-ranks, so one fat outlier
+    * moves the statistic by one rank, not by its magnitude. Computed
+    * via the ANOVA-on-ranks identity H = (N−1)·SSB/SST, which is
+    * EXACT for tie-averaged mid-ranks (tie correction included) —
+    * so the whole operator is [[clsAnova]]'s mergeable (n, Σu, Σu²)
+    * fold applied to a rank transform. The transform is the
+    * [[clsSpearman]] scale shape: value histogram through
+    * [[graft.ops.OrderStats.cumulativeHistogramSharded]] (two-level
+    * cum — no unpartitioned window), doubled mid-ranks
+    * 2R = 2·hi − c + 1 stay integral under ties, and ranks
+    * PERCENTILE-QUANTIZE to per-mille u = 2R·500 div 2N before the
+    * moment sums (Σu² ≤ 10⁶·N — int64 to ~9e12 rows). H's
+    * (N−1)·SSB product lifts to DECIMAL(38) — at 1e9 rows the int64
+    * form overflows. Output: per-group rank profile + the pooled
+    * statistic, |event types| rows. */
+  def clsKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val v = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        floor(col("value") * 100).cast("long").as("x"))
+      .localCheckpoint() // 2 consumers: pooled histogram + join-back
+    val nt = v.agg(count(lit(1)).as("_nt"))
+    val vals = v.select(col("x").as("v"))
+      // non-foldable all-rows group keeps every window partitioned
+      .withColumn("_g", pmod(col("v"), lit(1L)))
+    val ranks = OrderStats.cumulativeHistogramSharded(vals, Seq("_g"), "v")
+      .select(col("v").as("x"),
+        (lit(2L) * col("hi") - col("c") + 1L).as("r2"))
+    val g = v.join(ranks, Seq("x"))
+      .crossJoin(broadcast(nt))
+      .select(col("grp"), expr("r2 * 500 div _nt").as("u"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s1"),
+        sum(col("u") * col("u")).as("s2"))
+      .localCheckpoint() // |groups| frame, 2 consumers
+    val pooled = g.agg(
+      sum(col("n")).as("nn"), sum(col("s1")).as("t1"),
+      sum(col("s2")).as("t2"), sum(expr("s1 * s1 div n")).as("bsum"))
+      .select(col("nn"),
+        // per-group floor truncation can push a near-zero SSB a few
+        // units negative, where div/`//` disagree — clamp (cls_anova)
+        greatest(col("bsum") - expr("t1 * t1 div nn"), lit(0L))
+          .as("ssb"),
+        (col("t2") - col("bsum")).as("ssw"))
+    g.crossJoin(broadcast(pooled))
+      .select(col("grp"), col("n"),
+        expr("s1 div n").as("mean_rank_pm"),
+        col("ssb"), col("ssw"),
+        expr("CAST(CAST(nn - 1 AS DECIMAL(38,0)) * ssb * 1000" +
+          " div (CAST(ssb AS DECIMAL(38,0)) + ssw) AS BIGINT)")
+          .as("h_milli"),
+        expr("ssb * 1000 div (ssb + ssw)").as("eta2_pm"))
+      .orderBy("grp")
+  }
+
+  val clsKruskalWallisSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |nt AS (SELECT COUNT(*) AS nt FROM v),
+      |h AS (SELECT x, COUNT(*) AS c FROM v GROUP BY x),
+      |r AS (
+      |  SELECT x, 2 * SUM(c) OVER (ORDER BY x) - c + 1 AS r2 FROM h),
+      |u AS (
+      |  SELECT grp, r2 * 500 // nt.nt AS u
+      |  FROM v JOIN r USING (x) CROSS JOIN nt),
+      |g AS (
+      |  SELECT grp, COUNT(*) AS n, SUM(u) AS s1, SUM(u*u) AS s2
+      |  FROM u GROUP BY grp),
+      |p AS (
+      |  SELECT SUM(n) AS nn, SUM(s1) AS t1, SUM(s2) AS t2,
+      |    SUM(s1 * s1 // n) AS bsum
+      |  FROM g),
+      |d AS (
+      |  SELECT nn, GREATEST(bsum - t1 * t1 // nn, 0) AS ssb,
+      |    t2 - bsum AS ssw
+      |  FROM p)
+      |SELECT grp, CAST(n AS BIGINT) AS n,
+      |  CAST(s1 // n AS BIGINT) AS mean_rank_pm,
+      |  CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw,
+      |  CAST(CAST(nn - 1 AS HUGEINT) * ssb * 1000
+      |    // (CAST(ssb AS HUGEINT) + ssw) AS BIGINT) AS h_milli,
+      |  CAST(ssb * 1000 // (ssb + ssw) AS BIGINT) AS eta2_pm
+      |FROM g CROSS JOIN d ORDER BY grp""".stripMargin
+
+  // -------------------------------------------------- cls_levene
+  /** LEVENE/BROWN–FORSYTHE variance-homogeneity test — the
+    * PRE-CONDITION check for [[clsAnova]] (pooled-F assumes equal
+    * group variances; when spreads differ the F verdict is
+    * unreliable): ANOVA applied to ABSOLUTE DEVIATIONS from each
+    * group's MEDIAN (the Brown–Forsythe robust form — a group median
+    * per [[graft.ops.OrderStats.radixLowerMedian]]'s domain-capped
+    * two-pass selection, no global sort), so a significant F here
+    * means the SPREADS differ. Deviations are exact integers (cents
+    * minus median cents); the moment fold is [[clsAnova]]'s mergeable
+    * (n, Σd, Σd²) state. Σd² of cent-grid deviations caps at
+    * ~dev²·n ≈ 2.4e9·n — int64 to ~3.8e9 rows, then the same
+    * DECIMAL lift as its siblings. One corpus scan for the medians
+    * (histogram passes), one for the deviation fold. */
+  def clsLevene(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val v = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        floor(col("value") * 100).cast("long").as("x"))
+      .localCheckpoint() // 2 consumers: median pass + deviation fold
+    val med = OrderStats.radixLowerMedian(v, Seq("grp"), "x")
+      .select(col("grp"), col("median").as("m"))
+    val g = v.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), abs(col("x") - col("m")).as("d"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+      .localCheckpoint() // |groups| frame, 2 consumers
+    val pooled = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),
+      sum(expr("s1 * s1 div n")).as("bsum"))
+      .select(col("k"), col("nn"),
+        greatest(col("bsum") - expr("t1 * t1 div nn"), lit(0L))
+          .as("ssb"),
+        (col("t2") - col("bsum")).as("ssw"))
+    g.join(broadcast(med), Seq("grp"))
+      .crossJoin(broadcast(pooled))
+      .select(col("grp"), col("n"), col("m").as("median_cents"),
+        expr("s1 div n").as("mean_abs_dev_cents"),
+        expr("CAST(CAST(ssb AS DECIMAL(38,0)) * (nn - k) * 1000" +
+          " div (CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)")
+          .as("f_milli"),
+        expr("ssb * 1000 div (ssb + ssw)").as("eta2_pm"))
+      .orderBy("grp")
+  }
+
+  val clsLeveneSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |h AS (SELECT grp, x, COUNT(*) AS c FROM v GROUP BY grp, x),
+      |ch AS (
+      |  SELECT grp, x, c,
+      |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY x) AS BIGINT)
+      |      AS hi
+      |  FROM h),
+      |n AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY grp),
+      |med AS (
+      |  SELECT ch.grp,
+      |    MIN(CASE WHEN hi - c + 1 <= (n.n + 1) // 2
+      |          AND (n.n + 1) // 2 <= hi THEN x END) AS m
+      |  FROM ch JOIN n ON ch.grp = n.grp GROUP BY ch.grp),
+      |g AS (
+      |  SELECT v.grp, COUNT(*) AS n, SUM(ABS(x - m)) AS s1,
+      |    SUM(ABS(x - m) * ABS(x - m)) AS s2
+      |  FROM v JOIN med ON v.grp = med.grp GROUP BY v.grp),
+      |p AS (
+      |  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS t1,
+      |    SUM(s2) AS t2, SUM(s1 * s1 // n) AS bsum
+      |  FROM g),
+      |d AS (
+      |  SELECT k, nn, GREATEST(bsum - t1 * t1 // nn, 0) AS ssb,
+      |    t2 - bsum AS ssw
+      |  FROM p)
+      |SELECT g.grp, CAST(g.n AS BIGINT) AS n,
+      |  CAST(med.m AS BIGINT) AS median_cents,
+      |  CAST(s1 // g.n AS BIGINT) AS mean_abs_dev_cents,
+      |  CAST(CAST(ssb AS HUGEINT) * (nn - k) * 1000
+      |    // (CAST(ssw AS HUGEINT) * (k - 1)) AS BIGINT) AS f_milli,
+      |  CAST(ssb * 1000 // (ssb + ssw) AS BIGINT) AS eta2_pm
+      |FROM g JOIN med ON g.grp = med.grp CROSS JOIN d
+      |ORDER BY g.grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_kruskal_wallis" -> (clsKruskalWallis _),
+    "cls_levene" -> (clsLevene _),
     "cls_null_pattern" -> (clsNullPattern _),
     "cls_gamma_assoc" -> (clsGammaAssoc _),
     "cls_kendall_tau" -> (clsKendallTau _),
@@ -2394,6 +2571,8 @@ object ClassifyQueries extends QueryModule {
     "cls_schema_scan" -> (clsSchemaScan _))
 
   val oracles: Map[String, String] = Map(
+    "cls_kruskal_wallis" -> clsKruskalWallisSql,
+    "cls_levene" -> clsLeveneSql,
     "cls_null_pattern" -> clsNullPatternSql,
     "cls_gamma_assoc" -> clsGammaAssocSql,
     "cls_kendall_tau" -> clsKendallTauSql,

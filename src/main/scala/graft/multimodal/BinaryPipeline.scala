@@ -902,6 +902,76 @@ object BinaryPipeline extends QueryModule {
       |FROM d LEFT JOIN agg USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------- mm_audio_crest
+  /** CREST FACTOR over real JDK-decoded PCM — the dynamic-range gauge
+    * between [[mmAudioClip]]'s hard-limit counter and [[mmAudioSnr]]'s
+    * activity split: peak-to-RMS ratio, reported SQUARED
+    * (peak²·n / Σs², per-mille) so no square root crosses the engine
+    * boundary — heavily-compressed/limited audio sits near the
+    * 1000‰..2000‰ floor (sine = 2000‰), spiky clean speech runs high.
+    * Per-doc int64 headroom is absolute: peak² ≤ 2³⁰, ×n ×1000 caps
+    * at ~2⁶⁰ for million-sample clips. Map-only decode → per-doc
+    * (peak, energy) → |rates| hash-agg with the mean of per-doc
+    * ratios; oracle replays every sample from the generator
+    * arithmetic. */
+  def mmAudioCrest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sm = decodeWavSamples(encodeWav(id))
+        var i = 0
+        var peak = 0L
+        var energy = 0L
+        while (i < sm.length) {
+          val a = math.abs(sm(i).toLong)
+          if (a > peak) peak = a
+          energy += a * a
+          i += 1
+        }
+        val crest =
+          if (energy > 0) peak * peak * sm.length * 1000L / energy
+          else 0L
+        (id, 8000L + (id % 8) * 1000L, crest)
+      })
+      .toDF("doc_id", "rate", "crest_sq_pm")
+    per.groupBy("rate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("crest_sq_pm")).as("_s"),
+        max(col("crest_sq_pm")).as("max_crest_sq_pm"))
+      .select(col("rate"), col("n_docs"),
+        expr("_s div n_docs").as("mean_crest_sq_pm"),
+        col("max_crest_sq_pm"))
+      .orderBy("rate")
+  }
+
+  val mmAudioCrestSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate,
+      |    (100 + doc_id % 50) * (1 + doc_id % 2) AS ns
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ns,
+      |    ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+      |  FROM (
+      |    SELECT doc_id, ns,
+      |      ((doc_id + 2*k) % 251) + ((doc_id + 2*k + 1) % 251) * 256
+      |        AS u
+      |    FROM (SELECT doc_id, ns, unnest(range(0, ns)) AS k FROM d)
+      |      t) t2),
+      |per AS (
+      |  SELECT doc_id, MAX(ns) AS ns, MAX(a) AS peak, SUM(a*a) AS e
+      |  FROM s GROUP BY doc_id),
+      |cr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN e > 0 THEN peak * peak * ns * 1000 // e
+      |         ELSE 0 END AS crest
+      |  FROM per)
+      |SELECT CAST(d.rate AS BIGINT) AS rate, COUNT(*) AS n_docs,
+      |  CAST(SUM(crest) // COUNT(*) AS BIGINT) AS mean_crest_sq_pm,
+      |  CAST(MAX(crest) AS BIGINT) AS max_crest_sq_pm
+      |FROM d JOIN cr USING (doc_id)
+      |GROUP BY d.rate ORDER BY rate""".stripMargin
+
   // ---------------------------------------------- mm_image_patches
   /** ViT-style PATCH extraction — the preprocessing that turns an
     * image into the token sequence a vision transformer trains on:
@@ -1625,6 +1695,7 @@ object BinaryPipeline extends QueryModule {
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_audio_vad" -> (mmAudioVad _),
     "mm_audio_zcr" -> (mmAudioZcr _),
+    "mm_audio_crest" -> (mmAudioCrest _),
     "mm_audio_snr" -> (mmAudioSnr _),
     "mm_image_patches" -> (mmImagePatches _),
     "mm_video_scenes" -> (mmVideoScenes _),
@@ -1649,6 +1720,7 @@ object BinaryPipeline extends QueryModule {
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
+    "mm_audio_crest" -> mmAudioCrestSql,
     "mm_audio_snr" -> mmAudioSnrSql,
     "mm_image_patches" -> mmImagePatchesSql,
     "mm_video_scenes" -> mmVideoScenesSql,

@@ -1856,7 +1856,86 @@ object SourceQueries extends QueryModule {
       |  file_id IN (1, 6) AS vacuum
       |FROM d ORDER BY file_id""".stripMargin
 
+  // ------------------------------------------- src_dict_efficiency
+  /** DICTIONARY-ENCODING ADVISOR — the storage-layout question a
+    * 100 TB parquet estate asks per column (writers pick PLAIN vs
+    * RLE_DICTIONARY per chunk; a wrong default is read amplification
+    * forever): for five representative lineitem columns, exact
+    * distinct count, plain-encoded byte volume (decimal-string
+    * rendering of the integer-quantized value — a deterministic,
+    * engine-portable stand-in for PLAIN), dictionary volume (distinct
+    * values once + one ceil(log2 nd)-bit index per row, the
+    * bin-length identity) and the resulting SIGNED saving per mille
+    * (key-like columns go NEGATIVE — a dictionary there is pure
+    * overhead, exactly what the advisor must say). One melt scan →
+    * (col, value)-keyed hash-agg (the distinct shuffle is the honest
+    * cost of exact NDV — partitioned, mergeable, never driver-side)
+    * → 5-row panel. Saving uses the non-negative-shift floor idiom:
+    * dict_b ≤ 9·plain_b, so (Δ·1000 + 16000·plain) stays positive
+    * and `div` is an exact floor in both engines. */
+  def srcDictEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val melted = li.select(explode(array(
+        struct(lit("l_orderkey").as("c"),
+          col("l_orderkey").cast("string").as("v")),
+        struct(lit("l_partkey").as("c"),
+          col("l_partkey").cast("string").as("v")),
+        struct(lit("l_quantity_int").as("c"),
+          floor(col("l_quantity")).cast("long").cast("string").as("v")),
+        struct(lit("l_returnflag").as("c"), col("l_returnflag").as("v")),
+        struct(lit("l_linestatus").as("c"),
+          col("l_linestatus").as("v")))).as("m"))
+      .select(col("m.c").as("c"), col("m.v").as("v"))
+    melted.groupBy("c", "v").agg(count(lit(1)).as("n"))
+      .groupBy("c")
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        sum(length(col("v")) * col("n")).as("plain_b"),
+        sum(length(col("v"))).as("dict_value_b"))
+      .select(col("c").as("col_name"), col("n_rows"), col("n_distinct"),
+        col("plain_b"),
+        (col("dict_value_b") +
+          expr("(n_rows * length(bin(n_distinct - 1)) + 7) div 8"))
+          .as("dict_b"))
+      .withColumn("saving_pm",
+        expr("((plain_b - dict_b) * 1000 + 16000 * plain_b)" +
+          " div plain_b - 16000"))
+      .withColumn("use_dict", col("saving_pm") > 0)
+      .orderBy("col_name")
+  }
+
+  val srcDictEfficiencySql: String =
+    """WITH m AS (
+      |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_quantity_int',
+      |    CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+      |h AS (SELECT c, v, COUNT(*) AS n FROM m GROUP BY c, v),
+      |g AS (
+      |  SELECT c AS col_name, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    COUNT(*) AS n_distinct,
+      |    CAST(SUM(LENGTH(v) * n) AS BIGINT) AS plain_b,
+      |    CAST(SUM(LENGTH(v)) AS BIGINT) AS dict_value_b
+      |  FROM h GROUP BY c),
+      |e AS (
+      |  SELECT col_name, n_rows, n_distinct, plain_b,
+      |    dict_value_b +
+      |      (n_rows * LENGTH(bin(n_distinct - 1)) + 7) // 8 AS dict_b
+      |  FROM g)
+      |SELECT col_name, n_rows, n_distinct, plain_b,
+      |  CAST(dict_b AS BIGINT) AS dict_b,
+      |  CAST(((plain_b - dict_b) * 1000 + 16000 * plain_b) // plain_b
+      |    - 16000 AS BIGINT) AS saving_pm,
+      |  ((plain_b - dict_b) * 1000 + 16000 * plain_b) // plain_b
+      |    - 16000 > 0 AS use_dict
+      |FROM e ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_dict_efficiency" -> (srcDictEfficiency _),
     "src_delta_vacuum" -> (srcDeltaVacuum _),
     "src_parquet_footer" -> (srcParquetFooter _),
     "src_rowgroup_prune" -> (srcRowgroupPrune _),
@@ -1896,6 +1975,7 @@ object SourceQueries extends QueryModule {
     "gen_rowgen" -> (rowGen _))
 
   val oracles: Map[String, String] = Map(
+    "src_dict_efficiency" -> srcDictEfficiencySql,
     "src_delta_vacuum" -> srcDeltaVacuumSql,
     "src_parquet_footer" -> srcParquetFooterSql,
     "src_rowgroup_prune" -> srcRowgroupPruneSql,
