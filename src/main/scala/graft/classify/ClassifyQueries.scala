@@ -2351,6 +2351,186 @@ object ClassifyQueries extends QueryModule {
       |    AS share_pm
       |FROM c ORDER BY pattern""".stripMargin
 
+  // -------------------------------------------- cls_mann_whitney
+  /** MANN–WHITNEY U, all group PAIRS — the post-hoc companion to
+    * [[clsKruskalWallis]]: KW says "SOME event type differs"; this
+    * says WHICH pairs, with the rank-biserial effect size (the
+    * probability-of-superiority rescaled to [−1, 1]) that survives
+    * heavy tails where a mean difference drowns. EXACT tie-averaged
+    * mid-ranks per pair: each row fans out to the |types−1| pairs
+    * containing its group (a broadcast nested-loop on the 10-row
+    * pair dim — never a corpus self-join), pooled DOUBLED mid-ranks
+    * 2R = 2·hi − c + 1 come from one
+    * [[graft.ops.OrderStats.cumulativeHistogramSharded]] keyed by
+    * pair (two-level cum — no unpartitioned window), and
+    * 2U₁ = Σ2R₁ − n₁(n₁+1) stays integral under ties. Rank sums and
+    * the n₁n₂ products lift to DECIMAL(38) (Σ2R ~ 2N·n₁ overflows
+    * int64 past ~2e9 pooled rows). rb_pm = 1000 − 2000·U₁/(n₁n₂)
+    * floor-divided on the non-negative numerator (no signed-div
+    * skew). Output: one row per unordered type pair. */
+  def clsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val v = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        floor(col("value") * 100).cast("long").as("x"))
+    val types = v.select(col("grp")).distinct()
+    val pairs = types.select(col("grp").as("g_lo"))
+      .join(types.select(col("grp").as("g_hi")),
+        col("g_lo") < col("g_hi"))
+    val ex = v.join(broadcast(pairs),
+        col("grp") === col("g_lo") || col("grp") === col("g_hi"))
+      .localCheckpoint() // 2 consumers: pooled histogram + rank join
+    val ranks = OrderStats.cumulativeHistogramSharded(
+        ex.select(col("g_lo"), col("g_hi"), col("x").as("v")),
+        Seq("g_lo", "g_hi"), "v")
+      .select(col("g_lo"), col("g_hi"), col("v").as("x"),
+        (lit(2L) * col("hi") - col("c") + 1L).as("r2"))
+    ex.join(ranks, Seq("g_lo", "g_hi", "x"))
+      .groupBy("g_lo", "g_hi")
+      .agg(
+        sum(when(col("grp") === col("g_lo"), 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("grp") === col("g_hi"), 1L).otherwise(0L))
+          .as("n2"),
+        sum(expr("CASE WHEN grp = g_lo THEN CAST(r2 AS DECIMAL(38,0))" +
+          " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("_r2lo"),
+        sum(expr("CASE WHEN grp = g_hi THEN CAST(r2 AS DECIMAL(38,0))" +
+          " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("_r2hi"))
+      .select(col("g_lo"), col("g_hi"), col("n1"), col("n2"),
+        expr("CAST(_r2lo - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)" +
+          " AS BIGINT)").as("u2_lo"),
+        expr("CAST(1000 - (_r2lo - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))" +
+          " * 1000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("rb_pm"),
+        expr("CAST(_r2lo div n1 AS BIGINT)").as("mr2_lo"),
+        expr("CAST(_r2hi div n2 AS BIGINT)").as("mr2_hi"))
+      .orderBy("g_lo", "g_hi")
+  }
+
+  val clsMannWhitneySql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |t AS (SELECT DISTINCT grp FROM v),
+      |p AS (
+      |  SELECT a.grp AS g_lo, b.grp AS g_hi
+      |  FROM t a JOIN t b ON a.grp < b.grp),
+      |ex AS (
+      |  SELECT p.g_lo, p.g_hi, v.grp, v.x
+      |  FROM v JOIN p ON v.grp = p.g_lo OR v.grp = p.g_hi),
+      |h AS (
+      |  SELECT g_lo, g_hi, x, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT g_lo, g_hi, x,
+      |    2 * SUM(c) OVER (PARTITION BY g_lo, g_hi ORDER BY x)
+      |      - c + 1 AS r2
+      |  FROM h),
+      |g AS (
+      |  SELECT e.g_lo, e.g_hi,
+      |    SUM(CASE WHEN e.grp = e.g_lo THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN e.grp = e.g_hi THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN e.grp = e.g_lo THEN CAST(r.r2 AS HUGEINT)
+      |      ELSE 0 END) AS r2lo,
+      |    SUM(CASE WHEN e.grp = e.g_hi THEN CAST(r.r2 AS HUGEINT)
+      |      ELSE 0 END) AS r2hi
+      |  FROM ex e JOIN r ON r.g_lo = e.g_lo AND r.g_hi = e.g_hi
+      |    AND r.x = e.x
+      |  GROUP BY 1, 2)
+      |SELECT g_lo, g_hi, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n2 AS BIGINT) AS n2,
+      |  CAST(r2lo - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u2_lo,
+      |  CAST(1000 - (r2lo - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000
+      |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS rb_pm,
+      |  CAST(r2lo // n1 AS BIGINT) AS mr2_lo,
+      |  CAST(r2hi // n2 AS BIGINT) AS mr2_hi
+      |FROM g ORDER BY g_lo, g_hi""".stripMargin
+
+  // ----------------------------------------------- cls_runs_test
+  /** WALD–WOLFOWITZ RUNS TEST on the day-over-day direction of each
+    * event type's daily volume — the randomness gauge a monitoring
+    * pipeline wants before trusting a trend detector: too FEW runs
+    * means the series is trending/autocorrelated (successive moves
+    * agree), too MANY means oscillation (e.g. a batch job alternating
+    * load). Pipeline: one corpus hash-agg to the (type, day) frame
+    * (calendar-bounded — |days| is fixed by the horizon, NOT by SF,
+    * so the per-type lag windows here are constant-size, unlike the
+    * q62/q63 dimension-sort trap), signs of strictly-up/strictly-down
+    * moves (ties dropped, the textbook treatment), runs counted as
+    * sign-change points + 1. Closed-form moments stay rational:
+    * E[R] = 1 + 2n₁n₂/N and z² = (RN − N − 2n₁n₂)²(N−1) /
+    * (2n₁n₂(2n₁n₂ − N)) — reported ×1000 floor-divided, exact in
+    * int64 for any calendar (N ≤ 3.7e4 even at a century). NULL z²
+    * when a direction is absent (V = 0). */
+  def clsRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy("grp").orderBy("day")
+    val sgn = d
+      .withColumn("_p", lag(col("n"), 1).over(byDay))
+      .filter(col("_p").isNotNull && col("n") =!= col("_p"))
+      .withColumn("sgn",
+        when(col("n") > col("_p"), 1L).otherwise(-1L))
+    val runs = sgn
+      .withColumn("_ps", lag(col("sgn"), 1).over(byDay))
+      .groupBy("grp")
+      .agg(
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("_ps").isNull || col("sgn") =!= col("_ps"), 1L)
+          .otherwise(0L)).as("runs"))
+    runs
+      .withColumn("nn", col("n1") + col("n2"))
+      .select(col("grp"), col("n1"), col("n2"), col("runs"),
+        expr("1000 + 2000 * n1 * n2 div nn").as("e_runs_milli"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 = nn THEN NULL" +
+          " ELSE (runs * nn - nn - 2 * n1 * n2)" +
+          " * (runs * nn - nn - 2 * n1 * n2) * (nn - 1) * 1000" +
+          " div (2 * n1 * n2 * (2 * n1 * n2 - nn)) END").as("z2_milli"))
+      .orderBy("grp")
+  }
+
+  val clsRunsTestSql: String =
+    """WITH d AS (
+      |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT grp, day, n,
+      |    LAG(n) OVER (PARTITION BY grp ORDER BY day) AS p
+      |  FROM d),
+      |sg AS (
+      |  SELECT grp, day,
+      |    CASE WHEN n > p THEN 1 ELSE -1 END AS sgn
+      |  FROM s WHERE p IS NOT NULL AND n <> p),
+      |r AS (
+      |  SELECT grp, sgn,
+      |    LAG(sgn) OVER (PARTITION BY grp ORDER BY day) AS ps
+      |  FROM sg),
+      |g AS (
+      |  SELECT grp,
+      |    SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN ps IS NULL OR sgn <> ps THEN 1 ELSE 0 END)
+      |      AS runs
+      |  FROM r GROUP BY 1)
+      |SELECT grp, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(runs AS BIGINT) AS runs,
+      |  CAST(1000 + 2000 * n1 * n2 // (n1 + n2) AS BIGINT)
+      |    AS e_runs_milli,
+      |  CAST(CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 = n1 + n2
+      |    THEN NULL
+      |    ELSE (runs * (n1 + n2) - (n1 + n2) - 2 * n1 * n2)
+      |      * (runs * (n1 + n2) - (n1 + n2) - 2 * n1 * n2)
+      |      * (n1 + n2 - 1) * 1000
+      |      // (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) END AS BIGINT)
+      |    AS z2_milli
+      |FROM g ORDER BY grp""".stripMargin
+
   // ------------------------------------------- cls_kruskal_wallis
   /** KRUSKAL–WALLIS rank test (does the event-value DISTRIBUTION
     * differ across event types?) — the rank twin of [[clsAnova]]:
@@ -2527,6 +2707,8 @@ object ClassifyQueries extends QueryModule {
       |ORDER BY g.grp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_mann_whitney" -> (clsMannWhitney _),
+    "cls_runs_test" -> (clsRunsTest _),
     "cls_kruskal_wallis" -> (clsKruskalWallis _),
     "cls_levene" -> (clsLevene _),
     "cls_null_pattern" -> (clsNullPattern _),
@@ -2575,6 +2757,8 @@ object ClassifyQueries extends QueryModule {
     "cls_levene" -> clsLeveneSql,
     "cls_null_pattern" -> clsNullPatternSql,
     "cls_gamma_assoc" -> clsGammaAssocSql,
+    "cls_mann_whitney" -> clsMannWhitneySql,
+    "cls_runs_test" -> clsRunsTestSql,
     "cls_kendall_tau" -> clsKendallTauSql,
     "cls_anova" -> clsAnovaSql,
     "cls_approx_fd" -> clsApproxFdSql,

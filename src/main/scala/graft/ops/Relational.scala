@@ -3145,7 +3145,84 @@ object Relational extends graft.QueryModule {
       |FROM w WHERE mlt IS NULL OR mlt > min_size
       |ORDER BY brand, price_cents""".stripMargin
 
+  // ------------------------------------------- q72_apportionment
+  /** LARGEST-REMAINDER (Hamilton) APPORTIONMENT — allocate a FIXED
+    * integer budget (1000 seats) across nations proportional to
+    * order revenue, exactly: floor every quota, then hand the
+    * leftover seats to the largest fractional remainders. This is
+    * the integer-exact allocator a sampling/budget planner needs
+    * when proportional shares must sum EXACTLY to the budget (a
+    * per-cell `round()` under- or over-shoots; largest remainder
+    * never does — Σseats = 1000 by construction, and every seat
+    * count is within 1 of its real-valued quota). Shape: one fact
+    * shuffle (orders ⋈ customer on custkey, group by nation) down
+    * to the CONSTANT 25-row nation frame; the remainder rank runs
+    * on that frame (unlike q62's parts or q63's customers, nations
+    * do NOT scale with SF — the single-partition window is
+    * constant-size forever). Quota products lift to DECIMAL(38):
+    * rev_cents·10⁶ overflows int64 past ~SF 4e4. R12dOpsSpec pins
+    * Σ=1000, the ±1-of-quota bound, and a naive replay. */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long")
+        .as("rev_cents"))
+    val tot = rev.agg(sum(col("rev_cents")).as("_t"))
+    val q = rev.crossJoin(broadcast(tot))
+      .select(col("nationkey"), col("rev_cents"),
+        expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000 div _t" +
+          " AS BIGINT)").as("base_seats"),
+        expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000 % _t" +
+          " AS BIGINT)").as("_rem"),
+        expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div _t" +
+          " AS BIGINT)").as("quota_milli"))
+    val short = q.agg((lit(1000L) - sum(col("base_seats"))).as("_k"))
+    q.crossJoin(broadcast(short))
+      // constant 25-row frame: nations never scale with SF, so this
+      // single-partition rank is NOT the q62/q63 dimension-sort trap
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(desc("_rem"), col("nationkey"))))
+      .select(col("nationkey"), col("rev_cents"), col("quota_milli"),
+        (col("base_seats") +
+          when(col("_rk") <= col("_k"), 1L).otherwise(0L)).as("seats"))
+      .withColumn("err_milli", col("seats") * 1000 - col("quota_milli"))
+      .orderBy("nationkey")
+  }
+
+  val q72Sql: String =
+    """WITH rev AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |t AS (SELECT SUM(rev_cents) AS t FROM rev),
+      |q AS (
+      |  SELECT nationkey, rev_cents,
+      |    CAST(CAST(rev_cents AS HUGEINT) * 1000 // t AS BIGINT)
+      |      AS base_seats,
+      |    CAST(CAST(rev_cents AS HUGEINT) * 1000 % t AS BIGINT)
+      |      AS rem,
+      |    CAST(CAST(rev_cents AS HUGEINT) * 1000000 // t AS BIGINT)
+      |      AS quota_milli
+      |  FROM rev CROSS JOIN t),
+      |k AS (SELECT 1000 - SUM(base_seats) AS k FROM q),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, nationkey)
+      |    AS rk
+      |  FROM q)
+      |SELECT nationkey, rev_cents, quota_milli,
+      |  base_seats + CASE WHEN rk <= k.k THEN 1 ELSE 0 END AS seats,
+      |  (base_seats + CASE WHEN rk <= k.k THEN 1 ELSE 0 END) * 1000
+      |    - quota_milli AS err_milli
+      |FROM r CROSS JOIN k ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_apportionment" -> (q72 _),
     "q71_skyline" -> (q71 _),
     "q70_basket_lift" -> (q70 _),
     "q69_bitmap_rollup" -> (q69 _),
@@ -3219,6 +3296,7 @@ object Relational extends graft.QueryModule {
     "q27_percentiles" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
+    "q72_apportionment" -> q72Sql,
     "q71_skyline" -> q71Sql,
     "q70_basket_lift" -> q70Sql,
     "q69_bitmap_rollup" -> q69Sql,

@@ -920,6 +920,127 @@ object EventStreams extends QueryModule {
       |    AS max_concurrent
       |FROM c ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------ str_queue_depth
+  /** QUEUE-DEPTH / BACKLOG AUDIT — the Lindley recursion
+    * W₁ = 0, Wₙ = max(0, Wₙ₋₁ + sₙ₋₁ − aₙ) for a single-server FIFO
+    * queue per event type (service demand sₙ = value-proportional
+    * work, aₙ = inter-arrival gap): the waiting-work each arrival
+    * finds, i.e. what a consumer-lag dashboard plots per partition.
+    * The textbook recursion is sequential; the SCALE rewrite is the
+    * max-plus prefix identity Wₙ = Sₙ − min_{k≤n} Sₖ with
+    * Sₙ = Σ_{i≤n} (sᵢ₋₁ − aᵢ) — BOTH terms are prefix scans, so the
+    * whole queue resolves with [[graft.ops.OrderStats
+    * .twoLevelRunningSum]] + [[graft.ops.OrderStats
+    * .twoLevelStrictPrefixMin]] over day shards: no per-type
+    * corpus-length window anywhere (the lag that feeds sᵢ₋₁/aᵢ runs
+    * per (type, day) with a |types×days| boundary handoff — the
+    * calendar bounds the offsets frame, day width bounds each local
+    * sort). Integer milliseconds end-to-end; the mean lifts to
+    * DECIMAL(38) (Σw of a saturated queue is unbounded in SF·horizon).
+    * Output per type: arrivals, max/mean/p95 backlog (p95 via
+    * [[graft.ops.OrderStats.radixRankSelect]] — no rank window), and
+    * the busy fraction (arrivals that queued, per-mille). */
+  def strQueueDepth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val e = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
+        (floor(col("value") * 100) * 200).cast("long").as("s_ms"))
+      .withColumn("_day", expr("t_ms div 86400000"))
+    val wd = Window.partitionBy(col("grp"), col("_day"))
+      .orderBy(col("t_ms"), col("event_id"))
+    val base = e
+      .withColumn("_pt", lag(col("t_ms"), 1).over(wd))
+      .withColumn("_ps", lag(col("s_ms"), 1).over(wd))
+    // boundary handoff: a day's first arrival takes its predecessor
+    // from the previous PRESENT day's last row, resolved on the
+    // calendar-bounded |types×days| frame — never a per-type window
+    val bnd = e.groupBy("grp", "_day")
+      .agg(max(struct(col("t_ms"), col("event_id"), col("s_ms")))
+        .as("_l"))
+      .withColumn("_plt", lag(col("_l.t_ms"), 1)
+        .over(Window.partitionBy("grp").orderBy("_day")))
+      .withColumn("_pls", lag(col("_l.s_ms"), 1)
+        .over(Window.partitionBy("grp").orderBy("_day")))
+      .select(col("grp"), col("_day"), col("_plt"), col("_pls"))
+    val x = base.join(bnd, Seq("grp", "_day"))
+      .withColumn("_prevT", coalesce(col("_pt"), col("_plt")))
+      .withColumn("_prevS", coalesce(col("_ps"), col("_pls")))
+      .withColumn("x", when(col("_prevT").isNull, 0L)
+        .otherwise(col("_prevS") - (col("t_ms") - col("_prevT"))))
+      .select("grp", "event_id", "t_ms", "_day", "x")
+    val s = OrderStats.twoLevelRunningSum(x, Seq("grp"),
+      Seq(col("_day")), Seq(col("t_ms"), col("event_id")),
+      col("x"), "s")
+    val w = OrderStats.twoLevelStrictPrefixMin(s, Seq("grp"),
+        Seq(col("_day")), Seq(col("t_ms"), col("event_id")),
+        col("s"), "m")
+      .withColumn("w_ms",
+        col("s") - least(coalesce(col("m"), col("s")), col("s")))
+      .select(col("grp"), col("w_ms"))
+      .localCheckpoint() // 2 consumers: moment rollup + p95 select
+    val roll = w.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      max(col("w_ms")).as("w_max_ms"),
+      expr("CAST(SUM(CAST(w_ms AS DECIMAL(38,0))) div COUNT(*)" +
+        " AS BIGINT)").as("w_mean_ms"),
+      expr("SUM(CASE WHEN w_ms > 0 THEN 1 ELSE 0 END) * 1000" +
+        " div COUNT(*)").as("busy_pm"))
+    val p95 = OrderStats.radixRankSelect(w, Seq("grp"), "w_ms",
+        Seq("p95" -> expr("(19 * n + 19) div 20")))
+      .select(col("grp"), col("sel_value").as("w_p95_ms"))
+    roll.join(p95, Seq("grp")).orderBy("grp")
+  }
+
+  val strQueueDepthSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS grp, event_id,
+      |    epoch_us(ts) // 1000 AS t_ms,
+      |    CAST(FLOOR(value * 100) AS BIGINT) * 200 AS s_ms
+      |  FROM events),
+      |l AS (
+      |  SELECT grp, event_id, t_ms,
+      |    LAG(t_ms) OVER (PARTITION BY grp ORDER BY t_ms, event_id)
+      |      AS pt,
+      |    LAG(s_ms) OVER (PARTITION BY grp ORDER BY t_ms, event_id)
+      |      AS ps
+      |  FROM e),
+      |x AS (
+      |  SELECT grp, event_id, t_ms,
+      |    CASE WHEN pt IS NULL THEN 0
+      |      ELSE ps - (t_ms - pt) END AS x
+      |  FROM l),
+      |s AS (
+      |  SELECT grp, event_id, t_ms,
+      |    SUM(x) OVER (PARTITION BY grp ORDER BY t_ms, event_id) AS s
+      |  FROM x),
+      |w AS (
+      |  SELECT grp,
+      |    CAST(s - MIN(s) OVER (PARTITION BY grp
+      |      ORDER BY t_ms, event_id) AS BIGINT) AS w_ms
+      |  FROM s),
+      |roll AS (
+      |  SELECT grp, COUNT(*) AS n, MAX(w_ms) AS w_max_ms,
+      |    CAST(SUM(CAST(w_ms AS HUGEINT)) // COUNT(*) AS BIGINT)
+      |      AS w_mean_ms,
+      |    CAST(SUM(CASE WHEN w_ms > 0 THEN 1 ELSE 0 END) * 1000
+      |      // COUNT(*) AS BIGINT) AS busy_pm
+      |  FROM w GROUP BY 1),
+      |h AS (
+      |  SELECT grp, w_ms, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, w_ms,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY w_ms) AS hi
+      |  FROM h),
+      |p95 AS (
+      |  SELECT r.grp, MIN(c.w_ms) AS w_p95_ms
+      |  FROM roll r JOIN cum c
+      |    ON c.grp = r.grp AND c.hi >= (19 * r.n + 19) // 20
+      |  GROUP BY 1)
+      |SELECT r.grp, r.n, r.w_max_ms, r.w_mean_ms, r.busy_pm,
+      |  p.w_p95_ms
+      |FROM roll r JOIN p95 p ON p.grp = r.grp ORDER BY r.grp""".stripMargin
+
   // ------------------------------------------------ str_interarrival
   /** Inter-arrival gap quantile panel — the tail-latency/engagement
     * statistic (p50/p95 of the gap between a user's successive events
@@ -2017,6 +2138,7 @@ object EventStreams extends QueryModule {
     "str_rate_limit" -> (strRateLimit _),
     "str_seasonal_error" -> (strSeasonalError _),
     "str_interpolate" -> (strInterpolate _),
+    "str_queue_depth" -> (strQueueDepth _),
     "str_interarrival" -> (strInterarrival _),
     "str_ewma_smooth" -> (strEwmaSmooth _),
     "str_conversion_lag" -> (strConversionLag _),
@@ -2056,6 +2178,7 @@ object EventStreams extends QueryModule {
     "str_rate_limit" -> strRateLimitSql,
     "str_seasonal_error" -> strSeasonalErrorSql,
     "str_interpolate" -> strInterpolateSql,
+    "str_queue_depth" -> strQueueDepthSql,
     "str_interarrival" -> strInterarrivalSql,
     "str_ewma_smooth" -> strEwmaSmoothSql,
     "str_conversion_lag" -> strConversionLagSql,
