@@ -1517,6 +1517,66 @@ object MaskQueries extends QueryModule {
     * index arithmetic that skips the own slot. Map-only + one
     * |segments²| hash-agg; the published transition matrix (from,
     * to, n) IS the release audit. */
+  // ---------------------------------------- mask_controlled_round
+  /** CONTROLLED ROUNDING to base B=10 of the (nation × segment)
+    * frequency table — the SDC release technique beside cell
+    * suppression ([[maskCellSuppress]]): every published count is a
+    * multiple of B (so no cell leaks a small true count), yet the
+    * GRAND TOTAL is preserved exactly — naive per-cell rounding
+    * drifts the total by O(cells), which lets an attacker difference
+    * releases. Method: floor every cell to base, round the grand
+    * total once, hand the missing B-increments to the cells with the
+    * LARGEST remainders (the q72 largest-remainder engine on the
+    * 125-cell contingency frame — bounded: |nations|×|segments| is a
+    * dim product, never SF-shaped). Because k ≤ #cells-with-remainder
+    * always (Σrem ≤ 9·c), a bumped cell has rem ≥ 1, so every
+    * published count stays STRICTLY within B of the truth —
+    * R12eOpsSpec pins Σ = rounded-total, the |diff| < B bound, and
+    * mod-B cleanliness of every output. */
+  def maskControlledRound(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("fl", expr("n div 10 * 10"))
+      .withColumn("rem", expr("n % 10"))
+    val tot = cells.agg(
+      expr("(SUM(n) + 5) div 10 * 10").as("_t"),
+      sum(col("fl")).as("_f"))
+    cells.crossJoin(broadcast(tot))
+      // constant 125-row frame (dims only) — not the q62/q63 trap
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(desc("rem"), col("nationkey"), col("segment"))))
+      .select(col("nationkey"), col("segment"), col("n"),
+        (col("fl") + when(col("_rk") <= expr("(_t - _f) div 10"),
+          10L).otherwise(0L)).as("n_pub"))
+      .withColumn("diff", col("n_pub") - col("n"))
+      .orderBy("nationkey", "segment")
+  }
+
+  val maskControlledRoundSql: String =
+    """WITH c AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    c_mktsegment AS segment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |f AS (
+      |  SELECT nationkey, segment, n, n // 10 * 10 AS fl, n % 10 AS rem
+      |  FROM c),
+      |t AS (
+      |  SELECT (SUM(n) + 5) // 10 * 10 AS t, SUM(fl) AS sf FROM f),
+      |r AS (
+      |  SELECT f.*, t.t, t.sf,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, nationkey, segment)
+      |      AS rk
+      |  FROM f CROSS JOIN t)
+      |SELECT nationkey, segment, CAST(n AS BIGINT) AS n,
+      |  CAST(fl + CASE WHEN rk <= (t - sf) // 10 THEN 10 ELSE 0 END
+      |    AS BIGINT) AS n_pub,
+      |  CAST(fl + CASE WHEN rk <= (t - sf) // 10 THEN 10 ELSE 0 END
+      |    - n AS BIGINT) AS diff
+      |FROM r ORDER BY nationkey, segment""".stripMargin
+
   def maskPram(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -1559,6 +1619,7 @@ object MaskQueries extends QueryModule {
       |FROM t GROUP BY 1, 2 ORDER BY seg_from, seg_to""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mask_controlled_round" -> (maskControlledRound _),
     "mask_pram" -> (maskPram _),
     "mask_dp_geometric" -> (maskDpGeometric _),
     "mask_rank_swap" -> (maskRankSwap _),
@@ -1598,6 +1659,7 @@ object MaskQueries extends QueryModule {
     "mask_classified" -> (maskClassified _))
 
   val oracles: Map[String, String] = Map(
+    "mask_controlled_round" -> maskControlledRoundSql,
     "mask_pram" -> maskPramSql,
     "mask_dp_geometric" -> maskDpGeometricSql,
     "mask_rank_swap" -> maskRankSwapSql,

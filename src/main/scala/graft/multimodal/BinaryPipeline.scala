@@ -361,6 +361,96 @@ object BinaryPipeline extends QueryModule {
       |  CAST(SUM(mm) AS BIGINT) AS sum_gray
       |FROM m GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ mm_image_border
+  /** Letterboxed gradient PNG: [[encodeGradientPng]]'s pixel field
+    * surrounded by BLACK bands — (id mod 5) rows top and bottom,
+    * ((id·3) mod 5) columns left and right — the padded shape a
+    * vision-training corpus is full of (thumbnailers and aspect-fit
+    * resizes letterbox everything). All pad arithmetic lives in the
+    * id so the border scan is independently checkable. */
+  def encodeLetterboxPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 32).toInt
+    val h = 8 + ((id * 7) % 32).toInt
+    val pt = (id % 5).toInt
+    val pl = ((id * 3) % 5).toInt
+    val base = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w + 2 * pl, h + 2 * pt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { // bands stay at the BufferedImage default (black)
+      var x = 0
+      while (x < w) {
+        val g = (base + x + y) % 256
+        img.setRGB(x + pl, y + pt, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL border scan on the decoded image: count leading/trailing
+    * rows and columns whose every pixel equals the (0,0) corner —
+    * the standard uniform-border letterbox detector. */
+  def borderScan(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val corner = img.getRGB(0, 0)
+    def rowUniform(y: Int): Boolean =
+      (0 until w).forall(x => img.getRGB(x, y) == corner)
+    def colUniform(x: Int): Boolean =
+      (0 until h).forall(y => img.getRGB(x, y) == corner)
+    val top = (0 until h).takeWhile(rowUniform).size
+    val bottom = ((h - 1) to 0 by -1).takeWhile(rowUniform).size
+    val left = (0 until w).takeWhile(colUniform).size
+    val right = ((w - 1) to 0 by -1).takeWhile(colUniform).size
+    (w, h, math.min(top, h), math.min(bottom, h),
+      math.min(left, w), math.min(right, w))
+  }
+
+  /** Driver query: encode a letterboxed gradient PNG per document,
+    * decode with the real JDK codec, detect the uniform border, and
+    * report the content fraction — the audit a vision-data pipeline
+    * runs before cropping/packing (wasted letterbox pixels are wasted
+    * encoder FLOPs). content_pm derives from the MEASURED bands, so a
+    * hash match proves the detector found exactly the injected pad.
+    * Map-only; only the 8-number feature row crosses a shuffle. */
+  def mmImageBorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, t, b, l, r) = borderScan(encodeLetterboxPng(id))
+          val contentPm =
+            (w - l - r).toLong * (h - t - b) * 1000 / (w.toLong * h)
+          (id, w, h, t, b, l, r, contentPm)
+        }
+      }
+      .toDF("doc_id", "width", "height", "top_rows", "bottom_rows",
+        "left_cols", "right_cols", "content_pm")
+      .orderBy("doc_id")
+  }
+
+  val mmImageBorderSql: String =
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 32 + 2 * ((doc_id * 3) % 5) AS INTEGER)
+      |    AS width,
+      |  CAST(8 + (doc_id * 7) % 32 + 2 * (doc_id % 5) AS INTEGER)
+      |    AS height,
+      |  CAST(doc_id % 5 AS INTEGER) AS top_rows,
+      |  CAST(doc_id % 5 AS INTEGER) AS bottom_rows,
+      |  CAST((doc_id * 3) % 5 AS INTEGER) AS left_cols,
+      |  CAST((doc_id * 3) % 5 AS INTEGER) AS right_cols,
+      |  CAST((8 + doc_id % 32) * (8 + (doc_id * 7) % 32) * 1000
+      |    // ((8 + doc_id % 32 + 2 * ((doc_id * 3) % 5))
+      |       * (8 + (doc_id * 7) % 32 + 2 * (doc_id % 5)))
+      |    AS BIGINT) AS content_pm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ mm_image_resize
   /** Gradient PNG for a doc id — same dimension arithmetic as
     * [[encodePng]] but pixel (x,y) carries gray (id + x + y) mod 256,
@@ -1686,6 +1776,7 @@ object BinaryPipeline extends QueryModule {
     "mm_audio_clip" -> (mmAudioClip _),
     "mm_image_edges" -> (mmImageEdges _),
     "mm_audio_resample" -> (mmAudioResample _),
+    "mm_image_border" -> (mmImageBorder _),
     "mm_image_histogram" -> (mmImageHistogram _),
     "mm_chunk_dedup" -> (mmChunkDedup _),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -1711,6 +1802,7 @@ object BinaryPipeline extends QueryModule {
     "mm_audio_clip" -> mmAudioClipSql,
     "mm_image_edges" -> mmImageEdgesSql,
     "mm_audio_resample" -> mmAudioResampleSql,
+    "mm_image_border" -> mmImageBorderSql,
     "mm_image_histogram" -> mmImageHistogramSql,
     "mm_chunk_dedup" -> mmChunkDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,

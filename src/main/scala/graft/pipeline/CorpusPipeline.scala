@@ -1489,6 +1489,105 @@ object CorpusPipeline extends QueryModule {
     * LAYOUT (zero new pair passes — one broadcast-ready distinct-d2
     * frame) + the map-only quality score; one corpus scan, |10|-row
     * output. */
+  // --------------------------------------- pipe_waterfill_budget
+  /** WATERFILLING BUDGET ALLOCATION — the max-min-fair allocator for
+    * a token budget with per-source CAPACITY CAPS, the constraint
+    * [[pipeTokenBudget]]-style proportional splits ignore: a
+    * proportional share can EXCEED a small source's inventory (you
+    * can't sample tokens that don't exist), and naively clipping it
+    * silently under-spends the budget. Waterfill instead raises one
+    * common fill level λ until Σ min(cᵢ, λ) = T: every source below
+    * the waterline is taken whole, every source above gets exactly λ
+    * (±1 from the integer residual, dealt deterministically), so the
+    * budget is spent EXACTLY and the unsaturated allocations are
+    * max-min fair. Solved closed-form on the |sources| frame
+    * (capacity-ascending prefix sums — a 20-row dim here; for
+    * high-cardinality source domains the waterline generalizes to a
+    * [[graft.ops.OrderStats.radixRankSelect]]-style capped binary
+    * search, same two-scan shape). T = 60% of corpus chars.
+    * R12eOpsSpec pins Σalloc = T, alloc ≤ cap, and ±1 fairness. */
+  def pipeWaterfillBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("cap"))
+    val tot = caps.agg(sum(col("cap")).as("_tc"),
+      count(lit(1)).as("_k"))
+    // |sources| frame from here on (dim-bounded, not the q62 trap)
+    val byCap = Window.orderBy(col("cap"), col("source"))
+    val pre = caps.crossJoin(broadcast(tot))
+      .withColumn("_t", expr("_tc * 3 div 5"))
+      .withColumn("_i", row_number().over(byCap))
+      .withColumn("_p", coalesce(sum(col("cap")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // source i is SATURATED iff filling everyone smaller whole and
+      // giving the k-i+1 larger sources cap_i each still fits in T
+      .withColumn("sat",
+        col("_p") + col("cap") * (col("_k") - col("_i") + 1) <= col("_t"))
+    val water = pre.filter(col("sat"))
+      .agg(max(col("_i")).as("_j"), sum(col("cap")).as("_used"))
+    pre.crossJoin(broadcast(water))
+      .withColumn("_j", coalesce(col("_j"), lit(0L)))
+      .withColumn("_used", coalesce(col("_used"), lit(0L)))
+      .withColumn("_lvl",
+        expr("CASE WHEN _j >= _k THEN NULL" +
+          " ELSE (_t - _used) div (_k - _j) END"))
+      .withColumn("_res",
+        expr("CASE WHEN _j >= _k THEN 0" +
+          " ELSE (_t - _used) % (_k - _j) END"))
+      // residual +1s go to the largest-capacity unsaturated sources
+      // (capacity can absorb them; ties broken by source name)
+      .withColumn("_ur", when(col("sat"), lit(null)).otherwise(
+        row_number().over(Window.partitionBy("sat")
+          .orderBy(desc("cap"), col("source")))))
+      .select(col("source"), col("cap"),
+        when(col("sat"), col("cap"))
+          .otherwise(col("_lvl") +
+            when(col("_ur") <= col("_res"), 1L).otherwise(0L))
+          .as("alloc"),
+        col("sat").as("saturated"),
+        col("_lvl").as("fill_level"))
+      .withColumn("take_pm", expr("alloc * 1000 div cap"))
+      .orderBy("source")
+  }
+
+  val pipeWaterfillBudgetSql: String =
+    """WITH caps AS (
+      |  SELECT source, SUM(n_chars) AS cap
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(cap) AS tc, COUNT(*) AS k FROM caps),
+      |pre AS (
+      |  SELECT source, cap, tc * 3 // 5 AS t, k,
+      |    ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+      |    COALESCE(SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      |  FROM caps CROSS JOIN tot),
+      |s AS (
+      |  SELECT *, p + cap * (k - i + 1) <= t AS sat FROM pre),
+      |w AS (
+      |  SELECT COALESCE(MAX(CASE WHEN sat THEN i END), 0) AS j,
+      |    COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS used
+      |  FROM s),
+      |x AS (
+      |  SELECT s.*, w.j, w.used,
+      |    CASE WHEN w.j >= s.k THEN NULL
+      |      ELSE (s.t - w.used) // (s.k - w.j) END AS lvl,
+      |    CASE WHEN w.j >= s.k THEN 0
+      |      ELSE (s.t - w.used) % (s.k - w.j) END AS res,
+      |    CASE WHEN sat THEN NULL ELSE ROW_NUMBER() OVER (
+      |      PARTITION BY sat ORDER BY cap DESC, source) END AS ur
+      |  FROM s CROSS JOIN w)
+      |SELECT source, CAST(cap AS BIGINT) AS cap,
+      |  CAST(CASE WHEN sat THEN cap
+      |    ELSE lvl + CASE WHEN ur <= res THEN 1 ELSE 0 END END
+      |    AS BIGINT) AS alloc,
+      |  sat AS saturated, CAST(lvl AS BIGINT) AS fill_level,
+      |  CAST((CASE WHEN sat THEN cap
+      |    ELSE lvl + CASE WHEN ur <= res THEN 1 ELSE 0 END END)
+      |    * 1000 // cap AS BIGINT) AS take_pm
+      |FROM x ORDER BY source""".stripMargin
+
   def pipeQualitySurvival(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExprs.register(spark)
     val drops = Dedup.pairs09(spark, dir)
@@ -2177,6 +2276,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_stratified_split" -> (pipeStratifiedSplit _),
     "pipe_freshness_decay" -> (pipeFreshnessDecay _),
     "pipe_dedup_survival" -> (pipeDedupSurvival _),
+    "pipe_waterfill_budget" -> (pipeWaterfillBudget _),
     "pipe_quality_survival" -> (pipeQualitySurvival _),
     "pipe_gopher_rules" -> (pipeGopherRules _),
     "pipe_mix_temperature" -> (pipeMixTemperature _),
@@ -2217,6 +2317,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_stratified_split" -> pipeStratifiedSplitSql,
     "pipe_freshness_decay" -> pipeFreshnessDecaySql,
     "pipe_dedup_survival" -> pipeDedupSurvivalSql,
+    "pipe_waterfill_budget" -> pipeWaterfillBudgetSql,
     "pipe_quality_survival" -> pipeQualitySurvivalSql,
     "pipe_gopher_rules" -> pipeGopherRulesSql,
     "pipe_mix_temperature" -> pipeMixTemperatureSql,

