@@ -2351,6 +2351,66 @@ object ClassifyQueries extends QueryModule {
       |    AS share_pm
       |FROM c ORDER BY pattern""".stripMargin
 
+  // -------------------------------------- cls_cochran_armitage
+  /** COCHRAN–ARMITAGE TREND TEST — does the proportion of FULFILLED
+    * orders rise or fall MONOTONICALLY with order priority? The
+    * ordered-categories twin of [[clsContingency]]'s chi-square:
+    * chi-square asks "any association at all" and spends power on
+    * non-monotone patterns; CA scores the levels (s = priority digit
+    * 1..5) and tests the linear trend specifically — the right gauge
+    * when the hypothesis IS ordered (drift across severity tiers,
+    * quality deciles, cohort ages). One fact hash-agg to the 5-row
+    * (score, n, x) frame, then closed-form moments on broadcast
+    * totals: T′ = N·Σxs − R·Σns (sign = trend direction) and
+    * z² = T′²·N / (R(N−R)(N·Σs²n − (Σns)²)), reported ×1000
+    * floor-divided. T′² lifts to DECIMAL(38) — exact to ~1e8 orders,
+    * past which the [[clsKruskalWallis]] per-mille quantization trick
+    * applies. Output: per-level profile + the pooled statistic. */
+  def clsCochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+          .as("score"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n"), sum(col("f")).as("x"))
+      .localCheckpoint() // 2 consumers: totals + per-level output
+    val tot = g.agg(
+      sum(col("n")).as("nn"), sum(col("x")).as("rr"),
+      sum(col("n") * col("score")).as("sn"),
+      sum(col("x") * col("score")).as("sx"),
+      sum(col("n") * col("score") * col("score")).as("sn2"))
+    g.crossJoin(broadcast(tot))
+      .select(col("score"), col("n"), col("x"),
+        expr("x * 1000 div n").as("p_pm"),
+        expr("CAST(SIGN(nn * sx - rr * sn) AS BIGINT)").as("trend_sign"),
+        expr("CAST(CAST(nn * sx - rr * sn AS DECIMAL(38,0))" +
+          " * (nn * sx - rr * sn) * nn * 1000" +
+          " div (CAST(rr AS DECIMAL(38,0)) * (nn - rr)" +
+          " * (nn * sn2 - CAST(sn AS DECIMAL(38,0)) * sn))" +
+          " AS BIGINT)").as("z2_milli"))
+      .orderBy("score")
+  }
+
+  val clsCochranArmitageSql: String =
+    """WITH g AS (
+      |  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS score,
+      |    COUNT(*) AS n,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT SUM(n) AS nn, SUM(x) AS rr, SUM(n * score) AS sn,
+      |    SUM(x * score) AS sx, SUM(n * score * score) AS sn2
+      |  FROM g)
+      |SELECT score, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+      |  CAST(x * 1000 // n AS BIGINT) AS p_pm,
+      |  CAST(SIGN(nn * sx - rr * sn) AS BIGINT) AS trend_sign,
+      |  CAST(CAST(nn * sx - rr * sn AS HUGEINT)
+      |    * (nn * sx - rr * sn) * nn * 1000
+      |    // (CAST(rr AS HUGEINT) * (nn - rr)
+      |    * (nn * sn2 - CAST(sn AS HUGEINT) * sn)) AS BIGINT)
+      |    AS z2_milli
+      |FROM g CROSS JOIN t ORDER BY score""".stripMargin
+
   // -------------------------------------------- cls_mann_whitney
   /** MANN–WHITNEY U, all group PAIRS — the post-hoc companion to
     * [[clsKruskalWallis]]: KW says "SOME event type differs"; this
@@ -2707,6 +2767,7 @@ object ClassifyQueries extends QueryModule {
       |ORDER BY g.grp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_cochran_armitage" -> (clsCochranArmitage _),
     "cls_mann_whitney" -> (clsMannWhitney _),
     "cls_runs_test" -> (clsRunsTest _),
     "cls_kruskal_wallis" -> (clsKruskalWallis _),
@@ -2757,6 +2818,7 @@ object ClassifyQueries extends QueryModule {
     "cls_levene" -> clsLeveneSql,
     "cls_null_pattern" -> clsNullPatternSql,
     "cls_gamma_assoc" -> clsGammaAssocSql,
+    "cls_cochran_armitage" -> clsCochranArmitageSql,
     "cls_mann_whitney" -> clsMannWhitneySql,
     "cls_runs_test" -> clsRunsTestSql,
     "cls_kendall_tau" -> clsKendallTauSql,

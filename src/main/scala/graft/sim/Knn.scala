@@ -462,6 +462,83 @@ object Knn extends QueryModule {
        |    AS balance_pm
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------- knn_pagerank
+  /** INTEGER PAGERANK over the directed k-NN graph — the global
+    * authority score that upgrades [[knnHubness]]' raw in-degree: a
+    * vector is central if CENTRAL vectors point at it, which is what
+    * a retrieval-quality auditor wants when picking representative
+    * exemplars or spotting attractor regions an ANN index over-serves.
+    * Fixed 6 damped iterations (d = 0.85) in EXACT integer
+    * parts-per-billion: every step is
+    * r′ = (150·base + 850·Σ_in (r div out_deg)) div 1000 — floor
+    * division at each hop, so BOTH engines walk the identical lattice
+    * and the result is hash-verified, not approximately compared
+    * (dangling/rounding mass evaporates identically on both sides).
+    * Shape is textbook Pregel-on-DataFrames: the edge list is the
+    * persisted [[directedEdges]] layout (≤ k·n skinny rows), each
+    * iteration is one keyed join + hash-agg — at 1000 executors each
+    * superstep is a single shuffle on vec_id, and lineage is cut per
+    * step (localCheckpoint) so the plan does not deepen. Output: the
+    * top-10 authorities (total-ordered by (rank, vec_id)) with
+    * in-degrees. */
+  def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = directedEdges(spark, dir).select("qid", "nid")
+    val deg = edges.groupBy("qid").agg(count(lit(1)).as("d"))
+    val e = edges.join(deg, Seq("qid")).localCheckpoint()
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val base = nodes.agg(expr("1000000000 div COUNT(*)").as("b"))
+    var r = nodes.crossJoin(broadcast(base))
+      .select(col("vec_id"), col("b").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val contrib = e
+        .join(r.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+        .select(col("nid"), expr("r div d").as("c"))
+        .groupBy("nid").agg(sum(col("c")).as("in_m"))
+      r = nodes.crossJoin(broadcast(base))
+        .join(contrib.withColumnRenamed("nid", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("(150 * b + 850 * coalesce(in_m, 0)) div 1000").as("r"))
+        .localCheckpoint()
+    }
+    val indeg = edges.groupBy(col("nid")).agg(count(lit(1)).as("in_deg"))
+    r.join(indeg.withColumnRenamed("nid", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("r").as("r_ppb"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(desc("r_ppb"), col("vec_id")).limit(10)
+  }
+
+  /** 6 unrolled superstep CTEs (recursive CTEs disallow the
+    * aggregation each step needs) — the identical integer lattice. */
+  val knnPagerankSql: String = {
+    val steps = (1 to 6).map { i =>
+      s"""c$i AS (
+         |  SELECT k.nid, SUM(p${i - 1}.r // dg.d) AS in_m
+         |  FROM k JOIN dg USING (qid)
+         |  JOIN p${i - 1} ON p${i - 1}.vec_id = k.qid
+         |  GROUP BY 1),
+         |p$i AS (
+         |  SELECT nd.vec_id,
+         |    (150 * b.b + 850 * COALESCE(c$i.in_m, 0)) // 1000 AS r
+         |  FROM nd CROSS JOIN b LEFT JOIN c$i ON c$i.nid = nd.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$knnDirectedCte,
+       |dg AS (SELECT qid, COUNT(*) AS d FROM k GROUP BY 1),
+       |nd AS (SELECT vec_id FROM embeddings),
+       |b AS (SELECT 1000000000 // COUNT(*) AS b FROM nd),
+       |p0 AS (SELECT nd.vec_id, b.b AS r FROM nd CROSS JOIN b),
+       |$steps,
+       |ind AS (SELECT nid AS vec_id, COUNT(*) AS in_deg FROM k
+       |  GROUP BY 1)
+       |SELECT p6.vec_id AS vec_id, CAST(p6.r AS BIGINT) AS r_ppb,
+       |  CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg
+       |FROM p6 LEFT JOIN ind ON ind.vec_id = p6.vec_id
+       |ORDER BY r_ppb DESC, p6.vec_id LIMIT 10""".stripMargin
+  }
+
   // -------------------------------------------------- emb_twonn_ratio
   /** TwoNN NEIGHBOR-RATIO AUDIT — the intrinsic-dimension probe of
     * Facco et al. (2017): under the local-manifold model the ratio
@@ -1484,6 +1561,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
+    "knn_pagerank" -> (knnPagerank _),
     "emb_twonn_ratio" -> (embTwonnRatio _),
     "knn_hubness" -> (knnHubness _),
     "knn_cell_balance" -> (knnCellBalance _),
@@ -1508,6 +1586,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
+    "knn_pagerank" -> knnPagerankSql,
     "emb_twonn_ratio" -> embTwonnRatioSql,
     "knn_hubness" -> knnHubnessSql,
     "knn_cell_balance" -> knnCellBalanceSql,
