@@ -462,6 +462,75 @@ object Knn extends QueryModule {
        |    AS balance_pm
        |FROM s""".stripMargin
 
+  // ----------------------------------------------- knn_assortativity
+  /** DEGREE ASSORTATIVITY of the mutual k-NN graph (Newman 2002) —
+    * do well-connected vectors neighbor other well-connected vectors?
+    * Positive r: a dense semantic core with a sparse halo (one IVF
+    * probe set will be hot); negative r: hub-and-spoke (hubs connect
+    * to orphans — the hubness pathology seen from the edge side);
+    * near 0: mixing is random. On the SYMMETRIZED edge-endpoint
+    * pairs the X and Y marginals coincide, so Pearson's denominator
+    * is a single term and the whole statistic is RATIONAL — no
+    * square root crosses the engine boundary:
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²), reported per-mille via
+    * the signed-safe shift idiom ((num·1000 + K·den) div den − K).
+    * Moments lift to DECIMAL(38) (m·Σxy ~ 25·(kn)² overflows int64
+    * past ~6e8 vectors). One skinny degree self-join over the
+    * memoized mutual edge set; 1-row output. NULL r on a regular
+    * graph (den = 0). */
+  def knnAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = mutualEdges(spark, dir).select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val sym = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+    sym
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(expr("m div 2").as("n_edges"),
+        expr("CAST(CASE WHEN CAST(m AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL ELSE " +
+          "((CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0))" +
+          " * sx) * 1000 + 2000 * (CAST(m AS DECIMAL(38,0)) * sxx -" +
+          " CAST(sx AS DECIMAL(38,0)) * sx))" +
+          " div (CAST(m AS DECIMAL(38,0)) * sxx -" +
+          " CAST(sx AS DECIMAL(38,0)) * sx) - 2000 END AS BIGINT)")
+          .as("r_pm"))
+  }
+
+  val knnAssortativitySql: String =
+    s"""$knnDirectedCte,
+       |me AS (
+       |  SELECT f.qid AS a, f.nid AS b
+       |  FROM k f JOIN k r ON r.qid = f.nid AND r.nid = f.qid
+       |  WHERE f.qid < f.nid),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM me UNION ALL SELECT b AS v FROM me)
+       |  GROUP BY 1),
+       |sym AS (
+       |  SELECT a AS x, b AS y FROM me
+       |  UNION ALL SELECT b AS x, a AS y FROM me),
+       |mo AS (
+       |  SELECT COUNT(*) AS m, SUM(dx.d) AS sx,
+       |    SUM(dx.d * dx.d) AS sxx, SUM(dx.d * dy.d) AS sxy
+       |  FROM sym JOIN deg dx ON dx.v = sym.x
+       |  JOIN deg dy ON dy.v = sym.y)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       |  CAST(CASE WHEN CAST(m AS HUGEINT) * sxx
+       |      - CAST(sx AS HUGEINT) * sx = 0 THEN NULL ELSE
+       |    ((CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx)
+       |      * 1000 + 2000 * (CAST(m AS HUGEINT) * sxx
+       |      - CAST(sx AS HUGEINT) * sx))
+       |    // (CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |    - 2000 END AS BIGINT) AS r_pm
+       |FROM mo""".stripMargin
+
   // ---------------------------------------------------- knn_pagerank
   /** INTEGER PAGERANK over the directed k-NN graph — the global
     * authority score that upgrades [[knnHubness]]' raw in-degree: a
@@ -1561,6 +1630,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
+    "knn_assortativity" -> (knnAssortativity _),
     "knn_pagerank" -> (knnPagerank _),
     "emb_twonn_ratio" -> (embTwonnRatio _),
     "knn_hubness" -> (knnHubness _),
@@ -1586,6 +1656,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
+    "knn_assortativity" -> knnAssortativitySql,
     "knn_pagerank" -> knnPagerankSql,
     "emb_twonn_ratio" -> embTwonnRatioSql,
     "knn_hubness" -> knnHubnessSql,

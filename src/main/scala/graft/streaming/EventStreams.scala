@@ -920,6 +920,86 @@ object EventStreams extends QueryModule {
       |    AS max_concurrent
       |FROM c ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------ str_sax_symbols
+  /** SAX SYMBOLIZATION (Lin/Keogh 2003 — Piecewise Aggregate
+    * Approximation + alphabet mapping), the time-series indexing
+    * primitive: each event type's value stream collapses to 6-hour
+    * PAA segment means, and each segment maps to a 4-letter alphabet
+    * by the TYPE'S OWN quartile breakpoints — the representation
+    * motif mining, anomaly shingling, and cheap similarity all run
+    * on (a symbol stream is string-joinable; raw floats are not).
+    * Classic SAX assumes Gaussian breakpoints; the distribution-free
+    * form here cuts at the empirical quartiles via
+    * [[graft.ops.OrderStats.radixRankSelect]] — domain-capped
+    * passes, no per-type sort. Shape: one corpus hash-agg to the
+    * calendar-bounded (type, segment) PAA frame; everything after is
+    * |types×segments|-sized. Output: the per-(type, symbol) census
+    * with each symbol's mean range — R12fOpsSpec pins the quartile
+    * balance (each symbol holds n/4 ± 1 segments under distinct
+    * means) and the breakpoint semantics. */
+  def strSaxSymbols(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.OrderStats
+    val paa = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        expr("unix_micros(cast(ts as timestamp)) div 21600000000")
+          .as("seg"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .groupBy("grp", "seg")
+      .agg(expr("sum(c) div count(1)").as("m"))
+      .localCheckpoint() // 2 consumers: breakpoint select + symbolize
+    val bp = OrderStats.radixRankSelect(
+        paa.select(col("grp"), col("m")), Seq("grp"), "m",
+        Seq("p25" -> expr("(n + 1) div 4"),
+          "p50" -> expr("(n + 1) div 2"),
+          "p75" -> expr("(3 * (n + 1)) div 4")))
+      .groupBy("grp")
+      .agg(max(when(col("sel") === "p25", col("sel_value"))).as("b25"),
+        max(when(col("sel") === "p50", col("sel_value"))).as("b50"),
+        max(when(col("sel") === "p75", col("sel_value"))).as("b75"))
+    paa.join(broadcast(bp), Seq("grp"))
+      .withColumn("symbol",
+        when(col("m") <= col("b25"), "a")
+          .when(col("m") <= col("b50"), "b")
+          .when(col("m") <= col("b75"), "c")
+          .otherwise("d"))
+      .groupBy("grp", "symbol")
+      .agg(count(lit(1)).as("n_segments"),
+        min(col("m")).as("min_mean_c"),
+        max(col("m")).as("max_mean_c"))
+      .orderBy("grp", "symbol")
+  }
+
+  val strSaxSymbolsSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |    epoch_us(ts) // 21600000000 AS seg,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |paa AS (
+      |  SELECT grp, seg, CAST(SUM(c) // COUNT(*) AS BIGINT) AS m
+      |  FROM v GROUP BY 1, 2),
+      |h AS (SELECT grp, m, COUNT(*) AS cnt FROM paa GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, m,
+      |    SUM(cnt) OVER (PARTITION BY grp ORDER BY m) AS hi
+      |  FROM h),
+      |n AS (SELECT grp, COUNT(*) AS n FROM paa GROUP BY 1),
+      |bp AS (
+      |  SELECT n.grp,
+      |    MIN(CASE WHEN hi >= (n + 1) // 4 THEN m END) AS b25,
+      |    MIN(CASE WHEN hi >= (n + 1) // 2 THEN m END) AS b50,
+      |    MIN(CASE WHEN hi >= (3 * (n + 1)) // 4 THEN m END) AS b75
+      |  FROM n JOIN cum ON cum.grp = n.grp GROUP BY 1),
+      |s AS (
+      |  SELECT paa.grp,
+      |    CASE WHEN m <= b25 THEN 'a' WHEN m <= b50 THEN 'b'
+      |      WHEN m <= b75 THEN 'c' ELSE 'd' END AS symbol, m
+      |  FROM paa JOIN bp ON bp.grp = paa.grp)
+      |SELECT grp, symbol, COUNT(*) AS n_segments,
+      |  CAST(MIN(m) AS BIGINT) AS min_mean_c,
+      |  CAST(MAX(m) AS BIGINT) AS max_mean_c
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------ str_queue_depth
   /** QUEUE-DEPTH / BACKLOG AUDIT — the Lindley recursion
     * W₁ = 0, Wₙ = max(0, Wₙ₋₁ + sₙ₋₁ − aₙ) for a single-server FIFO
@@ -2138,6 +2218,7 @@ object EventStreams extends QueryModule {
     "str_rate_limit" -> (strRateLimit _),
     "str_seasonal_error" -> (strSeasonalError _),
     "str_interpolate" -> (strInterpolate _),
+    "str_sax_symbols" -> (strSaxSymbols _),
     "str_queue_depth" -> (strQueueDepth _),
     "str_interarrival" -> (strInterarrival _),
     "str_ewma_smooth" -> (strEwmaSmooth _),
@@ -2178,6 +2259,7 @@ object EventStreams extends QueryModule {
     "str_rate_limit" -> strRateLimitSql,
     "str_seasonal_error" -> strSeasonalErrorSql,
     "str_interpolate" -> strInterpolateSql,
+    "str_sax_symbols" -> strSaxSymbolsSql,
     "str_queue_depth" -> strQueueDepthSql,
     "str_interarrival" -> strInterarrivalSql,
     "str_ewma_smooth" -> strEwmaSmoothSql,

@@ -45,6 +45,55 @@ object Stateful {
       }
   }
 
+  // ------------------------------------------- streaming queue depth
+  /** Per-type Lindley state: previous arrival (ms), its service
+    * demand, current backlog, plus the running audit moments. */
+  final case class QueueState(lastT: Long, lastS: Long, w: Long,
+      n: Long, wMax: Long, wSum: Long, busy: Long)
+
+  final case class QueueDepth(event_type: String, n: Long,
+      w_max_ms: Long, w_mean_ms: Long, busy_pm: Long)
+
+  /** STREAMING form of the batch queue-depth audit
+    * ([[EventStreams.strQueueDepth]]): where batch rewrites the
+    * Lindley recursion as a max-plus prefix scan, the streaming form
+    * runs the recursion LITERALLY — per key the state is O(1) (last
+    * arrival, its service demand, current backlog, audit moments),
+    * the natural shape for `flatMapGroupsWithState`. Within a
+    * micro-batch rows sort by (event-time, id); across batches
+    * arrival must respect per-key time order (the SCD2 contract —
+    * what a watermark provides upstream). StreamingSpec pins exact
+    * agreement with the batch scan on the same events. */
+  def queueDepthUpdates(events: Dataset[EventRow]): Dataset[QueueDepth] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[QueueState]
+    implicit val outEnc = Encoders.product[QueueDepth]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QueueState, QueueDepth](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[EventRow],
+            state: org.apache.spark.sql.streaming.GroupState[QueueState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (eventMicros(e.ts), e.event_id))
+          var st = state.getOption
+            .getOrElse(QueueState(-1L, 0L, 0L, 0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            val t = eventMicros(e.ts) / 1000L
+            val s = math.floor(e.value * 100).toLong * 200L
+            val w =
+              if (st.lastT < 0) 0L
+              else math.max(0L, st.w + st.lastS - (t - st.lastT))
+            st = QueueState(t, s, w, st.n + 1,
+              math.max(st.wMax, w), st.wSum + w,
+              st.busy + (if (w > 0) 1L else 0L))
+          }
+          state.update(st)
+          Iterator(QueueDepth(g, st.n, st.wMax,
+            st.wSum / st.n, st.busy * 1000L / st.n))
+      }
+  }
+
   // -------------------------------------------------- streaming SCD2
   final case class ChangeRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, value: Double, op: String)

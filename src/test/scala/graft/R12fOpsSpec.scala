@@ -40,6 +40,65 @@ class R12fOpsSpec extends SparkSpec {
       assert(row.getAs[Long]("r_ppb") >= 150L * base / 1000L))
   }
 
+  test("knn_assortativity: r recomputes with BigInt from the raw " +
+      "mutual edge list and sits in [-1000, 1000]") {
+    val rows = sim.Knn.knnAssortativity(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val e = sim.Knn.mutualEdges(spark, sfDir)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val ends = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .map { case (x, y) => (deg(x), deg(y)) }
+    val m = BigInt(ends.length)
+    val sx = ends.map(_._1).map(BigInt(_)).sum
+    val sxx = ends.map(d => BigInt(d._1) * d._1).sum
+    val sxy = ends.map(d => BigInt(d._1) * d._2).sum
+    val num = m * sxy - sx * sx
+    val den = m * sxx - sx * sx
+    val r = rows.head
+    assert(r.getAs[Long]("n_edges") === e.length.toLong)
+    if (den == 0) assert(r.isNullAt(r.fieldIndex("r_pm")))
+    else {
+      val expected = ((num * 1000 + 2000 * den) / den - 2000).toLong
+      assert(r.getAs[Long]("r_pm") === expected)
+      assert(expected >= -1000 && expected <= 1000)
+    }
+  }
+
+  test("str_sax_symbols: symbols replay from naive per-type quartile " +
+      "breakpoints over the PAA segment means") {
+    val rows = streaming.EventStreams.strSaxSymbols(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val paa = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 21600000000"),
+        floor(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(g => g.map(_._3).sum / g.length).toMap
+      .toSeq.map { case ((g, _), m) => (g, m) }
+    val byG = paa.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.groupBy(_.getAs[String]("grp")).foreach { case (g, rs) =>
+      val ms = byG(g).sorted
+      val n = ms.length
+      def sel(k: Long): Long = ms((k - 1).toInt)
+      val (b25, b50, b75) =
+        (sel((n + 1) / 4), sel((n + 1) / 2), sel(3L * (n + 1) / 4))
+      val expected = byG(g).map { m =>
+        if (m <= b25) "a" else if (m <= b50) "b"
+        else if (m <= b75) "c" else "d"
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_segments") ===
+          expected(r.getAs[String]("symbol")))
+      }
+      assert(rs.map(_.getAs[Long]("n_segments")).sum === n.toLong)
+    }
+  }
+
   test("cls_cochran_armitage: the pooled trend statistic recomputes " +
       "with BigInt from the raw (score, n, x) census") {
     val rows = classify.ClassifyQueries.clsCochranArmitage(spark, sfDir)

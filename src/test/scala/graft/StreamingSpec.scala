@@ -557,6 +557,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming queue depth (literal Lindley recursion in fMGWS " +
+      "state) matches the batch max-plus scan on real events") {
+    import graft.streaming.Stateful
+    implicit val sql = spark.sqlContext
+    // real sf0.001 events, fed in two per-key time-ordered batches
+    // (the documented arrival contract)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._2.getTime, e._1))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val typed = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[Stateful.EventRow]
+    val q = Stateful.queueDepthUpdates(typed)
+      .writeStream.format("memory").queryName("queue_depth")
+      .outputMode("update").start()
+    mem.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("queue_depth")
+      .as[Stateful.QueueDepth].collect()
+      .groupBy(_.event_type).map { case (k, v) => k -> v.maxBy(_.n) }
+    val batch = EventStreams.strQueueDepth(spark, sfDir).collect()
+    batch.foreach { r =>
+      val s = streamed(r.getAs[String]("grp"))
+      assert(s.n === r.getAs[Long]("n"))
+      assert(s.w_max_ms === r.getAs[Long]("w_max_ms"))
+      assert(s.w_mean_ms === r.getAs[Long]("w_mean_ms"))
+      assert(s.busy_pm === r.getAs[Long]("busy_pm"))
+    }
+  }
+
   test("flatMapGroupsWithState carries running totals across micro-batches") {
     import graft.streaming.Stateful
     implicit val sql = spark.sqlContext
