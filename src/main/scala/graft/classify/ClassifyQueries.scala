@@ -2351,6 +2351,93 @@ object ClassifyQueries extends QueryModule {
       |    AS share_pm
       |FROM c ORDER BY pattern""".stripMargin
 
+  // ------------------------------------------------ cls_simpsons
+  /** SIMPSON'S-PARADOX DETECTOR — does the pooled association between
+    * account balance and order activity REVERSE inside strata? The
+    * classic aggregation trap every profiling report should flag
+    * before anyone acts on a pooled correlation: a confounder
+    * (nation here) can make the pooled trend the OPPOSITE of every
+    * within-group trend. Exact integer detection: per stratum and
+    * pooled, the covariance sign is sign(n·Σxy − Σx·Σy) on cent-grid
+    * moments (DECIMAL(38) — the product overflows int64 past ~2e7
+    * customers), and the regression slope ships ×10⁹ with an
+    * explicit sign-decomposed division (negate-then-floor-divide —
+    * identical in both engines, sidestepping the floor-vs-truncate
+    * signed-div hazard). The double-count trick (every customer also
+    * feeds a nationkey = −1 pooled stratum) keeps it ONE hash-agg.
+    * Output: 26 rows — each nation's trend vs the pooled trend with
+    * a `flips` verdict. */
+  def clsSimpsons(spark: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long")
+        .as("nk"), (col("c_acctbal").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("x"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .select(explode(array(col("nk"), lit(-1L))).as("nationkey"),
+        col("x"), col("y"))
+    val m = base.groupBy("nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("denx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("nationkey"), col("n"),
+        expr("CAST(SIGN(num) AS BIGINT)").as("trend_sign"),
+        expr("CAST(CASE WHEN denx = 0 THEN NULL" +
+          " WHEN num >= 0 THEN num * 1000000000 div denx" +
+          " ELSE -((-num) * 1000000000 div denx) END AS BIGINT)")
+          .as("slope_ppb"))
+      .localCheckpoint() // 2 consumers: pooled probe + per-row output
+    val pooled = m.filter(col("nationkey") === -1L)
+      .select(col("trend_sign").as("pooled_sign"))
+    m.crossJoin(broadcast(pooled))
+      .withColumn("flips",
+        col("nationkey") =!= -1L &&
+          col("trend_sign") =!= col("pooled_sign"))
+      .orderBy("nationkey")
+  }
+
+  val clsSimpsonsSql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, COUNT(*) AS y FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    COALESCE(oc.y, 0) AS y
+      |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      |e AS (
+      |  SELECT nk AS nationkey, x, y FROM b
+      |  UNION ALL SELECT -1, x, y FROM b),
+      |m AS (
+      |  SELECT nationkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT nationkey, n,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx
+      |  FROM m),
+      |s AS (
+      |  SELECT nationkey, CAST(n AS BIGINT) AS n,
+      |    CAST(SIGN(num) AS BIGINT) AS trend_sign,
+      |    CAST(CASE WHEN denx = 0 THEN NULL
+      |      WHEN num >= 0 THEN num * 1000000000 // denx
+      |      ELSE -((-num) * 1000000000 // denx) END AS BIGINT)
+      |      AS slope_ppb
+      |  FROM d),
+      |p AS (SELECT trend_sign AS pooled_sign FROM s
+      |      WHERE nationkey = -1)
+      |SELECT s.nationkey, s.n, s.trend_sign, s.slope_ppb,
+      |  p.pooled_sign,
+      |  s.nationkey <> -1 AND s.trend_sign <> p.pooled_sign AS flips
+      |FROM s CROSS JOIN p ORDER BY s.nationkey""".stripMargin
+
   // -------------------------------------- cls_cochran_armitage
   /** COCHRAN–ARMITAGE TREND TEST — does the proportion of FULFILLED
     * orders rise or fall MONOTONICALLY with order priority? The
@@ -2767,6 +2854,7 @@ object ClassifyQueries extends QueryModule {
       |ORDER BY g.grp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls_simpsons" -> (clsSimpsons _),
     "cls_cochran_armitage" -> (clsCochranArmitage _),
     "cls_mann_whitney" -> (clsMannWhitney _),
     "cls_runs_test" -> (clsRunsTest _),
@@ -2818,6 +2906,7 @@ object ClassifyQueries extends QueryModule {
     "cls_levene" -> clsLeveneSql,
     "cls_null_pattern" -> clsNullPatternSql,
     "cls_gamma_assoc" -> clsGammaAssocSql,
+    "cls_simpsons" -> clsSimpsonsSql,
     "cls_cochran_armitage" -> clsCochranArmitageSql,
     "cls_mann_whitney" -> clsMannWhitneySql,
     "cls_runs_test" -> clsRunsTestSql,

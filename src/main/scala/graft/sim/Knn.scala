@@ -462,6 +462,64 @@ object Knn extends QueryModule {
        |    AS balance_pm
        |FROM s""".stripMargin
 
+  // ----------------------------------------------- knn_edge_support
+  /** EDGE SUPPORT census of the mutual k-NN graph — per edge, how
+    * many triangles contain it (|N(a) ∩ N(b)|): the trussness/
+    * weak-tie signal [[knnTriangles]]' global count can't give.
+    * Support-0 edges are BRIDGES — links between semantic regions
+    * that share no common neighbor; dedup clustering across a bridge
+    * merges genuinely different content, so the bridge count is the
+    * "how aggressive is my components pass" gauge. High-support
+    * edges sit inside tight clusters (k-truss cores). Same bounded
+    * shape as the triangle census: mutual degree ≤ k by
+    * construction, so the wedge join fans out ≤ k per edge endpoint
+    * at ANY corpus size, and support ≤ 2(k−1). Output: the
+    * |supports|-row histogram (≤ 2k rows) with the bridge row
+    * first. */
+  def knnEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val e = mutualEdges(spark, dir).select(col("a"), col("b"))
+      .localCheckpoint() // 3 consumers: wedges, closing set, support-0
+    val sym = e.select(col("a").as("u"), col("b").as("x"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("x")))
+    val wedges = e
+      .join(sym.select(col("u").as("a"), col("x")), Seq("a"))
+      .filter(col("x") =!= col("b"))
+    val closed = wedges
+      .join(sym.select(col("u").as("b"), col("x")), Seq("b", "x"),
+        "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    e.join(closed, Seq("a", "b"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+      .orderBy("support")
+  }
+
+  val knnEdgeSupportSql: String =
+    s"""$knnDirectedCte,
+       |me AS (
+       |  SELECT f.qid AS a, f.nid AS b
+       |  FROM k f JOIN k r ON r.qid = f.nid AND r.nid = f.qid
+       |  WHERE f.qid < f.nid),
+       |sym AS (
+       |  SELECT a AS u, b AS x FROM me
+       |  UNION ALL SELECT b AS u, a AS x FROM me),
+       |w AS (
+       |  SELECT me.a, me.b, s.x
+       |  FROM me JOIN sym s ON s.u = me.a
+       |  WHERE s.x <> me.b),
+       |cl AS (
+       |  SELECT w.a, w.b, COUNT(*) AS support
+       |  FROM w
+       |  WHERE EXISTS (SELECT 1 FROM sym s2
+       |                WHERE s2.u = w.b AND s2.x = w.x)
+       |  GROUP BY 1, 2),
+       |sup AS (
+       |  SELECT me.a, me.b, COALESCE(cl.support, 0) AS support
+       |  FROM me LEFT JOIN cl ON cl.a = me.a AND cl.b = me.b)
+       |SELECT CAST(support AS BIGINT) AS support,
+       |  COUNT(*) AS n_edges
+       |FROM sup GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------- knn_assortativity
   /** DEGREE ASSORTATIVITY of the mutual k-NN graph (Newman 2002) —
     * do well-connected vectors neighbor other well-connected vectors?
@@ -1630,6 +1688,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
     "knn_triangles" -> (knnTriangles _),
+    "knn_edge_support" -> (knnEdgeSupport _),
     "knn_assortativity" -> (knnAssortativity _),
     "knn_pagerank" -> (knnPagerank _),
     "emb_twonn_ratio" -> (embTwonnRatio _),
@@ -1656,6 +1715,7 @@ object Knn extends QueryModule {
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
     "knn_triangles" -> knnTrianglesSql,
+    "knn_edge_support" -> knnEdgeSupportSql,
     "knn_assortativity" -> knnAssortativitySql,
     "knn_pagerank" -> knnPagerankSql,
     "emb_twonn_ratio" -> embTwonnRatioSql,

@@ -920,6 +920,73 @@ object EventStreams extends QueryModule {
       |    AS max_concurrent
       |FROM c ORDER BY window_start""".stripMargin
 
+  // ---------------------------------------------- str_running_slope
+  /** RUNNING OLS TREND per event type — the evolving slope of daily
+    * volume vs day index through each day, i.e. what a "trend watch"
+    * panel plots while [[strMannKendall]] only answers yes/no at the
+    * end: slope_d = (nΣdy − ΣdΣy)/(nΣd² − (Σd)²) over days ≤ d,
+    * every Σ a CUMULATIVE integer moment (four prefix sums share one
+    * window pass over the calendar-bounded (type, day) frame — the
+    * frame is fixed by the horizon, not by SF, so these windows are
+    * constant-size like the runs test's). Slope ships ×10⁶
+    * (micro-events/day) through the sign-decomposed floor division
+    * (negate-then-divide — both engines identical). NULL on day 1
+    * (variance 0). Output: one row per (type, day). */
+  def strRunningSlope(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sd", sum(col("day")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sdy", sum(col("day") * col("y")).over(w))
+      .withColumn("sdd", sum(col("day") * col("day")).over(w))
+      .select(col("grp"), col("day"), col("y"), col("n").as("n_days"),
+        expr("CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sdd -" +
+          " CAST(sd AS DECIMAL(38,0)) * sd = 0 THEN NULL" +
+          " WHEN CAST(n AS DECIMAL(38,0)) * sdy -" +
+          " CAST(sd AS DECIMAL(38,0)) * sy >= 0 THEN" +
+          " (CAST(n AS DECIMAL(38,0)) * sdy - CAST(sd AS DECIMAL(38,0))" +
+          " * sy) * 1000000 div (CAST(n AS DECIMAL(38,0)) * sdd -" +
+          " CAST(sd AS DECIMAL(38,0)) * sd)" +
+          " ELSE -((CAST(sd AS DECIMAL(38,0)) * sy -" +
+          " CAST(n AS DECIMAL(38,0)) * sdy) * 1000000 div" +
+          " (CAST(n AS DECIMAL(38,0)) * sdd -" +
+          " CAST(sd AS DECIMAL(38,0)) * sd)) END AS BIGINT)")
+          .as("slope_micro"))
+      .orderBy("grp", "day")
+  }
+
+  val strRunningSlopeSql: String =
+    """WITH d AS (
+      |  SELECT event_type AS grp,
+      |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, day, y,
+      |    COUNT(*) OVER w AS n, SUM(day) OVER w AS sd,
+      |    SUM(y) OVER w AS sy, SUM(day * y) OVER w AS sdy,
+      |    SUM(day * day) OVER w AS sdd
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY grp ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT grp, day, CAST(y AS BIGINT) AS y,
+      |  CAST(n AS BIGINT) AS n_days,
+      |  CAST(CASE WHEN n * sdd - sd * sd = 0 THEN NULL
+      |    WHEN n * sdy - sd * sy >= 0 THEN
+      |      (CAST(n AS HUGEINT) * sdy - CAST(sd AS HUGEINT) * sy)
+      |      * 1000000 // (CAST(n AS HUGEINT) * sdd
+      |      - CAST(sd AS HUGEINT) * sd)
+      |    ELSE -((CAST(sd AS HUGEINT) * sy - CAST(n AS HUGEINT) * sdy)
+      |      * 1000000 // (CAST(n AS HUGEINT) * sdd
+      |      - CAST(sd AS HUGEINT) * sd)) END AS BIGINT)
+      |    AS slope_micro
+      |FROM c ORDER BY grp, day""".stripMargin
+
   // ------------------------------------------------ str_sax_symbols
   /** SAX SYMBOLIZATION (Lin/Keogh 2003 — Piecewise Aggregate
     * Approximation + alphabet mapping), the time-series indexing
@@ -2218,6 +2285,7 @@ object EventStreams extends QueryModule {
     "str_rate_limit" -> (strRateLimit _),
     "str_seasonal_error" -> (strSeasonalError _),
     "str_interpolate" -> (strInterpolate _),
+    "str_running_slope" -> (strRunningSlope _),
     "str_sax_symbols" -> (strSaxSymbols _),
     "str_queue_depth" -> (strQueueDepth _),
     "str_interarrival" -> (strInterarrival _),
@@ -2259,6 +2327,7 @@ object EventStreams extends QueryModule {
     "str_rate_limit" -> strRateLimitSql,
     "str_seasonal_error" -> strSeasonalErrorSql,
     "str_interpolate" -> strInterpolateSql,
+    "str_running_slope" -> strRunningSlopeSql,
     "str_sax_symbols" -> strSaxSymbolsSql,
     "str_queue_depth" -> strQueueDepthSql,
     "str_interarrival" -> strInterarrivalSql,
