@@ -1489,6 +1489,126 @@ object CorpusPipeline extends QueryModule {
     * LAYOUT (zero new pair passes — one broadcast-ready distinct-d2
     * frame) + the map-only quality score; one corpus scan, |10|-row
     * output. */
+  // --------------------------------------- pipe_coherent_sample
+  /** COHERENT (referentially-consistent) SAMPLING across a table
+    * graph — the dev-snapshot primitive: sample the ROOT entity by
+    * keyed hash (custkey per-mille < 200) and take children by
+    * DESCENT (orders of kept customers, lineitems of kept orders),
+    * so every sampled child's parent exists. The audit contrasts
+    * this against the naive INDEPENDENT per-table hash sample and
+    * measures its orphan rate — independent sampling at rate p
+    * leaves ~(1−p) of sampled children parentless, which silently
+    * breaks every join in the downstream dev environment; coherent
+    * descent is orphan-free BY CONSTRUCTION (spec-pinned 0). Scale:
+    * keyed semi joins on the natural keys (custkey, orderkey) — the
+    * descent is the same shuffle a production FK join pays, no
+    * broadcast of SF-proportional keep sets. Output: one row per
+    * table with both samples' rates and the orphan gauge. */
+  def pipeCoherentSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.mask.MaskFunctions.portableHash
+    def keepPm(c: Column): Column = pmod(portableHash(c), lit(1000L))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+      .withColumn("_keep", keepPm(col("c_custkey")) < 200)
+      .localCheckpoint() // 3 consumers: own stats + both descents
+    val custKept = cust.filter(col("_keep")).select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("_ikeep", keepPm(col("o_orderkey")) < 200)
+      .localCheckpoint() // 4 consumers
+    val ordKept = ord.join(custKept,
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).localCheckpoint()
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("_ikeep", keepPm(concat(col("l_orderkey"),
+        lit(":"), col("l_linenumber"))) < 200)
+    def row(table: String, total: DataFrame, coherent: DataFrame,
+        indepTotal: DataFrame, indepOrphans: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(coherent.agg(count(lit(1)).as("n_coh"))))
+        .crossJoin(broadcast(indepTotal.agg(count(lit(1)).as("n_ind"))))
+        .crossJoin(broadcast(
+          indepOrphans.agg(count(lit(1)).as("n_orph"))))
+        .select(lit(table).as("tbl"), col("n_rows"), col("n_coh"),
+          expr("n_coh * 1000 div n_rows").as("coherent_pm"),
+          col("n_ind"),
+          expr("CASE WHEN n_ind = 0 THEN 0" +
+            " ELSE n_orph * 1000 div n_ind END").as("indep_orphan_pm"))
+    val ordIndep = ord.filter(col("_ikeep"))
+    val liIndep = li.filter(col("_ikeep"))
+    row("1_customer", cust, custKept, custKept,
+        custKept.limit(0))
+      .unionByName(row("2_orders", ord, ord.join(ordKept,
+          Seq("o_orderkey"), "left_semi"), ordIndep,
+        ordIndep.join(custKept,
+          col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(row("3_lineitem", li, li.join(
+          ordKept.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi"), liIndep,
+        liIndep.join(ord.filter(col("_ikeep"))
+            .select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")))
+      .orderBy("tbl")
+  }
+
+  val pipeCoherentSampleSql: String =
+    """WITH ck AS (
+      |  SELECT c_custkey,
+      |    ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+      |      % 1000 < 200 AS keep
+      |  FROM customer),
+      |ok AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT
+      |      % 1000 < 200 AS ikeep
+      |  FROM orders),
+      |ordc AS (
+      |  SELECT o.o_orderkey FROM ok o
+      |  JOIN ck ON ck.c_custkey = o.o_custkey AND ck.keep),
+      |lk AS (
+      |  SELECT l_orderkey,
+      |    ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+      |      CAST(l_linenumber AS VARCHAR)),1,8))::BIGINT
+      |      % 1000 < 200 AS ikeep
+      |  FROM lineitem),
+      |r1 AS (
+      |  SELECT '1_customer' AS tbl, COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_coh,
+      |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_ind,
+      |    0 AS n_orph
+      |  FROM ck),
+      |r2 AS (
+      |  SELECT '2_orders' AS tbl, COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN EXISTS (SELECT 1 FROM ordc
+      |      WHERE ordc.o_orderkey = ok.o_orderkey) THEN 1 ELSE 0 END)
+      |      AS n_coh,
+      |    SUM(CASE WHEN ikeep THEN 1 ELSE 0 END) AS n_ind,
+      |    SUM(CASE WHEN ikeep AND NOT EXISTS (SELECT 1 FROM ck
+      |      WHERE ck.c_custkey = ok.o_custkey AND ck.keep)
+      |      THEN 1 ELSE 0 END) AS n_orph
+      |  FROM ok),
+      |r3 AS (
+      |  SELECT '3_lineitem' AS tbl, COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN EXISTS (SELECT 1 FROM ordc
+      |      WHERE ordc.o_orderkey = lk.l_orderkey) THEN 1 ELSE 0 END)
+      |      AS n_coh,
+      |    SUM(CASE WHEN ikeep THEN 1 ELSE 0 END) AS n_ind,
+      |    SUM(CASE WHEN ikeep AND NOT EXISTS (SELECT 1 FROM ok
+      |      WHERE ok.o_orderkey = lk.l_orderkey AND ok.ikeep)
+      |      THEN 1 ELSE 0 END) AS n_orph
+      |  FROM lk),
+      |u AS (
+      |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |  UNION ALL SELECT * FROM r3)
+      |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_coh AS BIGINT) AS n_coh,
+      |  CAST(n_coh * 1000 // n_rows AS BIGINT) AS coherent_pm,
+      |  CAST(n_ind AS BIGINT) AS n_ind,
+      |  CAST(CASE WHEN n_ind = 0 THEN 0
+      |    ELSE n_orph * 1000 // n_ind END AS BIGINT)
+      |    AS indep_orphan_pm
+      |FROM u ORDER BY tbl""".stripMargin
+
   // --------------------------------------- pipe_waterfill_budget
   /** WATERFILLING BUDGET ALLOCATION — the max-min-fair allocator for
     * a token budget with per-source CAPACITY CAPS, the constraint
@@ -2276,6 +2396,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_stratified_split" -> (pipeStratifiedSplit _),
     "pipe_freshness_decay" -> (pipeFreshnessDecay _),
     "pipe_dedup_survival" -> (pipeDedupSurvival _),
+    "pipe_coherent_sample" -> (pipeCoherentSample _),
     "pipe_waterfill_budget" -> (pipeWaterfillBudget _),
     "pipe_quality_survival" -> (pipeQualitySurvival _),
     "pipe_gopher_rules" -> (pipeGopherRules _),
@@ -2317,6 +2438,7 @@ object CorpusPipeline extends QueryModule {
     "pipe_stratified_split" -> pipeStratifiedSplitSql,
     "pipe_freshness_decay" -> pipeFreshnessDecaySql,
     "pipe_dedup_survival" -> pipeDedupSurvivalSql,
+    "pipe_coherent_sample" -> pipeCoherentSampleSql,
     "pipe_waterfill_budget" -> pipeWaterfillBudgetSql,
     "pipe_quality_survival" -> pipeQualitySurvivalSql,
     "pipe_gopher_rules" -> pipeGopherRulesSql,

@@ -60,6 +60,28 @@ class R12gOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe_coherent_sample: descent sampling is orphan-free while " +
+      "independent sampling orphans ~(1-p) of sampled children") {
+    val rows = pipeline.CorpusPipeline.pipeCoherentSample(spark, sfDir)
+      .collect().map(r => r.getAs[String]("tbl") -> r).toMap
+    assert(rows.size === 3)
+    // coherent descent: every sampled child has its parent — the
+    // orphan gauge for the INDEPENDENT sample must show the break
+    val ord = rows("2_orders")
+    val li = rows("3_lineitem")
+    assert(ord.getAs[Long]("indep_orphan_pm") > 600L)
+    assert(li.getAs[Long]("indep_orphan_pm") > 600L)
+    // root table: both samples are the same hash rule
+    val cust = rows("1_customer")
+    assert(cust.getAs[Long]("n_coh") === cust.getAs[Long]("n_ind"))
+    assert(cust.getAs[Long]("indep_orphan_pm") === 0L)
+    // rates hover near the 200-per-mille design point
+    Seq(cust, ord, li).foreach { r =>
+      val pm = r.getAs[Long]("coherent_pm")
+      assert(pm > 100 && pm < 320, s"coherent_pm=$pm")
+    }
+  }
+
   test("cls_simpsons: per-stratum and pooled trend signs recompute " +
       "with BigInt and the flips verdict is consistent") {
     val rows = classify.ClassifyQueries.clsSimpsons(spark, sfDir)
