@@ -89,25 +89,46 @@ object Tables {
     md.digest().map("%02x".format(_)).mkString.take(8)
   }
 
+  /** Per-JVM layout root. Layouts are write-once WITHIN a session —
+    * the first consumer pays the build, every later consumer in the
+    * same JVM re-attaches the finished files — but they never survive
+    * the process: every bench/verify invocation computes everything
+    * from the parquet inputs alone. (In production this root is the
+    * shared lakehouse catalog location and layouts are durable tables;
+    * in a benchmarked sandbox, cross-run reuse would let a later run
+    * skip work a fresh run must pay, corrupting the measurement.) The
+    * shutdown hook reclaims the directory on clean JVM exit. */
+  lazy val sessionLayoutRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_layouts_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   /** WRITE-ONCE BUCKETED LAYOUT publish-or-attach (the q26/kNN-edge
     * precedent, shared): the first consumer per (content, params,
     * algo-version) tag pays `build` ONCE and publishes the rows as a
-    * bucketed external table; every later consumer — this session or
-    * any later JVM on the same machine — re-attaches the finished
-    * layout by DDL and pays a bucketed SCAN, with `bucketCol`-keyed
-    * consumers riding the layout without an exchange. Publication is
-    * ATOMIC: the build lands in a JVM-private staging dir and renames
-    * into place, so a concurrent JVM either sees a finished `_SUCCESS`
-    * (attaches) or loses the rename race (its staging copy is
-    * discarded, the winner's files attach) — no reader can observe a
-    * half-written layout. Callers must fold every content/parameter/
-    * version dependency into `tag`; a stale-keyed tag silently serves
-    * stale rows. */
+    * bucketed external table; every later consumer in this session
+    * re-attaches the finished layout by DDL and pays a bucketed SCAN,
+    * with `bucketCol`-keyed consumers riding the layout without an
+    * exchange. Publication is ATOMIC: the build lands in a private
+    * staging dir and renames into place, so a concurrent session
+    * thread either sees a finished `_SUCCESS` (attaches) or loses the
+    * rename race (its staging copy is discarded, the winner's files
+    * attach) — no reader can observe a half-written layout. Callers
+    * must fold every content/parameter/version dependency into `tag`;
+    * a stale-keyed tag silently serves stale rows. The layout lives
+    * under [[sessionLayoutRoot]] — session-scoped by design (see
+    * there). */
   def attachBucketed(spark: SparkSession, tag: String, name: String,
       cols: String, bucketCol: String, nBuckets: Int)
       (build: => DataFrame): DataFrame = {
     val table = s"graft_buckets.$name"
-    val dbLoc = s"/tmp/graft_buckets_$tag"
+    val dbLoc = s"$sessionLayoutRoot/graft_buckets_$tag"
     if (!spark.catalog.databaseExists("graft_buckets"))
       spark.sql(
         s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$dbLoc'")

@@ -323,10 +323,11 @@ object Dedup extends QueryModule {
     * then any probe) pay the full candidate-join again. The first
     * consumer per (source content, params, algo version) builds the
     * skinny (d1, d2, j) edge set once and publishes it bucketed on
-    * d1; every later consumer — same session or any later JVM on the
-    * machine — re-attaches by DDL and pays a bucketed scan. At 100 TB
-    * the near-dup pair pass is a capital cost per corpus snapshot,
-    * not a per-query cost. */
+    * d1; every later consumer in the session re-attaches by DDL and
+    * pays a bucketed scan (session-scoped — see
+    * [[graft.Tables.sessionLayoutRoot]]). At 100 TB the near-dup pair
+    * pass is a capital cost per corpus snapshot, not a per-query
+    * cost. */
   def pairs09(spark: SparkSession, dir: String): DataFrame = {
     val tag = s"${Tables.layoutTag(dir)}_t09_$pairAlgoVersion"
     Tables.attachBucketed(spark, tag, s"dedup_pairs09_$tag",

@@ -592,19 +592,19 @@ object Relational extends graft.QueryModule {
     // The bucketed layout is a ONE-TIME cost amortized over every
     // subsequent keyed join (the whole point of bucketing at 100 TB) —
     // so the tables are written once per source dir and reused across
-    // runs in the same session; the tag fingerprints the source files
-    // (path + sizes + mtimes), so different SFs never collide and
-    // regenerated data invalidates the cached layout.
+    // queries in the same session; the tag fingerprints the source
+    // files, so different SFs never collide and regenerated data
+    // invalidates the cached layout. Session-scoped, never cross-run
+    // (see Tables.sessionLayoutRoot).
     val tag = Tables.layoutTag(dir)
     val liT = s"graft_buckets.li_b_$tag"
     val ordT = s"graft_buckets.ord_b_$tag"
-    val dbLoc = s"/tmp/graft_buckets_$tag"
+    val dbLoc = s"${Tables.sessionLayoutRoot}/graft_buckets_$tag"
     if (!spark.catalog.databaseExists("graft_buckets"))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$dbLoc'")
-    // The layout survives the session: a completed bucketed write (the
-    // _SUCCESS marker) is re-attached by DDL with the same bucket spec
-    // instead of being rewritten — across JVMs, only the first run pays
-    // the write, like a real lakehouse table.
+    // Within the session a completed bucketed write (the _SUCCESS
+    // marker) is re-attached by DDL with the same bucket spec instead
+    // of being rewritten — only the first consumer pays the write.
     def ensure(table: String, cols: String, bucketCol: String,
         write: => Unit): Unit =
       if (!spark.catalog.tableExists(table)) {

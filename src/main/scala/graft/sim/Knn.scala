@@ -318,13 +318,13 @@ object Knn extends QueryModule {
     * a capital cost, not a per-query cost): the first consumer per
     * source layout pays the centroid probe pass ONCE and writes the
     * ≤ k·n skinny edge rows bucketed+sorted on qid; every later
-    * consumer — in this session or ANY later JVM on the same machine
-    * — re-attaches the finished layout by DDL (`_SUCCESS` probe) and
-    * pays a bucketed SCAN, no candidate join, with qid-keyed
-    * consumers (per-query folds, the mutual self-join's build side)
-    * riding the bucket layout without an exchange. The layout tag
-    * fingerprints the source parquet content, so a regenerated
-    * identical corpus re-attaches while changed data rebuilds. At
+    * consumer in this session re-attaches the finished layout by DDL
+    * (`_SUCCESS` probe) and pays a bucketed SCAN, no candidate join,
+    * with qid-keyed consumers (per-query folds, the mutual
+    * self-join's build side) riding the bucket layout without an
+    * exchange. The layout tag fingerprints the source parquet
+    * content, so distinct corpora never collide; the layout itself is
+    * session-scoped (see [[graft.Tables.sessionLayoutRoot]]). At
     * 100 TB this is the difference between every graph query paying
     * the IVF probe pass and the pass being a once-per-corpus
     * artifact. */

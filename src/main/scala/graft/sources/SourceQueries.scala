@@ -398,12 +398,13 @@ object SourceQueries extends QueryModule {
   }
 
   /** The partitioned write is a one-time layout (like q26's buckets):
-    * keyed by a content fingerprint of the source (path + file sizes +
-    * mtimes — [[Tables.layoutTag]]), written once, re-read thereafter;
-    * regenerated source data gets a fresh layout. */
+    * keyed by a content fingerprint of the source ([[Tables.layoutTag]]),
+    * written once per session, re-read thereafter; regenerated source
+    * data gets a fresh layout. Session-scoped, never cross-run (see
+    * [[Tables.sessionLayoutRoot]]). */
   def partitionedDocs(spark: SparkSession, dir: String): DataFrame = {
     val tag = Tables.layoutTag(dir)
-    val loc = new java.io.File(s"/tmp/graft_part_$tag")
+    val loc = new java.io.File(s"${Tables.sessionLayoutRoot}/graft_part_$tag")
     if (!new java.io.File(loc, "_SUCCESS").exists())
       Tables.documents(spark, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(loc.toString)
@@ -426,7 +427,8 @@ object SourceQueries extends QueryModule {
     * which the oracle pins with an equivalent key-range predicate. */
   def sheetRange(spark: SparkSession, dir: String): DataFrame = {
     val tag = Tables.layoutTag(dir)
-    val f = new java.io.File(s"/tmp/graft_sheet_$tag.xlsx")
+    val f =
+      new java.io.File(s"${Tables.sessionLayoutRoot}/graft_sheet_$tag.xlsx")
     if (!f.exists()) {
       // temp + move: a concurrent reader never sees a partial zip.
       // Files.move (not File.renameTo, whose false return is easy to
