@@ -527,9 +527,18 @@ object ClassifyQueries extends QueryModule {
             (col(n).cast(DecimalType(18, 2)) * lit(100)).cast("long")
               .as("cents"))): _*)).as("v"))
         .select(col("v.col_name").as("col_name"), col("v.cents").as("cents"))
-    def vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
+    // Materialize the melted projection ONCE (localCheckpoint — a
+    // straight map, no exchange): it was previously a `def`
+    // re-evaluated by the radix selection (twice — its bucket
+    // histogram and its join-back) AND by the fence-count pass, i.e.
+    // three full orders+lineitem scans per execution. (A value-level
+    // histogram-once variant was measured and REJECTED: amount
+    // columns are near-unique, so the pre-agg was a corpus-sized
+    // exchange that cost more than the scans it saved.)
+    val vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
       .unionAll(centsOf(Tables.lineitem(spark, dir),
         "l_extendedprice", "l_quantity"))
+      .localCheckpoint()
     // Both quartiles by ONE shared radix selection
     // (OrderStats.radixRankSelect, the r9 shape that fixed q36): the
     // r8 full-value histogram approached the corpus for near-unique

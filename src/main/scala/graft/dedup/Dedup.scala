@@ -843,7 +843,13 @@ object Dedup extends QueryModule {
     * large-star/small-star to bound skew on giant components; the
     * per-round plan here is the same join+agg). */
   def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      : DataFrame = {
+    // LAZY local checkpoints (eager = false): every round is followed
+    // by the label-sum convergence job anyway, so the sum materializes
+    // the round's checkpoint in the SAME job instead of paying a
+    // separate collect per round — one fewer driver round-trip per
+    // iteration, same cached result for every later consumer.
     // `checkpoint` cuts the per-round lineage. The default
     // localCheckpoint is executor-storage-backed — right for a single
     // JVM, lost on executor death. On a real cluster pass
@@ -934,7 +940,10 @@ object Dedup extends QueryModule {
     * canonical larger→smaller edge set is unchanged over a full
     * round (count + anti-join — exact, no checksum collisions). */
   def componentsStar(docs: DataFrame, pairs: DataFrame, maxIter: Int = 40,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      : DataFrame = {
+    // lazy checkpoints: the per-round convergence probe materializes
+    // the round's edge set in the same job (see [[components]])
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
         .where(col("u") =!= col("v")).distinct()
@@ -1949,7 +1958,17 @@ object Dedup extends QueryModule {
       val keep = (0 until 16 by k).map(j => 1L << j).sum
       expr(s"($anded & $keep) != 0")
     }
-    val pairs = x.join(y,
+    // The banded join evaluates tens of millions of mask tests whose
+    // INPUT bytes are tiny (distinct profiles, 16 longs each) — the
+    // compute-per-byte case AQE's byte-based coalescing mis-sizes to
+    // ONE task (measured: a 7 s single-thread stage at bench SF).
+    // Pin the join's width to cluster parallelism with an EXPLICIT
+    // keyed repartition (user-specified widths are exempt from AQE
+    // coalescing); the key includes the signature, so profiles spread
+    // evenly and the width follows the cluster, not a constant.
+    val xw = x.repartition(spark.sparkContext.defaultParallelism,
+      col("band"), col("s"), col("gk"))
+    val pairs = xw.join(y,
         col("band") === col("band2") && col("s") === col("t") &&
           col("gk") === col("gk2") &&
           (col("g1") < col("g2") ||
@@ -2100,12 +2119,14 @@ object Dedup extends QueryModule {
       : DataFrame = {
     graft.expr.VectorExprs.register(docs.sparkSession)
     require(tNum > 0 && tNum < tDen, "threshold num/den must be in (0,1)")
+    // ONE codegen pass builds the sorted-distinct gram-hash set
+    // (graft_char_gram_hashes) — the regexp_extract_all + HOF
+    // transform pipeline it replaces was CodegenFallback and paid a
+    // regex match + string alloc per character (bit-identical output;
+    // R12PerfSpec pins the equivalence against the interpreted form)
     val sets = docs
       .select(col("doc_id"), col("lang"),
-        sort_array(array_distinct(expr(
-          "transform(graft_ngrams(regexp_extract_all(text, '(?s).', 0), 4)," +
-            " x -> xxhash64(x))")))
-          .as("hs"))
+        expr("graft_char_gram_hashes(text, 4)").as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
       .localCheckpoint()

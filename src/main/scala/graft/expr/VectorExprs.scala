@@ -943,6 +943,105 @@ object WinnowSelect {
   }
 }
 
+/** Codegen'd SORTED-DISTINCT xxhash64 set of code-point character
+  * k-grams over a string column — the whole char-shingling pipeline
+  * of `dedup_char_jaccard` in one primitive pass. Bit-identical to
+  * the interpreted form it replaces,
+  * `sort_array(array_distinct(transform(graft_ngrams(
+  *   regexp_extract_all(text, '(?s).', 0), k), x -> xxhash64(x))))`
+  * — which was CodegenFallback end-to-end (`transform` is a HOF) and
+  * additionally paid one regex match + one string allocation PER
+  * CHARACTER: each k-gram here hashes the SAME bytes Spark's
+  * xxhash64 hashes on the space-joined gram string (code points
+  * joined by 0x20, seed 42), walked directly off the UTF-8 encoding
+  * (first-byte length table — a 4-byte sequence, i.e. a surrogate
+  * pair in UTF-16 terms, is ONE code point, exactly like the
+  * `(?s).` regex). `k` must be a foldable positive integer. */
+case class CharGramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_char_gram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input")
+    else if (!right.foldable ||
+        right.dataType != org.apache.spark.sql.types.IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integer gram size")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CharGramHashes.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.CharGramHashes.compute($a, (int) $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharGramHashes {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared by interpreted and generated paths so they cannot drift. */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // code-point start offsets (one extra slot = end-of-string)
+    val offs = new Array[Int](nb + 1)
+    var ncp = 0
+    var p = 0
+    while (p < nb) {
+      offs(ncp) = p
+      ncp += 1
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+    }
+    offs(ncp) = nb
+    val m = if (k > 0 && ncp >= k) ncp - k + 1 else 0
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](m)
+    // gram buffer: k code points (≤ 4 bytes each) + k−1 separators
+    val buf = new Array[Byte](4 * k + (k - 1))
+    var i = 0
+    while (i < m) {
+      var w = 0
+      var j = 0
+      while (j < k) {
+        if (j > 0) { buf(w) = 0x20; w += 1 }
+        var q = offs(i + j)
+        val e = offs(i + j + 1)
+        while (q < e) { buf(w) = bytes(q); w += 1; q += 1 }
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, w, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var d = 0
+    var r = 0
+    while (r < m) {
+      if (d == 0 || out(r) != out(d - 1)) { out(d) = out(r); d += 1 }
+      r += 1
+    }
+    val res = if (d == m) out else java.util.Arrays.copyOf(out, d)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(res)
+  }
+}
+
 object VectorExprs {
   val dotName = "graft_dot"
   val floorScaleName = "graft_floor_scale"
@@ -957,6 +1056,7 @@ object VectorExprs {
   val matchMaskName = "graft_match_mask"
   val gearCutsName = "graft_gear_cuts"
   val winnowSelName = "graft_winnow_sel"
+  val charGramHashesName = "graft_char_gram_hashes"
 
   /** (identifier, info, builder) triple for
     * SparkSessionExtensions.injectFunction (see [[GraftExtensions]]). */
@@ -1042,6 +1142,9 @@ object VectorExprs {
       gearCutsName, children => GearCuts(children.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       winnowSelName, children => WinnowSelect(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      charGramHashesName,
+      children => CharGramHashes(children.head, children(1)), "built-in")
   }
 }
 

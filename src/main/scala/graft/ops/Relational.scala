@@ -1069,14 +1069,22 @@ object Relational extends graft.QueryModule {
     val vals = Tables.lineitem(spark, dir).select(col("l_returnflag"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("long").as("cents"))
+    // Materialize the 2-column projection ONCE (localCheckpoint — a
+    // straight map, no exchange): both selection passes previously
+    // re-read lineitem (each radix pass consumes its input twice —
+    // bucket histogram + join-back — and the deviation frame
+    // re-derived from the raw rows, ~5 scans total). A value-level
+    // pre-agg was measured and rejected: cents are near-unique, so
+    // the extra exchange cost more than the scans it saved.
+    val cvals = vals.localCheckpoint()
     // med is consumed twice (deviation derivation + final join); it is
     // a |groups|-row frame, so materializing it costs nothing and
     // guarantees the selection passes run once (subtree reuse across
     // the two consumers is not reliable through the rank explode)
-    val med = radixLowerMedian(vals, Seq("l_returnflag"), "cents")
+    val med = radixLowerMedian(cvals, Seq("l_returnflag"), "cents")
       .withColumnRenamed("median", "median_cents")
       .localCheckpoint()
-    val dev = vals
+    val dev = cvals
       .join(broadcast(med.select(col("l_returnflag"), col("median_cents"))),
         "l_returnflag")
       .select(col("l_returnflag"),

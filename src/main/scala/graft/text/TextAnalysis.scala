@@ -1081,6 +1081,14 @@ object TextAnalysis extends QueryModule {
             concat(lit(SEP), col("x"), lit(SEP + SEP), col("y"), lit(SEP)),
             concat(lit(SEP), col("x"), col("y"), lit(SEP)))))
         .select("lang", "wn", "enc")
+        // cut the per-round lineage (lazy local checkpoint): without
+        // it the K-round chain compiles into ONE deep plan in which
+        // round r's subtree is embedded by every later round AND by
+        // the merge-table union — quadratic re-analysis/codegen and
+        // re-executed projections. The checkpointed frame is the
+        // word-TYPE table (vocab-sized at any corpus scale), so the
+        // cut is cheap at 100 TB too.
+        .localCheckpoint(false)
     }
     (merges, cur)
   }
@@ -1498,11 +1506,17 @@ object TextAnalysis extends QueryModule {
           regexp_replace(trim(lower(col("text"))), "\\s+", " "))
           .as("sels"))
       .filter(size(col("sels")) > 0)
+      // strip the packed positions ONCE here (the hash transform is an
+      // interpreted HOF — both products consumed it separately before,
+      // 3 lambda passes over ~1.5k sels/doc; now it runs once into the
+      // checkpoint)
+      .select(col("doc_id"), col("sels"),
+        expr("transform(sels, x -> x div 1048576)").as("hs"))
       .localCheckpoint()
     val fps = Tables.attachBucketed(spark, tag, s"winnow_fps_$tag",
         "doc_id BIGINT, h BIGINT", "h", 8) {
-      sel.select(col("doc_id"), explode(array_distinct(
-        expr("transform(sels, x -> x div 1048576)"))).as("h"))
+      sel.select(col("doc_id"),
+        explode(array_distinct(col("hs"))).as("h"))
     }
     val stats = Tables.attachBucketed(spark, tag, s"winnow_stats_$tag",
         "doc_id BIGINT, n_windows BIGINT, n_fps BIGINT, n_hashes BIGINT",
@@ -1510,8 +1524,7 @@ object TextAnalysis extends QueryModule {
       sel.select(col("doc_id"),
         size(col("sels")).cast("long").as("n_windows"),
         size(array_distinct(col("sels"))).cast("long").as("n_fps"),
-        size(array_distinct(expr("transform(sels, x -> x div 1048576)")))
-          .cast("long").as("n_hashes"))
+        size(array_distinct(col("hs"))).cast("long").as("n_hashes"))
     }
     (fps, stats)
   }
