@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types.LongType
 
@@ -44,6 +44,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Deterministic sort tail for DIM-BOUNDED report outputs (per-
+    * nation/type/flag/decile rollups — row counts fixed by a
+    * dimension, not by the corpus). A global `.orderBy` plans a range
+    * exchange whose boundary SAMPLING is its own Spark job plus a
+    * shuffle stage — pure overhead when the frame is a few dozen
+    * rows (measured ~0.1–0.15 s per query at bench SF, and the same
+    * two wasted stages on a cluster). `coalesce(1)` + an in-partition
+    * sort produces the identical total order (callers' sort keys are
+    * total — the post-q24 tie-break discipline) with zero exchange.
+    * NOT for corpus-proportional outputs: a single-task sort of a
+    * per-document frame is exactly the unpartitioned-sort trap the
+    * r11 verdict flagged — those keep their global orderBy. */
+  def reportSort(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
 
   /** Content fingerprint for write-once layout caches (q26's buckets,
     * the partitioned-docs layout): md5 over the source dir path PLUS

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables}
 import graft.mask.MaskFunctions
+import graft.Syntax._
 
 /** §2.2 CDC/replication operators.
   *
@@ -376,7 +377,7 @@ object CdcQueries extends QueryModule {
       .groupBy(concat(col("_tbl"), lit("_masked")).as("target_table"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-      .orderBy("target_table")
+      .reportSort("target_table")
   }
 
   val routeTablesSql: String =
@@ -402,7 +403,7 @@ object CdcQueries extends QueryModule {
       .groupBy(col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_ddl"),
         max(get_json_object(col("props"), "$.k").cast("int")).as("max_k"))
-      .orderBy("day")
+      .reportSort("day")
 
   val schemaDriftSql: String =
     """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_ddl,
@@ -467,7 +468,7 @@ object CdcQueries extends QueryModule {
           .as("n_final"),
         (coalesce(col("rev_base"), lit(0L)) +
           coalesce(col("drev"), lit(0L))).as("rev_final_cents"))
-      .orderBy("prio")
+      .reportSort("prio")
   }
 
   /** Full-recompute oracle: applies deletes/updates to the base set,
@@ -586,7 +587,7 @@ object CdcQueries extends QueryModule {
           .when(col("back_breaks") === 0, "BACKWARD")
           .when(col("fwd_breaks") === 0, "FORWARD")
           .otherwise("NONE").as("compat"))
-      .orderBy("from_ep")
+      .reportSort("from_ep")
   }
 
   val compatAuditSql: String =
@@ -683,7 +684,7 @@ object CdcQueries extends QueryModule {
         sum(col("event_id")).as("id_sum"),
         sum(when(col("event_type").isNotNull, 1L).otherwise(0L))
           .as("n_typed"))
-      .orderBy("schema_version")
+      .reportSort("schema_version")
   }
 
   val driftDispatchSql: String =
@@ -723,7 +724,7 @@ object CdcQueries extends QueryModule {
     parsed
       .select(when(col("op").isNull, "dlq").otherwise("ok").as("status"))
       .groupBy("status").agg(count(lit(1)).as("n"))
-      .orderBy("status")
+      .reportSort("status")
   }
 
   val dlqRouteSql: String =
@@ -761,7 +762,7 @@ object CdcQueries extends QueryModule {
     parsed.select(col("table").as("source_table"), changed.as("changed_cols"))
       .groupBy("source_table", "changed_cols")
       .agg(count(lit(1)).as("n_events"))
-      .orderBy("changed_cols")
+      .reportSort("changed_cols")
   }
 
   // The IS NOT NULL guards mirror the Spark side's null-safe <=> diff:
@@ -832,7 +833,7 @@ object CdcQueries extends QueryModule {
         max(when(holdsRank(midRank1), col("lag_ms"))).as("p50_lag_ms"),
         max(when(holdsRank(rank95), col("lag_ms"))).as("p95_lag_ms"),
         max(col("lag_ms")).as("max_lag_ms"))
-      .orderBy("op")
+      .reportSort("op")
   }
 
   val lagAuditSql: String =
@@ -895,7 +896,7 @@ object CdcQueries extends QueryModule {
           coalesce(col("tgt_rows"), lit(0L))).as("rows_delta"),
         (coalesce(col("src_checksum"), lit(0L)) ===
           coalesce(col("tgt_checksum"), lit(0L))).as("checksum_match"))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   val reconcileSql: String = {
@@ -957,7 +958,7 @@ object CdcQueries extends QueryModule {
         min_by(col("event_id"), col("_rn")).as("first_event_id"),
         max_by(col("event_id"), col("_rn")).as("last_event_id"),
         (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
-      .orderBy("txn_id")
+      .reportSort("txn_id")
   }
 
   val txnAssembleSql: String =
@@ -1012,7 +1013,7 @@ object CdcQueries extends QueryModule {
         sum(when(col("n_versions") > 1, 1L).otherwise(0L))
           .as("n_conflicts"),
         sum(col("w.cents")).as("cents_sum"))
-      .orderBy("site")
+      .reportSort("site")
   }
 
   val conflictLwwSql: String =
@@ -1070,7 +1071,7 @@ object CdcQueries extends QueryModule {
       .select(col("op"), col("n_delivered"), col("n_applied"),
         (col("n_delivered") - col("n_applied")).as("n_dup_deliveries"),
         col("delivered_cents"), col("applied_cents"))
-      .orderBy("op")
+      .reportSort("op")
   }
 
   val replayIdempotenceSql: String =
@@ -1141,7 +1142,7 @@ object CdcQueries extends QueryModule {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("masked_cents")).as("masked_cents_sum"),
         sum(col("pseudonym")).as("pseudonym_checksum"))
-      .orderBy("target_table")
+      .reportSort("target_table")
   }
 
   val cdcE2eReplicateSql: String =
@@ -1249,7 +1250,7 @@ object CdcQueries extends QueryModule {
         sum(when(!(col("provided") <=> col("expected")), 1L)
           .otherwise(0L)).as("n_breaks"))
       .withColumn("break_pm", expr("n_breaks * 1000 div n_checked"))
-      .orderBy("day")
+      .reportSort("day")
   }
 
   val beforeChainSql: String =
@@ -1297,7 +1298,7 @@ object CdcQueries extends QueryModule {
         sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"),
         sum(when(col("op") === "c" && col("_prev") === "d", 1L)
           .otherwise(0L)).as("n_resurrections"))
-      .orderBy("day")
+      .reportSort("day")
   }
 
   val resurrectionSql: String =
@@ -1345,7 +1346,7 @@ object CdcQueries extends QueryModule {
     per.crossJoin(broadcast(tot))
       .select(col("shard"), col("n_events"), col("n_keys"),
         expr("n_events * 16000 div _t").as("load_pm"))
-      .orderBy("shard")
+      .reportSort("shard")
   }
 
   val shardRouterSql: String =
@@ -1452,7 +1453,7 @@ object CdcQueries extends QueryModule {
         coalesce(col("max_silent_h"), lit(0L)).as("max_silent_h"),
         (col("head_us") - col("last_us") > 6L * 3600000000L)
           .as("stalled"))
-      .orderBy("shard")
+      .reportSort("shard")
   }
 
   val heartbeatSql: String =

@@ -3,6 +3,7 @@ package graft.classify
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** §2.3 classification operators as driver-verified queries. */
 object ClassifyQueries extends QueryModule {
@@ -36,7 +37,7 @@ object ClassifyQueries extends QueryModule {
     }
     import spark.implicits._
     rows.toDF("table_name", "column_name", "data_class")
-      .orderBy("table_name", "column_name")
+      .reportSort("table_name", "column_name")
   }
 
   val clsNameMatchSql: String =
@@ -72,7 +73,7 @@ object ClassifyQueries extends QueryModule {
       .unionAll(one("email", email))
       .unionAll(one("ssn", ssn))
       .unionAll(one("zip", zip))
-      .orderBy("c_custkey", "kind")
+      .reportSort("c_custkey", "kind")
   }
 
   val clsPatternMatchSql: String = {
@@ -96,7 +97,7 @@ object ClassifyQueries extends QueryModule {
   def clsSetMatch(spark: SparkSession, dir: String): DataFrame =
     classifier.setMatchCounts(Tables.customer(spark, dir), "c_mktsegment",
       Seq("BUILDING", "MACHINERY", "AUTOMOBILE"))
-      .orderBy("c_mktsegment")
+      .reportSort("c_mktsegment")
 
   val clsSetMatchSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_rows,
@@ -113,7 +114,7 @@ object ClassifyQueries extends QueryModule {
       concat(lower(regexp_replace(col("c_name"), "#", ".")),
         lit("@example.com")).as("email"))
     classifier.contentMatchRates(src, Seq("c_name", "c_mktsegment", "email"))
-      .orderBy("column_name", "data_class")
+      .reportSort("column_name", "data_class")
   }
 
   val clsSchemaScanSql: String = {
@@ -161,7 +162,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
         sum(when(col("ok"), 1).otherwise(0)).as("n_valid"))
-      .orderBy("c_mktsegment")
+      .reportSort("c_mktsegment")
   }
 
   val clsLuhnCheckSql: String = {
@@ -214,7 +215,7 @@ object ClassifyQueries extends QueryModule {
         sum(col("ne")).as("email_hits"),
         sum(when(col("ns") > 0, 1L).otherwise(0L)).as("docs_with_ssn"),
         sum(col("ns")).as("ssn_hits"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val clsTextPiiSql: String = {
@@ -256,7 +257,7 @@ object ClassifyQueries extends QueryModule {
         struct(lit(c).as("col_name"), col(s"d_$c").as("n_distinct"),
           expr(s"d_$c * 1000 div n").as("distinct_pm"))): _*)).as("s"))
       .select("s.*")
-      .orderBy("col_name")
+      .reportSort("col_name")
   }
 
   val clsDistinctRatioSql: String =
@@ -296,7 +297,7 @@ object ClassifyQueries extends QueryModule {
       .crossJoin(broadcast(d.agg(count(lit(1)).as("total"))))
       .select(col("digit"), col("n"),
         expr("n * 1000 div total").as("pm"))
-      .orderBy("digit")
+      .reportSort("digit")
   }
 
   val clsBenfordSql: String =
@@ -374,7 +375,7 @@ object ClassifyQueries extends QueryModule {
       .agg(count(lit(1)).as("n_values"),
         expr("1000 - (1000 * sum(c * c)) div (sum(c) * sum(c))")
           .as("gini_pm"))
-      .orderBy("col_name")
+      .reportSort("col_name")
   }
 
   val clsGiniSql: String =
@@ -423,7 +424,7 @@ object ClassifyQueries extends QueryModule {
         (col("nd_ab") === col("nd_a")).as("fd_a_determines_b"),
         (col("nd_ab") === col("nd_b")).as("fd_b_determines_a"),
         expr("nd_ab * 1000 div n_rows").as("reident_pm"))
-      .orderBy("pair")
+      .reportSort("pair")
 
   val clsQuasiIdSql: String =
     """WITH s AS (
@@ -480,7 +481,7 @@ object ClassifyQueries extends QueryModule {
       .select(col("det").as("determinant"), col("dep").as("dependent"),
         col("n_groups"), col("n_violating"),
         (col("n_violating") === 0L).as("holds"))
-      .orderBy("determinant", "dependent")
+      .reportSort("determinant", "dependent")
   }
 
   val clsFunctionalDepSql: String =
@@ -568,7 +569,7 @@ object ClassifyQueries extends QueryModule {
           .as("n_low"),
         sum(when(col("cents") > col("hi_fence"), 1L).otherwise(0L))
           .as("n_high"))
-      .orderBy("col_name")
+      .reportSort("col_name")
   }
 
   val clsOutliersSql: String =
@@ -647,7 +648,7 @@ object ClassifyQueries extends QueryModule {
         col("n_shared"),
         (col("n_shared") === col("n_a")).as("a_in_b"),
         (col("n_shared") === col("n_b")).as("b_in_a"))
-      .orderBy("col_a", "col_b")
+      .reportSort("col_a", "col_b")
   }
 
   val clsInclusionDepsSql: String =
@@ -713,7 +714,7 @@ object ClassifyQueries extends QueryModule {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      .orderBy("pair")
+      .reportSort("pair")
   }
 
   val clsCorrSql: String =
@@ -797,7 +798,7 @@ object ClassifyQueries extends QueryModule {
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"),
         sum((col("x") - col("y")) * (col("x") - col("y"))).as("sd2"))
-      .orderBy("pair")
+      .reportSort("pair")
   }
 
   val clsSpearmanSql: String =
@@ -878,7 +879,7 @@ object ClassifyQueries extends QueryModule {
         sum(expr(
           "CAST(conv(substring(md5(g_name), 1, 8), 16, 10) AS BIGINT)"))
           .as("name_fp_sum"))
-      .orderBy("nation")
+      .reportSort("nation")
   }
 
   val clsGoldenRecordSql: String =
@@ -944,7 +945,7 @@ object ClassifyQueries extends QueryModule {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      .orderBy("lag")
+      .reportSort("lag")
   }
 
   val clsAutocorrSql: String =
@@ -1054,7 +1055,7 @@ object ClassifyQueries extends QueryModule {
         sum(col("x") * col("x")).as("s2"),
         sum(col("x") * col("x") * col("x")).as("s3"),
         sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
-      .orderBy("col")
+      .reportSort("col")
   }
 
   val clsSkewnessSql: String =
@@ -1105,7 +1106,7 @@ object ClassifyQueries extends QueryModule {
         expr("n_cur * 1000 div t_cur").as("cur_pm"),
         expr("n_cur * 1000 div t_cur - n_ref * 1000 div t_ref")
           .as("diff_pm"))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   val clsPsiDriftSql: String =
@@ -1173,7 +1174,7 @@ object ClassifyQueries extends QueryModule {
           .when(col("n_num") === col("n"), "numeric")
           .when(col("n_date") === col("n"), "date")
           .otherwise("string"))
-      .orderBy("col_name")
+      .reportSort("col_name")
   }
 
   val clsDatatypeInferSql: String =
@@ -1232,7 +1233,7 @@ object ClassifyQueries extends QueryModule {
         col("row_total"), col("col_total"), col("n"),
         (col("n") * col("obs") - col("row_total") * col("col_total"))
           .as("leverage"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .reportSort("l_returnflag", "l_linestatus")
   }
 
   val clsContingencySql: String =
@@ -1379,7 +1380,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy("col_name", "bin")
       .agg(count(lit(1)).as("n"), min(col("cents")).as("bin_min_cents"),
         max(col("cents")).as("bin_max_cents"))
-      .orderBy("col_name", "bin")
+      .reportSort("col_name", "bin")
   }
 
   val clsHistogramProfileSql: String =
@@ -1426,7 +1427,7 @@ object ClassifyQueries extends QueryModule {
       .select(col("dow"), col("n_orders"), col("cents_sum"),
         expr("n_orders * 1000 div _t").as("share_pm"),
         expr("abs(n_orders * 7 - _t) * 1000 div _t").as("dev_pm"))
-      .orderBy("dow")
+      .reportSort("dow")
   }
 
   val clsDowSeasonalitySql: String =
@@ -1480,7 +1481,7 @@ object ClassifyQueries extends QueryModule {
         col("n_null"))
     perCol.unionByName(anyNull)
       .withColumn("null_pm", expr("n_null * 1000 div n"))
-      .orderBy("col_name")
+      .reportSort("col_name")
   }
 
   val clsNullProfileSql: String =
@@ -1606,7 +1607,7 @@ object ClassifyQueries extends QueryModule {
       .withColumn("uniqueness_pm", expr("n_distinct * 1000 div n_rows"))
       .withColumn("is_key",
         when(col("n_distinct") === col("n_rows"), 1L).otherwise(0L))
-      .orderBy("candidate")
+      .reportSort("candidate")
   }
 
   val clsKeyDiscoverySql: String =
@@ -1667,7 +1668,7 @@ object ClassifyQueries extends QueryModule {
         col("n_groups"),
         expr("n_keep * 1000 div n_rows").as("strength_pm"),
         (col("n_keep") === col("n_rows")).as("exact"))
-      .orderBy("determinant", "dependent")
+      .reportSort("determinant", "dependent")
   }
 
   val clsApproxFdSql: String =
@@ -1730,7 +1731,7 @@ object ClassifyQueries extends QueryModule {
             "when 0 then 1000000L when 1 then 100000L " +
             "when 2 then 10000L when 3 then 1000L else 1L end) " +
             "as string)")).cast("long") + col("scale")).as("precision"))
-      .orderBy("col")
+      .reportSort("col")
   }
 
   val clsDecimalProfileSql: String =
@@ -1787,7 +1788,7 @@ object ClassifyQueries extends QueryModule {
         (length(expr("bin(c * n)")) - length(expr("bin(cx * cy)")))
           .cast("long").as("pmi_bits"))
       .withColumn("mi_contrib", col("c") * col("pmi_bits"))
-      .orderBy("x", "y")
+      .reportSort("x", "y")
   }
 
   val clsMutualInfoSql: String =
@@ -1963,7 +1964,7 @@ object ClassifyQueries extends QueryModule {
           .otherwise(0L).cast("long").as("cur_bits"))
       .withColumn("jsd_contrib",
         col("n_ref") * col("ref_bits") + col("n_cur") * col("cur_bits"))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   val clsJsdDriftSql: String =
@@ -2021,7 +2022,7 @@ object ClassifyQueries extends QueryModule {
       .select(col("col"), col("n"), col("k"), col("sum_c2"),
         expr("sum_c2 * 1000 div (n * n)").as("hhi_pm"),
         expr("n * n * 1000 div sum_c2").as("eff_categories_milli"))
-      .orderBy("col")
+      .reportSort("col")
   }
 
   val clsHhiConcentrationSql: String =
@@ -2081,7 +2082,7 @@ object ClassifyQueries extends QueryModule {
       .select(col("pair"), col("c_pairs"), col("d_pairs"),
         expr("(c_pairs - d_pairs) * 1000 div (c_pairs + d_pairs)")
           .as("gamma_pm"))
-      .orderBy("pair")
+      .reportSort("pair")
   }
 
   val clsGammaAssocSql: String =
@@ -2170,7 +2171,7 @@ object ClassifyQueries extends QueryModule {
               |div (CAST(n0 - tie_x AS DECIMAL(38,0)) * (n0 - tie_y))
               |""".stripMargin).cast("double"))).cast("long"))
           .as("tau_b_pm"))
-      .orderBy("pair")
+      .reportSort("pair")
   }
 
   val clsKendallTauSql: String =
@@ -2256,7 +2257,7 @@ object ClassifyQueries extends QueryModule {
         expr("ssb * (nn - k) * 1000 div (ssw * (k - 1))")
           .as("f_milli"),
         expr("ssb * 1000 div (ssb + ssw)").as("eta2_pm"))
-      .orderBy("grp")
+      .reportSort("grp")
   }
 
   val clsAnovaSql: String =
@@ -2409,7 +2410,7 @@ object ClassifyQueries extends QueryModule {
       .withColumn("flips",
         col("nationkey") =!= -1L &&
           col("trend_sign") =!= col("pooled_sign"))
-      .orderBy("nationkey")
+      .reportSort("nationkey")
   }
 
   val clsSimpsonsSql: String =
@@ -2484,7 +2485,7 @@ object ClassifyQueries extends QueryModule {
           " div (CAST(rr AS DECIMAL(38,0)) * (nn - rr)" +
           " * (nn * sn2 - CAST(sn AS DECIMAL(38,0)) * sn))" +
           " AS BIGINT)").as("z2_milli"))
-      .orderBy("score")
+      .reportSort("score")
   }
 
   val clsCochranArmitageSql: String =
@@ -2560,7 +2561,7 @@ object ClassifyQueries extends QueryModule {
           .as("rb_pm"),
         expr("CAST(_r2lo div n1 AS BIGINT)").as("mr2_lo"),
         expr("CAST(_r2hi div n2 AS BIGINT)").as("mr2_hi"))
-      .orderBy("g_lo", "g_hi")
+      .reportSort("g_lo", "g_hi")
   }
 
   val clsMannWhitneySql: String =
@@ -2647,7 +2648,7 @@ object ClassifyQueries extends QueryModule {
           " ELSE (runs * nn - nn - 2 * n1 * n2)" +
           " * (runs * nn - nn - 2 * n1 * n2) * (nn - 1) * 1000" +
           " div (2 * n1 * n2 * (2 * n1 * n2 - nn)) END").as("z2_milli"))
-      .orderBy("grp")
+      .reportSort("grp")
   }
 
   val clsRunsTestSql: String =
@@ -2743,7 +2744,7 @@ object ClassifyQueries extends QueryModule {
           " div (CAST(ssb AS DECIMAL(38,0)) + ssw) AS BIGINT)")
           .as("h_milli"),
         expr("ssb * 1000 div (ssb + ssw)").as("eta2_pm"))
-      .orderBy("grp")
+      .reportSort("grp")
   }
 
   val clsKruskalWallisSql: String =
@@ -2821,7 +2822,7 @@ object ClassifyQueries extends QueryModule {
           " div (CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)")
           .as("f_milli"),
         expr("ssb * 1000 div (ssb + ssw)").as("eta2_pm"))
-      .orderBy("grp")
+      .reportSort("grp")
   }
 
   val clsLeveneSql: String =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** §2.6 deduplication for training-data pipelines.
   *
@@ -120,7 +121,7 @@ object Dedup extends QueryModule {
           lit(" from "), col("source"),
           lit(" in "), col("n_chars").cast("string"), lit("ms"))
           .as("text")))
-      .orderBy("exemplar")
+      .reportSort("exemplar")
 
   val dedupTemplateSql: String =
     """WITH l AS (
@@ -696,7 +697,7 @@ object Dedup extends QueryModule {
       .select(col("label"), col("n"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         expr("coalesce(n_dropped, 0L) * 1000 div n").as("drop_pm"))
-      .orderBy("label")
+      .reportSort("label")
   }
 
   val dedupSemdedupSql: String =
@@ -750,7 +751,7 @@ object Dedup extends QueryModule {
     ts.toDF("threshold_pm")
       .join(counts, Seq("threshold_pm"), "left")
       .select(col("threshold_pm"), coalesce(col("_n"), lit(0L)).as("n_pairs"))
-      .orderBy("threshold_pm")
+      .reportSort("threshold_pm")
   }
 
   val dedupEmbSweepSql: String =
@@ -805,7 +806,7 @@ object Dedup extends QueryModule {
     applyPairs(docs, pairs09(spark, dir))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val dedupApplySql: String =
@@ -1791,7 +1792,7 @@ object Dedup extends QueryModule {
         "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("n_shared * 1000 div least(_fa, _fb)").as("containment_pm"))
-      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .reportSort(col("n_shared").desc, col("doc_a"), col("doc_b"))
       .limit(50)
   }
 
@@ -2282,7 +2283,7 @@ object Dedup extends QueryModule {
         when(col("g_removed") > 0,
           expr("(g_removed - n_removed) * 1000 div g_removed"))
           .otherwise(0L).as("loss_pm"))
-      .orderBy("plan")
+      .reportSort("plan")
   }
 
   val dedupShardAuditSql: String =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.classify.Libraries
+import graft.Syntax._
 
 /** §2.4 masking operators as driver-verified queries. Every mask is a
   * deterministic codegen'd expression (see [[MaskFunctions]]); the
@@ -237,7 +238,7 @@ object MaskQueries extends QueryModule {
       .select(col("w").cast("long").as("token_width"),
         col("n_inputs"), col("n_tokens"), col("n_collided"),
         expr("n_collided * 1000 div n_inputs").as("collision_pm"))
-      .orderBy("token_width")
+      .reportSort("token_width")
   }
 
   val maskTokenCollisionSql: String =
@@ -418,7 +419,7 @@ object MaskQueries extends QueryModule {
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("cust_token")).as("n_customers"),
         min(col("cust_token")).as("first_token"))
-      .orderBy("c_nationkey")
+      .reportSort("c_nationkey")
   }
 
   val maskConsistentSql: String = {
@@ -479,7 +480,7 @@ object MaskQueries extends QueryModule {
         count(lit(1)).as("n_groups"),
         sum(col("k")).as("n_rows"),
         sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_rows_at_risk"))
-      .orderBy("c_mktsegment")
+      .reportSort("c_mktsegment")
   }
 
   val maskKAnonymitySql: String =
@@ -535,7 +536,7 @@ object MaskQueries extends QueryModule {
           .as("n_pop_risk"),
         sum(when(col("samp_k") === 1 && col("pop_k") >= 5, 1L)
           .otherwise(0L)).as("n_false_alarm"))
-      .orderBy("c_mktsegment")
+      .reportSort("c_mktsegment")
   }
 
   val maskKMapSql: String =
@@ -600,7 +601,7 @@ object MaskQueries extends QueryModule {
         sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_groups_l1"),
         sum(when(col("l") === 1, col("k")).otherwise(0L))
           .as("n_rows_exposed"))
-      .orderBy("c_mktsegment")
+      .reportSort("c_mktsegment")
   }
 
   val maskLDiversitySql: String =
@@ -707,7 +708,7 @@ object MaskQueries extends QueryModule {
           .otherwise(lit("ALL")).as("label"))
       .groupBy("level", "label")
       .agg(count(lit(1)).as("n"))
-      .orderBy("level", "label")
+      .reportSort("level", "label")
   }
 
   val maskVghGeneralizeSql: String =
@@ -767,7 +768,7 @@ object MaskQueries extends QueryModule {
       .select(col("seg"), col("nation"), col("n_g"),
         expr("_num * 500 div (n_g * _nn)").as("tvd_pm"))
       .withColumn("t_close_ok", col("tvd_pm") <= 200)
-      .orderBy("seg", "nation")
+      .reportSort("seg", "nation")
   }
 
   val maskTClosenessSql: String =
@@ -907,7 +908,7 @@ object MaskQueries extends QueryModule {
       .select(col("nat").as("nationkey"), col("n_true"), col("n_obs"),
         (col("n_obs") * 1000L - col("_n") * 4L).as("est_num"),
         expr("greatest(n_obs * 1000 - _n * 4, 0L) div 900").as("est_true"))
-      .orderBy("nationkey")
+      .reportSort("nationkey")
   }
 
   val maskRandResponseSql: String =
@@ -1000,7 +1001,7 @@ object MaskQueries extends QueryModule {
         sum(col("ne")).cast("long").as("email_repl"),
         sum(col("ns")).cast("long").as("ssn_repl"),
         sum(col("h")).cast("long").as("scrub_checksum"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val maskTextScrubSql: String = {
@@ -1068,7 +1069,7 @@ object MaskQueries extends QueryModule {
       .agg(count(lit(1)).as("n"), sum(col("_exp")).as("n_expired"),
         min(col("d")).as("oldest"), max(col("d")).as("newest"))
       .withColumn("expired_pm", expr("n_expired * 1000 div n"))
-      .orderBy("o_orderpriority")
+      .reportSort("o_orderpriority")
   }
 
   val maskRetentionSweepSql: String =
@@ -1103,7 +1104,7 @@ object MaskQueries extends QueryModule {
         when(col("_n") < 8, lit(null)).otherwise(col("_s"))
           .as("balance_cents"),
         (col("_n") < 8).as("suppressed"))
-      .orderBy("c_nationkey", "c_mktsegment")
+      .reportSort("c_nationkey", "c_mktsegment")
   }
 
   val maskCellSuppressSql: String =
@@ -1211,7 +1212,7 @@ object MaskQueries extends QueryModule {
         sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"),
         sum(col("cents")).as("sum_before"),
         sum(col("capped")).as("sum_after"))
-      .orderBy("c_nationkey")
+      .reportSort("c_nationkey")
   }
 
   val maskWinsorizeSql: String =
@@ -1354,7 +1355,7 @@ object MaskQueries extends QueryModule {
         sum(col("cents") + col("noise")).as("sum_after"),
         sum(col("noise")).as("bias_cents"),
         max(abs(col("noise"))).as("max_abs_noise"))
-      .orderBy("c_nationkey")
+      .reportSort("c_nationkey")
   }
 
   val maskNoiseSql: String =
@@ -1481,7 +1482,7 @@ object MaskQueries extends QueryModule {
     cells.withColumn("noise", noise)
       .select(col("seg"), col("n_true"), col("noise"),
         (col("n_true") + col("noise")).as("n_released"))
-      .orderBy("seg")
+      .reportSort("seg")
   }
 
   val maskDpGeometricSql: String = {
@@ -1552,7 +1553,7 @@ object MaskQueries extends QueryModule {
         (col("fl") + when(col("_rk") <= expr("(_t - _f) div 10"),
           10L).otherwise(0L)).as("n_pub"))
       .withColumn("diff", col("n_pub") - col("n"))
-      .orderBy("nationkey", "segment")
+      .reportSort("nationkey", "segment")
   }
 
   val maskControlledRoundSql: String =
@@ -1595,7 +1596,7 @@ object MaskQueries extends QueryModule {
         expr("element_at(segs, CAST(to_idx AS INT))"))
       .groupBy(col("c_mktsegment").as("seg_from"), col("seg_to"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("seg_from", "seg_to")
+      .reportSort("seg_from", "seg_to")
   }
 
   val maskPramSql: String =

@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** §2.9 multimodal: opaque binary columns + typed metadata + REAL
   * image decode.
@@ -661,7 +662,7 @@ object BinaryPipeline extends QueryModule {
       .select(col("h1").as("hash_hi1"), col("l1").as("hash_lo1"),
         col("h2").as("hash_hi2"), col("l2").as("hash_lo2"),
         col("hamming"), col("n1"), col("n2"))
-      .orderBy("hash_hi1", "hash_lo1", "hash_hi2", "hash_lo2")
+      .reportSort("hash_hi1", "hash_lo1", "hash_hi2", "hash_lo2")
   }
 
   val mmPhashDedupSql: String =
@@ -880,7 +881,7 @@ object BinaryPipeline extends QueryModule {
       .select(col("rate"), col("n_docs"), col("n_samples"),
         col("n_cross"),
         expr("n_cross * 1000 div (n_samples - n_docs)").as("zcr_pm"))
-      .orderBy("rate")
+      .reportSort("rate")
   }
 
   val mmAudioZcrSql: String =
@@ -1031,7 +1032,7 @@ object BinaryPipeline extends QueryModule {
       .select(col("rate"), col("n_docs"),
         expr("_s div n_docs").as("mean_crest_sq_pm"),
         col("max_crest_sq_pm"))
-      .orderBy("rate")
+      .reportSort("rate")
   }
 
   val mmAudioCrestSql: String =
@@ -1206,7 +1207,7 @@ object BinaryPipeline extends QueryModule {
       .join(broadcast(perSeed), "seed")
       .groupBy("source", "bucket")
       .agg(sum(col("n_px")).as("n_px"))
-      .orderBy("source", "bucket")
+      .reportSort("source", "bucket")
   }
 
   val mmImageHistogramSql: String =
@@ -1354,7 +1355,7 @@ object BinaryPipeline extends QueryModule {
         sum(col("n_interior")).as("n_interior"),
         sum(col("n_edge_px")).as("n_edge_px"),
         sum(col("mag_sum")).as("mag_sum"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val mmImageEdgesSql: String =
@@ -1448,7 +1449,7 @@ object BinaryPipeline extends QueryModule {
         sum(col("bits")).as("total_bits"))
       .withColumn("ent_milli_bits_per_px",
         expr("total_bits * 1000 div n_px"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val mmImageEntropySql: String =
@@ -1647,7 +1648,7 @@ object BinaryPipeline extends QueryModule {
       .select(col("bucket"), col("n_images"),
         expr("_sw div n_images").as("avg_waste_pm"),
         col("min_waste_pm"), col("max_waste_pm"), col("scaled_px"))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   val mmImageLetterboxSql: String =
@@ -1725,7 +1726,7 @@ object BinaryPipeline extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         min(col("voiced_pm")).as("min_voiced_pm"),
         max(col("voiced_pm")).as("max_voiced_pm"))
-      .orderBy("rate", "best_lag")
+      .reportSort("rate", "best_lag")
   }
 
   val mmAudioPitchSql: String =

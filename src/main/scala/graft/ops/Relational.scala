@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.Syntax._
 
 /** §2.1 relational/query core — the SortCL sort-transform-report surface
   * re-expressed as declarative DataFrame plans (reference:
@@ -51,7 +52,7 @@ object Relational extends graft.QueryModule {
         avgd(col("l_quantity")).as("avg_qty"),
         avgd(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .reportSort("l_returnflag", "l_linestatus")
 
   val q01Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -95,7 +96,7 @@ object Relational extends graft.QueryModule {
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
         .cast("double").as("revenue"))
-      .orderBy(desc("revenue"), col("l_orderkey"))
+      .reportSort(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
 
@@ -121,7 +122,7 @@ object Relational extends graft.QueryModule {
     o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
+      .reportSort("o_orderpriority")
   }
 
   val q04Sql: String =
@@ -156,7 +157,7 @@ object Relational extends graft.QueryModule {
       .groupBy("n_name")
       .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
         .cast("double").as("revenue"))
-      .orderBy(desc("revenue"), col("n_name"))
+      .reportSort(desc("revenue"), col("n_name"))
   }
 
   val q05Sql: String =
@@ -201,7 +202,7 @@ object Relational extends graft.QueryModule {
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
         rank().over(w).as("rnk"))
       .filter(col("rnk") <= 3)
-      .orderBy("c_nationkey", "rnk", "c_custkey")
+      .reportSort("c_nationkey", "rnk", "c_custkey")
   }
 
   val q07Sql: String =
@@ -236,7 +237,7 @@ object Relational extends graft.QueryModule {
   def q09(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .reportSort(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .limit(25)
 
   val q09Sql: String =
@@ -247,7 +248,7 @@ object Relational extends graft.QueryModule {
   def q10(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .select("c_nationkey", "c_mktsegment").distinct()
-      .orderBy("c_nationkey", "c_mktsegment")
+      .reportSort("c_nationkey", "c_mktsegment")
 
   val q10Sql: String =
     """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
@@ -403,7 +404,7 @@ object Relational extends graft.QueryModule {
       .join(broadcast(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
-      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .reportSort(desc("o_totalprice"), col("o_orderkey"))
       .limit(20)
   }
 
@@ -570,7 +571,7 @@ object Relational extends graft.QueryModule {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
-      .orderBy("p_brand")
+      .reportSort("p_brand")
   }
 
   val q25Sql: String =
@@ -635,7 +636,7 @@ object Relational extends graft.QueryModule {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
-      .orderBy("o_orderstatus")
+      .reportSort("o_orderstatus")
   }
 
   val q26Sql: String =
@@ -675,7 +676,7 @@ object Relational extends graft.QueryModule {
         avg(when(holdsRank(midRank1) || holdsRank(midRank2),
           col("l_quantity"))).as("median_qty"),
         max(when(holdsRank(rank90), col("l_quantity"))).as("p90_qty"))
-      .orderBy("l_returnflag")
+      .reportSort("l_returnflag")
   }
 
   // --------------------------------------------------- q30_date_spine
@@ -697,7 +698,7 @@ object Relational extends graft.QueryModule {
       .groupBy(add_months(col("m0"), col("k")).as("month"))
       .agg(count(lit(1)).as("n_open"),
         sum(col("p")).cast("double").as("open_value"))
-      .orderBy("month")
+      .reportSort("month")
 
   val q30Sql: String =
     """WITH m AS (
@@ -752,7 +753,7 @@ object Relational extends graft.QueryModule {
         col("exact_distinct"))
       .withColumn("err_pm",
         expr("abs(est_distinct - exact_distinct) * 1000 div exact_distinct"))
-      .orderBy("l_returnflag")
+      .reportSort("l_returnflag")
   }
 
   val q31Sql: String =
@@ -813,7 +814,7 @@ object Relational extends graft.QueryModule {
         sum(col("pr_micro")).as("sum_pr_micro"),
         sum(col("cd_micro")).as("sum_cd_micro"),
         sum(col("third_key")).as("third_key_sum"))
-      .orderBy("quartile")
+      .reportSort("quartile")
   }
 
   val q32Sql: String =
@@ -912,7 +913,7 @@ object Relational extends graft.QueryModule {
       .join(broadcast(candidates.toDF("v")), "v")
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > n)
-      .orderBy("v")
+      .reportSort("v")
   }
 
   val q34Sql: String =
@@ -981,7 +982,7 @@ object Relational extends graft.QueryModule {
     OrderStats.bucketedMedian(
       Tables.orders(spark, dir).select("o_orderpriority", "o_totalprice"),
       Seq("o_orderpriority"), "o_totalprice")
-      .orderBy("o_orderpriority")
+      .reportSort("o_orderpriority")
 
   val q29Sql: String =
     """WITH r AS (
@@ -1094,7 +1095,7 @@ object Relational extends graft.QueryModule {
       .join(med, "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("median_cents"),
         col("mad_cents"))
-      .orderBy("l_returnflag")
+      .reportSort("l_returnflag")
   }
 
   val q36Sql: String =
@@ -1162,7 +1163,7 @@ object Relational extends graft.QueryModule {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_pairs"),
         sum(abs(col("c1") - col("c2"))).as("gap_cents_sum"))
-      .orderBy("p_brand")
+      .reportSort("p_brand")
   }
 
   val q38Sql: String =
@@ -1197,7 +1198,7 @@ object Relational extends graft.QueryModule {
     radixLowerMedianWeighted(vals, Seq("l_returnflag"), "cents", col("qty"))
       .select(col("l_returnflag"), col("n").as("total_qty"),
         col("median").as("wmedian_cents"))
-      .orderBy("l_returnflag")
+      .reportSort("l_returnflag")
   }
 
   val q39Sql: String =
@@ -1255,7 +1256,7 @@ object Relational extends graft.QueryModule {
     p.join(cm, "cents")
       .filter(col("p_size") === col("mx") && col("p_size") > col("prevmx"))
       .select(col("p_partkey"), col("cents"), col("p_size"))
-      .orderBy("p_partkey")
+      .reportSort("p_partkey")
   }
 
   val q40Sql: String =
@@ -1295,7 +1296,7 @@ object Relational extends graft.QueryModule {
       .filter(col("c") === col("_mc"))
       .groupBy("l_returnflag")
       .agg(min(col("qty")).as("mode_qty"), max(col("_mc")).as("mode_count"))
-      .orderBy("l_returnflag")
+      .reportSort("l_returnflag")
   }
 
   val q41Sql: String =
@@ -1335,7 +1336,7 @@ object Relational extends graft.QueryModule {
         "p99" -> expr("(99 * n + 99) div 100")))
       .select(col("l_returnflag"), col("n"),
         col("sel").as("quantile"), col("sel_value").as("cents"))
-      .orderBy("l_returnflag", "quantile")
+      .reportSort("l_returnflag", "quantile")
   }
 
   val q42Sql: String =
@@ -1437,7 +1438,7 @@ object Relational extends graft.QueryModule {
         sum(col("cc")).as("total_cents"),
         count(lit(1)).as("n_active_custs"))
       .withColumn("avg_order_cents", expr("total_cents div n_orders"))
-      .orderBy("c_mktsegment")
+      .reportSort("c_mktsegment")
   }
 
   val q44Sql: String =
@@ -1491,7 +1492,7 @@ object Relational extends graft.QueryModule {
       .agg(min(col("c")).as("est_count"))
       .withColumn("over_pm",
         expr("(est_count - true_count) * 1000 div true_count"))
-      .orderBy(col("true_count").desc, col("l_partkey"))
+      .reportSort(col("true_count").desc, col("l_partkey"))
   }
 
   val q45Sql: String =
@@ -1619,7 +1620,7 @@ object Relational extends graft.QueryModule {
         col("revenue_cents"),
         expr("revenue_cents * 1000 div _tot").as("rev_share_pm"),
         expr("_cum * 1000 div _tot").as("cum_share_pm"))
-      .orderBy("decile")
+      .reportSort("decile")
   }
 
   val q47Sql: String =
@@ -1681,7 +1682,7 @@ object Relational extends graft.QueryModule {
       .agg(count(lit(1)).as("n_accounts"),
         sum(col("closing_cents")).as("closing_total_cents"),
         max(col("closing_cents")).as("max_closing_cents"))
-      .orderBy("month")
+      .reportSort("month")
   }
 
   val q48Sql: String =
@@ -1754,7 +1755,7 @@ object Relational extends graft.QueryModule {
       .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
-      .orderBy("p_brand")
+      .reportSort("p_brand")
   }
 
   val q49Sql: String =
@@ -1808,7 +1809,7 @@ object Relational extends graft.QueryModule {
         .select(col("s_suppkey"), col("s_name")),
         col("blocker") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
+      .reportSort(col("numwait").desc, col("s_suppkey")).limit(10)
   }
 
   val q50Sql: String =
@@ -1971,7 +1972,7 @@ object Relational extends graft.QueryModule {
       .select(col("prio"), col("m.p").as("p"), col("m.n").as("n"),
         col("m.lo_cents").as("lo_cents"), col("m.hi_cents").as("hi_cents"),
         col("m.value_milli").as("value_milli"))
-      .orderBy("prio", "p")
+      .reportSort("prio", "p")
   }
 
   val q52Sql: String =
@@ -2081,7 +2082,7 @@ object Relational extends graft.QueryModule {
         (coalesce(col("cnt_not_in"), lit(0L)) =!=
           coalesce(col("cnt_not_exists"), lit(0L))).cast("long")
           .as("poisoned"))
-      .orderBy("regionkey")
+      .reportSort("regionkey")
   }
 
   val q53Sql: String =
@@ -2150,7 +2151,7 @@ object Relational extends graft.QueryModule {
       .agg(count(lit(1)).as("n_listed"),
         array_join(array_sort(collect_list(col("s_name"))), "|")
           .as("names_csv"))
-      .orderBy("n_name")
+      .reportSort("n_name")
   }
 
   val q54Sql: String =
@@ -2202,7 +2203,7 @@ object Relational extends graft.QueryModule {
           .reduceRight(_ otherwise _))
     bucketed.groupBy("grp", "bucket")
       .agg(count(lit(1)).as("n_rows"), max(col("hi_cents")).as("hi_cents"))
-      .orderBy("grp", "bucket")
+      .reportSort("grp", "bucket")
   }
 
   val q55Sql: String =
@@ -2278,7 +2279,7 @@ object Relational extends graft.QueryModule {
       .groupBy("measure")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-      .orderBy("measure")
+      .reportSort("measure")
 
   val q37Sql: String =
     """WITH m AS (
@@ -2357,7 +2358,7 @@ object Relational extends graft.QueryModule {
     rev.withColumn("share_pm",
         expr("rev_cents * 1000 div sum(rev_cents) over " +
           "(partition by regionkey)"))
-      .orderBy("regionkey", "nationkey")
+      .reportSort("regionkey", "nationkey")
   }
 
   val q57Sql: String =
@@ -2405,7 +2406,7 @@ object Relational extends graft.QueryModule {
       .agg(max(col("len")).as("max_streak"),
         countDistinct(when(col("len") >= 3, col("ck"))).as("loyal_3mo"),
         count(lit(1)).as("n_streaks"))
-      .orderBy("seg")
+      .reportSort("seg")
   }
 
   val q58Sql: String =
@@ -2551,7 +2552,7 @@ object Relational extends graft.QueryModule {
       .select(col("seg"), col("max_drawdown_cents"),
         col("_at.m").as("trough_month_idx"),
         col("_at.peak").as("peak_cents"))
-      .orderBy("seg")
+      .reportSort("seg")
   }
 
   val q61Sql: String =
@@ -2668,7 +2669,7 @@ object Relational extends graft.QueryModule {
       .select(col("abc_class"), col("n_parts"), col("rev_cents"),
         expr("rev_cents * 1000 div _tot").as("class_share_pm"),
         col("max_part_share_pm"))
-      .orderBy("abc_class")
+      .reportSort("abc_class")
   }
 
   val q62Sql: String =
@@ -2802,7 +2803,7 @@ object Relational extends graft.QueryModule {
       .select(col("qty_bin"), col("disc_bin"), col("n_rows"),
         col("rev_cents"),
         expr("n_rows * 1000 div tot").as("row_share_pm"))
-      .orderBy("qty_bin", "disc_bin")
+      .reportSort("qty_bin", "disc_bin")
   }
 
   val q64Sql: String =
@@ -2902,7 +2903,7 @@ object Relational extends graft.QueryModule {
     words.groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_words"),
         sum(bit_count(col("bits")).cast("long")).as("n_distinct_parts"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .reportSort("l_returnflag", "l_linestatus")
   }
 
   val q67Sql: String =
@@ -2952,7 +2953,7 @@ object Relational extends graft.QueryModule {
         expr("decayed_1024 * 1000 div (rev_cents * 1024)")
           .as("freshness_pm"),
         col("wt_sum"))
-      .orderBy("seg")
+      .reportSort("seg")
   }
 
   val q68Sql: String =
@@ -3010,7 +3011,7 @@ object Relational extends graft.QueryModule {
       .select(lit(3L).as("gid"), lit("(all)").as("l_returnflag"),
         lit("(all)").as("l_linestatus"), col("n_distinct"))
     fine.unionByName(mid).unionByName(top)
-      .orderBy("gid", "l_returnflag", "l_linestatus")
+      .reportSort("gid", "l_returnflag", "l_linestatus")
   }
 
   val q69Sql: String =
@@ -3073,7 +3074,7 @@ object Relational extends graft.QueryModule {
         expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000)" +
           " div (CAST(n_b1 AS DECIMAL(38,0)) * n_b2) AS BIGINT)")
           .as("lift_pm"))
-      .orderBy("brand1", "brand2")
+      .reportSort("brand1", "brand2")
   }
 
   val q70Sql: String =
@@ -3198,7 +3199,7 @@ object Relational extends graft.QueryModule {
         (col("base_seats") +
           when(col("_rk") <= col("_k"), 1L).otherwise(0L)).as("seats"))
       .withColumn("err_milli", col("seats") * 1000 - col("quota_milli"))
-      .orderBy("nationkey")
+      .reportSort("nationkey")
   }
 
   val q72Sql: String =

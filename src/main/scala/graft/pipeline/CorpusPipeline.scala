@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
+import graft.Syntax._
 
 /** End-to-end training-corpus preparation — the composition the
   * individual §2.6/§2.8 operators exist for, as ONE declarative plan:
@@ -61,7 +62,7 @@ object CorpusPipeline extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         min(col("_score")).as("min_score"),
         max(col("_score")).as("max_score"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val pipeCorpusFilterSql: String = {
@@ -748,7 +749,7 @@ object CorpusPipeline extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
       .crossJoin(broadcast(x.agg(count(lit(1)).as("n_cross_pairs"))))
       .select("split", "n_docs", "n_tokens", "n_cross_pairs")
-      .orderBy("split")
+      .reportSort("split")
   }
 
   val pipeSplitByClusterSql: String =
@@ -845,7 +846,7 @@ object CorpusPipeline extends QueryModule {
         sum(when(!col("in_list") && !col("bad_tld"), 1L).otherwise(0L))
           .as("n_kept"))
       .withColumn("kept_pm", expr("n_kept * 1000 div n_docs"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val pipeDomainFilterSql: String =
@@ -929,7 +930,7 @@ object CorpusPipeline extends QueryModule {
         sum(when(col("k") > 1, col("k")).otherwise(0L))
           .as("n_in_dup_families"),
         max(col("k")).as("max_family"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val pipeUrlCanonicalSql: String =
@@ -1146,7 +1147,7 @@ object CorpusPipeline extends QueryModule {
           .as("n_docs"),
         sum(when(col("n_chars") >= col("threshold"), col("nt"))
           .otherwise(0L)).as("n_tokens"))
-      .orderBy("threshold")
+      .reportSort("threshold")
   }
 
   val pipeFilterSweepSql: String =
@@ -1226,7 +1227,7 @@ object CorpusPipeline extends QueryModule {
       .select(col("alpha_pm").cast("long").as("alpha_pm"), col("lang"),
         col("n_docs"), col("w"),
         expr("w * 1000 div _tot").as("share_pm"))
-      .orderBy("alpha_pm", "lang")
+      .reportSort("alpha_pm", "lang")
   }
 
   val pipeMixAlphaCurveSql: String =
@@ -1272,7 +1273,7 @@ object CorpusPipeline extends QueryModule {
         Window.partitionBy(pmod(col("_h"), lit(1)))
           .orderBy(col("_h"), col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("lang"))
-      .orderBy("rank")
+      .reportSort("rank")
   }
 
   val pipeSampleFixedSql: String =
@@ -1312,7 +1313,7 @@ object CorpusPipeline extends QueryModule {
           .as("truncated_tokens"))
       .withColumn("waste_pm",
         expr("pad_tokens * 1000 div (pad_tokens + tokens_kept)"))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   val pipePadWasteSql: String =
@@ -1412,7 +1413,7 @@ object CorpusPipeline extends QueryModule {
         expr("tokens * 1000 div _tt").as("raw_pm"),
         expr("_w * 1000 div _tw").as("smoothed_pm"))
       .withColumn("boost_pm", col("smoothed_pm") - col("raw_pm"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val pipeMixTemperatureSql: String =
@@ -1454,8 +1455,14 @@ object CorpusPipeline extends QueryModule {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    // the quality-gated frame feeds several consumers (the exact-dedup
+    // agg, the semi-join probe, its own stat row, and through s3 the
+    // near-dup pass) — materialize it once instead of re-running the
+    // quality scan per consumer (the md5 stage itself stays in the
+    // plan: R9dOpsSpec pins that exact dedup keys on the digest)
     val s2 = docs
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .localCheckpoint()
     val keepers = s2.groupBy(md5(col("text")).as("_k"))
       .agg(min(col("doc_id")).as("_keep"))
     val s3 = s2.join(keepers, col("doc_id") === col("_keep"),
@@ -1474,7 +1481,7 @@ object CorpusPipeline extends QueryModule {
       .crossJoin(broadcast(raw))
       .select(col("stage"), col("name"), col("n_docs"),
         col("n_tokens"), expr("n_docs * 1000 div _raw").as("keep_pm"))
-      .orderBy("stage")
+      .reportSort("stage")
   }
 
   // -------------------------------------------- pipe_quality_survival
@@ -1548,7 +1555,7 @@ object CorpusPipeline extends QueryModule {
         liIndep.join(ord.filter(col("_ikeep"))
             .select(col("o_orderkey").as("l_orderkey")),
           Seq("l_orderkey"), "left_anti")))
-      .orderBy("tbl")
+      .reportSort("tbl")
   }
 
   val pipeCoherentSampleSql: String =
@@ -1668,7 +1675,7 @@ object CorpusPipeline extends QueryModule {
         col("sat").as("saturated"),
         col("_lvl").as("fill_level"))
       .withColumn("take_pm", expr("alloc * 1000 div cap"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val pipeWaterfillBudgetSql: String =
@@ -1851,7 +1858,7 @@ object CorpusPipeline extends QueryModule {
         fails(col("r5")).as("fail_toptoken"),
         sum(when(col("r1") && col("r2") && col("r3") && col("r4") &&
           col("r5"), 1L).otherwise(0L)).as("n_keep"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val pipeGopherRulesSql: String =
@@ -1965,7 +1972,7 @@ object CorpusPipeline extends QueryModule {
     per.withColumn("share_pm",
         expr("tokens_weighted_milli * 1000 div " +
           "sum(tokens_weighted_milli) over ()"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val pipeFreshnessDecaySql: String =
@@ -2016,7 +2023,7 @@ object CorpusPipeline extends QueryModule {
       .join(qs, "lang")
       .withColumn("dup_pm",
         expr("(n_docs - n_unique) * 1000 div n_docs"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val pipeDatasheetSql: String =
@@ -2230,7 +2237,7 @@ object CorpusPipeline extends QueryModule {
       // shares — no signed division ever happens, so no engine skew
       .withColumn("drift_pm",
         col("share_after_pm") - col("share_before_pm"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val pipeDedupMixShiftSql: String =
@@ -2287,7 +2294,7 @@ object CorpusPipeline extends QueryModule {
       .select(col("source"), col("max_len"), col("n_docs"),
         col("n_tokens"), col("docs_truncated"), col("tokens_dropped"),
         expr("tokens_dropped * 1000 div n_tokens").as("dropped_pm"))
-      .orderBy("source", "max_len")
+      .reportSort("source", "max_len")
   }
 
   val pipeTruncationWasteSql: String =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** Embedding storage operators for 100 TB-scale vector corpora.
   *
@@ -201,7 +202,7 @@ object EmbOps extends QueryModule {
       .groupBy("prefix_dims")
       .agg(count(lit(1)).as("n_vecs"), sum(col("pm")).as("sum_pm"),
         min(col("pm")).as("min_pm"))
-      .orderBy("prefix_dims")
+      .reportSort("prefix_dims")
   }
 
   val embMatryoshkaSql: String =
@@ -258,7 +259,7 @@ object EmbOps extends QueryModule {
           col("n_hits"), col("min_hits"))
     }
     audit(8).unionByName(audit(16)).unionByName(audit(32))
-      .orderBy("trunc_dims")
+      .reportSort("trunc_dims")
   }
 
   val embMatryoshkaRecallSql: String = {
@@ -659,7 +660,7 @@ object EmbOps extends QueryModule {
         max(col("c")).as("max_multiplicity"))
       .withColumn("dup_pm",
         expr("(n_vecs - n_distinct) * 1000 div n_vecs"))
-      .orderBy("label")
+      .reportSort("label")
   }
 
   val embDupVectorsSql: String =
@@ -689,7 +690,7 @@ object EmbOps extends QueryModule {
       .agg(count(lit(1)).as("n_vecs"),
         min(col("vec_id")).as("min_id"),
         max(col("vec_id")).as("max_id"))
-      .orderBy(asc_nulls_first("norm_bucket"))
+      .reportSort(asc_nulls_first("norm_bucket"))
   }
 
   val embNormAuditSql: String =
@@ -741,7 +742,7 @@ object EmbOps extends QueryModule {
         // across engines; |Σa·n_b − Σb·n_a| is exact and sign-safe
         abs(col("sum_a_milli") * col("n_b") -
           col("sum_b_milli") * col("n_a")).as("shift_x"))
-      .orderBy("dim")
+      .reportSort("dim")
 
   val embDriftSql: String =
     """WITH dims AS (SELECT UNNEST(range(8)) AS dim),
@@ -796,7 +797,7 @@ object EmbOps extends QueryModule {
         .orderBy(desc("score"), col("vec_id"))).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("label"), col("rnk"), col("vec_id"), col("score"))
-      .orderBy("label", "rnk")
+      .reportSort("label", "rnk")
   }
 
   val embOutliersSql: String =
@@ -892,7 +893,7 @@ object EmbOps extends QueryModule {
       .select(col("label"), col("n"),
         expr("(sum_s_pm + 1000 * n) div n - 1000").as("mean_s_pm"),
         col("min_s_pm"), col("n_misrouted"))
-      .orderBy("label")
+      .reportSort("label")
   }
 
   val embSilhouetteSql: String =
@@ -961,7 +962,7 @@ object EmbOps extends QueryModule {
       .select(col("cell"), col("n"),
         (col("ins") * col("n2")).as("inertia_seed_xn"),
         col("inertia_mean_xn"))
-      .orderBy("cell")
+      .reportSort("cell")
   }
 
   val knnKmeansRefineSql: String =
@@ -1040,7 +1041,7 @@ object EmbOps extends QueryModule {
         sum(col("qi") * col("qj")).as("sum_qij"))
       .withColumn("cov_xn2",
         col("n") * col("sum_qij") - col("sum_qi") * col("sum_qj"))
-      .orderBy("i", "j")
+      .reportSort("i", "j")
   }
 
   val embCovarianceSql: String =
@@ -1098,7 +1099,7 @@ object EmbOps extends QueryModule {
       .agg(count(lit(1)).as("n"), sum(col("c")).as("v1_q"))
       .withColumn("v0",
         element_at(typedLit(v0.map(_.toLong)), col("d").cast("int")))
-      .orderBy("d")
+      .reportSort("d")
   }
 
   val embPowerIterSql: String = {
@@ -1300,7 +1301,7 @@ object EmbOps extends QueryModule {
         sum((abs(col("v")) < 1).cast("long")).as("n_dead"))
       .withColumn("var_num",
         expr("n * sumsq_milli - sum_milli * sum_milli"))
-      .orderBy("dim")
+      .reportSort("dim")
   }
 
   val embDimStatsSql: String =
@@ -1344,7 +1345,7 @@ object EmbOps extends QueryModule {
     b.join(h, Seq("qid", "nid"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("_m"), lit(0L))).as("n_hits"))
-      .orderBy("qid")
+      .reportSort("qid")
   }
 
   val knnRecallBinarySql: String =

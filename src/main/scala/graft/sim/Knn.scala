@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.dedup.Dedup.fastDot
 import graft.expr.VectorExprs
+import graft.Syntax._
 
 /** §2.7 similarity search over an embedding column.
   *
@@ -491,7 +492,7 @@ object Knn extends QueryModule {
     e.join(closed, Seq("a", "b"), "left")
       .withColumn("support", coalesce(col("support"), lit(0L)))
       .groupBy("support").agg(count(lit(1)).as("n_edges"))
-      .orderBy("support")
+      .reportSort("support")
   }
 
   val knnEdgeSupportSql: String =
@@ -634,7 +635,7 @@ object Knn extends QueryModule {
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("r").as("r_ppb"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
-      .orderBy(desc("r_ppb"), col("vec_id")).limit(10)
+      .reportSort(desc("r_ppb"), col("vec_id")).limit(10)
   }
 
   /** 6 unrolled superstep CTEs (recursive CTEs disallow the
@@ -926,7 +927,9 @@ object Knn extends QueryModule {
     * join is trivia next to the searches themselves — this runs as a
     * continuous canary over a sampled query set in production. */
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // both audits probe the same exact-brute baseline — derive it once
     val brute = knnBrute(spark, dir).select("qid", "nid")
+      .localCheckpoint()
     def audit(method: String, approx: DataFrame): DataFrame =
       brute.join(
           approx.select(col("qid"), col("nid"), lit(1L).as("hit")),
@@ -939,7 +942,7 @@ object Knn extends QueryModule {
           col("n_hits"), col("min_hits"))
     audit("centroid", knnCentroid(spark, dir))
       .unionByName(audit("lsh", knnLsh(spark, dir)))
-      .orderBy("method")
+      .reportSort("method")
   }
 
   val knnRecallSql: String =
@@ -975,10 +978,38 @@ object Knn extends QueryModule {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val brute = knnBrute(spark, dir).select("qid", "nid")
-    def audit(p: Int): DataFrame =
-      brute.join(
-          centroidKnn(emb, emb.filter(col("vec_id") < 10), 5, nProbe = p)
-            .select(col("qid"), col("nid"), lit(1L).as("hit")),
+      .localCheckpoint() // 3 audit consumers
+    // Probe sets NEST (the same fact the sweep's monotonicity reading
+    // relies on), so the three [[centroidKnn]] compositions collapse
+    // to ONE candidate pass at the largest probe count with the probe
+    // rank kept per candidate; recall@p then re-ranks the SKINNY
+    // scored frame filtered to prk ≤ p — identical results (each
+    // corpus vector lives in exactly one cell, so a candidate pair
+    // appears once, with one probe rank), one IVF pipeline instead of
+    // three. The r12-before form re-built normalize/seed/assign/score
+    // per probe point (3× the candidate work for nested subsets).
+    val n = normalizedWithLabel(
+      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
+    val seeds = seedCells(n)
+    val assigned = rankedSeedCells(n, seeds)
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val probes = rankedSeedCells(
+        normalizedWithLabel(emb.filter(col("vec_id") < 10)), seeds)
+      .filter(col("_rk") <= 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"),
+        col("_rk").as("prk"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("prk"), col("vec_id").as("nid"),
+        fastDot(col("qe"), col("e")).as("c"))
+      .localCheckpoint() // ≤ q·(3 cells' members) skinny rows, 3 consumers
+    def audit(p: Int): DataFrame = {
+      val knn = scored.filter(col("prk") <= p)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), col("nid"))))
+        .filter(col("rank") <= 5)
+      brute.join(knn.select(col("qid"), col("nid"), lit(1L).as("hit")),
           Seq("qid", "nid"), "left")
         .groupBy("qid")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
@@ -986,6 +1017,7 @@ object Knn extends QueryModule {
           min(col("hits")).as("min_hits"))
         .select(lit(p).as("n_probe"), col("n_queries"), col("n_hits"),
           col("min_hits"))
+    }
     (1 to 3).map(audit).reduce(_.unionByName(_)).orderBy("n_probe")
   }
 
@@ -1099,7 +1131,7 @@ object Knn extends QueryModule {
         Window.partitionBy("qid").orderBy(desc("c"), col("nid"))))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("stage1_rank"))
-      .orderBy("qid", "rank")
+      .reportSort("qid", "rank")
   }
 
   val knnRerankSql: String =
@@ -1175,7 +1207,7 @@ object Knn extends QueryModule {
         sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
           .as("n_agree"))
       .withColumn("agree_pm", expr("n_agree * 1000 div n_queries"))
-      .orderBy("label")
+      .reportSort("label")
   }
 
   val knnLooLabelSql: String =
@@ -1430,8 +1462,9 @@ object Knn extends QueryModule {
     * integer ratio in per-mille. The audit join is ≤ q·k rows — a
     * production canary beside [[knnRecall]] and [[knnProbeSweep]]. */
   def knnMrr(spark: SparkSession, dir: String): DataFrame = {
+    // both audits probe the same exact-brute baseline — derive it once
     val top1 = knnBrute(spark, dir).filter(col("rank") === 1)
-      .select("qid", "nid")
+      .select("qid", "nid").localCheckpoint()
     def audit(method: String, approx: DataFrame): DataFrame =
       top1.join(
           approx.select(col("qid"), col("nid"),
@@ -1447,7 +1480,7 @@ object Knn extends QueryModule {
           expr("rr60_sum * 1000 div (60 * n_queries)").as("mrr_pm"))
     audit("centroid", knnCentroid(spark, dir))
       .unionByName(audit("lsh", knnLsh(spark, dir)))
-      .orderBy("method")
+      .reportSort("method")
   }
 
   val knnMrrSql: String =
@@ -1490,9 +1523,14 @@ object Knn extends QueryModule {
     * window, nothing rescans the corpus. */
   def knnRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // all three retrieval lists are ≤ q·k rows but EXPENSIVE to derive
+    // (PQ codebook + ADC scan; sign-bit Hamming scan; exact brute) and
+    // each feeds 2+ consumers (fusion + its own panel row; t1 feeds
+    // every panel) — materialize each once
     val pq = EmbOps.knnPqAdcFor(spark, dir, col("vec_id") < 10)
-      .select("qid", "nid", "rank")
+      .select("qid", "nid", "rank").localCheckpoint()
     val hm = EmbOps.embHammingTopK(spark, dir).select("qid", "nid", "rank")
+      .localCheckpoint()
     val lists = pq.unionByName(hm)
       .select(col("qid"), col("nid"),
         expr("1000000 div (60 + cast(rank as bigint))").as("pts"))
@@ -1503,6 +1541,7 @@ object Knn extends QueryModule {
       .filter(col("rank") <= 5)
     val t1 = knnBrute(spark, dir).filter(col("rank") === 1)
       .select(col("qid"), col("nid").as("true_nid"))
+      .localCheckpoint()
     def panel(method: String, list: DataFrame) =
       t1.join(list.select(col("qid").as("lqid"), col("nid").as("lnid")),
           col("qid") === col("lqid") && col("true_nid") === col("lnid"),
@@ -1515,7 +1554,7 @@ object Knn extends QueryModule {
     panel("fused", fused)
       .unionByName(panel("hamming", hm))
       .unionByName(panel("pq_adc", pq))
-      .orderBy("method")
+      .reportSort("method")
   }
 
   val knnRrfFusionSql: String =
@@ -1644,7 +1683,7 @@ object Knn extends QueryModule {
         expr("(n_before - n_deleted) * 1000 div n_before")
           .as("live_pm"))
       .withColumn("compact", col("live_pm") < 800)
-      .orderBy("cell")
+      .reportSort("cell")
   }
 
   val knnTombstoneAuditSql: String =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** §2.10 file source/sink round-trips, driver-verified: data written
   * through the sink and read back must aggregate identically to the
@@ -38,7 +39,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total"))
-      .orderBy("o_orderstatus")
+      .reportSort("o_orderstatus")
   }
 
   val delimitedRoundtripSql: String =
@@ -61,7 +62,7 @@ object SourceQueries extends QueryModule {
       .select(col("n_nationkey").cast("int").as("n_nationkey"),
         col("n_name"),
         col("n_regionkey").cast("int").as("n_regionkey"))
-      .orderBy("n_nationkey")
+      .reportSort("n_nationkey")
   }
 
   val fixedWidthRoundtripSql: String =
@@ -92,7 +93,7 @@ object SourceQueries extends QueryModule {
       .select(col("n_nationkey"),
         length(col("comment")).as("clen"),
         md5(col("comment")).as("cmd5"))
-      .orderBy("n_nationkey")
+      .reportSort("n_nationkey")
   }
 
   val multilineCsvRoundtripSql: String =
@@ -126,7 +127,7 @@ object SourceQueries extends QueryModule {
       .select(split(col("value"), "\\|").as("p"))
       .select(col("p").getItem(0).cast("int").as("n_nationkey"),
         col("p").getItem(1).as("n_name"))
-      .orderBy("n_nationkey")
+      .reportSort("n_nationkey")
   }
 
   val gzipTextRoundtripSql: String =
@@ -208,7 +209,7 @@ object SourceQueries extends QueryModule {
           .cast("string").as("n_name"),
         regexp_extract(col("value"), "(?m)^regionkey: (.*)$", 1)
           .cast("int").as("n_regionkey"))
-      .orderBy("n_nationkey")
+      .reportSort("n_nationkey")
   }
 
   val ldifRoundtripSql: String =
@@ -263,7 +264,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n_msgs"),
         sum(col("doc_id")).as("sum_doc_id"),
         sum(length(col("body"))).as("sum_body_chars"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val mboxIngestSql: String =
@@ -322,7 +323,7 @@ object SourceQueries extends QueryModule {
         sum(col("procid")).as("sum_event_id"),
         expr("min(unix_micros(cast(ts as timestamp))) div 1000000")
           .as("first_ts_s"))
-      .orderBy("severity")
+      .reportSort("severity")
   }
 
   val syslogIngestSql: String =
@@ -351,7 +352,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total"))
-      .orderBy("o_orderstatus")
+      .reportSort("o_orderstatus")
   }
 
   val xmlRoundtripSql: String =
@@ -373,7 +374,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total"))
-      .orderBy("o_orderstatus")
+      .reportSort("o_orderstatus")
   }
 
   val orcRoundtripSql: String =
@@ -446,7 +447,7 @@ object SourceQueries extends QueryModule {
     }
     SheetRange.read(spark, s"'Sheet1'!A1:B10,HEADER;$f")
       .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
-      .orderBy("n_nationkey")
+      .reportSort("n_nationkey")
   }
 
   val sheetRangeSql: String =
@@ -483,7 +484,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total"))
-      .orderBy("o_orderstatus")
+      .reportSort("o_orderstatus")
   }
 
   val avroRoundtripSql: String =
@@ -529,7 +530,7 @@ object SourceQueries extends QueryModule {
       .select(col("n_nationkey").cast("int").as("n_nationkey"),
         col("n_name"),
         col("n_regionkey").cast("int").as("n_regionkey"))
-      .orderBy("n_nationkey")
+      .reportSort("n_nationkey")
   }
 
   val ebcdicFixedwidthSql: String =
@@ -568,7 +569,7 @@ object SourceQueries extends QueryModule {
         col("amount_cents"))
       .groupBy("occurrence")
       .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("total_cents"))
-      .orderBy("occurrence")
+      .reportSort("occurrence")
   }
 
   val cobolOccursSql: String =
@@ -738,7 +739,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("doc_id")).as("id_total"),
         sum(col("text_chars")).as("text_total"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val recfmVbSql: String =
@@ -777,7 +778,7 @@ object SourceQueries extends QueryModule {
         sum(coalesce(col("price_cents"), lit(0L))).as("total_cents"))
       .select(col("batch").cast("long").as("batch"), col("n"),
         col("n_missing"), col("total_cents"))
-      .orderBy("batch")
+      .reportSort("batch")
   }
 
   val schemaEvolutionSql: String =
@@ -865,7 +866,7 @@ object SourceQueries extends QueryModule {
         sum(graft.mask.MaskFunctions.portableHash(col("text")))
           .as("payload_hash"),
         min(col("url")).as("first_url"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val warcIngestSql: String =
@@ -901,7 +902,7 @@ object SourceQueries extends QueryModule {
       .join(broadcast(names), col("_nk") === col("n_nationkey"))
       .select(col("id"), col("n_name").as("name"),
         col("amount_cents"), col("gen_date"))
-      .orderBy("id")
+      .reportSort("id")
   }
 
   val rowGenSql: String =
@@ -952,7 +953,7 @@ object SourceQueries extends QueryModule {
         sum(when(col("_bad").isNull,
           col("o_totalprice").cast(DecimalType(18, 2)))).cast("double")
           .as("total_good"))
-      .orderBy("o_orderstatus")
+      .reportSort("o_orderstatus")
   }
 
   val malformedAuditSql: String =
@@ -990,7 +991,7 @@ object SourceQueries extends QueryModule {
       .agg(count(lit(1)).as("n"), count(col("k")).as("n_valid"),
         sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   val srcJsonFlattenSql: String =
@@ -1054,7 +1055,7 @@ object SourceQueries extends QueryModule {
       .filter(col("mn") === col("mx") && col("mn") > 0)
       .select(col("dialect_id"), col("cand").as("detected_delim"),
         col("n_lines"), (col("mn") + 1).cast("long").as("fields_per_line"))
-      .orderBy("dialect_id")
+      .reportSort("dialect_id")
   }
 
   val srcDialectSniffSql: String =
@@ -1099,7 +1100,7 @@ object SourceQueries extends QueryModule {
         sum(col("n_nationkey").cast("long")).as("key_sum"),
         sum(when(col("n_regionkey").isNull, 1L).otherwise(0L))
           .as("n_null_region"))
-      .orderBy("file_id")
+      .reportSort("file_id")
   }
 
   val srcHeaderReorderSql: String =
@@ -1302,7 +1303,7 @@ object SourceQueries extends QueryModule {
         min(col("y16")).as("y_min"), max(col("y16")).as("y_max"))
       .withColumn("bbox_area",
         expr("(x_max - x_min + 1) * (y_max - y_min + 1)"))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   private val zTermsSql: String = (0 until 16).map { i =>
@@ -1369,7 +1370,7 @@ object SourceQueries extends QueryModule {
           .as("count_ok"),
         when(col("sum_expected") <=> col("sum_read"), 1L).otherwise(0L)
           .as("checksum_ok"))
-      .orderBy("o_orderpriority")
+      .reportSort("o_orderpriority")
   }
 
   val srcSidecarChecksumSql: String =
@@ -1422,7 +1423,7 @@ object SourceQueries extends QueryModule {
         sum(expr("bit_count(bits)")).as("card"),
         sum(expr("bit_count(bits & coalesce(hbits, CAST(0 AS BIGINT)))"))
           .as("card_high"))
-      .orderBy("segment")
+      .reportSort("segment")
   }
 
   val srcBitmapIndexSql: String =
@@ -1478,7 +1479,7 @@ object SourceQueries extends QueryModule {
         col("max_run"),
         expr("n_runs * 1000 div n_rows").as("runs_pm"),
         col("n_mismatch"))
-      .orderBy("status")
+      .reportSort("status")
   }
 
   val srcRleRoundtripSql: String =
@@ -1662,7 +1663,7 @@ object SourceQueries extends QueryModule {
         max(col("stats_max")).as("stats_max"))
       .withColumn("pruned",
         col("stats_max") < lit(lo) || col("stats_min") > lit(hi))
-      .orderBy("bucket")
+      .reportSort("bucket")
   }
 
   val srcRowgroupPruneSql: String =
@@ -1845,7 +1846,7 @@ object SourceQueries extends QueryModule {
       .filter(col("_rn") === 1 && col("action") === "add")
       .select(col("file_id"), col("version").as("added_version"),
         col("n_rows"))
-      .orderBy("file_id")
+      .reportSort("file_id")
   }
 
   val srcCommitLogSnapshotSql: String =
@@ -1906,7 +1907,7 @@ object SourceQueries extends QueryModule {
           .otherwise("recent_remove").as("state"))
       .withColumn("vacuum",
         col("state").isin("orphan", "expired_remove"))
-      .orderBy("file_id")
+      .reportSort("file_id")
   }
 
   val srcDeltaVacuumSql: String =
@@ -1968,7 +1969,7 @@ object SourceQueries extends QueryModule {
         expr("((plain_b - dict_b) * 1000 + 16000 * plain_b)" +
           " div plain_b - 16000"))
       .withColumn("use_dict", col("saving_pm") > 0)
-      .orderBy("col_name")
+      .reportSort("col_name")
   }
 
   val srcDictEfficiencySql: String =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** §2.5 streaming analytics.
   *
@@ -256,7 +257,7 @@ object EventStreams extends QueryModule {
       .groupBy(col("event_type"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("total_value"))
-      .orderBy("event_type", "c_mktsegment")
+      .reportSort("event_type", "c_mktsegment")
 
   val strStaticEnrichSql: String =
     """SELECT event_type, c_mktsegment, COUNT(*) AS n_events,
@@ -286,7 +287,7 @@ object EventStreams extends QueryModule {
 
   def strTopkWindowed(spark: SparkSession, dir: String): DataFrame =
     topkWindowed(Tables.events(spark, dir), 2)
-      .orderBy("window_start", "rnk")
+      .reportSort("window_start", "rnk")
 
   val strTopkWindowedSql: String =
     """SELECT window_start, event_type, cnt, CAST(rnk AS INTEGER) AS rnk
@@ -439,7 +440,7 @@ object EventStreams extends QueryModule {
 
   def strTransitions(spark: SparkSession, dir: String): DataFrame =
     transitions(Tables.events(spark, dir))
-      .orderBy("from_type", "to_type")
+      .reportSort("from_type", "to_type")
 
   val strTransitionsSql: String =
     """WITH o AS (
@@ -487,7 +488,7 @@ object EventStreams extends QueryModule {
         sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
           .otherwise(0L)).as("n_anomalies"),
         max(col("dev")).as("max_dev"))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   val strAnomalySql: String =
@@ -958,7 +959,7 @@ object EventStreams extends QueryModule {
           " (CAST(n AS DECIMAL(38,0)) * sdd -" +
           " CAST(sd AS DECIMAL(38,0)) * sd)) END AS BIGINT)")
           .as("slope_micro"))
-      .orderBy("grp", "day")
+      .reportSort("grp", "day")
   }
 
   val strRunningSlopeSql: String =
@@ -1033,7 +1034,7 @@ object EventStreams extends QueryModule {
       .agg(count(lit(1)).as("n_segments"),
         min(col("m")).as("min_mean_c"),
         max(col("m")).as("max_mean_c"))
-      .orderBy("grp", "symbol")
+      .reportSort("grp", "symbol")
   }
 
   val strSaxSymbolsSql: String =
@@ -1997,7 +1998,7 @@ object EventStreams extends QueryModule {
         sum(col("v") * 1000).as("true_milli"),
         sum(col("err_milli")).as("abs_err_milli"),
         max(col("err_milli")).as("max_err_milli"))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   val strInterpolateSql: String =

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.Syntax._
 
 /** §2.8 text analysis for training-data pipelines. All scalar
   * expressions over builtins (codegen'd, shuffle-free map passes). */
@@ -143,7 +144,7 @@ object TextAnalysis extends QueryModule {
     cell.join(broadcast(tot), "lang")
       .select(col("lang"), col("predicted"), col("n"),
         expr("n * 1000 div _t").as("share_pm"))
-      .orderBy("lang", "predicted")
+      .reportSort("lang", "predicted")
   }
 
   val txtLangConfusionSql: String =
@@ -192,7 +193,7 @@ object TextAnalysis extends QueryModule {
         Window.partitionBy("lang").orderBy(desc("n"), col("bigram"))))
       .filter(col("rnk") <= 3)
       .select(col("lang"), col("bigram"), col("n"), col("rnk"))
-      .orderBy("lang", "rnk")
+      .reportSort("lang", "rnk")
   }
 
   val txtTopBigramsSql: String =
@@ -228,7 +229,7 @@ object TextAnalysis extends QueryModule {
         col("token_mass"),
         floor((col("top_token_n") * 1000L).cast("double") /
           col("token_mass").cast("double")).as("top_share_pm"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val txtVocabStatsSql: String =
@@ -290,7 +291,7 @@ object TextAnalysis extends QueryModule {
         Window.partitionBy("lang").orderBy(desc("nxy"), col("bigram"))))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("bigram"), col("nxy"), col("lift"), col("rnk"))
-      .orderBy("lang", "rnk")
+      .reportSort("lang", "rnk")
   }
 
   val txtCollocationsSql: String =
@@ -431,7 +432,7 @@ object TextAnalysis extends QueryModule {
       .filter(col("rank") <= 5)
       .select(col("lang"), col("w").as("term"), col("tf"), col("df"),
         col("lift_pm"), col("rank"))
-      .orderBy("lang", "rank")
+      .reportSort("lang", "rank")
   }
 
   val txtTfidfSql: String =
@@ -490,7 +491,7 @@ object TextAnalysis extends QueryModule {
         sum(col("pm")).as("sum_pm"),
         max(col("pm")).as("max_pm"),
         sum(when(col("pm") >= 100, 1L).otherwise(0L)).as("n_repetitive"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val txtRepetitionSql: String =
@@ -563,7 +564,7 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("mean_rank")).as("sum_mean_rank"),
         max(col("mean_rank")).as("max_mean_rank"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val txtRaritySql: String =
@@ -610,7 +611,7 @@ object TextAnalysis extends QueryModule {
         expr("sa * 1000 div sc").as("alpha_pm"),
         expr("sd * 1000 div sc").as("digit_pm"),
         expr("ss * 1000 div sc").as("space_pm"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val txtCharClassesSql: String =
@@ -731,7 +732,7 @@ object TextAnalysis extends QueryModule {
           col("total_tokens")).as("tokens_covered"))
       .withColumn("coverage_pm",
         expr("tokens_covered * 1000 div total_tokens"))
-      .orderBy("k")
+      .reportSort("k")
   }
 
   val txtVocabCoverageSql: String =
@@ -781,7 +782,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("fk_grade_milli",
         expr("390 * n_words div n_sentences " +
           "+ 11800 * n_syllables div n_words - 15590"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val txtReadabilitySql: String =
@@ -828,7 +829,7 @@ object TextAnalysis extends QueryModule {
       .select(col("lang"), col("vocab_size"), col("n_hapax"),
         col("total_tokens"),
         expr("n_hapax * 1000 div vocab_size").as("hapax_pm"))
-      .orderBy("lang")
+      .reportSort("lang")
 
   val txtHapaxSql: String =
     """WITH tf AS (
@@ -872,7 +873,7 @@ object TextAnalysis extends QueryModule {
         col("n_replacement"), col("n_mojibake"),
         expr("(n_ctrl + n_replacement + n_mojibake) * 1000 div n_docs")
           .as("suspect_pm"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val txtEncodingAuditSql: String =
@@ -971,7 +972,7 @@ object TextAnalysis extends QueryModule {
         .cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("lang"), col("rnk"), col("pair"), col("n"))
-      .orderBy("lang", "rnk")
+      .reportSort("lang", "rnk")
   }
 
   val txtBpePairsSql: String =
@@ -1014,7 +1015,7 @@ object TextAnalysis extends QueryModule {
     bpeShared(spark, dir).filter(col("kind") === "m")
       .select(col("lang"), col("round"), col("x").as("pair_left"),
         col("y").as("pair_right"), col("n"))
-      .orderBy("lang", "round")
+      .reportSort("lang", "round")
 
   /** The K-round trainer core over any (lang, text) frame. */
   def bpeTrain(docs: DataFrame, k: Int): DataFrame =
@@ -1115,7 +1116,7 @@ object TextAnalysis extends QueryModule {
         sum(col("wn") * col("n_chars")).as("chars"),
         sum(col("wn") * col("n_sym")).as("symbols"))
       .withColumn("symbols_per_kchar", expr("symbols * 1000 div chars"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   /** Oracle replays the identical K merges: same sentinel encoding,
@@ -1210,7 +1211,7 @@ object TextAnalysis extends QueryModule {
         col("n").as("n2"))), "s2")
       .select(col("s1"), col("s2"), col("i"), col("n1"), col("n2"),
         expr("i * 1000 div (n1 + n2 - i)").as("jaccard_pm"))
-      .orderBy("s1", "s2")
+      .reportSort("s1", "s2")
   }
 
   val txtSourceOverlapSql: String =
@@ -1252,7 +1253,7 @@ object TextAnalysis extends QueryModule {
           .orderBy(desc("freq"), col("token"))))
       .select(col("rank"), col("token"), col("freq"),
         (col("rank").cast("long") * col("freq")).as("rank_freq"))
-      .orderBy("rank")
+      .reportSort("rank")
   }
 
   val txtZipfSql: String =
@@ -1351,7 +1352,7 @@ object TextAnalysis extends QueryModule {
         sum(coalesce(col("_d"), lit(0L))).over(cum).as("docs_n"),
         sum(coalesce(col("_t"), lit(0L))).over(cum).as("tokens_n"),
         sum(coalesce(col("_v"), lit(0L))).over(cum).as("vocab_n"))
-      .orderBy("decile")
+      .reportSort("decile")
   }
 
   val txtHeapsSql: String =
@@ -1602,7 +1603,7 @@ object TextAnalysis extends QueryModule {
         expr("n_code_docs * 1000 div n_docs").as("code_doc_pm"),
         expr("_cs div n_docs").as("avg_code_pm"),
         expr("_is div n_docs").as("avg_indent_pm"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val txtCodeRatioSql: String =
@@ -1672,7 +1673,7 @@ object TextAnalysis extends QueryModule {
           .as("n_high_docs"))
       .withColumn("mean_surprisal_milli",
         expr("surprisal_bits * 1000 div n_tokens"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val txtSurprisalSql: String =
@@ -1747,7 +1748,7 @@ object TextAnalysis extends QueryModule {
           .as("n_high_docs"))
       .withColumn("mean_surprisal_milli",
         expr("surprisal_bits * 1000 div n_bigrams"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val txtBigramSurprisalSql: String =
@@ -1820,7 +1821,7 @@ object TextAnalysis extends QueryModule {
         sum(length(col("nfc"))).as("chars_after"),
         sum(expr("CAST(conv(substring(md5(nfc), 1, 8), 16, 10) AS BIGINT)"))
           .as("fp_sum"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   val txtNfcAuditSql: String =
@@ -2010,7 +2011,7 @@ object TextAnalysis extends QueryModule {
         expr("n_mixed * 1000 div n_tokens").as("mixed_pm"),
         expr("n_cons_run * 1000 div n_tokens").as("cons_run_pm"),
         expr("n_long * 1000 div n_tokens").as("long_tok_pm"))
-      .orderBy("source")
+      .reportSort("source")
   }
 
   val txtOcrGarbageSql: String =
@@ -2096,7 +2097,7 @@ object TextAnalysis extends QueryModule {
         (expr("(wa * 500 + 64000 * ta) div ta - 64000") +
           expr("(wb * 500 + 64000 * tb) div tb - 64000"))
           .as("jsd_millibits"))
-      .orderBy("s1", "s2")
+      .reportSort("s1", "s2")
   }
 
   val txtSourceJsdSql: String =
