@@ -333,7 +333,7 @@ object ClassifyQueries extends QueryModule {
       .agg(count(lit(1)).as("n_orphans"))
       .select(lit("orders.o_custkey->customer").as("relation"),
         col("n_orphans"))
-    liOrph.unionAll(ordOrph).orderBy("relation")
+    liOrph.unionAll(ordOrph).reportSort("relation")
   }
 
   val clsOrphansSql: String =

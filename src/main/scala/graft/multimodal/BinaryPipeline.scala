@@ -31,6 +31,22 @@ object BinaryPipeline extends QueryModule {
   // right mode for byte-array media columns.
   javax.imageio.ImageIO.setUseCache(false)
 
+
+  /** Id frame for the per-doc codec passes — deliberately NOT spread
+    * to cluster width. The r12 optimization round measured the
+    * obvious fix (repartition the 8-byte ids so the CPU-bound codec
+    * map runs on every core) and it LOST 4×: `javax.imageio`'s static
+    * IIORegistry serializes reader/writer lookups across threads, so
+    * 32 concurrent codec tasks burn ~80× the single-thread task time
+    * in lock contention (1.3 s serial → 105 s Σtask, wall 1.6 → 6.5 s).
+    * One task per scan split is the right shape for the JDK codecs;
+    * a production cluster gets parallelism across EXECUTORS (separate
+    * JVMs, separate registries), not across threads in one JVM. */
+  private def docIds(spark: SparkSession, dir: String): Dataset[Long] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+  }
+
   /** Synthesize a binary "media" column from text (deterministic stand-
     * in for real image/audio payloads): 4-byte magic + UTF-8 body. */
   def withBlob(docs: DataFrame): DataFrame =
@@ -113,7 +129,7 @@ object BinaryPipeline extends QueryModule {
     * decoded pixels. */
   def mmImageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         // per-partition codec setup would go here (once per task)
         it.map { id =>
@@ -169,7 +185,7 @@ object BinaryPipeline extends QueryModule {
     * encoder/decoder round-trip. Map-only. */
   def mmAudioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val (rate, ch, frames) = decodeWavMeta(encodeWav(id))
         (id, rate, ch, frames)
@@ -211,7 +227,7 @@ object BinaryPipeline extends QueryModule {
 
   def mmAudioWaveform(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val s = decodeWavSamples(encodeWav(id))
         var sum = 0L
@@ -331,7 +347,7 @@ object BinaryPipeline extends QueryModule {
     * media store. The oracle recomputes the sums arithmetically. */
   def mmVideoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         val enc = new scala.collection.mutable.HashMap[Int, Array[Byte]]
         val dec = new scala.collection.mutable.HashMap[String, (String, Int, Int, Int)]
@@ -422,7 +438,7 @@ object BinaryPipeline extends QueryModule {
     * Map-only; only the 8-number feature row crosses a shuffle. */
   def mmImageBorder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         it.map { id =>
           val (w, h, t, b, l, r) = borderScan(encodeLetterboxPng(id))
@@ -507,7 +523,7 @@ object BinaryPipeline extends QueryModule {
     * the 3-number feature row crosses a shuffle. */
   def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         // content-addressed decode cache (the same play as the video
         // frames): dims and every pixel are functions of id mod 256
@@ -568,7 +584,7 @@ object BinaryPipeline extends QueryModule {
     * [[mmPhashDedup]] (banded Hamming near-dup). */
   private def aHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
         it.map { id =>
@@ -702,7 +718,7 @@ object BinaryPipeline extends QueryModule {
     * stays content-addressed (≤256 distinct frames corpus-wide). */
   def mmVideoScenes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         val grayCache = scala.collection.mutable.HashMap.empty[Int, Long]
         def gs(m: Int): Long = grayCache.getOrElseUpdate(m,
@@ -776,7 +792,7 @@ object BinaryPipeline extends QueryModule {
     * arithmetically and replays the identical thresholds. */
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sm = decodeWavSamples(encodeWav(id))
         val nf = sm.length / 32
@@ -857,7 +873,7 @@ object BinaryPipeline extends QueryModule {
     * silence as crossings). */
   def mmAudioZcr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val per = docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sm = decodeWavSamples(encodeWav(id))
         var i = 0
@@ -931,7 +947,7 @@ object BinaryPipeline extends QueryModule {
     * sample from the generator arithmetic. */
   def mmAudioSnr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sm = decodeWavSamples(encodeWav(id))
         val nf = sm.length / 32
@@ -1007,7 +1023,7 @@ object BinaryPipeline extends QueryModule {
     * arithmetic. */
   def mmAudioCrest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val per = docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sm = decodeWavSamples(encodeWav(id))
         var i = 0
@@ -1077,7 +1093,7 @@ object BinaryPipeline extends QueryModule {
     * arithmetic. */
   def mmImagePatches(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap
           .empty[Int, Array[(Int, Int, Long)]]
@@ -1250,7 +1266,7 @@ object BinaryPipeline extends QueryModule {
     * the trailing odd sample drops, the standard decimator edge. */
   def mmAudioResample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val s = decodeWavSamples(encodeWav(id))
         val m = s.length / 2
@@ -1557,7 +1573,7 @@ object BinaryPipeline extends QueryModule {
     * PCM formula with a gaps-and-islands run computation. */
   def mmAudioClip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val s = decodeWavSamples(encodeWav(id))
         var clipped = 0L; var run = 0L; var maxRun = 0L
@@ -1621,7 +1637,7 @@ object BinaryPipeline extends QueryModule {
     * plan math. */
   def mmImageLetterbox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val per = docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(encodePng(id)))
@@ -1694,7 +1710,7 @@ object BinaryPipeline extends QueryModule {
   def mmAudioPitch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lags = Array(24, 28, 32, 36, 40, 44, 48, 52)
-    val per = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val per = docIds(spark, dir)
       .mapPartitions(_.map { id =>
         val s = decodeWavSamples(encodeWav(id))
         var r0 = 0L

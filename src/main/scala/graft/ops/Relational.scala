@@ -261,7 +261,7 @@ object Relational extends graft.QueryModule {
     val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
     val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
     val n = Tables.nation(spark, dir).select(col("n_nationkey").as("nk"))
-    c.intersect(s).union(n.except(c)).distinct().orderBy("nk")
+    c.intersect(s).union(n.except(c)).distinct().reportSort("nk")
   }
 
   val q11Sql: String =

@@ -105,7 +105,7 @@ object CorpusPipeline extends QueryModule {
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy("lang")
+      .reportSort("lang")
 
   def pipeSampleStratified(spark: SparkSession, dir: String): DataFrame =
     sampleStratified(Tables.documents(spark, dir), 30)
@@ -224,7 +224,7 @@ object CorpusPipeline extends QueryModule {
       .filter(col("batch") < horizon)
       .groupBy("batch", "lang")
       .agg(count(lit(1)).as("n_docs"), min(col("_h")).as("min_hash"))
-      .orderBy("batch", "lang")
+      .reportSort("batch", "lang")
   }
 
   def pipeInterleave(spark: SparkSession, dir: String): DataFrame =
@@ -262,7 +262,7 @@ object CorpusPipeline extends QueryModule {
     counts.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"),
         expr("_m * 1000 div _tot").as("weight_pm"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   def pipeMixWeights(spark: SparkSession, dir: String): DataFrame =
@@ -348,7 +348,7 @@ object CorpusPipeline extends QueryModule {
         col("weight_pm"), col("target_tokens"),
         expr("target_tokens div avail_tokens").as("n_full_epochs"),
         expr("target_tokens % avail_tokens").as("partial_tokens"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   def pipeEpochPlan(spark: SparkSession, dir: String): DataFrame =
@@ -414,7 +414,7 @@ object CorpusPipeline extends QueryModule {
       .agg(count(lit(1)).as("n_selected"),
         sum(col("_nt")).as("tokens_selected"),
         max(col("_cum")).as("max_cum"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   def pipeTokenBudget(spark: SparkSession, dir: String): DataFrame =
@@ -996,7 +996,7 @@ object CorpusPipeline extends QueryModule {
         avg(when(holdsRank(midRank1) || holdsRank(midRank2), col("nt")))
           .as("median_tokens"),
         max(when(holdsRank(rank90), col("nt"))).as("p90_tokens"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   def pipeDatasetCard(spark: SparkSession, dir: String): DataFrame =
@@ -1055,7 +1055,7 @@ object CorpusPipeline extends QueryModule {
           .otherwise("unchanged").as("status"))
       .groupBy("source", "status")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("source", "status")
+      .reportSort("source", "status")
   }
 
   def pipeDatasetDiff(spark: SparkSession, dir: String): DataFrame =
@@ -1366,7 +1366,7 @@ object CorpusPipeline extends QueryModule {
         Window.partitionBy(pmod(col("_key"), lit(1)))
           .orderBy(col("_key"), col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("lang"), col("w"))
-      .orderBy("rank")
+      .reportSort("rank")
   }
 
   def pipeSampleWeighted(spark: SparkSession, dir: String): DataFrame =

@@ -103,7 +103,7 @@ object EmbOps extends QueryModule {
   }
 
   def embHammingTopK(spark: SparkSession, dir: String): DataFrame =
-    hammingTopK(Tables.embeddings(spark, dir), 5).orderBy("qid", "rank")
+    hammingTopK(Tables.embeddings(spark, dir), 5).reportSort("qid", "rank")
 
   val embHammingSql: String =
     """WITH s AS (

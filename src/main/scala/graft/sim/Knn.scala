@@ -62,7 +62,7 @@ object Knn extends QueryModule {
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    bruteForce(emb, emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
+    bruteForce(emb, emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
   }
 
   val knnBruteSql: String =
@@ -166,7 +166,7 @@ object Knn extends QueryModule {
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    lsh(emb, emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
+    lsh(emb, emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
   }
 
   /** Oracle mirror of lsh at the defaults (5 planes, k=5): identical
@@ -256,7 +256,7 @@ object Knn extends QueryModule {
   def knnCentroid(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    centroidKnn(emb, emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
+    centroidKnn(emb, emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
   }
 
   /** Oracle mirror of centroidKnn at the defaults (nProbe=3, k=5):
@@ -717,7 +717,7 @@ object Knn extends QueryModule {
         mu.filter(col("mu2_pm").isNotNull), Seq("label"), "mu2_pm",
         Seq("p50" -> expr("(n + 1) div 2")))
       .select(col("label"), col("sel_value").as("mu2_p50_pm"))
-    roll.join(med, Seq("label")).orderBy("label")
+    roll.join(med, Seq("label")).reportSort("label")
   }
 
   val embTwonnRatioSql: String =
@@ -789,7 +789,7 @@ object Knn extends QueryModule {
     val zero = tot.crossJoin(broadcast(chosen))
       .select(lit(0L).as("d"), (col("_n") - col("_c")).as("n_nodes"))
       .filter(col("n_nodes") > 0)
-    hist.unionByName(zero).orderBy("d")
+    hist.unionByName(zero).reportSort("d")
   }
 
   val knnHubnessSql: String =
@@ -1018,7 +1018,7 @@ object Knn extends QueryModule {
         .select(lit(p).as("n_probe"), col("n_queries"), col("n_hits"),
           col("min_hits"))
     }
-    (1 to 3).map(audit).reduce(_.unionByName(_)).orderBy("n_probe")
+    (1 to 3).map(audit).reduce(_.unionByName(_)).reportSort("n_probe")
   }
 
   val knnProbeSweepSql: String = {
@@ -1052,7 +1052,7 @@ object Knn extends QueryModule {
     VectorExprs.register(spark)
     val emb = Tables.embeddings(spark, dir)
     bruteForce(emb.filter(col("label") % 2 === 0),
-      emb.filter(col("vec_id") < 10), 5).orderBy("qid", "rank")
+      emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
   }
 
   val knnFilteredSql: String =

@@ -828,7 +828,7 @@ object SourceQueries extends QueryModule {
     val grand = back.filter(col("tag") === "T")
       .select(col("n").as("grand_n"),
         col("total").cast("double").as("grand_total"))
-    groups.crossJoin(broadcast(grand)).orderBy("o_orderstatus")
+    groups.crossJoin(broadcast(grand)).reportSort("o_orderstatus")
   }
 
   val reportSinkSql: String =

@@ -52,7 +52,7 @@ object EventStreams extends QueryModule {
       .select(col("window.start").as("window_start"), col("cnt"), col("n_users"))
 
   def strSliding(spark: SparkSession, dir: String): DataFrame =
-    slidingAgg(Tables.events(spark, dir)).orderBy("window_start")
+    slidingAgg(Tables.events(spark, dir)).reportSort("window_start")
 
   val strSlidingSql: String =
     """SELECT make_timestamp(s * 1800000000) AS window_start,
@@ -363,7 +363,7 @@ object EventStreams extends QueryModule {
       .select(lit("2_view_click").as("stage"), col("n_users"))
     val s3 = p.agg(count(lit(1)).as("n_users"))
       .select(lit("3_view_click_purchase").as("stage"), col("n_users"))
-    s1.unionAll(s2).unionAll(s3).orderBy("stage")
+    s1.unionAll(s2).unionAll(s3).reportSort("stage")
   }
 
   val strFunnelSql: String =
@@ -622,7 +622,7 @@ object EventStreams extends QueryModule {
         col("exact_users"))
       .withColumn("err_pm",
         expr("abs(est_users - exact_users) * 1000 div exact_users"))
-      .orderBy("window_start")
+      .reportSort("window_start")
   }
 
   def strDistinctWindowed(spark: SparkSession, dir: String): DataFrame =
@@ -691,7 +691,7 @@ object EventStreams extends QueryModule {
       .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"),
         sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
           .as("n_late_1h"))
-      .orderBy("window_start")
+      .reportSort("window_start")
   }
 
   def strLatenessAudit(spark: SparkSession, dir: String): DataFrame =
@@ -775,7 +775,7 @@ object EventStreams extends QueryModule {
         coalesce(col("n_starts"), lit(0L)).as("n_starts"),
         greatest(coalesce(col("_mx"), col("_carry")), col("_carry"))
           .as("max_concurrent"))
-      .orderBy("window_start")
+      .reportSort("window_start")
   }
 
   // ------------------------------------------------ str_outage_windows
@@ -808,7 +808,7 @@ object EventStreams extends QueryModule {
           .cast(org.apache.spark.sql.types.TimestampNTZType)
           .as("day_start"),
         col("n_outages"), col("silent_min"), col("max_outage_min"))
-      .orderBy("day_start")
+      .reportSort("day_start")
   }
 
   // -------------------------------------------------- str_burstiness
@@ -839,7 +839,7 @@ object EventStreams extends QueryModule {
         col("n_minutes"), col("n_events"),
         expr("""(n_minutes * _s2 - n_events * n_events) * 1000
                 div (n_minutes * n_events)""").as("fano_pm"))
-      .orderBy("day_start")
+      .reportSort("day_start")
   }
 
   def strBurstiness(spark: SparkSession, dir: String): DataFrame =
@@ -1217,7 +1217,7 @@ object EventStreams extends QueryModule {
         "p95" -> expr("(19 * n + 19) div 20")))
       .select(col("event_type"), col("n"),
         col("sel").as("quantile"), col("sel_value").as("gap_s"))
-      .orderBy("event_type", "quantile")
+      .reportSort("event_type", "quantile")
   }
 
   def strInterarrival(spark: SparkSession, dir: String): DataFrame =
@@ -1336,7 +1336,7 @@ object EventStreams extends QueryModule {
       .withColumn("peak7_pm", max(col("stickiness_pm")).over(
         Window.partitionBy(pmod(col("day"), lit(1L))).orderBy("day")
           .rowsBetween(-6, 0)))
-      .orderBy("day")
+      .reportSort("day")
   }
 
   def strStickiness(spark: SparkSession, dir: String): DataFrame =
@@ -1427,7 +1427,7 @@ object EventStreams extends QueryModule {
           .otherwise(0L)).as("n_models_agree"))
       .withColumn("attributed_pm",
         expr("n_attributed * 1000 div n_purchases"))
-      .orderBy("day")
+      .reportSort("day")
   }
 
   def strAttribution(spark: SparkSession, dir: String): DataFrame =
@@ -1576,7 +1576,7 @@ object EventStreams extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("ewma_milli")).as("ewma_milli_sum"),
         max(col("ewma_milli")).as("ewma_milli_max"))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   def strEwmaSmooth(spark: SparkSession, dir: String): DataFrame =
@@ -1647,7 +1647,7 @@ object EventStreams extends QueryModule {
         expr("""coalesce(n_shared, 0) * 1000
                 div (n_top + _np - coalesce(n_shared, 0))""")
           .as("overlap_pm"))
-      .orderBy("day_start")
+      .reportSort("day_start")
   }
 
   def strTopkDrift(spark: SparkSession, dir: String): DataFrame =
@@ -1712,7 +1712,7 @@ object EventStreams extends QueryModule {
           .as("day_start"),
         col("c"), col("cusum"),
         (abs(col("cusum")) === col("_m")).as("is_peak"))
-      .orderBy("day_start")
+      .reportSort("day_start")
   }
 
   // ----------------------------------------------- str_burn_rate
@@ -1753,7 +1753,7 @@ object EventStreams extends QueryModule {
         col("max_burn_1h_pm"))
       .withColumn("alert",
         col("burn_6h_pm") >= 1500 && col("max_burn_1h_pm") >= 2000)
-      .orderBy("window6h")
+      .reportSort("window6h")
   }
 
   def strBurnRate(spark: SparkSession, dir: String): DataFrame =
@@ -1821,7 +1821,7 @@ object EventStreams extends QueryModule {
           .when(col("s_stat") * -10 > col("n_days") * (col("n_days") - 1),
             "falling")
           .otherwise("flat").as("trend"))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   def strMannKendall(spark: SparkSession, dir: String): DataFrame =
@@ -1915,7 +1915,7 @@ object EventStreams extends QueryModule {
         sum(abs(col("c") - col("l1"))).as("abs_err1"))
       .withColumn("mase_e6", when(col("abs_err1") > 0,
         expr("abs_err7 * 1000000 div abs_err1")))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   def strSeasonalError(spark: SparkSession, dir: String): DataFrame =
@@ -2072,7 +2072,7 @@ object EventStreams extends QueryModule {
         max(col("c")).as("max_window_count"),
         countDistinct(when(col("c") > limit, col("user_id")))
           .as("n_offending_users"))
-      .orderBy("event_type")
+      .reportSort("event_type")
   }
 
   val strRateLimitSql: String =
@@ -2117,7 +2117,7 @@ object EventStreams extends QueryModule {
       .groupBy("w_us", "n")
       .agg(min(col("cents")).as("p95_cents"))
       .select(col("w_us"), col("n"), col("p95_cents"))
-      .orderBy("w_us")
+      .reportSort("w_us")
   }
 
   def strWindowP95(spark: SparkSession, dir: String): DataFrame =
@@ -2167,7 +2167,7 @@ object EventStreams extends QueryModule {
         sum(when(col("_hold"), 1L).otherwise(0L)).as("n_persisted"))
       .withColumn("flap_pm",
         expr("(n_changes - n_persisted) * 1000 div n_changes"))
-      .orderBy("state")
+      .reportSort("state")
   }
 
   def strDebounce(spark: SparkSession, dir: String): DataFrame =
