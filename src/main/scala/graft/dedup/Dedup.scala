@@ -945,45 +945,59 @@ object Dedup extends QueryModule {
       : DataFrame = {
     // lazy checkpoints: the per-round convergence probe materializes
     // the round's edge set in the same job (see [[components]])
-    def sym(e: DataFrame): DataFrame =
-      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    //
+    // STATE IS THE CANONICAL (u > v) EDGE SET — half the rows of the
+    // symmetric set the r12 version iterated. canon(sym(X)) ≡
+    // canonical(X) for any raw pair emission X (each (a,b), a≠b,
+    // contributes exactly the directed edge (max,min) either way), so
+    // the two per-round distinct()s now dedup the HALF-width canonical
+    // frame instead of the doubled symmetric one, and the symmetric
+    // view is rebuilt per use by a zero-shuffle union with the flipped
+    // copy — two distinct canonical rows can never collide after
+    // flipping (u>v vs u<v are disjoint), so the union needs no
+    // re-dedup.
+    def canonical(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
         .where(col("u") =!= col("v")).distinct()
-    def canon(e: DataFrame): DataFrame = e.where(col("v") < col("u"))
-    var edges = checkpoint(sym(
+    def symView(c: DataFrame): DataFrame =
+      c.union(c.select(col("v").as("u"), col("u").as("v")))
+    var cEdges = checkpoint(canonical(
       pairs.select(col("d1").as("u"), col("d2").as("v"))))
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = cEdges.isEmpty
     while (!converged && iter < maxIter) {
       // large-star over the full symmetric set
+      val edges = symView(cEdges)
       val mLarge = edges.groupBy("u").agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m"))
-      val afterLarge = sym(edges.join(mLarge, "u")
+      // the larger→smaller view of large-star's output IS its
+      // canonical form (s = canon(sym(raw)) = canonical(raw))
+      val s = canonical(edges.join(mLarge, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
       // small-star over the larger→smaller view
-      val s = canon(afterLarge)
       val mSmall = s.groupBy("u").agg(min(col("v")).as("m"))
-      val afterSmall = checkpoint(sym(
+      val afterSmall = checkpoint(canonical(
         s.join(mSmall, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .union(mSmall.select(col("u"), col("m").as("v")))))
-      val (prevC, curC) = (canon(edges), canon(afterSmall))
       // ONE job for the convergence probe: the canonical sets are
       // equal iff no (u,v) lands on a single side of the tagged union
       // (both inputs are distinct sets, so the per-side sums are 0/1)
-      converged = prevC
+      converged = cEdges
         .select(col("u"), col("v"), lit(1L).as("_a"), lit(0L).as("_b"))
-        .union(curC
+        .union(afterSmall
           .select(col("u"), col("v"), lit(0L).as("_a"), lit(1L).as("_b")))
         .groupBy("u", "v")
         .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
         .filter(col("_na") =!= col("_nb"))
         .isEmpty
-      edges = afterSmall
+      cEdges = afterSmall
       iter += 1
     }
     // converged: every non-root points straight at its component min
-    val lbls = canon(edges).select(col("u").as("doc_id"), col("v").as("lbl"))
+    val lbls = cEdges.select(col("u").as("doc_id"), col("v").as("lbl"))
     docs.select(col("doc_id"))
       .join(lbls.withColumnRenamed("lbl", "_lbl"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("_lbl"), col("doc_id")).as("lbl"))
@@ -1792,7 +1806,10 @@ object Dedup extends QueryModule {
         "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("n_shared * 1000 div least(_fa, _fb)").as("containment_pm"))
-      .reportSort(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      // corpus-proportional top-K: orderBy+limit plans
+      // TakeOrderedAndProject — reportSort's coalesce(1) would pull the
+      // whole pair aggregation into one task (r12 ADVICE).
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
       .limit(50)
   }
 

@@ -975,7 +975,16 @@ case class CharGramHashes(left: Expression, right: Expression)
         right.dataType != org.apache.spark.sql.types.IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable integer gram size")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else right.eval() match {
+      // the doc contract says "foldable POSITIVE integer" — reject
+      // k <= 0 / null at analysis instead of silently returning
+      // empty/null arrays (r12 ADVICE)
+      case k: Int if k > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a positive gram size")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CharGramHashes.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])

@@ -96,7 +96,11 @@ object Relational extends graft.QueryModule {
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
         .cast("double").as("revenue"))
-      .reportSort(desc("revenue"), col("l_orderkey"))
+      // top-K over a corpus-proportional frame: orderBy+limit plans
+      // TakeOrderedAndProject (O(k) per partition, no full sort and no
+      // single-task coalesce) — reportSort here would serialize the
+      // whole aggregation into one task (r12 ADVICE).
+      .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
 
@@ -237,7 +241,7 @@ object Relational extends graft.QueryModule {
   def q09(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .reportSort(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .limit(25)
 
   val q09Sql: String =
@@ -404,7 +408,8 @@ object Relational extends graft.QueryModule {
       .join(broadcast(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
-      .reportSort(desc("o_totalprice"), col("o_orderkey"))
+      // corpus-proportional top-K: TakeOrderedAndProject, not reportSort
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
       .limit(20)
   }
 
@@ -1809,7 +1814,8 @@ object Relational extends graft.QueryModule {
         .select(col("s_suppkey"), col("s_name")),
         col("blocker") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
-      .reportSort(col("numwait").desc, col("s_suppkey")).limit(10)
+      // corpus-proportional top-K: TakeOrderedAndProject, not reportSort
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
   }
 
   val q50Sql: String =

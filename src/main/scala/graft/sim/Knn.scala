@@ -635,7 +635,8 @@ object Knn extends QueryModule {
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("r").as("r_ppb"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
-      .reportSort(desc("r_ppb"), col("vec_id")).limit(10)
+      // corpus-proportional top-K: TakeOrderedAndProject, not reportSort
+      .orderBy(desc("r_ppb"), col("vec_id")).limit(10)
   }
 
   /** 6 unrolled superstep CTEs (recursive CTEs disallow the
