@@ -15,4 +15,12 @@ object Syntax {
     def reportSort(c: String, cs: String*): DataFrame =
       Tables.reportSort(df, (c +: cs).map(col): _*)
   }
+
+  /** `.cut` / `.cutLazy` — strategy-injected lineage cuts (see
+    * [[Tables.cut]]): executor-local by default, storage-backed
+    * reliable checkpoints under `spark.graft.checkpoint.reliable`. */
+  implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
+    def cut: DataFrame = Tables.cut(df)
+    def cutLazy: DataFrame = Tables.cut(df, eager = false)
+  }
 }

@@ -42,6 +42,23 @@ object CdcQueries extends QueryModule {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
         col("event_type"), opCol.as("op"))
 
+  /** Events scan spread across the cluster before a serde-heavy wire
+    * stage (JSON envelope wrap/parse, json_object_keys inventory). At
+    * bench SF the corpus arrives as ONE parquet split, so the whole
+    * wire stage otherwise runs in a single task (measured 1–2.3 s of
+    * single-thread serde per envelope key, warm); the keyed
+    * repartition is exempt from AQE coalescing and its width follows
+    * the cluster — no local constant. At 100 TB the source's natural
+    * splits already provide this parallelism and the skinny pre-serde
+    * exchange is noise next to the serde itself (the winnowing-digest
+    * precedent: width-pin only where per-partition compute ≫ task
+    * overhead). */
+  private def wireEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .repartition(
+        spark.sparkContext.defaultParallelism, col("event_id"))
+      .withColumn("ts_us", tsMicros)
+
   // --------------------------------------------- cdc_parse_envelope
   /** Full envelope round-trip: rows → Debezium-style JSON → typed parse.
     * Exercises the ingest path end-to-end (wrap exists for tests/
@@ -50,7 +67,7 @@ object CdcQueries extends QueryModule {
     val rowSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val ev = wireEvents(spark, dir)
     val after = struct(col("event_id"), col("user_id"), col("value"))
     val json = Envelope.wrap(lit(null).cast(rowSchema), after, "graft", "events",
       opCol, expr("ts_us div 1000"))
@@ -435,7 +452,7 @@ object CdcQueries extends QueryModule {
         unix_micros(col("o_orderdate").cast(TimestampType)).as("t"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
-      .localCheckpoint()
+      .cut
     val bounds = o.agg((min(col("t")) + max(col("t"))).as("mid2"))
     val tagged = o.crossJoin(broadcast(bounds))
       .withColumn("tail", col("t") * 2 > col("mid2"))
@@ -541,7 +558,7 @@ object CdcQueries extends QueryModule {
     * Reference: Main.java:293-309 captures the DDL stream this audit
     * would gate. */
   def compatAudit(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val ev = wireEvents(spark, dir)
     val bounds = ev.agg(min(col("ts_us")).as("tmin"),
       max(col("ts_us")).as("tmax"))
     val eps = ev.crossJoin(broadcast(bounds))
@@ -659,7 +676,7 @@ object CdcQueries extends QueryModule {
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
     val v2 = StructType(v1.fields :+ StructField("event_type", StringType))
-    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val ev = wireEvents(spark, dir)
     val bounds = ev.agg(min(col("ts_us")).as("tmin"),
       max(col("ts_us")).as("tmax"))
     val drifted = ev.crossJoin(broadcast(bounds))
@@ -714,7 +731,7 @@ object CdcQueries extends QueryModule {
     val rowSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val ev = wireEvents(spark, dir)
     val after = struct(col("event_id"), col("user_id"), col("value"))
     val json = Envelope.wrap(lit(null).cast(rowSchema), after, "graft",
       "events", opCol, expr("ts_us div 1000"))
@@ -745,7 +762,7 @@ object CdcQueries extends QueryModule {
     val rowSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val ev = wireEvents(spark, dir)
     val before = struct(col("event_id"), col("user_id"), col("value"))
     val after = struct(col("event_id"),
       when(col("event_id") % 5 === 0, col("user_id") + 1)
@@ -1118,7 +1135,7 @@ object CdcQueries extends QueryModule {
     val rowSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType)))
-    val ev = Tables.events(spark, dir).withColumn("ts_us", tsMicros)
+    val ev = wireEvents(spark, dir)
     val json = Envelope.wrap(lit(null).cast(rowSchema),
       struct(col("event_id"), col("user_id"), col("value")),
       "graft", "events", opCol, expr("ts_us div 1000"))
@@ -1431,7 +1448,7 @@ object CdcQueries extends QueryModule {
       // |shards × hours| frame with four consumers (head, spine,
       // silent anti-join, per-shard rollup): pin it — the corpus is
       // scanned once at any SF
-      .localCheckpoint()
+      .cut
     val head = perHour.agg(max(col("_mx")).as("head_us"),
       min(expr("_mx div 3600000000")).as("_h0"),
       max(expr("_mx div 3600000000")).as("_h1"))

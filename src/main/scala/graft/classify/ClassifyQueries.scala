@@ -539,7 +539,7 @@ object ClassifyQueries extends QueryModule {
     val vals = centsOf(Tables.orders(spark, dir), "o_totalprice")
       .unionAll(centsOf(Tables.lineitem(spark, dir),
         "l_extendedprice", "l_quantity"))
-      .localCheckpoint()
+      .cut
     // Both quartiles by ONE shared radix selection
     // (OrderStats.radixRankSelect, the r9 shape that fixed q36): the
     // r8 full-value histogram approached the corpus for near-unique
@@ -766,7 +766,7 @@ object ClassifyQueries extends QueryModule {
         floor(col("l_quantity")).cast("long").as("q"),
         floor(col("l_extendedprice") * 100).cast("long").as("p"),
         floor(col("l_discount") * 1000).cast("long").as("d"))
-      .localCheckpoint()
+      .cut
     def ranks(v: String): DataFrame = {
       // non-foldable all-rows group: keeps every window partitioned
       val vals = proj.select(col(v).as("v"))
@@ -933,7 +933,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01")).as("d"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint()
+      .cut
     val melted = daily.select(
       explode(typedLit(Seq(1, 7, 30))).as("lag"), col("d"), col("x"))
     val shifted = daily.select(col("d").as("d2"), col("x").as("y"))
@@ -1587,7 +1587,15 @@ object ClassifyQueries extends QueryModule {
     * "almost key" that breaks an upsert sink — the gap, not just the
     * verdict, is the audit. */
   def clsKeyDiscovery(spark: SparkSession, dir: String): DataFrame = {
-    val wide = Tables.orders(spark, dir).agg(
+    // width-pin the Expand: the 6-way multi-DISTINCT scan otherwise
+    // runs in the single-split scan task at bench SF (the q45 /
+    // decimal-profile precedent)
+    val wide = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority")
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("o_orderkey")).as("c1"),
       countDistinct(col("o_custkey")).as("c2"),
@@ -1708,7 +1716,14 @@ object ClassifyQueries extends QueryModule {
     // widen ONCE through exact decimal to integer micros; the scale
     // probe is then pure long modulo in codegen (the decimal-%-chain
     // form cost 7 s at sf0.1 — all of it interpreted decimal ops)
-    val melted = Tables.lineitem(spark, dir).select(explode(array(
+    // width-pin the melt: 4× the corpus of decimal widenings otherwise
+    // runs in the scan's single task at bench SF (the winnowing-digest
+    // precedent — per-partition compute ≫ task overhead; natural
+    // splits provide the width at scale)
+    val melted = Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") +: cols.map(col)): _*)
+      .repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
+      .select(explode(array(
       cols.map { c => struct(lit(c).as("col"),
         (col(c).cast(DecimalType(18, 6)) * 1000000).cast("long")
           .as("vm")) }: _*)).as("x"))
@@ -1778,7 +1793,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy(col("o_orderstatus").as("x"),
         col("o_orderpriority").as("y"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .cut
     val mx = joint.groupBy("x").agg(sum(col("c")).as("cx"))
     val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
     val n = joint.agg(sum(col("c")).as("n"))
@@ -1825,7 +1840,7 @@ object ClassifyQueries extends QueryModule {
       .select(pmod((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast("long"), lit(10L)).as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // 10-row frame, 2 consumers
+      .cut // 10-row frame, 2 consumers
     val tot = digits.agg(sum(col("n")).as("t"))
     digits.crossJoin(broadcast(tot))
       .agg(max(col("t")).as("n_rows"),
@@ -1872,7 +1887,7 @@ object ClassifyQueries extends QueryModule {
     val joint = Tables.events(spark, dir)
       .groupBy(col("event_type").as("x"), hour(col("ts")).as("y"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // |types×24| frame, 4 consumers
+      .cut // |types×24| frame, 4 consumers
     val mx = joint.groupBy("x").agg(sum(col("c")).as("cx"))
     val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
     val n = joint.agg(sum(col("c")).as("n"))
@@ -1950,7 +1965,7 @@ object ClassifyQueries extends QueryModule {
       // ≤10-row frame with two consumers (report + totals): pin it so
       // the totals reaggregation never re-scans the corpus — the
       // clsMutualInfo play
-      .localCheckpoint()
+      .cut
     val totals = cells.agg(sum(col("a")).as("r"), sum(col("b")).as("c"))
     cells.crossJoin(broadcast(totals))
       .select(col("bucket"), col("a").as("n_ref"), col("b").as("n_cur"),
@@ -2066,7 +2081,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy(col("m.pair").as("pair"), col("m.x").as("x"),
         col("m.y").as("y"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // |grid| frame, 2 consumers (a & b sides)
+      .cut // |grid| frame, 2 consumers (a & b sides)
     val a = cells.select(col("pair"), col("x").as("ax"),
       col("y").as("ay"), col("n").as("an"))
     val b = cells.select(col("pair"), col("x").as("bx"),
@@ -2141,7 +2156,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy(col("m.pair").as("pair"), col("m.x").as("x"),
         col("m.y").as("y"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // |grid| frame, 4 consumers (a, b, tx, ty)
+      .cut // |grid| frame, 4 consumers (a, b, tx, ty)
     val a = cells.select(col("pair"), col("x").as("ax"),
       col("y").as("ay"), col("n").as("an"))
     val b = cells.select(col("pair"), col("x").as("bx"),
@@ -2238,7 +2253,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy("grp")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"))
-      .localCheckpoint() // |groups| frame, 2 consumers
+      .cut // |groups| frame, 2 consumers
     val pooled = g.agg(
       count(lit(1)).as("k"), sum(col("n")).as("nn"),
       sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),
@@ -2317,7 +2332,7 @@ object ClassifyQueries extends QueryModule {
         when(col("urgent_cnt").isNull, 2L).otherwise(0L) +
         when(col("recent_cnt").isNull, 4L).otherwise(0L)).as("pattern"))
       .groupBy("pattern").agg(count(lit(1)).as("n_customers"))
-      .localCheckpoint() // ≤8-row census, total + share consumers
+      .cut // ≤8-row census, total + share consumers
     val tot = cens.agg(sum(col("n_customers")).as("t"))
     cens.crossJoin(broadcast(tot))
       .select(col("pattern"),
@@ -2403,7 +2418,7 @@ object ClassifyQueries extends QueryModule {
           " WHEN num >= 0 THEN num * 1000000000 div denx" +
           " ELSE -((-num) * 1000000000 div denx) END AS BIGINT)")
           .as("slope_ppb"))
-      .localCheckpoint() // 2 consumers: pooled probe + per-row output
+      .cut // 2 consumers: pooled probe + per-row output
     val pooled = m.filter(col("nationkey") === -1L)
       .select(col("trend_sign").as("pooled_sign"))
     m.crossJoin(broadcast(pooled))
@@ -2470,7 +2485,7 @@ object ClassifyQueries extends QueryModule {
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
       .groupBy("score")
       .agg(count(lit(1)).as("n"), sum(col("f")).as("x"))
-      .localCheckpoint() // 2 consumers: totals + per-level output
+      .cut // 2 consumers: totals + per-level output
     val tot = g.agg(
       sum(col("n")).as("nn"), sum(col("x")).as("rr"),
       sum(col("n") * col("score")).as("sn"),
@@ -2514,12 +2529,15 @@ object ClassifyQueries extends QueryModule {
     * says WHICH pairs, with the rank-biserial effect size (the
     * probability-of-superiority rescaled to [−1, 1]) that survives
     * heavy tails where a mean difference drowns. EXACT tie-averaged
-    * mid-ranks per pair: each row fans out to the |types−1| pairs
-    * containing its group (a broadcast nested-loop on the 10-row
-    * pair dim — never a corpus self-join), pooled DOUBLED mid-ranks
-    * 2R = 2·hi − c + 1 come from one
-    * [[graft.ops.OrderStats.cumulativeHistogramSharded]] keyed by
-    * pair (two-level cum — no unpartitioned window), and
+    * mid-ranks per pair, computed entirely on the (group, value)
+    * HISTOGRAM: one corpus hash-agg, then the per-(group, x) counts
+    * fan out to the |types−1| pairs containing their group (a
+    * broadcast nested-loop on the 10-row pair dim — counts travel,
+    * never rows), pooled DOUBLED mid-ranks 2R = 2·hi − c + 1 come
+    * from one [[graft.ops.OrderStats
+    * .weightedCumulativeHistogramSharded]] keyed by pair (two-level
+    * cum — no unpartitioned window), each side's rank sum is the
+    * count-weighted Σc·2R, and
     * 2U₁ = Σ2R₁ − n₁(n₁+1) stays integral under ties. Rank sums and
     * the n₁n₂ products lift to DECIMAL(38) (Σ2R ~ 2N·n₁ overflows
     * int64 past ~2e9 pooled rows). rb_pm = 1000 − 2000·U₁/(n₁n₂)
@@ -2530,29 +2548,42 @@ object ClassifyQueries extends QueryModule {
     val v = Tables.events(spark, dir)
       .select(col("event_type").as("grp"),
         floor(col("value") * 100).cast("long").as("x"))
-    val types = v.select(col("grp")).distinct()
+    // ONE corpus-scale hash-agg: the (group, value) histogram. Every
+    // downstream frame is (|types| × |distinct x|)-bounded, so the
+    // pair fan-out ships COUNTS, never rows (§2.3 aggregate before
+    // you shuffle): the previous form fanned each RAW row to its
+    // |types|−1 pairs, checkpointed that (|types|−1)×corpus frame,
+    // and joined the ranks back onto it.
+    val hg = v.groupBy("grp", "x").agg(count(lit(1)).as("cnt"))
+      .cut // 2 consumers: type dim + pair fan-out
+    val types = hg.select(col("grp")).distinct()
     val pairs = types.select(col("grp").as("g_lo"))
       .join(types.select(col("grp").as("g_hi")),
         col("g_lo") < col("g_hi"))
-    val ex = v.join(broadcast(pairs),
+    // pooled per-(pair, x) histogram carrying each side's count: the
+    // doubled mid-rank weights c_lo/c_hi directly, so the rank
+    // join-back that re-shuffled the fanned corpus disappears
+    val ph = hg.join(broadcast(pairs),
         col("grp") === col("g_lo") || col("grp") === col("g_hi"))
-      .localCheckpoint() // 2 consumers: pooled histogram + rank join
-    val ranks = OrderStats.cumulativeHistogramSharded(
-        ex.select(col("g_lo"), col("g_hi"), col("x").as("v")),
+      .groupBy("g_lo", "g_hi", "x")
+      .agg(sum(col("cnt")).as("c"),
+        sum(when(col("grp") === col("g_lo"), col("cnt")).otherwise(0L))
+          .as("c_lo"),
+        sum(when(col("grp") === col("g_hi"), col("cnt")).otherwise(0L))
+          .as("c_hi"))
+      .cut // consumers: sharded cum-hist (3 subplans) + rank join
+    val ranks = OrderStats.weightedCumulativeHistogramSharded(
+        ph.select(col("g_lo"), col("g_hi"), col("x").as("v"), col("c")),
         Seq("g_lo", "g_hi"), "v")
       .select(col("g_lo"), col("g_hi"), col("v").as("x"),
         (lit(2L) * col("hi") - col("c") + 1L).as("r2"))
-    ex.join(ranks, Seq("g_lo", "g_hi", "x"))
+    ph.join(ranks, Seq("g_lo", "g_hi", "x"))
       .groupBy("g_lo", "g_hi")
       .agg(
-        sum(when(col("grp") === col("g_lo"), 1L).otherwise(0L))
-          .as("n1"),
-        sum(when(col("grp") === col("g_hi"), 1L).otherwise(0L))
-          .as("n2"),
-        sum(expr("CASE WHEN grp = g_lo THEN CAST(r2 AS DECIMAL(38,0))" +
-          " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("_r2lo"),
-        sum(expr("CASE WHEN grp = g_hi THEN CAST(r2 AS DECIMAL(38,0))" +
-          " ELSE CAST(0 AS DECIMAL(38,0)) END")).as("_r2hi"))
+        sum(col("c_lo")).as("n1"),
+        sum(col("c_hi")).as("n2"),
+        sum(expr("CAST(c_lo AS DECIMAL(38,0)) * r2")).as("_r2lo"),
+        sum(expr("CAST(c_hi AS DECIMAL(38,0)) * r2")).as("_r2hi"))
       .select(col("g_lo"), col("g_hi"), col("n1"), col("n2"),
         expr("CAST(_r2lo - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)" +
           " AS BIGINT)").as("u2_lo"),
@@ -2712,7 +2743,7 @@ object ClassifyQueries extends QueryModule {
     val v = Tables.events(spark, dir)
       .select(col("event_type").as("grp"),
         floor(col("value") * 100).cast("long").as("x"))
-      .localCheckpoint() // 2 consumers: pooled histogram + join-back
+      .cut // 2 consumers: pooled histogram + join-back
     val nt = v.agg(count(lit(1)).as("_nt"))
     val vals = v.select(col("x").as("v"))
       // non-foldable all-rows group keeps every window partitioned
@@ -2726,7 +2757,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy("grp")
       .agg(count(lit(1)).as("n"), sum(col("u")).as("s1"),
         sum(col("u") * col("u")).as("s2"))
-      .localCheckpoint() // |groups| frame, 2 consumers
+      .cut // |groups| frame, 2 consumers
     val pooled = g.agg(
       sum(col("n")).as("nn"), sum(col("s1")).as("t1"),
       sum(col("s2")).as("t2"), sum(expr("s1 * s1 div n")).as("bsum"))
@@ -2797,7 +2828,7 @@ object ClassifyQueries extends QueryModule {
     val v = Tables.events(spark, dir)
       .select(col("event_type").as("grp"),
         floor(col("value") * 100).cast("long").as("x"))
-      .localCheckpoint() // 2 consumers: median pass + deviation fold
+      .cut // 2 consumers: median pass + deviation fold
     val med = OrderStats.radixLowerMedian(v, Seq("grp"), "x")
       .select(col("grp"), col("median").as("m"))
     val g = v.join(broadcast(med), Seq("grp"))
@@ -2805,7 +2836,7 @@ object ClassifyQueries extends QueryModule {
       .groupBy("grp")
       .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
         sum(col("d") * col("d")).as("s2"))
-      .localCheckpoint() // |groups| frame, 2 consumers
+      .cut // |groups| frame, 2 consumers
     val pooled = g.agg(
       count(lit(1)).as("k"), sum(col("n")).as("nn"),
       sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),

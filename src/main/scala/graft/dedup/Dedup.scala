@@ -304,7 +304,7 @@ object Dedup extends QueryModule {
       cur
     }
     m.getOrElseUpdate((s"${Tables.layoutTag(dir)}|$dir", what),
-      build.localCheckpoint())
+      build.cut)
   }
 
   /** Algorithm version folded into the pair/label layout tags: bump
@@ -682,7 +682,7 @@ object Dedup extends QueryModule {
       .select(col("vec_id"), col("label"),
         expr("cast(m as array<double>)").as("md"),
         expr("aggregate(m, 0L, (acc, v) -> acc + v * v)").as("s2"))
-      .localCheckpoint() // two consumers: both pair sides
+      .cut // two consumers: both pair sides
     val d2 = expr(
       "a.s2 + b.s2 - 2L * cast(graft_dot(a.md, b.md) as long)")
     val dropped = x.as("a").join(x.as("b"),
@@ -722,12 +722,20 @@ object Dedup extends QueryModule {
       |FROM n LEFT JOIN d ON n.label = d.label
       |ORDER BY n.label""".stripMargin
 
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.VectorExprs.register(spark)
+  /** Session memo of the t=0.40 verified embedding pair set — the
+    * candidate pass is shared by `dedup_embedding` and
+    * `dedup_emb_sweep` (the sweep's whole point is re-reading the
+    * loosest threshold's pairs). */
+  private def embPairs040(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "embPairs040") {
+      graft.expr.VectorExprs.register(spark)
+      embeddingPairs(Tables.embeddings(spark, dir), 0.40)
+    }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     // ids only cross the oracle boundary; the cosine stays engine-side
-    embeddingPairs(Tables.embeddings(spark, dir), 0.40)
+    embPairs040(spark, dir)
       .select("id1", "id2").orderBy("id1", "id2")
-  }
 
   // --------------------------------------------------- dedup_emb_sweep
   /** Threshold-tuning sweep for embedding dedup — the curve a
@@ -742,7 +750,7 @@ object Dedup extends QueryModule {
     graft.expr.VectorExprs.register(spark)
     import spark.implicits._
     val ts = Seq(400L, 500L, 600L, 700L, 800L)
-    val pairs = embeddingPairs(Tables.embeddings(spark, dir), 0.40)
+    val pairs = embPairs040(spark, dir)
     val counts = pairs
       .select(explode(typedLit(ts)).as("threshold_pm"), col("cos"))
       .filter(col("cos") >=
@@ -844,7 +852,7 @@ object Dedup extends QueryModule {
     * large-star/small-star to bound skew on giant components; the
     * per-round plan here is the same join+agg). */
   def components(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      checkpoint: DataFrame => DataFrame = graft.Tables.cut(_, eager = false))
       : DataFrame = {
     // LAZY local checkpoints (eager = false): every round is followed
     // by the label-sum convergence job anyway, so the sum materializes
@@ -941,7 +949,7 @@ object Dedup extends QueryModule {
     * canonical larger→smaller edge set is unchanged over a full
     * round (count + anti-join — exact, no checksum collisions). */
   def componentsStar(docs: DataFrame, pairs: DataFrame, maxIter: Int = 40,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      checkpoint: DataFrame => DataFrame = graft.Tables.cut(_, eager = false))
       : DataFrame = {
     // lazy checkpoints: the per-round convergence probe materializes
     // the round's edge set in the same job (see [[components]])
@@ -1474,7 +1482,7 @@ object Dedup extends QueryModule {
     // consumed by the per-component max AND the keeper filter-back —
     // checkpointing the skinny (doc_id, lbl, score) frame runs the
     // regex-heavy quality scan once instead of once per consumer
-    val j = lbls.join(scored, "doc_id").localCheckpoint()
+    val j = lbls.join(scored, "doc_id").cut
     val mx = j.groupBy("lbl")
       .agg(max(col("_q")).as("_mq"), count(lit(1)).as("n_docs"))
     j.join(mx, "lbl")
@@ -1732,6 +1740,14 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), canon.as("c64"))
       .withColumn("p", substring(col("c64"), 1, 12))
       .withColumn("lb", expr("length(c64) div 16"))
+      // explicit keyed width (the dedup_lsh_sweep precedent): the DP
+      // join's cost is per PAIR, not per byte, so AQE's byte-based
+      // sizing folds it into a couple of tasks; the block-keyed
+      // repartition is exempt from coalescing, both self-join sides
+      // ride it with no further exchange, and the width follows the
+      // cluster
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("p"), col("lb"))
     val a = keyed.select(col("doc_id").as("d1"), col("c64").as("t1"),
       col("p"), col("lb"))
     val b = keyed.select(col("doc_id").as("d2"), col("c64").as("t2"),
@@ -1916,7 +1932,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("n"),
         expr("transform(sequence(0, 15), j -> " +
           "shiftleft(m[j * 2], 32) + m[j * 2 + 1])").as("bs"))
-      .localCheckpoint()
+      .cut
     // PROFILE DEDUP before the pair join: a self-similar corpus packs
     // hundreds of docs onto ONE identical signature vector, and those
     // mega-groups are exactly the skewed buckets that make a naive
@@ -1936,7 +1952,7 @@ object Dedup extends QueryModule {
     // codegen and ran 5× slower on the same 21M raw pair evaluations.
     val prof = minima.groupBy("bs", "n")
       .agg(count(lit(1)).as("w"), min(col("doc_id")).as("pid"))
-      .localCheckpoint()
+      .cut
     val within = prof.filter(col("w") >= 2)
       .agg(sum(expr("w * (w - 1) div 2")).as("pairs"))
       .select(explode(array(Seq(2L, 4L, 8L, 16L).map(lit): _*))
@@ -2147,7 +2163,7 @@ object Dedup extends QueryModule {
         expr("graft_char_gram_hashes(text, 4)").as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
-      .localCheckpoint()
+      .cut
     val grams = sets.select(col("doc_id"), col("lang"), col("n"),
       explode(col("hs")).as("gh"))
     val df = grams.groupBy("gh").agg(count(lit(1)).as("_df"))
@@ -2159,16 +2175,30 @@ object Dedup extends QueryModule {
         Window.partitionBy("doc_id").orderBy("_df", "gh")))
       .filter(col("_rk") <=
         expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
-      .select(col("doc_id"), col("lang"), col("n"), col("gh").as("ph"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        col("_rk").as("pk"), col("gh").as("ph"))
     val a = prefix.select(col("doc_id").as("d1"), col("lang"),
-      col("n").as("n1"), col("ph"))
+      col("n").as("n1"), col("pk").as("pk1"), col("ph"))
     val b = prefix.select(col("doc_id").as("d2"),
-      col("lang").as("lang2"), col("n").as("n2"), col("ph").as("ph2"))
+      col("lang").as("lang2"), col("n").as("n2"), col("pk").as("pk2"),
+      col("ph").as("ph2"))
     val cand = a.join(probeSide(b),
         col("ph") === col("ph2") && col("lang") === col("lang2") &&
           col("d1") < col("d2") &&
           least(col("n1"), col("n2")) * tDen >=
-            greatest(col("n1"), col("n2")) * tNum)
+            greatest(col("n1"), col("n2")) * tNum &&
+          // PPJoin POSITIONAL filter (Xiao et al. §3.2): a prefix match
+          // at doc-local sorted ranks (pk1, pk2) bounds the overlap by
+          // 1 + min(n1−pk1, n2−pk2); j ≥ num/den needs the exact
+          // overlap α = ⌈num·(n1+n2)/(num+den)⌉, so prune matches whose
+          // bound can't reach it. For any qualifying pair the FIRST
+          // common gram in the global (df, hash) order sits inside both
+          // prefixes at minimal ranks and passes this bound, so the
+          // surviving candidate set still contains every true pair —
+          // the merge-intersection verify below is unchanged.
+          (lit(1L) + least(col("n1") - col("pk1"),
+            col("n2") - col("pk2"))) * (tNum + tDen) >=
+            (col("n1") + col("n2")) * tNum)
       .select(col("d1"), col("d2")).distinct()
     cand
       .join(sets.select(col("doc_id").as("d1"), col("hs").as("hs1"),
@@ -2290,7 +2320,7 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("shard"), col("fp")).as("n_kept"))
       .withColumn("n_removed", col("n_docs") - col("n_kept"))
-      .localCheckpoint() // 4-row frame, 2 consumers
+      .cut // 4-row frame, 2 consumers
     val g = agg.filter(col("plan") === "1_global")
       .select(col("n_removed").as("g_removed"))
     agg.crossJoin(broadcast(g))

@@ -94,6 +94,11 @@ object MaskQueries extends QueryModule {
     val key = concat(col("l_orderkey").cast("string"), lit("#"),
       col("l_linenumber").cast("string"))
     Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      // width-pin the blur: 600k portable-md5 hashes otherwise run in
+      // the scan's single task at bench SF (natural splits provide the
+      // width at scale)
+      .repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         MaskFunctions.blurNumber(col("l_quantity"), key, 5).as("blurred"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -753,7 +758,7 @@ object MaskQueries extends QueryModule {
       .agg(count(lit(1)).as("n_gb"))
       // |classes × buckets| frame with four consumers (global buckets,
       // totals, class sizes, report): pin it — one corpus scan total
-      .localCheckpoint()
+      .cut
     val glob = gb.groupBy("bucket").agg(sum(col("n_gb")).as("n_b"))
     val tot = gb.agg(sum(col("n_gb")).as("nn"))
     val ng = gb.groupBy("seg", "nation").agg(sum(col("n_gb")).as("n_g"))

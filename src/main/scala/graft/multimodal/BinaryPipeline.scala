@@ -655,7 +655,7 @@ object BinaryPipeline extends QueryModule {
     // ≤ |distinct hashes| rows so the decode pass runs ONCE
     val hh = aHashes(spark, dir)
       .groupBy("hash_hi", "hash_lo").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .cut
     val melted = hh.select(col("hash_hi"), col("hash_lo"), col("n"),
         posexplode(array(
           pmod(col("hash_lo"), lit(65536L)),

@@ -1082,14 +1082,14 @@ object Relational extends graft.QueryModule {
     // re-derived from the raw rows, ~5 scans total). A value-level
     // pre-agg was measured and rejected: cents are near-unique, so
     // the extra exchange cost more than the scans it saved.
-    val cvals = vals.localCheckpoint()
+    val cvals = vals.cut
     // med is consumed twice (deviation derivation + final join); it is
     // a |groups|-row frame, so materializing it costs nothing and
     // guarantees the selection passes run once (subtree reuse across
     // the two consumers is not reliable through the rank explode)
     val med = radixLowerMedian(cvals, Seq("l_returnflag"), "cents")
       .withColumnRenamed("median", "median_cents")
-      .localCheckpoint()
+      .cut
     val dev = cvals
       .join(broadcast(med.select(col("l_returnflag"), col("median_cents"))),
         "l_returnflag")
@@ -1481,7 +1481,13 @@ object Relational extends graft.QueryModule {
         pmod(graft.mask.MaskFunctions.portableHash(
           concat(lit(s"$r:"), key.cast("string"))), lit(w.toLong)).as("cell"))
     }: _*))
+    // width-pin the sketch digest: the 4-way Expand + 2.4M portable-md5
+    // hashes otherwise run in the scan's single task at bench SF (the
+    // corpus is one parquet split); the keyed repartition follows the
+    // cluster width, is shared by both consumers (ReusedExchange), and
+    // at scale the source's natural splits make it a no-op cost
     val li = Tables.lineitem(spark, dir).select(col("l_partkey"))
+      .repartition(spark.sparkContext.defaultParallelism, col("l_partkey"))
     val sketch = li.select(cells(col("l_partkey")).as("e"))
       .groupBy(col("e.hr").as("hr"), col("e.cell").as("cell"))
       .agg(count(lit(1)).as("c"))
@@ -1860,7 +1866,7 @@ object Relational extends graft.QueryModule {
       .filter(col("o_orderstatus").isin("O", "F"))
       .select(col("o_orderstatus").as("s"), col("o_custkey").as("key"))
       .distinct()
-      .localCheckpoint() // sketch + exact passes share one scan
+      .cut // sketch + exact passes share one scan
     val h = m.select(col("s"),
       graft.mask.MaskFunctions.portableHash(col("key")).as("h")).distinct()
     val w = Window.partitionBy("s").orderBy("h")
@@ -2656,7 +2662,7 @@ object Relational extends graft.QueryModule {
         .as("rev_cents"))
       // |parts| frame, two consumers (total + ranking): pin it so the
       // total never re-scans the fact table
-      .localCheckpoint()
+      .cut
     val total = perPart.agg(sum(col("rev_cents")).as("tot"))
     OrderStats.twoLevelRunningSum(perPart, Nil,
         Seq(expr("(0 - rev_cents) div 1048576")),
@@ -2730,7 +2736,7 @@ object Relational extends graft.QueryModule {
         sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
       // |customer| frame, two consumers (rank chain + n): pin it so
       // the count never re-scans the fact table
-      .localCheckpoint()
+      .cut
     val ckBucket = expr("o_custkey div 8192")
     def rankOf(df: DataFrame, metric: String, shards: Seq[Column],
         out: String): DataFrame =
@@ -2802,7 +2808,7 @@ object Relational extends graft.QueryModule {
         sum((dec(col("l_extendedprice")) * 100).cast("long"))
           .as("rev_cents"))
       // ≤66-cell frame, two consumers: pin it (clsMutualInfo play)
-      .localCheckpoint()
+      .cut
     val total = cells.agg(sum(col("n_rows")).as("tot"))
     cells
       .crossJoin(broadcast(total))
@@ -3000,7 +3006,7 @@ object Relational extends graft.QueryModule {
         expr("l_partkey div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(l_partkey % 64 as int)))")
         .as("bits"))
-      .localCheckpoint() // fine-grain word state, 3 grain consumers
+      .cut // fine-grain word state, 3 grain consumers
     val fine = words.groupBy("l_returnflag", "l_linestatus")
       .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"))
       .select(lit(0L).as("gid"), col("l_returnflag"),
@@ -3061,7 +3067,7 @@ object Relational extends graft.QueryModule {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
       .distinct()
-      .localCheckpoint()
+      .cut
     val total = ob.agg(countDistinct(col("o")).as("n_orders"))
     val marg = ob.groupBy("b").agg(count(lit(1)).as("c"))
     val pairs = ob.select(col("o"), col("b").as("brand1"))

@@ -476,7 +476,7 @@ object CorpusPipeline extends QueryModule {
     * (totals + hot count); nothing here ever re-touches the corpus. */
   def pipeShardSkew(spark: SparkSession, dir: String): DataFrame = {
     val m = shardManifest(Tables.documents(spark, dir))
-      .select(col("shard"), col("n_tokens")).localCheckpoint()
+      .select(col("shard"), col("n_tokens")).cut
     val t = m.agg(count(lit(1)).as("n_shards"),
       sum(col("n_tokens")).as("tokens_total"),
       max(col("n_tokens")).as("tokens_max"),
@@ -1208,7 +1208,7 @@ object CorpusPipeline extends QueryModule {
   def pipeMixAlphaCurve(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint()
+      .cut
     val nD = col("n_docs").cast("double")
     val alphas: Seq[(Int, Column)] = Seq(
       0 -> lit(1L),
@@ -1462,7 +1462,7 @@ object CorpusPipeline extends QueryModule {
     // plan: R9dOpsSpec pins that exact dedup keys on the digest)
     val s2 = docs
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
-      .localCheckpoint()
+      .cut
     val keepers = s2.groupBy(md5(col("text")).as("_k"))
       .agg(min(col("doc_id")).as("_keep"))
     val s3 = s2.join(keepers, col("doc_id") === col("_keep"),
@@ -1516,15 +1516,15 @@ object CorpusPipeline extends QueryModule {
     def keepPm(c: Column): Column = pmod(portableHash(c), lit(1000L))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"))
       .withColumn("_keep", keepPm(col("c_custkey")) < 200)
-      .localCheckpoint() // 3 consumers: own stats + both descents
+      .cut // 3 consumers: own stats + both descents
     val custKept = cust.filter(col("_keep")).select(col("c_custkey"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .withColumn("_ikeep", keepPm(col("o_orderkey")) < 200)
-      .localCheckpoint() // 4 consumers
+      .cut // 4 consumers
     val ordKept = ord.join(custKept,
       col("o_custkey") === col("c_custkey"), "left_semi")
-      .select(col("o_orderkey")).localCheckpoint()
+      .select(col("o_orderkey")).cut
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"))
       .withColumn("_ikeep", keepPm(concat(col("l_orderkey"),
@@ -2005,7 +2005,7 @@ object CorpusPipeline extends QueryModule {
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), "\\s+")).cast("long").as("nt"),
         md5(col("text")).as("fp"))
-      .localCheckpoint()
+      .cut
     val qs = OrderStats.radixRankSelect(
         base.select(col("lang"), col("nt")), Seq("lang"), "nt",
         Seq("p50" -> expr("(n + 1) div 2"),
@@ -2162,7 +2162,7 @@ object CorpusPipeline extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         sum(expr("size(split(text, '\\\\s+'))").cast("long"))
           .as("n_tokens"))
-      .localCheckpoint() // |shards| frame, totals + plan consumers
+      .cut // |shards| frame, totals + plan consumers
     val tot = shards.agg(sum(col("n_tokens")).as("t"),
       count(lit(1)).as("n"))
     val byId = Window.orderBy("shard_id") // |shards| frame only
@@ -2225,7 +2225,7 @@ object CorpusPipeline extends QueryModule {
         sum(when(col("kept"), 1L).otherwise(0L)).as("docs_after"),
         sum(when(col("kept"), col("_t")).otherwise(0L))
           .as("tokens_after"))
-      .localCheckpoint() // |langs| frame, totals + drift consumers
+      .cut // |langs| frame, totals + drift consumers
     val tot = perLang.agg(sum(col("tokens_before")).as("tb"),
       sum(col("tokens_after")).as("ta"))
     perLang.crossJoin(broadcast(tot))

@@ -102,8 +102,17 @@ object EmbOps extends QueryModule {
       .select(col("qid"), col("rank"), col("nid"), col("hamming"))
   }
 
+  /** Session-memoized Hamming shortlist (the shared-list precedent in
+    * [[Knn.bruteList]]): the key's own answer AND RRF fusion's second
+    * retriever — one derivation per (session, corpus). */
+  private[graft] def hammingList(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "embHammingTop5") {
+      hammingTopK(Tables.embeddings(spark, dir), 5)
+    }
+
   def embHammingTopK(spark: SparkSession, dir: String): DataFrame =
-    hammingTopK(Tables.embeddings(spark, dir), 5).reportSort("qid", "rank")
+    hammingList(spark, dir).reportSort("qid", "rank")
 
   val embHammingSql: String =
     """WITH s AS (
@@ -395,18 +404,22 @@ object EmbOps extends QueryModule {
       .select(col("vec_id"), e.as("e"))
     val cents = emb.orderBy("vec_id").limit(8)
       .select(col("vec_id").as("k"), col("e").as("c"))
-    // corpus → PQ codes (same assignment as emb_pq)
-    val codes = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("k"),
-        explode(sequence(lit(0), lit(3))).as("m"), col("e"), col("c"))
-      .withColumn("d", expr(
-        """graft_dot(slice(e, m*16+1, 16), slice(e, m*16+1, 16))
-          | - 2*graft_dot(slice(e, m*16+1, 16), slice(c, m*16+1, 16))
-          | + graft_dot(slice(c, m*16+1, 16), slice(c, m*16+1, 16))"""
-          .stripMargin))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("k"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    // corpus → PQ codes (same assignment as emb_pq) — query-set
+    // independent, so the code table is a session memo shared by the
+    // two declared query sets (knn_pq_adc's %50, RRF fusion's <10)
+    val codes = graft.dedup.Dedup.memoized(spark, dir, "embPqCodes") {
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("k"),
+          explode(sequence(lit(0), lit(3))).as("m"), col("e"), col("c"))
+        .withColumn("d", expr(
+          """graft_dot(slice(e, m*16+1, 16), slice(e, m*16+1, 16))
+            | - 2*graft_dot(slice(e, m*16+1, 16), slice(c, m*16+1, 16))
+            | + graft_dot(slice(c, m*16+1, 16), slice(c, m*16+1, 16))"""
+            .stripMargin))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d"), col("k"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    }
     // query → per-(subspace, centroid) distance lookup table
     val qdist = emb.filter(qFilter)
       .select(col("vec_id").as("qid"), col("e").as("q"))
@@ -1522,7 +1535,7 @@ object EmbOps extends QueryModule {
     val emb = Tables.embeddings(spark, dir)
       .filter(ss(e) > 0 && ss(e) < lit(Double.PositiveInfinity))
       .select(col("vec_id"), e.as("e"), ss(e).as("ss"))
-      .localCheckpoint()
+      .cut
     val first = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("e"), col("ss")).collect().head
     def dTo(vec: Array[Double], ssSeed: Double) =
@@ -1601,7 +1614,7 @@ object EmbOps extends QueryModule {
           .as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"),
         floor(col("v") * 1000).cast("long").as("m"))
-      .localCheckpoint() // corpus-explode frame, 2 consumers
+      .cut // corpus-explode frame, 2 consumers
     val sign = when(
       pmod(graft.mask.MaskFunctions.portableHash(
         concat_ws("_", col("dim"), col("j"))), lit(2L)) === 0, 1L)
@@ -1692,7 +1705,7 @@ object EmbOps extends QueryModule {
       .select(floor(sqrt(graft.dedup.Dedup.fastDot(dbl, dbl)) * 1000)
         .cast("long").as("nm"))
       .groupBy("nm").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // |milli-norm grid| frame, 3 consumers
+      .cut // |milli-norm grid| frame, 3 consumers
     val tot = h.agg(sum(col("c")).as("t"))
     val cum = h.crossJoin(broadcast(tot))
       .withColumn("hi", sum(col("c")).over(Window.orderBy("nm")

@@ -59,11 +59,35 @@ object Knn extends QueryModule {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    VectorExprs.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    bruteForce(emb, emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
-  }
+  /** Session-memoized shared retrieval lists (the [[mutualEdges]]
+    * precedent): the exact-brute baseline and the LSH/centroid lists
+    * at the default query set are each derived by several audit keys
+    * (recall audit, probe sweep, MRR, RRF fusion) on top of being
+    * keys themselves — one derivation per (session, corpus), shared
+    * by every consumer. Memoized UNSORTED; key tails apply their own
+    * deterministic sort. */
+  private[graft] def bruteList(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnBruteTop5") {
+      VectorExprs.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      bruteForce(emb, emb.filter(col("vec_id") < 10), 5)
+    }
+
+  private[graft] def lshList(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnLshTop5") {
+      VectorExprs.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      lsh(emb, emb.filter(col("vec_id") < 10), 5)
+    }
+
+  private[graft] def centroidList(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnCentroidTop5") {
+      centroidKnnDefault(spark, dir, col("vec_id") < 10, 5)
+    }
+
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    bruteList(spark, dir).reportSort("qid", "rank")
 
   val knnBruteSql: String =
     s"""WITH n AS (
@@ -163,11 +187,8 @@ object Knn extends QueryModule {
       .select("qid", "rank", "nid")
   }
 
-  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    VectorExprs.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    lsh(emb, emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
-  }
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    lshList(spark, dir).reportSort("qid", "rank")
 
   /** Oracle mirror of lsh at the defaults (5 planes, k=5): identical
     * plane derivation per dimension, identical normalized dots. */
@@ -227,6 +248,45 @@ object Knn extends QueryModule {
       .withColumn("_rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
 
+  /** Session-memoized default-seed IVF ranking over the whole corpus
+    * (vec_id, e, cell, _rk ≤ 3) — the shared front half of every
+    * centroid-cell consumer (centroid kNN, probe sweep, rerank, the
+    * directed-edge layout build): _rk = 1 is the cell assignment,
+    * _rk ≤ p the probe set, and any query subset is a row filter
+    * (query-side normalization of a corpus subset is bit-identical to
+    * the corpus side's). One normalize + argmax pass per session
+    * instead of one per key. */
+  private[sim] def rankedCellsDefault(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.dedup.Dedup.memoized(spark, dir, "knnRankedCells3") {
+      VectorExprs.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val n = normalizedWithLabel(
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
+      rankedSeedCells(n, seedCells(n)).filter(col("_rk") <= 3)
+        .select(col("vec_id"), col("e"), col("cell"), col("_rk"))
+    }
+
+  /** [[centroidKnn]] at the default seeds/nProbe riding
+    * [[rankedCellsDefault]], the query set given as a vec_id
+    * predicate. */
+  private[sim] def centroidKnnDefault(spark: SparkSession, dir: String,
+      qFilter: Column, k: Int): DataFrame = {
+    val rc = rankedCellsDefault(spark, dir)
+    val assigned = rc.filter(col("_rk") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val probes = rc.filter(qFilter)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        fastDot(col("qe"), col("e")).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid")
+  }
+
   def centroidKnn(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 3,
       cellGate: Option[Long] = None): DataFrame = {
     val n = normalizedWithLabel(
@@ -253,11 +313,8 @@ object Knn extends QueryModule {
       .select("qid", "rank", "nid")
   }
 
-  def knnCentroid(spark: SparkSession, dir: String): DataFrame = {
-    VectorExprs.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    centroidKnn(emb, emb.filter(col("vec_id") < 10), 5).reportSort("qid", "rank")
-  }
+  def knnCentroid(spark: SparkSession, dir: String): DataFrame =
+    centroidList(spark, dir).reportSort("qid", "rank")
 
   /** Oracle mirror of centroidKnn at the defaults (nProbe=3, k=5):
     * same seeds, same argmax assignment, same probe set, same ranks. */
@@ -346,9 +403,10 @@ object Knn extends QueryModule {
       s"${Tables.layoutTag(dir)}_k${edgeK}p${edgeNProbe}_$edgeAlgoVersion"
     Tables.attachBucketed(spark, tag, s"knn_edges_$tag",
         "qid BIGINT, rank INT, nid BIGINT", "qid", 8) {
-      VectorExprs.register(spark)
-      val emb = Tables.embeddings(spark, dir)
-      centroidKnn(emb, emb, edgeK, edgeNProbe)
+      // corpus-as-queries at the defaults: ride the memoized ranking
+      // (pinned to the memo's nProbe=3 probe depth)
+      require(edgeNProbe == 3, "memoized ranking carries _rk <= 3 only")
+      centroidKnnDefault(spark, dir, lit(true), edgeK)
     }
   }
 
@@ -479,7 +537,7 @@ object Knn extends QueryModule {
     * first. */
   def knnEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
     val e = mutualEdges(spark, dir).select(col("a"), col("b"))
-      .localCheckpoint() // 3 consumers: wedges, closing set, support-0
+      .cut // 3 consumers: wedges, closing set, support-0
     val sym = e.select(col("a").as("u"), col("b").as("x"))
       .unionAll(e.select(col("b").as("u"), col("a").as("x")))
     val wedges = e
@@ -612,23 +670,28 @@ object Knn extends QueryModule {
   def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = directedEdges(spark, dir).select("qid", "nid")
     val deg = edges.groupBy("qid").agg(count(lit(1)).as("d"))
-    val e = edges.join(deg, Seq("qid")).localCheckpoint()
+    val e = edges.join(deg, Seq("qid")).cut
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
     val base = nodes.agg(expr("1000000000 div COUNT(*)").as("b"))
     var r = nodes.crossJoin(broadcast(base))
       .select(col("vec_id"), col("b").as("r"))
-      .localCheckpoint()
+      .cut
     for (_ <- 1 to 6) {
       val contrib = e
         .join(r.withColumnRenamed("vec_id", "qid"), Seq("qid"))
         .select(col("nid"), expr("r div d").as("c"))
         .groupBy("nid").agg(sum(col("c")).as("in_m"))
+      // LAZY cut: the iteration count is FIXED (no per-round
+      // convergence action), so nothing needs each step materialized
+      // eagerly — the lazy checkpoint still truncates the downstream
+      // PLAN at each step (no deepening), and the final action
+      // materializes the chain without 6 separate driver round-trips
       r = nodes.crossJoin(broadcast(base))
         .join(contrib.withColumnRenamed("nid", "vec_id"),
           Seq("vec_id"), "left")
         .select(col("vec_id"),
           expr("(150 * b + 850 * coalesce(in_m, 0)) div 1000").as("r"))
-        .localCheckpoint()
+        .cutLazy
     }
     val indeg = edges.groupBy(col("nid")).agg(count(lit(1)).as("in_deg"))
     r.join(indeg.withColumnRenamed("nid", "vec_id"),
@@ -708,7 +771,7 @@ object Knn extends QueryModule {
             floor((lit(1.0) - col("c2")) / (lit(1.0) - col("c1"))
               * lit(1000.0)),
             lit(100000L))).as("mu2_pm"))
-      .localCheckpoint() // 2 consumers: rollup + median select
+      .cut // 2 consumers: rollup + median select
     val roll = mu.groupBy("label").agg(
       count(lit(1)).as("n"),
       sum(when(col("mu2_pm").isNull, 1L).otherwise(0L)).as("n_dup"),
@@ -928,9 +991,9 @@ object Knn extends QueryModule {
     * join is trivia next to the searches themselves — this runs as a
     * continuous canary over a sampled query set in production. */
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
-    // both audits probe the same exact-brute baseline — derive it once
-    val brute = knnBrute(spark, dir).select("qid", "nid")
-      .localCheckpoint()
+    // all three lists ride the session memos (already checkpointed —
+    // no per-key localCheckpoint, no reportSort coalesce mid-plan)
+    val brute = bruteList(spark, dir).select("qid", "nid")
     def audit(method: String, approx: DataFrame): DataFrame =
       brute.join(
           approx.select(col("qid"), col("nid"), lit(1L).as("hit")),
@@ -941,8 +1004,8 @@ object Knn extends QueryModule {
           min(col("hits")).as("min_hits"))
         .select(lit(method).as("method"), col("n_queries"),
           col("n_hits"), col("min_hits"))
-    audit("centroid", knnCentroid(spark, dir))
-      .unionByName(audit("lsh", knnLsh(spark, dir)))
+    audit("centroid", centroidList(spark, dir))
+      .unionByName(audit("lsh", lshList(spark, dir)))
       .reportSort("method")
   }
 
@@ -977,9 +1040,8 @@ object Knn extends QueryModule {
     * the production canary. */
   def knnProbeSweep(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val brute = knnBrute(spark, dir).select("qid", "nid")
-      .localCheckpoint() // 3 audit consumers
+    val brute = bruteList(spark, dir).select("qid", "nid")
+      // 3 audit consumers — already a checkpointed session memo
     // Probe sets NEST (the same fact the sweep's monotonicity reading
     // relies on), so the three [[centroidKnn]] compositions collapse
     // to ONE candidate pass at the largest probe count with the probe
@@ -988,23 +1050,19 @@ object Knn extends QueryModule {
     // corpus vector lives in exactly one cell, so a candidate pair
     // appears once, with one probe rank), one IVF pipeline instead of
     // three. The r12-before form re-built normalize/seed/assign/score
-    // per probe point (3× the candidate work for nested subsets).
-    val n = normalizedWithLabel(
-      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
-    val seeds = seedCells(n)
-    val assigned = rankedSeedCells(n, seeds)
-      .filter(col("_rk") === 1)
+    // per probe point (3× the candidate work for nested subsets); the
+    // assignment itself now rides the session memo.
+    val rc = rankedCellsDefault(spark, dir)
+    val assigned = rc.filter(col("_rk") === 1)
       .select(col("vec_id"), col("e"), col("cell"))
-    val probes = rankedSeedCells(
-        normalizedWithLabel(emb.filter(col("vec_id") < 10)), seeds)
-      .filter(col("_rk") <= 3)
+    val probes = rc.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"),
         col("_rk").as("prk"))
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("prk"), col("vec_id").as("nid"),
         fastDot(col("qe"), col("e")).as("c"))
-      .localCheckpoint() // ≤ q·(3 cells' members) skinny rows, 3 consumers
+      .cut // ≤ q·(3 cells' members) skinny rows, 3 consumers
     def audit(p: Int): DataFrame = {
       val knn = scored.filter(col("prk") <= p)
         .withColumn("rank", row_number().over(
@@ -1091,33 +1149,20 @@ object Knn extends QueryModule {
     * the plan shape here is already that one. */
   def knnRerank(spark: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(spark)
-    val emb = Tables.embeddings(spark, dir)
     // codegen quantizer (graft_floor_scale) — the transform() HOF
     // formulation is CodegenFallback, an interpreted loop in the
     // corpus-side hot path
     def qz(c: Column): Column =
       call_function(VectorExprs.floorScaleName, c, lit(64.0))
-    val n = normalizedWithLabel(
-      emb.repartition(emb.sparkSession.sparkContext.defaultParallelism))
-    val seeds = seedCells(n)
-    // corpus→cell argmax assignment (identical to centroidKnn), with
-    // the quantized code attached once at assignment time
-    val assigned = n.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("e"), col("cell"),
-        fastDot(col("e"), col("ce")).as("_d"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("_d"), col("cell"))))
-      .filter(col("_rk") === 1)
+    // corpus→cell argmax assignment and query probes both ride the
+    // memoized default ranking; the quantized codes attach on top
+    val rc = rankedCellsDefault(spark, dir)
+    val assigned = rc.filter(col("_rk") === 1)
       .select(col("vec_id").as("nid"), col("e").as("ne"), col("cell"))
       .withColumn("nz", qz(col("ne")))
-    // query probes: top-nProbe cells per query, quantized query code
-    val probes = n.filter(col("vec_id") < 10).crossJoin(broadcast(seeds))
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cell"),
-        fastDot(col("e"), col("ce")).as("_d"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("_d"), col("cell"))))
-      .filter(col("_rk") <= 3)
-      .select(col("qid"), col("qe"), qz(col("qe")).as("qz"), col("cell"))
+    val probes = rc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        qz(col("e")).as("qz"), col("cell"))
     // stage 1: quantized dots over probed-cell members ONLY
     val short = probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
@@ -1316,7 +1361,7 @@ object Knn extends QueryModule {
     // checkpoint the skinny id-pair list so the cell-pruned candidate
     // generation (normalize + assign + radii + verify) runs ONCE
     val pairs = graft.dedup.Dedup.embeddingPairs(emb, 0.30)
-      .select("id1", "id2").localCheckpoint()
+      .select("id1", "id2").cut
     val sym = pairs.select(col("id1").as("v"), col("id2").as("w"))
       .union(pairs.select(col("id2").as("v"), col("id1").as("w")))
     val core = sym.groupBy("v").agg(count(lit(1)).as("_deg"))
@@ -1405,9 +1450,9 @@ object Knn extends QueryModule {
     val edges = mutualEdges(spark, dir)
       .select(col("a"), col("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .cut
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .cut
     var masses = deg.select(col("v"), lit(1000L).as("mass"))
     for (_ <- 1 to 3) {
       val share = masses.join(deg, Seq("v"))
@@ -1416,11 +1461,12 @@ object Knn extends QueryModule {
       val incoming = sym
         .join(share.select(col("v").as("a"), col("out")), Seq("a"))
         .groupBy(col("b").as("v")).agg(sum(col("out")).as("inc"))
+      // lazy cut — K is fixed, no per-round action (see knnPagerank)
       masses = share.select(col("v"), col("rem"))
         .join(incoming, Seq("v"), "left")
         .select(col("v"),
           (col("rem") + coalesce(col("inc"), lit(0L))).as("mass"))
-        .localCheckpoint()
+        .cutLazy
     }
     masses.join(deg, Seq("v"))
       .select(col("v").as("vec_id"), col("deg"), col("mass"))
@@ -1463,9 +1509,10 @@ object Knn extends QueryModule {
     * integer ratio in per-mille. The audit join is ≤ q·k rows — a
     * production canary beside [[knnRecall]] and [[knnProbeSweep]]. */
   def knnMrr(spark: SparkSession, dir: String): DataFrame = {
-    // both audits probe the same exact-brute baseline — derive it once
-    val top1 = knnBrute(spark, dir).filter(col("rank") === 1)
-      .select("qid", "nid").localCheckpoint()
+    // both audits probe the same exact-brute baseline — the session
+    // memo (already checkpointed; the filter over it is trivial)
+    val top1 = bruteList(spark, dir).filter(col("rank") === 1)
+      .select("qid", "nid")
     def audit(method: String, approx: DataFrame): DataFrame =
       top1.join(
           approx.select(col("qid"), col("nid"),
@@ -1479,8 +1526,8 @@ object Knn extends QueryModule {
         .select(lit(method).as("method"), col("n_queries"),
           col("n_found"), col("rr60_sum"),
           expr("rr60_sum * 1000 div (60 * n_queries)").as("mrr_pm"))
-    audit("centroid", knnCentroid(spark, dir))
-      .unionByName(audit("lsh", knnLsh(spark, dir)))
+    audit("centroid", centroidList(spark, dir))
+      .unionByName(audit("lsh", lshList(spark, dir)))
       .reportSort("method")
   }
 
@@ -1525,13 +1572,13 @@ object Knn extends QueryModule {
   def knnRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // all three retrieval lists are ≤ q·k rows but EXPENSIVE to derive
-    // (PQ codebook + ADC scan; sign-bit Hamming scan; exact brute) and
-    // each feeds 2+ consumers (fusion + its own panel row; t1 feeds
-    // every panel) — materialize each once
+    // (PQ codebook + ADC scan; sign-bit Hamming scan; exact brute);
+    // the Hamming and brute lists ride the session memos, the PQ list
+    // (query-set-specific ADC over the memoized code table) is
+    // checkpointed once for its 2 consumers here
     val pq = EmbOps.knnPqAdcFor(spark, dir, col("vec_id") < 10)
-      .select("qid", "nid", "rank").localCheckpoint()
-    val hm = EmbOps.embHammingTopK(spark, dir).select("qid", "nid", "rank")
-      .localCheckpoint()
+      .select("qid", "nid", "rank").cut
+    val hm = EmbOps.hammingList(spark, dir).select("qid", "nid", "rank")
     val lists = pq.unionByName(hm)
       .select(col("qid"), col("nid"),
         expr("1000000 div (60 + cast(rank as bigint))").as("pts"))
@@ -1540,9 +1587,8 @@ object Knn extends QueryModule {
       .withColumn("rank", row_number().over(Window.partitionBy("qid")
         .orderBy(desc("score"), col("nid"))))
       .filter(col("rank") <= 5)
-    val t1 = knnBrute(spark, dir).filter(col("rank") === 1)
+    val t1 = bruteList(spark, dir).filter(col("rank") === 1)
       .select(col("qid"), col("nid").as("true_nid"))
-      .localCheckpoint()
     def panel(method: String, list: DataFrame) =
       t1.join(list.select(col("qid").as("lqid"), col("nid").as("lnid")),
           col("qid") === col("lqid") && col("true_nid") === col("lnid"),

@@ -618,6 +618,12 @@ object SourceQueries extends QueryModule {
         when(col("event_type") === "signup", "c")
           .when(col("event_type") === "error", "d").otherwise("u").as("op"),
         expr("unix_micros(cast(ts as timestamp)) div 1000").as("ts_ms"))
+      // width-pin the container write: the per-record Avro serialization
+      // otherwise runs in the scan's single task at bench SF; width
+      // follows the cluster, the splittable read-back parallelizes the
+      // same way, and the compaction window downstream is unaffected by
+      // file layout
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
     val tmp = stagingDir(spark, "graft-avro-cdc")
     ev.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()

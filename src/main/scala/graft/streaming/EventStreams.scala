@@ -1014,7 +1014,7 @@ object EventStreams extends QueryModule {
         floor(col("value") * 100).cast("long").as("c"))
       .groupBy("grp", "seg")
       .agg(expr("sum(c) div count(1)").as("m"))
-      .localCheckpoint() // 2 consumers: breakpoint select + symbolize
+      .cut // 2 consumers: breakpoint select + symbolize
     val bp = OrderStats.radixRankSelect(
         paa.select(col("grp"), col("m")), Seq("grp"), "m",
         Seq("p25" -> expr("(n + 1) div 4"),
@@ -1126,7 +1126,7 @@ object EventStreams extends QueryModule {
       .withColumn("w_ms",
         col("s") - least(coalesce(col("m"), col("s")), col("s")))
       .select(col("grp"), col("w_ms"))
-      .localCheckpoint() // 2 consumers: moment rollup + p95 select
+      .cut // 2 consumers: moment rollup + p95 select
     val roll = w.groupBy("grp").agg(
       count(lit(1)).as("n"),
       max(col("w_ms")).as("w_max_ms"),
@@ -1704,7 +1704,7 @@ object EventStreams extends QueryModule {
     val cu = f.crossJoin(broadcast(t))
       .withColumn("cusum",
         sum(col("c") * col("_nd") - col("_tot")).over(w))
-      .localCheckpoint()
+      .cut
     val mx = cu.agg(max(abs(col("cusum"))).as("_m"))
     cu.crossJoin(broadcast(mx))
       .select(timestamp_micros(col("day") * 86400000000L)
@@ -1733,7 +1733,7 @@ object EventStreams extends QueryModule {
         when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
       .groupBy("h")
       .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
-      .localCheckpoint()
+      .cut
     val glob = hours.agg(sum(col("n")).as("gn"),
       sum(col("n_err")).as("ge"))
     // burn vs global share with integer cross-products: burn_pm =
@@ -1801,7 +1801,7 @@ object EventStreams extends QueryModule {
         expr("unix_micros(cast(ts as timestamp)) div 86400000000")
           .as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .cut
     val pairs = d.as("a").join(d.as("b"),
       col("a.event_type") === col("b.event_type") &&
         col("a.day") < col("b.day"))

@@ -409,9 +409,10 @@ object Stateful {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    import graft.Syntax._
     val byDay = deltas.filter(col("w").isin(1, 30))
       .groupBy("w", "day").agg(sum(col("delta")).as("d"))
-      .localCheckpoint() // tiny (|days|-bounded); read by three frames
+      .cut // tiny (|days|-bounded); read by three frames
     val spine = byDay.filter(col("w") === 1)
       .agg(min(col("day")).as("_d0"), (max(col("day")) - 1).as("_d1"))
       .select(explode(expr("sequence(_d0, _d1)")).as("day"))

@@ -1089,7 +1089,7 @@ object TextAnalysis extends QueryModule {
         // re-executed projections. The checkpointed frame is the
         // word-TYPE table (vocab-sized at any corpus scale), so the
         // cut is cheap at 100 TB too.
-        .localCheckpoint(false)
+        .cutLazy
     }
     (merges, cur)
   }
@@ -1501,7 +1501,7 @@ object TextAnalysis extends QueryModule {
       // corpus arrives as ONE parquet split, so spread it across the
       // cluster before hashing (at 100 TB the source's natural splits
       // already do this; the ~MB text shuffle is noise vs the digests)
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function(graft.expr.VectorExprs.winnowSelName,
           regexp_replace(trim(lower(col("text"))), "\\s+", " "))
@@ -1513,7 +1513,7 @@ object TextAnalysis extends QueryModule {
       // checkpoint)
       .select(col("doc_id"), col("sels"),
         expr("transform(sels, x -> x div 1048576)").as("hs"))
-      .localCheckpoint()
+      .cut
     val fps = Tables.attachBucketed(spark, tag, s"winnow_fps_$tag",
         "doc_id BIGINT, h BIGINT", "h", 8) {
       sel.select(col("doc_id"),
@@ -2063,7 +2063,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("bucket", explode(sequence(lit(0L), lit(63L))))
       .join(counts, Seq("source", "bucket"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-      .localCheckpoint() // |sources×64| sketch, 3 consumers
+      .cut // |sources×64| sketch, 3 consumers
     val totals = dense.groupBy("source").agg(sum(col("n")).as("t"))
     val a = dense.join(totals, "source")
       .select(col("source").as("s1"), col("bucket"),

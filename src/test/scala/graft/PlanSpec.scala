@@ -443,7 +443,9 @@ class PlanSpec extends SparkSpec {
     warm.collect()
     val plan = warm.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("winnow_fps"),
+    // memo mode: the layout is a checkpointed-RDD scan; table mode
+    // keeps the named catalog scan — either way NO gram machinery
+    assert(plan.contains("winnow_fps") || plan.contains("ExistingRDD"),
       s"warm pairs plan does not read the postings layout:\n" +
         plan.take(2000))
     assert(!plan.contains("documents") && !plan.contains("explode"),
@@ -454,8 +456,8 @@ class PlanSpec extends SparkSpec {
     tw.collect()
     val twPlan = tw.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(twPlan.contains("winnow_stats") &&
-      !twPlan.contains("documents"),
+    assert((twPlan.contains("winnow_stats") ||
+      twPlan.contains("ExistingRDD")) && !twPlan.contains("documents"),
       s"txt_winnowing must be a stats-layout scan:\n${twPlan.take(2000)}")
   }
 
@@ -470,7 +472,8 @@ class PlanSpec extends SparkSpec {
     warm.collect()
     val plan = warm.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("dedup_pairs09"),
+    // memo mode: checkpointed-RDD scan; table mode: named catalog scan
+    assert(plan.contains("dedup_pairs09") || plan.contains("ExistingRDD"),
       s"warm pair plan does not read the pairs layout:\n${plan.take(2000)}")
     assert(!plan.contains("documents") && !plan.contains("explode"),
       s"warm pair plan still runs the corpus pair join:\n${plan.take(2000)}")
@@ -480,15 +483,20 @@ class PlanSpec extends SparkSpec {
     cf.collect()
     val cfPlan = cf.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(cfPlan.contains("dedup_pairs09") && !cfPlan.contains("explode"),
+    assert((cfPlan.contains("dedup_pairs09") ||
+      cfPlan.contains("ExistingRDD")) && !cfPlan.contains("explode"),
       s"corpus filter must ride the pair layout:\n${cfPlan.take(2000)}")
-    // label consumer: the component fixpoint must not re-run
+    // label consumer: the component fixpoint must not re-run (no
+    // iterative join machinery — a single layout scan plus the census)
     val lbl = graft.dedup.Dedup.dedupComponents(spark, sfDir)
     lbl.collect()
     val lblPlan = lbl.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(lblPlan.contains("dedup_labels09"),
+    assert(lblPlan.contains("dedup_labels09") ||
+      lblPlan.contains("ExistingRDD"),
       s"components must be a label-layout scan:\n${lblPlan.take(2000)}")
+    assert(!lblPlan.contains("documents"),
+      s"components must not re-run the fixpoint:\n${lblPlan.take(2000)}")
   }
 
   test("r12 re-plumbs: q62/q63/mask_rank_swap carry no unpartitioned " +

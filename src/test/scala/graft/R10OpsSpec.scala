@@ -113,21 +113,23 @@ class R10OpsSpec extends SparkSpec {
 
   test("knn directed edges persist as a layout: warm path is a scan") {
     import graft.sim.Knn
-    // first call builds (or re-attaches) the bucketed table
+    // first call builds (or re-attaches) the session layout
     val first = Knn.directedEdges(spark, sfDir)
     assert(first.count() > 0)
-    // second call must be a catalog re-attach: plan reads the bucketed
-    // layout, with NO centroid probe pass (no dot-product, no seeds
-    // cross join) anywhere in it
+    // second call must be a layout re-attach: in the default memo mode
+    // the plan is a checkpointed-RDD scan, with NO centroid probe pass
+    // (no dot-product, no seeds cross join) anywhere in it
     val warm = Knn.directedEdges(spark, sfDir)
     val plan = warm.queryExecution.executedPlan.toString
-    assert(plan.contains("knn_edges_"),
+    assert(plan.contains("knn_edges_") || plan.contains("ExistingRDD"),
       s"warm path must scan the persisted edge layout:\n$plan")
     assert(!plan.contains("graft_dot") && !plan.toLowerCase.contains("cross"),
       s"warm path must not recompute the candidate pass:\n$plan")
-    // schema contract survives the DDL re-attach form
+    // schema contract survives the re-attach form
     assert(warm.columns.toSeq == Seq("qid", "rank", "nid"))
-    // bucketed scan: qid-keyed aggregation needs no exchange
+    // keyed layout: qid-keyed aggregation needs no exchange (memo mode
+    // preserves the bucketCol hash partitioning through the checkpoint
+    // exactly as the bucketed table's scan did)
     val agg = warm.groupBy("qid").count()
     val aggPlan = agg.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
