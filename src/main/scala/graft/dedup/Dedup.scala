@@ -2038,7 +2038,7 @@ object Dedup extends QueryModule {
       .select(col("bands"), expr("32 div bands").as("rows_per_band"),
         col("n_candidates"), col("n_est_dup"),
         expr("n_est_dup * 1000 div n_candidates").as("yield_pm"))
-      .orderBy("bands")
+      .reportSort("bands")
   }
 
   val dedupLshSweepSql: String =

@@ -293,8 +293,10 @@ object Relational extends graft.QueryModule {
         |FROM graft_customer
         |JOIN graft_nation ON c_nationkey = n_nationkey
         |JOIN graft_region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+      // zero-exchange report tail (rows unique per rollup combo; asc
+      // default = NULLS FIRST, matching the oracle's ORDER BY)
+      .reportSort("r_name", "n_name")
   }
 
   val q12Sql: String =
@@ -466,8 +468,8 @@ object Relational extends graft.QueryModule {
     spark.sql(
       """SELECT r_name, n_name, COUNT(*) AS cnt
         |FROM graft_nation JOIN graft_region ON n_regionkey = r_regionkey
-        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin)
+      .reportSort("r_name", "n_name") // see q12
   }
 
   val q20Sql: String =
@@ -521,8 +523,8 @@ object Relational extends graft.QueryModule {
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM graft_orders
-        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+      .reportSort("o_orderstatus", "o_orderpriority") // see q12
   }
 
   val q23Sql: String =
@@ -2465,8 +2467,8 @@ object Relational extends graft.QueryModule {
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
          |FROM $v
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-         |  (l_returnflag), ())
-         |ORDER BY gid, returnflag, linestatus""".stripMargin)
+         |  (l_returnflag), ())""".stripMargin)
+      .reportSort("gid", "returnflag", "linestatus") // see q12
     spark.catalog.dropTempView(v)
     out
   }

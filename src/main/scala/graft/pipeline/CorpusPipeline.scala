@@ -2107,7 +2107,7 @@ object CorpusPipeline extends QueryModule {
         col("contam_pairs"), col("total_pairs"),
         expr("contam_pairs * 1000 div total_pairs").as("contam_pm"),
         col("n_mixed_bins"))
-      .orderBy("lang")
+      .reportSort("lang")
   }
 
   def pipePackingContamination(spark: SparkSession, dir: String)

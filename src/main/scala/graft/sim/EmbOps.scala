@@ -1554,7 +1554,7 @@ object EmbOps extends QueryModule {
       cur = cur.withColumn("dmin", least(col("dmin"),
         dTo(top.getSeq[Double](1).toArray, top.getDouble(2))))
     }
-    picks.toSeq.toDF("rank", "vec_id", "dist_micro").orderBy("rank")
+    picks.toSeq.toDF("rank", "vec_id", "dist_micro").reportSort("rank")
   }
 
   val embFpsCoresetSql: String = {

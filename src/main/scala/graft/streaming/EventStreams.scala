@@ -1137,7 +1137,7 @@ object EventStreams extends QueryModule {
     val p95 = OrderStats.radixRankSelect(w, Seq("grp"), "w_ms",
         Seq("p95" -> expr("(19 * n + 19) div 20")))
       .select(col("grp"), col("sel_value").as("w_p95_ms"))
-    roll.join(p95, Seq("grp")).orderBy("grp")
+    roll.join(p95, Seq("grp")).reportSort("grp")
   }
 
   val strQueueDepthSql: String =
@@ -1263,7 +1263,10 @@ object EventStreams extends QueryModule {
     * every day's exact count. One shuffle on user_id carries all
     * three window widths (1/7/30 share the sorted per-user days);
     * everything after is |days|-sized. */
-  def activeUsers(events: DataFrame): DataFrame = {
+  def activeUsers(events: DataFrame): DataFrame =
+    activeUsersCore(events).reportSort("day")
+
+  private def activeUsersCore(events: DataFrame): DataFrame = {
     val ud = events.select(col("user_id"),
         expr("unix_micros(cast(ts as timestamp)) div 86400000000")
           .as("day"))
@@ -1313,7 +1316,6 @@ object EventStreams extends QueryModule {
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("wau"), lit(0L)).as("wau"),
         coalesce(col("mau"), lit(0L)).as("mau"))
-      .orderBy("day")
   }
 
   def strActiveUsers(spark: SparkSession, dir: String): DataFrame =
@@ -1329,7 +1331,7 @@ object EventStreams extends QueryModule {
     * pass is shared; this adds only |days|-frame arithmetic and a
     * 7-row window on the spine. */
   def stickiness(events: DataFrame): DataFrame = {
-    val au = activeUsers(events)
+    val au = activeUsersCore(events)
     au.select(col("day"), col("dau"), col("mau"),
         when(col("mau") > 0, expr("dau * 1000 div mau")).otherwise(0L)
           .as("stickiness_pm"))
@@ -2225,7 +2227,7 @@ object EventStreams extends QueryModule {
         col("skew_us"),
         expr("_enc div 8").as("wm_us"),
         expr("_enc % 8").as("laggard_shard"))
-      .orderBy("window_start")
+      .reportSort("window_start")
   }
 
   def strWatermarkSkew(spark: SparkSession, dir: String): DataFrame =
